@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch relational operator library — each function is one operator family
+  * from SURVEY.md §2, re-expressed as a declarative DataFrame program so
+  * Catalyst keeps full freedom (pushdown, pruning, join selection, AQE).
+  *
+  * Scale notes are attached per operator: every shuffle is on the natural key
+  * of the operation, small dimensions are broadcast by the caller, and no
+  * operator ever collects to the driver.
+  */
+object Relational {
+
+  /** W1 — latest record per key (reference `Silver/05-silver.py:25-31`).
+    *
+    * Uses `rank` (NOT `row_number`): two records tied on `orderCol` both
+    * survive, preserving the reference's CDC tie semantics. One shuffle on
+    * `keys`; state is a per-partition sort — scales linearly with data/keys.
+    */
+  def latestPerKey(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol).desc)
+    df.withColumn("__rank", rank().over(w)).filter(col("__rank") === 1).drop("__rank")
+  }
+
+  /** D1 (deterministic batch form) — keyed dedup keeping the first row by
+    * `tiebreak` (reference `dropDuplicates` keeps an arbitrary row —
+    * `Silver/05-silver.py:78-79`; we pin a total order so results are
+    * oracle-comparable). `row_number` (not `rank`): exactly one survivor.
+    */
+  def dedupKeyed(df: DataFrame, keys: Seq[String], tiebreak: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(tiebreak: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** J4 — interval pairing join (sessionization): pair each `start` row with
+    * `stop` rows of the same key where `stop.ts ∈ (start.ts, start.ts + maxGap)`
+    * — open interval on both ends, verbatim from
+    * `Silver/05-silver.py:395-396` (`end > start AND end < start + 3h`).
+    *
+    * Physical shape: shuffle both sides on `keys` → hash join + residual range
+    * filter. At 100 TB the equi key carries the join; the range predicate is a
+    * post-filter, so state ∝ rows-per-key within the gap, not the table size.
+    */
+  def intervalPairJoin(
+      starts: DataFrame, stops: DataFrame, keys: Seq[String],
+      startTs: String, stopTs: String, maxGap: Column): DataFrame = {
+    val cond = keys.map(k => starts(k) === stops(k)).reduce(_ && _) &&
+      stops(stopTs) > starts(startTs) &&
+      stops(stopTs) < starts(startTs) + maxGap
+    starts.join(stops, cond, "inner")
+  }
+
+  /** J5/J7 — point-in-interval assignment: attach each point row to interval
+    * rows of the same key where `pt ∈ (lo, hi]` (half-open, verbatim from
+    * `Silver/05-silver.py:459-461`). For the closed `BETWEEN` flavor of the
+    * gym-summary view (`Setup/02-setup.py:253`) use [[pointInClosedInterval]].
+    */
+  def pointInInterval(
+      points: DataFrame, intervals: DataFrame, keys: Seq[String],
+      pt: String, lo: String, hi: String): DataFrame = {
+    val cond = keys.map(k => points(k) === intervals(k)).reduce(_ && _) &&
+      points(pt) > intervals(lo) && points(pt) <= intervals(hi)
+    points.join(intervals, cond, "inner")
+  }
+
+  /** J7 — closed-interval containment (`BETWEEN lo AND hi`),
+    * `Setup/02-setup.py:250-254`. */
+  def pointInClosedInterval(
+      points: DataFrame, intervals: DataFrame, keys: Seq[String],
+      pt: String, lo: String, hi: String): DataFrame = {
+    val cond = keys.map(k => points(k) === intervals(k)).reduce(_ && _) &&
+      points(pt).between(intervals(lo), intervals(hi))
+    points.join(intervals, cond, "inner")
+  }
+
+  /** A1 — per-group stats aggregation (reference `Gold/06-gold.py:93-95`):
+    * min/avg/max/count of `valueCol` grouped by `keys`. Map-side partial
+    * aggregation is automatic (hash agg), so the shuffle carries one row per
+    * (partition, key) — the 100 TB-safe shape.
+    */
+  def groupStats(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(
+      min(col(valueCol)).as("min_" + valueCol),
+      avg(col(valueCol)).as("avg_" + valueCol),
+      max(col(valueCol)).as("max_" + valueCol),
+      count(col(valueCol)).as("num_recordings"))
+
+  /** P9 — validity flag (reference `Silver/05-silver.py:271`). */
+  def validityFlag(value: Column): Column =
+    when(value <= 0, lit(false)).otherwise(lit(true))
+
+  /** P10 — chained-`when` binning (reference age_bins,
+    * `Silver/05-silver.py:291-304`). Generic over any numeric column:
+    * `bounds` are the inclusive-exclusive bin edges, `labels.length ==
+    * bounds.length + 1`; null/out-of-range → `invalidLabel`.
+    * The reference's `current_date()` nondeterminism is removed by taking the
+    * already-computed numeric column (callers inject the clock — SURVEY §7.1).
+    */
+  def binned(value: Column, bounds: Seq[Double], labels: Seq[String],
+             invalidLabel: String): Column = {
+    require(labels.length == bounds.length + 1,
+      s"need ${bounds.length + 1} labels for ${bounds.length} bounds")
+    val first = when(value < bounds.head, labels.head)
+    val mid = bounds.indices.drop(1).foldLeft(first) { (acc, i) =>
+      acc.when(value >= bounds(i - 1) && value < bounds(i), labels(i))
+    }
+    mid.when(value >= bounds.last, labels.last).otherwise(lit(invalidLabel))
+  }
+
+  /** Reference age_bins verbatim semantics (`Silver/05-silver.py:291-304`)
+    * with an injected as-of date for determinism: age = floor(months_between
+    * (asOf, dob)/12), 11 bins "under 18" … "95+", else "invalid age". */
+  def ageBins(dob: Column, asOf: Column): Column = {
+    val age = floor(months_between(asOf, dob) / 12)
+    binned(age, Seq(18, 25, 35, 45, 55, 65, 75, 85, 95),
+      Seq("under 18", "18-25", "25-35", "35-45", "45-55",
+          "55-65", "65-75", "75-85", "85-95", "95+"),
+      "invalid age")
+  }
+
+  /** O2 — deterministic top-k per group: dense ordering by `order` then
+    * `tiebreak` so exactly k rows survive per key. One shuffle on `keys`.
+    */
+  def topKPerGroup(df: DataFrame, keys: Seq[String], order: Seq[Column],
+                   k: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
+  }
+}

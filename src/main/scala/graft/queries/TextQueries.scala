@@ -1,0 +1,2 @@
+package graft.queries
+object TextQueries { def defs: Seq[QueryDef] = Seq() }
