@@ -1,2 +1,177 @@
 package graft.queries
-object MergeQueries { def defs: Seq[QueryDef] = Seq() }
+
+import org.apache.spark.sql.functions._
+import graft.merge.Merge
+import graft.ops.Relational
+import graft.sources.Tables
+
+/** The five MERGE semantics (SURVEY.md §2.6, M1–M5) exercised as batch
+  * queries: target/batch are deterministic slices of the testdata, the merge
+  * itself is the join-based plan from [[graft.merge.Merge]], and the oracle
+  * re-states the same semantics in ANSI SQL (NOT EXISTS / FULL OUTER JOIN).
+  *
+  * Scale note: each flavor is one join on the natural key — broadcast when the
+  * batch is small (AQE decides), shuffled hash otherwise. No collect, no
+  * driver loop; identical plan shape at 100 TB.
+  */
+object MergeQueries {
+  import RelationalQueries.evCte
+
+  /** M1 — insert-only idempotent append (ref Silver/05-silver.py:50-55). */
+  val m1 = QueryDef(
+    "q08_merge_insert_only",
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+      val target = o.filter(col("o_orderdate") < lit("1995-01-01").cast("timestamp"))
+      val batch = o.filter(col("o_totalprice") > 150000)
+      Merge.insertOnly(target, batch, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders),
+           |target AS (SELECT * FROM o WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'),
+           |batch AS (SELECT * FROM o WHERE o_totalprice > 150000)
+           |SELECT * FROM target
+           |UNION ALL
+           |SELECT * FROM batch b
+           |WHERE NOT EXISTS (SELECT 1 FROM target t WHERE t.o_orderkey = b.o_orderkey)
+           |ORDER BY o_orderkey""".stripMargin),
+    "M1 WHEN NOT MATCHED INSERT * via left-anti join (ref Silver/05-silver.py:50-55)")
+
+  /** M4 — SCD Type-1 unconditional upsert (ref Silver/05-silver.py:314-321). */
+  val m4 = QueryDef(
+    "q09_merge_scd1",
+    (spark, dir) => {
+      val c = Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+      val batch = c.filter(col("c_acctbal") < 0)
+        .withColumn("c_acctbal", round(col("c_acctbal") + 1000, 2))
+        .withColumn("c_mktsegment", lit("RECOVERED"))
+      Merge.scd1(c, batch, Seq("c_custkey"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""WITH c AS (SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer),
+           |batch AS (SELECT c_custkey, c_name, round(c_acctbal + 1000, 2) AS c_acctbal,
+           |                 'RECOVERED' AS c_mktsegment FROM c WHERE c_acctbal < 0)
+           |SELECT * FROM batch
+           |UNION ALL
+           |SELECT * FROM c
+           |WHERE NOT EXISTS (SELECT 1 FROM batch b WHERE b.c_custkey = c.c_custkey)
+           |ORDER BY c_custkey""".stripMargin),
+    "M4 SCD1 unconditional upsert (ref Silver/05-silver.py:314-321)")
+
+  /** M3 — CDC upsert with recency guard (ref Silver/05-silver.py:159-167):
+    * snapshot = earliest record per user; CDC batch = latest
+    * view/click/purchase per user; matched rows replaced only when newer. */
+  val m3 = QueryDef(
+    "q10_merge_cdc",
+    (spark, dir) => {
+      val ev = Tables.eventsUs(spark, dir)
+        .select(col("user_id"), col("event_type"), col("value"), col("ts_us"), col("event_id"))
+      val target = Relational.dedupKeyed(ev, Seq("user_id"), Seq(col("ts_us"), col("event_id")))
+        .drop("event_id")
+      val batch = Relational.dedupKeyed(
+          ev.filter(col("event_type").isin("view", "click", "purchase")),
+          Seq("user_id"), Seq(col("ts_us").desc, col("event_id").desc))
+        .drop("event_id")
+      Merge.cdcUpsert(target, batch, Seq("user_id"), "ts_us")
+        .orderBy(col("user_id"))
+    },
+    Some(s"""WITH $evCte,
+            |target AS (SELECT user_id, event_type, value, ts_us FROM ev
+            |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) = 1),
+            |batch AS (SELECT user_id, event_type, value, ts_us FROM ev
+            |  WHERE event_type IN ('view','click','purchase')
+            |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) = 1)
+            |SELECT
+            |  CASE WHEN t.user_id IS NULL OR (b.ts_us IS NOT NULL AND t.ts_us < b.ts_us)
+            |       THEN b.user_id ELSE t.user_id END AS user_id,
+            |  CASE WHEN t.user_id IS NULL OR (b.ts_us IS NOT NULL AND t.ts_us < b.ts_us)
+            |       THEN b.event_type ELSE t.event_type END AS event_type,
+            |  CASE WHEN t.user_id IS NULL OR (b.ts_us IS NOT NULL AND t.ts_us < b.ts_us)
+            |       THEN b.value ELSE t.value END AS value,
+            |  CASE WHEN t.user_id IS NULL OR (b.ts_us IS NOT NULL AND t.ts_us < b.ts_us)
+            |       THEN b.ts_us ELSE t.ts_us END AS ts_us
+            |FROM target t FULL OUTER JOIN batch b ON t.user_id = b.user_id
+            |ORDER BY user_id""".stripMargin),
+    "M3 CDC upsert w/ recency guard a.updated < b.updated (ref Silver/05-silver.py:159-167)")
+
+  /** M2 — conditional single-column update (gym_logs logout extension,
+    * ref Silver/05-silver.py:108-115): per-user presence interval; the batch
+    * extends `logout_us` only when strictly later (monotone guard). Users
+    * with user_id % 3 == 0 are absent from the target → INSERT path. */
+  val m2 = QueryDef(
+    "q11_merge_conditional",
+    (spark, dir) => {
+      val ev = Tables.eventsUs(spark, dir)
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(min(col("ts_us")).as("login_us"), max(col("ts_us")).as("logout_us"))
+      val target = perUser.filter(col("user_id") % 3 =!= 0)
+        .withColumn("logout_us", col("login_us") + lit(3600000000L))
+      val batch = perUser
+      Merge.conditionalUpdate(target, batch, Seq("user_id"), "logout_us",
+          (t, b) => b("logout_us") > t("login_us") && b("logout_us") > t("logout_us"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""WITH $evCte,
+            |per_user AS (SELECT user_id, min(ts_us) AS login_us, max(ts_us) AS logout_us
+            |             FROM ev GROUP BY user_id),
+            |target AS (SELECT user_id, login_us, login_us + 3600000000 AS logout_us
+            |           FROM per_user WHERE user_id % 3 <> 0),
+            |batch AS (SELECT * FROM per_user)
+            |SELECT coalesce(t.user_id, b.user_id) AS user_id,
+            |       coalesce(t.login_us, b.login_us) AS login_us,
+            |       CASE WHEN t.user_id IS NOT NULL AND b.user_id IS NOT NULL
+            |                 AND b.logout_us > t.login_us AND b.logout_us > t.logout_us
+            |            THEN b.logout_us
+            |            ELSE coalesce(t.logout_us, b.logout_us) END AS logout_us
+            |FROM target t FULL OUTER JOIN batch b ON t.user_id = b.user_id
+            |ORDER BY user_id""".stripMargin),
+    "M2 conditional logout-extension update (ref Silver/05-silver.py:108-115)")
+
+  /** M5 — explicit-column-list upsert (gold summary, ref Gold/06-gold.py:31-80):
+    * per-(returnflag,linestatus) stats recomputed from a batch window update
+    * only the stat columns; a target-only bookkeeping column survives. */
+  val m5 = QueryDef(
+    "q20_merge_column_list",
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+      def stats(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+          round(min(col("l_quantity")), 2).as("min_qty"),
+          (round(sum(col("l_quantity")), 2) / count(lit(1))).as("avg_qty"),
+          round(max(col("l_quantity")), 2).as("max_qty"),
+          count(lit(1)).as("n"))
+      val target = stats(li.filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp")))
+        .withColumn("gen", lit(1L))
+      val batch = stats(li).withColumn("gen", lit(2L))
+      Merge.upsertColumns(target, batch,
+          Seq("l_returnflag", "l_linestatus"),
+          Seq("min_qty", "avg_qty", "max_qty", "n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""WITH stats_t AS (
+           |  SELECT l_returnflag, l_linestatus, round(min(l_quantity),2) AS min_qty,
+           |         round(sum(l_quantity),2)/count(*) AS avg_qty, round(max(l_quantity),2) AS max_qty,
+           |         count(*) AS n, CAST(1 AS BIGINT) AS gen
+           |  FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           |  GROUP BY l_returnflag, l_linestatus),
+           |stats_b AS (
+           |  SELECT l_returnflag, l_linestatus, round(min(l_quantity),2) AS min_qty,
+           |         round(sum(l_quantity),2)/count(*) AS avg_qty, round(max(l_quantity),2) AS max_qty,
+           |         count(*) AS n, CAST(2 AS BIGINT) AS gen
+           |  FROM lineitem GROUP BY l_returnflag, l_linestatus)
+           |SELECT coalesce(b.l_returnflag, t.l_returnflag) AS l_returnflag,
+           |       coalesce(b.l_linestatus, t.l_linestatus) AS l_linestatus,
+           |       coalesce(b.min_qty, t.min_qty) AS min_qty,
+           |       coalesce(b.avg_qty, t.avg_qty) AS avg_qty,
+           |       coalesce(b.max_qty, t.max_qty) AS max_qty,
+           |       coalesce(b.n, t.n) AS n,
+           |       CASE WHEN t.l_returnflag IS NULL THEN b.gen ELSE t.gen END AS gen
+           |FROM stats_t t FULL OUTER JOIN stats_b b
+           |  ON t.l_returnflag = b.l_returnflag AND t.l_linestatus = b.l_linestatus
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+    "M5 explicit-column-list upsert (ref Gold/06-gold.py:31-80)")
+
+  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5)
+}

@@ -1,16 +1,28 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Relational
 import graft.sources.Tables
 
-/** Core relational operator queries over the TPC-H-ish testdata.
-  * Every query is fully deterministic (total ORDER BY, rounded float aggs)
-  * so the DuckDB oracle hash-matches.
+/** Core relational operator queries over the TPC-H-ish testdata — one per
+  * operator family in SURVEY.md §2 (joins J1–J8, windows W1, dedup D1, agg A1,
+  * projections P2–P12, sort O1, top-k O2, set ops U1, rollup G1).
+  *
+  * Determinism contract (driver hash-compares against DuckDB):
+  *   - total ORDER BY on every query;
+  *   - float aggregates wrapped in round(...);
+  *   - event time handled as exact int64 epoch-µs (`ts_us`, Tables.eventsUs;
+  *     DuckDB side `epoch_us(ts)`) — never floating-point division on epochs.
   */
 object RelationalQueries {
 
+  /** Shared DuckDB CTE mirroring [[Tables.eventsUs]]. */
+  val evCte =
+    "ev AS (SELECT event_id, user_id, event_type, value, props, epoch_us(ts) AS ts_us FROM events)"
+
   /** A1+P11 flagship: pricing summary (TPC-H Q1 shape) — grouped hash agg
-    * with map-side partial aggregation; the scan prunes to 7 columns. */
+    * with map-side partial aggregation; scan prunes to 7 columns. */
   val q01 = QueryDef(
     "q01_pricing_summary",
     (spark, dir) => {
@@ -18,20 +30,25 @@ object RelationalQueries {
       li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
+          // Rounding convention (oracle hash-parity): sums of k-decimal exact
+          // values are rounded at k decimals (the half-boundary is
+          // unreachable there); averages are round(sum)/count so both engines
+          // perform the identical IEEE division; per-row arithmetic is left
+          // unrounded (bit-identical across engines).
           round(sum(col("l_quantity")), 2).as("sum_qty"),
           round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          (round(sum(col("l_quantity")), 2) / count(lit(1))).as("avg_qty"),
+          (round(sum(col("l_extendedprice")), 2) / count(lit(1))).as("avg_price"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
     Some("""SELECT l_returnflag, l_linestatus,
            |  round(sum(l_quantity), 2) AS sum_qty,
            |  round(sum(l_extendedprice), 2) AS sum_base_price,
-           |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           |  round(avg(l_quantity), 4) AS avg_qty,
-           |  round(avg(l_extendedprice), 4) AS avg_price,
+           |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           |  round(sum(l_quantity), 2) / count(*) AS avg_qty,
+           |  round(sum(l_extendedprice), 2) / count(*) AS avg_price,
            |  count(*) AS count_order
            |FROM lineitem
            |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -39,5 +56,322 @@ object RelationalQueries {
            |ORDER BY l_returnflag, l_linestatus""".stripMargin),
     "A1 grouped stats agg + P11 arithmetic/round (ref Gold/06-gold.py:93-95)")
 
-  def defs: Seq[QueryDef] = Seq(q01)
+  /** J1/J8 — broadcast dimension enrichment: explicit broadcast() of the
+    * small `part` dim (ref F.broadcast(date_lookup), Bronze/04-bronze.py:87).
+    * At 100 TB the fact side never shuffles — BroadcastHashJoin + partial agg. */
+  val q02 = QueryDef(
+    "q02_broadcast_enrich",
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+      val p = Tables.part(spark, dir)
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""SELECT p_brand, count(*) AS n_items,
+           |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+    "J1 broadcast equi-join + J8 post-agg enrichment (ref Bronze/04-bronze.py:87-89)")
+
+  /** J6+J7+P11+O1 — the gym_summary-view analog (ref Setup/02-setup.py:244-256):
+    * equi join + closed BETWEEN containment + cast/round arithmetic + global
+    * sort. Exact epoch-ms longs for the day arithmetic (no float epochs). */
+  val q03 = QueryDef(
+    "q03_fulfillment_summary",
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+      val c = Tables.customer(spark, dir)
+      val li = Tables.lineitem(spark, dir)
+      val oc = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      // equi key + BETWEEN residual, mirrors J7 verbatim
+      val cond = li("l_orderkey") === oc("o_orderkey") &&
+        li("l_shipdate").between(oc("o_orderdate"), oc("o_orderdate") + expr("interval 90 days"))
+      li.join(oc, cond)
+        .select(
+          col("c_name"), col("o_orderkey"), col("l_linenumber"),
+          // per-row arithmetic: identical IEEE ops both sides, no rounding
+          ((unix_millis(col("l_shipdate").cast("timestamp")) -
+            unix_millis(col("o_orderdate").cast("timestamp"))) / lit(86400000.0))
+            .as("days_to_ship"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("net_price"))
+        .orderBy(col("o_orderkey"), col("l_linenumber"))
+    },
+    Some("""SELECT c_name, o_orderkey, l_linenumber,
+           |  (epoch_ms(l_shipdate) - epoch_ms(o_orderdate)) / 86400000.0 AS days_to_ship,
+           |  round(l_extendedprice * (1 - l_discount), 4) AS net_price
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           | AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 90 DAY
+           |JOIN customer ON o_custkey = c_custkey
+           |ORDER BY o_orderkey, l_linenumber""".stripMargin),
+    "J6 subquery equi-join + J7 BETWEEN theta join + P11 casts/round + O1 sort (ref Setup/02-setup.py:244-256)")
+
+  /** W1 — latest record per key with rank (ties kept), the CDC
+    * latest-per-batch operator (ref Silver/05-silver.py:25-31). */
+  val q04 = QueryDef(
+    "q04_latest_event_per_user",
+    (spark, dir) => {
+      val ev = Tables.eventsUs(spark, dir)
+      Relational.latestPerKey(ev, Seq("user_id"), "ts_us")
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some(s"""WITH $evCte
+            |SELECT user_id, event_id, ts_us, event_type FROM ev
+            |QUALIFY rank() OVER (PARTITION BY user_id ORDER BY ts_us DESC) = 1
+            |ORDER BY user_id, event_id""".stripMargin),
+    "W1 ranking window, rank-not-row_number tie semantics (ref Silver/05-silver.py:25-31)")
+
+  /** D1 (deterministic batch form) — keyed dedup with pinned tiebreak
+    * (ref dropDuplicates, Silver/05-silver.py:78-79). */
+  val q05 = QueryDef(
+    "q05_dedup_events",
+    (spark, dir) => {
+      val ev = Tables.eventsUs(spark, dir)
+      Relational.dedupKeyed(ev, Seq("user_id", "event_type"),
+          Seq(col("ts_us"), col("event_id")))
+        .select(col("user_id"), col("event_type"), col("event_id"), col("ts_us"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+    Some(s"""WITH $evCte
+            |SELECT user_id, event_type, event_id, ts_us FROM ev
+            |QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts_us, event_id) = 1
+            |ORDER BY user_id, event_type""".stripMargin),
+    "D1 keyed dedup, deterministic first-by-tiebreak (ref Silver/05-silver.py:78-79)")
+
+  /** J4 — interval pairing (sessionization): view→purchase within an open
+    * (start, start+3h) window, verbatim bound semantics from
+    * Silver/05-silver.py:395-396. Equi key carries the shuffle; the range
+    * predicate is residual, so this scales with rows-per-user-per-3h. */
+  val q06 = QueryDef(
+    "q06_sessionize",
+    (spark, dir) => {
+      val ev = Tables.eventsUs(spark, dir)
+      val starts = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("start_id"), col("ts_us").as("start_us"))
+      val stops = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("u2"), col("event_id").as("stop_id"), col("ts_us").as("stop_us"))
+      starts.join(stops,
+          starts("user_id") === stops("u2") &&
+          stops("stop_us") > starts("start_us") &&
+          stops("stop_us") < starts("start_us") + lit(10800000000L))
+        .select(col("user_id"), col("start_id"), col("stop_id"), col("start_us"), col("stop_us"))
+        .orderBy(col("user_id"), col("start_id"), col("stop_id"))
+    },
+    Some(s"""WITH $evCte
+            |SELECT s.user_id, s.event_id AS start_id, p.event_id AS stop_id,
+            |       s.ts_us AS start_us, p.ts_us AS stop_us
+            |FROM ev s JOIN ev p ON s.user_id = p.user_id
+            | AND s.event_type = 'view' AND p.event_type = 'purchase'
+            | AND p.ts_us > s.ts_us AND p.ts_us < s.ts_us + 10800000000
+            |ORDER BY s.user_id, start_id, stop_id""".stripMargin),
+    "J4 stream-stream interval pairing join, open-interval bounds (ref Silver/05-silver.py:368-400)")
+
+  /** J5 — point-in-interval assignment with half-open (start, end] bounds,
+    * verbatim from Silver/05-silver.py:459-461: clicks assigned to the
+    * view→purchase sessions of q06. */
+  val q07 = QueryDef(
+    "q07_points_in_session",
+    (spark, dir) => {
+      val ev = Tables.eventsUs(spark, dir)
+      val sessions = q06.spark(spark, dir)
+        .select(col("user_id").as("su"), col("start_id"), col("stop_id"),
+          col("start_us"), col("stop_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts_us"))
+      clicks.join(sessions,
+          clicks("user_id") === sessions("su") &&
+          clicks("ts_us") > sessions("start_us") &&
+          clicks("ts_us") <= sessions("stop_us"))
+        .select(col("user_id"), col("start_id"), col("stop_id"), col("click_id"), col("ts_us"))
+        .orderBy(col("user_id"), col("start_id"), col("stop_id"), col("click_id"))
+    },
+    Some(s"""WITH $evCte,
+            |sessions AS (
+            |  SELECT s.user_id, s.event_id AS start_id, p.event_id AS stop_id,
+            |         s.ts_us AS start_us, p.ts_us AS stop_us
+            |  FROM ev s JOIN ev p ON s.user_id = p.user_id
+            |   AND s.event_type = 'view' AND p.event_type = 'purchase'
+            |   AND p.ts_us > s.ts_us AND p.ts_us < s.ts_us + 10800000000)
+            |SELECT c.user_id, x.start_id, x.stop_id, c.event_id AS click_id, c.ts_us
+            |FROM ev c JOIN sessions x ON c.user_id = x.user_id
+            | AND c.event_type = 'click'
+            | AND c.ts_us > x.start_us AND c.ts_us <= x.stop_us
+            |ORDER BY c.user_id, start_id, stop_id, click_id""".stripMargin),
+    "J5 point-in-interval join, half-open (start,end] bounds (ref Silver/05-silver.py:444-465)")
+
+  /** P10 — chained-when binning (ref age_bins, Silver/05-silver.py:291-304),
+    * over account balances with an 11-way CASE. */
+  val q12 = QueryDef(
+    "q12_binning",
+    (spark, dir) => {
+      val c = Tables.customer(spark, dir)
+      val bounds = Seq(0.0, 1000, 2500, 5000, 7500, 10000)
+      val labels = Seq("debt", "0-1k", "1k-2.5k", "2.5k-5k", "5k-7.5k", "7.5k-10k", "10k+")
+      c.select(col("c_custkey"), col("c_acctbal"),
+          Relational.binned(col("c_acctbal"), bounds, labels, "invalid").as("bal_bin"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_acctbal,
+           |  CASE WHEN c_acctbal < 0 THEN 'debt'
+           |       WHEN c_acctbal >= 0 AND c_acctbal < 1000 THEN '0-1k'
+           |       WHEN c_acctbal >= 1000 AND c_acctbal < 2500 THEN '1k-2.5k'
+           |       WHEN c_acctbal >= 2500 AND c_acctbal < 5000 THEN '2.5k-5k'
+           |       WHEN c_acctbal >= 5000 AND c_acctbal < 7500 THEN '5k-7.5k'
+           |       WHEN c_acctbal >= 7500 AND c_acctbal < 10000 THEN '7.5k-10k'
+           |       WHEN c_acctbal >= 10000 THEN '10k+'
+           |       ELSE 'invalid' END AS bal_bin
+           |FROM customer ORDER BY c_custkey""".stripMargin),
+    "P10 chained-when binning (ref Silver/05-silver.py:291-304)")
+
+  /** P3+P5+P6+P9 — topic filter, from_json decode + flatten, validity flag
+    * (ref Silver/05-silver.py:177-183,271). */
+  val q13 = QueryDef(
+    "q13_decode_validity",
+    (spark, dir) => {
+      val ev = Tables.eventsUs(spark, dir)
+      ev.filter(col("event_type") === "purchase")
+        .withColumn("v", from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+        .select(col("event_id"), col("v.k").as("k"),
+          Relational.validityFlag(col("value")).as("valid"))
+        .orderBy(col("event_id"))
+    },
+    Some(s"""WITH $evCte
+            |SELECT event_id,
+            |  CAST(json_extract_string(props, '$$.k') AS INTEGER) AS k,
+            |  CASE WHEN value <= 0 THEN false ELSE true END AS valid
+            |FROM ev WHERE event_type = 'purchase'
+            |ORDER BY event_id""".stripMargin),
+    "P3 topic filter + P5 from_json + P6 flatten + P9 validity flag (ref Silver/05-silver.py:177-183,271)")
+
+  /** P2+P7+P8+P11 — cast/epoch/date-format conversions, exact integer epoch
+    * math (ref Silver/05-silver.py:77,180; Bronze/04-bronze.py:88). */
+  val q14 = QueryDef(
+    "q14_casts_dates",
+    (spark, dir) => {
+      val ev = Tables.eventsUs(spark, dir)
+      ev.select(
+          col("event_id"),
+          col("ts_utc").cast("date").as("event_date"),
+          expr("ts_us div 1000000").as("epoch_sec"),
+          to_date(date_format(col("ts_utc"), "MM/dd/yyyy"), "MM/dd/yyyy").as("roundtrip_date"),
+          // round at 4 decimals: value*1.1 is exactly 3-decimal, so the
+          // 2-decimal half-boundary would flip between Spark (BigDecimal of
+          // shortest repr) and DuckDB (exact double) rounding.
+          round(col("value") * 1.1, 4).as("adj_value"),
+          floor(datediff(lit("2026-08-01").cast("date"), col("ts_utc").cast("date")) / lit(365.25))
+            .as("years_ago"))
+        .orderBy(col("event_id"))
+    },
+    Some(s"""WITH $evCte
+            |SELECT event_id,
+            |  CAST(make_timestamp(ts_us) AS DATE) AS event_date,
+            |  ts_us // 1000000 AS epoch_sec,
+            |  CAST(strptime(strftime(make_timestamp(ts_us), '%m/%d/%Y'), '%m/%d/%Y') AS DATE) AS roundtrip_date,
+            |  round(value * 1.1, 4) AS adj_value,
+            |  CAST(floor((DATE '2026-08-01' - CAST(make_timestamp(ts_us) AS DATE)) / 365.25) AS BIGINT) AS years_ago
+            |FROM ev ORDER BY event_id""".stripMargin),
+    "P2 epoch casts + P7 to_date w/ format + P8 epoch→date + P11 round (ref Silver/05-silver.py:77,180)")
+
+  /** U1 — set operations (beyond the reference, which multiplexes instead of
+    * unioning — SURVEY §2.5): intersect/except with distinct semantics. */
+  val q15 = QueryDef(
+    "q15_setops",
+    (spark, dir) => {
+      val ev = Tables.eventsUs(spark, dir)
+      def users(t: String) = ev.filter(col("event_type") === t).select(col("user_id")).distinct()
+      val both = users("purchase").intersect(users("click")).withColumn("tag", lit("both"))
+      val viewOnly = users("view").except(users("purchase")).withColumn("tag", lit("view_only"))
+      both.unionByName(viewOnly)
+        .select(col("tag"), col("user_id"))
+        .orderBy(col("tag"), col("user_id"))
+    },
+    Some(s"""WITH $evCte
+            |SELECT 'both' AS tag, user_id FROM (
+            |  SELECT DISTINCT user_id FROM ev WHERE event_type='purchase'
+            |  INTERSECT SELECT DISTINCT user_id FROM ev WHERE event_type='click')
+            |UNION ALL
+            |SELECT 'view_only' AS tag, user_id FROM (
+            |  SELECT DISTINCT user_id FROM ev WHERE event_type='view'
+            |  EXCEPT SELECT DISTINCT user_id FROM ev WHERE event_type='purchase')
+            |ORDER BY tag, user_id""".stripMargin),
+    "U1 union/intersect/except (SURVEY §2.5)")
+
+  /** O2 — deterministic top-k per group (dashboards' top-N, SURVEY §2.5 O2). */
+  val q16 = QueryDef(
+    "q16_topk_per_group",
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+      Relational.topKPerGroup(o, Seq("o_orderpriority"),
+          Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
+    },
+    Some("""SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders
+           |QUALIFY row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) <= 3
+           |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin),
+    "O2 top-k per group via row_number window (SURVEY §2.5)")
+
+  /** G1 — rollup aggregation over the region→nation hierarchy (beyond the
+    * reference; grouping-set coverage). Small dims broadcast. */
+  val q17 = QueryDef(
+    "q17_rollup_revenue",
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+      val c = Tables.customer(spark, dir)
+      val n = Tables.nation(spark, dir)
+      val r = Tables.region(spark, dir)
+      val j = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      j.rollup(col("r_name"), col("n_name"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"), count(lit(1)).as("n_orders"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("region_name"),
+          coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+          col("revenue"), col("n_orders"))
+        .orderBy(col("region_name"), col("nation_name"))
+    },
+    Some("""SELECT coalesce(r_name, 'ALL') AS region_name,
+           |       coalesce(n_name, 'ALL') AS nation_name,
+           |       round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+           |FROM orders
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |GROUP BY ROLLUP (r_name, n_name)
+           |ORDER BY region_name, nation_name""".stripMargin),
+    "G1 rollup grouping sets (beyond reference, SURVEY §2.5)")
+
+  /** Window frames — running sum/count + lag per user ordered by event time
+    * (beyond the reference's rank-only window use; SURVEY §2.5 W1 family). */
+  val q18 = QueryDef(
+    "q18_running_window",
+    (spark, dir) => {
+      val ev = Tables.eventsUs(spark, dir)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.select(
+          col("user_id"), col("event_id"), col("ts_us"),
+          row_number().over(w).as("rn"),
+          round(sum(col("value")).over(wf), 2).as("run_sum"),
+          lag(col("value"), 1).over(w).as("prev_value"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    },
+    Some(s"""WITH $evCte
+            |SELECT user_id, event_id, ts_us,
+            |  row_number() OVER w AS rn,
+            |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum,
+            |  lag(value, 1) OVER w AS prev_value
+            |FROM ev
+            |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+            |ORDER BY user_id, ts_us, event_id""".stripMargin),
+    "running-frame windows + lag (SURVEY §2.5 window family)")
+
+  def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07,
+    q12, q13, q14, q15, q16, q17, q18)
 }
