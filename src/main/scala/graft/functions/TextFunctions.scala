@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for LLM training-data pipelines — pure
+  * `org.apache.spark.sql.functions` compositions (codegen'd, no UDFs), so
+  * every operator stays inside whole-stage codegen and scales columnar.
+  *
+  * These extend the reference's capability surface (it has no text ops —
+  * SURVEY.md §2.9) with the standard pretraining-corpus operators:
+  * tokenization, quality scoring, language ID, fingerprinting, shingling.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (empty-safe). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: letter runs, single digits, single punctuation —
+    * a cheap proxy for subword tokenizers (regex kept RE2/Java-compatible
+    * for oracle parity). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Distinct word n-gram shingles, space-joined. Empty when < n tokens. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    array_distinct(
+      when(size(w) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(w) - n),
+          i => concat_ws(" ", slice(w, i + 1, lit(n))))))
+  }
+
+  /** Character-class ratios over the raw text (length-0 guarded). */
+  def charRatio(text: Column, charClassRe: String): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise((length(text) - length(regexp_replace(text, charClassRe, "")))
+        .cast("double") / length(text))
+
+  /** Fraction of characters that are ASCII letters. */
+  def alphaRatio(text: Column): Column = charRatio(text, "[A-Za-z]")
+
+  /** Fraction of characters that are punctuation (non-alnum, non-space). */
+  def punctRatio(text: Column): Column = charRatio(text, "[^A-Za-z0-9\\s]")
+
+  /** Mean token length (0 for empty). */
+  def avgWordLen(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t))
+  }
+
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "by", "at", "it", "this", "that")
+
+  /** Fraction of tokens that are stopwords (frequency-weighted). */
+  def stopwordRatio(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(size(filter(t, x => x.isin(stopwords: _*))).cast("double") / size(t))
+  }
+
+  /** Composite quality score in [0,1]: rewards stopword presence and sane
+    * token lengths, penalizes punctuation soup — the classic cheap
+    * pretraining-quality heuristic. */
+  def qualityScore(text: Column): Column = {
+    val sw = stopwordRatio(text)
+    val pr = punctRatio(text)
+    val awl = avgWordLen(text)
+    val lenOk = when(tokenCount(text).between(5, 100000), lit(1.0)).otherwise(lit(0.0))
+    val wordOk = when(awl.between(2.0, 12.0), lit(1.0)).otherwise(lit(0.0))
+    (least(sw * 4.0, lit(1.0)) + (lit(1.0) - least(pr * 5.0, lit(1.0))) + lenOk + wordOk) / 4.0
+  }
+
+  /** Language-marker word lists for the 5 testdata languages. Deliberately
+    * tiny — the operator shape (argmax of per-language hit counts) is the
+    * point; swap in real frequency tables for production. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "ein", "mit"),
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "with"),
+    "es" -> Seq("el", "la", "los", "las", "y", "que", "de", "un"),
+    "fr" -> Seq("le", "la", "les", "et", "que", "des", "un", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  /** Distinct-marker hit count for one language. */
+  def langScore(text: Column, lang: String): Column = {
+    val markers = langMarkers.toMap.apply(lang)
+    size(array_intersect(array_distinct(tokens(lower(text))),
+      array(markers.map(lit): _*)))
+  }
+
+  /** n-gram-heuristic language ID: argmax of marker hits, ties resolved to
+    * the alphabetically first language (chained-when in alphabetical order —
+    * mirrors the oracle CASE exactly). */
+  def langId(text: Column): Column = {
+    val langs = langMarkers.map(_._1) // already alphabetical
+    val scores = langs.map(l => l -> langScore(text, l)).toMap
+    langs.foldLeft(when(lit(false), lit("und"))) { (acc, l) =>
+      acc.when(langs.filter(_ != l).map(o => scores(l) >= scores(o)).reduce(_ && _), lit(l))
+    }.otherwise(lit("und"))
+  }
+
+  /** Normalized-content fingerprint: md5 of (lowercased, punctuation-
+    * stripped, whitespace-collapsed) text — the exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " ")))
+}

@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Document deduplication operators for LLM training-data pipelines — the
+  * standard ladder from exact to fuzzy, each shaped for cluster scale:
+  * every stage is a shuffle on a *hash key* (fingerprint, shingle, band,
+  * simhash block), never an all-pairs comparison over the corpus.
+  *
+  * All hashing is md5-based (identical in every engine) so each operator is
+  * verifiable against a SQL oracle; swap in xxhash64 for raw speed when
+  * oracle parity is not needed.
+  */
+object Dedup {
+
+  /** Exact dedup on normalized content: group by md5 fingerprint, keep the
+    * smallest id. One shuffle on the fingerprint — trivially 100 TB-safe. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = TextFunctions.fingerprint(col(textCol))
+    docs.withColumn("fp", fp)
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+  }
+
+  /** (doc, shingle) pairs — distinct word n-gram shingles per doc.
+    * The exploded relation is the scale-friendly representation: shingle
+    * vocabulary shards naturally across the cluster. */
+  def docShingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.wordShingles(col(textCol), n)).as("shingle"))
+
+  /** Exact pairwise n-gram Jaccard for candidate pairs that share ≥1 shingle.
+    *
+    * inverted-index join: (doc,shingle) ⋈ (doc,shingle) on shingle with
+    * doc_a < doc_b → per-pair intersection count → Jaccard via per-doc set
+    * sizes. Scales with the shingle-frequency distribution (hot shingles are
+    * the skew risk — cap or salt them in production; the math is unchanged).
+    */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val ds = docShingles(docs, idCol, textCol, n)
+    val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("set_size"))
+    val a = ds.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = ds.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("set_size", "size_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("set_size", "size_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("size_a") + col("size_b") - col("n_inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** LSH banding over minhash signatures → candidate pairs → exact Jaccard
+    * verification. Bands of `r` rows each; docs sharing any band bucket are
+    * candidates. The shuffle key is (band_idx, band_hash) — constant-size
+    * state per bucket, the classic near-dup shape that survives 100 TB.
+    */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int = 3, k: Int = 8, r: Int = 2,
+                 minJaccard: Double = 0.5): DataFrame = {
+    val ds = docShingles(docs, idCol, textCol, n)
+    val sig = ds.groupBy(col("doc_id")).agg(
+      min(md5(concat(lit("0|"), col("shingle")))).as("mh0"),
+      (1 until k).map(i => min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"mh$i")): _*)
+    val nBands = k / r
+    val bands = sig.select(col("doc_id"),
+      explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("band_idx"),
+          md5(concat_ws("|", (0 until r).map(j => col(s"mh${b * r + j}")): _*)).as("band_hash"))
+      }: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
+    val cand = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_hash"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_hash")),
+        Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    // exact verification of candidates only
+    val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("set_size"))
+    val inter = cand
+      .join(ds.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(ds.select(col("doc_id").as("doc_b"), col("shingle").as("shingle_b")), Seq("doc_b"))
+      .filter(col("shingle") === col("shingle_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("set_size", "size_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("set_size", "size_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("size_a") + col("size_b") - col("n_inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** 16-bit SimHash fingerprint per doc from the top bit of each of the first
+    * 16 md5 nibbles of each distinct token: bit b of the fingerprint is set
+    * when the per-doc sum of ±1 votes is positive. Near-dup = small Hamming
+    * distance; block-partitioned Hamming join is the scale path
+    * ([[simhashNearDup]]). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+              bits: Int = 16): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(TextFunctions.tokens(lower(col(textCol))))).as("tok"))
+    val withHash = toks.withColumn("h", md5(col("tok")))
+    val voteCols = (0 until bits).map { b =>
+      sum(when(substring(col("h"), b + 1, 1)
+          .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)).as(s"v$b")
+    }
+    val votes = withHash.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+    votes.select(col("doc_id"),
+      (0 until bits).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-dup via block permutation: split the fingerprint into
+    * `blocks` chunks; pairs within Hamming distance `maxHamming < blocks`
+    * must share at least one exact chunk (pigeonhole) — so the join key is
+    * (block_idx, chunk), never all-pairs. */
+  def simhashNearDup(sh: DataFrame, bits: Int = 16, blocks: Int = 4,
+                     maxHamming: Int = 3): DataFrame = {
+    val chunkBits = bits / blocks
+    val mask = (1L << chunkBits) - 1
+    val chunks = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until blocks).map { c =>
+        struct(lit(c).as("chunk_idx"),
+          (shiftright(col("simhash"), c * chunkBits).bitwiseAND(mask)).as("chunk"))
+      }: _*)).as("ch"))
+      .select(col("doc_id"), col("simhash"), col("ch.chunk_idx"), col("ch.chunk"))
+    val pairs = chunks.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"),
+        col("chunk_idx"), col("chunk"))
+      .join(chunks.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),
+        col("chunk_idx"), col("chunk")), Seq("chunk_idx", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b")).distinct()
+    pairs.withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Embedding near-dup: exact cosine over candidate pairs from a blocking
+    * column (label, LSH bucket, ...). `cos` must be the cosine column
+    * expression over (emb_a, emb_b). */
+  def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
+                       blockCol: String, cos: (Column, Column) => Column,
+                       minCos: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col(blockCol).as("blk"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col(blockCol).as("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(cos(col("vec_a"), col("vec_b")), 6))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths, same output shape `(query_id, vec_id, cos, rank)`:
+  *   - [[bruteForceTopK]] — exact baseline: queries × corpus, windowed top-k.
+  *     Right when the query set is small (the common retrieval shape); the
+  *     corpus side streams through codegen'd cosine with no shuffle of the
+  *     corpus itself beyond the final per-query top-k.
+  *   - [[lshTopK]] — the 100 TB path: sign-LSH buckets prune the corpus to
+  *     candidates whose bucket is within `maxHamming` bits of the query's,
+  *     then exact cosine ranks the survivors. Bucket column is precomputable
+  *     and cheap to maintain incrementally.
+  */
+object Similarity {
+
+  /** Exact top-k: every query against every corpus row. Cosine is rounded to
+    * 6 decimals before ranking, ties broken by corpus id — fully
+    * deterministic and oracle-comparable. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     cos: (Column, Column) => Column, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    val c = corpus.select(col("vec_id"), col("embedding").as("c_vec"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos", round(cos(col("q_vec"), col("c_vec")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
+  }
+
+  /** Multi-table sign-LSH top-k — the scale path. `tables` independent hash
+    * tables of `planesPerTable` hyperplanes each; a corpus row is a candidate
+    * when it lands in the query's bucket in ANY table (match prob.
+    * 1-(1-(1-θ/π)^p)^L — tune p down / L up for recall, up for precision).
+    * The join key is (table_idx, bucket): equi-shuffle, no all-pairs scan;
+    * exact cosine re-ranks the candidate set. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame,
+              cos: (Column, Column) => Column, k: Int,
+              tables: Int = 8, planesPerTable: Int = 4): DataFrame = {
+    def buckets(v: Column): Column = {
+      // one long bucket per table, from disjoint plane blocks
+      val all = VectorFunctions.signLshBucket(v, tables * planesPerTable)
+      val mask = (1L << planesPerTable) - 1
+      array((0 until tables).map { t =>
+        struct(lit(t).as("tbl"),
+          shiftright(all, t * planesPerTable).bitwiseAND(mask).as("bkt"))
+      }: _*)
+    }
+    val c = corpus.select(col("vec_id"), col("embedding").as("c_vec"),
+        explode(buckets(col("embedding"))).as("tb"))
+      .select(col("vec_id"), col("c_vec"), col("tb.tbl"), col("tb.bkt"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_vec"),
+        explode(buckets(col("embedding"))).as("tb"))
+      .select(col("query_id"), col("q_vec"), col("tb.tbl"), col("tb.bkt"))
+    val cand = q.join(c, Seq("tbl", "bkt"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("q_vec"), col("vec_id"), col("c_vec"))
+      .distinct()
+    val scored = cand.withColumn("cos", round(cos(col("q_vec"), col("c_vec")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
+  }
+}

@@ -1,2 +1,209 @@
 package graft.queries
-object TextQueries { def defs: Seq[QueryDef] = Seq() }
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** LLM training-data text operators over the `documents` table, each with a
+  * DuckDB oracle built from the same md5/regex primitives (both engines
+  * compute them identically).
+  */
+object TextQueries {
+
+  /** Shared DuckDB text-normalization/tokenization fragments mirroring
+    * TextFunctions (string_split_regex ≡ split; list semantics checked). */
+  private val tokCte =
+    """toks AS (SELECT doc_id, text,
+      |  CASE WHEN length(trim(text)) = 0 THEN []
+      |       ELSE string_split_regex(trim(text), '\s+') END AS w
+      |FROM documents)""".stripMargin
+
+  /** Exact dedup via normalized-content fingerprint (hash-groupBy). */
+  val d01 = QueryDef(
+    "d01_dedup_exact",
+    (spark, dir) => {
+      Dedup.exact(Tables.documents(spark, dir), "doc_id", "text")
+        .orderBy(col("fp"))
+    },
+    Some("""SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp,
+           |       min(doc_id) AS keep_id, count(*) AS n_dups
+           |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin),
+    "exact dedup: md5 fingerprint hash-groupBy (LLM-pipeline op)")
+
+  /** Token counting: whitespace + BPE-ish regex token counts. */
+  val d02 = QueryDef(
+    "d02_token_count",
+    (spark, dir) => {
+      Tables.documents(spark, dir).select(
+          col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $tokCte
+            |SELECT doc_id,
+            |  CAST(length(w) AS INTEGER) AS n_tokens,
+            |  CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens
+            |FROM toks ORDER BY doc_id""".stripMargin),
+    "token counting: whitespace + BPE-ish regex (LLM-pipeline op)")
+
+  /** Quality scoring: char-class ratios, mean word length, stopword ratio,
+    * composite score. Per-row float math — identical IEEE ops both sides. */
+  val d03 = QueryDef(
+    "d03_text_quality",
+    (spark, dir) => {
+      Tables.documents(spark, dir).select(
+          col("doc_id"),
+          TextFunctions.alphaRatio(col("text")).as("alpha_ratio"),
+          TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+          TextFunctions.avgWordLen(col("text")).as("avg_word_len"),
+          TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $tokCte
+            |SELECT doc_id,
+            |  CASE WHEN length(text) = 0 THEN 0.0
+            |       ELSE CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END AS alpha_ratio,
+            |  CASE WHEN length(text) = 0 THEN 0.0
+            |       ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio,
+            |  CASE WHEN length(w) = 0 THEN 0.0
+            |       ELSE CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / length(w) END AS avg_word_len,
+            |  CASE WHEN length(w) = 0 THEN 0.0
+            |       ELSE CAST(length(list_filter(w, x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it','this','that'], x))) AS DOUBLE) / length(w) END AS stopword_ratio
+            |FROM toks ORDER BY doc_id""".stripMargin),
+    "quality scoring: ratios + word stats (LLM-pipeline op)")
+
+  /** Language ID: argmax of per-language marker hits, alphabetical tiebreak. */
+  val d04 = QueryDef(
+    "d04_lang_id",
+    (spark, dir) => {
+      Tables.documents(spark, dir).select(
+          col("doc_id"), col("lang").as("declared_lang"),
+          TextFunctions.langId(col("text")).as("detected_lang"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val markerSql = TextFunctions.langMarkers.map { case (l, ms) =>
+        val arr = ms.map(m => s"'$m'").mkString("[", ",", "]")
+        s"length(list_intersect(dw, $arr)) AS s_$l"
+      }.mkString(",\n  ")
+      val langs = TextFunctions.langMarkers.map(_._1)
+      val caseSql = langs.map { l =>
+        val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"WHEN $conds THEN '$l'"
+      }.mkString("\n    ")
+      s"""WITH t AS (SELECT doc_id, lang,
+         |  list_distinct(CASE WHEN length(trim(lower(text))) = 0 THEN []
+         |       ELSE string_split_regex(trim(lower(text)), '\\s+') END) AS dw
+         |FROM documents),
+         |scored AS (SELECT doc_id, lang,
+         |  $markerSql
+         |FROM t)
+         |SELECT doc_id, lang AS declared_lang,
+         |  CASE $caseSql ELSE 'und' END AS detected_lang
+         |FROM scored ORDER BY doc_id""".stripMargin
+    },
+    "language ID: n-gram marker heuristic argmax (LLM-pipeline op)")
+
+  /** n-gram Jaccard near-dup: inverted-index join on shared shingles. */
+  val d05 = QueryDef(
+    "d05_ngram_jaccard",
+    (spark, dir) => {
+      Dedup.ngramJaccard(Tables.documents(spark, dir), "doc_id", "text",
+          n = 3, minJaccard = 0.2)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+           |  CASE WHEN length(trim(text)) = 0 THEN []
+           |       ELSE string_split_regex(trim(text), '\s+') END AS w FROM documents),
+           |sh AS (SELECT doc_id, unnest(list_distinct(
+           |    CASE WHEN length(w) < 3 THEN []
+           |         ELSE [array_to_string(list_slice(w, i+1, i+3), ' ') for i in range(0, length(w)-2)] END)) AS shingle
+           |  FROM toks),
+           |sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+           |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+           |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT doc_a, doc_b,
+           |  CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter) AS jaccard
+           |FROM inter
+           |JOIN sizes sa ON sa.doc_id = doc_a
+           |JOIN sizes sb ON sb.doc_id = doc_b
+           |WHERE CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter) >= 0.2
+           |ORDER BY doc_a, doc_b""".stripMargin),
+    "n-gram Jaccard near-dup via inverted-index join (LLM-pipeline op)")
+
+  /** MinHash + LSH banding near-dup with exact verification. */
+  val d06 = QueryDef(
+    "d06_minhash_lsh",
+    (spark, dir) => {
+      Dedup.minhashLsh(Tables.documents(spark, dir), "doc_id", "text",
+          n = 3, k = 8, r = 2, minJaccard = 0.2)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some {
+      val k = 8; val r = 2
+      val mhCols = (0 until k).map(i => s"min(md5('$i|' || shingle)) AS mh$i").mkString(",\n    ")
+      val bandRows = (0 until k / r).map { b =>
+        val parts = (0 until r).map(j => s"mh${b * r + j}").mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band_idx, md5($parts) AS band_hash FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH toks AS (SELECT doc_id,
+         |  CASE WHEN length(trim(text)) = 0 THEN []
+         |       ELSE string_split_regex(trim(text), '\\s+') END AS w FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN length(w) < 3 THEN []
+         |         ELSE [array_to_string(list_slice(w, i+1, i+3), ' ') for i in range(0, length(w)-2)] END)) AS shingle
+         |  FROM toks),
+         |sig AS (SELECT doc_id,
+         |    $mhCols
+         |  FROM sh GROUP BY doc_id),
+         |bands AS ($bandRows),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.doc_a
+         |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter) >= 0.2
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "MinHash signatures + LSH banding + exact verify (LLM-pipeline op)")
+
+  /** SimHash fingerprints (16-bit, md5-nibble votes). */
+  val d07 = QueryDef(
+    "d07_simhash",
+    (spark, dir) => {
+      Dedup.simhash(Tables.documents(spark, dir), "doc_id", "text", bits = 16)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val bits = 16
+      val votes = (0 until bits).map { b =>
+        s"sum(CASE WHEN substr(md5(tok), ${b + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v$b"
+      }.mkString(",\n    ")
+      val fp = (0 until bits).map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN length(trim(lower(text))) = 0 THEN []
+         |         ELSE string_split_regex(trim(lower(text)), '\\s+') END)) AS tok
+         |  FROM documents),
+         |votes AS (SELECT doc_id,
+         |    $votes
+         |  FROM t GROUP BY doc_id)
+         |SELECT doc_id, CAST($fp AS BIGINT) AS simhash
+         |FROM votes ORDER BY doc_id""".stripMargin
+    },
+    "SimHash document fingerprinting (LLM-pipeline op)")
+
+  def defs: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07)
+}
