@@ -1,2 +1,108 @@
 package graft.queries
-object StreamingQueries { def defs: Seq[QueryDef] = Seq() }
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming operators exercised as real streaming queries —
+  * file-stream source over the events parquet, availableNow drain, memory
+  * sink — whose drained result equals a batch query (the DuckDB oracle).
+  * This is the reference's own equivalence (batch mode = same streams with
+  * `trigger(availableNow)`, SURVEY.md §1 item 2).
+  */
+object StreamingQueries {
+  import RelationalQueries.evCte
+
+  private val runId = new AtomicLong()
+
+  /** Run a streaming transform of the events table to completion, return the
+    * collected sink table. */
+  private def drain(spark: SparkSession, dir: String, outputMode: String)
+                   (transform: DataFrame => DataFrame): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.streaming.schemaInference", "false")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string")
+    // file streaming source wants a directory: stream the sf dir, filtered
+    // to the events file
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .drop("ts")
+    val name = s"graft_stream_${runId.incrementAndGet()}"
+    val ckpt = Files.createTempDirectory("graft-ckpt-").toString
+    val q = transform(src).writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** A1 streaming — unwatermarked grouped agg drained in complete mode
+    * (ref Gold/06-gold.py:93-95: update-mode agg + MERGE; complete-mode
+    * memory sink is the test-harness equivalent of merge-to-latest). */
+  val s01 = QueryDef(
+    "s01_stream_agg",
+    (spark, dir) => drain(spark, dir, "complete") { ev =>
+      ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    }.orderBy(col("event_type")),
+    Some("""SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    "A1 streaming unwatermarked agg, availableNow drain (ref Gold/06-gold.py:93-95)")
+
+  /** D1 streaming — watermark + dropDuplicates on the full row set
+    * (ref Silver/05-silver.py:78-79). Full-row keys make the kept-row
+    * deterministic, so the batch DISTINCT oracle matches exactly. */
+  val s02 = QueryDef(
+    "s02_stream_dedup",
+    (spark, dir) => drain(spark, dir, "append") { ev =>
+      ev.withWatermark("ts_utc", "365 days")
+        .dropDuplicates(Seq("user_id", "event_type", "value", "ts_us"))
+        .select(col("user_id"), col("event_type"), col("value"), col("ts_us"))
+    }.orderBy(col("user_id"), col("ts_us"), col("event_type"), col("value")),
+    Some(s"""WITH $evCte
+            |SELECT DISTINCT user_id, event_type, value, ts_us FROM ev
+            |ORDER BY user_id, ts_us, event_type, value""".stripMargin),
+    "D1 streaming watermarked dedup (ref Silver/05-silver.py:78-79)")
+
+  /** J4 streaming — stream-stream interval join with watermarks on both
+    * sides (ref Silver/05-silver.py:368-400): view→purchase sessionization,
+    * identical bounds to batch q06, so q06's oracle verifies the streaming
+    * execution path too. */
+  val s03 = QueryDef(
+    "s03_stream_interval_join",
+    (spark, dir) => drain(spark, dir, "append") { ev =>
+      val starts = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("start_id"),
+          col("ts_us").as("start_us"), col("ts_utc").as("start_t"))
+        .withWatermark("start_t", "365 days")
+      val stops = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("u2"), col("event_id").as("stop_id"),
+          col("ts_us").as("stop_us"), col("ts_utc").as("stop_t"))
+        .withWatermark("stop_t", "365 days")
+      starts.join(stops,
+          starts("user_id") === stops("u2") &&
+          stops("stop_t") > starts("start_t") &&
+          stops("stop_t") < starts("start_t") + expr("interval 3 hours"))
+        .select(col("user_id"), col("start_id"), col("stop_id"),
+          col("start_us"), col("stop_us"))
+    }.orderBy(col("user_id"), col("start_id"), col("stop_id")),
+    Some(s"""WITH $evCte
+            |SELECT s.user_id, s.event_id AS start_id, p.event_id AS stop_id,
+            |       s.ts_us AS start_us, p.ts_us AS stop_us
+            |FROM ev s JOIN ev p ON s.user_id = p.user_id
+            | AND s.event_type = 'view' AND p.event_type = 'purchase'
+            | AND p.ts_us > s.ts_us AND p.ts_us < s.ts_us + 10800000000
+            |ORDER BY s.user_id, start_id, stop_id""".stripMargin),
+    "J4 streaming stream-stream interval join w/ watermarks (ref Silver/05-silver.py:368-400)")
+
+  def defs: Seq[QueryDef] = Seq(s01, s02, s03)
+}

@@ -1,0 +1,133 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.merge.ParquetTable
+
+/** End-to-end medallion orchestration (ref `Test Scripts/07-run.py` +
+  * `Silver/05-silver.py:486-503`): landing files → Bronze (streaming append)
+  * → Silver in three awaited waves → Gold. `availableNow` drain mode, exactly
+  * like the reference's batch runs (`04-bronze.py:39-40`).
+  *
+  * Single-writer-per-table discipline matches the reference; re-running the
+  * whole pipeline over re-delivered + new files is idempotent end-to-end
+  * (MERGE semantics absorb duplicates) — that is the two-set replay
+  * invariant its tests pin (`Test Scripts/08-batch-test.py`).
+  */
+final class Medallion(spark: SparkSession, landingDir: String, tablesDir: String,
+                      checkpointDir: String, asOf: Column) {
+
+  private def t(name: String, schema: org.apache.spark.sql.types.StructType) =
+    new ParquetTable(spark, s"$tablesDir/$name", schema)
+
+  val usersTable = t("users", Schemas.users)
+  val gymLogsTable = t("gym_logs", Schemas.gymLogs)
+  val userProfileTable = t("user_profile", Schemas.userProfile)
+  val heartRateTable = t("heart_rate", Schemas.heartRate)
+  val workoutsTable = t("workouts", Schemas.workouts)
+  val userBinsTable = t("user_bins", Schemas.userBins)
+  val completedWorkoutsTable = t("completed_workouts", Schemas.completedWorkouts)
+  val workoutBpmTable = t("workout_bpm", Schemas.workoutBpm)
+  val summaryTable = t("workout_bpm_summary", Schemas.workoutBpmSummary)
+
+  private def bronzeDir(name: String) = s"$tablesDir/bronze_$name"
+
+  /** Bronze: three file-stream ingestion jobs (ref 04-bronze.py:107-117),
+    * drained with availableNow and awaited. */
+  def runBronze(dateLookup: DataFrame): Unit = {
+    val jobs = Seq(
+      Bronze.csvStream(spark, s"$landingDir/registered_users", Schemas.registeredUsersCsv)
+        -> "registered_users",
+      Bronze.csvStream(spark, s"$landingDir/gym_logins", Schemas.gymLoginsCsv)
+        -> "gym_logins",
+      Bronze.enrichWeekPart(
+        Bronze.jsonStream(spark, s"$landingDir/multiplex", Schemas.kafkaMultiplexJson),
+        dateLookup) -> "multiplex")
+    val queries = jobs.map { case (df, name) =>
+      Bronze.appendSink(df, bronzeDir(name), s"$checkpointDir/bronze_$name",
+        s"bronze_$name").start()
+    }
+    queries.foreach(_.awaitTermination())
+  }
+
+  private def readBronze(name: String, schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val dir = new java.io.File(bronzeDir(name))
+    if (dir.exists) spark.read.schema(schema.add("load_time", "timestamp").add("source_file", "string"))
+      .parquet(bronzeDir(name))
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      schema.add("load_time", "timestamp").add("source_file", "string"))
+  }
+
+  /** Silver wave 1 (ref 05-silver.py:490-495): five streaming upsert jobs.
+    * Each streams the append-only bronze parquet directory (file source ≡
+    * append-only Delta stream) through its transform + watermarked dedup into
+    * a foreachBatch MERGE. */
+  def runSilverWave1(): Unit = {
+    import graft.ops.Relational
+    def run(name: String, src: DataFrame, eventTime: String, keys: Seq[String])
+           (sink: DataFrame => Unit): Unit = {
+      val q = Silver.streamingDedup(src, eventTime, keys)
+        .writeStream
+        .queryName(s"silver_$name")
+        .option("checkpointLocation", s"$checkpointDir/silver_$name")
+        .outputMode("update")
+        .foreachBatch((batch: DataFrame, _: Long) => sink(batch))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val regUsers = spark.readStream
+      .schema(Schemas.registeredUsersCsv.add("load_time", "timestamp").add("source_file", "string"))
+      .parquet(bronzeDir("registered_users"))
+    run("users", Silver.usersTransform(regUsers), "registration_timestamp",
+      Seq("user_id", "device_id"))(Silver.upsertInsertOnly(usersTable, Seq("user_id")))
+
+    val gymBz = spark.readStream
+      .schema(Schemas.gymLoginsCsv.add("load_time", "timestamp").add("source_file", "string"))
+      .parquet(bronzeDir("gym_logins"))
+    run("gym_logs", Silver.gymLogsTransform(gymBz), "login",
+      Seq("mac_address", "gym", "login"))(Silver.upsertGymLogs(gymLogsTable))
+
+    def multiplexStream = spark.readStream
+      .schema(Schemas.kafkaMultiplexJson
+        .add("load_time", "timestamp").add("source_file", "string").add("week_part", "string"))
+      .parquet(bronzeDir("multiplex"))
+    run("user_profile", Silver.userProfileTransform(multiplexStream), "updated",
+      Seq("user_id", "updated"))(Silver.upsertUserProfile(userProfileTable))
+    run("workouts", Silver.workoutsTransform(multiplexStream), "time",
+      Seq("user_id", "time"))(Silver.upsertInsertOnly(workoutsTable, Seq("user_id", "time")))
+    run("heart_rate", Silver.heartRateTransform(multiplexStream), "time",
+      Seq("device_id", "time"))(Silver.upsertInsertOnly(heartRateTable, Seq("device_id", "time")))
+  }
+
+  /** Silver waves 2+3 (ref 05-silver.py:497-502): derived tables recomputed
+    * from the current upstream content and MERGEd. */
+  def runSilverWave2(): Unit = {
+    Silver.upsertUserBins(userBinsTable)(
+      Silver.userBins(userProfileTable.read(), usersTable.read(), asOf))
+    Silver.upsertInsertOnly(completedWorkoutsTable,
+      Seq("user_id", "workout_id", "session_id", "start_time"))(
+      Silver.completedWorkouts(workoutsTable.read()))
+    Silver.upsertInsertOnly(workoutBpmTable,
+      Seq("user_id", "workout_id", "session_id", "time"))(
+      Silver.workoutBpm(completedWorkoutsTable.read(), usersTable.read(),
+        heartRateTable.read()))
+  }
+
+  /** Gold (ref 06-gold.py:100-112): summary recompute + M5 upsert. */
+  def runGold(): Unit =
+    Gold.upsertSummary(summaryTable)(
+      Gold.workoutBpmSummary(workoutBpmTable.read(), userBinsTable.read()))
+
+  /** One full batch run over whatever is in the landing zone. */
+  def runAll(dateLookup: DataFrame): Unit = {
+    runBronze(dateLookup)
+    runSilverWave1()
+    runSilverWave2()
+    runGold()
+  }
+
+  def gymSummary(): DataFrame =
+    Gold.gymSummary(completedWorkoutsTable.read(), usersTable.read(), gymLogsTable.read())
+}
