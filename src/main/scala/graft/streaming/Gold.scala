@@ -18,8 +18,8 @@ object Gold {
       .agg(min(col("heartrate")).as("min_bpm"), avg(col("heartrate")).as("avg_bpm"),
         max(col("heartrate")).as("max_bpm"), count(col("heartrate")).as("num_recordings"))
       .join(broadcast(userBins), Seq("user_id"))
-      .select(col("workout_id"), col("session_id"), col("user_id"), col("age"),
-        col("gender"), col("city"), col("state"),
+      .select(col("start_time"), col("end_time"), col("workout_id"), col("session_id"),
+        col("user_id"), col("age"), col("gender"), col("city"), col("state"),
         col("min_bpm"), col("avg_bpm"), col("max_bpm"), col("num_recordings"))
 
   /** M5 upsert of the summary (ref 06-gold.py:31-80): 5-key match, stat

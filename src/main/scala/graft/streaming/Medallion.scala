@@ -86,8 +86,13 @@ final class Medallion(spark: SparkSession, landingDir: String, tablesDir: String
     val gymBz = spark.readStream
       .schema(Schemas.gymLoginsCsv.add("load_time", "timestamp").add("source_file", "string"))
       .parquet(bronzeDir("gym_logins"))
+    // dedup on the FULL row (not the reference's (mac,gym,login) key,
+    // 05-silver.py:126-127): with persistent dedup state, a key-only dedup
+    // would also swallow the logout-extension re-delivery that the M2 MERGE
+    // guard exists to handle. Exact-duplicate drops keep idempotency; the
+    // merge guard owns monotone logout extension.
     run("gym_logs", Silver.gymLogsTransform(gymBz), "login",
-      Seq("mac_address", "gym", "login"))(Silver.upsertGymLogs(gymLogsTable))
+      Seq("mac_address", "gym", "login", "logout"))(Silver.upsertGymLogs(gymLogsTable))
 
     def multiplexStream = spark.readStream
       .schema(Schemas.kafkaMultiplexJson

@@ -66,6 +66,7 @@ object Schemas {
 
   // ── gold (Setup/02-setup.py:222-236) ──
   val workoutBpmSummary: StructType = StructType.fromDDL(
-    """workout_id int, session_id int, user_id bigint, age string, gender string, city string, state string,
+    """start_time timestamp, end_time timestamp, workout_id int, session_id int, user_id bigint,
+      |age string, gender string, city string, state string,
       |min_bpm double, avg_bpm double, max_bpm double, num_recordings bigint""".stripMargin)
 }

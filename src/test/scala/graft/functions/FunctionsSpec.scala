@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens / tokenCount handle empty and multi-space text") {
+    val df = Seq("", "  ", "a  b c", "one").toDF("t")
+    val got = df.select(TextFunctions.tokenCount($"t")).as[Int].collect()
+    assert(got.toSeq == Seq(0, 0, 3, 1))
+  }
+
+  test("wordShingles: distinct n-grams, short-text safe") {
+    val df = Seq("a b c d", "a b", "x y x y x y").toDF("t")
+    val got = df.select(TextFunctions.wordShingles($"t", 3)).as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq.empty)
+    assert(got(2).toSet == Set("x y x", "y x y")) // distinct collapses repeats
+  }
+
+  test("fingerprint normalizes case/punct/whitespace") {
+    val df = Seq(("Hello,   World!", "hello world"), ("a-b", "a b")).toDF("x", "y")
+    val eq = df.select((TextFunctions.fingerprint($"x") === TextFunctions.fingerprint($"y")).as("e"))
+      .as[Boolean].collect()
+    assert(eq.forall(identity))
+  }
+
+  test("langId picks max-hit language with alphabetical tiebreak") {
+    val df = Seq(
+      "the cat and the dog is in that house with them",
+      "der hund und die katze ist nicht ein",
+      "xyz qqq").toDF("t")
+    val got = df.select(TextFunctions.langId($"t")).as[String].collect()
+    assert(got(0) == "en" && got(1) == "de")
+    assert(got(2) == "de") // zero hits everywhere -> alphabetically first
+  }
+
+  test("quality score in [0,1] and ranks clean text above punct soup") {
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog and runs far away to the hills",
+      "!!! ### $$$ %%% ^^^ &&& *** ((( )))").toDF("t")
+    val got = df.select(TextFunctions.qualityScore($"t")).as[Double].collect()
+    assert(got.forall(s => s >= 0.0 && s <= 1.0))
+    assert(got(0) > got(1))
+  }
+
+  test("CosineSimilarity expression: interpreted, codegen, and fold agree") {
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(3.0, 2.0, 1.0)),
+      (Array(1.0, 0.0, 0.0), Array(1.0, 0.0, 0.0)),
+      (Array(0.0, 0.0, 0.0), Array(1.0, 1.0, 1.0))).toDF("a", "b")
+    VectorFunctions.register(spark)
+    val rows = df.select(
+      VectorFunctions.cosineSim($"a", $"b").as("expr"),
+      VectorFunctions.cosineFold($"a", $"b").as("fold")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    assert(math.abs(rows(0).getDouble(0) - 10.0 / 14.0) < 1e-12)
+    assert(rows(1).getDouble(0) == 1.0)
+    assert(rows(2).getDouble(0) == 0.0) // zero-norm guard
+  }
+
+  test("signLshBucket is deterministic and within range") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet").limit(50)
+    val b1 = emb.select(VectorFunctions.signLshBucket($"embedding", 8).as("b"))
+      .as[Long].collect()
+    val b2 = emb.select(VectorFunctions.signLshBucket($"embedding", 8).as("b"))
+      .as[Long].collect()
+    assert(b1.toSeq == b2.toSeq)
+    assert(b1.forall(b => b >= 0 && b < 256))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.merge
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("M1 insertOnly is idempotent") {
+    val target = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val batch = Seq((2, "B"), (3, "c")).toDF("k", "v")
+    val once = Merge.insertOnly(target, batch, Seq("k"))
+    assert(once.orderBy("k").as[(Int, String)].collect().toSeq ==
+      Seq((1, "a"), (2, "b"), (3, "c")))
+    val twice = Merge.insertOnly(once, batch, Seq("k"))
+    assert(twice.count() == 3)
+  }
+
+  test("M4 scd1: batch wins on collision") {
+    val target = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val batch = Seq((2, "B"), (3, "c")).toDF("k", "v")
+    val got = Merge.scd1(target, batch, Seq("k")).orderBy("k").as[(Int, String)].collect()
+    assert(got.toSeq == Seq((1, "a"), (2, "B"), (3, "c")))
+  }
+
+  test("M3 cdcUpsert honors the recency guard") {
+    val target = Seq((1, "old", 10L), (2, "keep", 20L)).toDF("k", "v", "ts")
+    val batch = Seq((1, "new", 15L), (2, "stale", 5L), (3, "ins", 1L)).toDF("k", "v", "ts")
+    val got = Merge.cdcUpsert(target, batch, Seq("k"), "ts")
+      .orderBy("k").as[(Int, String, Long)].collect()
+    assert(got.toSeq == Seq((1, "new", 15L), (2, "keep", 20L), (3, "ins", 1L)))
+  }
+
+  test("M2 conditionalUpdate: guarded single-column update + insert") {
+    val target = Seq((1, 100L, 150L), (2, 100L, 300L)).toDF("k", "login", "logout")
+    val batch = Seq((1, 100L, 200L), (2, 100L, 250L), (3, 100L, 120L))
+      .toDF("k", "login", "logout")
+    val got = Merge.conditionalUpdate(target, batch, Seq("k"), "logout",
+        (t, b) => b("logout") > t("login") && b("logout") > t("logout"))
+      .orderBy("k").as[(Int, Long, Long)].collect()
+    // k=1 extended, k=2 guard fails (250 < 300), k=3 inserted
+    assert(got.toSeq == Seq((1, 100L, 200L), (2, 100L, 300L), (3, 100L, 120L)))
+  }
+
+  test("M5 upsertColumns preserves non-listed target columns") {
+    val target = Seq((1, 10.0, "g1"), (2, 20.0, "g1")).toDF("k", "stat", "gen")
+    val batch = Seq((2, 99.0, "g2"), (3, 30.0, "g2")).toDF("k", "stat", "gen")
+    val got = Merge.upsertColumns(target, batch, Seq("k"), Seq("stat"))
+      .orderBy("k").as[(Int, Double, String)].collect()
+    // matched row keeps gen=g1 but takes stat=99; inserted row carries g2
+    assert(got.toSeq == Seq((1, 10.0, "g1"), (2, 99.0, "g1"), (3, 30.0, "g2")))
+  }
+
+  test("ParquetTable rewrite-and-swap round trip") {
+    val dir = java.nio.file.Files.createTempDirectory("pt-test-").toString
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("k int, v string")
+    val t = new ParquetTable(spark, dir, schema)
+    assert(t.read().count() == 0)
+    t.overwrite(Seq((1, "a")).toDF("k", "v"))
+    assert(t.read().count() == 1)
+    t.merge(Seq((2, "b")).toDF("k", "v"))((cur, b) => Merge.insertOnly(cur, b, Seq("k")))
+    assert(t.read().orderBy("k").as[(Int, String)].collect().toSeq ==
+      Seq((1, "a"), (2, "b")))
+  }
+}

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.VectorFunctions
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Dedup.exact groups normalized duplicates") {
+    val docs = Seq((1L, "Hello World"), (2L, "hello,  world!"), (3L, "other text"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exact(docs, "doc_id", "text")
+      .orderBy("keep_id").select("keep_id", "n_dups").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("Dedup.ngramJaccard finds near-identical docs, skips unrelated") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different words appear in this sentence")).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, minJaccard = 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L)))
+  }
+
+  test("minhashLsh candidates are verified: no false positives vs exact jaccard") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val lsh = Dedup.minhashLsh(docs, "doc_id", "text", n = 3, k = 8, r = 2, minJaccard = 0.2)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val exact = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, minJaccard = 0.2)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    // LSH output must be a subset of the exact pairs (verification step) ...
+    assert(lsh.subsetOf(exact))
+    // ... and catch most of them at this similarity level
+    if (exact.nonEmpty) assert(lsh.size.toDouble / exact.size >= 0.5)
+  }
+
+  test("simhash: identical docs share fingerprints, near-dup join finds them") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "totally unrelated content here now")).toDF("doc_id", "text")
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+    val fps = sh.orderBy("doc_id").select("simhash").as[Long].collect()
+    assert(fps(0) == fps(1))
+    val nd = Dedup.simhashNearDup(sh, maxHamming = 0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(nd.toSeq.contains((1L, 2L)))
+  }
+
+  test("lshTopK recall >= 0.6 vs brute force on real embeddings") {
+    VectorFunctions.register(spark)
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 10)
+    val bf = Similarity.bruteForceTopK(q, emb, VectorFunctions.cosineSim, 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(q, emb, VectorFunctions.cosineSim, 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert((bf & lsh).size.toDouble / bf.size >= 0.6)
+  }
+}

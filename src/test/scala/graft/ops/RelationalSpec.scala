@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("latestPerKey keeps ties (rank semantics)") {
+    val df = Seq((1, 10, "a"), (1, 10, "b"), (1, 5, "c"), (2, 7, "d"))
+      .toDF("k", "ord", "v")
+    val got = Relational.latestPerKey(df, Seq("k"), "ord")
+      .select("v").as[String].collect().sorted
+    assert(got.toSeq == Seq("a", "b", "d")) // both ord=10 rows survive
+  }
+
+  test("dedupKeyed keeps exactly one deterministic row") {
+    val df = Seq((1, 10, "a"), (1, 10, "b"), (1, 5, "c")).toDF("k", "ord", "v")
+    val got = Relational.dedupKeyed(df, Seq("k"), Seq($"ord", $"v"))
+      .select("v").as[String].collect()
+    assert(got.toSeq == Seq("c"))
+  }
+
+  test("intervalPairJoin uses open interval (start, start+gap)") {
+    val starts = Seq((1L, 100L)).toDF("u", "s")
+    val stops = Seq((1L, 100L), (1L, 101L), (1L, 199L), (1L, 200L), (1L, 201L))
+      .toDF("u", "e")
+    val got = Relational.intervalPairJoin(starts, stops, Seq("u"), "s", "e", lit(100L))
+      .select("e").as[Long].collect().sorted
+    // e > 100 and e < 200: both bounds strict
+    assert(got.toSeq == Seq(101L, 199L))
+  }
+
+  test("pointInInterval is half-open (lo, hi]") {
+    val pts = Seq((1L, 100L), (1L, 101L), (1L, 200L), (1L, 201L)).toDF("u", "p")
+    val ivs = Seq((1L, 100L, 200L)).toDF("u", "lo", "hi")
+    val got = Relational.pointInInterval(pts, ivs, Seq("u"), "p", "lo", "hi")
+      .select("p").as[Long].collect().sorted
+    assert(got.toSeq == Seq(101L, 200L))
+  }
+
+  test("binned handles edges, out-of-range and null") {
+    val df = Seq(Some(-1.0), Some(0.0), Some(999.99), Some(1000.0), Some(5000.0), None)
+      .toDF("x")
+    val got = df.select(Relational.binned($"x", Seq(0, 1000), Seq("neg", "low", "high"),
+      "invalid").as("b")).as[String].collect()
+    assert(got.toSeq == Seq("neg", "low", "low", "high", "high", "invalid"))
+  }
+
+  test("ageBins matches reference bin labels") {
+    val df = Seq(("2010-06-01", "2024-01-01"), ("1940-01-01", "2024-01-01"))
+      .toDF("dob", "asof")
+      .select(to_date($"dob").as("dob"), to_date($"asof").as("asof"))
+    val got = df.select(Relational.ageBins($"dob", $"asof").as("b")).as[String].collect()
+    assert(got.toSeq == Seq("under 18", "75-85"))
+  }
+
+  test("groupStats computes min/avg/max/count") {
+    val df = Seq((1, 10.0), (1, 20.0), (2, 5.0)).toDF("k", "v")
+    val row = Relational.groupStats(df, Seq("k"), "v").filter($"k" === 1).collect()(0)
+    assert(row.getDouble(1) == 10.0 && row.getDouble(2) == 15.0 &&
+      row.getDouble(3) == 20.0 && row.getLong(4) == 2L)
+  }
+
+  test("topKPerGroup returns exactly k deterministic rows") {
+    val df = Seq((1, 5, "a"), (1, 5, "b"), (1, 3, "c"), (2, 9, "d")).toDF("k", "x", "id")
+    val got = Relational.topKPerGroup(df, Seq("k"), Seq($"x".desc, $"id"), 2)
+      .select("id").as[String].collect().sorted
+    assert(got.toSeq == Seq("a", "b", "d"))
+  }
+}
