@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling for training-data pipelines: media as opaque
+  * `binary` columns + typed metadata, with decode / feature-extract / resize /
+  * frame-sample as per-partition batch transforms.
+  *
+  * The Spark-side plumbing (schema, batch iteration, partitioning, output
+  * shape) is real and tested; the codec itself is STUBBED with a
+  * deterministic fake (this container has no image/audio libraries). Swap
+  * [[StubCodec]] for a real decoder (JNI/JavaCV/...) without touching any
+  * plumbing — the transform contract is `Iterator[MediaRow] →
+  * Iterator[MediaFeatures]`, which is exactly the mapInPandas/mapPartitions
+  * batch shape that amortizes codec init per partition, not per row.
+  *
+  * Scale notes: media bytes never pass through a shuffle here — features are
+  * extracted in the scan stage and only the (small) feature rows move.
+  * Partition sizing for 100 TB of media = `spark.sql.files.maxPartitionBytes`
+  * on the parquet side; one partition ≈ one codec instance.
+  */
+object Multimodal {
+
+  case class MediaRow(media_id: Long, kind: String, media: Array[Byte],
+                      width: Int, height: Int, sample_rate: Int)
+
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+                           byte_entropy: Double, thumb_bytes: Long,
+                           n_frames: Int, frame_offsets: Seq[Long])
+
+  /** Deterministic fake codec — byte-level stats standing in for real
+    * decode/resize/frame-sample. Replace for production. */
+  object StubCodec {
+    /** "Decode + feature-extract": byte histogram entropy. */
+    def entropy(bytes: Array[Byte]): Double = {
+      if (bytes.isEmpty) return 0.0
+      val hist = new Array[Long](256)
+      bytes.foreach(b => hist(b & 0xff) += 1)
+      val n = bytes.length.toDouble
+      hist.foldLeft(0.0) { (acc, c) =>
+        if (c == 0) acc else acc - (c / n) * math.log(c / n) / math.log(2)
+      }
+    }
+
+    /** "Resize": proportional byte budget for a thumbnail-sized rendition. */
+    def thumbSize(nBytes: Long, w: Int, h: Int, thumbW: Int = 64): Long =
+      if (w <= 0 || h <= 0) 0L
+      else math.max(1L, nBytes * thumbW * thumbW / (w.toLong * h.toLong))
+
+    /** "Frame sampling": k evenly spaced byte offsets (video frame analog). */
+    def frameOffsets(nBytes: Long, k: Int): Seq[Long] =
+      if (nBytes == 0) Seq.empty
+      else (0 until k).map(i => i * nBytes / k)
+  }
+
+  /** Batch feature extraction over media rows — the mapPartitions shape:
+    * one codec "instance" per partition, iterator-to-iterator (no
+    * materialization of a partition's media in memory at once). */
+  def extractFeatures(media: Dataset[MediaRow], frames: Int = 4): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // real codecs initialize here, once per partition
+      rows.map { r =>
+        MediaFeatures(r.media_id, r.kind, r.media.length.toLong,
+          StubCodec.entropy(r.media),
+          StubCodec.thumbSize(r.media.length.toLong, r.width, r.height),
+          frames, StubCodec.frameOffsets(r.media.length.toLong, frames))
+      }
+    }
+  }
+
+  /** Build a media table from the documents table (text bytes as the opaque
+    * payload) — gives the multimodal path a deterministic, testdata-backed
+    * input without shipping binary fixtures. */
+  def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(
+        col("doc_id").as("media_id"),
+        when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("kind"),
+        col("text").cast("binary").as("media"),
+        (col("n_chars") % 640 + 1).cast("int").as("width"),
+        (col("n_chars") % 480 + 1).cast("int").as("height"),
+        lit(16000).as("sample_rate"))
+      .as[MediaRow]
+  }
+}

@@ -205,5 +205,19 @@ object TextQueries {
     },
     "SimHash document fingerprinting (LLM-pipeline op)")
 
-  def defs: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07)
+  /** Multimodal feature extraction (stubbed codec, real plumbing — see
+    * [[graft.operators.Multimodal]]). JVM-side byte math has no SQL oracle →
+    * rows-only check; the ScalaTest spec pins exact values. */
+  val m01 = QueryDef(
+    "m01_multimodal_features",
+    (spark, dir) => {
+      val media = graft.operators.Multimodal.mediaFromDocuments(
+        spark, Tables.documents(spark, dir))
+      graft.operators.Multimodal.extractFeatures(media).toDF()
+        .orderBy(col("media_id"))
+    },
+    None,
+    "multimodal decode/resize/frame-sample plumbing over binary media (LLM-pipeline op)")
+
+  def defs: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, m01)
 }

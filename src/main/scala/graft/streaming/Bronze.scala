@@ -58,13 +58,18 @@ object Bronze {
     * parquet replaces Delta. Caller picks the trigger: availableNow for
     * batch-drain runs, processing-time for continuous. */
   def appendSink(df: DataFrame, table: String, checkpoint: String,
-                 queryName: String, availableNow: Boolean = true): DataStreamWriter[org.apache.spark.sql.Row] = {
-    val w = df.writeStream
+                 queryName: String, availableNow: Boolean = true,
+                 partitionBy: Seq[String] = Seq.empty): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val w0 = df.writeStream
       .format("parquet")
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .option("path", table)
       .queryName(queryName)
+    // physical partitioning drives downstream partition pruning, mirroring
+    // the reference's PARTITIONED BY (topic, week_part) multiplex table
+    // (Setup/02-setup.py:71) + topic filters (Silver/05-silver.py:177)
+    val w = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
     if (availableNow) w.trigger(Trigger.AvailableNow()) else w.trigger(Trigger.ProcessingTime("5 seconds"))
   }
 }

@@ -45,8 +45,9 @@ final class Medallion(spark: SparkSession, landingDir: String, tablesDir: String
         Bronze.jsonStream(spark, s"$landingDir/multiplex", Schemas.kafkaMultiplexJson),
         dateLookup) -> "multiplex")
     val queries = jobs.map { case (df, name) =>
+      val parts = if (name == "multiplex") Seq("topic") else Seq.empty[String]
       Bronze.appendSink(df, bronzeDir(name), s"$checkpointDir/bronze_$name",
-        s"bronze_$name").start()
+        s"bronze_$name", partitionBy = parts).start()
     }
     queries.foreach(_.awaitTermination())
   }
