@@ -12,12 +12,18 @@ import org.apache.spark.sql.functions._
 object VectorFunctions {
 
   private val FuncName = "cosine_sim"
+  private val LshName = "sign_lsh"
 
-  /** Idempotently register the native expression in the session's function
-    * registry (temp function — survives for the session lifetime). */
-  def register(spark: SparkSession): Unit =
+  /** Idempotently register the native expressions in the session's function
+    * registry (temp functions — survive for the session lifetime). */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       FuncName, exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      LshName, exprs => SignLsh(exprs(0),
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),
+      "built-in")
+  }
 
   /** Cosine similarity via the native expression; call [[register]] first. */
   def cosineSim(a: Column, b: Column): Column =
@@ -35,29 +41,11 @@ object VectorFunctions {
       .otherwise(dot / (sqrt(na) * sqrt(nb)))
   }
 
-  /** Deterministic random-hyperplane sign-LSH bucket (16-bit) for an
-    * embedding column — the 100 TB path for similarity search: bucket by
-    * LSH, join within buckets, exact-rank survivors. Hyperplane components
-    * are derived from a splitmix-style integer hash of (plane, dim) — no RNG
-    * state, identical on every executor.
-    */
-  def signLshBucket(v: Column, planes: Int = 16, dims: Int = 64): Column = {
-    def mix(z0: Long): Long = {
-      var z = z0 + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-    val vd = v.cast("array<double>")
-    val bits = (0 until planes).map { p =>
-      // plane component for dim d in [-0.5, 0.5): deterministic from (p,d)
-      val comps = (0 until dims).map { d =>
-        lit(mix(p.toLong * 1000003L + d).toDouble / 9.223372036854776e18 / 2.0)
-      }
-      val plane = array(comps: _*)
-      val dot = aggregate(zip_with(vd, plane, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  /** Deterministic random-hyperplane sign-LSH bucket for an embedding
+    * column — the 100 TB path for similarity search: bucket by LSH, join
+    * within buckets, exact-rank survivors. Backed by the native codegen'd
+    * [[SignLsh]] expression (plane matrix is a codegen reference object, one
+    * tight loop per row); call [[register]] first. */
+  def signLshBucket(v: Column, planes: Int = 16, dims: Int = 64): Column =
+    call_function(LshName, v.cast("array<double>"), lit(planes), lit(dims))
 }

@@ -41,7 +41,10 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    val ds = docShingles(docs, idCol, textCol, n)
+    // the exploded shingle relation is consumed 3x (sizes + both join
+    // sides): persist it so the (regex-heavy) shingling runs once. At
+    // cluster scale this is a checkpoint of the inverted index.
+    val ds = docShingles(docs, idCol, textCol, n).persist()
     val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("set_size"))
     val a = ds.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = ds.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -66,7 +69,8 @@ object Dedup {
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  n: Int = 3, k: Int = 8, r: Int = 2,
                  minJaccard: Double = 0.5): DataFrame = {
-    val ds = docShingles(docs, idCol, textCol, n)
+    // consumed by signatures, sizes, and twice in verification → persist
+    val ds = docShingles(docs, idCol, textCol, n).persist()
     val sig = ds.groupBy(col("doc_id")).agg(
       min(md5(concat(lit("0|"), col("shingle")))).as("mh0"),
       (1 until k).map(i => min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"mh$i")): _*)

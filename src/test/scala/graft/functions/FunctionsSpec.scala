@@ -62,6 +62,7 @@ class FunctionsSpec extends SparkSpec {
   }
 
   test("signLshBucket is deterministic and within range") {
+    VectorFunctions.register(spark)
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet").limit(50)
     val b1 = emb.select(VectorFunctions.signLshBucket($"embedding", 8).as("b"))
       .as[Long].collect()
