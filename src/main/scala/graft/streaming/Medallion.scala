@@ -36,6 +36,8 @@ final class Medallion(spark: SparkSession, landingDir: String, tablesDir: String
   /** Bronze: three file-stream ingestion jobs (ref 04-bronze.py:107-117),
     * drained with availableNow and awaited. */
   def runBronze(dateLookup: DataFrame): Unit = {
+    // FAIR pool per layer (ref 05-silver.py:92 etc. scheduler pools)
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", "bronze")
     val jobs = Seq(
       Bronze.csvStream(spark, s"$landingDir/registered_users", Schemas.registeredUsersCsv)
         -> "registered_users",
@@ -65,7 +67,7 @@ final class Medallion(spark: SparkSession, landingDir: String, tablesDir: String
     * append-only Delta stream) through its transform + watermarked dedup into
     * a foreachBatch MERGE. */
   def runSilverWave1(): Unit = {
-    import graft.ops.Relational
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", "silver")
     def run(name: String, src: DataFrame, eventTime: String, keys: Seq[String])
            (sink: DataFrame => Unit): Unit = {
       val q = Silver.streamingDedup(src, eventTime, keys)
@@ -136,4 +138,8 @@ final class Medallion(spark: SparkSession, landingDir: String, tablesDir: String
 
   def gymSummary(): DataFrame =
     Gold.gymSummary(completedWorkoutsTable.read(), usersTable.read(), gymLogsTable.read())
+
+  /** Stream management (ref 04-bronze.py:114-116, 05-silver.py:481-484):
+    * stop every active streaming query on this session. */
+  def stopAllStreams(): Unit = spark.streams.active.foreach(_.stop())
 }
