@@ -372,6 +372,48 @@ object RelationalQueries {
             |ORDER BY user_id, ts_us, event_id""".stripMargin),
     "running-frame windows + lag (SURVEY §2.5 window family)")
 
+  /** Semi/anti joins (EXISTS / NOT EXISTS) — beyond the reference (SURVEY
+    * §2.4 notes their absence); required for a complete join surface. */
+  val q19 = QueryDef(
+    "q19_semi_anti",
+    (spark, dir) => {
+      val c = Tables.customer(spark, dir)
+      val o = Tables.orders(spark, dir).filter(col("o_totalprice") > 200000)
+      val withBig = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("has_big_order").as("tag"))
+      val noBig = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("no_big_order").as("tag"))
+      withBig.unionByName(noBig).orderBy(col("tag"), col("c_custkey"))
+    },
+    Some("""WITH big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+           |SELECT c_custkey, 'has_big_order' AS tag FROM customer
+           |WHERE EXISTS (SELECT 1 FROM big WHERE o_custkey = c_custkey)
+           |UNION ALL
+           |SELECT c_custkey, 'no_big_order' AS tag FROM customer
+           |WHERE NOT EXISTS (SELECT 1 FROM big WHERE o_custkey = c_custkey)
+           |ORDER BY tag, c_custkey""".stripMargin),
+    "left_semi / left_anti joins (EXISTS / NOT EXISTS)")
+
+  /** Left outer join + null-handling aggregation — beyond the reference. */
+  val q21 = QueryDef(
+    "q21_outer_join_agg",
+    (spark, dir) => {
+      val c = Tables.customer(spark, dir)
+      val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_f_orders"),
+          round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("f_total"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, count(o_orderkey) AS n_f_orders,
+           |  round(coalesce(sum(o_totalprice), 0.0), 2) AS f_total
+           |FROM customer LEFT OUTER JOIN (
+           |  SELECT * FROM orders WHERE o_orderstatus = 'F') o
+           |  ON c_custkey = o_custkey
+           |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin),
+    "left outer join + null-safe aggregation")
+
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07,
-    q12, q13, q14, q15, q16, q17, q18)
+    q12, q13, q14, q15, q16, q17, q18, q19, q21)
 }
