@@ -23,6 +23,10 @@ object StreamingQueries {
                    (transform: DataFrame => DataFrame): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.streaming.schemaInference", "false")
+    // state-store count = shuffle partitions at query start (a stream-stream
+    // join opens 4 stores per partition); at local/test scale fewer, larger
+    // state partitions beat many tiny checkpoint files. Restored after drain.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string")
     // file streaming source wants a directory: stream the sf dir, filtered
@@ -34,14 +38,17 @@ object StreamingQueries {
       .drop("ts")
     val name = s"graft_stream_${runId.incrementAndGet()}"
     val ckpt = Files.createTempDirectory("graft-ckpt-").toString
-    val q = transform(src).writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(outputMode)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = transform(src).writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     spark.table(name)
   }
 
