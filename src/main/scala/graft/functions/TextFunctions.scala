@@ -112,8 +112,11 @@ object TextFunctions {
     }.otherwise(lit("und"))
   }
 
-  /** Normalized-content fingerprint: md5 of (lowercased, punctuation-
-    * stripped, whitespace-collapsed) text — the exact-dedup key. */
+  /** Normalized-content fingerprint: md5 of (lowercased, ASCII-punctuation-
+    * stripped, whitespace-collapsed) text — the exact-dedup key. Only ASCII
+    * punctuation (`\p{Punct}` ≡ POSIX [[:punct:]]) is stripped: a
+    * letters-only class would collapse every non-Latin document (CJK, ...)
+    * to the empty fingerprint and mark them all duplicates. */
   def fingerprint(text: Column): Column =
-    md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " ")))
+    md5(trim(regexp_replace(regexp_replace(lower(text), "\\p{Punct}", " "), "\\s+", " ")))
 }

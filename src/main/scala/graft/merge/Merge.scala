@@ -18,14 +18,23 @@ object Merge {
   private def keyCond(a: DataFrame, b: DataFrame, keys: Seq[String]): Column =
     keys.map(k => a(k) <=> b(k)).reduce(_ && _)
 
+  /** Null-safe (`<=>`) left-anti: rows of `from` whose key is absent from
+    * `against`. Using-column anti-joins never match null keys, which would
+    * re-insert a null-keyed row on every replay and break idempotency —
+    * all merge flavors use `<=>` key equality uniformly. */
+  private def antiByKey(from: DataFrame, against: DataFrame, keys: Seq[String]): DataFrame = {
+    val a = against.select(keys.map(k => col(k).as("__a_" + k)).toIndexedSeq: _*).distinct()
+    val cond = keys.map(k => from(k) <=> a("__a_" + k)).reduce(_ && _)
+    from.join(a, cond, "left_anti")
+  }
+
   /** M1 — insert-only / idempotent append (`WHEN NOT MATCHED THEN INSERT *`,
     * reference `Silver/05-silver.py:50-55,208-213,254-259,359-364`).
     * Survivors = batch rows whose key is absent from target. Left-anti join:
     * one shuffle on `keys` (or broadcast of the smaller side under AQE).
     */
   def insertOnly(target: DataFrame, batch: DataFrame, keys: Seq[String]): DataFrame =
-    target.unionByName(
-      batch.join(target.select(keys.map(col): _*).distinct(), keys, "left_anti"))
+    target.unionByName(antiByKey(batch, target, keys))
 
   /** M4 — SCD Type-1 unconditional upsert (`WHEN MATCHED UPDATE SET *, WHEN
     * NOT MATCHED INSERT *`, reference `Silver/05-silver.py:314-321`).
@@ -33,7 +42,7 @@ object Merge {
     * guarantees this via its pre-merge rank filter).
     */
   def scd1(target: DataFrame, batch: DataFrame, keys: Seq[String]): DataFrame =
-    batch.unionByName(target.join(batch.select(keys.map(col): _*).distinct(), keys, "left_anti"))
+    batch.unionByName(antiByKey(target, batch, keys))
 
   /** M3 — CDC upsert with recency guard (`WHEN MATCHED AND a.updated <
     * b.updated THEN UPDATE SET *`, reference `Silver/05-silver.py:159-167`).

@@ -129,6 +129,10 @@ object Dedup {
     * (block_idx, chunk), never all-pairs. */
   def simhashNearDup(sh: DataFrame, bits: Int = 16, blocks: Int = 4,
                      maxHamming: Int = 3): DataFrame = {
+    // pigeonhole soundness: distance ≤ maxHamming guarantees a shared exact
+    // chunk only when maxHamming < blocks — otherwise pairs are silently lost
+    require(maxHamming < blocks,
+      s"maxHamming ($maxHamming) must be < blocks ($blocks) for pigeonhole blocking")
     val chunkBits = bits / blocks
     val mask = (1L << chunkBits) - 1
     val chunks = sh.select(col("doc_id"), col("simhash"),

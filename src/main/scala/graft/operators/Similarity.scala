@@ -43,10 +43,13 @@ object Similarity {
     * exact cosine re-ranks the candidate set. */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               cos: (Column, Column) => Column, k: Int,
-              tables: Int = 8, planesPerTable: Int = 4): DataFrame = {
+              tables: Int = 8, planesPerTable: Int = 4,
+              dims: Int = 64): DataFrame = {
     def buckets(v: Column): Column = {
-      // one long bucket per table, from disjoint plane blocks
-      val all = VectorFunctions.signLshBucket(v, tables * planesPerTable)
+      // one long bucket per table, from disjoint plane blocks; `dims` MUST
+      // cover the embedding width — SignLsh hashes only the first `dims`
+      // components, so an undersized value silently degrades recall
+      val all = VectorFunctions.signLshBucket(v, tables * planesPerTable, dims)
       val mask = (1L << planesPerTable) - 1
       array((0 until tables).map { t =>
         struct(lit(t).as("tbl"),

@@ -26,7 +26,7 @@ object TextQueries {
       Dedup.exact(Tables.documents(spark, dir), "doc_id", "text")
         .orderBy(col("fp"))
     },
-    Some("""SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp,
+    Some("""SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp,
            |       min(doc_id) AS keep_id, count(*) AS n_dups
            |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin),
     "exact dedup: md5 fingerprint hash-groupBy (LLM-pipeline op)")

@@ -47,19 +47,13 @@ final class Medallion(spark: SparkSession, landingDir: String, tablesDir: String
         Bronze.jsonStream(spark, s"$landingDir/multiplex", Schemas.kafkaMultiplexJson),
         dateLookup) -> "multiplex")
     val queries = jobs.map { case (df, name) =>
-      val parts = if (name == "multiplex") Seq("topic") else Seq.empty[String]
+      // mirrors the reference's PARTITIONED BY (topic, week_part)
+      // (Setup/02-setup.py:71): topic demux AND week_part filters both prune
+      val parts = if (name == "multiplex") Seq("topic", "week_part") else Seq.empty[String]
       Bronze.appendSink(df, bronzeDir(name), s"$checkpointDir/bronze_$name",
         s"bronze_$name", partitionBy = parts).start()
     }
     queries.foreach(_.awaitTermination())
-  }
-
-  private def readBronze(name: String, schema: org.apache.spark.sql.types.StructType): DataFrame = {
-    val dir = new java.io.File(bronzeDir(name))
-    if (dir.exists) spark.read.schema(schema.add("load_time", "timestamp").add("source_file", "string"))
-      .parquet(bronzeDir(name))
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      schema.add("load_time", "timestamp").add("source_file", "string"))
   }
 
   /** Silver wave 1 (ref 05-silver.py:490-495): five streaming upsert jobs.

@@ -78,12 +78,19 @@ object Silver {
   def upsertInsertOnly(table: ParquetTable, keys: Seq[String])(batch: DataFrame): Unit =
     table.merge(batch)((cur, b) => Merge.insertOnly(cur, b, keys))
 
-  /** M2 — gym_logs logout extension (ref 05-silver.py:108-115). */
-  def upsertGymLogs(table: ParquetTable)(batch: DataFrame): Unit =
-    table.merge(batch) { (cur, b) =>
+  /** M2 — gym_logs logout extension (ref 05-silver.py:108-115). The batch is
+    * first collapsed to max-logout per merge key: one micro-batch can carry
+    * both a login row and its logout-extension re-delivery (full-row dedup
+    * upstream keeps both), and an uncollapsed batch would insert duplicate
+    * (mac,gym,login) rows through the full-outer merge. */
+  def upsertGymLogs(table: ParquetTable)(batch: DataFrame): Unit = {
+    val collapsed = Relational.dedupKeyed(batch,
+      Seq("mac_address", "gym", "login"), Seq(col("logout").desc))
+    table.merge(collapsed) { (cur, b) =>
       Merge.conditionalUpdate(cur, b, Seq("mac_address", "gym", "login"), "logout",
         (t, bb) => bb("logout") > t("login") && bb("logout") > t("logout"))
     }
+  }
 
   /** M3 — user_profile CDC upsert (ref 05-silver.py:159-167 + 17-33):
     * keep new/update rows, collapse to newest per user within the batch

@@ -9,10 +9,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * (a session closes after `gapUs` of inactivity), vs the reference's
   * start/stop event pairing (J4).
   *
-  * State per key is O(open sessions) = O(1); with event-time timeout the
-  * store self-cleans, so the operator is safe under unbounded keys at
-  * cluster scale. Works identically over a bounded Dataset in unit tests
-  * (batch `flatMapGroupsWithState` path).
+  * State per key is O(open sessions) = O(1) in size, but entries for idle
+  * keys live until a timeout closes them: in streaming use pass
+  * `GroupStateTimeout.ProcessingTimeTimeout` so the store self-cleans (the
+  * timed-out open session is emitted as closed and removed). With the
+  * default `NoTimeout` (the batch path, where each group is processed
+  * exactly once) state death is irrelevant. Works identically over a
+  * bounded Dataset in unit tests (batch `flatMapGroupsWithState` path).
+  *
+  * Note for Append-mode streaming sinks: `emitOpen=true` re-emits the still-
+  * open session each batch with a growing `end_us`; set `emitOpen=false`
+  * for exactly-once session rows and rely on the timeout to flush tails.
   */
 object StatefulSessionizer {
 
@@ -45,23 +52,35 @@ object StatefulSessionizer {
     * pair with a watermark on the event-time column and ProcessingTime/
     * EventTime timeouts; in batch the state machine runs once per key. */
   def sessionize(events: Dataset[Event], gapUs: Long,
-                 emitOpen: Boolean = true): Dataset[Session] = {
+                 emitOpen: Boolean = true,
+                 timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout(),
+                 timeoutMs: Long = 0L): Dataset[Session] = {
     implicit val se = Encoders.product[Session]
     implicit val ss = Encoders.product[SessionState]
     implicit val le = Encoders.scalaLong
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeout) {
         (user: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          val (open, closed) = advance(gapUs,
-            if (state.exists) Some(state.get) else None, it.toSeq)
-          open match {
-            case Some(s) => state.update(s)
-            case None => if (state.exists) state.remove()
+          if (state.hasTimedOut) {
+            // flush the idle open session and free the state entry
+            val flushed = Option(state.get).toSeq
+              .map(s => Session(user, s.start_us, s.last_us, s.n_events))
+            state.remove()
+            flushed.iterator
+          } else {
+            val (open, closed) = advance(gapUs,
+              if (state.exists) Some(state.get) else None, it.toSeq)
+            open match {
+              case Some(s) =>
+                state.update(s)
+                if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+              case None => if (state.exists) state.remove()
+            }
+            val tail = if (emitOpen) open.toSeq.map(s =>
+              Session(user, s.start_us, s.last_us, s.n_events)) else Seq.empty
+            (closed ++ tail).iterator
           }
-          val tail = if (emitOpen) open.toSeq.map(s =>
-            Session(user, s.start_us, s.last_us, s.n_events)) else Seq.empty
-          (closed ++ tail).iterator
       }
   }
 }

@@ -51,6 +51,30 @@ class MergeSpec extends SparkSpec {
     assert(got.toSeq == Seq((1, 10.0, "g1"), (2, 99.0, "g1"), (3, 30.0, "g2")))
   }
 
+  test("gym_logs upsert collapses same-batch logout variants to one row") {
+    val dir = java.nio.file.Files.createTempDirectory("gym-").toString
+    val t = new ParquetTable(spark, dir, graft.streaming.Schemas.gymLogs)
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val batch = Seq(
+      ("m1", 1L, ts(100), ts(200)),
+      ("m1", 1L, ts(100), ts(900)), // re-delivered extension in SAME batch
+      ("m2", 1L, ts(100), ts(300)))
+      .toDF("mac_address", "gym", "login", "logout")
+    graft.streaming.Silver.upsertGymLogs(t)(batch)
+    val got = t.read().orderBy("mac_address")
+      .select($"mac_address", $"logout".cast("long")).as[(String, Long)].collect()
+    assert(got.toSeq == Seq(("m1", 900L), ("m2", 300L)))
+  }
+
+  test("M1 insertOnly is null-key idempotent") {
+    val target = Seq((Some(1), "a")).toDF("k", "v")
+    val batch = Seq((Option.empty[Int], "n"), (Some(2), "b")).toDF("k", "v")
+    val once = Merge.insertOnly(target, batch, Seq("k"))
+    assert(once.count() == 3)
+    val twice = Merge.insertOnly(once, batch, Seq("k"))
+    assert(twice.count() == 3) // null-keyed row not re-inserted
+  }
+
   test("ParquetTable rewrite-and-swap round trip") {
     val dir = java.nio.file.Files.createTempDirectory("pt-test-").toString
     val schema = org.apache.spark.sql.types.StructType.fromDDL("k int, v string")
