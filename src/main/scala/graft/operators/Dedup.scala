@@ -152,6 +152,44 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** Connected components over a near-dup pair relation → duplicate
+    * clusters: every doc gets `cluster_id` = the smallest doc id reachable
+    * through pairs (isolated docs are their own cluster). The final step of
+    * every dedup pipeline — "keep one representative per cluster".
+    *
+    * Iterative min-label propagation: each round joins labels to edges and
+    * takes the per-node min; rounds needed = graph diameter (near-dup
+    * clusters are shallow — dup clusters behave like cliques, so this
+    * converges in 2-3 rounds). Each round is one shuffle on doc_id; the
+    * driver only reads a scalar convergence flag per round.
+    */
+  def dupClusters(pairs: DataFrame, allDocs: DataFrame, idCol: String,
+                  maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = allDocs.select(col(idCol).as("doc_id"), col(idCol).as("cluster_id"))
+      .persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .select(col("dst").as("doc_id"), col("cluster_id"))
+      val next = labels.unionByName(viaEdges)
+        .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
+        .persist()
+      val changes = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changes == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Embedding near-dup: exact cosine over candidate pairs from a blocking
     * column (label, LSH bucket, ...). `cos` must be the cosine column
     * expression over (emb_a, emb_b). */

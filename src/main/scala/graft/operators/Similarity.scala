@@ -72,4 +72,52 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
   }
+
+  /** IVF (inverted-file) top-k — the other classic scale path: partition the
+    * corpus into `nlist` centroid cells, search only the `nprobe` cells
+    * closest to each query. Centroids here are deterministic stride samples
+    * of the corpus (vec_id order) — swap in k-means iterations for tighter
+    * cells; the operator shape (assign → probe → exact re-rank on an
+    * equi-join by cell) is unchanged. Centroid collect is O(nlist·dims) —
+    * bounded and broadcast, like any small dimension table.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              cos: (Column, Column) => Column, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val n = corpus.count()
+    val stride = math.max(1L, n / nlist)
+    val centroids: Array[(Int, Seq[Double])] = corpus
+      .withColumn("__rn", row_number().over(
+        Window.orderBy(col("vec_id"))))
+      .filter((col("__rn") - 1) % stride === 0)
+      .orderBy(col("vec_id")).limit(nlist)
+      .select(col("embedding").cast("array<double>"))
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](0)) }
+
+    // cell affinity = argmax over centroids of cosine (native expression on a
+    // literal centroid array — stays inside codegen); top-`take` cells as
+    // an array of (cos, cell) structs sorted descending
+    def topCells(v: Column, take: Int): Column = {
+      val scored = array(centroids.map { case (i, c) =>
+        struct(cos(v, typedlit(c)).as("a"), lit(i).as("cell"))
+      }.toIndexedSeq: _*)
+      slice(reverse(array_sort(scored)), 1, take)
+    }
+
+    val c = corpus
+      .withColumn("cell", element_at(topCells(col("embedding"), 1), 1).getField("cell"))
+      .select(col("vec_id"), col("embedding").as("c_vec"), col("cell"))
+    val q = queries
+      .withColumn("probe", explode(topCells(col("embedding"), nprobe)))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"),
+        col("probe.cell").as("cell"))
+    val cand = q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+    val scored = cand.withColumn("cos", round(cos(col("q_vec"), col("c_vec")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
+  }
 }

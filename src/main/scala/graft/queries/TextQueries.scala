@@ -219,5 +219,35 @@ object TextQueries {
     None,
     "multimodal decode/resize/frame-sample plumbing over binary media (LLM-pipeline op)")
 
-  def defs: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, m01)
+  /** Duplicate-cluster assignment: connected components over the MinHash-LSH
+    * near-dup pairs; oracle is the same pair SQL + a recursive-CTE min-label
+    * closure — both sides give cluster_id = min reachable doc_id. */
+  val d08 = QueryDef(
+    "d08_dup_clusters",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text", n = 3, k = 8, r = 2,
+        minJaccard = 0.2)
+      Dedup.dupClusters(pairs, docs, "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val pairSql = d06.oracle.get
+        .replace("ORDER BY doc_a, doc_b", "")
+      s"""WITH pairs AS ($pairSql),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT doc_id FROM documents),
+         |reach AS (
+         |  WITH RECURSIVE r(doc_id, lab) AS (
+         |    SELECT doc_id, doc_id FROM nodes
+         |    UNION
+         |    SELECT e.dst, r.lab FROM r JOIN edges e ON e.src = r.doc_id)
+         |  SELECT doc_id, lab FROM r)
+         |SELECT doc_id, min(lab) AS cluster_id FROM reach
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    "near-dup clustering: connected components via min-label propagation (LLM-pipeline op)")
+
+  def defs: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, m01)
 }

@@ -81,5 +81,21 @@ object VectorQueries {
     None,
     "ANN scale path: sign-LSH bucket pruning + exact re-rank (LLM-pipeline op)")
 
-  def defs: Seq[QueryDef] = Seq(v01, v02, v03)
+  /** IVF-partitioned ANN — centroid cells + nprobe search + exact re-rank.
+    * Rows-only check (centroid assignment is engine-specific); the spec
+    * asserts recall ≥ 0.5 vs brute force. */
+  val v04 = QueryDef(
+    "v04_ann_ivf",
+    (spark, dir) => {
+      VectorFunctions.register(spark)
+      val emb = Tables.embeddings(spark, dir)
+      Similarity.ivfTopK(
+          emb.filter(col("vec_id") < 10), emb,
+          VectorFunctions.cosineSim, k = 5, nlist = 16, nprobe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    None,
+    "ANN scale path 2: IVF centroid cells + nprobe + exact re-rank (LLM-pipeline op)")
+
+  def defs: Seq[QueryDef] = Seq(v01, v02, v03, v04)
 }

@@ -50,6 +50,27 @@ class OperatorsSpec extends SparkSpec {
     assert(nd.toSeq.contains((1L, 2L)))
   }
 
+  test("dupClusters: min-label connected components incl. isolated nodes") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val got = Dedup.dupClusters(pairs, docs, "doc_id")
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L), (6L, 5L)))
+  }
+
+  test("ivfTopK recall >= 0.5 vs brute force; all cells covered") {
+    VectorFunctions.register(spark)
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 10)
+    val bf = Similarity.bruteForceTopK(q, emb, VectorFunctions.cosineSim, 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(q, emb, VectorFunctions.cosineSim, 5,
+        nlist = 8, nprobe = 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert((bf & ivf).size.toDouble / bf.size >= 0.5)
+    assert(ivf.groupBy(_._1).forall(_._2.size == 5)) // full top-k per query
+  }
+
   test("lshTopK recall >= 0.6 vs brute force on real embeddings") {
     VectorFunctions.register(spark)
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
