@@ -112,6 +112,30 @@ object TextFunctions {
     }.otherwise(lit("und"))
   }
 
+  /** PII scrubbing for training corpora: replace email addresses, long
+    * digit runs (phone/account numbers), and IPv4 addresses with typed
+    * placeholder tokens. Regexes are RE2/Java-compatible (no lookarounds)
+    * so the operator is engine-portable and oracle-checkable. Order
+    * matters: emails first (they contain digit runs), then IPs (dotted
+    * digits), then bare digit runs. */
+  def scrubPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>")
+    regexp_replace(ip, "[0-9][0-9 ().-]{6,}[0-9]", "<NUMBER>")
+  }
+
+  /** Count of PII matches by kind, for corpus auditing. */
+  def piiCounts(text: Column): Column =
+    struct(
+      size(regexp_extract_all(text,
+        lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0))).as("n_email"),
+      size(regexp_extract_all(text,
+        lit("\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"), lit(0))).as("n_ip"),
+      size(regexp_extract_all(text,
+        lit("[0-9][0-9 ().-]{6,}[0-9]"), lit(0))).as("n_number"))
+
   /** Normalized-content fingerprint: md5 of (lowercased, ASCII-punctuation-
     * stripped, whitespace-collapsed) text — the exact-dedup key. Only ASCII
     * punctuation (`\p{Punct}` ≡ POSIX [[:punct:]]) is stripped: a

@@ -249,5 +249,31 @@ object TextQueries {
     },
     "near-dup clustering: connected components via min-label propagation (LLM-pipeline op)")
 
-  def defs: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, m01)
+  /** PII scrubbing + audit counts. documents.text is synthetic word soup
+    * (no real PII), so the scrub is usually the identity here — the oracle
+    * still verifies the full regex semantics on every row, and the spec
+    * covers positive cases. */
+  val d09 = QueryDef(
+    "d09_pii_scrub",
+    (spark, dir) => {
+      Tables.documents(spark, dir).select(
+          col("doc_id"),
+          md5(TextFunctions.scrubPii(col("text"))).as("scrubbed_md5"),
+          col("n_chars"),
+          TextFunctions.piiCounts(col("text")).getField("n_email").as("n_email"),
+          TextFunctions.piiCounts(col("text")).getField("n_number").as("n_number"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+           |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+           |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+           |    '[0-9][0-9 ().-]{6,}[0-9]', '<NUMBER>', 'g')) AS scrubbed_md5,
+           |  n_chars,
+           |  CAST(length(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+           |  CAST(length(regexp_extract_all(text, '[0-9][0-9 ().-]{6,}[0-9]')) AS INTEGER) AS n_number
+           |FROM documents ORDER BY doc_id""".stripMargin),
+    "PII scrubbing (emails/IPs/number runs) + audit counts (LLM-pipeline op)")
+
+  def defs: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, m01)
 }
