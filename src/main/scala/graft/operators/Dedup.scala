@@ -39,6 +39,18 @@ object Dedup {
     * sizes. Scales with the shingle-frequency distribution (hot shingles are
     * the skew risk — cap or salt them in production; the math is unchanged).
     */
+  /** Per-pair exact Jaccard from intersection counts + per-doc set sizes,
+    * thresholded. `inter` must have (doc_a, doc_b, n_inter). */
+  private def jaccardOf(inter: DataFrame, sizes: DataFrame,
+                        minJaccard: Double): DataFrame =
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("set_size", "size_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("set_size", "size_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("size_a") + col("size_b") - col("n_inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
     // the exploded shingle relation is consumed 3x (sizes + both join
@@ -52,13 +64,7 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("set_size", "size_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("set_size", "size_b"), "doc_b")
-      .withColumn("jaccard",
-        col("n_inter").cast("double") / (col("size_a") + col("size_b") - col("n_inter")))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    jaccardOf(inter, sizes, minJaccard)
   }
 
   /** LSH banding over minhash signatures → candidate pairs → exact Jaccard
@@ -94,13 +100,7 @@ object Dedup {
       .filter(col("shingle") === col("shingle_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("set_size", "size_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("set_size", "size_b"), "doc_b")
-      .withColumn("jaccard",
-        col("n_inter").cast("double") / (col("size_a") + col("size_b") - col("n_inter")))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    jaccardOf(inter, sizes, minJaccard)
   }
 
   /** 16-bit SimHash fingerprint per doc from the top bit of each of the first

@@ -414,6 +414,36 @@ object RelationalQueries {
            |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin),
     "left outer join + null-safe aggregation")
 
+  /** Correlated subquery (decorrelated by Catalyst into a join) + exact
+    * count(distinct) — beyond the reference; classic warehouse shapes. */
+  val q22 = QueryDef(
+    "q22_correlated_subquery",
+    (spark, dir) => {
+      val c = Tables.customer(spark, dir)
+      val segAvg = c.groupBy(col("c_mktsegment"))
+        .agg((round(sum(col("c_acctbal")), 2) / count(lit(1))).as("seg_avg"))
+      val o = Tables.orders(spark, dir)
+      c.join(broadcast(segAvg), Seq("c_mktsegment"))
+        .filter(col("c_acctbal") > col("seg_avg"))
+        .join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(col("c_mktsegment"))
+        .agg(countDistinct(col("c_custkey")).as("n_above_avg"),
+          countDistinct(col("o_orderpriority")).as("n_priorities"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""WITH seg AS (SELECT c_mktsegment, round(sum(c_acctbal), 2) / count(*) AS seg_avg
+           |            FROM customer GROUP BY c_mktsegment)
+           |SELECT c.c_mktsegment,
+           |  count(DISTINCT c.c_custkey) AS n_above_avg,
+           |  count(DISTINCT o.o_orderpriority) AS n_priorities
+           |FROM customer c
+           |JOIN seg ON c.c_mktsegment = seg.c_mktsegment
+           |LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+           |WHERE c.c_acctbal > seg.seg_avg
+           |GROUP BY c.c_mktsegment
+           |ORDER BY c.c_mktsegment""".stripMargin),
+    "correlated-subquery shape (decorrelated) + exact count-distinct")
+
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07,
-    q12, q13, q14, q15, q16, q17, q18, q19, q21)
+    q12, q13, q14, q15, q16, q17, q18, q19, q21, q22)
 }

@@ -111,5 +111,45 @@ object StreamingQueries {
             |ORDER BY s.user_id, start_id, stop_id""".stripMargin),
     "J4 streaming stream-stream interval join w/ watermarks (ref Silver/05-silver.py:368-400)")
 
-  def defs: Seq[QueryDef] = Seq(s01, s02, s03)
+  /** K2 — foreachBatch MERGE sink as a driver-verifiable query: stream the
+    * events table in update mode, each micro-batch M5-upserted into a
+    * ParquetTable keyed by event_type; the final table equals the batch
+    * aggregate (ref Upserter foreachBatch wiring, Silver/05-silver.py:85-97). */
+  val s04 = QueryDef(
+    "s04_stream_foreachbatch_merge",
+    (spark, dir) => {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string")
+      val tableDir = Files.createTempDirectory("graft-fb-").toString
+      val table = new graft.merge.ParquetTable(spark, tableDir,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_type string, n bigint, sum_value double"))
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      val ckpt = Files.createTempDirectory("graft-ckpt-").toString
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+          .writeStream
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            table.merge(batch)((cur, b) =>
+              graft.merge.Merge.upsertColumns(cur, b, Seq("event_type"),
+                Seq("n", "sum_value")))
+          }
+          .start()
+        q.awaitTermination()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      table.read().orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    "K2 foreachBatch MERGE sink, update mode (ref Silver/05-silver.py:85-97)")
+
+  def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04)
 }
