@@ -444,6 +444,57 @@ object RelationalQueries {
            |ORDER BY c.c_mktsegment""".stripMargin),
     "correlated-subquery shape (decorrelated) + exact count-distinct")
 
+  /** Tumbling event-time window aggregation — `window()` (the canonical
+    * streaming-agg shape; batch-verified here, streaming path in s01).
+    * Window bounds exported as exact epoch-µs longs. */
+  val q23 = QueryDef(
+    "q23_tumbling_window",
+    (spark, dir) => {
+      val ev = Tables.eventsUs(spark, dir)
+      ev.groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(unix_micros(col("window.start")).as("win_start_us"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("win_start_us"), col("event_type"))
+    },
+    Some(s"""WITH $evCte
+            |SELECT (ts_us // 3600000000) * 3600000000 AS win_start_us,
+            |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+            |FROM ev GROUP BY 1, 2
+            |ORDER BY win_start_us, event_type""".stripMargin),
+    "tumbling event-time window agg (window(); streaming shape, batch-verified)")
+
+  /** Native session windows — `session_window(ts, gap)`: gap-separated
+    * sessions per user, verified against a gaps-and-islands SQL oracle
+    * (lag + cumulative island id). Same semantics as the custom
+    * StatefulSessionizer, via the built-in operator. */
+  val q24 = QueryDef(
+    "q24_session_window",
+    (spark, dir) => {
+      val ev = Tables.eventsUs(spark, dir)
+      ev.groupBy(session_window(col("ts_utc"), "1 hour"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("start_us"))
+    },
+    Some(s"""WITH $evCte,
+            |marked AS (
+            |  SELECT user_id, ts_us,
+            |    CASE WHEN ts_us - lag(ts_us) OVER w > 3600000000
+            |         OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+            |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+            |islands AS (
+            |  SELECT user_id, ts_us,
+            |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+            |  FROM marked)
+            |SELECT user_id, min(ts_us) AS start_us, count(*) AS n_events
+            |FROM islands GROUP BY user_id, island
+            |ORDER BY user_id, start_us""".stripMargin),
+    "native session_window gap sessions vs gaps-and-islands oracle")
+
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07,
-    q12, q13, q14, q15, q16, q17, q18, q19, q21, q22)
+    q12, q13, q14, q15, q16, q17, q18, q19, q21, q22, q23, q24)
 }
