@@ -118,23 +118,24 @@ object TextFunctions {
     * so the operator is engine-portable and oracle-checkable. Order
     * matters: emails first (they contain digit runs), then IPs (dotted
     * digits), then bare digit runs. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val numberRunRe = "[0-9][0-9 ().-]{6,}[0-9]"
+
   def scrubPii(text: Column): Column = {
-    val email = regexp_replace(text,
-      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
-    val ip = regexp_replace(email,
-      "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>")
-    regexp_replace(ip, "[0-9][0-9 ().-]{6,}[0-9]", "<NUMBER>")
+    val email = regexp_replace(text, emailRe, "<EMAIL>")
+    val ip = regexp_replace(email, ipRe, "<IP>")
+    regexp_replace(ip, numberRunRe, "<NUMBER>")
   }
 
-  /** Count of PII matches by kind, for corpus auditing. */
+  /** Count of PII matches by kind, for corpus auditing. Counts are
+    * independent per kind (an IP also matches the number-run class —
+    * [[scrubPii]]'s replacement order resolves precedence; audits don't). */
   def piiCounts(text: Column): Column =
     struct(
-      size(regexp_extract_all(text,
-        lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0))).as("n_email"),
-      size(regexp_extract_all(text,
-        lit("\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"), lit(0))).as("n_ip"),
-      size(regexp_extract_all(text,
-        lit("[0-9][0-9 ().-]{6,}[0-9]"), lit(0))).as("n_number"))
+      size(regexp_extract_all(text, lit(emailRe), lit(0))).as("n_email"),
+      size(regexp_extract_all(text, lit(ipRe), lit(0))).as("n_ip"),
+      size(regexp_extract_all(text, lit(numberRunRe), lit(0))).as("n_number"))
 
   /** Normalized-content fingerprint: md5 of (lowercased, ASCII-punctuation-
     * stripped, whitespace-collapsed) text — the exact-dedup key. Only ASCII

@@ -32,13 +32,6 @@ object Dedup {
     docs.select(col(idCol).as("doc_id"),
         explode(TextFunctions.wordShingles(col(textCol), n)).as("shingle"))
 
-  /** Exact pairwise n-gram Jaccard for candidate pairs that share ≥1 shingle.
-    *
-    * inverted-index join: (doc,shingle) ⋈ (doc,shingle) on shingle with
-    * doc_a < doc_b → per-pair intersection count → Jaccard via per-doc set
-    * sizes. Scales with the shingle-frequency distribution (hot shingles are
-    * the skew risk — cap or salt them in production; the math is unchanged).
-    */
   /** Per-pair exact Jaccard from intersection counts + per-doc set sizes,
     * thresholded. `inter` must have (doc_a, doc_b, n_inter). */
   private def jaccardOf(inter: DataFrame, sizes: DataFrame,
@@ -51,6 +44,13 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
 
+  /** Exact pairwise n-gram Jaccard for candidate pairs that share ≥1 shingle.
+    *
+    * Inverted-index join: (doc,shingle) ⋈ (doc,shingle) on shingle with
+    * doc_a < doc_b → per-pair intersection count → Jaccard via per-doc set
+    * sizes. Scales with the shingle-frequency distribution (hot shingles are
+    * the skew risk — cap or salt them in production; the math is unchanged).
+    */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
     // the exploded shingle relation is consumed 3x (sizes + both join
@@ -159,9 +159,14 @@ object Dedup {
     *
     * Iterative min-label propagation: each round joins labels to edges and
     * takes the per-node min; rounds needed = graph diameter (near-dup
-    * clusters are shallow — dup clusters behave like cliques, so this
-    * converges in 2-3 rounds). Each round is one shuffle on doc_id; the
-    * driver only reads a scalar convergence flag per round.
+    * clusters behave like cliques, so typically 2-3 rounds; a chain-shaped
+    * component needs diameter rounds). Each round is one shuffle on doc_id;
+    * the driver only reads a scalar convergence flag per round. Throws if
+    * `maxIters` is exhausted before convergence — silently returning
+    * inconsistent labels would make downstream keep-one-per-cluster wrong.
+    *
+    * The returned DataFrame is persisted (it is the product of an iterative
+    * computation); ownership transfers to the caller — unpersist when done.
     */
   def dupClusters(pairs: DataFrame, allDocs: DataFrame, idCol: String,
                   maxIters: Int = 20): DataFrame = {
@@ -187,6 +192,10 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupClusters did not converge after $maxIters rounds — component " +
+          "diameter exceeds maxIters; raise it (labels would be inconsistent)")
     labels
   }
 

@@ -84,16 +84,18 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               cos: (Column, Column) => Column, k: Int,
               nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    // centroid sampling without a global sort: parquet-metadata count →
+    // deterministic hash-sample ≈ nlist rows → TakeOrdered(limit) on the
+    // tiny survivor set. No single-partition window, no full-corpus shuffle.
     val n = corpus.count()
     val stride = math.max(1L, n / nlist)
     val centroids: Array[(Int, Seq[Double])] = corpus
-      .withColumn("__rn", row_number().over(
-        Window.orderBy(col("vec_id"))))
-      .filter((col("__rn") - 1) % stride === 0)
+      .filter(pmod(hash(col("vec_id")), lit(stride)) === 0)
       .orderBy(col("vec_id")).limit(nlist)
       .select(col("embedding").cast("array<double>"))
       .collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](0)) }
+    require(centroids.nonEmpty, "ivfTopK: empty corpus")
 
     // cell affinity = argmax over centroids of cosine (native expression on a
     // literal centroid array — stays inside codegen); top-`take` cells as

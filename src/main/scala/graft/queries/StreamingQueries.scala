@@ -17,29 +17,41 @@ object StreamingQueries {
 
   private val runId = new AtomicLong()
 
-  /** Run a streaming transform of the events table to completion, return the
-    * collected sink table. */
-  private def drain(spark: SparkSession, dir: String, outputMode: String)
-                   (transform: DataFrame => DataFrame): DataFrame = {
+  private val eventsDdl =
+    "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+
+  /** Streaming source over the events table (file streaming source wants a
+    * directory: stream the sf dir filtered to the events file), with the
+    * nanos-ts convention of Tables.eventsUs applied. */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.streaming.schemaInference", "false")
-    // state-store count = shuffle partitions at query start (a stream-stream
-    // join opens 4 stores per partition); at local/test scale fewer, larger
-    // state partitions beat many tiny checkpoint files. Restored after drain.
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string")
-    // file streaming source wants a directory: stream the sf dir, filtered
-    // to the events file
-    val src = spark.readStream.schema(schema)
+    spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(eventsDdl))
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .withColumn("ts_us", expr("ts div 1000"))
       .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
       .drop("ts")
+  }
+
+  /** Run `body` with test-scale streaming state partitioning: state-store
+    * count = shuffle partitions at query start (a stream-stream join opens 4
+    * stores per partition); fewer, larger state partitions beat many tiny
+    * checkpoint files locally. Restored afterwards. */
+  private def withStreamConf[T](spark: SparkSession)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** Run a streaming transform of the events table to completion, return the
+    * collected sink table. */
+  private def drain(spark: SparkSession, dir: String, outputMode: String)
+                   (transform: DataFrame => DataFrame): DataFrame = {
+    val src = eventsStream(spark, dir)
     val name = s"graft_stream_${runId.incrementAndGet()}"
     val ckpt = Files.createTempDirectory("graft-ckpt-").toString
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    withStreamConf(spark) {
       val q = transform(src).writeStream
         .format("memory")
         .queryName(name)
@@ -48,7 +60,7 @@ object StreamingQueries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     spark.table(name)
   }
 
@@ -118,19 +130,13 @@ object StreamingQueries {
   val s04 = QueryDef(
     "s04_stream_foreachbatch_merge",
     (spark, dir) => {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = org.apache.spark.sql.types.StructType.fromDDL(
-        "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string")
       val tableDir = Files.createTempDirectory("graft-fb-").toString
       val table = new graft.merge.ParquetTable(spark, tableDir,
         org.apache.spark.sql.types.StructType.fromDDL(
           "event_type string, n bigint, sum_value double"))
-      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
       val ckpt = Files.createTempDirectory("graft-ckpt-").toString
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = spark.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
+      withStreamConf(spark) {
+        val q = eventsStream(spark, dir)
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
           .writeStream
@@ -144,7 +150,7 @@ object StreamingQueries {
           }
           .start()
         q.awaitTermination()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       table.read().orderBy(col("event_type"))
     },
     Some("""SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
