@@ -275,5 +275,31 @@ object TextQueries {
            |FROM documents ORDER BY doc_id""".stripMargin),
     "PII scrubbing (emails/IPs/number runs) + audit counts (LLM-pipeline op)")
 
-  def defs: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, m01)
+  /** Consistent per-source sampling via the MinKSample typed Aggregator:
+    * k docs with the smallest md5(text) per source — deterministic,
+    * partition-independent, engine-portable (oracle: windowed top-k by the
+    * same hash). */
+  val d10 = QueryDef(
+    "d10_consistent_sample",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+        .select(col("source"), col("doc_id"), md5(col("text")).as("h"))
+        .as[(String, Long, String)]
+      val agg = new graft.functions.MinKSample(5).toColumn
+      docs.groupByKey(_._1)
+        .mapValues(r => (r._2, r._3))
+        .agg(agg.name("sample"))
+        .toDF("source", "sample")
+        .select(col("source"), explode(col("sample")).as("doc_id"))
+        .orderBy(col("source"), col("doc_id"))
+    },
+    Some("""SELECT source, doc_id FROM (
+           |  SELECT source, doc_id,
+           |    row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
+           |  FROM documents) WHERE rn <= 5
+           |ORDER BY source, doc_id""".stripMargin),
+    "consistent min-k sampling via typed Aggregator (LLM-pipeline op)")
+
+  def defs: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, m01)
 }
