@@ -157,32 +157,44 @@ object Dedup {
     * through pairs (isolated docs are their own cluster). The final step of
     * every dedup pipeline — "keep one representative per cluster".
     *
-    * Iterative min-label propagation: each round joins labels to edges and
-    * takes the per-node min; rounds needed = graph diameter (near-dup
-    * clusters behave like cliques, so typically 2-3 rounds; a chain-shaped
-    * component needs diameter rounds). Each round is one shuffle on doc_id;
-    * the driver only reads a scalar convergence flag per round. Throws if
-    * `maxIters` is exhausted before convergence — silently returning
-    * inconsistent labels would make downstream keep-one-per-cluster wrong.
+    * Iterative min-label propagation with pointer jumping: each round (a)
+    * pulls the min label across edges, then (b) replaces every label by its
+    * label's label — so label chains halve each round and convergence takes
+    * O(log diameter) rounds, not O(diameter) (a 25-hop chain converges in ~5
+    * rounds). Each round is a constant number of shuffles on doc_id; the
+    * driver only reads a scalar convergence flag. Throws if `maxIters` is
+    * exhausted before convergence — silently returning inconsistent labels
+    * would make downstream keep-one-per-cluster wrong.
     *
     * The returned DataFrame is persisted (it is the product of an iterative
     * computation); ownership transfers to the caller — unpersist when done.
     */
   def dupClusters(pairs: DataFrame, allDocs: DataFrame, idCol: String,
                   maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // persist the pair relation FIRST: the symmetric edge union references it
+    // twice, and an unpersisted `pairs` (e.g. a full MinHash-LSH lineage)
+    // would be recomputed once per union branch
+    val p = pairs.persist()
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
     var labels = allDocs.select(col(idCol).as("doc_id"), col(idCol).as("cluster_id"))
       .persist()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
+      // (a) edge step: min label over self + neighbors
       val viaEdges = edges
         .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
         .select(col("dst").as("doc_id"), col("cluster_id"))
-      val next = labels.unionByName(viaEdges)
+      val combined = labels.unionByName(viaEdges)
         .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
+      // (b) pointer jump: follow cluster_id -> label(cluster_id) (labels are
+      // monotonically non-increasing, so the parent's label is always <=)
+      val parents = combined.select(col("doc_id").as("cluster_id"),
+        col("cluster_id").as("parent"))
+      val next = combined.join(parents, Seq("cluster_id"))
+        .select(col("doc_id"), col("parent").as("cluster_id"))
         .persist()
       val changes = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
         .filter(col("cluster_id") =!= col("old")).count()
@@ -192,10 +204,11 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    p.unpersist()
     if (!converged)
       throw new IllegalStateException(
         s"dupClusters did not converge after $maxIters rounds — component " +
-          "diameter exceeds maxIters; raise it (labels would be inconsistent)")
+          "diameter exceeds 2^maxIters; raise it (labels would be inconsistent)")
     labels
   }
 

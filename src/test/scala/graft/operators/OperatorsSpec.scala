@@ -58,6 +58,14 @@ class OperatorsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L), (6L, 5L)))
   }
 
+  test("dupClusters: 40-hop chain converges via pointer jumping (log rounds)") {
+    val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val docs = (1L to 40L).toDF("doc_id")
+    val got = Dedup.dupClusters(pairs, docs, "doc_id", maxIters = 8)
+      .as[(Long, Long)].collect()
+    assert(got.forall(_._2 == 1L)) // one component, all labeled 1 within 8 rounds
+  }
+
   test("ivfTopK recall >= 0.5 vs brute force; all cells covered") {
     VectorFunctions.register(spark)
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
