@@ -178,8 +178,14 @@ object Dedup {
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
+    // localCheckpoint (not just persist) each round: persist caches the DATA
+    // but the logical plan still nests round-over-round, so after ~7 rounds
+    // the plan tree is exponential and the driver OOMs just *printing* it
+    // (AQE onUpdatePlan). Checkpointing truncates lineage to the cached
+    // blocks — on a real cluster swap in reliable checkpoint() to survive
+    // executor loss across a long iteration.
     var labels = allDocs.select(col(idCol).as("doc_id"), col(idCol).as("cluster_id"))
-      .persist()
+      .localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -195,7 +201,7 @@ object Dedup {
         col("cluster_id").as("parent"))
       val next = combined.join(parents, Seq("cluster_id"))
         .select(col("doc_id"), col("parent").as("cluster_id"))
-        .persist()
+        .localCheckpoint(true)
       val changes = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
         .filter(col("cluster_id") =!= col("old")).count()
       labels.unpersist()

@@ -495,6 +495,32 @@ object RelationalQueries {
             |ORDER BY user_id, start_us""".stripMargin),
     "native session_window gap sessions vs gaps-and-islands oracle")
 
+  /** Column profiling — the data-quality summary every pipeline needs:
+    * per-column null counts, distinct counts, numeric min/max in ONE pass
+    * (single aggregate, no per-column jobs). */
+  val q25 = QueryDef(
+    "q25_profile",
+    (spark, dir) => {
+      val c = Tables.customer(spark, dir)
+      c.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("c_name").isNull, 1).otherwise(0)).as("null_name"),
+          countDistinct(col("c_nationkey")).as("distinct_nations"),
+          countDistinct(col("c_mktsegment")).as("distinct_segments"),
+          round(min(col("c_acctbal")), 2).as("min_bal"),
+          round(max(col("c_acctbal")), 2).as("max_bal"),
+          round(sum(col("c_acctbal")), 2).as("sum_bal"))
+    },
+    Some("""SELECT count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_name,
+           |  count(DISTINCT c_nationkey) AS distinct_nations,
+           |  count(DISTINCT c_mktsegment) AS distinct_segments,
+           |  round(min(c_acctbal), 2) AS min_bal,
+           |  round(max(c_acctbal), 2) AS max_bal,
+           |  round(sum(c_acctbal), 2) AS sum_bal
+           |FROM customer""".stripMargin),
+    "single-pass column profiling (nulls/distincts/extrema)")
+
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07,
-    q12, q13, q14, q15, q16, q17, q18, q19, q21, q22, q23, q24)
+    q12, q13, q14, q15, q16, q17, q18, q19, q21, q22, q23, q24, q25)
 }
