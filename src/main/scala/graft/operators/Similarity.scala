@@ -84,13 +84,15 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               cos: (Column, Column) => Column, k: Int,
               nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    // centroid sampling without a global sort: parquet-metadata count →
-    // deterministic hash-sample ≈ nlist rows → TakeOrdered(limit) on the
-    // tiny survivor set. No single-partition window, no full-corpus shuffle.
+    // centroid sampling without a global sort: count → deterministic stride
+    // sample on vec_id (`vec_id % stride == 0` — engine-portable, unlike a
+    // Murmur3 hash, so the DuckDB oracle mirrors cell assignment exactly) →
+    // TakeOrdered(limit) on the tiny survivor set. No single-partition
+    // window, no full-corpus shuffle.
     val n = corpus.count()
     val stride = math.max(1L, n / nlist)
     val centroids: Array[(Int, Seq[Double])] = corpus
-      .filter(pmod(hash(col("vec_id")), lit(stride)) === 0)
+      .filter(col("vec_id") % stride === 0)
       .orderBy(col("vec_id")).limit(nlist)
       .select(col("embedding").cast("array<double>"))
       .collect().zipWithIndex

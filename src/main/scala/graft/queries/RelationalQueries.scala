@@ -521,6 +521,29 @@ object RelationalQueries {
            |FROM customer""".stripMargin),
     "single-pass column profiling (nulls/distincts/extrema)")
 
+  /** Skew-mitigated join surfaced for the driver gate: a salted (key, salt)
+    * equi-join must produce exactly the rows of the plain join, so the oracle
+    * IS the plain join SQL — the hash match proves result equality under
+    * salting ([[graft.ops.Skew.saltedJoin]]; aggregation on top makes the
+    * comparison order-free). */
+  val q26 = QueryDef(
+    "q26_salted_join",
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_partkey").as("partkey"), col("l_quantity"))
+      val p = Tables.part(spark, dir)
+        .select(col("p_partkey").as("partkey"), col("p_brand"))
+      graft.ops.Skew.saltedJoin(li, p, Seq("partkey"), saltFactor = 8)
+        .groupBy(col("p_brand"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+             count(lit(1)).as("n_items"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_items
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+    "skew-mitigated salted equi-join ≡ plain join (Skew.saltedJoin)")
+
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07,
-    q12, q13, q14, q15, q16, q17, q18, q19, q21, q22, q23, q24, q25)
+    q12, q13, q14, q15, q16, q17, q18, q19, q21, q22, q23, q24, q25, q26)
 }

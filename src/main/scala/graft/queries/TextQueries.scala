@@ -206,17 +206,46 @@ object TextQueries {
     "SimHash document fingerprinting (LLM-pipeline op)")
 
   /** Multimodal feature extraction (stubbed codec, real plumbing — see
-    * [[graft.operators.Multimodal]]). JVM-side byte math has no SQL oracle →
-    * rows-only check; the ScalaTest spec pins exact values. */
+    * [[graft.operators.Multimodal]]). Output is flattened to hashable scalars
+    * (`frame_offsets` joined to a CSV string — the driver's checker cannot
+    * hash array columns); MultimodalSpec still pins the raw array values.
+    *
+    * The oracle mirrors the stub codec's byte math in SQL. It treats
+    * characters as bytes, which is exact because the testdata documents are
+    * pure ASCII (verified: octet_length(encode(text)) == length(text) for
+    * every row); `n_bytes` itself uses octet_length so the size columns stay
+    * correct regardless. Entropy is rounded to 6 decimals on both sides
+    * (log/div chains are not bit-portable across libm implementations). */
   val m01 = QueryDef(
     "m01_multimodal_features",
     (spark, dir) => {
       val media = graft.operators.Multimodal.mediaFromDocuments(
         spark, Tables.documents(spark, dir))
       graft.operators.Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          round(col("byte_entropy"), 6).as("byte_entropy"),
+          col("thumb_bytes"), col("n_frames"),
+          array_join(col("frame_offsets"), ",").as("frame_offsets"))
         .orderBy(col("media_id"))
     },
-    None,
+    Some("""WITH m AS (SELECT doc_id AS media_id,
+           |    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+           |    octet_length(encode(text)) AS n_bytes,
+           |    (n_chars % 640 + 1) * (n_chars % 480 + 1) AS px,
+           |    text FROM documents),
+           |ch AS (SELECT media_id, n_bytes,
+           |    unnest([text[i] for i in range(1, length(text) + 1)]) AS c FROM m),
+           |cnt AS (SELECT media_id, n_bytes, c, count(*) AS k FROM ch GROUP BY 1, 2, 3),
+           |ent AS (SELECT media_id,
+           |    -sum((k / CAST(n_bytes AS DOUBLE)) * ln(k / CAST(n_bytes AS DOUBLE)) / ln(2)) AS e
+           |  FROM cnt GROUP BY media_id)
+           |SELECT m.media_id, m.kind, CAST(m.n_bytes AS BIGINT) AS n_bytes,
+           |  round(coalesce(ent.e, 0.0) + 0.0, 6) AS byte_entropy,
+           |  CAST(greatest(1, m.n_bytes * 4096 // m.px) AS BIGINT) AS thumb_bytes,
+           |  CAST(4 AS INTEGER) AS n_frames,
+           |  CASE WHEN m.n_bytes = 0 THEN ''
+           |       ELSE array_to_string([CAST(i * m.n_bytes // 4 AS VARCHAR) for i in range(0, 4)], ',') END AS frame_offsets
+           |FROM m LEFT JOIN ent USING (media_id) ORDER BY media_id""".stripMargin),
     "multimodal decode/resize/frame-sample plumbing over binary media (LLM-pipeline op)")
 
   /** Duplicate-cluster assignment: connected components over the MinHash-LSH
@@ -301,5 +330,63 @@ object TextQueries {
            |ORDER BY source, doc_id""".stripMargin),
     "consistent min-k sampling via typed Aggregator (LLM-pipeline op)")
 
-  def defs: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, m01)
+  /** Composite quality score — the classic cheap pretraining-quality
+    * heuristic. Pure per-row float math over components already verified by
+    * d03 (bit-identical IEEE on both engines) composed with identical
+    * association order → unrounded exact match. */
+  val d11 = QueryDef(
+    "d11_quality_score",
+    (spark, dir) => {
+      Tables.documents(spark, dir).select(
+          col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val sw = TextFunctions.stopwords.map(s => s"'$s'").mkString("[", ",", "]")
+      s"""WITH $tokCte,
+         |q AS (SELECT doc_id,
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |       ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END AS pr,
+         |  CASE WHEN length(w) = 0 THEN 0.0
+         |       ELSE CAST(length(list_filter(w, x -> list_contains($sw, x))) AS DOUBLE) / length(w) END AS sw,
+         |  CASE WHEN length(w) = 0 THEN 0.0
+         |       ELSE CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / length(w) END AS awl,
+         |  CASE WHEN length(w) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END AS len_ok
+         |FROM toks)
+         |SELECT doc_id,
+         |  (least(sw * 4.0, 1.0) + (1.0 - least(pr * 5.0, 1.0)) + len_ok
+         |   + CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) / 4.0 AS quality
+         |FROM q ORDER BY doc_id""".stripMargin
+    },
+    "composite quality score: stopword/punct/length heuristic (LLM-pipeline op)")
+
+  /** SimHash near-dup pairs via pigeonhole block join — the Hamming-distance
+    * companion to d07's fingerprints: the join key is (block_idx, 4-bit
+    * chunk), never all-pairs. */
+  val d12 = QueryDef(
+    "d12_simhash_neardup",
+    (spark, dir) => {
+      Dedup.simhashNearDup(
+          Dedup.simhash(Tables.documents(spark, dir), "doc_id", "text", bits = 16),
+          bits = 16, blocks = 4, maxHamming = 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some {
+      val shSql = d07.oracle.get.replace("ORDER BY doc_id", "")
+      s"""WITH sh AS ($shSql),
+         |chunks AS (SELECT doc_id, simhash, c AS chunk_idx, (simhash >> (c * 4)) & 15 AS chunk
+         |  FROM sh, (SELECT unnest([0, 1, 2, 3]) AS c)),
+         |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.simhash AS sh_a, b.simhash AS sh_b
+         |  FROM chunks a JOIN chunks b
+         |    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+         |FROM p WHERE bit_count(xor(sh_a, sh_b)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "SimHash near-dup: pigeonhole block-partitioned Hamming join (LLM-pipeline op)")
+
+  def defs: Seq[QueryDef] =
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, m01)
 }

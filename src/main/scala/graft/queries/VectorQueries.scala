@@ -65,9 +65,12 @@ object VectorQueries {
     },
     "ANN baseline: brute-force cosine top-k (LLM-pipeline op)")
 
-  /** Sign-LSH bucketed ANN — the scale path. No SQL oracle (the bucket
-    * function is engine-specific); the driver records a rows-only check, and
-    * the ScalaTest spec asserts recall ≥ 0.6 against the brute-force result. */
+  /** Sign-LSH bucketed ANN — the scale path. The oracle embeds the exact
+    * plane matrix as double literals (shortest-repr strings round-trip to the
+    * identical doubles in DuckDB), so bucket assignment — sign of a
+    * sequential dot product against each plane — is bit-identical on both
+    * engines; the ScalaTest spec additionally asserts recall ≥ 0.6 against
+    * brute force. */
   val v03 = QueryDef(
     "v03_ann_lsh",
     (spark, dir) => {
@@ -78,12 +81,41 @@ object VectorQueries {
           VectorFunctions.cosineSim, k = 5)
         .orderBy(col("query_id"), col("rank"))
     },
-    None,
+    Some {
+      val tables = 8; val ppt = 4; val nPlanes = tables * ppt; val dims = 64
+      val m = graft.functions.SignLsh.matrix(nPlanes, dims, 42L)
+      val planeRows = (0 until nPlanes).map { p =>
+        val lst = (0 until dims).map(d => m(p * dims + d).toString)
+          .mkString("[", ", ", "]")
+        s"($p, $lst)"
+      }.mkString(",\n  ")
+      val cos = cosSql("q.emb", "t.emb")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |pl AS (SELECT p, CAST(w AS DOUBLE[]) AS w FROM (VALUES
+         |  $planeRows) AS t(p, w)),
+         |signs AS (SELECT e.vec_id, pl.p,
+         |    CASE WHEN list_sum([e.emb[i] * pl.w[i] for i in generate_series(1, least($dims, length(e.emb)))]) > 0
+         |         THEN 1 ELSE 0 END AS s
+         |  FROM e, pl),
+         |bk AS (SELECT vec_id, p // $ppt AS tbl, sum(s * (1 << (p % $ppt))) AS bkt
+         |  FROM signs GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS vec_id
+         |  FROM bk qb JOIN bk cb ON qb.tbl = cb.tbl AND qb.bkt = cb.bkt
+         |  WHERE qb.vec_id < 10 AND qb.vec_id <> cb.vec_id),
+         |scored AS (SELECT c.query_id, c.vec_id, round($cos, 6) AS cos
+         |  FROM cand c JOIN e q ON q.vec_id = c.query_id JOIN e t ON t.vec_id = c.vec_id)
+         |SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
     "ANN scale path: sign-LSH bucket pruning + exact re-rank (LLM-pipeline op)")
 
   /** IVF-partitioned ANN — centroid cells + nprobe search + exact re-rank.
-    * Rows-only check (centroid assignment is engine-specific); the spec
-    * asserts recall ≥ 0.5 vs brute force. */
+    * Centroids are a deterministic `vec_id % stride` sample, so the oracle
+    * mirrors cell assignment (argmax of bit-identical sequential cosine, ties
+    * to the higher cell — matching `reverse(array_sort(...))` on (cos, cell)
+    * structs); the spec additionally asserts recall ≥ 0.5 vs brute force. */
   val v04 = QueryDef(
     "v04_ann_ivf",
     (spark, dir) => {
@@ -94,7 +126,30 @@ object VectorQueries {
           VectorFunctions.cosineSim, k = 5, nlist = 16, nprobe = 4)
         .orderBy(col("query_id"), col("rank"))
     },
-    None,
+    Some {
+      val nlist = 16; val nprobe = 4
+      val affCos = cosSql("e.emb", "cent.cemb")
+      val cos = cosSql("q.emb", "t.emb")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, emb AS cemb
+         |  FROM e WHERE vec_id % greatest(1, (SELECT count(*) FROM e) // $nlist) = 0
+         |  ORDER BY vec_id LIMIT $nlist),
+         |aff AS (SELECT e.vec_id, cent.cell, $affCos AS a FROM e, cent),
+         |assign AS (SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell DESC) AS rn
+         |    FROM aff) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell DESC) AS rn
+         |    FROM aff WHERE vec_id < 10) WHERE rn <= $nprobe),
+         |scored AS (SELECT p.query_id, s.vec_id, round($cos, 6) AS cos
+         |  FROM probes p JOIN assign s ON s.cell = p.cell
+         |  JOIN e q ON q.vec_id = p.query_id JOIN e t ON t.vec_id = s.vec_id
+         |  WHERE s.vec_id <> p.query_id)
+         |SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
     "ANN scale path 2: IVF centroid cells + nprobe + exact re-rank (LLM-pipeline op)")
 
   def defs: Seq[QueryDef] = Seq(v01, v02, v03, v04)
