@@ -27,10 +27,28 @@ object TextFunctions {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
 
+  private val ShinglesName = "word_shingles"
+
+  /** Idempotently register the native [[WordShinglesExpr]] in the session's
+    * function registry (same pattern as [[VectorFunctions.register]]). */
+  def registerNative(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      ShinglesName,
+      exprs => WordShinglesExpr(exprs(0), exprs(1).eval().asInstanceOf[Int]),
+      "built-in")
+
+  /** Native codegen'd shingling — semantics identical to [[wordShingles]],
+    * one tight JVM loop per row instead of an interpreted HOF chain. Call
+    * [[registerNative]] first. */
+  def wordShinglesNative(text: Column, n: Int): Column =
+    call_function(ShinglesName, text, lit(n))
+
   /** Distinct word n-gram shingles, space-joined. Empty when < n tokens.
     * Built by zipping n shifted views of the token array (one pass, no
     * per-element index arithmetic) — ~5x faster than an indexed
-    * `transform(sequence(...), i -> slice(...))` at 100k+ shingles. */
+    * `transform(sequence(...), i -> slice(...))`, but still interpreted per
+    * row (HOFs sit outside codegen); the dedup hot path uses
+    * [[wordShinglesNative]]. */
   def wordShingles(text: Column, n: Int): Column = {
     require(n >= 2, "use tokens() for 1-grams")
     val w = tokens(text)

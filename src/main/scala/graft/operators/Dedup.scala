@@ -27,10 +27,29 @@ object Dedup {
 
   /** (doc, shingle) pairs — distinct word n-gram shingles per doc.
     * The exploded relation is the scale-friendly representation: shingle
-    * vocabulary shards naturally across the cluster. */
-  def docShingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    * vocabulary shards naturally across the cluster. Shingling runs through
+    * the native codegen'd [[graft.functions.WordShinglesExpr]] (the HOF
+    * composition evaluates interpreted per row — 2-3x slower end-to-end). */
+  def docShingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    TextFunctions.registerNative(docs.sparkSession)
     docs.select(col(idCol).as("doc_id"),
-        explode(TextFunctions.wordShingles(col(textCol), n)).as("shingle"))
+        explode(TextFunctions.wordShinglesNative(col(textCol), n)).as("shingle"))
+  }
+
+  /** Drop "boilerplate" shingles present in more than `maxDf` documents —
+    * standard near-dup practice: a shingle shared by 1M docs carries no
+    * signal but fans the inverted-index join out quadratically (the
+    * single-reducer bomb at 100 TB). The hot list is tiny by construction
+    * (few shingles exceed any sane cap), so the filter is a broadcast
+    * anti-join — no extra shuffle of the big relation. */
+  def capShingles(ds: DataFrame, maxDf: Int): DataFrame =
+    if (maxDf == Int.MaxValue) ds
+    else {
+      val hot = ds.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
+        .select(col("shingle"))
+      ds.join(broadcast(hot), Seq("shingle"), "left_anti")
+    }
 
   /** Per-pair exact Jaccard from intersection counts + per-doc set sizes,
     * thresholded. `inter` must have (doc_a, doc_b, n_inter). */
@@ -52,11 +71,17 @@ object Dedup {
     * the skew risk — cap or salt them in production; the math is unchanged).
     */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+                   n: Int = 3, minJaccard: Double = 0.5,
+                   maxDf: Int = Int.MaxValue): DataFrame = {
     // the exploded shingle relation is consumed 3x (sizes + both join
-    // sides): persist it so the (regex-heavy) shingling runs once. At
-    // cluster scale this is a checkpoint of the inverted index.
-    val ds = docShingles(docs, idCol, textCol, n).persist()
+    // sides): persist it so the (regex-heavy) shingling runs once — BEFORE
+    // the cap, so the df aggregation and the anti-join both read the cache
+    // instead of re-shingling. At cluster scale this is a checkpoint of the
+    // inverted index. With a `maxDf` cap, Jaccard is over the informative
+    // (non-boilerplate) shingle universe — sizes and intersections use the
+    // same capped set.
+    val raw = docShingles(docs, idCol, textCol, n).persist()
+    val ds = if (maxDf == Int.MaxValue) raw else capShingles(raw, maxDf).persist()
     val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("set_size"))
     val a = ds.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = ds.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -74,9 +99,14 @@ object Dedup {
     */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  n: Int = 3, k: Int = 8, r: Int = 2,
-                 minJaccard: Double = 0.5): DataFrame = {
+                 minJaccard: Double = 0.5, maxDf: Int = Int.MaxValue): DataFrame = {
     // consumed by signatures, sizes, and twice in verification → persist
-    val ds = docShingles(docs, idCol, textCol, n).persist()
+    // (the raw relation first, so the cap's df-pass reads the cache).
+    // `maxDf` caps boilerplate shingles BEFORE signatures: a hot shingle
+    // with a small md5 would otherwise dominate the minhash of every doc
+    // containing it, collapsing band buckets into one giant candidate set.
+    val raw = docShingles(docs, idCol, textCol, n).persist()
+    val ds = if (maxDf == Int.MaxValue) raw else capShingles(raw, maxDf).persist()
     val sig = ds.groupBy(col("doc_id")).agg(
       min(md5(concat(lit("0|"), col("shingle")))).as("mh0"),
       (1 until k).map(i => min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"mh$i")): _*)
@@ -103,16 +133,20 @@ object Dedup {
     jaccardOf(inter, sizes, minJaccard)
   }
 
-  /** 16-bit SimHash fingerprint per doc from the top bit of each of the first
-    * 16 md5 nibbles of each distinct token: bit b of the fingerprint is set
-    * when the per-doc sum of ±1 votes is positive. Near-dup = small Hamming
-    * distance; block-partitioned Hamming join is the scale path
-    * ([[simhashNearDup]]). */
-  def simhash(docs: DataFrame, idCol: String, textCol: String,
-              bits: Int = 16): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(array_distinct(TextFunctions.tokens(lower(col(textCol))))).as("tok"))
-    val withHash = toks.withColumn("h", md5(col("tok")))
+  /** SimHash fingerprint per doc over an arbitrary feature relation
+    * `(doc_id, featureCol)`: bit b of the fingerprint is set when the
+    * per-doc sum of ±1 votes (top bit of md5 nibble b of each feature) is
+    * positive. Near-dup = small Hamming distance; block-partitioned Hamming
+    * join is the scale path ([[simhashNearDup]]).
+    *
+    * Feature choice decides discriminating power: distinct TOKENS collapse
+    * when the corpus shares a vocabulary (every doc ≈ the same token set →
+    * one fingerprint); SHINGLES stay doc-specific. `bits` ≤ 32 (md5 has 32
+    * nibbles). */
+  def simhashFeatures(features: DataFrame, featureCol: String,
+                      bits: Int = 16): DataFrame = {
+    require(bits >= 1 && bits <= 32, "bits must be in [1, 32] (md5 nibbles)")
+    val withHash = features.withColumn("h", md5(col(featureCol)))
     val voteCols = (0 until bits).map { b =>
       sum(when(substring(col("h"), b + 1, 1)
           .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)).as(s"v$b")
@@ -122,6 +156,14 @@ object Dedup {
       (0 until bits).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
         .reduce(_ + _).as("simhash"))
   }
+
+  /** Token-feature SimHash (distinct lowercased whitespace tokens). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+              bits: Int = 16): DataFrame =
+    simhashFeatures(
+      docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextFunctions.tokens(lower(col(textCol))))).as("tok")),
+      "tok", bits)
 
   /** SimHash near-dup via block permutation: split the fingerprint into
     * `blocks` chunks; pairs within Hamming distance `maxHamming < blocks`
@@ -170,7 +212,8 @@ object Dedup {
     * computation); ownership transfers to the caller — unpersist when done.
     */
   def dupClusters(pairs: DataFrame, allDocs: DataFrame, idCol: String,
-                  maxIters: Int = 20): DataFrame = {
+                  maxIters: Int = 20,
+                  reliableCheckpoint: Boolean = false): DataFrame = {
     // persist the pair relation FIRST: the symmetric edge union references it
     // twice, and an unpersisted `pairs` (e.g. a full MinHash-LSH lineage)
     // would be recomputed once per union branch
@@ -178,14 +221,28 @@ object Dedup {
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
-    // localCheckpoint (not just persist) each round: persist caches the DATA
-    // but the logical plan still nests round-over-round, so after ~7 rounds
-    // the plan tree is exponential and the driver OOMs just *printing* it
-    // (AQE onUpdatePlan). Checkpointing truncates lineage to the cached
-    // blocks — on a real cluster swap in reliable checkpoint() to survive
-    // executor loss across a long iteration.
-    var labels = allDocs.select(col(idCol).as("doc_id"), col(idCol).as("cluster_id"))
-      .localCheckpoint(true)
+    // Checkpoint (not just persist) each round: persist caches the DATA but
+    // the logical plan still nests round-over-round, so after ~7 rounds the
+    // plan tree is exponential and the driver OOMs just *printing* it (AQE
+    // onUpdatePlan). localCheckpoint truncates lineage to the cached blocks;
+    // `reliableCheckpoint` uses the SparkContext checkpoint dir instead so a
+    // long iteration survives executor loss on a real cluster.
+    def checkpointed(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) {
+        require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+          "reliableCheckpoint requires sparkContext.setCheckpointDir(...)")
+        df.checkpoint(true)
+      } else df.localCheckpoint(true)
+    var labels = checkpointed(
+      allDocs.select(col(idCol).as("doc_id"), col(idCol).as("cluster_id")))
+    // Convergence metric: labels are monotonically non-increasing per doc, so
+    // the label sum strictly decreases iff any label changed. Comparing sums
+    // (exact decimal — no Long overflow at any scale) folds the convergence
+    // check into a cheap scan of the just-checkpointed blocks, replacing the
+    // old-vs-new join+count that used to double each round's shuffle work.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).first().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -199,14 +256,14 @@ object Dedup {
       // monotonically non-increasing, so the parent's label is always <=)
       val parents = combined.select(col("doc_id").as("cluster_id"),
         col("cluster_id").as("parent"))
-      val next = combined.join(parents, Seq("cluster_id"))
-        .select(col("doc_id"), col("parent").as("cluster_id"))
-        .localCheckpoint(true)
-      val changes = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
-        .filter(col("cluster_id") =!= col("old")).count()
+      val next = checkpointed(
+        combined.join(parents, Seq("cluster_id"))
+          .select(col("doc_id"), col("parent").as("cluster_id")))
+      val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = changes == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       i += 1
     }
     edges.unpersist()

@@ -19,6 +19,39 @@ object TextQueries {
       |       ELSE string_split_regex(trim(text), '\s+') END AS w
       |FROM documents)""".stripMargin
 
+  /** Boilerplate cap for the dedup ladder: shingles in more than `maxDf`
+    * docs carry no dedup signal but fan the inverted-index join out
+    * quadratically at scale (mirrors [[Dedup.capShingles]]). */
+  private val DedupMaxDf = 20
+
+  /** Shared 3-gram shingle CTE chain: toks → sh (exploded distinct
+    * shingles) → shc (document-frequency-capped universe). */
+  private val shingleCte =
+    s"""toks AS (SELECT doc_id,
+       |  CASE WHEN length(trim(text)) = 0 THEN []
+       |       ELSE string_split_regex(trim(text), '\\s+') END AS w FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct(
+       |    CASE WHEN length(w) < 3 THEN []
+       |         ELSE [array_to_string(list_slice(w, i+1, i+3), ' ') for i in range(0, length(w)-2)] END)) AS shingle
+       |  FROM toks),
+       |dfc AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= $DedupMaxDf),
+       |shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfc USING (shingle))""".stripMargin
+
+  /** d07/d12 shared SimHash CTE fragment (md5-nibble votes over a feature
+    * relation exposing (doc_id, `featCol`)): `votes` + `fp(doc_id, simhash)`
+    * CTE bodies, to be appended after the feature CTEs. */
+  private def simhashCtes(bits: Int, featRel: String, featCol: String): String = {
+    val votes = (0 until bits).map { b =>
+      s"sum(CASE WHEN substr(md5($featCol), ${b + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(",\n    ")
+    val fp = (0 until bits).map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""votes AS (SELECT doc_id,
+       |    $votes
+       |  FROM $featRel GROUP BY doc_id),
+       |fp AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM votes)""".stripMargin
+  }
+
   /** Exact dedup via normalized-content fingerprint (hash-groupBy). */
   val d01 = QueryDef(
     "d01_dedup_exact",
@@ -106,40 +139,36 @@ object TextQueries {
     },
     "language ID: n-gram marker heuristic argmax (LLM-pipeline op)")
 
-  /** n-gram Jaccard near-dup: inverted-index join on shared shingles. */
+  /** n-gram Jaccard near-dup: inverted-index join on shared shingles,
+    * boilerplate-capped (df ≤ [[DedupMaxDf]], mirrored in `shc`). */
   val d05 = QueryDef(
     "d05_ngram_jaccard",
     (spark, dir) => {
       Dedup.ngramJaccard(Tables.documents(spark, dir), "doc_id", "text",
-          n = 3, minJaccard = 0.2)
+          n = 3, minJaccard = 0.2, maxDf = DedupMaxDf)
         .orderBy(col("doc_a"), col("doc_b"))
     },
-    Some("""WITH toks AS (SELECT doc_id,
-           |  CASE WHEN length(trim(text)) = 0 THEN []
-           |       ELSE string_split_regex(trim(text), '\s+') END AS w FROM documents),
-           |sh AS (SELECT doc_id, unnest(list_distinct(
-           |    CASE WHEN length(w) < 3 THEN []
-           |         ELSE [array_to_string(list_slice(w, i+1, i+3), ' ') for i in range(0, length(w)-2)] END)) AS shingle
-           |  FROM toks),
-           |sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
-           |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-           |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-           |  GROUP BY 1, 2)
-           |SELECT doc_a, doc_b,
-           |  CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter) AS jaccard
-           |FROM inter
-           |JOIN sizes sa ON sa.doc_id = doc_a
-           |JOIN sizes sb ON sb.doc_id = doc_b
-           |WHERE CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter) >= 0.2
-           |ORDER BY doc_a, doc_b""".stripMargin),
+    Some(s"""WITH $shingleCte,
+            |sizes AS (SELECT doc_id, count(*) AS set_size FROM shc GROUP BY doc_id),
+            |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+            |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            |  GROUP BY 1, 2)
+            |SELECT doc_a, doc_b,
+            |  CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter) AS jaccard
+            |FROM inter
+            |JOIN sizes sa ON sa.doc_id = doc_a
+            |JOIN sizes sb ON sb.doc_id = doc_b
+            |WHERE CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter) >= 0.2
+            |ORDER BY doc_a, doc_b""".stripMargin),
     "n-gram Jaccard near-dup via inverted-index join (LLM-pipeline op)")
 
-  /** MinHash + LSH banding near-dup with exact verification. */
+  /** MinHash + LSH banding near-dup with exact verification, over the
+    * boilerplate-capped shingle universe. */
   val d06 = QueryDef(
     "d06_minhash_lsh",
     (spark, dir) => {
       Dedup.minhashLsh(Tables.documents(spark, dir), "doc_id", "text",
-          n = 3, k = 8, r = 2, minJaccard = 0.2)
+          n = 3, k = 8, r = 2, minJaccard = 0.2, maxDf = DedupMaxDf)
         .orderBy(col("doc_a"), col("doc_b"))
     },
     Some {
@@ -149,25 +178,19 @@ object TextQueries {
         val parts = (0 until r).map(j => s"mh${b * r + j}").mkString(" || '|' || ")
         s"SELECT doc_id, $b AS band_idx, md5($parts) AS band_hash FROM sig"
       }.mkString("\n  UNION ALL ")
-      s"""WITH toks AS (SELECT doc_id,
-         |  CASE WHEN length(trim(text)) = 0 THEN []
-         |       ELSE string_split_regex(trim(text), '\\s+') END AS w FROM documents),
-         |sh AS (SELECT doc_id, unnest(list_distinct(
-         |    CASE WHEN length(w) < 3 THEN []
-         |         ELSE [array_to_string(list_slice(w, i+1, i+3), ' ') for i in range(0, length(w)-2)] END)) AS shingle
-         |  FROM toks),
+      s"""WITH $shingleCte,
          |sig AS (SELECT doc_id,
          |    $mhCols
-         |  FROM sh GROUP BY doc_id),
+         |  FROM shc GROUP BY doc_id),
          |bands AS ($bandRows),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b
          |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
-         |sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS set_size FROM shc GROUP BY doc_id),
          |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
          |  FROM cand c
-         |  JOIN sh a ON a.doc_id = c.doc_a
-         |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |  JOIN shc a ON a.doc_id = c.doc_a
+         |  JOIN shc b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b,
          |  CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter) AS jaccard
@@ -187,21 +210,12 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
     Some {
-      val bits = 16
-      val votes = (0 until bits).map { b =>
-        s"sum(CASE WHEN substr(md5(tok), ${b + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v$b"
-      }.mkString(",\n    ")
-      val fp = (0 until bits).map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
-        .mkString(" + ")
       s"""WITH t AS (SELECT doc_id, unnest(list_distinct(
          |    CASE WHEN length(trim(lower(text))) = 0 THEN []
          |         ELSE string_split_regex(trim(lower(text)), '\\s+') END)) AS tok
          |  FROM documents),
-         |votes AS (SELECT doc_id,
-         |    $votes
-         |  FROM t GROUP BY doc_id)
-         |SELECT doc_id, CAST($fp AS BIGINT) AS simhash
-         |FROM votes ORDER BY doc_id""".stripMargin
+         |${simhashCtes(16, "t", "tok")}
+         |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin
     },
     "SimHash document fingerprinting (LLM-pipeline op)")
 
@@ -256,7 +270,7 @@ object TextQueries {
     (spark, dir) => {
       val docs = Tables.documents(spark, dir)
       val pairs = Dedup.minhashLsh(docs, "doc_id", "text", n = 3, k = 8, r = 2,
-        minJaccard = 0.2)
+        minJaccard = 0.2, maxDf = DedupMaxDf)
       Dedup.dupClusters(pairs, docs, "doc_id")
         .orderBy(col("doc_id"))
     },
@@ -362,21 +376,36 @@ object TextQueries {
     "composite quality score: stopword/punct/length heuristic (LLM-pipeline op)")
 
   /** SimHash near-dup pairs via pigeonhole block join — the Hamming-distance
-    * companion to d07's fingerprints: the join key is (block_idx, 4-bit
-    * chunk), never all-pairs. */
+    * companion to d07. Fingerprints here are 32-bit over SHINGLE features
+    * (vs d07's 16-bit over tokens): on a shared-vocabulary corpus every doc
+    * has nearly the same token set, so token fingerprints collapse to a
+    * handful of values and the chunk join goes quadratic (measured: 15.3M
+    * candidate pairs at sf0.1); shingles stay doc-specific (496 distinct
+    * fingerprints over 500 docs, candidate count linear in corpus size),
+    * and 8-bit chunks give 256-way buckets. */
   val d12 = QueryDef(
     "d12_simhash_neardup",
     (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
       Dedup.simhashNearDup(
-          Dedup.simhash(Tables.documents(spark, dir), "doc_id", "text", bits = 16),
-          bits = 16, blocks = 4, maxHamming = 3)
+          Dedup.simhashFeatures(
+            Dedup.docShingles(docs, "doc_id", "text", n = 3), "shingle", bits = 32),
+          bits = 32, blocks = 4, maxHamming = 3)
         .orderBy(col("doc_a"), col("doc_b"))
     },
     Some {
-      val shSql = d07.oracle.get.replace("ORDER BY doc_id", "")
-      s"""WITH sh AS ($shSql),
-         |chunks AS (SELECT doc_id, simhash, c AS chunk_idx, (simhash >> (c * 4)) & 15 AS chunk
-         |  FROM sh, (SELECT unnest([0, 1, 2, 3]) AS c)),
+      val shingleSrc =
+        """toks AS (SELECT doc_id,
+          |  CASE WHEN length(trim(text)) = 0 THEN []
+          |       ELSE string_split_regex(trim(text), '\s+') END AS w FROM documents),
+          |shg AS (SELECT doc_id, unnest(list_distinct(
+          |    CASE WHEN length(w) < 3 THEN []
+          |         ELSE [array_to_string(list_slice(w, i+1, i+3), ' ') for i in range(0, length(w)-2)] END)) AS shingle
+          |  FROM toks)""".stripMargin
+      s"""WITH $shingleSrc,
+         |${simhashCtes(32, "shg", "shingle")},
+         |chunks AS (SELECT doc_id, simhash, c AS chunk_idx, (simhash >> (c * 8)) & 255 AS chunk
+         |  FROM fp, (SELECT unnest([0, 1, 2, 3]) AS c)),
          |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    a.simhash AS sh_a, b.simhash AS sh_b
          |  FROM chunks a JOIN chunks b
