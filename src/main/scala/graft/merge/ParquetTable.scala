@@ -1,8 +1,9 @@
 package graft.merge
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructType}
 
 /** A managed table = a parquet directory, with atomic-enough rewrite-and-swap
   * for MERGE results (SURVEY.md §7.3 — Delta-less upsert persistence).
@@ -14,28 +15,64 @@ import org.apache.spark.sql.types.StructType
   * model (one streaming query owns each table,
   * `Silver/05-silver.py:486-503`).
   *
+  * ==Bucketed layout — the 100 TB merge path==
+  * With `bucketBy = Some((keys, n))`, data lives in hive-style partitions
+  * `current/__bucket=K/` where K = pmod(xxhash64(keys), n). A [[merge]] then
+  * rewrites ONLY the buckets whose keys appear in the batch — O(touched
+  * partitions), not O(table) — which is the file-skipping property the
+  * reference gets from Delta MERGE (`Silver/05-silver.py:11-13`). Safe
+  * because every merge flavor in [[Merge]] is keyed: an output row's key
+  * (hence bucket) comes from the target or batch row that produced it, so
+  * rows never migrate across buckets, and untouched bucket directories are
+  * left physically untouched (byte-identical files — see
+  * MergePropertiesSpec).
+  *
   * At cluster scale the same protocol works over any filesystem with atomic
-  * rename (HDFS, most object-store committers); the swap cost is O(1) in
-  * data size because data files are never copied.
+  * rename (HDFS, most object-store committers); the swap cost is O(1) per
+  * touched bucket because data files are never copied.
   */
-final class ParquetTable(spark: SparkSession, root: String, schema: StructType) {
+final class ParquetTable(spark: SparkSession, root: String, schema: StructType,
+                         bucketBy: Option[(Seq[String], Int)] = None) {
   private val rootPath: Path = Paths.get(root)
   private val current: Path = rootPath.resolve("current")
   @volatile private var gen: Long = 0L
 
   Files.createDirectories(rootPath)
 
+  private val BucketCol = "__bucket"
+  private def bucketExpr: Column = {
+    val (keys, n) = bucketBy.get
+    pmod(xxhash64(keys.map(col).toIndexedSeq: _*), lit(n)).cast("int")
+  }
+  private def diskSchema: StructType =
+    if (bucketBy.isEmpty) schema else schema.add(BucketCol, IntegerType)
+
   def exists: Boolean = Files.exists(current)
 
   /** Read the live table (empty frame with the right schema if never written). */
-  def read(): DataFrame =
-    if (exists) spark.read.schema(schema).parquet(current.toString)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  def read(): DataFrame = readRaw().select(schema.fieldNames.map(col).toIndexedSeq: _*)
+
+  /** Live table including the bucket partition column (when bucketed) —
+    * filters on [[BucketCol]] prune partition directories at the source. */
+  private def readRaw(): DataFrame =
+    if (exists) spark.read.schema(diskSchema).parquet(current.toString)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], diskSchema)
+
+  private def writeTo(df: DataFrame, dest: Path, mode: SaveMode): Unit = bucketBy match {
+    case None => df.write.mode(mode).parquet(dest.toString)
+    case Some(_) =>
+      // one shuffle keyed by bucket → ~one file per touched bucket (without
+      // it every task writes a sliver into every bucket directory)
+      df.withColumn(BucketCol, bucketExpr)
+        .repartition(col(BucketCol))
+        .write.mode(mode).partitionBy(BucketCol).parquet(dest.toString)
+  }
 
   /** Append-only write (bronze layer): plain parquet append, no swap. */
   def append(df: DataFrame): Unit = {
     Files.createDirectories(current)
-    df.write.mode(SaveMode.Append).parquet(current.toString)
+    writeTo(df, current, SaveMode.Append)
   }
 
   /** Replace table content with `df` via write-to-staging + directory swap.
@@ -44,19 +81,72 @@ final class ParquetTable(spark: SparkSession, root: String, schema: StructType) 
   def overwrite(df: DataFrame): Unit = {
     gen += 1
     val staging = rootPath.resolve(s".staging-$gen")
-    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    writeTo(df, staging, SaveMode.Overwrite)
     val retired = rootPath.resolve(s".retired-$gen")
     if (Files.exists(current))
       Files.move(current, retired, StandardCopyOption.ATOMIC_MOVE)
     Files.move(staging, current, StandardCopyOption.ATOMIC_MOVE)
-    // best-effort cleanup of the retired generation
-    if (Files.exists(retired)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(retired).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-    }
+    cleanup(retired)
   }
 
-  /** Apply a merge function to (currentContent, batch) and persist. */
-  def merge(batch: DataFrame)(f: (DataFrame, DataFrame) => DataFrame): Unit =
-    overwrite(f(read(), batch))
+  /** Swap only the bucket subdirectories in `buckets`; other live bucket
+    * directories are not touched (not even re-listed). */
+  private def swapBuckets(staging: Path, retired: Path, buckets: Seq[Int]): Unit = {
+    Files.createDirectories(current)
+    Files.createDirectories(retired)
+    // a merge function that is not keyed on the bucket keys would emit rows
+    // into un-swapped buckets and silently lose them — fail loudly instead
+    locally {
+      import scala.jdk.CollectionConverters._
+      val stray = Files.list(staging).iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith(s"$BucketCol="))
+        .map(_.stripPrefix(s"$BucketCol=").toInt).toSet -- buckets.toSet
+      require(stray.isEmpty,
+        s"merge emitted rows outside the batch's buckets ($stray) — " +
+          "the merge function must be keyed on the table's bucket keys")
+    }
+    buckets.foreach { k =>
+      val name = s"$BucketCol=$k"
+      val live = current.resolve(name)
+      val next = staging.resolve(name)
+      if (Files.exists(live))
+        Files.move(live, retired.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      if (Files.exists(next))
+        Files.move(next, live, StandardCopyOption.ATOMIC_MOVE)
+    }
+    cleanup(staging)
+    cleanup(retired)
+  }
+
+  private def cleanup(dir: Path): Unit =
+    if (Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+
+  /** Apply a merge function to (currentContent, batch) and persist.
+    *
+    * Unbucketed: full rewrite-and-swap. Bucketed: partition-scoped — the
+    * merge function sees only the current rows of buckets present in the
+    * batch (partition-pruned scan), and only those bucket directories are
+    * rewritten and swapped. `f` must be keyed on the bucket keys (all
+    * [[Merge]] flavors are), so its output stays within the touched buckets.
+    */
+  def merge(batch: DataFrame)(f: (DataFrame, DataFrame) => DataFrame): Unit = bucketBy match {
+    case None => overwrite(f(read(), batch))
+    case Some((_, n)) =>
+      // touched buckets: ≤ n scalars — a bounded driver-side list, same
+      // class as Delta's touched-file pruning
+      val touched = batch.select(bucketExpr.as(BucketCol))
+        .distinct().collect().map(_.getInt(0)).toSeq.sorted
+      if (touched.nonEmpty) {
+        val cur = readRaw()
+          .filter(col(BucketCol).isin(touched: _*))
+          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+        gen += 1
+        val staging = rootPath.resolve(s".staging-$gen")
+        writeTo(f(cur, batch), staging, SaveMode.Overwrite)
+        swapBuckets(staging, rootPath.resolve(s".retired-$gen"), touched)
+      }
+  }
 }

@@ -68,4 +68,68 @@ class MergePropertiesSpec extends SparkSpec {
       assert(got == expected)
     }
   }
+
+  test("bucketed merge: partition-scoped result equals full-rewrite result, " +
+      "untouched bucket files are byte-identical") {
+    import java.nio.file.{Files, Path}
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("ord", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    def filesOf(dir: Path): Map[String, (Long, Long)] =
+      Files.walk(dir).iterator().asScala.filter(Files.isRegularFile(_))
+        .map(p => dir.relativize(p).toString ->
+          (Files.size(p), Files.getLastModifiedTime(p).toMillis)).toMap
+
+    val dir = Files.createTempDirectory("bucketed-").toString
+    val bucketed = new ParquetTable(spark, dir, schema, Some((Seq("k"), 8)))
+    // wide key range → every bucket populated
+    val initial = (0 until 64).map(k => (k, k, s"v$k")).toDF("k", "ord", "v")
+    bucketed.overwrite(initial)
+    val before = filesOf(Path.of(dir, "current"))
+
+    // batch touching a handful of keys → few buckets
+    val batch = Seq((3, 100, "B3"), (17, 100, "B17"), (90, 100, "B90"))
+      .toDF("k", "ord", "v")
+    bucketed.merge(batch)(Merge.scd1(_, _, Seq("k")))
+
+    // content equals the unbucketed full-rewrite merge
+    val expected = Merge.scd1(initial, batch, Seq("k"))
+      .as[(Int, Int, String)].collect().toSet
+    assert(bucketed.read().as[(Int, Int, String)].collect().toSet == expected)
+
+    // untouched bucket directories: same files, same sizes, same mtimes
+    val after = filesOf(Path.of(dir, "current"))
+    val touched = batch.select(
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64($"k"),
+          org.apache.spark.sql.functions.lit(8)).cast("int"))
+      .distinct().as[Int].collect().toSet
+    val untouchedBefore = before.filterNot { case (p, _) =>
+      touched.exists(k => p.startsWith(s"__bucket=$k/")) }
+    assert(untouchedBefore.nonEmpty, "test needs untouched buckets to be meaningful")
+    untouchedBefore.foreach { case (p, meta) =>
+      assert(after.get(p).contains(meta), s"untouched file changed: $p")
+    }
+    // touched buckets really were rewritten
+    assert(before.keySet.exists(p => touched.exists(k => p.startsWith(s"__bucket=$k/"))
+      && !after.contains(p)))
+  }
+
+  test("bucketed merge rejects a merge function that leaks across buckets") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("bucketed-leak-").toString
+    val t = new ParquetTable(spark, dir, schema, Some((Seq("k"), 8)))
+    t.overwrite((0 until 16).map(k => (k, s"v$k")).toDF("k", "v"))
+    val batch = Seq((1, "B1")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      // not keyed on k: rewrites every key's row → rows land outside the
+      // batch's buckets
+      t.merge(batch)((cur, _) =>
+        cur.withColumn("k", $"k" + 100))
+    }
+  }
 }

@@ -66,6 +66,50 @@ class OperatorsSpec extends SparkSpec {
     assert(got.forall(_._2 == 1L)) // one component, all labeled 1 within 8 rounds
   }
 
+  test("dupClusters: reliable checkpoint mode survives with a checkpoint dir") {
+    val ckpt = java.nio.file.Files.createTempDirectory("cc-ckpt-").toString
+    spark.sparkContext.setCheckpointDir(ckpt)
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val docs = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val got = Dedup.dupClusters(pairs, docs, "doc_id", reliableCheckpoint = true)
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L)))
+    // checkpoint files actually landed in the reliable dir
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(ckpt)).count() > 0)
+  }
+
+  test("capShingles drops boilerplate; capped ngramJaccard ignores a hot shingle") {
+    // 100 docs all sharing one boilerplate sentence (a hot shingle in every
+    // doc) plus unique content: uncapped, the hot shingles alone produce
+    // C(100,2)=4950 candidate pairs through one reducer key; capped, the
+    // boilerplate contributes nothing and only the two real near-dups pair up.
+    val boiler = "all rights reserved by the original author"
+    val docs = ((0 until 98).map(i => (i.toLong, s"$boiler unique$i words$i here$i also$i")) ++
+      Seq((98L, s"$boiler shared dup content exactly here"),
+          (99L, s"$boiler shared dup content exactly there"))).toDF("doc_id", "text")
+    val ds = Dedup.docShingles(docs, "doc_id", "text", n = 3)
+    val capped = Dedup.capShingles(ds, maxDf = 10)
+    // every shingle of the boilerplate prefix (df=100) is gone
+    assert(capped.filter(col("shingle") === "all rights reserved").count() == 0)
+    assert(capped.groupBy("shingle").count().agg(max("count")).as[Long].head() <= 10)
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3,
+        minJaccard = 0.3, maxDf = 10)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.toSeq == Seq((98L, 99L)))
+  }
+
+  test("native wordShingles ≡ HOF wordShingles on edge cases") {
+    import graft.functions.TextFunctions
+    TextFunctions.registerNative(spark)
+    val texts = Seq("", "   ", "one", "one two", "one two three",
+      "a b c d e f", "  padded   spacing  here  x ", "a\tb\nc d e",
+      "dup dup dup dup dup").zipWithIndex.map(_.swap).toDF("i", "t")
+    val both = texts.select(
+      TextFunctions.wordShingles(col("t"), 3).as("hof"),
+      TextFunctions.wordShinglesNative(col("t"), 3).as("native"))
+    assert(both.filter(col("hof") =!= col("native")).count() == 0)
+  }
+
   test("ivfTopK recall >= 0.5 vs brute force; all cells covered") {
     VectorFunctions.register(spark)
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet")

@@ -139,12 +139,16 @@ class MedallionSpec extends SparkSpec {
       .select("age").as[String].collect()
     assert(bin.toSeq == Seq("25-35"))
 
-    // gym_summary view: both visits, minutes arithmetic
+    // gym_summary view: full-row golden diff, mirroring the reference's
+    // collect()-vs-stored-fixture comparison (Gold/06-gold.py:132-137)
     val gs = m.gymSummary()
-    assert(gs.count() == 2)
-    val mins = gs.filter($"mac_address" === "m1").select("minutes_in_gym")
-      .as[Double].collect()
-    assert(mins.toSeq == Seq(150.0))
+    val golden = Seq(
+      // m1: login base, logout extended to +9000s → 150 min; workout 600..2400 → 30 min
+      (java.sql.Date.valueOf("2024-01-01"), 1L, "m1", 1, 1, 150.0, 30.0),
+      // m2: login base+86400 for 3600s → 60 min; workout 87000..88200 → 20 min
+      (java.sql.Date.valueOf("2024-01-02"), 1L, "m2", 2, 7, 60.0, 20.0))
+    assert(gs.as[(java.sql.Date, Long, String, Int, Int, Double, Double)]
+      .collect().toSeq == golden)
 
     // gold stats: session 1 avg bpm over the 7 valid in-session readings
     val avg1 = m.summaryTable.read().filter($"session_id" === 1)
