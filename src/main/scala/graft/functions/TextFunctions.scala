@@ -28,14 +28,27 @@ object TextFunctions {
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
 
   private val ShinglesName = "word_shingles"
+  private val WinnowName = "winnow_fps"
 
-  /** Idempotently register the native [[WordShinglesExpr]] in the session's
-    * function registry (same pattern as [[VectorFunctions.register]]). */
-  def registerNative(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Idempotently register the native expressions ([[WordShinglesExpr]],
+    * [[WinnowingExpr]]) in the session's function registry (same pattern as
+    * [[VectorFunctions.register]]). */
+  def registerNative(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       ShinglesName,
       exprs => WordShinglesExpr(exprs(0), exprs(1).eval().asInstanceOf[Int]),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      WinnowName,
+      exprs => WinnowingExpr(exprs(0),
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),
+      "built-in")
+  }
+
+  /** Winnowing (rolling-hash) document fingerprints — call
+    * [[registerNative]] first; see [[WinnowingExpr]]. */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+    call_function(WinnowName, text, lit(k), lit(w))
 
   /** Native codegen'd shingling — semantics identical to [[wordShingles]],
     * one tight JVM loop per row instead of an interpreted HOF chain. Call

@@ -416,6 +416,34 @@ object TextQueries {
     },
     "SimHash near-dup: pigeonhole block-partitioned Hamming join (LLM-pipeline op)")
 
+  /** Winnowing (MOSS) document fingerprints: min md5 k-gram hash per sliding
+    * window — every shared substring of length ≥ k+w-1 shares a fingerprint.
+    * The rolling-hash fingerprinting entry of the text ladder; native
+    * codegen'd expression ([[graft.functions.WinnowingExpr]]). */
+  val d13 = QueryDef(
+    "d13_winnow_fingerprints",
+    (spark, dir) => {
+      TextFunctions.registerNative(spark)
+      Tables.documents(spark, dir).select(
+          col("doc_id"),
+          explode(TextFunctions.winnowFingerprints(col("text"), k = 8, w = 4)).as("fp"))
+        .orderBy(col("doc_id"), col("fp"))
+    },
+    Some("""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+           |  FROM documents),
+           |g AS (SELECT doc_id,
+           |    CASE WHEN length(t) < 8 THEN []
+           |         ELSE [md5(substr(t, i+1, 8)) for i in range(0, length(t) - 7)] END AS hs
+           |  FROM n),
+           |f AS (SELECT doc_id,
+           |    CASE WHEN length(hs) = 0 THEN []
+           |         WHEN length(hs) <= 4 THEN [list_min(hs)]
+           |         ELSE list_distinct([list_min(hs[j+1:j+4]) for j in range(0, length(hs) - 3)]) END AS fps
+           |  FROM g)
+           |SELECT doc_id, unnest(fps) AS fp FROM f
+           |ORDER BY doc_id, fp""".stripMargin),
+    "winnowing rolling-hash fingerprints, MOSS-style (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, m01)
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, m01)
 }

@@ -98,6 +98,26 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((98L, 99L)))
   }
 
+  test("winnowing: shared substring >= k+w-1 chars ⇒ shared fingerprint; " +
+      "whitespace/case normalization invariant") {
+    import graft.functions.TextFunctions
+    TextFunctions.registerNative(spark)
+    val common = "this exact sentence appears verbatim in both documents"
+    val docs = Seq(
+      (1L, s"prefix one $common and then diverges completely afterwards"),
+      (2L, s"A totally different opening here $common closing words"),
+      (3L, "nothing in common with the others at all whatsoever"),
+      (4L, s"  PREFIX   ONE\t$common and then DIVERGES completely afterwards "))
+      .toDF("doc_id", "text")
+    val fps = docs.select(col("doc_id"),
+        explode(TextFunctions.winnowFingerprints(col("text"), k = 8, w = 4)).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def setOf(id: Long) = fps.filter(_._1 == id).map(_._2).toSet
+    assert((setOf(1) & setOf(2)).nonEmpty)   // winnowing guarantee
+    assert((setOf(1) & setOf(3)).isEmpty)    // unrelated docs don't collide
+    assert(setOf(1) == setOf(4))             // case/whitespace-normalized
+  }
+
   test("native wordShingles ≡ HOF wordShingles on edge cases") {
     import graft.functions.TextFunctions
     TextFunctions.registerNative(spark)

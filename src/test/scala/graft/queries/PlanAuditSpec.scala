@@ -1,0 +1,63 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan audits — pins the scale-relevant plan properties the query
+  * docs claim, so a regression (lost pushdown, a broadcast that became a
+  * shuffle, an accidental cartesian) fails a spec instead of only showing up
+  * as a 100× slowdown on a cluster. Plans are inspected pre-execution
+  * (`executedPlan` under AQE still exposes scans, joins and exchanges).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    Registry.queries(name)(spark, sf001).queryExecution.executedPlan.toString
+
+  test("q01: shipdate filter is pushed to the parquet scan, columns pruned") {
+    val p = planOf("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$p")
+    // projection prunes the 16-column lineitem to the 7 used columns
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_partkey"),
+      s"scan reads pruned columns:\n$readSchema")
+  }
+
+  test("q02: small dimension is broadcast, not shuffled") {
+    val p = planOf("q02_broadcast_enrich")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+  }
+
+  test("q13: topic demux filter reaches the events scan") {
+    val p = planOf("q13_decode_validity")
+    assert(p.contains("PushedFilters") && p.contains("event_type"),
+      s"topic/event filter not at the scan:\n$p")
+  }
+
+  test("dedup ladder plans contain no cartesian/nested-loop joins") {
+    for (q <- Seq("d01_dedup_exact", "d05_ngram_jaccard", "d06_minhash_lsh",
+        "d07_simhash", "d12_simhash_neardup", "v01_embedding_neardup",
+        "v03_ann_lsh")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join:\n$p")
+    }
+  }
+
+  test("q26: salted join still plans as an equi-join on (key, salt)") {
+    val p = planOf("q26_salted_join")
+    assert(p.contains("HashJoin"), s"salted join lost its equi-join shape:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("hot paths stay inside whole-stage codegen") {
+    // codegen wrappers only appear in the FINAL adaptive plan → execute first
+    for (q <- Seq("q01_pricing_summary", "d02_token_count", "d11_quality_score")) {
+      val df = Registry.queries(q)(spark, sf001)
+      df.collect() // count() would finalize a DIFFERENT (derived) adaptive plan
+      val p = df.queryExecution.executedPlan.toString
+      // codegen'd stages print as "*(<id>) Operator" in the final plan
+      assert(p.contains("*("), s"$q fell out of codegen:\n$p")
+    }
+  }
+}
