@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Scratch profiling main (not part of the driver contract; removed before
   * round end if unused). Times selected queries twice in one session to
@@ -17,11 +18,34 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
-    val names = if (args.nonEmpty) args.toSeq else Seq("d05_ngram_jaccard", "d06_minhash_lsh", "d08_dup_clusters")
-    for (name <- names; i <- 1 to 2) {
+    graft.sources.Tables.names.foreach(n => graft.sources.Tables(spark, sfDir, n).count())
+
+    def timed(label: String)(f: => Any): Unit = {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"[scratch] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      f
+      println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+
+    if (args.headOption.contains("d05pieces")) {
+      val docs = graft.sources.Tables.documents(spark, sfDir)
+      val raw = graft.operators.Dedup.docShingles(docs, "doc_id", "text", 3).persist()
+      timed("raw shingles persist")(raw.count())
+      val capped = graft.operators.Dedup.capShingles(raw, 20).persist()
+      timed("capped persist")(capped.count())
+      val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("set_size"))
+      timed("sizes agg")(sizes.count())
+      val a = capped.select(col("doc_id").as("doc_a"), col("shingle"))
+      val b = capped.select(col("doc_id").as("doc_b"), col("shingle"))
+      val inter = a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+      timed("self-join + inter agg")(inter.count())
+      timed("full d05 again")(SparkEntry.queries("d05_ngram_jaccard")(spark, sfDir).count())
+    } else {
+      val names = if (args.nonEmpty) args.toSeq
+        else Seq("d05_ngram_jaccard", "d06_minhash_lsh", "d08_dup_clusters")
+      for (name <- names; i <- 1 to 2) {
+        timed(s"$name run$i")(SparkEntry.queries(name)(spark, sfDir).count())
+      }
     }
     spark.stop()
   }
