@@ -544,6 +544,67 @@ object RelationalQueries {
            |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
     "skew-mitigated salted equi-join ≡ plain join (Skew.saltedJoin)")
 
+  /** Pivot (long→wide conditional aggregation) with an explicit value list —
+    * the deterministic form that skips the extra distinct-values job and
+    * keeps the plan a single hash aggregate. */
+  val q27 = QueryDef(
+    "q27_pivot",
+    (spark, dir) => {
+      Tables.lineitem(spark, dir)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum(col("l_quantity")), 2))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+           |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F,
+           |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    "pivot: long→wide conditional aggregation, explicit value list")
+
+  /** Unpivot (wide→long) via SQL `stack` over a temp view — also exercises
+    * the `spark.sql(...)` entry path of the API surface. */
+  val q28 = QueryDef(
+    "q28_unpivot",
+    (spark, dir) => {
+      Tables.part(spark, dir).createOrReplaceTempView("part_v")
+      spark.sql(
+        """SELECT p_partkey, metric, value FROM (
+          |  SELECT p_partkey,
+          |    stack(2, 'retailprice', p_retailprice,
+          |             'size', CAST(p_size AS DOUBLE)) AS (metric, value)
+          |  FROM part_v)
+          |ORDER BY p_partkey, metric""".stripMargin)
+    },
+    Some("""SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part
+           |UNION ALL
+           |SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+           |ORDER BY p_partkey, metric""".stripMargin),
+    "unpivot: wide→long via SQL stack over a temp view")
+
+  /** Exact grouped percentiles (single-pass sort-based aggregate). Both
+    * engines define quantiles by linear interpolation at p·(n-1); 2-decimal
+    * inputs at quarter fractions give ≤4-decimal exact values, so round(…,4)
+    * lands both engines on the identical decimal (no reachable half-boundary). */
+  val q29 = QueryDef(
+    "q29_percentiles",
+    (spark, dir) => {
+      Tables.lineitem(spark, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+           |  round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+           |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+           |  round(quantile_cont(l_quantity, 0.75), 4) AS p75
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    "exact grouped percentiles (interpolated), engine-parity via round(…,4)")
+
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07,
-    q12, q13, q14, q15, q16, q17, q18, q19, q21, q22, q23, q24, q25, q26)
+    q12, q13, q14, q15, q16, q17, q18, q19, q21, q22, q23, q24, q25, q26,
+    q27, q28, q29)
 }
