@@ -129,4 +129,45 @@ object Relational {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
   }
+
+  // ── skew-safe variants ──────────────────────────────────────────────────
+  // The window forms above sort whole key-partitions; one celebrity key puts
+  // its entire history through a single reducer's sort. These variants trade
+  // the sort for aggregation shapes with map-side partial state, at identical
+  // results (property-tested in RelationalSpec).
+
+  /** Skew-safe [[dedupKeyed]]: `min_by`-style aggregation instead of a
+    * window sort — partial aggregation keeps ONE row of state per key per
+    * map task regardless of skew, so a hot key costs O(1) reducer memory
+    * instead of an O(rows-per-key) sort. `tiebreak` columns must form a
+    * total order (same contract as [[dedupKeyed]]). */
+  def dedupKeyedAgg(df: DataFrame, keys: Seq[String],
+                    tiebreak: Seq[String]): DataFrame = {
+    val payload = struct(
+      (tiebreak ++ df.columns.filterNot(tiebreak.contains)).map(col): _*)
+    val keyCols = keys.map(col)
+    // min over a struct = lexicographic min over (tiebreak..., rest...) —
+    // exactly row_number()=1 under ORDER BY tiebreak ASC
+    df.groupBy(keyCols: _*).agg(min(payload).as("__row"))
+      .select(df.columns.map(c => col("__row").getField(c).as(c)).toIndexedSeq: _*)
+  }
+
+  /** Skew-safe [[topKPerGroup]]: two-phase — salt splits each key over
+    * `saltFactor` reducers for a local top-k (bounding any single sort at
+    * rows-per-key / saltFactor), then the k·saltFactor survivors per key go
+    * through the exact global top-k. Result is identical to the one-phase
+    * form because a group's true top-k rows always survive their salt's
+    * local top-k. `order` must be expressed over column NAMES (deterministic
+    * salt derives from the full row). */
+  def topKPerGroupSalted(df: DataFrame, keys: Seq[String], order: Seq[Column],
+                         k: Int, saltFactor: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(saltFactor)))
+    val local = {
+      val w = Window.partitionBy((keys :+ "__salt").map(col): _*).orderBy(order: _*)
+      salted.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k).drop("__rn", "__salt")
+    }
+    topKPerGroup(local, keys, order, k)
+  }
 }
