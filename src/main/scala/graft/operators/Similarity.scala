@@ -81,33 +81,69 @@ object Similarity {
     * equi-join by cell) is unchanged. Centroid collect is O(nlist·dims) —
     * bounded and broadcast, like any small dimension table.
     */
+  /** Top-`take` centroid cells for a vector as an array of (cos, cell)
+    * structs sorted descending — argmax over literal centroids, inside
+    * codegen. */
+  private def topCellsOf(centroids: Array[(Int, Seq[Double])],
+                         cos: (Column, Column) => Column)
+                        (v: Column, take: Int): Column = {
+    val scored = array(centroids.map { case (i, c) =>
+      struct(cos(v, typedlit(c)).as("a"), lit(i).as("cell"))
+    }.toIndexedSeq: _*)
+    slice(reverse(array_sort(scored)), 1, take)
+  }
+
+  /** Lloyd iterations over the corpus: assign each vector to its nearest
+    * (max-cosine) centroid, recompute centroids as the element-wise mean of
+    * their cells. Each round is one keyed aggregation; the driver touches
+    * only nlist·dims scalars (the same bounded class as the centroid
+    * broadcast). Empty cells keep their previous centroid. Means are float
+    * sums (shuffle-order dependent at ulp level), so refined centroids are
+    * for the spec'd quality path — the oracle-verified query uses the
+    * deterministic stride sample (`kmeansIters = 0`). */
+  def kmeansRefine(corpus: DataFrame, init: Array[(Int, Seq[Double])],
+                   iters: Int, cos: (Column, Column) => Column): Array[(Int, Seq[Double])] = {
+    var cents = init
+    for (_ <- 0 until iters) {
+      val topCells = topCellsOf(cents, cos) _
+      val means = corpus
+        .withColumn("cell", element_at(topCells(col("embedding"), 1), 1).getField("cell"))
+        .select(col("cell"), posexplode(col("embedding").cast("array<double>")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+        .collect()
+      val byCell: Map[Int, Seq[Double]] = means
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      cents = cents.map { case (i, old) => (i, byCell.getOrElse(i, old)) }
+    }
+    cents
+  }
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               cos: (Column, Column) => Column, k: Int,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+              nlist: Int = 16, nprobe: Int = 4,
+              kmeansIters: Int = 0): DataFrame = {
     // centroid sampling without a global sort: count → deterministic stride
     // sample on vec_id (`vec_id % stride == 0` — engine-portable, unlike a
     // Murmur3 hash, so the DuckDB oracle mirrors cell assignment exactly) →
     // TakeOrdered(limit) on the tiny survivor set. No single-partition
-    // window, no full-corpus shuffle.
+    // window, no full-corpus shuffle. `kmeansIters > 0` refines the sample
+    // with Lloyd iterations ([[kmeansRefine]]) for tighter cells.
     val n = corpus.count()
     val stride = math.max(1L, n / nlist)
-    val centroids: Array[(Int, Seq[Double])] = corpus
+    val seed: Array[(Int, Seq[Double])] = corpus
       .filter(col("vec_id") % stride === 0)
       .orderBy(col("vec_id")).limit(nlist)
       .select(col("embedding").cast("array<double>"))
       .collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](0)) }
-    require(centroids.nonEmpty, "ivfTopK: empty corpus")
+    require(seed.nonEmpty, "ivfTopK: empty corpus")
+    val centroids =
+      if (kmeansIters <= 0) seed else kmeansRefine(corpus, seed, kmeansIters, cos)
 
-    // cell affinity = argmax over centroids of cosine (native expression on a
-    // literal centroid array — stays inside codegen); top-`take` cells as
-    // an array of (cos, cell) structs sorted descending
-    def topCells(v: Column, take: Int): Column = {
-      val scored = array(centroids.map { case (i, c) =>
-        struct(cos(v, typedlit(c)).as("a"), lit(i).as("cell"))
-      }.toIndexedSeq: _*)
-      slice(reverse(array_sort(scored)), 1, take)
-    }
+    val topCells = topCellsOf(centroids, cos) _
 
     val c = corpus
       .withColumn("cell", element_at(topCells(col("embedding"), 1), 1).getField("cell"))

@@ -141,6 +141,13 @@ class OperatorsSpec extends SparkSpec {
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
     assert((bf & ivf).size.toDouble / bf.size >= 0.5)
     assert(ivf.groupBy(_._1).forall(_._2.size == 5)) // full top-k per query
+
+    // k-means-refined cells must hold the same recall bar (tighter cells →
+    // usually better; the bound keeps the test robust to float-mean jitter)
+    val ivfKm = Similarity.ivfTopK(q, emb, VectorFunctions.cosineSim, 5,
+        nlist = 8, nprobe = 4, kmeansIters = 2)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert((bf & ivfKm).size.toDouble / bf.size >= 0.5)
   }
 
   test("lshTopK recall >= 0.6 vs brute force on real embeddings") {
