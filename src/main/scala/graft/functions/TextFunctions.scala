@@ -115,6 +115,25 @@ object TextFunctions {
     (least(sw * 4.0, lit(1.0)) + (lit(1.0) - least(pr * 5.0, lit(1.0))) + lenOk + wordOk) / 4.0
   }
 
+  /** Repetition ratio: fraction of n-gram occurrences that are repeats of an
+    * earlier n-gram in the same document (0 = no repetition). The classic
+    * Gopher-style quality signal — high values flag boilerplate/spam. n=1
+    * gives duplicate-word ratio. */
+  def repetitionRatio(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    val grams = if (n == 1) w else {
+      val m = size(w) - (n - 1)
+      val zipped = (1 until n).foldLeft(slice(w, lit(1), m)) { (acc, j) =>
+        zip_with(acc, slice(w, lit(j + 1), m), (a, b) => concat(a, lit(" "), b))
+      }
+      // guard BEFORE sizing: slice with non-positive length errors, and
+      // when/otherwise short-circuits per row
+      when(size(w) < n, array().cast("array<string>")).otherwise(zipped)
+    }
+    when(size(grams) === 0, lit(0.0))
+      .otherwise((size(grams) - size(array_distinct(grams))).cast("double") / size(grams))
+  }
+
   /** Language-marker word lists for the 5 testdata languages. Deliberately
     * tiny — the operator shape (argmax of per-language hit counts) is the
     * point; swap in real frequency tables for production. */

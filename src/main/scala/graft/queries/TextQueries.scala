@@ -444,6 +444,31 @@ object TextQueries {
            |ORDER BY doc_id, fp""".stripMargin),
     "winnowing rolling-hash fingerprints, MOSS-style (LLM-pipeline op)")
 
+  /** Repetition ratios (Gopher-style): fraction of token / 2-gram
+    * occurrences that repeat an earlier one — integer counts and one
+    * division per row, unrounded IEEE parity. */
+  val d14 = QueryDef(
+    "d14_repetition",
+    (spark, dir) => {
+      Tables.documents(spark, dir).select(
+          col("doc_id"),
+          TextFunctions.repetitionRatio(col("text"), 1).as("dup_word_ratio"),
+          TextFunctions.repetitionRatio(col("text"), 2).as("dup_bigram_ratio"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $tokCte,
+            |g AS (SELECT doc_id, w,
+            |  CASE WHEN length(w) < 2 THEN []
+            |       ELSE [w[i+1] || ' ' || w[i+2] for i in range(0, length(w) - 1)] END AS g2
+            |FROM toks)
+            |SELECT doc_id,
+            |  CASE WHEN length(w) = 0 THEN 0.0
+            |       ELSE CAST(length(w) - length(list_distinct(w)) AS DOUBLE) / length(w) END AS dup_word_ratio,
+            |  CASE WHEN length(g2) = 0 THEN 0.0
+            |       ELSE CAST(length(g2) - length(list_distinct(g2)) AS DOUBLE) / length(g2) END AS dup_bigram_ratio
+            |FROM g ORDER BY doc_id""".stripMargin),
+    "repetition ratios: duplicate word / bigram fractions (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, m01)
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, m01)
 }
