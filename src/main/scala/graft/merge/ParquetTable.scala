@@ -124,6 +124,35 @@ final class ParquetTable(spark: SparkSession, root: String, schema: StructType,
       Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     }
 
+  /** Compact the table's files (the OPTIMIZE analog — streaming appends
+    * leave one file per micro-batch, and the small-file count is what kills
+    * scan throughput at scale). Content-preserving rewrite-and-swap; for a
+    * bucketed table only buckets holding more than `maxFilesPerBucket`
+    * files are rewritten (untouched buckets keep their files byte-identical,
+    * same guarantee as [[merge]]). */
+  def compact(maxFilesPerBucket: Int = 1): Unit = bucketBy match {
+    case None => if (exists) overwrite(read())
+    case Some(_) if !exists => ()
+    case Some(_) =>
+      import scala.jdk.CollectionConverters._
+      val oversized = Files.list(current).iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith(s"$BucketCol="))
+        .filter(p => Files.list(p).iterator().asScala.count(f =>
+          f.getFileName.toString.endsWith(".parquet")) > maxFilesPerBucket)
+        .map(_.getFileName.toString.stripPrefix(s"$BucketCol=").toInt)
+        .toSeq.sorted
+      if (oversized.nonEmpty) {
+        val cur = readRaw()
+          .filter(col(BucketCol).isin(oversized: _*))
+          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+        gen += 1
+        val staging = rootPath.resolve(s".staging-$gen")
+        writeTo(cur, staging, SaveMode.Overwrite)
+        swapBuckets(staging, rootPath.resolve(s".retired-$gen"), oversized)
+      }
+  }
+
   /** Apply a merge function to (currentContent, batch) and persist.
     *
     * Unbucketed: full rewrite-and-swap. Bucketed: partition-scoped — the

@@ -117,6 +117,34 @@ class MergePropertiesSpec extends SparkSpec {
       && !after.contains(p)))
   }
 
+  test("compact collapses per-append small files, preserves content, " +
+      "skips already-compact buckets") {
+    import java.nio.file.{Files, Path}
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    val dir = Files.createTempDirectory("compact-").toString
+    val t = new ParquetTable(spark, dir, schema, Some((Seq("k"), 4)))
+    // five appends → ≥5 files per populated bucket
+    (0 until 5).foreach(i => t.append(Seq((i, s"v$i"), (i + 16, s"w$i")).toDF("k", "v")))
+    val before = t.read().as[(Int, String)].collect().toSet
+    def parquetFiles(): Seq[Path] =
+      Files.walk(Path.of(dir, "current")).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    val filesBefore = parquetFiles().size
+    t.compact(maxFilesPerBucket = 1)
+    assert(t.read().as[(Int, String)].collect().toSet == before)
+    val filesAfter = parquetFiles().size
+    assert(filesAfter < filesBefore, s"no compaction: $filesBefore -> $filesAfter")
+    // second compact is a no-op: every bucket already at <= 1 file
+    val snapshot = parquetFiles().map(p => p.toString ->
+      Files.getLastModifiedTime(p).toMillis).toMap
+    t.compact(maxFilesPerBucket = 1)
+    assert(parquetFiles().map(p => p.toString ->
+      Files.getLastModifiedTime(p).toMillis).toMap == snapshot)
+  }
+
   test("bucketed merge rejects a merge function that leaks across buckets") {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType),
