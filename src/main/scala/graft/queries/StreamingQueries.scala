@@ -157,5 +157,50 @@ object StreamingQueries {
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
     "K2 foreachBatch MERGE sink, update mode (ref Silver/05-silver.py:85-97)")
 
-  def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04)
+  /** J4 streaming, LEFT OUTER flavor — beyond the reference (it only runs
+    * inner interval joins): views with no purchase in the 3 h window emit a
+    * null-matched row once the watermark passes `start + 3 h` (the point
+    * where no future purchase can match). With a 0-second watermark delay
+    * the cutoff is exactly the max event time, which the oracle mirrors in
+    * exact int64 µs: unmatched views strictly older than `max(ts) - 3 h`
+    * appear with null stop columns; younger unmatched views are still held
+    * in (evicted) state at drain end and appear on neither side. */
+  val s05 = QueryDef(
+    "s05_stream_outer_interval_join",
+    (spark, dir) => drain(spark, dir, "append") { ev =>
+      val starts = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("start_id"),
+          col("ts_us").as("start_us"), col("ts_utc").as("start_t"))
+        .withWatermark("start_t", "0 seconds")
+      val stops = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("u2"), col("event_id").as("stop_id"),
+          col("ts_us").as("stop_us"), col("ts_utc").as("stop_t"))
+        .withWatermark("stop_t", "0 seconds")
+      starts.join(stops,
+          starts("user_id") === stops("u2") &&
+          stops("stop_t") > starts("start_t") &&
+          stops("stop_t") < starts("start_t") + expr("interval 3 hours"),
+          "left_outer")
+        .select(col("user_id"), col("start_id"), col("stop_id"),
+          col("start_us"), col("stop_us"))
+    }.orderBy(col("user_id"), col("start_id"), col("stop_id")),
+    Some(s"""WITH $evCte,
+            |s AS (SELECT user_id, event_id, ts_us FROM ev WHERE event_type = 'view'),
+            |p AS (SELECT user_id, event_id, ts_us FROM ev WHERE event_type = 'purchase'),
+            |matched AS (
+            |  SELECT s.user_id, s.event_id AS start_id, p.event_id AS stop_id,
+            |         s.ts_us AS start_us, p.ts_us AS stop_us
+            |  FROM s JOIN p ON s.user_id = p.user_id
+            |   AND p.ts_us > s.ts_us AND p.ts_us < s.ts_us + 10800000000),
+            |unmatched AS (
+            |  SELECT s.user_id, s.event_id AS start_id, CAST(NULL AS BIGINT) AS stop_id,
+            |         s.ts_us AS start_us, CAST(NULL AS BIGINT) AS stop_us
+            |  FROM s
+            |  WHERE s.event_id NOT IN (SELECT start_id FROM matched)
+            |    AND s.ts_us + 10800000000 < (SELECT max(ts_us) FROM ev))
+            |SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+            |ORDER BY user_id, start_id, stop_id""".stripMargin),
+    "J4 streaming LEFT OUTER interval join — null-match emission on watermark expiry")
+
+  def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05)
 }
