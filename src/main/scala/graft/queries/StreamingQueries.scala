@@ -202,5 +202,40 @@ object StreamingQueries {
             |ORDER BY user_id, start_id, stop_id""".stripMargin),
     "J4 streaming LEFT OUTER interval join — null-match emission on watermark expiry")
 
-  def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05)
+  /** Streaming session windows (merging-session state) in append mode —
+    * the streaming twin of batch `q24`. A session finalizes once the
+    * watermark (0 s delay → exactly max event time) passes its END (last
+    * event + gap); the oracle is the batch gaps-and-islands sessionization
+    * filtered by the same µs-exact cutoff, so tail sessions still open at
+    * drain end appear on neither side. */
+  val s06 = QueryDef(
+    "s06_stream_session_window",
+    (spark, dir) => drain(spark, dir, "append") { ev =>
+      ev.withWatermark("ts_utc", "0 seconds")
+        .groupBy(session_window(col("ts_utc"), "1 hour"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          col("n_events"))
+    }.orderBy(col("user_id"), col("start_us")),
+    Some(s"""WITH $evCte,
+            |marked AS (
+            |  SELECT user_id, ts_us,
+            |    CASE WHEN ts_us - lag(ts_us) OVER w > 3600000000
+            |         OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+            |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+            |islands AS (
+            |  SELECT user_id, ts_us,
+            |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+            |  FROM marked)
+            |SELECT user_id, start_us, n_events FROM (
+            |  SELECT user_id, min(ts_us) AS start_us, count(*) AS n_events,
+            |         max(ts_us) + 3600000000 AS end_us
+            |  FROM islands GROUP BY user_id, island)
+            |WHERE end_us < (SELECT max(ts_us) FROM ev)
+            |ORDER BY user_id, start_us""".stripMargin),
+    "streaming session_window agg, append mode, watermark-finalized sessions")
+
+  def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06)
 }
