@@ -237,5 +237,37 @@ object StreamingQueries {
             |ORDER BY user_id, start_us""".stripMargin),
     "streaming session_window agg, append mode, watermark-finalized sessions")
 
-  def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06)
+  /** Custom arbitrary-state sessionization (`flatMapGroupsWithState`) run on
+    * its batch path — upgrades the extension point from spec-only to
+    * oracle-verified: every group's state machine runs exactly once, so the
+    * emitted sessions (closed + open tail) equal the full gaps-and-islands
+    * sessionization. */
+  val s07 = QueryDef(
+    "s07_custom_state_sessionize",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.streaming.StatefulSessionizer
+      val ev = graft.sources.Tables.eventsUs(spark, dir)
+        .selectExpr("user_id", "ts_us").as[StatefulSessionizer.Event]
+      StatefulSessionizer.sessionize(ev, gapUs = 3600000000L).toDF()
+        .orderBy(col("user_id"), col("start_us"))
+    },
+    Some(s"""WITH $evCte,
+            |marked AS (
+            |  SELECT user_id, ts_us,
+            |    CASE WHEN ts_us - lag(ts_us) OVER w > 3600000000
+            |         OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+            |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+            |islands AS (
+            |  SELECT user_id, ts_us,
+            |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+            |  FROM marked)
+            |SELECT user_id, min(ts_us) AS start_us, max(ts_us) AS end_us,
+            |       CAST(count(*) AS INTEGER) AS n_events
+            |FROM islands GROUP BY user_id, island
+            |ORDER BY user_id, start_us""".stripMargin),
+    "custom-state sessionization via flatMapGroupsWithState (batch path)")
+
+  def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07)
 }
