@@ -152,5 +152,37 @@ object VectorQueries {
     },
     "ANN scale path 2: IVF centroid cells + nprobe + exact re-rank (LLM-pipeline op)")
 
-  def defs: Seq[QueryDef] = Seq(v01, v02, v03, v04)
+  /** Int8 embedding quantization — the storage-scale op for 100 TB
+    * embedding corpora (4x smaller than float32, SIMD-friendly dot
+    * products). Symmetric max-abs scaling; rounding is `floor(x/scale+0.5)`
+    * spelled identically on both engines (library `round` half-way rules
+    * differ, and quantization hits exact .5 boundaries). The quantized
+    * vector is emitted as a CSV string (driver checker can't hash arrays);
+    * `scale` is unrounded — same doubles, same ops, bit-identical. */
+  val v05 = QueryDef(
+    "v05_quantize_int8",
+    (spark, dir) => {
+      val ad = col("embedding").cast("array<double>")
+      val maxabs = aggregate(ad, lit(0.0), (acc, v) => greatest(acc, abs(v)))
+      Tables.embeddings(spark, dir).select(
+          col("vec_id"),
+          when(maxabs === 0.0, lit(0.0)).otherwise(maxabs / 127).as("scale"),
+          when(maxabs === 0.0,
+              array_join(transform(ad, _ => lit("0")), ","))
+            .otherwise(array_join(
+              transform(ad, x => floor(x / (maxabs / 127) + lit(0.5)).cast("string")), ","))
+            .as("q_csv"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+           |m AS (SELECT vec_id, emb, list_max(list_transform(emb, x -> abs(x))) AS maxabs FROM e)
+           |SELECT vec_id,
+           |  CASE WHEN maxabs = 0 THEN 0.0 ELSE maxabs / 127 END AS scale,
+           |  CASE WHEN maxabs = 0 THEN array_to_string(list_transform(emb, x -> '0'), ',')
+           |       ELSE array_to_string(list_transform(emb,
+           |              x -> CAST(CAST(floor(x / (maxabs / 127) + 0.5) AS BIGINT) AS VARCHAR)), ',') END AS q_csv
+           |FROM m ORDER BY vec_id""".stripMargin),
+    "int8 symmetric quantization of embeddings (LLM-pipeline op)")
+
+  def defs: Seq[QueryDef] = Seq(v01, v02, v03, v04, v05)
 }
