@@ -29,10 +29,11 @@ object TextFunctions {
 
   private val ShinglesName = "word_shingles"
   private val WinnowName = "winnow_fps"
+  private val FingerprintName = "content_fingerprint"
 
   /** Idempotently register the native expressions ([[WordShinglesExpr]],
-    * [[WinnowingExpr]]) in the session's function registry (same pattern as
-    * [[VectorFunctions.register]]). */
+    * [[WinnowingExpr]], [[FingerprintExpr]]) in the session's function
+    * registry (same pattern as [[VectorFunctions.register]]). */
   def registerNative(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       ShinglesName,
@@ -43,7 +44,14 @@ object TextFunctions {
       exprs => WinnowingExpr(exprs(0),
         exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FingerprintName, exprs => FingerprintExpr(exprs(0)), "built-in")
   }
+
+  /** Native single-pass fingerprint — semantics identical to
+    * [[fingerprint]]; call [[registerNative]] first. */
+  def fingerprintNative(text: Column): Column =
+    call_function(FingerprintName, text)
 
   /** Winnowing (rolling-hash) document fingerprints — call
     * [[registerNative]] first; see [[WinnowingExpr]]. */

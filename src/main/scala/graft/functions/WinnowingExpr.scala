@@ -47,25 +47,7 @@ case class WinnowingExpr(child: Expression, k: Int, w: Int) extends UnaryExpress
 }
 
 object WinnowingExpr {
-  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-  private val HexDigits = "0123456789abcdef".toCharArray
-
-  private def md5Hex(s: String): String = {
-    val d = md5Local.get()
-    d.reset()
-    val bytes = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val out = new Array[Char](32)
-    var i = 0
-    while (i < 16) {
-      out(2 * i) = HexDigits((bytes(i) >> 4) & 0xf)
-      out(2 * i + 1) = HexDigits(bytes(i) & 0xf)
-      i += 1
-    }
-    new String(out)
-  }
+  private def md5Hex(s: String): String = Md5.hex(s)
 
   /** Static helper invoked from generated code. */
   def compute(text: UTF8String, k: Int, w: Int): ArrayData = {

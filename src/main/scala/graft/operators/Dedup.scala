@@ -17,10 +17,13 @@ import graft.functions.TextFunctions
 object Dedup {
 
   /** Exact dedup on normalized content: group by md5 fingerprint, keep the
-    * smallest id. One shuffle on the fingerprint — trivially 100 TB-safe. */
+    * smallest id. One shuffle on the fingerprint — trivially 100 TB-safe.
+    * Fingerprinting runs through the native single-pass
+    * [[graft.functions.FingerprintExpr]] (identical semantics to the
+    * two-regex composition). */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val fp = TextFunctions.fingerprint(col(textCol))
-    docs.withColumn("fp", fp)
+    TextFunctions.registerNative(docs.sparkSession)
+    docs.withColumn("fp", TextFunctions.fingerprintNative(col(textCol)))
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
   }

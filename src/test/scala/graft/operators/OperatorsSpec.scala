@@ -118,6 +118,18 @@ class OperatorsSpec extends SparkSpec {
     assert(setOf(1) == setOf(4))             // case/whitespace-normalized
   }
 
+  test("native fingerprint ≡ regex fingerprint on edge cases (incl. non-ASCII)") {
+    import graft.functions.TextFunctions
+    TextFunctions.registerNative(spark)
+    val texts = Seq("", "   ", "Hello, World!", "a--b..c", "MiXeD CaSe",
+      "tabs\there\nnewlines", "  padded !! punct ~~ ", "ümläut Größe STRASSE",
+      "中文 text; mixed!", "a.b.c.d.e.f.g").zipWithIndex.map(_.swap).toDF("i", "t")
+    val both = texts.select(
+      TextFunctions.fingerprint(col("t")).as("re"),
+      TextFunctions.fingerprintNative(col("t")).as("native"))
+    assert(both.filter(col("re") =!= col("native")).count() == 0)
+  }
+
   test("native wordShingles ≡ HOF wordShingles on edge cases") {
     import graft.functions.TextFunctions
     TextFunctions.registerNative(spark)
