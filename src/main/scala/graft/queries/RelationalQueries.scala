@@ -604,7 +604,46 @@ object RelationalQueries {
            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
     "exact grouped percentiles (interpolated), engine-parity via round(…,4)")
 
+  /** KMV (k-minimum-values) distinct-count sketch — the deterministic
+    * cousin of HyperLogLog: keep the k smallest md5 hashes of the key
+    * (bounded, mergeable state — a TakeOrdered of k rows, never a full
+    * distinct at the sink), estimate N ≈ (k-1)/U_k where U_k is the k-th
+    * smallest hash normalized to [0,1). md5-based, so unlike HLL the DuckDB
+    * oracle reproduces the estimate BIT-identically: the 8-nibble prefix of
+    * the k-th hash is a dyadic rational both engines compute exactly
+    * (Spark via conv(...,16,10)/2^32, DuckDB via the per-nibble sum — all
+    * partial sums exact). */
+  val q30 = QueryDef(
+    "q30_kmv_distinct",
+    (spark, dir) => {
+      val k = 256
+      val li = Tables.lineitem(spark, dir)
+      val kth = li.select(md5(col("l_orderkey").cast("string")).as("h"))
+        .distinct().orderBy(col("h")).limit(k)
+        .agg(max(col("h")).as("kth"), count(lit(1)).as("n_h"))
+      val exact = li.agg(countDistinct(col("l_orderkey")).as("n_exact"))
+      val frac = expr("cast(conv(substring(kth, 1, 8), 16, 10) as double)") /
+        lit(4294967296.0)
+      kth.crossJoin(exact).select(
+        col("n_exact"),
+        when(col("n_h") < k, col("n_h").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / frac).as("kmv_estimate"))
+    },
+    Some {
+      val nibbleSum = (1 to 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(kth, $i, 1)) - 1) / ${math.pow(16.0, i)}")
+        .mkString(" + ")
+      s"""WITH h AS (SELECT DISTINCT md5(CAST(l_orderkey AS VARCHAR)) AS h FROM lineitem),
+         |top AS (SELECT h FROM h ORDER BY h LIMIT 256),
+         |k AS (SELECT max(h) AS kth, count(*) AS n_h FROM top)
+         |SELECT (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS n_exact,
+         |  CASE WHEN n_h < 256 THEN CAST(n_h AS DOUBLE)
+         |       ELSE 255 / ($nibbleSum) END AS kmv_estimate
+         |FROM k""".stripMargin
+    },
+    "KMV distinct-count sketch: bounded mergeable state, bit-exact oracle")
+
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q12, q13, q14, q15, q16, q17, q18, q19, q21, q22, q23, q24, q25, q26,
-    q27, q28, q29)
+    q27, q28, q29, q30)
 }
