@@ -40,7 +40,7 @@ object StreamingQueries {
     * checkpoint files locally. Restored afterwards. */
   private def withStreamConf[T](spark: SparkSession)(body: => T): T = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
