@@ -469,6 +469,93 @@ object TextQueries {
             |FROM g ORDER BY doc_id""".stripMargin),
     "repetition ratios: duplicate word / bigram fractions (LLM-pipeline op)")
 
+  /** Sliding-window document chunking — the standard long-document →
+    * training-sample transform: windows of `W` tokens advancing by stride
+    * `S = W - overlap`; the final window is clipped to the tail. Per-row
+    * explode of a computed chunk array — no shuffle at all until a
+    * downstream groupBy. */
+  val d15 = QueryDef(
+    "d15_chunking",
+    (spark, dir) => {
+      val W = 64; val S = 48 // 16-token overlap
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
+        .withColumn("len", size(col("w")))
+        .withColumn("n_chunks",
+          when(col("len") === 0, 0).when(col("len") <= W, 1)
+            .otherwise(expr(s"1 + ((len - $W + $S - 1) div $S)").cast("int")))
+      docs.select(col("doc_id"),
+          explode(when(col("n_chunks") === 0, array().cast("array<int>"))
+            .otherwise(transform(sequence(lit(0), col("n_chunks") - 1), i => i.cast("int"))))
+            .as("chunk_idx"))
+        .join(docs, Seq("doc_id"))
+        .select(col("doc_id"), col("chunk_idx"),
+          array_join(slice(col("w"), col("chunk_idx") * S + 1, lit(W)), " ").as("chunk"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    Some(s"""WITH $tokCte,
+            |g AS (SELECT doc_id, w,
+            |  CASE WHEN length(w) = 0 THEN 0
+            |       WHEN length(w) <= 64 THEN 1
+            |       ELSE 1 + ((length(w) - 64 + 47) // 48) END AS n_chunks
+            |FROM toks)
+            |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+            |  array_to_string(w[i*48 + 1 : least(i*48 + 64, length(w))], ' ') AS chunk
+            |FROM g, unnest(range(n_chunks)) AS t(i)
+            |ORDER BY doc_id, chunk_idx""".stripMargin),
+    "sliding-window document chunking with overlap (LLM-pipeline op)")
+
+  /** Contiguous sequence packing: per source, docs fill 4096-token bins in
+    * doc_id order (bin = prefix-token-count div capacity) — the packing
+    * pass that turns a corpus into fixed-budget training sequences. One
+    * windowed prefix sum per source partition. */
+  val d16 = QueryDef(
+    "d16_packing",
+    (spark, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.documents(spark, dir)
+        .select(col("source"), col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          expr("(cum - n_tokens) div 4096").cast("int").as("bin"))
+        .orderBy(col("source"), col("doc_id"))
+    },
+    Some(s"""WITH $tokCte,
+            |t AS (SELECT doc_id, CAST(length(w) AS INTEGER) AS n_tokens FROM toks)
+            |SELECT d.source, d.doc_id, t.n_tokens,
+            |  CAST((sum(t.n_tokens) OVER (PARTITION BY d.source ORDER BY d.doc_id
+            |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t.n_tokens) // 4096
+            |    AS INTEGER) AS bin
+            |FROM documents d JOIN t USING (doc_id)
+            |ORDER BY d.source, d.doc_id""".stripMargin),
+    "contiguous sequence packing into fixed token budgets (LLM-pipeline op)")
+
+  /** Deterministic train/val/test split on a content-independent hash of
+    * the id — stable under corpus growth (a doc never changes split), the
+    * property random sampling lacks. First hash byte: <243 train (~95%),
+    * <250 val (~2.7%), else test. */
+  val d17 = QueryDef(
+    "d17_split",
+    (spark, dir) => {
+      val b = expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 2), 16, 10) as int)")
+      Tables.documents(spark, dir).select(
+          col("doc_id"),
+          when(b < 243, "train").when(b < 250, "val").otherwise("test").as("split"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+           |  CASE WHEN b < 243 THEN 'train' WHEN b < 250 THEN 'val' ELSE 'test' END AS split
+           |FROM (SELECT doc_id,
+           |  (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+           |  + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS b
+           |  FROM documents)
+           |ORDER BY doc_id""".stripMargin),
+    "deterministic hash-based train/val/test split (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, m01)
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
+      d15, d16, d17, m01)
 }
