@@ -485,12 +485,13 @@ object TextQueries {
           when(col("len") === 0, 0).when(col("len") <= W, 1)
             .otherwise(expr(s"1 + ((len - $W + $S - 1) div $S)").cast("int")))
       docs.select(col("doc_id"),
-          explode(when(col("n_chunks") === 0, array().cast("array<int>"))
-            .otherwise(transform(sequence(lit(0), col("n_chunks") - 1), i => i.cast("int"))))
-            .as("chunk_idx"))
-        .join(docs, Seq("doc_id"))
-        .select(col("doc_id"), col("chunk_idx"),
-          array_join(slice(col("w"), col("chunk_idx") * S + 1, lit(W)), " ").as("chunk"))
+          explode(when(col("n_chunks") === 0,
+              array().cast("array<struct<chunk_idx:int,chunk:string>>"))
+            .otherwise(transform(sequence(lit(0), col("n_chunks") - 1), i =>
+              struct(i.cast("int").as("chunk_idx"),
+                array_join(slice(col("w"), i * S + 1, lit(W)), " ").as("chunk")))))
+            .as("c"))
+        .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk"))
         .orderBy(col("doc_id"), col("chunk_idx"))
     },
     Some(s"""WITH $tokCte,
