@@ -76,15 +76,12 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, minJaccard: Double = 0.5,
                    maxDf: Int = Int.MaxValue): DataFrame = {
-    // the exploded shingle relation is consumed 3x (sizes + both join
-    // sides): persist it so the (regex-heavy) shingling runs once — BEFORE
-    // the cap, so the df aggregation and the anti-join both read the cache
-    // instead of re-shingling. At cluster scale this is a checkpoint of the
-    // inverted index. With a `maxDf` cap, Jaccard is over the informative
-    // (non-boilerplate) shingle universe — sizes and intersections use the
-    // same capped set.
-    val raw = docShingles(docs, idCol, textCol, n).persist()
-    val ds = if (maxDf == Int.MaxValue) raw else capShingles(raw, maxDf).persist()
+    // persist the CAPPED relation (consumed 3x: sizes + both join sides).
+    // The raw pre-cap relation is deliberately NOT cached: with native
+    // shingling the two extra scans (df aggregation + anti-join left side)
+    // cost less than materializing a second cache of the full index.
+    val raw = docShingles(docs, idCol, textCol, n)
+    val ds = (if (maxDf == Int.MaxValue) raw else capShingles(raw, maxDf)).persist()
     val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("set_size"))
     val a = ds.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = ds.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -103,13 +100,14 @@ object Dedup {
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  n: Int = 3, k: Int = 8, r: Int = 2,
                  minJaccard: Double = 0.5, maxDf: Int = Int.MaxValue): DataFrame = {
-    // consumed by signatures, sizes, and twice in verification → persist
-    // (the raw relation first, so the cap's df-pass reads the cache).
-    // `maxDf` caps boilerplate shingles BEFORE signatures: a hot shingle
-    // with a small md5 would otherwise dominate the minhash of every doc
-    // containing it, collapsing band buckets into one giant candidate set.
-    val raw = docShingles(docs, idCol, textCol, n).persist()
-    val ds = if (maxDf == Int.MaxValue) raw else capShingles(raw, maxDf).persist()
+    // persist the CAPPED relation (consumed by signatures, sizes, and twice
+    // in verification); the raw pre-cap scan is cheap native shingling and
+    // is not worth a second cache. `maxDf` caps boilerplate shingles BEFORE
+    // signatures: a hot shingle with a small md5 would otherwise dominate
+    // the minhash of every doc containing it, collapsing band buckets into
+    // one giant candidate set.
+    val raw = docShingles(docs, idCol, textCol, n)
+    val ds = (if (maxDf == Int.MaxValue) raw else capShingles(raw, maxDf)).persist()
     val sig = ds.groupBy(col("doc_id")).agg(
       min(md5(concat(lit("0|"), col("shingle")))).as("mh0"),
       (1 until k).map(i => min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"mh$i")): _*)
