@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch profiling main (not part of the driver contract; removed before
-  * round end if unused). Times selected queries twice in one session to
-  * separate codegen cost from execution cost. */
+/** Profiling main (not part of the driver contract): times selected queries
+  * twice in one session to separate codegen cost from execution cost, plus a
+  * stage-by-stage breakdown mode (`d05pieces`) for the dedup ladder. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
