@@ -643,7 +643,30 @@ object RelationalQueries {
     },
     "KMV distinct-count sketch: bounded mergeable state, bit-exact oracle")
 
+  /** Array/map/JSON function family (beyond the reference's lone
+    * `from_json`): per-user event-type histogram as a MAP, built from a
+    * SORTED entry list (collect_list order is nondeterministic — sort_array
+    * pins it) and rendered with to_json for a deterministic, hashable
+    * column. */
+  val q31 = QueryDef(
+    "q31_map_json",
+    (spark, dir) => {
+      Tables.eventsUs(spark, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(to_json(map_from_entries(
+            sort_array(collect_list(struct(col("event_type"), col("n"))))))
+          .as("type_counts"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id,
+           |  '{' || string_agg('"' || event_type || '":' || n, ',' ORDER BY event_type) || '}' AS type_counts
+           |FROM (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2)
+           |GROUP BY user_id ORDER BY user_id""".stripMargin),
+    "array/map/JSON family: sorted map aggregation rendered to JSON")
+
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q12, q13, q14, q15, q16, q17, q18, q19, q21, q22, q23, q24, q25, q26,
-    q27, q28, q29, q30)
+    q27, q28, q29, q30, q31)
 }
