@@ -666,7 +666,55 @@ object RelationalQueries {
            |GROUP BY user_id ORDER BY user_id""".stripMargin),
     "array/map/JSON family: sorted map aggregation rendered to JSON")
 
+  /** CUBE grouping sets (all 4 combinations) + grouping_id — completes the
+    * G1 family next to q17's ROLLUP; gid disambiguates real NULL group keys
+    * from aggregated-away ones. */
+  val q32 = QueryDef(
+    "q32_cube",
+    (spark, dir) => {
+      Tables.lineitem(spark, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n_rows"), grouping_id().as("gid"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n_rows"), col("gid"))
+        .orderBy(col("gid"), col("returnflag"), col("linestatus"))
+    },
+    Some("""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           |       coalesce(l_linestatus, 'ALL') AS linestatus,
+           |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows,
+           |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+           |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+           |ORDER BY gid, returnflag, linestatus""".stripMargin),
+    "G1 cube grouping sets + grouping_id (beyond reference)")
+
+  /** RANGE-framed sliding window — trailing 1 h sum/count per user in exact
+    * event-time µs (peers with equal ts share a frame on both engines).
+    * The time-based sliding aggregate every sensor pipeline runs; rows
+    * frames (q18) don't express it. */
+  val q33 = QueryDef(
+    "q33_range_frame",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-3600000000L, 0)
+      Tables.eventsUs(spark, dir).select(
+          col("user_id"), col("event_id"), col("ts_us"),
+          round(sum(col("value")).over(w), 2).as("trailing_1h_sum"),
+          count(lit(1)).over(w).as("n_1h"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    },
+    Some(s"""WITH $evCte
+            |SELECT user_id, event_id, ts_us,
+            |  round(sum(value) OVER w, 2) AS trailing_1h_sum,
+            |  count(*) OVER w AS n_1h
+            |FROM ev
+            |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+            |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+            |ORDER BY user_id, ts_us, event_id""".stripMargin),
+    "RANGE-framed trailing event-time window (beyond reference)")
+
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q12, q13, q14, q15, q16, q17, q18, q19, q21, q22, q23, q24, q25, q26,
-    q27, q28, q29, q30, q31)
+    q27, q28, q29, q30, q31, q32, q33)
 }
