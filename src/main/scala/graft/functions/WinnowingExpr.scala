@@ -51,8 +51,13 @@ object WinnowingExpr {
 
   /** Static helper invoked from generated code. */
   def compute(text: UTF8String, k: Int, w: Int): ArrayData = {
-    // normalize exactly like trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
-    val norm0 = text.toString.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+    // normalize exactly like trim(regexp_replace(lower(text), '\s+', ' ', 'g')).
+    // Explicit char class, NOT Java \s: RE2's \s is [ \t\n\f\r] while Java's
+    // also matches \x0B (vertical tab) — the one divergence rule 4 doesn't
+    // cover. (Residual caveat: toLowerCase(ROOT) vs DuckDB lower() can differ
+    // on exotic non-ASCII case mappings; fine for this corpus.)
+    val norm0 = text.toString.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("[ \\t\\n\\f\\r]+", " ")
     var start = 0
     var end = norm0.length
     while (start < end && norm0.charAt(start) == ' ') start += 1

@@ -35,9 +35,23 @@ final class ParquetTable(spark: SparkSession, root: String, schema: StructType,
                          bucketBy: Option[(Seq[String], Int)] = None) {
   private val rootPath: Path = Paths.get(root)
   private val current: Path = rootPath.resolve("current")
-  @volatile private var gen: Long = 0L
 
   Files.createDirectories(rootPath)
+
+  // Resume generation numbering past any .staging-*/.retired-* left by a
+  // crashed run: starting at 0 would make the next swap's ATOMIC_MOVE hit
+  // FileAlreadyExistsException on the leftover directory and wedge the table.
+  // Leftovers are kept (not auto-deleted) — a crash mid-swapBuckets leaves a
+  // mixed-generation table whose recovery is an operator decision; the
+  // bucketed swap is per-bucket atomic, not all-or-nothing (see [[merge]]).
+  @volatile private var gen: Long = {
+    import scala.jdk.CollectionConverters._
+    val GenDir = """\.(?:staging|retired)-(\d+)""".r
+    Files.list(rootPath).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case GenDir(n) => n.toLong }
+      .foldLeft(0L)(math.max)
+  }
 
   private val BucketCol = "__bucket"
   private def bucketExpr: Column = {

@@ -245,9 +245,18 @@ object Dedup {
     // (exact decimal — no Long overflow at any scale) folds the convergence
     // check into a cheap scan of the just-checkpointed blocks, replacing the
     // old-vs-new join+count that used to double each round's shuffle work.
+    // The sum trick needs a NUMERIC id (a string id casts to null and the
+    // metric degenerates); non-numeric ids fall back to the changed-row count,
+    // which works for any orderable type at the cost of one extra join/round.
+    val numericIds = allDocs.schema(idCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).first().getDecimal(0)
-    var prevSum = labelSum(labels)
+    def changedCount(prev: DataFrame, next: DataFrame): Long =
+      prev.select(col("doc_id"), col("cluster_id").as("prev_cluster"))
+        .join(next, Seq("doc_id"))
+        .filter(col("cluster_id") =!= col("prev_cluster")).count()
+    var prevSum = if (numericIds) labelSum(labels) else null
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -264,11 +273,15 @@ object Dedup {
       val next = checkpointed(
         combined.join(parents, Seq("cluster_id"))
           .select(col("doc_id"), col("parent").as("cluster_id")))
-      val nextSum = labelSum(next)
+      if (numericIds) {
+        val nextSum = labelSum(next)
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+      } else {
+        converged = changedCount(labels, next) == 0L
+      }
       labels.unpersist()
       labels = next
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
       i += 1
     }
     edges.unpersist()

@@ -60,7 +60,7 @@ object KafkaSource {
       col("topic"),
       col("partition").cast("bigint").as("partition"),
       col("offset").cast("bigint").as("offset"),
-      (col("timestamp").cast("double") * 1000).cast("bigint").as("timestamp"))
+      (unix_millis(col("timestamp"))).as("timestamp"))
 
   /** The S3 source proper — requires the spark-sql-kafka connector on the
     * classpath (absent in this runtime; see object doc). */
