@@ -4,11 +4,20 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every registered query at the given scale factor,
   * emits ONE JSON line. A warm-up action first amortizes JVM/codegen/session
-  * startup so per-query numbers measure the queries, not JIT. */
+  * startup so per-query numbers measure the queries, not JIT.
+  *
+  * Each query runs `SPARK_GRAFT_REPEATS` times (default 3) and reports the
+  * MEDIAN — one slow outlier (GC, page cache miss, a background process) no
+  * longer pollutes the round record. The JSON also carries the 1-minute
+  * system load average at start and end: round 2's official bench was
+  * recorded on a machine under 2-3× load and manufactured three phantom
+  * regressions; a loaded run is now self-identifying.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -17,23 +26,33 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadStart = loadAvg
     // warm-up: session init, codegen paths, parquet footer reads
     spark.range(1000000).selectExpr("sum(id)").collect()
     graft.sources.Tables.names.foreach(n =>
       graft.sources.Tables(spark, sfDir, n).count())
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e"); false }
+      val times = (1 to repeats).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $e"); None }
+      }
       // a failed query must not read as a (fast) success: report -1
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (times.size < repeats) -1.0
+               else times.sorted.apply(times.size / 2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,""" +
+        s""""repeats":$repeats,"load_avg_start":$loadStart,"load_avg_end":$loadAvg,""" +
+        s""""queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // stdout arrives wrapped in sbt's "[info] " prefix — also drop the raw
     // JSON line in a file so round-over-round diffs stay machine-readable

@@ -214,7 +214,18 @@ object Dedup {
     */
   def dupClusters(pairs: DataFrame, allDocs: DataFrame, idCol: String,
                   maxIters: Int = 20,
-                  reliableCheckpoint: Boolean = false): DataFrame = {
+                  reliableCheckpoint: Boolean = false): DataFrame =
+    propagate(pairs,
+      allDocs.select(col(idCol).as("doc_id"), col(idCol).as("cluster_id")),
+      maxIters, reliableCheckpoint)
+
+  /** Min-label propagation core shared by [[dupClusters]] (seed = identity
+    * labels) and [[dupClustersIncremental]] (seed = prior labels + identity
+    * for new docs). `seedLabels` must have (doc_id, cluster_id) with
+    * cluster_id ≤ doc_id per row and every cluster_id itself present as a
+    * doc_id (prior labelings produced by this function satisfy both). */
+  private def propagate(pairs: DataFrame, seedLabels: DataFrame,
+                        maxIters: Int, reliableCheckpoint: Boolean): DataFrame = {
     // persist the pair relation FIRST: the symmetric edge union references it
     // twice, and an unpersisted `pairs` (e.g. a full MinHash-LSH lineage)
     // would be recomputed once per union branch
@@ -238,8 +249,7 @@ object Dedup {
           "reliableCheckpoint requires sparkContext.setCheckpointDir(...)")
         df.checkpoint(true)
       } else df.localCheckpoint(true)
-    var labels = checkpointed(
-      allDocs.select(col(idCol).as("doc_id"), col(idCol).as("cluster_id")))
+    var labels = checkpointed(seedLabels.select(col("doc_id"), col("cluster_id")))
     // Convergence metric: labels are monotonically non-increasing per doc, so
     // the label sum strictly decreases iff any label changed. Comparing sums
     // (exact decimal — no Long overflow at any scale) folds the convergence
@@ -248,7 +258,7 @@ object Dedup {
     // The sum trick needs a NUMERIC id (a string id casts to null and the
     // metric degenerates); non-numeric ids fall back to the changed-row count,
     // which works for any orderable type at the cost of one extra join/round.
-    val numericIds = allDocs.schema(idCol).dataType
+    val numericIds = seedLabels.schema("doc_id").dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType]
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).first().getDecimal(0)
@@ -291,6 +301,63 @@ object Dedup {
         s"dupClusters did not converge after $maxIters rounds — component " +
           "diameter exceeds 2^maxIters; raise it (labels would be inconsistent)")
     labels
+  }
+
+  /** Incremental connected components — the streaming-corpus form of
+    * [[dupClusters]]: extend a prior labeling with a batch of new documents
+    * and the near-dup pairs involving them, WITHOUT recomputing closed
+    * components from scratch.
+    *
+    * Correctness hinges on one subtlety: prior labels alone cannot carry a
+    * NEW, smaller min back through an old component, because the old
+    * intra-component edges are gone (only doc→oldMin pointers survive, and
+    * nothing points back at the member that touched the new edge). So each
+    * old cluster touched by a new pair contributes its pointer star
+    * (doc, priorMin) as real edges — the spanning star is exactly enough
+    * connectivity to re-merge, and its diameter is 2, so total rounds stay
+    * O(log diameter-of-new-edges + 2).
+    *
+    * Scale shape: only AFFECTED old clusters (those with a member in a new
+    * pair) enter the propagation — per-batch work is proportional to the new
+    * data plus the touched clusters, never the corpus. Labels of untouched
+    * clusters pass through verbatim (no shuffle re-write).
+    *
+    * Contracts: `existingLabels` is a prior output of [[dupClusters]] /
+    * this function — (doc_id, cluster_id), cluster_id = min reachable id,
+    * min-id docs labeled by themselves. `newDocs` are disjoint from
+    * `existingLabels`. `newPairs` (doc_a, doc_b) touch only new docs or
+    * members of existing clusters. Result ≡ from-scratch [[dupClusters]] on
+    * the unioned corpus and pair set (IncrementalClusterSpec proves it on a
+    * two-batch replay). Returned frame is persisted; caller unpersists.
+    */
+  def dupClustersIncremental(existingLabels: DataFrame, newPairs: DataFrame,
+                             newDocs: DataFrame, idCol: String,
+                             maxIters: Int = 20,
+                             reliableCheckpoint: Boolean = false): DataFrame = {
+    val prior = existingLabels.select(col("doc_id"), col("cluster_id"))
+    val p = newPairs.persist()
+    val endpoints = p.select(col("doc_a").as("doc_id"))
+      .unionByName(p.select(col("doc_b").as("doc_id"))).distinct()
+    // old clusters with at least one member on a new edge; components can
+    // only merge THROUGH a new edge, so this closed set is exactly the
+    // affected region — broadcast-sized in any realistic batch
+    val touched = prior.join(endpoints, Seq("doc_id"))
+      .select(col("cluster_id")).distinct().persist()
+    val affected = prior.join(broadcast(touched), Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id")).persist()
+    val starEdges = affected.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
+    val seed = affected
+      .unionByName(newDocs.select(col(idCol).as("doc_id"), col(idCol).as("cluster_id")))
+    val active = propagate(
+      p.select(col("doc_a"), col("doc_b")).unionByName(starEdges),
+      seed, maxIters, reliableCheckpoint)
+    val untouchedPrior = prior.join(broadcast(touched), Seq("cluster_id"), "left_anti")
+      .select(col("doc_id"), col("cluster_id"))
+    val out = untouchedPrior.unionByName(active).persist()
+    out.count() // materialize before releasing the intermediates below
+    active.unpersist(); affected.unpersist(); touched.unpersist(); p.unpersist()
+    out
   }
 
   /** Embedding near-dup: exact cosine over candidate pairs from a blocking

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.operators.Dedup
@@ -556,7 +557,34 @@ object TextQueries {
            |ORDER BY doc_id""".stripMargin),
     "deterministic hash-based train/val/test split (LLM-pipeline op)")
 
+  /** Incremental clustering: replay the corpus as two batches — docs with
+    * doc_id % 10 < 7 are the prior snapshot, the rest arrive as a new batch —
+    * and extend the prior labels with [[Dedup.dupClustersIncremental]]
+    * instead of re-running connected components from scratch. Pairs are
+    * computed ONCE over the full corpus (in production the persistent
+    * shingle index owns the df stats) and split by which batch closes them.
+    * Incremental ≡ from-scratch, so the oracle is d08's full recursive-CTE
+    * closure, verbatim. */
+  val d18 = QueryDef(
+    "d18_dup_clusters_incremental",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text", n = 3, k = 8, r = 2,
+        minJaccard = 0.2, maxDf = DedupMaxDf).persist()
+      val isOld = (c: Column) => c % 10 < 7
+      val batch1 = docs.filter(isOld(col("doc_id")))
+      val batch2 = docs.filter(!isOld(col("doc_id")))
+      val priorPairs = pairs.filter(isOld(col("doc_a")) && isOld(col("doc_b")))
+      val newPairs = pairs.filter(!isOld(col("doc_a")) || !isOld(col("doc_b")))
+      val prior = Dedup.dupClusters(priorPairs, batch1, "doc_id")
+      val out = Dedup.dupClustersIncremental(prior, newPairs, batch2, "doc_id")
+      prior.unpersist(); pairs.unpersist()
+      out.orderBy(col("doc_id"))
+    },
+    d08.oracle,
+    "incremental connected components over a two-batch corpus replay (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
-      d15, d16, d17, m01)
+      d15, d16, d17, d18, m01)
 }
