@@ -26,7 +26,22 @@ object Scratch {
       println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
 
-    if (args.headOption.contains("d05pieces")) {
+    if (args.headOption.contains("d18pieces")) {
+      val docs = graft.sources.Tables.documents(spark, sfDir)
+      val pairs = graft.operators.Dedup.minhashLsh(docs, "doc_id", "text",
+        n = 3, k = 8, r = 2, minJaccard = 0.2, maxDf = 20).persist()
+      timed("pairs persist")(pairs.count())
+      val isOld = (c: org.apache.spark.sql.Column) => c % 10 < 7
+      val batch1 = docs.filter(isOld(col("doc_id")))
+      val batch2 = docs.filter(!isOld(col("doc_id")))
+      val priorPairs = pairs.filter(isOld(col("doc_a")) && isOld(col("doc_b")))
+      val newPairs = pairs.filter(!isOld(col("doc_a")) || !isOld(col("doc_b")))
+      var prior: org.apache.spark.sql.DataFrame = null
+      timed("prior propagate")(
+        { prior = graft.operators.Dedup.dupClusters(priorPairs, batch1, "doc_id"); prior.count() })
+      timed("incremental")(
+        graft.operators.Dedup.dupClustersIncremental(prior, newPairs, batch2, "doc_id").count())
+    } else if (args.headOption.contains("d05pieces")) {
       val docs = graft.sources.Tables.documents(spark, sfDir)
       val raw = graft.operators.Dedup.docShingles(docs, "doc_id", "text", 3).persist()
       timed("raw shingles persist")(raw.count())

@@ -13,6 +13,7 @@ object VectorFunctions {
 
   private val FuncName = "cosine_sim"
   private val LshName = "sign_lsh"
+  private val QuantName = "quantize_int8"
 
   /** Idempotently register the native expressions in the session's function
     * registry (temp functions — survive for the session lifetime). */
@@ -23,6 +24,8 @@ object VectorFunctions {
       LshName, exprs => SignLsh(exprs(0),
         exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      QuantName, exprs => QuantizeInt8(exprs(0)), "built-in")
   }
 
   /** Cosine similarity via the native expression; call [[register]] first. */
@@ -39,6 +42,26 @@ object VectorFunctions {
     val nb = aggregate(bd, lit(0.0), (acc, v) => acc + v * v)
     when(na === 0.0 || nb === 0.0, lit(0.0))
       .otherwise(dot / (sqrt(na) * sqrt(nb)))
+  }
+
+  /** Native int8 symmetric quantization → struct(scale, q_csv); call
+    * [[register]] first. The codegen'd hot path for bulk embedding
+    * compression — see [[QuantizeInt8]]. */
+  def quantizeInt8(v: Column): Column =
+    call_function(QuantName, v.cast("array<double>"))
+
+  /** Int8 quantization from built-ins only (`aggregate` max-abs +
+    * `transform` floor) — the no-extension fallback; identical semantics to
+    * [[quantizeInt8]] but evaluates interpreted per row. */
+  def quantizeInt8Fold(v: Column): Column = {
+    val ad = v.cast("array<double>")
+    val maxabs = aggregate(ad, lit(0.0), (acc, x) => greatest(acc, abs(x)))
+    struct(
+      when(maxabs === 0.0, lit(0.0)).otherwise(maxabs / 127).as("scale"),
+      when(maxabs === 0.0, array_join(transform(ad, _ => lit("0")), ","))
+        .otherwise(array_join(
+          transform(ad, x => floor(x / (maxabs / 127) + lit(0.5)).cast("string")), ","))
+        .as("q_csv"))
   }
 
   /** Deterministic random-hyperplane sign-LSH bucket for an embedding

@@ -226,13 +226,23 @@ object Dedup {
     * doc_id (prior labelings produced by this function satisfy both). */
   private def propagate(pairs: DataFrame, seedLabels: DataFrame,
                         maxIters: Int, reliableCheckpoint: Boolean): DataFrame = {
-    // persist the pair relation FIRST: the symmetric edge union references it
-    // twice, and an unpersisted `pairs` (e.g. a full MinHash-LSH lineage)
-    // would be recomputed once per union branch
-    val p = pairs.persist()
-    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
+    // Iterative rounds multiply per-shuffle fixed cost (task scheduling +
+    // checkpoint of every partition), so run the loop at a shuffle width
+    // sized for the LABEL relation, not the session default tuned for the
+    // corpus scans — same discipline as the streaming drains (CLAUDE.md).
+    // Size ∝ rows/64k keeps partitions meaningful at any scale: 8 locally,
+    // thousands at 100 TB. Restored before returning.
+    val spark = pairs.sparkSession
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val width = math.max(8L, seedLabels.count() / 65536L).toString
+    if (width.toLong < prevShuffle.toLong)
+      spark.conf.set("spark.sql.shuffle.partitions", width)
+    try propagateLoop(pairs, seedLabels, maxIters, reliableCheckpoint)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  private def propagateLoop(pairs: DataFrame, seedLabels: DataFrame,
+                            maxIters: Int, reliableCheckpoint: Boolean): DataFrame = {
     // Checkpoint (not just persist) each round: persist caches the DATA but
     // the logical plan still nests round-over-round, so after ~7 rounds the
     // plan tree is exponential and the driver OOMs just *printing* it (AQE
@@ -249,6 +259,17 @@ object Dedup {
           "reliableCheckpoint requires sparkContext.setCheckpointDir(...)")
         df.checkpoint(true)
       } else df.localCheckpoint(true)
+    // Checkpoint EDGES too (not just per-round labels): the pair lineage —
+    // persisted caches, broadcast joins, unions — would otherwise be
+    // re-ANALYZED by every round's plan; measured 5 s/round vs 1 s/round on
+    // the incremental path whose edges carry broadcast-join lineage. The
+    // persist around the union keeps the (possibly expensive) pair plan from
+    // evaluating once per symmetric branch during the one materialization.
+    val p = pairs.persist()
+    val edges = checkpointed(
+      p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    p.unpersist()
     var labels = checkpointed(seedLabels.select(col("doc_id"), col("cluster_id")))
     // Convergence metric: labels are monotonically non-increasing per doc, so
     // the label sum strictly decreases iff any label changed. Comparing sums
@@ -266,10 +287,12 @@ object Dedup {
       prev.select(col("doc_id"), col("cluster_id").as("prev_cluster"))
         .join(next, Seq("doc_id"))
         .filter(col("cluster_id") =!= col("prev_cluster")).count()
+    val debug = sys.env.contains("GRAFT_DEBUG_PROPAGATE")
     var prevSum = if (numericIds) labelSum(labels) else null
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
+      val tRound = System.nanoTime()
       // (a) edge step: min label over self + neighbors
       val viaEdges = edges
         .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
@@ -293,9 +316,10 @@ object Dedup {
       labels.unpersist()
       labels = next
       i += 1
+      if (debug) System.err.println(
+        f"[propagate] round $i: ${(System.nanoTime() - tRound) / 1e9}%.2f s")
     }
     edges.unpersist()
-    p.unpersist()
     if (!converged)
       throw new IllegalStateException(
         s"dupClusters did not converge after $maxIters rounds — component " +

@@ -158,20 +158,18 @@ object VectorQueries {
     * spelled identically on both engines (library `round` half-way rules
     * differ, and quantization hits exact .5 boundaries). The quantized
     * vector is emitted as a CSV string (driver checker can't hash arrays);
-    * `scale` is unrounded — same doubles, same ops, bit-identical. */
+    * `scale` is unrounded — same doubles, same ops, bit-identical. Runs on
+    * the native codegen'd [[graft.functions.QuantizeInt8]] (the HOF
+    * composition it replaced evaluates interpreted per row; kept as
+    * `VectorFunctions.quantizeInt8Fold`, equality spec'd). */
   val v05 = QueryDef(
     "v05_quantize_int8",
     (spark, dir) => {
-      val ad = col("embedding").cast("array<double>")
-      val maxabs = aggregate(ad, lit(0.0), (acc, v) => greatest(acc, abs(v)))
-      Tables.embeddings(spark, dir).select(
-          col("vec_id"),
-          when(maxabs === 0.0, lit(0.0)).otherwise(maxabs / 127).as("scale"),
-          when(maxabs === 0.0,
-              array_join(transform(ad, _ => lit("0")), ","))
-            .otherwise(array_join(
-              transform(ad, x => floor(x / (maxabs / 127) + lit(0.5)).cast("string")), ","))
-            .as("q_csv"))
+      VectorFunctions.register(spark)
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"),
+          VectorFunctions.quantizeInt8(col("embedding")).as("q"))
+        .select(col("vec_id"), col("q.scale").as("scale"), col("q.q_csv").as("q_csv"))
         .orderBy(col("vec_id"))
     },
     Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

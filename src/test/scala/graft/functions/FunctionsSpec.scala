@@ -71,4 +71,29 @@ class FunctionsSpec extends SparkSpec {
     assert(b1.toSeq == b2.toSeq)
     assert(b1.forall(b => b >= 0 && b < 256))
   }
+
+  test("quantizeInt8 native == HOF fold, including edge cases") {
+    VectorFunctions.register(spark)
+    // edge cases: empty array, zero vector, exact .5 rounding boundary
+    // (1.5/ (3.0/127) lands mid-integer only by construction below), negatives
+    val edge = Seq(
+      Seq.empty[Double],
+      Seq(0.0, 0.0),
+      Seq(3.0, 1.5, -3.0, -0.75),
+      Seq(127.0, -1.0, 0.5)).toDF("embedding")
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select($"embedding".cast("array<double>").as("embedding"))
+    for (df <- Seq(edge, emb)) {
+      val both = df.select(
+        VectorFunctions.quantizeInt8($"embedding").as("n"),
+        VectorFunctions.quantizeInt8Fold($"embedding").as("f"))
+      assert(both.filter($"n.scale" =!= $"f.scale" || $"n.q_csv" =!= $"f.q_csv")
+        .count() == 0)
+    }
+    val z = edge.select(VectorFunctions.quantizeInt8($"embedding").as("q"))
+      .select($"q.scale", $"q.q_csv").collect()
+    assert(z(0).getDouble(0) == 0.0 && z(0).getString(1) == "")
+    assert(z(1).getString(1) == "0,0")
+    assert(z(2).getString(1).split(",").head == "127")
+  }
 }
