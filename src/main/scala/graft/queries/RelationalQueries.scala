@@ -714,7 +714,40 @@ object RelationalQueries {
             |ORDER BY user_id, ts_us, event_id""".stripMargin),
     "RANGE-framed trailing event-time window (beyond reference)")
 
+  /** Skew-safe keyed dedup — q05's semantics through
+    * [[Relational.dedupKeyedAgg]] (min-struct aggregation, O(1) reducer
+    * state per key) instead of the window sort. Same oracle as q05: the
+    * hash match is the driver-gate proof that the skew-safe plan is
+    * result-identical (the q26 treatment, applied to D1). */
+  val q34 = QueryDef(
+    "q34_dedup_agg",
+    (spark, dir) => {
+      val ev = Tables.eventsUs(spark, dir)
+      Relational.dedupKeyedAgg(ev, Seq("user_id", "event_type"),
+          Seq("ts_us", "event_id"))
+        .select(col("user_id"), col("event_type"), col("event_id"), col("ts_us"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+    q05.oracle,
+    "D1 skew-safe dedup via min-struct aggregation, ≡ q05 (celebrity-key path)")
+
+  /** Skew-safe top-k per group — q16's semantics through
+    * [[Relational.topKPerGroupSalted]] (salted local top-k bounds any
+    * single sort at rows/saltFactor, then exact global top-k over
+    * k·saltFactor survivors). Same oracle as q16. */
+  val q35 = QueryDef(
+    "q35_topk_salted",
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+      Relational.topKPerGroupSalted(o, Seq("o_orderpriority"),
+          Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
+    },
+    q16.oracle,
+    "O2 skew-safe top-k per group via salted two-phase, ≡ q16 (celebrity-key path)")
+
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q12, q13, q14, q15, q16, q17, q18, q19, q21, q22, q23, q24, q25, q26,
-    q27, q28, q29, q30, q31, q32, q33)
+    q27, q28, q29, q30, q31, q32, q33, q34, q35)
 }
