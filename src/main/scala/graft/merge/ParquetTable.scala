@@ -75,11 +75,17 @@ final class ParquetTable(spark: SparkSession, root: String, schema: StructType,
 
   private def writeTo(df: DataFrame, dest: Path, mode: SaveMode): Unit = bucketBy match {
     case None => df.write.mode(mode).parquet(dest.toString)
-    case Some(_) =>
+    case Some((keys, _)) =>
       // one shuffle keyed by bucket → ~one file per touched bucket (without
-      // it every task writes a sliver into every bucket directory)
+      // it every task writes a sliver into every bucket directory).
+      // Sort within each bucket on the merge keys: parquet then records
+      // tight per-row-group min/max stats on the keys, so a keyed scan
+      // (merge probes, point lookups) skips whole row groups — the
+      // SCAN-side half of the Delta file-skipping story, on top of the
+      // bucket-directory pruning (PlanAuditSpec pins both).
       df.withColumn(BucketCol, bucketExpr)
         .repartition(col(BucketCol))
+        .sortWithinPartitions((BucketCol +: keys).map(col).toIndexedSeq: _*)
         .write.mode(mode).partitionBy(BucketCol).parquet(dest.toString)
   }
 

@@ -77,6 +77,52 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bucketed table writes key-sorted row groups that prune at scan time") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prevBlock = hc.get("parquet.block.size")
+    // tiny row groups so one file holds many — at production block sizes the
+    // same mechanics skip 128 MB chunks
+    hc.setInt("parquet.block.size", 16 * 1024)
+    def scannedRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan
+        .collect { case s: FileSourceScanExec => s }
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    try {
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("k", "long").add("payload", "string")
+      // hash-permuted keys: without the explicit within-bucket sort the file
+      // order is genuinely random in k, so every row group spans ~the full
+      // key range and nothing can be skipped
+      val data = spark.range(50000).select(
+        xxhash64(col("id")).as("k"), md5(col("id").cast("string")).as("payload"))
+      val root = java.nio.file.Files.createTempDirectory("rg-skip-").toString
+      val tbl = new graft.merge.ParquetTable(spark, root, schema, Some((Seq("k"), 2)))
+      tbl.overwrite(data)
+      val probe = data.orderBy("id").limit(1).collect()(0).getLong(0)
+      val sortedScan = scannedRows(tbl.read().filter(col("k") === probe))
+
+      // negative control — the same data written WITHOUT the sort: proves the
+      // assertion bites (stats exist, pruning is on) and pins the sort itself
+      val rawDir = java.nio.file.Files.createTempDirectory("rg-noskip-").toString
+      data.repartition(2).write.mode("overwrite").parquet(rawDir)
+      val unsortedScan = scannedRows(
+        spark.read.parquet(rawDir).filter(col("k") === probe))
+
+      assert(sortedScan <= 5000,
+        s"row-group skipping lost: key-sorted scan read $sortedScan of 50000 rows")
+      assert(unsortedScan > 10 * math.max(sortedScan, 1),
+        s"control failed: unsorted=$unsortedScan sorted=$sortedScan — " +
+          "pruning assertion would be vacuous")
+    } finally {
+      if (prevBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", prevBlock)
+    }
+  }
+
   test("hot paths stay inside whole-stage codegen") {
     // codegen wrappers only appear in the FINAL adaptive plan → execute first
     for (q <- Seq("q01_pricing_summary", "d02_token_count", "d11_quality_score")) {
