@@ -269,5 +269,22 @@ object StreamingQueries {
             |ORDER BY user_id, start_us""".stripMargin),
     "custom-state sessionization via flatMapGroupsWithState (batch path)")
 
-  def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07)
+  /** s07's sessionization on `transformWithState` (Spark 4's arbitrary-state
+    * API) — same `advance` state machine, same oracle; the batch path runs
+    * the processor once per key with no timers. Timer-based idle flushing is
+    * exercised by TwsSessionizerSpec on the RocksDB provider. */
+  val s08 = QueryDef(
+    "s08_transform_with_state",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.streaming.{StatefulSessionizer, TwsSessionizer}
+      val ev = graft.sources.Tables.eventsUs(spark, dir)
+        .selectExpr("user_id", "ts_us").as[StatefulSessionizer.Event]
+      TwsSessionizer.sessionize(ev, gapUs = 3600000000L).toDF()
+        .orderBy(col("user_id"), col("start_us"))
+    },
+    s07.oracle,
+    "custom-state sessionization via transformWithState (batch path)")
+
+  def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08)
 }
