@@ -557,6 +557,68 @@ object TextQueries {
            |ORDER BY doc_id""".stripMargin),
     "deterministic hash-based train/val/test split (LLM-pipeline op)")
 
+  /** Multimodal plumbing over a TRUE binary column: m01 derives media from
+    * text cast to binary (always valid UTF-8); this row exercises the
+    * binary-ingest path end-to-end — a payload spanning the full 0-255 byte
+    * range (1-4 chained md5 digests, hex-decoded) is written to parquet
+    * BINARY, read back, and fed through the same mapPartitions codec
+    * plumbing. The oracle rebuilds the identical bytes from the hex string
+    * (strpos nibble trick, d17 pattern) — no blob indexing needed. */
+  val m02 = QueryDef(
+    "m02_multimodal_binary",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+      val k = col("doc_id") % 4 + 1
+      val hexExpr = concat(
+        md5(col("doc_id").cast("string")),
+        when(k >= 2, md5((col("doc_id") + 1000000L).cast("string"))).otherwise(lit("")),
+        when(k >= 3, md5((col("doc_id") + 2000000L).cast("string"))).otherwise(lit("")),
+        when(k >= 4, md5((col("doc_id") + 3000000L).cast("string"))).otherwise(lit("")))
+      val fixture = docs.select(
+        col("doc_id").as("media_id"),
+        when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("kind"),
+        unhex(hexExpr).as("media"),
+        (col("doc_id") % 640 + 1).cast("int").as("width"),
+        (col("doc_id") % 480 + 1).cast("int").as("height"),
+        lit(16000).cast("int").as("sample_rate"))
+      // the binary-ingest path: persist as a parquet BINARY column, read back
+      val tmp = java.nio.file.Files.createTempDirectory("m02-media-").toString
+      fixture.write.mode("overwrite").parquet(tmp)
+      val media = spark.read.parquet(tmp).as[graft.operators.Multimodal.MediaRow]
+      graft.operators.Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          round(col("byte_entropy"), 6).as("byte_entropy"),
+          col("thumb_bytes"), col("n_frames"),
+          array_join(col("frame_offsets"), ",").as("frame_offsets"))
+        .orderBy(col("media_id"))
+    },
+    Some("""WITH m AS (SELECT doc_id AS media_id,
+           |    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+           |    md5(CAST(doc_id AS VARCHAR))
+           |      || CASE WHEN doc_id % 4 + 1 >= 2 THEN md5(CAST(doc_id + 1000000 AS VARCHAR)) ELSE '' END
+           |      || CASE WHEN doc_id % 4 + 1 >= 3 THEN md5(CAST(doc_id + 2000000 AS VARCHAR)) ELSE '' END
+           |      || CASE WHEN doc_id % 4 + 1 >= 4 THEN md5(CAST(doc_id + 3000000 AS VARCHAR)) ELSE '' END AS hex,
+           |    (doc_id % 640 + 1) * (doc_id % 480 + 1) AS px
+           |  FROM documents),
+           |b AS (SELECT media_id, length(hex) // 2 AS n_bytes, hex FROM m),
+           |bytes AS (SELECT media_id, n_bytes,
+           |    (strpos('0123456789abcdef', substr(hex, 2*i+1, 1)) - 1) * 16
+           |    + strpos('0123456789abcdef', substr(hex, 2*i+2, 1)) - 1 AS v
+           |  FROM b, unnest(range(n_bytes)) AS t(i)),
+           |cnt AS (SELECT media_id, n_bytes, v, count(*) AS c FROM bytes GROUP BY 1, 2, 3),
+           |ent AS (SELECT media_id,
+           |    -sum((c / CAST(n_bytes AS DOUBLE)) * ln(c / CAST(n_bytes AS DOUBLE)) / ln(2)) AS e
+           |  FROM cnt GROUP BY media_id)
+           |SELECT m.media_id, m.kind, CAST(b.n_bytes AS BIGINT) AS n_bytes,
+           |  round(coalesce(ent.e, 0.0) + 0.0, 6) AS byte_entropy,
+           |  CAST(greatest(1, b.n_bytes * 4096 // m.px) AS BIGINT) AS thumb_bytes,
+           |  CAST(4 AS INTEGER) AS n_frames,
+           |  array_to_string([CAST(i * b.n_bytes // 4 AS VARCHAR) for i in range(0, 4)], ',') AS frame_offsets
+           |FROM m JOIN b USING (media_id) LEFT JOIN ent USING (media_id)
+           |ORDER BY media_id""".stripMargin),
+    "multimodal plumbing over a true binary parquet column (LLM-pipeline op)")
+
   /** Incremental clustering: replay the corpus as two batches — docs with
     * doc_id % 10 < 7 are the prior snapshot, the rest arrive as a new batch —
     * and extend the prior labels with [[Dedup.dupClustersIncremental]]
@@ -586,5 +648,5 @@ object TextQueries {
 
   def defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
-      d15, d16, d17, d18, m01)
+      d15, d16, d17, d18, m01, m02)
 }

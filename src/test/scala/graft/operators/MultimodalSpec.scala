@@ -28,6 +28,19 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.filter($"byte_entropy" <= 0).count() == 0)
   }
 
+  test("m02 fixture is genuinely binary (full byte range, parquet roundtrip)") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val payload = docs.select(unhex(md5($"doc_id".cast("string"))).as("media"))
+    val tmp = java.nio.file.Files.createTempDirectory("m02-spec-").toString
+    payload.write.mode("overwrite").parquet(tmp)
+    val back = spark.read.parquet(tmp).as[Array[Byte]].collect()
+    // md5 bytes span the high half of the byte range — the property UTF-8
+    // text payloads (m01) can never exercise
+    assert(back.exists(_.exists(b => (b & 0xff) > 127)))
+    assert(back.forall(_.length == 16))
+  }
+
   test("Archiver writes exactly one json file per batch") {
     val landing = java.nio.file.Files.createTempDirectory("landing-").toString
     val batch = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
