@@ -26,7 +26,40 @@ object Scratch {
       println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
 
-    if (args.headOption.contains("d18pieces")) {
+    if (args.headOption.contains("sf1")) {
+      // synthetic sf1: 10 replicas of the sf0.1 documents, each replica's
+      // words prefixed with a replica tag — zero cross-replica shingle
+      // overlap, so the corpus is exactly 10 independent copies and pair
+      // count scales linearly (the honest 10x scaling shape)
+      import graft.operators.Dedup
+      val base = graft.sources.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+      val reps = (0 until 10).map { k =>
+        base.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"r$k$$1").as("text"))
+      }
+      val docs = reps.reduce(_ unionByName _)
+        .repartition(32).persist()
+      timed("sf1 corpus materialize (50k docs)")(docs.count())
+      timed("d01_exact")(Dedup.exact(docs, "doc_id", "text").count())
+      timed("d05_ngram_jaccard")(
+        Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, minJaccard = 0.2,
+          maxDf = 20).count())
+      timed("d06_minhash_lsh")(
+        Dedup.minhashLsh(docs, "doc_id", "text", n = 3, k = 8, r = 2,
+          minJaccard = 0.2, maxDf = 20).count())
+      timed("d08_dup_clusters")({
+        val pairs = Dedup.minhashLsh(docs, "doc_id", "text", n = 3, k = 8,
+          r = 2, minJaccard = 0.2, maxDf = 20)
+        Dedup.dupClusters(pairs, docs, "doc_id").count()
+      })
+      timed("d12_simhash_neardup")(
+        Dedup.simhashNearDup(
+          Dedup.simhashFeatures(
+            Dedup.docShingles(docs, "doc_id", "text", n = 3), "shingle",
+            bits = 32),
+          bits = 32, blocks = 4, maxHamming = 3).count())
+    } else if (args.headOption.contains("d18pieces")) {
       val docs = graft.sources.Tables.documents(spark, sfDir)
       val pairs = graft.operators.Dedup.minhashLsh(docs, "doc_id", "text",
         n = 3, k = 8, r = 2, minJaccard = 0.2, maxDf = 20).persist()
