@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions._
+
+/** The library's `SparkSessionExtensions` hook (SURVEY.md §7.4) — the
+  * deployment-grade registration path for the native expressions:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * }}}
+  *
+  * makes every graft native function available from pure SQL in every
+  * session of the application, with no per-session `register*` calls. The
+  * imperative `TextFunctions.registerNative` / `VectorFunctions.register`
+  * remain for programmatic use on an existing session; both paths build the
+  * identical `Expression` nodes, so plans and results are the same.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def info(name: String, clazz: Class[_]) =
+    new ExpressionInfo(clazz.getName, name)
+
+  private def intArg(e: Expression): Int = e.eval().asInstanceOf[Int]
+
+  /** (identifier, info, builder) triples for `injectFunction` — one per
+    * native expression. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cosine_sim"), info("cosine_sim", classOf[CosineSimilarity]),
+      (e: Seq[Expression]) => CosineSimilarity(e(0), e(1))),
+    (FunctionIdentifier("sign_lsh"), info("sign_lsh", classOf[SignLsh]),
+      (e: Seq[Expression]) => SignLsh(e(0), intArg(e(1)), intArg(e(2)))),
+    (FunctionIdentifier("quantize_int8"), info("quantize_int8", classOf[QuantizeInt8]),
+      (e: Seq[Expression]) => QuantizeInt8(e(0))),
+    (FunctionIdentifier("word_shingles"), info("word_shingles", classOf[WordShinglesExpr]),
+      (e: Seq[Expression]) => WordShinglesExpr(e(0), intArg(e(1)))),
+    (FunctionIdentifier("winnow_fps"), info("winnow_fps", classOf[WinnowingExpr]),
+      (e: Seq[Expression]) => WinnowingExpr(e(0), intArg(e(1)), intArg(e(2)))),
+    (FunctionIdentifier("content_fingerprint"), info("content_fingerprint", classOf[FingerprintExpr]),
+      (e: Seq[Expression]) => FingerprintExpr(e(0))))
+}

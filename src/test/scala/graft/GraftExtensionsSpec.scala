@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The spark.sql.extensions path: a session created with
+  * `spark.sql.extensions=graft.GraftExtensions` can call every native
+  * function from pure SQL with no register* call. */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("extension-created session exposes all native functions in SQL") {
+    val base = spark // force shared-session init before we swap actives
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // same SparkContext, fresh session. withExtensions is the same hook
+      // the static spark.sql.extensions conf calls at application launch —
+      // that conf is read from the SparkContext at JVM start, so a test
+      // sharing the context must inject through the builder instead
+      val s2 = SparkSession.builder()
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      assert(s2 ne base)
+      val row = s2.sql(
+        """SELECT
+          |  cosine_sim(array(3.0d, 4.0d), array(3.0d, 4.0d)) AS cos,
+          |  content_fingerprint('Hello,   World!') =
+          |    content_fingerprint('hello world') AS fp_eq,
+          |  quantize_int8(array(1.0d, -2.0d)).q_csv AS q,
+          |  size(word_shingles('a b c d', 3)) AS n_sh,
+          |  size(winnow_fps('abcdefghij', 4, 2)) AS n_fps,
+          |  sign_lsh(array(1.0d), 8, 64) AS bucket
+          |""".stripMargin).first()
+      assert(row.getDouble(0) == 1.0)
+      assert(row.getBoolean(1))
+      assert(row.getString(2) == "64,-127")
+      assert(row.getInt(3) == 2)
+      assert(row.getInt(4) >= 1)
+      assert(row.getLong(5) >= 0 && row.getLong(5) < 256)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+}
