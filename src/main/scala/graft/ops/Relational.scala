@@ -152,6 +152,51 @@ object Relational {
       .select(df.columns.map(c => col("__row").getField(c).as(c)).toIndexedSeq: _*)
   }
 
+  /** J9 — as-of join: attach to each left row the latest right row with
+    * `right.ts <= left.ts` on the same key (the point-in-time lookup behind
+    * feature back-fills, price marks, "last heartbeat before the error").
+    * Left-outer: unmatched left rows keep null payload.
+    *
+    * Deliberately NOT a θ-join on `r.ts <= l.ts` — that predicate has no
+    * equi component on time, so per key it degenerates to a nested-loop /
+    * exploded range join whose cost is |left|·|right| within the key. The
+    * scalable shape is the union trick: tag both sides, union, ONE shuffle
+    * on `keys`, one per-partition sort by `(ts, side)` (right rows sort
+    * before left rows at equal ts so `r.ts == l.ts` matches — DuckDB
+    * `ASOF ... ON l.ts >= r.ts` semantics), then carry the last non-null
+    * right payload forward with a running `last(ignoreNulls)` frame. Cost is
+    * sort + linear scan regardless of how sparse or dense either side is.
+    *
+    * Contract: `right` must be unique per `(keys, rightTs)` — pre-dedup with
+    * [[dedupKeyedAgg]] otherwise, or equal-ts right rows would be picked
+    * arbitrarily. `rightPayload` names must not collide with left columns.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String,
+               rightPayload: Seq[String]): DataFrame = {
+    val rPay = struct(rightPayload.map(col): _*)
+    val rPayType = right.select(rPay.as("p")).schema("p").dataType
+    val lRows = left.select(
+      left.columns.map(col).toIndexedSeq
+        :+ col(leftTs).as("__ts") :+ lit(1).as("__side")
+        :+ lit(null).cast(rPayType).as("__rpay"): _*)
+    val rRows = right.select(
+      left.schema.map { f =>
+        if (keys.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }.toIndexedSeq
+        :+ col(rightTs).as("__ts") :+ lit(0).as("__side")
+        :+ rPay.as("__rpay"): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lRows.unionByName(rRows)
+      .withColumn("__asof", last(col("__rpay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(col).toIndexedSeq
+        ++ rightPayload.map(p => col("__asof").getField(p).as(p)): _*)
+  }
+
   /** Skew-safe [[topKPerGroup]]: two-phase — salt splits each key over
     * `saltFactor` reducers for a local top-k (bounding any single sort at
     * rows-per-key / saltFactor), then the k·saltFactor survivors per key go

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.Relational
+import graft.ops.{RangeJoin, Relational}
 import graft.sources.Tables
 
 /** Core relational operator queries over the TPC-H-ish testdata — one per
@@ -747,7 +747,63 @@ object RelationalQueries {
     q16.oracle,
     "O2 skew-safe top-k per group via salted two-phase, ≡ q16 (celebrity-key path)")
 
+  /** As-of join — each purchase event picks up the user's latest click
+    * at-or-before it ([[Relational.asOfJoin]]: union + one keyed window,
+    * no range join). Oracle is DuckDB's native `ASOF LEFT JOIN`, so the
+    * hash match proves the union-window rewrite implements exactly the
+    * textbook as-of semantics (>= bound, left outer, per-key). */
+  val q36 = QueryDef(
+    "q36_asof_join",
+    (spark, dir) => {
+      val ev = Tables.eventsUs(spark, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts_us").as("click_ts"))
+      Relational.asOfJoin(purchases, clicks, Seq("user_id"),
+          "ts_us", "click_ts", Seq("click_id", "click_ts"))
+        .orderBy(col("event_id"))
+    },
+    Some(s"""WITH $evCte,
+            |l AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'purchase'),
+            |r AS (SELECT event_id AS click_id, user_id, ts_us AS click_ts
+            |      FROM ev WHERE event_type = 'click')
+            |SELECT l.event_id, l.user_id, l.ts_us, r.click_id, r.click_ts
+            |FROM l ASOF LEFT JOIN r
+            |  ON l.user_id = r.user_id AND l.ts_us >= r.click_ts
+            |ORDER BY l.event_id""".stripMargin),
+    "J9 as-of join via union+window (beyond reference; oracle = native ASOF)")
+
+  /** Global trailing-5-minute event count per event — a range join with NO
+    * equi key, rewritten as a binned equi join ([[RangeJoin
+    * .binnedPointInterval]]; span == binWidth → each interval replicates to
+    * exactly 2 bins). The DuckDB oracle states the same result as a global
+    * RANGE-framed window — fine on one node, but a global ORDER BY at 100 TB
+    * is exactly what the binned join avoids; the hash match proves the
+    * rewrite exact (bounds, peers at equal ts, self-inclusion). */
+  val q37 = QueryDef(
+    "q37_range_bin",
+    (spark, dir) => {
+      val binW = 300000000L // 5 min in µs
+      val ev = Tables.eventsUs(spark, dir)
+      val probes = ev.select(col("event_id"),
+        (col("ts_us") - binW).as("lo"), col("ts_us").as("hi"))
+      val pts = ev.select(col("ts_us").as("pt"))
+      RangeJoin.binnedPointInterval(pts, "pt", probes, "lo", "hi", binW)
+        .groupBy(col("event_id"), col("hi"))
+        .agg(count(lit(1)).as("n_trailing"))
+        .select(col("event_id"), col("hi").as("ts_us"), col("n_trailing"))
+        .orderBy(col("event_id"))
+    },
+    Some(s"""WITH $evCte
+            |SELECT event_id, ts_us,
+            |  count(*) OVER (ORDER BY ts_us
+            |    RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW) AS n_trailing
+            |FROM ev ORDER BY event_id""".stripMargin),
+    "no-equi-key range join via bin rewrite (beyond reference; scale lever)")
+
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q12, q13, q14, q15, q16, q17, q18, q19, q21, q22, q23, q24, q25, q26,
-    q27, q28, q29, q30, q31, q32, q33, q34, q35)
+    q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37)
 }

@@ -96,4 +96,57 @@ class RelationalSpec extends SparkSpec {
       .as[(Int, Int, Int)].collect().toSet
     assert(salted == onePhase)
   }
+
+  test("asOfJoin picks latest right at-or-before, left outer, equal-ts matches") {
+    val left = Seq((1L, 100L, "l1"), (1L, 200L, "l2"), (1L, 50L, "l0"),
+        (2L, 10L, "lx")).toDF("u", "ts", "lv")
+    val right = Seq((1L, 100L, "r100"), (1L, 150L, "r150"), (1L, 90L, "r90"),
+        (3L, 5L, "rz")).toDF("u", "rts", "rv")
+      .select($"u", $"rts", $"rv")
+    val got = Relational.asOfJoin(left, right, Seq("u"), "ts", "rts", Seq("rv"))
+      .as[(Long, Long, String, Option[String])].collect().toSet
+    assert(got == Set(
+      (1L, 100L, "l1", Some("r100")), // equal ts matches (>= bound)
+      (1L, 200L, "l2", Some("r150")), // latest of {90,100,150} <= 200
+      (1L, 50L, "l0", None),          // no right row at-or-before → null
+      (2L, 10L, "lx", None)))         // key absent on right → null
+  }
+
+  test("property: asOfJoin equals the naive per-row argmax lookup") {
+    val rng = new scala.util.Random(13)
+    val left = (0 until 200).map(i => (rng.nextInt(6).toLong, rng.nextInt(1000).toLong, i))
+      .toDF("u", "ts", "lid")
+    val right = (0 until 150).map(i => (rng.nextInt(6).toLong, rng.nextInt(1000).toLong, 1000 + i))
+      .toDF("u", "rts", "rid")
+    // contract: unique (key, rts) — dedup keeping max rid, as a caller would
+    val rightU = Relational.dedupKeyedAgg(
+      right.withColumn("neg", -$"rid"), Seq("u", "rts"), Seq("neg")).drop("neg")
+    val fast = Relational.asOfJoin(left, rightU, Seq("u"), "ts", "rts", Seq("rid"))
+      .as[(Long, Long, Int, Option[Int])].collect().toSet
+    val naive = {
+      val r = rightU.as[(Long, Long, Int)].collect()
+      left.as[(Long, Long, Int)].collect().map { case (u, ts, lid) =>
+        val m = r.filter(x => x._1 == u && x._2 <= ts)
+        (u, ts, lid, if (m.isEmpty) None else Some(m.maxBy(_._2)._3))
+      }.toSet
+    }
+    assert(fast == naive)
+  }
+
+  test("binnedPointInterval equals naive cross filter, closed bounds") {
+    val rng = new scala.util.Random(17)
+    val pts = (0 until 300).map(_ => rng.nextInt(5000).toLong).toDF("pt")
+    val ivs = (0 until 80).map { i =>
+      val lo = rng.nextInt(5000).toLong; (i, lo, lo + rng.nextInt(400).toLong)
+    }.toDF("iid", "lo", "hi")
+    val got = RangeJoin.binnedPointInterval(pts, "pt", ivs, "lo", "hi", 256L)
+      .select("iid", "pt").as[(Int, Long)].collect()
+    val naive = {
+      val p = pts.as[Long].collect(); val iv = ivs.as[(Int, Long, Long)].collect()
+      for { x <- p; (iid, lo, hi) <- iv if x >= lo && x <= hi } yield (iid, x)
+    }
+    // multiset equality: duplicates from repeated points must be preserved
+    assert(got.groupBy(identity).view.mapValues(_.length).toMap ==
+      naive.groupBy(identity).view.mapValues(_.length).toMap)
+  }
 }
