@@ -398,4 +398,43 @@ object Dedup {
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * partition the embedding space into `nlist` centroid cells, then within
+    * each cell drop every vector that has a LOWER-id cell-mate with cosine
+    * ≥ `minCos`. Keeps one deterministic representative per near-dup
+    * neighborhood; returns the kept `(idCol, cell)` rows.
+    *
+    * The cells are the whole scale story: pairwise cosine is quadratic, and
+    * cells bound it at O(Σ cell²) — pick `nlist` ∝ corpus size so cell
+    * population stays roughly constant and the per-cell work O(1). The
+    * within-cell pair join shuffles on `cell` (equi key); the centroid table
+    * is a bounded collect ([[Similarity.strideCentroids]]), the same class
+    * as a broadcast dimension. Assignment cosines are evaluated inside
+    * codegen against literal centroids — mirrorable by an oracle, unlike a
+    * trained k-means whose float means are shuffle-order dependent.
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String,
+                    cos: (Column, Column) => Column,
+                    nlist: Int, minCos: Double): DataFrame = {
+    val centroids = Similarity.strideCentroids(corpus, nlist)
+    val topCells = Similarity.topCellsOf(centroids, cos) _
+    val assigned = corpus
+      .withColumn("cell", element_at(topCells(col("embedding"), 1), 1).getField("cell"))
+      .select(col(idCol), col("embedding"), col("cell"))
+      .persist() // consumed three times below (a, b, keep side)
+    val a = assigned.select(col("cell"), col(idCol).as("id_a"), col("embedding").as("vec_a"))
+    val b = assigned.select(col("cell"), col(idCol).as("id_b"), col("embedding").as("vec_b"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(cos(col("vec_a"), col("vec_b")), 6) >= minCos)
+      .select(col("id_b").as(idCol)).distinct()
+    // materialize before releasing the assignment cache (repo convention:
+    // returned frame is persisted; caller unpersists)
+    val kept = assigned.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cell")).persist()
+    kept.count()
+    assigned.unpersist()
+    kept
+  }
 }

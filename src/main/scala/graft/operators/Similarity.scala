@@ -83,10 +83,10 @@ object Similarity {
     */
   /** Top-`take` centroid cells for a vector as an array of (cos, cell)
     * structs sorted descending — argmax over literal centroids, inside
-    * codegen. */
-  private def topCellsOf(centroids: Array[(Int, Seq[Double])],
-                         cos: (Column, Column) => Column)
-                        (v: Column, take: Int): Column = {
+    * codegen. Shared with [[Dedup.semanticDedup]]. */
+  private[graft] def topCellsOf(centroids: Array[(Int, Seq[Double])],
+                                cos: (Column, Column) => Column)
+                               (v: Column, take: Int): Column = {
     val scored = array(centroids.map { case (i, c) =>
       struct(cos(v, typedlit(c)).as("a"), lit(i).as("cell"))
     }.toIndexedSeq: _*)
@@ -121,16 +121,13 @@ object Similarity {
     cents
   }
 
-  def ivfTopK(queries: DataFrame, corpus: DataFrame,
-              cos: (Column, Column) => Column, k: Int,
-              nlist: Int = 16, nprobe: Int = 4,
-              kmeansIters: Int = 0): DataFrame = {
-    // centroid sampling without a global sort: count → deterministic stride
-    // sample on vec_id (`vec_id % stride == 0` — engine-portable, unlike a
-    // Murmur3 hash, so the DuckDB oracle mirrors cell assignment exactly) →
-    // TakeOrdered(limit) on the tiny survivor set. No single-partition
-    // window, no full-corpus shuffle. `kmeansIters > 0` refines the sample
-    // with Lloyd iterations ([[kmeansRefine]]) for tighter cells.
+  /** Deterministic stride-sampled centroids: count → `vec_id % stride == 0`
+    * (engine-portable, unlike a Murmur3 hash, so DuckDB oracles can mirror
+    * cell assignment exactly) → TakeOrdered(limit) on the tiny survivor set.
+    * No single-partition window, no full-corpus shuffle; the collect is
+    * O(nlist·dims) — the same bounded class as a broadcast dimension. */
+  private[graft] def strideCentroids(corpus: DataFrame,
+                                     nlist: Int): Array[(Int, Seq[Double])] = {
     val n = corpus.count()
     val stride = math.max(1L, n / nlist)
     val seed: Array[(Int, Seq[Double])] = corpus
@@ -139,7 +136,17 @@ object Similarity {
       .select(col("embedding").cast("array<double>"))
       .collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](0)) }
-    require(seed.nonEmpty, "ivfTopK: empty corpus")
+    require(seed.nonEmpty, "strideCentroids: empty corpus")
+    seed
+  }
+
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              cos: (Column, Column) => Column, k: Int,
+              nlist: Int = 16, nprobe: Int = 4,
+              kmeansIters: Int = 0): DataFrame = {
+    // `kmeansIters > 0` refines the stride sample with Lloyd iterations
+    // ([[kmeansRefine]]) for tighter cells.
+    val seed = strideCentroids(corpus, nlist)
     val centroids =
       if (kmeansIters <= 0) seed else kmeansRefine(corpus, seed, kmeansIters, cos)
 

@@ -182,5 +182,43 @@ object VectorQueries {
            |FROM m ORDER BY vec_id""".stripMargin),
     "int8 symmetric quantization of embeddings (LLM-pipeline op)")
 
-  def defs: Seq[QueryDef] = Seq(v01, v02, v03, v04, v05)
+  /** SemDeDup semantic dedup — IVF-cell blocking + within-cell lower-id
+    * cosine drop ([[Dedup.semanticDedup]]). τ=0.3 is tuned to the testdata's
+    * near-random vectors (max pairwise cos ≈ 0.51; a real embedding corpus
+    * would run ≈0.9): 146 of 500 drop at sf0.01, so the anti-join path is
+    * exercised non-trivially. The oracle mirrors the v04 cell-assignment CTE
+    * plus the drop rule, so the hash match pins blocking, threshold
+    * rounding, and keep-min-id semantics end-to-end. */
+  val v06 = QueryDef(
+    "v06_semantic_dedup",
+    (spark, dir) => {
+      VectorFunctions.register(spark)
+      val kept = Dedup.semanticDedup(Tables.embeddings(spark, dir), "vec_id",
+          VectorFunctions.cosineSim, nlist = 16, minCos = 0.3)
+        .orderBy(col("vec_id"))
+      kept
+    },
+    Some {
+      val nlist = 16; val tau = 0.3
+      val affCos = cosSql("e.emb", "cent.cemb")
+      val cos = cosSql("ea.emb", "eb.emb")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, emb AS cemb
+         |  FROM e WHERE vec_id % greatest(1, (SELECT count(*) FROM e) // $nlist) = 0
+         |  ORDER BY vec_id LIMIT $nlist),
+         |aff AS (SELECT e.vec_id, cent.cell, $affCos AS a FROM e, cent),
+         |assign AS (SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell DESC) AS rn
+         |    FROM aff) WHERE rn = 1),
+         |drops AS (SELECT DISTINCT b.vec_id
+         |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+         |  WHERE round($cos, 6) >= $tau)
+         |SELECT s.vec_id, s.cell FROM assign s
+         |WHERE s.vec_id NOT IN (SELECT vec_id FROM drops)
+         |ORDER BY s.vec_id""".stripMargin
+    },
+    "SemDeDup semantic dedup: IVF cells + within-cell cosine drop (LLM-pipeline op)")
+
+  def defs: Seq[QueryDef] = Seq(v01, v02, v03, v04, v05, v06)
 }

@@ -172,4 +172,21 @@ class OperatorsSpec extends SparkSpec {
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
     assert((bf & lsh).size.toDouble / bf.size >= 0.6)
   }
+
+  test("semanticDedup keeps the min-id representative per near-dup neighborhood") {
+    VectorFunctions.register(spark)
+    // 6 vectors, stride centroids = ids 0 and 3 (n=6, nlist=2 → stride 3).
+    // Cell 0 ≈ x-axis {0,1,2}, cell 1 ≈ y-axis {3,4}; id 5 is orthogonal to
+    // both centroids (cos 0 ties → higher cell) and near-dup to nobody.
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(1f, 0.01f, 0f, 0f)),
+      (2L, Seq(0.9f, 0f, 0.1f, 0f)), (3L, Seq(0f, 1f, 0f, 0f)),
+      (4L, Seq(0f, 1f, 0.01f, 0f)), (5L, Seq(0f, 0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedup(emb, "vec_id",
+        VectorFunctions.cosineSim, nlist = 2, minCos = 0.9)
+    val got = kept.as[(Long, Int)].collect().toMap
+    kept.unpersist()
+    assert(got == Map(0L -> 0, 3L -> 1, 5L -> 1)) // 1,2,4 dropped to a lower id
+  }
 }
