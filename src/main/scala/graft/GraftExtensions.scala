@@ -45,5 +45,8 @@ object GraftExtensions {
     (FunctionIdentifier("winnow_fps"), info("winnow_fps", classOf[WinnowingExpr]),
       (e: Seq[Expression]) => WinnowingExpr(e(0), intArg(e(1)), intArg(e(2)))),
     (FunctionIdentifier("content_fingerprint"), info("content_fingerprint", classOf[FingerprintExpr]),
-      (e: Seq[Expression]) => FingerprintExpr(e(0))))
+      (e: Seq[Expression]) => FingerprintExpr(e(0))),
+    (FunctionIdentifier("bloom_might_contain"), info("bloom_might_contain", classOf[BloomMightContain]),
+      (e: Seq[Expression]) => BloomMightContain(e(0),
+        e(1).eval().asInstanceOf[Array[Byte]])))
 }

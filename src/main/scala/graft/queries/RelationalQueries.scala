@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.{RangeJoin, Relational}
+import graft.ops.{BloomPrune, RangeJoin, Relational}
 import graft.sources.Tables
 
 /** Core relational operator queries over the TPC-H-ish testdata — one per
@@ -803,7 +803,32 @@ object RelationalQueries {
             |FROM ev ORDER BY event_id""".stripMargin),
     "no-equi-key range join via bin rewrite (beyond reference; scale lever)")
 
+  /** Bloom-pruned semi-join reduction — orders joined to BUILDING-segment
+    * customers through [[BloomPrune.prunedEquiJoin]]: the fact side is
+    * pre-filtered by a native [[graft.functions.BloomMightContain]] probe of
+    * the dimension keys before the join shuffle. Oracle is the PLAIN join
+    * SQL — the hash match is the driver-gate proof that bloom pruning never
+    * drops a true match and the join removes every false positive (the q26
+    * treatment, applied to semi-join reduction). */
+  val q38 = QueryDef(
+    "q38_bloom_prune",
+    (spark, dir) => {
+      val dim = Tables.customer(spark, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_name"))
+      BloomPrune.prunedEquiJoin(Tables.orders(spark, dir), dim,
+          "o_custkey", "c_custkey", expectedItems = 2000)
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+          col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_custkey, c_name, o_totalprice
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |WHERE c_mktsegment = 'BUILDING'
+           |ORDER BY o_orderkey""".stripMargin),
+    "bloom-filter semi-join reduction, ≡ plain join (beyond reference; scale lever)")
+
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q12, q13, q14, q15, q16, q17, q18, q19, q21, q22, q23, q24, q25, q26,
-    q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37)
+    q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38)
 }
