@@ -803,6 +803,66 @@ object RelationalQueries {
             |FROM ev ORDER BY event_id""".stripMargin),
     "no-equi-key range join via bin rewrite (beyond reference; scale lever)")
 
+  /** HyperLogLog distinct-count sketch (raw estimator) — the other classic
+    * bounded-state sketch next to q30's KMV: 256 registers (p=8), register =
+    * max leading-zero rank of a 52-bit md5 slice, estimate = α·m²/Σ2^−M.
+    * Registers are max-mergeable (per-partition partial agg → one shuffle of
+    * ≤256 rows), the sketch state is 256 bytes at ANY corpus size, and
+    * everything stays md5-deterministic. Float-parity trick: Σ2^−M is summed
+    * as INTEGER dyadics 2^(52−M) (exact, order-free — a double sum of mixed
+    * magnitudes would be shuffle-order dependent), with the 2^52 scale
+    * divided back out in one exact-rounded double expression, so the
+    * estimate is bit-identical across engines. No small/large-range
+    * correction branches — those need ln(), which differs at ulp level
+    * between libm implementations. */
+  val q39 = QueryDef(
+    "q39_hll_distinct",
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+      val parts = li.select(
+        expr("cast(conv(substring(md5(cast(l_orderkey as string)), 1, 2), 16, 10) as int)")
+          .as("bucket"),
+        expr("cast(conv(substring(md5(cast(l_orderkey as string)), 3, 13), 16, 10) as bigint)")
+          .as("v"))
+      val rhoCase = (1 to 52)
+        .map(r => s"WHEN v >= ${1L << (52 - r)} THEN $r")
+        .mkString("CASE ", " ", " ELSE 52 END")
+      val regs = parts.withColumn("rho", expr(rhoCase))
+        .groupBy(col("bucket")).agg(max(col("rho")).as("m_rho"))
+      val s = regs.agg(
+        sum(expr("shiftleft(cast(1 as bigint), 52 - m_rho)")).as("s_occ"),
+        count(lit(1)).as("n_occ"))
+      val exact = li.agg(countDistinct(col("l_orderkey")).as("n_exact"))
+      s.crossJoin(exact).select(
+        col("n_exact"),
+        (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256)) * lit(65536)
+          * lit(4503599627370496.0)
+          / (col("s_occ") + (lit(256) - col("n_occ")) * lit(4503599627370496L))
+            .cast("double")).as("hll_estimate"))
+    },
+    Some {
+      val nibble = (i: Int) =>
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+      val bucket = s"${nibble(1)} * 16 + ${nibble(2)}"
+      val v = (0 to 12)
+        .map(j => s"${nibble(3 + j)} * ${math.pow(16, 12 - j).toLong}")
+        .mkString(" + ")
+      val rhoCase = (1 to 52)
+        .map(r => s"WHEN v >= ${1L << (52 - r)} THEN $r")
+        .mkString("CASE ", " ", " ELSE 52 END")
+      s"""WITH hx AS (SELECT md5(CAST(l_orderkey AS VARCHAR)) AS h FROM lineitem),
+         |parts AS (SELECT $bucket AS bucket, $v AS v FROM hx),
+         |rho AS (SELECT bucket, $rhoCase AS rho FROM parts),
+         |regs AS (SELECT bucket, max(rho) AS m_rho FROM rho GROUP BY bucket),
+         |s AS (SELECT sum(1::BIGINT << (52 - m_rho)) AS s_occ, count(*) AS n_occ FROM regs)
+         |SELECT (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS n_exact,
+         |  CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / 256)
+         |    * 65536 * CAST(4503599627370496 AS DOUBLE)
+         |    / CAST(s_occ + (256 - n_occ) * 4503599627370496 AS DOUBLE) AS hll_estimate
+         |FROM s""".stripMargin
+    },
+    "HyperLogLog distinct sketch: 256-byte mergeable state, bit-exact oracle")
+
   /** Bloom-pruned semi-join reduction — orders joined to BUILDING-segment
     * customers through [[BloomPrune.prunedEquiJoin]]: the fact side is
     * pre-filtered by a native [[graft.functions.BloomMightContain]] probe of
@@ -830,5 +890,5 @@ object RelationalQueries {
 
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q12, q13, q14, q15, q16, q17, q18, q19, q21, q22, q23, q24, q25, q26,
-    q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38)
+    q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39)
 }

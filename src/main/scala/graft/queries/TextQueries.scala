@@ -646,7 +646,86 @@ object TextQueries {
     d08.oracle,
     "incremental connected components over a two-batch corpus replay (LLM-pipeline op)")
 
+  /** Deterministic stratified sampling — downsample the dominant language,
+    * keep the tails ([[graft.operators.Sampling.stratifiedSample]]: salted
+    * md5 byte vs per-stratum threshold). The rebalancing pass every
+    * multilingual corpus runs; salt 's19' decorrelates it from the d17
+    * train/val/test split, which hashes the same ids unsalted. */
+  val d19 = QueryDef(
+    "d19_stratified_sample",
+    (spark, dir) => {
+      graft.operators.Sampling.stratifiedSample(
+          Tables.documents(spark, dir), "doc_id", "lang",
+          rates = Map("en" -> 0.25, "zh" -> 0.5), defaultRate = 0.75,
+          salt = "s19")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, lang FROM (
+           |  SELECT doc_id, lang,
+           |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || 's19'), 1, 1)) - 1) * 16
+           |    + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || 's19'), 2, 1)) - 1 AS b,
+           |    CASE lang WHEN 'en' THEN 64 WHEN 'zh' THEN 128 ELSE 192 END AS thr
+           |  FROM documents)
+           |WHERE b < thr ORDER BY doc_id""".stripMargin),
+    "deterministic stratified corpus rebalancing (LLM-pipeline op)")
+
+  /** TF-IDF / BM25 term scoring over a query vocabulary. Tokenize → explode
+    * → (doc, term) counts → df per term → per-row BM25. The idf factor is
+    * the RATIONAL Robertson form (N - df + 0.5)/(df + 0.5) WITHOUT the log:
+    * every op is then IEEE exact-rounded (+,·,/) and bit-identical across
+    * engines, where ln() differs at ulp level between libm implementations
+    * (CLAUDE.md float rule 3). Monotone in df, so per-term document ranking
+    * is unchanged; at 100 TB the shape is two keyed aggregations (doc, term)
+    * + a broadcast of |vocab| df counts — no full-corpus shuffle beyond the
+    * token explode. */
+  val d20 = QueryDef(
+    "d20_tfidf_bm25",
+    (spark, dir) => {
+      val vocab = Seq("spark", "vector", "merge", "table")
+      val k1 = 1.2; val b = 0.75
+      val docs = Tables.documents(spark, dir)
+      val toks = docs.select(col("doc_id"),
+        filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "").as("toks"))
+      val dl = toks.select(col("doc_id"), size(col("toks")).as("dl"))
+      val stats = dl.agg(sum(col("dl")).as("sum_dl"),
+        count(lit(1)).as("n_docs"))
+      val tf = toks.select(col("doc_id"), explode(col("toks")).as("term"))
+        .filter(col("term").isin(vocab: _*))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(dfc), "term").join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf_r",
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+        .withColumn("bm25",
+          col("idf_r") * (col("tf") * lit(k1 + 1)) /
+            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") /
+              (col("sum_dl") / col("n_docs")))))
+      scored.select(col("doc_id"), col("term"), col("tf"), col("df"),
+          col("dl"), col("bm25"))
+        .orderBy(col("doc_id"), col("term"))
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+           |  FROM documents),
+           |dl AS (SELECT doc_id, CAST(length(toks) AS INTEGER) AS dl FROM toks),
+           |stats AS (SELECT sum(dl) AS sum_dl, count(*) AS n_docs FROM dl),
+           |tf AS (SELECT doc_id, term, count(*) AS tf
+           |  FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+           |  WHERE term IN ('spark', 'vector', 'merge', 'table')
+           |  GROUP BY doc_id, term),
+           |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+           |SELECT tf.doc_id, tf.term, tf.tf, dfc.df, dl.dl,
+           |  ((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+           |    * (tf * CAST(2.2 AS DOUBLE))
+           |    / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+           |       + CAST(0.75 AS DOUBLE) * dl / (sum_dl / n_docs))) AS bm25
+           |FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+           |ORDER BY doc_id, term""".stripMargin),
+    "TF-IDF / BM25 term scoring, log-free rational idf (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
-      d15, d16, d17, d18, m01, m02)
+      d15, d16, d17, d18, d19, d20, m01, m02)
 }
