@@ -286,5 +286,23 @@ object StreamingQueries {
     s07.oracle,
     "custom-state sessionization via transformWithState (batch path)")
 
-  def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08)
+  /** D1 streaming, Spark 3.5+ API — `dropDuplicatesWithinWatermark`: dedup
+    * keys EXCLUDE the event-time column (unlike s02's dropDuplicates, which
+    * must key on it to ever evict); state for a key expires once the
+    * watermark passes its last-seen time + delay, the shape that holds for
+    * endless streams whose duplicates cluster in time. Same full-row key
+    * set → same DISTINCT oracle as s02; the drain ingests everything inside
+    * one watermark window, so no state expires mid-run and the result is
+    * exactly the batch DISTINCT. */
+  val s09 = QueryDef(
+    "s09_dedup_within_watermark",
+    (spark, dir) => drain(spark, dir, "append") { ev =>
+      ev.withWatermark("ts_utc", "365 days")
+        .dropDuplicatesWithinWatermark(Seq("user_id", "event_type", "value", "ts_us"))
+        .select(col("user_id"), col("event_type"), col("value"), col("ts_us"))
+    }.orderBy(col("user_id"), col("ts_us"), col("event_type"), col("value")),
+    s02.oracle,
+    "D1 streaming dedup-within-watermark, bounded state (Spark 3.5+ API)")
+
+  def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09)
 }

@@ -123,6 +123,32 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q36 as-of join: one keyed window, no range/nested-loop join") {
+    val p = planOf("q36_asof_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of join degenerated to a non-equi join:\n$p")
+    assert(p.contains("Window"), s"expected the union+window shape:\n$p")
+  }
+
+  test("q37 binned range join plans as an equi hash join, not a cartesian") {
+    val p = planOf("q37_range_bin")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"bin rewrite lost its equi-join shape:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to all-pairs:\n$p")
+  }
+
+  test("q38: bloom probe filters the fact side BELOW the join") {
+    val df = Registry.queries("q38_bloom_prune")(spark, sf001)
+    val p = df.queryExecution.executedPlan.toString
+    val filterLine = p.linesIterator.indexWhere(_.contains("bloom_might_contain"))
+    val joinLine = p.linesIterator.indexWhere(l =>
+      l.contains("HashJoin") || l.contains("SortMergeJoin"))
+    assert(filterLine >= 0, s"bloom probe missing from the plan:\n$p")
+    assert(joinLine >= 0 && filterLine > joinLine,
+      s"bloom probe not below the join (join@$joinLine, probe@$filterLine):\n$p")
+  }
+
   test("hot paths stay inside whole-stage codegen") {
     // codegen wrappers only appear in the FINAL adaptive plan → execute first
     for (q <- Seq("q01_pricing_summary", "d02_token_count", "d11_quality_score")) {
