@@ -48,5 +48,7 @@ object GraftExtensions {
       (e: Seq[Expression]) => FingerprintExpr(e(0))),
     (FunctionIdentifier("bloom_might_contain"), info("bloom_might_contain", classOf[BloomMightContain]),
       (e: Seq[Expression]) => BloomMightContain(e(0),
-        e(1).eval().asInstanceOf[Array[Byte]])))
+        e(1).eval().asInstanceOf[Array[Byte]])),
+    (FunctionIdentifier("interleave_bits"), info("interleave_bits", classOf[InterleaveBits]),
+      (e: Seq[Expression]) => InterleaveBits(e(0), e(1))))
 }
