@@ -888,7 +888,38 @@ object RelationalQueries {
            |ORDER BY o_orderkey""".stripMargin),
     "bloom-filter semi-join reduction, ≡ plain join (beyond reference; scale lever)")
 
+  /** Calendar gap-fill (densification): every day in each user's active
+    * range appears, zero-filled when eventless — the sequence → explode →
+    * left-join shape behind every time-series continuity report. Day ids
+    * are exact integral `div` on epoch-µs (rule 1); the per-user sequence
+    * explode is bounded by the user's own span, so the fan-out is data-
+    * proportional, not cross-join-shaped. */
+  val q40 = QueryDef(
+    "q40_gap_fill",
+    (spark, dir) => {
+      val dayUs = 86400000000L
+      val ev = Tables.eventsUs(spark, dir)
+        .select(col("user_id"), expr(s"ts_us div ${dayUs}L").as("d"))
+      val perDay = ev.groupBy(col("user_id"), col("d")).agg(count(lit(1)).as("n"))
+      val spans = ev.groupBy(col("user_id"))
+        .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      spans.select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("d"))
+        .join(perDay, Seq("user_id", "d"), "left")
+        .select(col("user_id"), col("d"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy(col("user_id"), col("d"))
+    },
+    Some(s"""WITH $evCte,
+            |days AS (SELECT user_id, ts_us // 86400000000 AS d FROM ev),
+            |per_day AS (SELECT user_id, d, count(*) AS n FROM days GROUP BY 1, 2),
+            |spans AS (SELECT user_id, unnest(generate_series(min(d), max(d))) AS d
+            |  FROM days GROUP BY user_id)
+            |SELECT s.user_id, s.d, coalesce(p.n, 0) AS n
+            |FROM spans s LEFT JOIN per_day p ON s.user_id = p.user_id AND s.d = p.d
+            |ORDER BY s.user_id, s.d""".stripMargin),
+    "calendar gap-fill densification via sequence+explode (beyond reference)")
+
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q12, q13, q14, q15, q16, q17, q18, q19, q21, q22, q23, q24, q25, q26,
-    q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39)
+    q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40)
 }
