@@ -399,6 +399,27 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Benchmark decontamination (GPT-3 App. C / Dolma style): flag corpus
+    * documents that share any word n-gram with a benchmark/eval set, so
+    * training data can be scrubbed of test-set leakage. Returns
+    * `(doc_id, n_shared)` for flagged docs only.
+    *
+    * Scale shape: an eval set is always tiny relative to the corpus, so its
+    * distinct shingle universe is broadcast; the corpus makes ONE streaming
+    * pass through the codegen'd shingler and a broadcast join — the 100 TB
+    * corpus is never shuffled. Real pipelines use 8–13-grams; pick `n` at
+    * the discrimination point of the corpus' vocabulary (the testdata's
+    * 31-word synthetic vocab discriminates at 4).
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String, n: Int): DataFrame = {
+    val cs = docShingles(corpus, idCol, textCol, n)
+    val bs = docShingles(benchmark, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+    cs.join(broadcast(bs), Seq("shingle"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * partition the embedding space into `nlist` centroid cells, then within
     * each cell drop every vector that has a LOWER-id cell-mate with cosine

@@ -725,7 +725,64 @@ object TextQueries {
            |ORDER BY doc_id, term""".stripMargin),
     "TF-IDF / BM25 term scoring, log-free rational idf (LLM-pipeline op)")
 
+  /** Test-set decontamination — flag train/val documents sharing any 4-gram
+    * with the d17 test split ([[Dedup.decontaminate]]: benchmark shingles
+    * broadcast, corpus never shuffled). 4-grams are this corpus' n-gram
+    * discrimination point (n=5 flags nothing on a 31-word vocab; real
+    * pipelines run 8–13-grams); 8 of 489 train docs flag at sf0.01. */
+  val d21 = QueryDef(
+    "d21_decontaminate",
+    (spark, dir) => {
+      val byte = (id: Column) => conv(substring(md5(id.cast("string")), 1, 2), 16, 10)
+        .cast("int")
+      val docs = Tables.documents(spark, dir)
+      val corpus = docs.filter(byte(col("doc_id")) < 250)
+      val bench = docs.filter(byte(col("doc_id")) >= 250)
+      Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 4)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH b AS (SELECT doc_id,
+           |  (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+           |  + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS hb, text
+           |  FROM documents),
+           |toks AS (SELECT doc_id, hb,
+           |  CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\s+') END AS w
+           |  FROM b),
+           |sh AS (SELECT doc_id, hb, unnest(list_distinct(
+           |    CASE WHEN length(w) < 4 THEN []
+           |         ELSE [array_to_string(list_slice(w, i+1, i+4), ' ') for i in range(0, length(w)-3)] END)) AS shingle
+           |  FROM toks),
+           |bench AS (SELECT DISTINCT shingle FROM sh WHERE hb >= 250)
+           |SELECT sh.doc_id, count(*) AS n_shared
+           |FROM sh JOIN bench USING (shingle) WHERE sh.hb < 250
+           |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin),
+    "benchmark decontamination: n-gram overlap vs eval split (LLM-pipeline op)")
+
+  /** Per-source quota capping (RefinedWeb/C4-style source balancing): keep
+    * at most k documents per source, chosen by salted-hash order — an
+    * unbiased deterministic draw, not "first k by id". Rides the skew-safe
+    * [[graft.ops.Relational.topKPerGroupSalted]] (a hot source at 100 TB is
+    * precisely the celebrity-key case). */
+  val d22 = QueryDef(
+    "d22_source_cap",
+    (spark, dir) => {
+      val order = Seq(
+        md5(concat(col("doc_id").cast("string"), lit("s22"))).asc,
+        col("doc_id").asc)
+      graft.ops.Relational.topKPerGroupSalted(
+          Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+          Seq("source"), order, k = 10)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, source FROM (
+           |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+           |    ORDER BY md5(CAST(doc_id AS VARCHAR) || 's22'), doc_id) AS rn
+           |  FROM documents)
+           |WHERE rn <= 10 ORDER BY doc_id""".stripMargin),
+    "per-source quota cap via salted-hash draw (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
-      d15, d16, d17, d18, d19, d20, m01, m02)
+      d15, d16, d17, d18, d19, d20, d21, d22, m01, m02)
 }

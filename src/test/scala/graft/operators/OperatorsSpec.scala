@@ -173,6 +173,19 @@ class OperatorsSpec extends SparkSpec {
     assert((bf & lsh).size.toDouble / bf.size >= 0.6)
   }
 
+  test("decontaminate flags exactly the docs sharing an n-gram with the benchmark") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // shares "beta gamma delta" ✔
+      (2L, "one two three four five"),        // no overlap
+      (3L, "x beta gamma delta y z")          // shares ✔
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "q beta gamma delta r")).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(1L, 3L))
+    assert(got(1L) == 1L && got(3L) == 1L) // exactly one shared 3-gram each
+  }
+
   test("semanticDedup keeps the min-id representative per near-dup neighborhood") {
     VectorFunctions.register(spark)
     // 6 vectors, stride centroids = ids 0 and 3 (n=6, nlist=2 → stride 3).
