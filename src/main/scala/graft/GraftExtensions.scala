@@ -50,5 +50,10 @@ object GraftExtensions {
       (e: Seq[Expression]) => BloomMightContain(e(0),
         e(1).eval().asInstanceOf[Array[Byte]])),
     (FunctionIdentifier("interleave_bits"), info("interleave_bits", classOf[InterleaveBits]),
-      (e: Seq[Expression]) => InterleaveBits(e(0), e(1))))
+      (e: Seq[Expression]) => InterleaveBits(e(0), e(1))),
+    (FunctionIdentifier("nearest_cells"), info("nearest_cells", classOf[NearestCellsExpr]),
+      (e: Seq[Expression]) => NearestCellsExpr(e(0),
+        e(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toDoubleArray(),
+        e(2).eval().asInstanceOf[Int], e(3).eval().asInstanceOf[Int])))
 }

@@ -59,6 +59,78 @@ object Scratch {
             Dedup.docShingles(docs, "doc_id", "text", n = 3), "shingle",
             bits = 32),
           bits = 32, blocks = 4, maxHamming = 3).count())
+    } else if (args.headOption.contains("sf1new")) {
+      // 10x scaling points for the round-3 operators, same independence
+      // construction as `sf1`: each replica is disjoint in the operator's
+      // join/blocking dimension, so the honest linear-scaling shape is 10
+      // independent copies of the sf0.1 problem.
+      import graft.operators.{Dedup, Sampling}
+      import graft.ops.{RangeJoin, Relational}
+      // documents: word-prefixed replicas (zero cross-replica shingles)
+      val base = graft.sources.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"), col("source"))
+      val docs = (0 until 10).map { k =>
+        base.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"r$k$$1").as("text"),
+          concat(lit(s"r$k"), col("source")).as("source"))
+      }.reduce(_ unionByName _).repartition(32).persist()
+      timed("docs materialize (50k)")(docs.count())
+      val hb = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("int")
+      timed("d21_decontaminate")(
+        Dedup.decontaminate(docs.filter(hb < 250), docs.filter(hb >= 250),
+          "doc_id", "text", n = 4).count())
+      timed("d22_source_cap")(
+        Relational.topKPerGroupSalted(docs.select(col("doc_id"), col("source")),
+          Seq("source"),
+          Seq(md5(concat(col("doc_id").cast("string"), lit("s22"))).asc,
+            col("doc_id").asc), 10).count())
+      docs.unpersist()
+      // events: time- and user-shifted replicas (disjoint keys AND spans)
+      val ev = graft.sources.Tables.eventsUs(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"))
+      val yearUs = 31536000000000L
+      val evx = (0 until 10).map { k =>
+        ev.select((col("event_id") + lit(k * 10000000L)).as("event_id"),
+          (col("user_id") + lit(k * 1000000L)).as("user_id"),
+          (col("ts_us") + lit(k * yearUs)).as("ts_us"), col("event_type"))
+      }.reduce(_ unionByName _).repartition(32).persist()
+      timed("events materialize (1M)")(evx.count())
+      timed("q36_asof_join") {
+        val purchases = evx.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_us"))
+        val clicks = evx.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts_us").as("click_ts"))
+        Relational.asOfJoin(purchases, clicks, Seq("user_id"),
+          "ts_us", "click_ts", Seq("click_id", "click_ts")).count()
+      }
+      timed("q37_range_bin") {
+        val binW = 300000000L
+        val probes = evx.select(col("event_id"),
+          (col("ts_us") - binW).as("lo"), col("ts_us").as("hi"))
+        val pts = evx.select(col("ts_us").as("pt"))
+        RangeJoin.binnedPointInterval(pts, "pt", probes, "lo", "hi", binW)
+          .groupBy(col("event_id"), col("hi")).count().count()
+      }
+      evx.unpersist()
+      // embeddings: per-replica sign patterns decorrelate the copies
+      // (cosine across replicas ~ random), so cells stay balanced
+      graft.functions.VectorFunctions.register(spark)
+      val emb = graft.sources.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val embx = (0 until 10).map { k =>
+        val flip = transform(col("embedding"),
+          (x, i) => when(pmod(i + lit(k * 7), lit(10)) < 5, x).otherwise(-x))
+        emb.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
+          flip.as("embedding"))
+      }.reduce(_ unionByName _).repartition(32).persist()
+      timed("embeddings materialize (50k)")(embx.count())
+      timed("v06_semantic_dedup (nlist=160)")(
+        Dedup.semanticDedup(embx, "vec_id",
+          graft.functions.VectorFunctions.cosineSim,
+          nlist = 160, minCos = 0.3).count())
+      embx.unpersist()
     } else if (args.headOption.contains("d18pieces")) {
       val docs = graft.sources.Tables.documents(spark, sfDir)
       val pairs = graft.operators.Dedup.minhashLsh(docs, "doc_id", "text",
@@ -88,6 +160,48 @@ object Scratch {
         .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
       timed("self-join + inter agg")(inter.count())
       timed("full d05 again")(SparkEntry.queries("d05_ngram_jaccard")(spark, sfDir).count())
+    } else if (args.headOption.contains("v06pieces")) {
+      import graft.operators.{Dedup, Similarity}
+      import graft.functions.VectorFunctions
+      VectorFunctions.register(spark)
+      val emb = graft.sources.Tables.embeddings(spark, sfDir)
+      val cents = Similarity.strideCentroids(emb, 16)
+      val topCells = Similarity.topCellsOf(cents, VectorFunctions.cosineSim) _
+      for (i <- 1 to 2) {
+        timed(s"assign-only run$i")(
+          emb.withColumn("cell",
+            element_at(topCells(col("embedding"), 1), 1).getField("cell"))
+            .select(col("vec_id"), col("cell")).count())
+      }
+      for (i <- 1 to 2)
+        timed(s"full v06 run$i")(
+          { val k = Dedup.semanticDedup(emb, "vec_id",
+              VectorFunctions.cosineSim, 16, 0.3); k.count(); k.unpersist() })
+      // pair join over the two assignment implementations
+      def hofCells(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val scored = array(cents.map { case (i, c) =>
+          struct(VectorFunctions.cosineSim(v, typedlit(c)).as("a"),
+            lit(i).as("cell"))
+        }.toIndexedSeq: _*)
+        slice(reverse(array_sort(scored)), 1, 1)
+      }
+      def pairCost(assigned: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+        val a = assigned.persist(); a.count()
+        val as = a.select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+        val bs = a.select(col("cell"), col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+        for (i <- 1 to 2)
+          timed(s"pairs-$tag run$i")(
+            as.join(bs, Seq("cell")).filter(col("id_a") < col("id_b"))
+              .filter(round(VectorFunctions.cosineSim(col("vec_a"), col("vec_b")), 6) >= 0.3)
+              .count())
+        a.unpersist()
+      }
+      pairCost(emb.withColumn("cell",
+        element_at(topCells(col("embedding"), 1), 1).getField("cell"))
+        .select(col("vec_id"), col("embedding"), col("cell")), "native")
+      pairCost(emb.withColumn("cell",
+        element_at(hofCells(col("embedding")), 1).getField("cell"))
+        .select(col("vec_id"), col("embedding"), col("cell")), "hof")
     } else {
       val names = if (args.nonEmpty) args.toSeq
         else Seq("d05_ngram_jaccard", "d06_minhash_lsh", "d08_dup_clusters")

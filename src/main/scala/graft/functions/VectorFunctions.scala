@@ -14,6 +14,7 @@ object VectorFunctions {
   private val FuncName = "cosine_sim"
   private val LshName = "sign_lsh"
   private val QuantName = "quantize_int8"
+  private val CellsName = "nearest_cells"
 
   /** Idempotently register the native expressions in the session's function
     * registry (temp functions — survive for the session lifetime). */
@@ -26,6 +27,12 @@ object VectorFunctions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       QuantName, exprs => QuantizeInt8(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      CellsName, exprs => NearestCellsExpr(exprs(0),
+        exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toDoubleArray(),
+        exprs(2).eval().asInstanceOf[Int], exprs(3).eval().asInstanceOf[Int]),
+      "built-in")
   }
 
   /** Cosine similarity via the native expression; call [[register]] first. */
@@ -63,6 +70,14 @@ object VectorFunctions {
           transform(ad, x => floor(x / (maxabs / 127) + lit(0.5)).cast("string")), ","))
         .as("q_csv"))
   }
+
+  /** Top-`take` centroid cells of `v` as array<struct<a, cell>> sorted by
+    * (cos desc, cell desc) — native fused assignment loop over the whole
+    * centroid matrix ([[NearestCellsExpr]]); call [[register]] first. */
+  def nearestCells(v: Column, flatCents: Seq[Double], dims: Int,
+                   take: Int): Column =
+    call_function(CellsName, v.cast("array<double>"),
+      typedlit(flatCents), lit(dims), lit(take))
 
   /** Deterministic random-hyperplane sign-LSH bucket for an embedding
     * column — the 100 TB path for similarity search: bucket by LSH, join

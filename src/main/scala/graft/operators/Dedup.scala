@@ -438,6 +438,7 @@ object Dedup {
   def semanticDedup(corpus: DataFrame, idCol: String,
                     cos: (Column, Column) => Column,
                     nlist: Int, minCos: Double): DataFrame = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
     val centroids = Similarity.strideCentroids(corpus, nlist)
     val topCells = Similarity.topCellsOf(centroids, cos) _
     val assigned = corpus

@@ -82,15 +82,28 @@ object Similarity {
     * bounded and broadcast, like any small dimension table.
     */
   /** Top-`take` centroid cells for a vector as an array of (cos, cell)
-    * structs sorted descending — argmax over literal centroids, inside
-    * codegen. Shared with [[Dedup.semanticDedup]]. */
+    * structs sorted by (cos desc, cell desc). Shared with
+    * [[Dedup.semanticDedup]].
+    *
+    * Runs on the native [[graft.functions.NearestCellsExpr]] — the previous
+    * literal-centroid `array_sort(array(struct(cos...)))` composition
+    * evaluated INTERPRETED per row with an nlist-struct sort; at the sf1new
+    * scaling point (nlist=160, 50k vectors) that made assignment the
+    * super-linear stage (27x at 10x data). The native loop restored ~linear.
+    * Assignment cosine is pinned to the [[CosineSimilarity]] sequential fold
+    * (bit-identical to the `cos` the repo's callers pass); centroids expected
+    * as (0..n-1, row) pairs in cell order. */
   private[graft] def topCellsOf(centroids: Array[(Int, Seq[Double])],
                                 cos: (Column, Column) => Column)
                                (v: Column, take: Int): Column = {
-    val scored = array(centroids.map { case (i, c) =>
-      struct(cos(v, typedlit(c)).as("a"), lit(i).as("cell"))
-    }.toIndexedSeq: _*)
-    slice(reverse(array_sort(scored)), 1, take)
+    require(centroids.zipWithIndex.forall { case ((i, _), j) => i == j },
+      "centroids must be (0..n-1, row) in cell order")
+    val dims = centroids.head._2.length
+    require(centroids.forall(_._2.length == dims),
+      "centroid rows must share one dimensionality")
+    VectorFunctions.nearestCells(
+      v.cast("array<double>"),
+      centroids.flatMap(_._2).toIndexedSeq, dims, take)
   }
 
   /** Lloyd iterations over the corpus: assign each vector to its nearest
@@ -146,6 +159,7 @@ object Similarity {
               kmeansIters: Int = 0): DataFrame = {
     // `kmeansIters > 0` refines the stride sample with Lloyd iterations
     // ([[kmeansRefine]]) for tighter cells.
+    VectorFunctions.register(corpus.sparkSession) // nearest_cells (assignment)
     val seed = strideCentroids(corpus, nlist)
     val centroids =
       if (kmeansIters <= 0) seed else kmeansRefine(corpus, seed, kmeansIters, cos)
