@@ -15,6 +15,7 @@ object VectorFunctions {
   private val LshName = "sign_lsh"
   private val QuantName = "quantize_int8"
   private val CellsName = "nearest_cells"
+  private val HierName = "hierarchical_cells"
 
   /** Idempotently register the native expressions in the session's function
     * registry (temp functions — survive for the session lifetime). */
@@ -33,6 +34,16 @@ object VectorFunctions {
           .toDoubleArray(),
         exprs(2).eval().asInstanceOf[Int], exprs(3).eval().asInstanceOf[Int]),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      HierName, exprs => {
+        def dArr(i: Int) = exprs(i).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+        def iArr(i: Int) = exprs(i).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray()
+        def int(i: Int) = exprs(i).eval().asInstanceOf[Int]
+        HierarchicalCellsExpr(exprs.head, dArr(1), dArr(2), iArr(3), iArr(4),
+          int(5), int(6), int(7))
+      }, "built-in")
   }
 
   /** Cosine similarity via the native expression; call [[register]] first. */
@@ -78,6 +89,16 @@ object VectorFunctions {
                    take: Int): Column =
     call_function(CellsName, v.cast("array<double>"),
       typedlit(flatCents), lit(dims), lit(take))
+
+  /** Two-level centroid assignment ([[HierarchicalCellsExpr]]); call
+    * [[register]] first. Layout contract documented on the expression. */
+  def hierarchicalCells(v: Column, superCents: Seq[Double],
+                        memberCents: Seq[Double], memberCellIds: Seq[Int],
+                        groupOffsets: Seq[Int], dims: Int, probeSupers: Int,
+                        take: Int): Column =
+    call_function(HierName, v.cast("array<double>"), typedlit(superCents),
+      typedlit(memberCents), typedlit(memberCellIds), typedlit(groupOffsets),
+      lit(dims), lit(probeSupers), lit(take))
 
   /** Deterministic random-hyperplane sign-LSH bucket for an embedding
     * column — the 100 TB path for similarity search: bucket by LSH, join

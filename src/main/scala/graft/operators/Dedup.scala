@@ -437,10 +437,16 @@ object Dedup {
     */
   def semanticDedup(corpus: DataFrame, idCol: String,
                     cos: (Column, Column) => Column,
-                    nlist: Int, minCos: Double): DataFrame = {
+                    nlist: Int, minCos: Double,
+                    probeSupers: Int = 0): DataFrame = {
     graft.functions.VectorFunctions.register(corpus.sparkSession)
     val centroids = Similarity.strideCentroids(corpus, nlist)
-    val topCells = Similarity.topCellsOf(centroids, cos) _
+    // probeSupers > 0 switches assignment to the two-level O(√nlist) path
+    // (approximate; the oracle-verified query keeps the flat default — see
+    // HierarchicalCellsExpr for the trade)
+    val topCells =
+      if (probeSupers <= 0) Similarity.topCellsOf(centroids, cos) _
+      else Similarity.topCellsHierarchical(centroids, probeSupers) _
     val assigned = corpus
       .withColumn("cell", element_at(topCells(col("embedding"), 1), 1).getField("cell"))
       .select(col(idCol), col("embedding"), col("cell"))

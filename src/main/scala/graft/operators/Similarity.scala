@@ -106,6 +106,75 @@ object Similarity {
       centroids.flatMap(_._2).toIndexedSeq, dims, take)
   }
 
+  /** Group `centroids` into `nSupers` coherent groups with driver-side
+    * spherical k-means (pure Scala — O(nlist·nSupers·iters·dims) on bounded
+    * nlist, deterministic: stride init over cell index, fixed iteration
+    * count, sequential float ops). Coherent groups are what make the
+    * two-level probe accurate: stage-1 supers must summarize their members.
+    * Returns (superCents, memberCents-by-group, memberCellIds, groupOffsets)
+    * in [[graft.functions.HierarchicalCellsExpr]]'s layout. */
+  private[graft] def groupCentroids(cents: Array[(Int, Seq[Double])],
+                                    nSupers: Int, iters: Int = 5)
+      : (Array[Double], Array[Double], Array[Int], Array[Int]) = {
+    val dims = cents.head._2.length
+    val rows = cents.map(_._2.toArray)
+    val n = rows.length
+    val k = math.min(nSupers, n)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < dims) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    var supers = Array.tabulate(k)(g => rows(g * n / k).clone())
+    var assign = new Array[Int](n)
+    for (_ <- 0 until iters) {
+      var i = 0
+      while (i < n) {
+        var best = 0; var bestC = cos(rows(i), supers(0))
+        var g = 1
+        while (g < k) {
+          val c = cos(rows(i), supers(g))
+          if (c > bestC) { best = g; bestC = c }
+          g += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      val sums = Array.fill(k)(new Array[Double](dims))
+      val counts = new Array[Int](k)
+      i = 0
+      while (i < n) {
+        val g = assign(i); counts(g) += 1
+        var d = 0
+        while (d < dims) { sums(g)(d) += rows(i)(d); d += 1 }
+        i += 1
+      }
+      supers = Array.tabulate(k)(g =>
+        if (counts(g) == 0) supers(g)
+        else sums(g).map(_ / counts(g)))
+    }
+    val byGroup = Array.range(0, n).sortBy(i => (assign(i), cents(i)._1))
+    val offsets = new Array[Int](k + 1)
+    byGroup.foreach(i => offsets(assign(i) + 1) += 1)
+    for (g <- 1 to k) offsets(g) += offsets(g - 1)
+    (supers.flatten, byGroup.flatMap(rows(_)), byGroup.map(cents(_)._1), offsets)
+  }
+
+  /** Two-level variant of [[topCellsOf]] — O(√nlist) per row instead of
+    * O(nlist), approximate (see [[graft.functions.HierarchicalCellsExpr]];
+    * OperatorsSpec pins ≥90% agreement with flat assignment). */
+  private[graft] def topCellsHierarchical(centroids: Array[(Int, Seq[Double])],
+                                          probeSupers: Int)
+                                         (v: Column, take: Int): Column = {
+    val dims = centroids.head._2.length
+    val nSupers = math.max(1, math.round(math.sqrt(centroids.length)).toInt)
+    val (sup, mem, ids, off) = groupCentroids(centroids, nSupers)
+    VectorFunctions.hierarchicalCells(v.cast("array<double>"),
+      sup.toIndexedSeq, mem.toIndexedSeq, ids.toIndexedSeq, off.toIndexedSeq,
+      dims, probeSupers, take)
+  }
+
   /** Lloyd iterations over the corpus: assign each vector to its nearest
     * (max-cosine) centroid, recompute centroids as the element-wise mean of
     * their cells. Each round is one keyed aggregation; the driver touches

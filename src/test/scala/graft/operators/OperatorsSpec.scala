@@ -186,6 +186,35 @@ class OperatorsSpec extends SparkSpec {
     assert(got(1L) == 1L && got(3L) == 1L) // exactly one shared 3-gram each
   }
 
+  // measured curve on the (near-random) testdata embeddings, probe 1..8 of
+  // 8 supers: 0.47, 0.65, 0.76, 0.83, 0.90, 0.94, 0.98, 1.0 — clustered
+  // real-world embeddings sit far above this floor because the coarse
+  // quantizer actually summarizes structure there
+  test("hierarchical assignment: agreement grows with probe width, " +
+      "exact at full probe") {
+    VectorFunctions.register(spark)
+    import org.apache.spark.sql.functions.{col, element_at}
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val cents = Similarity.strideCentroids(emb, 64)
+    def assignWith(cells: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column) =
+      emb.select(col("vec_id"),
+          element_at(cells(col("embedding"), 1), 1).getField("cell").as("cell"))
+        .as[(Long, Int)].collect().toMap
+    val flat = assignWith(Similarity.topCellsOf(cents, VectorFunctions.cosineSim))
+    val agree = (1 to 8).map { p =>
+      val h = assignWith(Similarity.topCellsHierarchical(cents, probeSupers = p))
+      p -> flat.count { case (id, c) => h(id) == c }.toDouble / flat.size
+    }.toMap
+    info(s"agreement by probe width: ${agree.toSeq.sortBy(_._1)}")
+    assert(agree(3) >= 0.7, s"hierarchical(3) agreement ${agree(3)}")
+    assert(agree(5) >= 0.85, s"hierarchical(5) agreement ${agree(5)}")
+    assert((1 until 8).forall(p => agree(p + 1) >= agree(p) - 0.02),
+      s"agreement should be ~monotone in probe width: $agree")
+    // probing every super == exhaustive search ⇒ exact agreement
+    assert(agree(8) == 1.0,
+      "probing all supers must reproduce flat assignment exactly")
+  }
+
   test("semanticDedup keeps the min-id representative per near-dup neighborhood") {
     VectorFunctions.register(spark)
     // 6 vectors, stride centroids = ids 0 and 3 (n=6, nlist=2 → stride 3).
