@@ -130,6 +130,10 @@ object Scratch {
         Dedup.semanticDedup(embx, "vec_id",
           graft.functions.VectorFunctions.cosineSim,
           nlist = 160, minCos = 0.3).count())
+      timed("v06 hierarchical (nlist=160, probe 4/13 supers)")(
+        Dedup.semanticDedup(embx, "vec_id",
+          graft.functions.VectorFunctions.cosineSim,
+          nlist = 160, minCos = 0.3, probeSupers = 4).count())
       embx.unpersist()
     } else if (args.headOption.contains("d18pieces")) {
       val docs = graft.sources.Tables.documents(spark, sfDir)
