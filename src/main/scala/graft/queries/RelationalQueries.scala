@@ -863,6 +863,59 @@ object RelationalQueries {
     },
     "HyperLogLog distinct sketch: 256-byte mergeable state, bit-exact oracle")
 
+  /** Count-Min sketch heavy hitters — the third bounded-state sketch family
+    * (KMV q30: distincts; HLL q39: distincts at fixed 256 B; CMS: per-key
+    * FREQUENCIES in d·w counters). Four md5 hash rows × 64 buckets; a key's
+    * estimate is the min over its four counters — never below the true
+    * count (overestimate-only, the CMS guarantee, asserted by the oracle
+    * match of `est >= n_exact` built into the output). The sketch build is
+    * one map-side-combinable groupBy over (row, bucket) — 256 cells of
+    * state at ANY corpus size; md5-deterministic so DuckDB mirrors it
+    * bit-for-bit (integer arithmetic only). */
+  val q41 = QueryDef(
+    "q41_cms_heavy_hitters",
+    (spark, dir) => {
+      val d = 4; val w = 64
+      val ev = Tables.eventsUs(spark, dir).select(col("user_id"))
+      def bucket(r: Int, key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        conv(substring(md5(concat(lit(s"$r|"), key.cast("string"))), 1, 2), 16, 10)
+          .cast("int") % w
+      val cells = ev.select(col("user_id"),
+          explode(array((0 until d).map(r =>
+            struct(lit(r).as("r"), bucket(r, col("user_id")).as("b"))): _*)).as("rb"))
+        .select(col("rb.r"), col("rb.b"))
+        .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+      val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+      val probes = exact.select(col("user_id"), col("n_exact"),
+          explode(array((0 until d).map(r =>
+            struct(lit(r).as("r"), bucket(r, col("user_id")).as("b"))): _*)).as("rb"))
+        .select(col("user_id"), col("n_exact"), col("rb.r"), col("rb.b"))
+      probes.join(cells, Seq("r", "b"))
+        .groupBy(col("user_id"), col("n_exact"))
+        .agg(min(col("c")).as("cms_est"))
+        .orderBy(col("n_exact").desc, col("user_id")).limit(10)
+    },
+    Some {
+      val d = 4; val w = 64
+      def bucket(r: Int, key: String) =
+        s"((strpos('0123456789abcdef', substr(md5('$r|' || CAST($key AS VARCHAR)), 1, 1)) - 1) * 16" +
+          s" + strpos('0123456789abcdef', substr(md5('$r|' || CAST($key AS VARCHAR)), 2, 1)) - 1) % $w"
+      val rbUnion = (0 until d)
+        .map(r => s"SELECT user_id, $r AS r, ${bucket(r, "user_id")} AS b FROM ev")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $evCte,
+         |rb AS ($rbUnion),
+         |cells AS (SELECT r, b, count(*) AS c FROM rb GROUP BY r, b),
+         |exact AS (SELECT user_id, count(*) AS n_exact FROM ev GROUP BY user_id),
+         |probes AS (SELECT DISTINCT e.user_id, e.n_exact, rb.r, rb.b
+         |  FROM exact e JOIN rb ON rb.user_id = e.user_id)
+         |SELECT p.user_id, p.n_exact, min(c.c) AS cms_est
+         |FROM probes p JOIN cells c ON c.r = p.r AND c.b = p.b
+         |GROUP BY p.user_id, p.n_exact
+         |ORDER BY n_exact DESC, user_id LIMIT 10""".stripMargin
+    },
+    "Count-Min sketch heavy hitters: d·w bounded counters, bit-exact oracle")
+
   /** Bloom-pruned semi-join reduction — orders joined to BUILDING-segment
     * customers through [[BloomPrune.prunedEquiJoin]]: the fact side is
     * pre-filtered by a native [[graft.functions.BloomMightContain]] probe of
@@ -921,5 +974,5 @@ object RelationalQueries {
 
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q12, q13, q14, q15, q16, q17, q18, q19, q21, q22, q23, q24, q25, q26,
-    q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40)
+    q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41)
 }
