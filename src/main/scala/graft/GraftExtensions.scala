@@ -55,5 +55,14 @@ object GraftExtensions {
       (e: Seq[Expression]) => NearestCellsExpr(e(0),
         e(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
           .toDoubleArray(),
-        e(2).eval().asInstanceOf[Int], e(3).eval().asInstanceOf[Int])))
+        e(2).eval().asInstanceOf[Int], e(3).eval().asInstanceOf[Int])),
+    (FunctionIdentifier("hierarchical_cells"), info("hierarchical_cells", classOf[HierarchicalCellsExpr]),
+      (e: Seq[Expression]) => {
+        def dArr(i: Int) = e(i).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+        def iArr(i: Int) = e(i).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray()
+        HierarchicalCellsExpr(e.head, dArr(1), dArr(2), iArr(3), iArr(4),
+          intArg(e(5)), intArg(e(6)), intArg(e(7)))
+      }))
 }

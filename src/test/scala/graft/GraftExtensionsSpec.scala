@@ -28,7 +28,14 @@ class GraftExtensionsSpec extends SparkSpec {
           |  quantize_int8(array(1.0d, -2.0d)).q_csv AS q,
           |  size(word_shingles('a b c d', 3)) AS n_sh,
           |  size(winnow_fps('abcdefghij', 4, 2)) AS n_fps,
-          |  sign_lsh(array(1.0d), 8, 64) AS bucket
+          |  sign_lsh(array(1.0d), 8, 64) AS bucket,
+          |  interleave_bits(3, 1) AS z,
+          |  nearest_cells(array(1.0d, 0.0d),
+          |    array(1.0d, 0.0d, 0.0d, 1.0d), 2, 1)[0].cell AS cell,
+          |  hierarchical_cells(array(0.0d, 1.0d),
+          |    array(1.0d, 0.0d, 0.0d, 1.0d),
+          |    array(1.0d, 0.0d, 0.0d, 1.0d),
+          |    array(0, 1), array(0, 1, 2), 2, 1, 1)[0].cell AS hcell
           |""".stripMargin).first()
       assert(row.getDouble(0) == 1.0)
       assert(row.getBoolean(1))
@@ -36,6 +43,18 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(row.getInt(3) == 2)
       assert(row.getInt(4) >= 1)
       assert(row.getLong(5) >= 0 && row.getLong(5) < 256)
+      assert(row.getLong(6) == 7L)   // morton(3,1): a bits 0,2 + b bit 1
+      assert(row.getInt(7) == 0)     // x-axis query → cell 0
+      assert(row.getInt(8) == 1)     // y-axis query → super 1 → cell 1
+      // bloom_might_contain needs a real serialized filter — build one
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(10, 0.01)
+      bf.putLong(42L)
+      val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos)
+      import org.apache.spark.sql.functions.{call_function, col, lit}
+      val hits = s2.range(41, 44).select(
+        call_function("bloom_might_contain", col("id"), lit(bos.toByteArray))
+          .as("hit")).collect().map(_.getBoolean(0))
+      assert(hits(1), "inserted key must hit")
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
