@@ -972,7 +972,33 @@ object RelationalQueries {
             |ORDER BY s.user_id, s.d""".stripMargin),
     "calendar gap-fill densification via sequence+explode (beyond reference)")
 
+  /** lead/lag offset windows — per-user inter-event gap and next-event
+    * preview, the telemetry delta every sessionizer starts from (and the
+    * only window family q18/q33's frames don't cover). Exact µs integer
+    * arithmetic; boundary rows keep NULL gaps (no default) so the
+    * null-handling contract is pinned too. */
+  val q42 = QueryDef(
+    "q42_event_gaps",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      Tables.eventsUs(spark, dir).select(
+          col("user_id"), col("event_id"), col("ts_us"),
+          (col("ts_us") - lag(col("ts_us"), 1).over(w)).as("gap_us"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    },
+    Some(s"""WITH $evCte
+            |SELECT user_id, event_id, ts_us,
+            |  ts_us - lag(ts_us, 1) OVER w AS gap_us,
+            |  lead(event_type, 1) OVER w AS next_type
+            |FROM ev
+            |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+            |ORDER BY user_id, ts_us, event_id""".stripMargin),
+    "lead/lag offset windows: per-user event deltas (beyond reference)")
+
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q12, q13, q14, q15, q16, q17, q18, q19, q21, q22, q23, q24, q25, q26,
-    q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41)
+    q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
+    q41, q42)
 }
