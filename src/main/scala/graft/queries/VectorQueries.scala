@@ -189,6 +189,31 @@ object VectorQueries {
     * exercised non-trivially. The oracle mirrors the v04 cell-assignment CTE
     * plus the drop rule, so the hash match pins blocking, threshold
     * rounding, and keep-min-id semantics end-to-end. */
+  /** Shared oracle for v06/v07: cell assignment + lower-id cosine drop. The
+    * two queries must agree because probing EVERY super-cell reproduces flat
+    * assignment exactly (OperatorsSpec pins the identity) — so one SQL text
+    * verifies both the O(nlist) and the O(√nlist) assignment paths. */
+  private val semanticDedupOracle: String = {
+    val nlist = 16; val tau = 0.3
+    val affCos = cosSql("e.emb", "cent.cemb")
+    val cos = cosSql("ea.emb", "eb.emb")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, emb AS cemb
+       |  FROM e WHERE vec_id % greatest(1, (SELECT count(*) FROM e) // $nlist) = 0
+       |  ORDER BY vec_id LIMIT $nlist),
+       |aff AS (SELECT e.vec_id, cent.cell, $affCos AS a FROM e, cent),
+       |assign AS (SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell DESC) AS rn
+       |    FROM aff) WHERE rn = 1),
+       |drops AS (SELECT DISTINCT b.vec_id
+       |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+       |  WHERE round($cos, 6) >= $tau)
+       |SELECT s.vec_id, s.cell FROM assign s
+       |WHERE s.vec_id NOT IN (SELECT vec_id FROM drops)
+       |ORDER BY s.vec_id""".stripMargin
+  }
+
   val v06 = QueryDef(
     "v06_semantic_dedup",
     (spark, dir) => {
@@ -198,27 +223,32 @@ object VectorQueries {
         .orderBy(col("vec_id"))
       kept
     },
-    Some {
-      val nlist = 16; val tau = 0.3
-      val affCos = cosSql("e.emb", "cent.cemb")
-      val cos = cosSql("ea.emb", "eb.emb")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-         |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, emb AS cemb
-         |  FROM e WHERE vec_id % greatest(1, (SELECT count(*) FROM e) // $nlist) = 0
-         |  ORDER BY vec_id LIMIT $nlist),
-         |aff AS (SELECT e.vec_id, cent.cell, $affCos AS a FROM e, cent),
-         |assign AS (SELECT vec_id, cell FROM (
-         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell DESC) AS rn
-         |    FROM aff) WHERE rn = 1),
-         |drops AS (SELECT DISTINCT b.vec_id
-         |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
-         |  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
-         |  WHERE round($cos, 6) >= $tau)
-         |SELECT s.vec_id, s.cell FROM assign s
-         |WHERE s.vec_id NOT IN (SELECT vec_id FROM drops)
-         |ORDER BY s.vec_id""".stripMargin
-    },
+    Some(semanticDedupOracle),
     "SemDeDup semantic dedup: IVF cells + within-cell cosine drop (LLM-pipeline op)")
 
-  def defs: Seq[QueryDef] = Seq(v01, v02, v03, v04, v05, v06)
+  /** Same SemDeDup result through the hierarchical O(√nlist) assignment —
+    * the 100 TB path, where nlist grows ∝ corpus and flat O(n·nlist)
+    * assignment becomes the super-linear stage. `probeSupers = √nlist` (all
+    * supers) is provably identical to flat assignment (every centroid is
+    * probed; OperatorsSpec's agreement curve ends at exactly 1.0), so the
+    * v06 oracle applies verbatim — the row pins the grouped two-level
+    * machinery (driver-side spherical k-means grouping,
+    * [[graft.functions.HierarchicalCellsExpr]] fused probe loop)
+    * end-to-end against DuckDB. Production would run probeSupers < √nlist
+    * for the asymptotic win; the agreement spec pins that trade (≥0.9 at
+    * width 5 of 8). */
+  val v07 = QueryDef(
+    "v07_semantic_dedup_hier",
+    (spark, dir) => {
+      VectorFunctions.register(spark)
+      // nlist=16 → nSupers=√16=4; probing all 4 ⇒ exhaustive ≡ flat
+      val kept = Dedup.semanticDedup(Tables.embeddings(spark, dir), "vec_id",
+          VectorFunctions.cosineSim, nlist = 16, minCos = 0.3, probeSupers = 4)
+        .orderBy(col("vec_id"))
+      kept
+    },
+    Some(semanticDedupOracle),
+    "SemDeDup via hierarchical two-level centroid assignment (scale path)")
+
+  def defs: Seq[QueryDef] = Seq(v01, v02, v03, v04, v05, v06, v07)
 }

@@ -207,7 +207,12 @@ class OperatorsSpec extends SparkSpec {
     }.toMap
     info(s"agreement by probe width: ${agree.toSeq.sortBy(_._1)}")
     assert(agree(3) >= 0.7, s"hierarchical(3) agreement ${agree(3)}")
-    assert(agree(5) >= 0.85, s"hierarchical(5) agreement ${agree(5)}")
+    // near-random vectors are the WORST case for a coarse quantizer (no
+    // structure to summarize); measured deterministic floor: 0.898@5,
+    // 0.942@6. Clustered production embeddings sit well above 0.9 by
+    // width 5 — this pins the floor doesn't regress.
+    assert(agree(5) >= 0.89, s"hierarchical(5) agreement ${agree(5)}")
+    assert(agree(6) >= 0.9, s"hierarchical(6) agreement ${agree(6)}")
     assert((1 until 8).forall(p => agree(p + 1) >= agree(p) - 0.02),
       s"agreement should be ~monotone in probe width: $agree")
     // probing every super == exhaustive search ⇒ exact agreement
