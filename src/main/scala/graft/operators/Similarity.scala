@@ -207,10 +207,15 @@ object Similarity {
     * (engine-portable, unlike a Murmur3 hash, so DuckDB oracles can mirror
     * cell assignment exactly) → TakeOrdered(limit) on the tiny survivor set.
     * No single-partition window, no full-corpus shuffle; the collect is
-    * O(nlist·dims) — the same bounded class as a broadcast dimension. */
+    * O(nlist·dims) — the same bounded class as a broadcast dimension.
+    *
+    * The count comes from parquet footer metadata when the corpus is a bare
+    * scan ([[graft.sources.ParquetMeta.rowCount]]) — seeding then costs ONE
+    * executor pass (the stride collect) instead of three (count + filter +
+    * assignment); at 100 TB the removed count alone is a petabyte scan. */
   private[graft] def strideCentroids(corpus: DataFrame,
                                      nlist: Int): Array[(Int, Seq[Double])] = {
-    val n = corpus.count()
+    val n = graft.sources.ParquetMeta.rowCount(corpus)
     val stride = math.max(1L, n / nlist)
     val seed: Array[(Int, Seq[Double])] = corpus
       .filter(col("vec_id") % stride === 0)

@@ -149,6 +149,26 @@ class PlanAuditSpec extends SparkSpec {
       s"bloom probe not below the join (join@$joinLine, probe@$filterLine):\n$p")
   }
 
+  test("centroid seeding costs one corpus pass: count comes from parquet footers") {
+    val emb = graft.sources.Tables.embeddings(spark, sf001)
+    val sc = spark.sparkContext
+    sc.setJobGroup("seed-audit", "strideCentroids")
+    val seed =
+      try graft.operators.Similarity.strideCentroids(emb, 16)
+      finally sc.clearJobGroup()
+    assert(seed.length == 16)
+    // status store ingests listener events asynchronously — wait for the
+    // first job, then settle, then assert no second one arrived
+    def jobs = sc.statusTracker.getJobIdsForGroup("seed-audit").length
+    var tries = 0
+    while (jobs == 0 && tries < 100) { Thread.sleep(50); tries += 1 }
+    Thread.sleep(500)
+    assert(jobs == 1,
+      s"expected exactly 1 job (the seed collect; count must be footer-only), got $jobs")
+    // and the footer count itself is exact
+    assert(graft.sources.ParquetMeta.rowCount(emb) == emb.count())
+  }
+
   test("hot paths stay inside whole-stage codegen") {
     // codegen wrappers only appear in the FINAL adaptive plan → execute first
     for (q <- Seq("q01_pricing_summary", "d02_token_count", "d11_quality_score")) {
