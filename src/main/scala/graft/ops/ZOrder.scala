@@ -34,14 +34,37 @@ object ZOrder {
     call_function(FuncName, a.cast("int"), b.cast("int"))
 
   /** Equi-depth bucket id (0..buckets-1) of `c` — normalizes any orderable
-    * domain for [[zkey]]. NOTE: `percent_rank` runs a single-partition
-    * window; use only on bounded relations (dimension tables, samples). For
-    * full-corpus normalization compute approximate range bounds instead
-    * (the repartitionByRange sampler shape). */
-  def rankBucket(c: Column, buckets: Int): Column =
-    least(floor(percent_rank().over(
-      org.apache.spark.sql.expressions.Window.orderBy(c)) * buckets),
-      lit(buckets - 1)).cast("int")
+    * domain for [[zkey]]. `percent_rank` runs a single-partition window, so
+    * this is for BOUNDED relations only (dimension tables, samples). The
+    * contract is ENFORCED at execution: row `maxRows + 1` raises, so misuse
+    * on an unbounded relation fails loudly instead of silently serializing
+    * the corpus through one reducer. The guard rides the same window sort —
+    * no extra pass. For full-corpus normalization use [[rangeBucketed]]. */
+  def rankBucket(c: Column, buckets: Int, maxRows: Long = 10L * 1000 * 1000): Column = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(c)
+    val guarded = when(row_number().over(w) > maxRows,
+        raise_error(lit(s"rankBucket: input exceeds the bounded-relation contract " +
+          s"($maxRows rows) — use ZOrder.rangeBucketed for unbounded relations")))
+      .otherwise(percent_rank().over(w))
+    least(floor(guarded * buckets), lit(buckets - 1)).cast("int")
+  }
+
+  /** Scalable equi-depth bucketing — the unbounded-relation path. Bucket
+    * boundaries come from a distributed Greenwald-Khanna quantile sketch
+    * (`approxQuantile`: one pass, mergeable per-partition state, no global
+    * sort), then the bucket id is a codegen'd comparison chain against the
+    * broadcast boundary literals. Equi-depth up to `relErr` rank error;
+    * heavily duplicated boundary values collapse (fewer, fatter buckets) —
+    * inherent to any equi-depth scheme on skewed data. */
+  def rangeBucketed(df: DataFrame, c: String, buckets: Int, as: String,
+                    relErr: Double = 0.001): DataFrame = {
+    require(buckets >= 2, "rangeBucketed: need at least 2 buckets")
+    val probes = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds = df.stat.approxQuantile(c, probes, relErr).distinct.sorted
+    val id = bounds.map(b => when(col(c) > lit(b), 1).otherwise(0))
+      .reduce[Column](_ + _)
+    df.withColumn(as, id.cast("int"))
+  }
 
   /** Write `df` clustered by the z-order of two int columns: range-partition
     * on the z-code (sampled bounds, parallel), sort within partitions, write

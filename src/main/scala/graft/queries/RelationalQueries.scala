@@ -997,8 +997,37 @@ object RelationalQueries {
             |ORDER BY user_id, ts_us, event_id""".stripMargin),
     "lead/lag offset windows: per-user event deltas (beyond reference)")
 
+  /** Z-order clustered layout, result-verified end-to-end: write lineitem
+    * clustered by the Morton interleave of (l_partkey, l_suppkey), read it
+    * back through a two-column rectangle filter. The oracle runs the same
+    * filter over the ORIGINAL table — a hash match proves the clustered
+    * write is a pure permutation (no row lost/duplicated/mutated by the
+    * range-exchange + within-partition sort) while ZOrderSpec separately
+    * proves the layout prunes row groups on BOTH columns. At 100 TB this is
+    * the OPTIMIZE ZORDER maintenance job + the rectangle scan it
+    * accelerates. */
+  val q43 = QueryDef(
+    "q43_zorder_scan",
+    (spark, dir) => {
+      val cols = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_quantity").map(col)
+      val li = Tables.lineitem(spark, dir).select(cols: _*)
+      val zDir = java.nio.file.Files.createTempDirectory("q43-zorder-").toString
+      graft.ops.ZOrder.clusteredWrite(li, "l_partkey", "l_suppkey", zDir, nFiles = 4)
+      spark.read.parquet(zDir)
+        .filter(col("l_partkey").between(100, 300) &&
+          col("l_suppkey").between(10, 40))
+        .select(cols: _*)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+           |FROM lineitem
+           |WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 40
+           |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+    "z-order clustered write + two-column rectangle read-back (beyond reference)")
+
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q12, q13, q14, q15, q16, q17, q18, q19, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41, q42)
+    q41, q42, q43)
 }

@@ -32,6 +32,43 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("rankBucket fails loudly past its bounded-input contract") {
+    val small = spark.range(100).select($"id".cast("int").as("v"))
+    // within bound: equi-depth over the sorted domain
+    val ok = small.select($"v", ZOrder.rankBucket($"v", 4, maxRows = 1000).as("b"))
+      .groupBy($"b").count().orderBy($"b").as[(Int, Long)].collect()
+    assert(ok.map(_._1).toSeq == Seq(0, 1, 2, 3) && ok.forall(_._2 == 25), ok.toSeq)
+    // past bound: raises at execution instead of silently serializing
+    val ex = intercept[Exception] {
+      spark.range(5000).select(ZOrder.rankBucket($"id", 4, maxRows = 1000)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("bounded-relation contract")), ex.getMessage)
+  }
+
+  test("rangeBucketed: equi-depth without a single-partition exchange") {
+    val n = 100000
+    val data = spark.range(n).select(xxhash64($"id").as("v")).repartition(8)
+    val bucketed = ZOrder.rangeBucketed(data, "v", 16, "b")
+    val p = bucketed.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange SinglePartition") && !p.contains("Window"),
+      s"rangeBucketed must not serialize through one reducer:\n$p")
+    val counts = bucketed.groupBy($"b").count().as[(Int, Long)].collect().toMap
+    assert(counts.keySet == (0 until 16).toSet, s"bucket ids: ${counts.keySet}")
+    // equi-depth within the sketch's rank error (relErr 0.001 ⇒ ±100 rows)
+    counts.values.foreach(c =>
+      assert(math.abs(c - n / 16) <= 300, s"bucket sizes skewed: $counts"))
+    // bucket id is monotone in v: max(v) of bucket i < min(v) of bucket i+1
+    val ranges = bucketed.groupBy($"b")
+      .agg(min($"v").as("lo"), max($"v").as("hi"))
+      .orderBy($"b").as[(Int, Long, Long)].collect()
+    ranges.sliding(2).foreach {
+      case Array((_, _, hi), (_, lo, _)) => assert(hi < lo, ranges.toSeq)
+      case _ =>
+    }
+  }
+
   test("z-ordered layout prunes row groups on BOTH filter columns; " +
       "single-key sort only prunes the leading key") {
     import org.apache.spark.sql.execution.FileSourceScanExec
