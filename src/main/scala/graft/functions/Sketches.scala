@@ -1,0 +1,155 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Mergeable sketch aggregators — KMV / HLL / CMS as typed
+  * `Aggregator[IN, BUF, OUT]`s (the [[MinKSample]] extension rung).
+  *
+  * The q30/q39/q41 queries first built these sketches as query-shaped
+  * aggregations (groupBy + explode); these classes expose the same math as
+  * reusable COLUMNS with partial-merge state, which is what a 100 TB rollup
+  * actually calls: the buffer is bounded (≤k hashes / 256 registers / d·w
+  * counters) at ANY corpus size, `merge` is associative and commutative
+  * (SketchesSpec proves it), so Spark's partial aggregation pushes the whole
+  * reduction map-side and the shuffle carries one buffer per partition —
+  * and the same buffers merge across days/sources without rescanning.
+  *
+  * Float parity is preserved from the query versions BIT-for-bit: every
+  * estimate is computed from md5-derived integers with the identical
+  * operation order the SQL expressions (and the DuckDB oracles) use, so the
+  * driver rows stay hash-green running on these implementations.
+  */
+object Sketches {
+
+  private val hexVal: Array[Int] = {
+    val a = Array.fill(128)(-1)
+    "0123456789abcdef".zipWithIndex.foreach { case (c, i) => a(c) = i }
+    a
+  }
+
+  /** Parse `len` lowercase-hex chars of `s` from `off` — the JVM mirror of
+    * `conv(substring(s, off+1, len), 16, 10)`. */
+  private def parseHex(s: String, off: Int, len: Int): Long = {
+    var v = 0L; var i = 0
+    while (i < len) { v = (v << 4) | hexVal(s.charAt(off + i)); i += 1 }
+    v
+  }
+
+  private val md = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** Lowercase-hex md5, the JVM mirror of SQL `md5(key)`. */
+  private def md5Hex(key: String): String = {
+    val bytes = md.get().digest(key.getBytes("UTF-8"))
+    val sb = new java.lang.StringBuilder(32)
+    bytes.foreach { b =>
+      sb.append("0123456789abcdef".charAt((b >> 4) & 0xf))
+      sb.append("0123456789abcdef".charAt(b & 0xf))
+    }
+    sb.toString
+  }
+
+  /** KMV distinct-count sketch over pre-hashed keys (feed it SQL
+    * `md5(key)` so the hot hash stays codegen'd). Buffer = the ≤k smallest
+    * DISTINCT hashes, kept sorted; estimate = (k-1)/U_k with U_k the k-th
+    * hash's 32-bit prefix as a dyadic rational — exactly q30's expression,
+    * so the estimate is bit-identical to the SQL/DuckDB computation. */
+  class Kmv(k: Int) extends Aggregator[String, List[String], Double] {
+    require(k >= 2, "k must be >= 2")
+
+    override def zero: List[String] = Nil
+
+    override def reduce(buf: List[String], h: String): List[String] =
+      if (buf.contains(h)) buf
+      else {
+        val l = (h :: buf).sorted
+        if (l.length > k) l.take(k) else l
+      }
+
+    override def merge(a: List[String], b: List[String]): List[String] = {
+      val l = (a ++ b).distinct.sorted
+      if (l.length > k) l.take(k) else l
+    }
+
+    override def finish(buf: List[String]): Double =
+      if (buf.length < k) buf.length.toDouble
+      else {
+        val frac = parseHex(buf.last, 0, 8).toDouble / 4294967296.0
+        (k - 1).toDouble / frac
+      }
+
+    override def bufferEncoder: Encoder[List[String]] = ExpressionEncoder[List[String]]()
+    override def outputEncoder: Encoder[Double] = ExpressionEncoder[Double]()
+  }
+
+  /** HyperLogLog (raw estimator, p=8) over pre-hashed keys. Buffer = 256
+    * max-rho registers (0 = untouched, contributing 2^0 to the harmonic sum
+    * like q39's `(256 - n_occ)` term); estimate via the exact-integer dyadic
+    * sum Σ2^(52−M) with the 2^52 scale divided out once — the identical
+    * operation order as q39's SQL, hence bit-identical. */
+  class Hll extends Aggregator[String, Array[Int], Double] {
+
+    override def zero: Array[Int] = new Array[Int](256)
+
+    override def reduce(buf: Array[Int], h: String): Array[Int] = {
+      val bucket = parseHex(h, 0, 2).toInt
+      val v = parseHex(h, 2, 13) // 52 bits
+      // smallest r in 1..52 with v >= 2^(52-r), else 52 (q39's CASE chain)
+      val rho = if (v == 0L) 52 else 52 - (63 - java.lang.Long.numberOfLeadingZeros(v))
+      if (rho > buf(bucket)) buf(bucket) = rho
+      buf
+    }
+
+    override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < 256) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+
+    override def finish(buf: Array[Int]): Double = {
+      var s = 0L; var i = 0
+      while (i < 256) { s += 1L << (52 - buf(i)); i += 1 }
+      0.7213 / (1.0 + 1.079 / 256) * 65536 * 4503599627370496.0 / s.toDouble
+    }
+
+    override def bufferEncoder: Encoder[Array[Int]] = ExpressionEncoder[Array[Int]]()
+    override def outputEncoder: Encoder[Double] = ExpressionEncoder[Double]()
+  }
+
+  /** Count-Min sketch: d rows × w counters over RAW string keys (each row r
+    * buckets by md5("r|" || key), matching q41's SQL bucket function
+    * byte-for-byte). Output is the flattened counter matrix — probing is a
+    * plain `element_at` per hash row, so heavy-hitter queries stay in
+    * codegen. Counters are exact longs: merge = elementwise sum. */
+  class Cms(d: Int, w: Int) extends Aggregator[String, Array[Long], Seq[Long]] {
+    require(d >= 1 && w >= 2 && w <= 256, "need 1<=d, 2<=w<=256 (2-hex-digit bucket)")
+
+    override def zero: Array[Long] = new Array[Long](d * w)
+
+    override def reduce(buf: Array[Long], key: String): Array[Long] = {
+      var r = 0
+      while (r < d) {
+        val b = parseHex(md5Hex(s"$r|$key"), 0, 2).toInt % w
+        buf(r * w + b) += 1L
+        r += 1
+      }
+      buf
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    override def finish(buf: Array[Long]): Seq[Long] = buf.toIndexedSeq
+
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  }
+}

@@ -616,18 +616,17 @@ object RelationalQueries {
   val q30 = QueryDef(
     "q30_kmv_distinct",
     (spark, dir) => {
-      val k = 256
+      // runs on the typed mergeable Aggregator ([[graft.functions.Sketches.Kmv]]):
+      // partial buffers of ≤k hashes merge map-side, the shuffle carries one
+      // buffer per partition; the estimate math is bit-identical to the SQL
+      // formulation this row was first verified with (oracle unchanged).
       val li = Tables.lineitem(spark, dir)
-      val kth = li.select(md5(col("l_orderkey").cast("string")).as("h"))
-        .distinct().orderBy(col("h")).limit(k)
-        .agg(max(col("h")).as("kth"), count(lit(1)).as("n_h"))
+      val kmv = udaf(new graft.functions.Sketches.Kmv(256),
+        org.apache.spark.sql.Encoders.STRING)
+      val est = li.select(md5(col("l_orderkey").cast("string")).as("h"))
+        .agg(kmv(col("h")).as("kmv_estimate"))
       val exact = li.agg(countDistinct(col("l_orderkey")).as("n_exact"))
-      val frac = expr("cast(conv(substring(kth, 1, 8), 16, 10) as double)") /
-        lit(4294967296.0)
-      kth.crossJoin(exact).select(
-        col("n_exact"),
-        when(col("n_h") < k, col("n_h").cast("double"))
-          .otherwise(lit((k - 1).toDouble) / frac).as("kmv_estimate"))
+      exact.crossJoin(est).select(col("n_exact"), col("kmv_estimate"))
     },
     Some {
       val nibbleSum = (1 to 8).map(i =>
@@ -818,27 +817,16 @@ object RelationalQueries {
   val q39 = QueryDef(
     "q39_hll_distinct",
     (spark, dir) => {
+      // typed-Aggregator build ([[graft.functions.Sketches.Hll]]): 256-byte
+      // register buffer, max-merged map-side; estimate arithmetic replicates
+      // the SQL expression order exactly, so the oracle stays bit-green.
       val li = Tables.lineitem(spark, dir)
-      val parts = li.select(
-        expr("cast(conv(substring(md5(cast(l_orderkey as string)), 1, 2), 16, 10) as int)")
-          .as("bucket"),
-        expr("cast(conv(substring(md5(cast(l_orderkey as string)), 3, 13), 16, 10) as bigint)")
-          .as("v"))
-      val rhoCase = (1 to 52)
-        .map(r => s"WHEN v >= ${1L << (52 - r)} THEN $r")
-        .mkString("CASE ", " ", " ELSE 52 END")
-      val regs = parts.withColumn("rho", expr(rhoCase))
-        .groupBy(col("bucket")).agg(max(col("rho")).as("m_rho"))
-      val s = regs.agg(
-        sum(expr("shiftleft(cast(1 as bigint), 52 - m_rho)")).as("s_occ"),
-        count(lit(1)).as("n_occ"))
+      val hll = udaf(new graft.functions.Sketches.Hll,
+        org.apache.spark.sql.Encoders.STRING)
+      val est = li.select(md5(col("l_orderkey").cast("string")).as("h"))
+        .agg(hll(col("h")).as("hll_estimate"))
       val exact = li.agg(countDistinct(col("l_orderkey")).as("n_exact"))
-      s.crossJoin(exact).select(
-        col("n_exact"),
-        (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256)) * lit(65536)
-          * lit(4503599627370496.0)
-          / (col("s_occ") + (lit(256) - col("n_occ")) * lit(4503599627370496L))
-            .cast("double")).as("hll_estimate"))
+      exact.crossJoin(est).select(col("n_exact"), col("hll_estimate"))
     },
     Some {
       val nibble = (i: Int) =>
@@ -875,24 +863,23 @@ object RelationalQueries {
   val q41 = QueryDef(
     "q41_cms_heavy_hitters",
     (spark, dir) => {
+      // typed-Aggregator build ([[graft.functions.Sketches.Cms]]): one d·w
+      // counter matrix merged map-side (the JVM bucket hash mirrors the SQL
+      // bucket function byte-for-byte); probing is a codegen'd element_at
+      // per hash row against the one-row broadcast sketch.
       val d = 4; val w = 64
       val ev = Tables.eventsUs(spark, dir).select(col("user_id"))
-      def bucket(r: Int, key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        conv(substring(md5(concat(lit(s"$r|"), key.cast("string"))), 1, 2), 16, 10)
+      val cms = udaf(new graft.functions.Sketches.Cms(d, w),
+        org.apache.spark.sql.Encoders.STRING)
+      val sketch = ev.agg(cms(col("user_id").cast("string")).as("sk"))
+      def bucket(r: Int): org.apache.spark.sql.Column =
+        conv(substring(md5(concat(lit(s"$r|"), col("user_id").cast("string"))), 1, 2), 16, 10)
           .cast("int") % w
-      val cells = ev.select(col("user_id"),
-          explode(array((0 until d).map(r =>
-            struct(lit(r).as("r"), bucket(r, col("user_id")).as("b"))): _*)).as("rb"))
-        .select(col("rb.r"), col("rb.b"))
-        .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
       val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
-      val probes = exact.select(col("user_id"), col("n_exact"),
-          explode(array((0 until d).map(r =>
-            struct(lit(r).as("r"), bucket(r, col("user_id")).as("b"))): _*)).as("rb"))
-        .select(col("user_id"), col("n_exact"), col("rb.r"), col("rb.b"))
-      probes.join(cells, Seq("r", "b"))
-        .groupBy(col("user_id"), col("n_exact"))
-        .agg(min(col("c")).as("cms_est"))
+      exact.crossJoin(sketch).select(
+          col("user_id"), col("n_exact"),
+          least((0 until d).map(r =>
+            element_at(col("sk"), lit(r * w) + bucket(r) + lit(1))): _*).as("cms_est"))
         .orderBy(col("n_exact").desc, col("user_id")).limit(10)
     },
     Some {
