@@ -8,12 +8,13 @@ import org.apache.spark.sql.functions._
   * frame-sample as per-partition batch transforms.
   *
   * The Spark-side plumbing (schema, batch iteration, partitioning, output
-  * shape) is real and tested; the codec itself is STUBBED with a
-  * deterministic fake (this container has no image/audio libraries). Swap
-  * [[StubCodec]] for a real decoder (JNI/JavaCV/...) without touching any
-  * plumbing — the transform contract is `Iterator[MediaRow] →
-  * Iterator[MediaFeatures]`, which is exactly the mapInPandas/mapPartitions
-  * batch shape that amortizes codec init per partition, not per row.
+  * shape) is real and tested. Decode is REAL for 24-bit BMP
+  * ([[BmpCodec]] → [[imageFeatures]], oracle-verified by m03); formats
+  * needing native libraries absent from this container (JPEG, audio) keep
+  * the deterministic [[StubCodec]] stand-in behind the same contract:
+  * `Iterator[MediaRow] → Iterator[MediaFeatures]`, the
+  * mapInPandas/mapPartitions batch shape that amortizes codec init per
+  * partition, not per row.
   *
   * Scale notes: media bytes never pass through a shuffle here — features are
   * extracted in the scan stage and only the (small) feature rows move.
@@ -68,6 +69,44 @@ object Multimodal {
           frames, StubCodec.frameOffsets(r.media.length.toLong, frames))
       }
     }
+  }
+
+  case class ImageFeatures(media_id: Long, width: Int, height: Int,
+                           sum_r: Long, sum_g: Long, sum_b: Long,
+                           wsum_r: Long, r_first: Int, r_last: Int)
+
+  /** REAL decode path (no stub): parse each binary column value as a 24-bit
+    * BMP ([[BmpCodec.decode]]) and emit per-channel integer stats. Same
+    * mapPartitions batch shape as [[extractFeatures]] — bytes never leave
+    * the scan stage, only the small feature rows move. The weighted sum
+    * `wsum_r = Σ (x + w·y + 1)·R(x,y)` is geometry-sensitive: a decoder bug
+    * in row order, BGR order, or stride padding changes it even when the
+    * plain sums survive (m03's oracle computes it analytically). */
+  def imageFeatures(media: DataFrame, idCol: String, mediaCol: String): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(mediaCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val img = BmpCodec.decode(bytes)
+          val px = img.pixels
+          var sr = 0L; var sg = 0L; var sb = 0L; var wr = 0L
+          var y = 0
+          while (y < img.height) {
+            var x = 0
+            while (x < img.width) {
+              val o = (y * img.width + x) * 3
+              val r = px(o) & 0xff
+              sr += r; sg += px(o + 1) & 0xff; sb += px(o + 2) & 0xff
+              wr += (x + img.width.toLong * y + 1) * r
+              x += 1
+            }
+            y += 1
+          }
+          ImageFeatures(id, img.width, img.height, sr, sg, sb, wr,
+            px(0) & 0xff, px((img.width * img.height - 1) * 3) & 0xff)
+        }
+      }
   }
 
   /** Build a media table from the documents table (text bytes as the opaque

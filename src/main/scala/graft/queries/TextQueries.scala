@@ -619,6 +619,52 @@ object TextQueries {
            |ORDER BY media_id""".stripMargin),
     "multimodal plumbing over a true binary parquet column (LLM-pipeline op)")
 
+  /** REAL image decode (no stub): every document gets a true 24-bit BMP —
+    * deterministic per-pixel RGB functions of (doc_id, x, y), encoded with
+    * [[graft.operators.BmpCodec.encode]] into valid files — persisted
+    * through a parquet BINARY column and decoded back executor-side by
+    * [[graft.operators.BmpCodec.decode]]. The oracle computes the channel
+    * sums ANALYTICALLY from the pixel functions (exact integer arithmetic),
+    * so the hash match proves the full encode→parquet→decode round trip:
+    * little-endian header fields, bottom-up row order, BGR byte order and
+    * 4-byte stride padding all have to be exactly right (widths 2..14 hit
+    * every padding residue; `wsum_r` is geometry-sensitive on purpose). */
+  val m03 = QueryDef(
+    "m03_image_decode",
+    (spark, dir) => {
+      import spark.implicits._
+      val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions { it =>
+        it.map { id =>
+          val w = (id % 13 + 2).toInt; val h = (id % 7 + 2).toInt
+          (id, graft.operators.BmpCodec.encode(w, h, (x, y) => (
+            ((id + 7L * x + 13L * y) % 256).toInt,
+            ((3L * x + 5L * y + 1L) % 256).toInt,
+            ((x.toLong * y + id % 17) % 256).toInt)))
+        }
+      }.toDF("media_id", "media")
+      val tmp = java.nio.file.Files.createTempDirectory("m03-media-").toString
+      media.write.mode("overwrite").parquet(tmp)
+      graft.operators.Multimodal
+        .imageFeatures(spark.read.parquet(tmp), "media_id", "media")
+        .toDF().orderBy(col("media_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id AS media_id, doc_id % 13 + 2 AS w, doc_id % 7 + 2 AS h
+           |  FROM documents)
+           |SELECT media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           |  CAST(list_sum(flatten([[ (media_id + 7*x + 13*y) % 256
+           |    for x in range(0, w)] for y in range(0, h)])) AS BIGINT) AS sum_r,
+           |  CAST(list_sum(flatten([[ (3*x + 5*y + 1) % 256
+           |    for x in range(0, w)] for y in range(0, h)])) AS BIGINT) AS sum_g,
+           |  CAST(list_sum(flatten([[ (x*y + media_id % 17) % 256
+           |    for x in range(0, w)] for y in range(0, h)])) AS BIGINT) AS sum_b,
+           |  CAST(list_sum(flatten([[ (x + w*y + 1) * ((media_id + 7*x + 13*y) % 256)
+           |    for x in range(0, w)] for y in range(0, h)])) AS BIGINT) AS wsum_r,
+           |  CAST(media_id % 256 AS INTEGER) AS r_first,
+           |  CAST((media_id + 7*(w-1) + 13*(h-1)) % 256 AS INTEGER) AS r_last
+           |FROM d ORDER BY media_id""".stripMargin),
+    "real 24-bit BMP decode: encode->parquet BINARY->decode, analytic oracle (LLM-pipeline op)")
+
   /** Incremental clustering: replay the corpus as two batches — docs with
     * doc_id % 10 < 7 are the prior snapshot, the rest arrive as a new batch —
     * and extend the prior labels with [[Dedup.dupClustersIncremental]]
@@ -784,5 +830,5 @@ object TextQueries {
 
   def defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
-      d15, d16, d17, d18, d19, d20, d21, d22, m01, m02)
+      d15, d16, d17, d18, d19, d20, d21, d22, m01, m02, m03)
 }

@@ -41,6 +41,78 @@ class MultimodalSpec extends SparkSpec {
     assert(back.forall(_.length == 16))
   }
 
+  // The canonical 2x2 24-bit BMP from the public format documentation,
+  // byte-by-byte BY HAND (not produced by our encoder — that would be
+  // circular): top-left blue, top-right green, bottom-left red,
+  // bottom-right white; stored bottom-up, rows padded to 4 bytes.
+  private val canonical2x2: Array[Byte] = Array[Int](
+    0x42, 0x4D,             // "BM"
+    0x46, 0, 0, 0,          // file size 70
+    0, 0, 0, 0,             // reserved
+    0x36, 0, 0, 0,          // pixel array offset 54
+    0x28, 0, 0, 0,          // DIB header size 40
+    2, 0, 0, 0,             // width 2
+    2, 0, 0, 0,             // height 2 (bottom-up)
+    1, 0,                   // planes
+    24, 0,                  // bpp
+    0, 0, 0, 0,             // BI_RGB
+    0x10, 0, 0, 0,          // pixel array size 16
+    0x13, 0x0B, 0, 0, 0x13, 0x0B, 0, 0, // 72 dpi
+    0, 0, 0, 0, 0, 0, 0, 0, // palette counts
+    // bottom row: red (BGR 00 00 FF), white (FF FF FF), pad
+    0x00, 0x00, 0xFF, 0xFF, 0xFF, 0xFF, 0x00, 0x00,
+    // top row: blue (FF 00 00), green (00 FF 00), pad
+    0xFF, 0x00, 0x00, 0x00, 0xFF, 0x00, 0x00, 0x00
+  ).map(_.toByte)
+
+  test("BmpCodec decodes the canonical hand-written 2x2 BMP exactly") {
+    val img = BmpCodec.decode(canonical2x2)
+    assert(img.width == 2 && img.height == 2)
+    // RGB, row-major, top-down
+    val px = img.pixels.map(_ & 0xff).grouped(3).map {
+      case Array(r, g, b) => (r, g, b) }.toSeq
+    assert(px == Seq((0, 0, 255), (0, 255, 0), (255, 0, 0), (255, 255, 255)),
+      s"decoded pixels: $px")
+  }
+
+  test("BmpCodec encode->decode round trips across every stride-padding residue") {
+    for (w <- 1 to 9; h <- Seq(1, 3)) {
+      def rgb(x: Int, y: Int) = ((x * 31 + y * 7) % 256, (x + y * 13) % 256, (x * y + 5) % 256)
+      val img = BmpCodec.decode(BmpCodec.encode(w, h, rgb))
+      assert(img.width == w && img.height == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val o = (y * w + x) * 3
+        val got = (img.pixels(o) & 0xff, img.pixels(o + 1) & 0xff, img.pixels(o + 2) & 0xff)
+        assert(got == rgb(x, y), s"pixel ($x,$y) of ${w}x$h: $got != ${rgb(x, y)}")
+      }
+    }
+  }
+
+  test("BmpCodec rejects non-BMP and unsupported variants loudly") {
+    intercept[IllegalArgumentException](BmpCodec.decode("not a bitmap at all!!".getBytes ++ new Array[Byte](40)))
+    val bpp8 = canonical2x2.clone; bpp8(28) = 8
+    intercept[IllegalArgumentException](BmpCodec.decode(bpp8))
+    val rle = canonical2x2.clone; rle(30) = 1
+    intercept[IllegalArgumentException](BmpCodec.decode(rle))
+    intercept[IllegalArgumentException](BmpCodec.decode(canonical2x2.take(60))) // truncated pixels
+  }
+
+  test("imageFeatures decodes a true BMP fixture FILE through Spark") {
+    // a real file on disk, ingested via the binaryFile source — the
+    // production ingest shape for media blobs
+    val dir = java.nio.file.Files.createTempDirectory("bmp-fixture-")
+    java.nio.file.Files.write(dir.resolve("fixture.bmp"), canonical2x2)
+    val media = spark.read.format("binaryFile").load(dir.toString)
+      .select(org.apache.spark.sql.functions.lit(7L).as("media_id"),
+        $"content".as("media"))
+    val f = Multimodal.imageFeatures(media, "media_id", "media").collect()(0)
+    assert(f.width == 2 && f.height == 2)
+    assert(f.sum_r == 255 + 255 && f.sum_g == 255 + 255 && f.sum_b == 255 + 255)
+    // wsum_r = 1*R(0,0) + 2*R(1,0) + 3*R(0,1) + 4*R(1,1) = 0 + 0 + 765 + 1020
+    assert(f.wsum_r == 3 * 255 + 4 * 255, s"wsum_r=${f.wsum_r}")
+    assert(f.r_first == 0 && f.r_last == 255)
+  }
+
   test("Archiver writes exactly one json file per batch") {
     val landing = java.nio.file.Files.createTempDirectory("landing-").toString
     val batch = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
