@@ -206,6 +206,25 @@ object Scratch {
       pairCost(emb.withColumn("cell",
         element_at(hofCells(col("embedding")), 1).getField("cell"))
         .select(col("vec_id"), col("embedding"), col("cell")), "hof")
+    } else if (args.headOption.contains("drainprofile")) {
+      // isolate the streaming-drain fixed cost: A/B checkpoint filesystem
+      // (/tmp on /dev/vda vs /dev/shm tmpfs) x state-partition width for the
+      // three expensive drain families (stream-stream join, session window,
+      // dedup-within-watermark). Two runs per config; read the SECOND run
+      // (first pays codegen for that plan shape).
+      import graft.queries.StreamingQueries
+      val qs = Seq("s03_stream_interval_join", "s06_stream_session_window",
+        "s09_dedup_within_watermark")
+      for (root <- Seq(None, Some("/dev/shm"));
+           parts <- Seq(1, 4, 8)) {
+        StreamingQueries.ckptRoot = root
+        StreamingQueries.statePartitions = parts
+        val tag = s"ckpt=${root.getOrElse("/tmp")} parts=$parts"
+        for (name <- qs; i <- 1 to 2)
+          timed(s"$tag $name run$i")(SparkEntry.queries(name)(spark, sfDir).count())
+      }
+      StreamingQueries.ckptRoot = None
+      StreamingQueries.statePartitions = 4
     } else {
       val names = if (args.nonEmpty) args.toSeq
         else Seq("d05_ngram_jaccard", "d06_minhash_lsh", "d08_dup_clusters")

@@ -34,13 +34,30 @@ object StreamingQueries {
       .drop("ts")
   }
 
+  /** Profiling knobs (Scratch `drainprofile` A/Bs them; defaults are the
+    * measured-best local settings — see CLAUDE.md "Streaming drain floor").
+    * Checkpoints for these TEST drains are throwaway temp dirs, so tmpfs is
+    * an honest default when present (a production stream would point its
+    * checkpoint at durable storage instead); state partitions = 4 measured
+    * best at local scale (1 serializes the join, 8 doubles store count for
+    * no win). */
+  private[graft] var statePartitions: Int = 4
+  private[graft] var ckptRoot: Option[String] =
+    Some("/dev/shm").filter(p => java.nio.file.Files.isWritable(java.nio.file.Paths.get(p)))
+
+  private def newCkptDir(): String = ckptRoot match {
+    case Some(root) => Files.createTempDirectory(
+      java.nio.file.Paths.get(root), "graft-ckpt-").toString
+    case None => Files.createTempDirectory("graft-ckpt-").toString
+  }
+
   /** Run `body` with test-scale streaming state partitioning: state-store
     * count = shuffle partitions at query start (a stream-stream join opens 4
     * stores per partition); fewer, larger state partitions beat many tiny
     * checkpoint files locally. Restored afterwards. */
   private def withStreamConf[T](spark: SparkSession)(body: => T): T = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
@@ -50,7 +67,7 @@ object StreamingQueries {
                    (transform: DataFrame => DataFrame): DataFrame = {
     val src = eventsStream(spark, dir)
     val name = s"graft_stream_${runId.incrementAndGet()}"
-    val ckpt = Files.createTempDirectory("graft-ckpt-").toString
+    val ckpt = newCkptDir()
     withStreamConf(spark) {
       val q = transform(src).writeStream
         .format("memory")
@@ -134,7 +151,7 @@ object StreamingQueries {
       val table = new graft.merge.ParquetTable(spark, tableDir,
         org.apache.spark.sql.types.StructType.fromDDL(
           "event_type string, n bigint, sum_value double"))
-      val ckpt = Files.createTempDirectory("graft-ckpt-").toString
+      val ckpt = newCkptDir()
       withStreamConf(spark) {
         val q = eventsStream(spark, dir)
           .groupBy(col("event_type"))
