@@ -206,6 +206,30 @@ object Scratch {
       pairCost(emb.withColumn("cell",
         element_at(hofCells(col("embedding")), 1).getField("cell"))
         .select(col("vec_id"), col("embedding"), col("cell")), "hof")
+    } else if (args.headOption.contains("kmvab")) {
+      // isolated A/B of the KMV reduce path at k=256: the r4 list-based
+      // reduce (contains + sort per surviving row, re-inlined here verbatim
+      // for the comparison) vs the current sorted-array reduce (O(1)
+      // full-buffer reject). Pure-JVM fold — no Spark in the loop — so the
+      // delta is the reduce path alone. Both must produce the same estimate.
+      val kk = 256
+      val n = 2000000
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      val hashes = Array.tabulate(n) { i =>
+        digest.digest(s"key-$i".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      }
+      def oldReduce(buf: List[String], h: String): List[String] =
+        if (buf.contains(h)) buf
+        else { val l = (h :: buf).sorted; if (l.length > kk) l.take(kk) else l }
+      val agg = new graft.functions.Sketches.Kmv(kk)
+      for (i <- 1 to 3) {
+        var oldBuf: List[String] = Nil
+        timed(s"old list reduce x$n run$i")(hashes.foreach(h => oldBuf = oldReduce(oldBuf, h)))
+        var newBuf = agg.zero
+        timed(s"new array reduce x$n run$i")(hashes.foreach(h => newBuf = agg.reduce(newBuf, h)))
+        require(oldBuf == newBuf.toList && oldBuf.length == kk,
+          "A/B implementations disagree")
+      }
     } else if (args.headOption.contains("drainprofile")) {
       // isolate the streaming-drain fixed cost: A/B checkpoint filesystem
       // (/tmp on /dev/vda vs /dev/shm tmpfs) x state-partition width for the

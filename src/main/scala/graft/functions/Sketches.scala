@@ -56,34 +56,67 @@ object Sketches {
 
   /** KMV distinct-count sketch over pre-hashed keys (feed it SQL
     * `md5(key)` so the hot hash stays codegen'd). Buffer = the ≤k smallest
-    * DISTINCT hashes, kept sorted; estimate = (k-1)/U_k with U_k the k-th
-    * hash's 32-bit prefix as a dyadic rational — exactly q30's expression,
-    * so the estimate is bit-identical to the SQL/DuckDB computation. */
-  class Kmv(k: Int) extends Aggregator[String, List[String], Double] {
+    * DISTINCT hashes, kept sorted ascending; estimate = (k-1)/U_k with U_k
+    * the k-th hash's 32-bit prefix as a dyadic rational — exactly q30's
+    * expression, so the estimate is bit-identical to the SQL/DuckDB
+    * computation.
+    *
+    * The hot path is O(1): once the buffer is full, any hash ≥ the current
+    * k-th minimum is rejected with no allocation — at a uniform hash
+    * distribution that is all but k/n of a 100 TB scan's rows. Survivors
+    * insert by binary search + arraycopy (O(log k) compares, one ≤k-slot
+    * copy) instead of the old list sort. */
+  class Kmv(k: Int) extends Aggregator[String, Array[String], Double] {
     require(k >= 2, "k must be >= 2")
 
-    override def zero: List[String] = Nil
+    override def zero: Array[String] = Array.empty
 
-    override def reduce(buf: List[String], h: String): List[String] =
-      if (buf.contains(h)) buf
-      else {
-        val l = (h :: buf).sorted
-        if (l.length > k) l.take(k) else l
+    override def reduce(buf: Array[String], h: String): Array[String] = {
+      val n = buf.length
+      if (n == k && h.compareTo(buf(n - 1)) >= 0) return buf // common case
+      // binary search for the insertion point in the sorted buffer
+      var lo = 0; var hi = n
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (buf(mid).compareTo(h) < 0) lo = mid + 1 else hi = mid
       }
-
-    override def merge(a: List[String], b: List[String]): List[String] = {
-      val l = (a ++ b).distinct.sorted
-      if (l.length > k) l.take(k) else l
+      if (lo < n && buf(lo) == h) return buf // duplicate (DISTINCT sketch)
+      val outLen = math.min(n + 1, k)
+      val out = new Array[String](outLen)
+      System.arraycopy(buf, 0, out, 0, lo)
+      out(lo) = h
+      System.arraycopy(buf, lo, out, lo + 1, outLen - 1 - lo)
+      out
     }
 
-    override def finish(buf: List[String]): Double =
+    override def merge(a: Array[String], b: Array[String]): Array[String] = {
+      if (a.isEmpty) return b
+      if (b.isEmpty) return a
+      // merge two sorted distinct runs, dropping cross-buffer duplicates,
+      // keeping only the k smallest
+      val out = new Array[String](math.min(a.length + b.length, k))
+      var i = 0; var j = 0; var o = 0
+      while (o < out.length && (i < a.length || j < b.length)) {
+        val cmp =
+          if (i == a.length) 1
+          else if (j == b.length) -1
+          else a(i).compareTo(b(j))
+        if (cmp < 0) { out(o) = a(i); i += 1 }
+        else if (cmp > 0) { out(o) = b(j); j += 1 }
+        else { out(o) = a(i); i += 1; j += 1 }
+        o += 1
+      }
+      if (o < out.length) java.util.Arrays.copyOf(out, o) else out
+    }
+
+    override def finish(buf: Array[String]): Double =
       if (buf.length < k) buf.length.toDouble
       else {
-        val frac = parseHex(buf.last, 0, 8).toDouble / 4294967296.0
+        val frac = parseHex(buf(k - 1), 0, 8).toDouble / 4294967296.0
         (k - 1).toDouble / frac
       }
 
-    override def bufferEncoder: Encoder[List[String]] = ExpressionEncoder[List[String]]()
+    override def bufferEncoder: Encoder[Array[String]] = ExpressionEncoder[Array[String]]()
     override def outputEncoder: Encoder[Double] = ExpressionEncoder[Double]()
   }
 

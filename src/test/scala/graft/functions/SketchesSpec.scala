@@ -28,13 +28,16 @@ class SketchesSpec extends SparkSpec {
     val parts = chunks(hashes, 3).map(bufOf)
     val left = parts.reduceLeft(agg.merge)
     val right = parts.reduceRight(agg.merge)
-    assert(left == right, "merge associativity")
-    assert(agg.merge(parts(1), parts(0)) == agg.merge(parts(0), parts(1)),
+    assert(left.toSeq == right.toSeq, "merge associativity")
+    assert(agg.merge(parts(1), parts(0)).toSeq == agg.merge(parts(0), parts(1)).toSeq,
       "merge commutativity")
     val whole = agg.finish(bufOf(hashes))
     assert(agg.finish(left) == whole, "estimate must not depend on partitioning")
     // duplicates never perturb the buffer (KMV is a DISTINCT sketch)
-    assert(bufOf(hashes ++ hashes) == bufOf(hashes))
+    assert(bufOf(hashes ++ hashes).toSeq == bufOf(hashes).toSeq)
+    // the buffer invariant the O(1) reject path relies on: sorted, distinct, ≤k
+    val b = bufOf(hashes)
+    assert(b.length == 64 && b.toSeq == b.toSeq.distinct.sorted, "sorted distinct ≤k")
     // and the estimate lands near the true distinct count (4001-key domain)
     assert(math.abs(whole - keys.distinct.size) < keys.distinct.size * 0.3, whole)
   }
