@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.GraftUdafBridge
 import graft.functions._
 
 /** The library's `SparkSessionExtensions` hook (SURVEY.md §7.4) — the
@@ -64,5 +65,24 @@ object GraftExtensions {
           .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray()
         HierarchicalCellsExpr(e.head, dArr(1), dArr(2), iArr(3), iArr(4),
           intArg(e(5)), intArg(e(6)), intArg(e(7)))
-      }))
+      }),
+    // ---- mergeable sketch aggregates ([[Sketches]]) ----
+    // Injected through the same ScalaAggregator bridge `spark.udf.register`
+    // uses for a UserDefinedAggregator, so `SELECT kmv_distinct(md5(k))`
+    // plans the identical TypedImperativeAggregate the DataFrame udaf path
+    // builds — partial-merge map-side agg included. The analyzer wraps the
+    // returned AggregateFunction in an AggregateExpression itself.
+    (FunctionIdentifier("kmv_distinct"), info("kmv_distinct", classOf[Sketches.Kmv]),
+      (e: Seq[Expression]) => GraftUdafBridge.aggregate(
+        new Sketches.Kmv(if (e.length > 1) intArg(e(1)) else 256), "kmv_distinct",
+        e.take(1))),
+    (FunctionIdentifier("hll_distinct"), info("hll_distinct", classOf[Sketches.Hll]),
+      (e: Seq[Expression]) => GraftUdafBridge.aggregate(
+        new Sketches.Hll, "hll_distinct", e.take(1))),
+    (FunctionIdentifier("cms_sketch"), info("cms_sketch", classOf[Sketches.Cms]),
+      (e: Seq[Expression]) => GraftUdafBridge.aggregate(
+        new Sketches.Cms(
+          if (e.length > 1) intArg(e(1)) else 4,
+          if (e.length > 2) intArg(e(2)) else 64), "cms_sketch",
+        e.take(1))))
 }

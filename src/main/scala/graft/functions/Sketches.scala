@@ -120,6 +120,39 @@ object Sketches {
     override def outputEncoder: Encoder[Double] = ExpressionEncoder[Double]()
   }
 
+  /** The rollup half of the KMV story: [[KmvSketch]] emits the per-group
+    * BUFFER (the ≤k smallest hashes) instead of the estimate, and
+    * [[KmvMerge]] aggregates those buffers into the global estimate without
+    * ever seeing a raw key again. Because a KMV union is exact
+    * (min-k(A ∪ B) = min-k(min-k(A) ∪ min-k(B))), the rolled-up estimate is
+    * bit-identical to a flat [[Kmv]] over the union — which is what lets a
+    * 100 TB pipeline keep one ≤k-hash sketch per day/source and answer
+    * global distincts from sketches alone, no rescan. */
+  class KmvSketch(k: Int) extends Aggregator[String, Array[String], Seq[String]] {
+    private val kmv = new Kmv(k)
+    override def zero: Array[String] = kmv.zero
+    override def reduce(buf: Array[String], h: String): Array[String] = kmv.reduce(buf, h)
+    override def merge(a: Array[String], b: Array[String]): Array[String] = kmv.merge(a, b)
+    override def finish(buf: Array[String]): Seq[String] = buf.toIndexedSeq
+    override def bufferEncoder: Encoder[Array[String]] = ExpressionEncoder[Array[String]]()
+    override def outputEncoder: Encoder[Seq[String]] = ExpressionEncoder[Seq[String]]()
+  }
+
+  /** Merge pre-built KMV buffers (the [[KmvSketch]] output) into the global
+    * estimate. Input rows are whole sketches, so the second-level agg is
+    * O(groups · k) — it never re-expands raw keys. Estimate math is
+    * [[Kmv.finish]] verbatim, hence bit-identical to the flat sketch. */
+  class KmvMerge(k: Int) extends Aggregator[Seq[String], Array[String], Double] {
+    private val kmv = new Kmv(k)
+    override def zero: Array[String] = kmv.zero
+    override def reduce(buf: Array[String], sk: Seq[String]): Array[String] =
+      kmv.merge(buf, sk.toArray)
+    override def merge(a: Array[String], b: Array[String]): Array[String] = kmv.merge(a, b)
+    override def finish(buf: Array[String]): Double = kmv.finish(buf)
+    override def bufferEncoder: Encoder[Array[String]] = ExpressionEncoder[Array[String]]()
+    override def outputEncoder: Encoder[Double] = ExpressionEncoder[Double]()
+  }
+
   /** HyperLogLog (raw estimator, p=8) over pre-hashed keys. Buffer = 256
     * max-rho registers (0 = untouched, contributing 2^0 to the harmonic sum
     * like q39's `(256 - n_occ)` term); estimate via the exact-integer dyadic

@@ -1013,8 +1013,49 @@ object RelationalQueries {
            |ORDER BY l_orderkey, l_linenumber""".stripMargin),
     "z-order clustered write + two-column rectangle read-back (beyond reference)")
 
+  /** Sketch ROLLUP — the pattern the mergeable Aggregators exist for: build
+    * one bounded KMV buffer per group (here l_returnflag; per-day/per-source
+    * in production), then merge the BUFFERS into a global distinct estimate
+    * in a second aggregation that never re-expands raw keys — at 100 TB the
+    * second stage reads `groups · k` hashes, not the corpus. KMV union is
+    * exact (min-k(A∪B) = min-k of the min-k's), so the rolled-up estimate is
+    * BIT-identical to q30's flat sketch and the oracle is the flat
+    * expression over the union. PlanAuditSpec pins the no-re-expansion shape
+    * (a single md5 below the first aggregate, none above it). */
+  val q44 = QueryDef(
+    "q44_sketch_rollup",
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+      val sketch = udaf(new graft.functions.Sketches.KmvSketch(256),
+        org.apache.spark.sql.Encoders.STRING)
+      val mergeEst = udaf(new graft.functions.Sketches.KmvMerge(256),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]())
+      val perGroup = li
+        .select(col("l_returnflag").as("grp"),
+          md5(col("l_orderkey").cast("string")).as("h"))
+        .groupBy(col("grp")).agg(sketch(col("h")).as("sk"))
+      val est = perGroup.agg(count(lit(1)).as("n_groups"),
+        mergeEst(col("sk")).as("kmv_estimate"))
+      val exact = li.agg(countDistinct(col("l_orderkey")).as("n_exact"))
+      exact.crossJoin(est).select(col("n_groups"), col("n_exact"), col("kmv_estimate"))
+    },
+    Some {
+      val nibbleSum = (1 to 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(kth, $i, 1)) - 1) / ${math.pow(16.0, i)}")
+        .mkString(" + ")
+      s"""WITH h AS (SELECT DISTINCT md5(CAST(l_orderkey AS VARCHAR)) AS h FROM lineitem),
+         |top AS (SELECT h FROM h ORDER BY h LIMIT 256),
+         |k AS (SELECT max(h) AS kth, count(*) AS n_h FROM top)
+         |SELECT (SELECT count(DISTINCT l_returnflag) FROM lineitem) AS n_groups,
+         |  (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS n_exact,
+         |  CASE WHEN n_h < 256 THEN CAST(n_h AS DOUBLE)
+         |       ELSE 255 / ($nibbleSum) END AS kmv_estimate
+         |FROM k""".stripMargin
+    },
+    "two-level sketch rollup: per-group KMV buffers merged to a global estimate")
+
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q12, q13, q14, q15, q16, q17, q18, q19, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41, q42, q43)
+    q41, q42, q43, q44)
 }

@@ -46,6 +46,26 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(row.getLong(6) == 7L)   // morton(3,1): a bits 0,2 + b bit 1
       assert(row.getInt(7) == 0)     // x-axis query → cell 0
       assert(row.getInt(8) == 1)     // y-axis query → super 1 → cell 1
+      // sketch aggregates resolve from pure SQL (the ScalaAggregator bridge):
+      // 100 distinct keys < k=256 → KMV estimate is exactly the distinct
+      // count; HLL lands within its 256-register error band; CMS counter
+      // matrix has d·w cells summing to d·n rows
+      val sk = s2.sql(
+        """SELECT
+          |  kmv_distinct(md5(CAST(id AS STRING))) AS kmv,
+          |  kmv_distinct(md5(CAST(id AS STRING)), 16) AS kmv16,
+          |  cms_sketch(CAST(id % 10 AS STRING)) AS cms
+          |FROM range(100)""".stripMargin).first()
+      assert(sk.getDouble(0) == 100.0, "kmv under-full buffer = exact count")
+      assert(sk.getDouble(1) > 0.0 && sk.getDouble(1) != 100.0,
+        "k=16 arg respected: saturated buffer estimates, not exact-counts")
+      // raw-HLL (no small-range correction, by q39 design) needs n >> m=256
+      val hll = s2.sql(
+        """SELECT hll_distinct(md5(CAST(id AS STRING))) AS hll
+          |FROM range(5000)""".stripMargin).first().getDouble(0)
+      assert(math.abs(hll - 5000.0) < 1500.0, s"hll far off: $hll")
+      val cms = sk.getSeq[Long](2)
+      assert(cms.length == 4 * 64 && cms.sum == 4L * 100)
       // bloom_might_contain needs a real serialized filter — build one
       val bf = org.apache.spark.util.sketch.BloomFilter.create(10, 0.01)
       bf.putLong(42L)

@@ -44,6 +44,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q44: rollup merges sketch buffers without re-expanding raw keys") {
+    val p = planOf("q44_sketch_rollup")
+    val lines = p.linesIterator.toIndexedSeq
+    val iMerge = lines.indexWhere(_.toLowerCase.contains("kmvmerge"))
+    val iSketch = lines.indexWhere(_.toLowerCase.contains("kmvsketch"))
+    assert(iMerge >= 0 && iSketch > iMerge,
+      s"expected KmvMerge above KmvSketch (two-level agg):\n$p")
+    // the merge stage consumes buffers: no md5/raw-key expansion between the
+    // two aggregates — the only md5 sits below the per-group sketch build
+    assert(!lines.slice(iMerge + 1, iSketch).exists(_.contains("md5")),
+      s"raw keys re-expanded above the sketch stage:\n$p")
+    // both levels run with map-side partial aggregation
+    assert(p.contains("partial_kmvsketch") || p.contains("partial_KmvSketch"),
+      s"sketch build lost its partial (map-side) phase:\n$p")
+  }
+
   test("q26: salted join still plans as an equi-join on (key, salt)") {
     val p = planOf("q26_salted_join")
     assert(p.contains("HashJoin"), s"salted join lost its equi-join shape:\n$p")
