@@ -47,6 +47,8 @@ object GraftExtensions {
       (e: Seq[Expression]) => WinnowingExpr(e(0), intArg(e(1)), intArg(e(2)))),
     (FunctionIdentifier("content_fingerprint"), info("content_fingerprint", classOf[FingerprintExpr]),
       (e: Seq[Expression]) => FingerprintExpr(e(0))),
+    (FunctionIdentifier("img_dhash"), info("img_dhash", classOf[DHashExpr]),
+      (e: Seq[Expression]) => DHashExpr(e(0))),
     (FunctionIdentifier("bloom_might_contain"), info("bloom_might_contain", classOf[BloomMightContain]),
       (e: Seq[Expression]) => BloomMightContain(e(0),
         e(1).eval().asInstanceOf[Array[Byte]])),

@@ -195,6 +195,22 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** Image near-dup over a binary media column: perceptual 56-bit dHash per
+    * image ([[graft.functions.DHashExpr]] — BMP decode + luminance-gradient
+    * bits, all integer math), then the same pigeonhole block-partitioned
+    * Hamming join as [[simhashNearDup]]. Brightness-shifted or
+    * single-pixel-perturbed renditions hash within 1 bit of the original,
+    * so they pair at `maxHamming = 3`; the join key is (block_idx, 14-bit
+    * chunk), never all-pairs — media bytes stay in the scan stage, only
+    * (id, fingerprint) rows shuffle. */
+  def imageNearDup(media: DataFrame, idCol: String, mediaCol: String,
+                   blocks: Int = 4, maxHamming: Int = 3): DataFrame = {
+    graft.functions.ImageHash.registerNative(media.sparkSession)
+    val fp = media.select(col(idCol).as("doc_id"),
+      graft.functions.ImageHash.dHash(col(mediaCol)).as("simhash"))
+    simhashNearDup(fp, bits = 56, blocks = blocks, maxHamming = maxHamming)
+  }
+
   /** Connected components over a near-dup pair relation → duplicate
     * clusters: every doc gets `cluster_id` = the smallest doc id reachable
     * through pairs (isolated docs are their own cluster). The final step of

@@ -665,6 +665,71 @@ object TextQueries {
            |FROM d ORDER BY media_id""".stripMargin),
     "real 24-bit BMP decode: encode->parquet BINARY->decode, analytic oracle (LLM-pipeline op)")
 
+  /** Image NEAR-DUP — the dedup ladder applied to decoded pixels. Fixture:
+    * docs in groups of 4 (`gid = doc_id / 4`) share one group-specific
+    * texture (nonlinear integer pixel functions of (gid, x, y), mod 199 so
+    * brightness headroom exists); within a group each doc gets a uniform
+    * brightness shift (`doc_id % 7`, which dHash is invariant to) and every
+    * doc_id % 5 == 0 additionally a +40 spot on pixel (0,0) (flips ≤ 1
+    * fingerprint bit). So same-group renditions land within Hamming ≤ 1 and
+    * pair at maxHamming = 3, while cross-group textures stay far apart.
+    * The encode→parquet→decode chain is m03's; the oracle computes the
+    * 56-bit dHash ANALYTICALLY from the pixel functions (sampling the same
+    * 8×8 integer-division grid) and mirrors the pigeonhole chunk join, so a
+    * hash match proves decode + hash + join end-to-end. Widths 6..14 hit
+    * every BMP stride-padding residue. */
+  val m04 = QueryDef(
+    "m04_image_neardup",
+    (spark, dir) => {
+      import spark.implicits._
+      val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions { it =>
+        it.map { id =>
+          val gid = id / 4
+          val w = (gid % 9 + 6).toInt; val h = (gid % 5 + 8).toInt
+          val bright = (id % 7).toInt
+          val spot = if (id % 5 == 0) 40 else 0
+          (id, graft.operators.BmpCodec.encode(w, h, (x, y) => {
+            val sp = if (x == 0 && y == 0) spot else 0
+            ((((gid + 3) * (x + 1) * (y + 2) + 5L * x * x) % 199 + bright + sp).toInt,
+             (((gid + 7) * (x + 2) * (y + 1) + 3L * y * y) % 199 + bright + sp).toInt,
+             (((2 * gid + 1) * (x.toLong * y + x + y)) % 199 + bright + sp).toInt)
+          }))
+        }
+      }.toDF("media_id", "media")
+      val tmp = java.nio.file.Files.createTempDirectory("m04-media-").toString
+      media.write.mode("overwrite").parquet(tmp)
+      Dedup.imageNearDup(spark.read.parquet(tmp), "media_id", "media")
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 7 AS bright,
+           |    CASE WHEN doc_id % 5 = 0 THEN 40 ELSE 0 END AS spot,
+           |    (doc_id // 4) % 9 + 6 AS w, (doc_id // 4) % 5 + 8 AS h
+           |  FROM documents),
+           |g AS (SELECT doc_id,
+           |    [[ ( ((gid + 3) * ((gx*w//8) + 1) * ((gy*h//8) + 2) + 5 * (gx*w//8) * (gx*w//8)) % 199
+           |       + ((gid + 7) * ((gx*w//8) + 2) * ((gy*h//8) + 1) + 3 * (gy*h//8) * (gy*h//8)) % 199
+           |       + ((2*gid + 1) * ((gx*w//8) * (gy*h//8) + (gx*w//8) + (gy*h//8))) % 199
+           |       + 3 * bright
+           |       + CASE WHEN gx*w//8 = 0 AND gy*h//8 = 0 THEN 3 * spot ELSE 0 END ) // 3
+           |      for gx in range(0, 8)] for gy in range(0, 8)] AS gg
+           |  FROM d),
+           |fp AS (SELECT doc_id, CAST(list_sum(flatten(
+           |    [[CASE WHEN gg[gy+1][gx+2] > gg[gy+1][gx+1]
+           |           THEN 1::BIGINT << (gy*7+gx) ELSE 0::BIGINT END
+           |      for gx in range(0, 7)] for gy in range(0, 8)])) AS BIGINT) AS fp
+           |  FROM g),
+           |chunks AS (SELECT doc_id, fp, c AS chunk_idx, (fp >> (c * 14)) & 16383 AS chunk
+           |  FROM fp, (SELECT unnest([0, 1, 2, 3]) AS c)),
+           |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    a.fp AS fp_a, b.fp AS fp_b
+           |  FROM chunks a JOIN chunks b
+           |    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b, CAST(bit_count(xor(fp_a, fp_b)) AS INTEGER) AS hamming
+           |FROM p WHERE bit_count(xor(fp_a, fp_b)) <= 3
+           |ORDER BY doc_a, doc_b""".stripMargin),
+    "image near-dup: perceptual dHash over decoded BMP pixels + pigeonhole Hamming join (LLM-pipeline op)")
+
   /** Incremental clustering: replay the corpus as two batches — docs with
     * doc_id % 10 < 7 are the prior snapshot, the rest arrive as a new batch —
     * and extend the prior labels with [[Dedup.dupClustersIncremental]]
@@ -830,5 +895,5 @@ object TextQueries {
 
   def defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
-      d15, d16, d17, d18, d19, d20, d21, d22, m01, m02, m03)
+      d15, d16, d17, d18, d19, d20, d21, d22, m01, m02, m03, m04)
 }

@@ -75,6 +75,11 @@ class GraftExtensionsSpec extends SparkSpec {
         call_function("bloom_might_contain", col("id"), lit(bos.toByteArray))
           .as("hit")).collect().map(_.getBoolean(0))
       assert(hits(1), "inserted key must hit")
+      // img_dhash over a literal BMP matches the static helper directly
+      val bmp = graft.operators.BmpCodec.encode(8, 8, (x, y) => (x * 30, y * 30, 0))
+      val fp = s2.range(1).select(
+        call_function("img_dhash", lit(bmp)).as("fp")).first().getLong(0)
+      assert(fp == graft.functions.DHashExpr.compute(bmp))
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
