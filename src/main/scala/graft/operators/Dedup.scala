@@ -454,15 +454,20 @@ object Dedup {
   def semanticDedup(corpus: DataFrame, idCol: String,
                     cos: (Column, Column) => Column,
                     nlist: Int, minCos: Double,
-                    probeSupers: Int = 0): DataFrame = {
+                    probeSupers: Int = 0,
+                    centroids: Option[Array[(Int, Seq[Double])]] = None): DataFrame = {
     graft.functions.VectorFunctions.register(corpus.sparkSession)
-    val centroids = Similarity.strideCentroids(corpus, nlist)
+    // explicit centroids override the stride sample (and make `nlist` moot):
+    // a caller with a data-independent or precomputed codebook — v08 uses a
+    // seeded pseudorandom one so its oracle can embed the whole centroid
+    // tree as literals — skips the corpus-dependent seeding pass entirely
+    val cents = centroids.getOrElse(Similarity.strideCentroids(corpus, nlist))
     // probeSupers > 0 switches assignment to the two-level O(√nlist) path
     // (approximate; the oracle-verified query keeps the flat default — see
     // HierarchicalCellsExpr for the trade)
     val topCells =
-      if (probeSupers <= 0) Similarity.topCellsOf(centroids, cos) _
-      else Similarity.topCellsHierarchical(centroids, probeSupers) _
+      if (probeSupers <= 0) Similarity.topCellsOf(cents, cos) _
+      else Similarity.topCellsHierarchical(cents, probeSupers) _
     val assigned = corpus
       .withColumn("cell", element_at(topCells(col("embedding"), 1), 1).getField("cell"))
       .select(col(idCol), col("embedding"), col("cell"))

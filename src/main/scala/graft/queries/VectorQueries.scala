@@ -250,5 +250,78 @@ object VectorQueries {
     Some(semanticDedupOracle),
     "SemDeDup via hierarchical two-level centroid assignment (scale path)")
 
-  def defs: Seq[QueryDef] = Seq(v01, v02, v03, v04, v05, v06, v07)
+  // ---- v08: the APPROXIMATE hierarchical probe, oracle-verified ----
+  // v07 pins the two-level machinery on the path where it is provably exact
+  // (probing every super ≡ flat). v08 pins the path that makes it a 100 TB
+  // lever: probeSupers = 2 of 4 — genuinely approximate assignment. The
+  // centroid codebook is data-INDEPENDENT (seeded pseudorandom,
+  // [[graft.functions.SignLsh.matrix]]), so the whole centroid tree —
+  // super centroids from the driver-side spherical k-means grouping, member
+  // matrices in group order, flat cell ids — is computable at oracle-build
+  // time and embedded as double literals (the proven v03 technique; CLAUDE.md
+  // rule 6: shortest-repr strings round-trip). The oracle mirrors the exact
+  // two-level composition of [[graft.functions.HierarchicalCellsExpr]]:
+  // rank supers by (cos desc, group desc), probe the top 2 groups' members,
+  // argmax member by (cos desc, cell desc) — then the v06 drop rule.
+  private val V08Dims = 64
+  private val V08Nlist = 16
+  private val V08Probe = 2
+
+  private def v08Centroids: Array[(Int, Seq[Double])] = {
+    val m = graft.functions.SignLsh.matrix(V08Nlist, V08Dims, 7L)
+    Array.tabulate(V08Nlist)(i => (i, m.slice(i * V08Dims, (i + 1) * V08Dims).toSeq))
+  }
+
+  private val v08Oracle: String = {
+    val dims = V08Dims; val tau = 0.3
+    val nSupers = math.max(1, math.round(math.sqrt(V08Nlist)).toInt)
+    val (sup, mem, ids, off) = Similarity.groupCentroids(v08Centroids, nSupers)
+    val supRows = (0 until nSupers).map { g =>
+      val lst = (0 until dims).map(d => sup(g * dims + d).toString)
+        .mkString("[", ", ", "]")
+      s"($g, $lst)"
+    }.mkString(",\n  ")
+    val memRows = ids.indices.map { r =>
+      val g = off.indexWhere(_ > r) - 1
+      val lst = (0 until dims).map(d => mem(r * dims + d).toString)
+        .mkString("[", ", ", "]")
+      s"($g, ${ids(r)}, $lst)"
+    }.mkString(",\n  ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |sup AS (SELECT g, CAST(w AS DOUBLE[]) AS w FROM (VALUES
+       |  $supRows) AS t(g, w)),
+       |mem AS (SELECT g, cell, CAST(w AS DOUBLE[]) AS w FROM (VALUES
+       |  $memRows) AS t(g, cell, w)),
+       |saff AS (SELECT e.vec_id, sup.g, ${cosSql("e.emb", "sup.w")} AS a FROM e, sup),
+       |probes AS (SELECT vec_id, g FROM (
+       |    SELECT vec_id, g, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, g DESC) AS rn
+       |    FROM saff) WHERE rn <= $V08Probe),
+       |maff AS (SELECT p.vec_id, m.cell, ${cosSql("e.emb", "m.w")} AS a
+       |  FROM probes p JOIN mem m ON m.g = p.g JOIN e ON e.vec_id = p.vec_id),
+       |assign AS (SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell DESC) AS rn
+       |    FROM maff) WHERE rn = 1),
+       |drops AS (SELECT DISTINCT b.vec_id
+       |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+       |  WHERE round(${cosSql("ea.emb", "eb.emb")}, 6) >= $tau)
+       |SELECT s.vec_id, s.cell FROM assign s
+       |WHERE s.vec_id NOT IN (SELECT vec_id FROM drops)
+       |ORDER BY s.vec_id""".stripMargin
+  }
+
+  val v08 = QueryDef(
+    "v08_semantic_dedup_probe",
+    (spark, dir) => {
+      VectorFunctions.register(spark)
+      val kept = Dedup.semanticDedup(Tables.embeddings(spark, dir), "vec_id",
+          VectorFunctions.cosineSim, nlist = V08Nlist, minCos = 0.3,
+          probeSupers = V08Probe, centroids = Some(v08Centroids))
+        .orderBy(col("vec_id"))
+      kept
+    },
+    Some(v08Oracle),
+    "SemDeDup via APPROXIMATE hierarchical probe (2 of 4 supers), literal centroid-tree oracle")
+
+  def defs: Seq[QueryDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08)
 }
