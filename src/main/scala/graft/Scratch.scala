@@ -137,9 +137,11 @@ object Scratch {
       embx.unpersist()
     } else if (args.headOption.contains("d18pieces")) {
       val docs = graft.sources.Tables.documents(spark, sfDir)
-      val pairs = graft.operators.Dedup.minhashLsh(docs, "doc_id", "text",
-        n = 3, k = 8, r = 2, minJaccard = 0.2, maxDf = 20).persist()
-      timed("pairs persist")(pairs.count())
+      var pairs: org.apache.spark.sql.DataFrame = graft.operators.Dedup
+        .minhashLsh(docs, "doc_id", "text",
+          n = 3, k = 8, r = 2, minJaccard = 0.2, maxDf = 20)
+      timed("pairs persist")(
+        { pairs = pairs.localCheckpoint(true); pairs.count() })
       val isOld = (c: org.apache.spark.sql.Column) => c % 10 < 7
       val batch1 = docs.filter(isOld(col("doc_id")))
       val batch2 = docs.filter(!isOld(col("doc_id")))
@@ -150,6 +152,43 @@ object Scratch {
         { prior = graft.operators.Dedup.dupClusters(priorPairs, batch1, "doc_id"); prior.count() })
       timed("incremental")(
         graft.operators.Dedup.dupClustersIncremental(prior, newPairs, batch2, "doc_id").count())
+    } else if (args.headOption.contains("d18sf1")) {
+      // incremental-clustering 10x scaling point: the corpus grows to 10
+      // replicas (sf1 construction, zero cross-replica shingle overlap) but
+      // the NEW BATCH stays the same absolute size as the sf0.1 d18pieces
+      // batch (the doc_id%10>=7 slice of replica 0 only, ~1.5k docs). If
+      // incremental work is ∝ batch + touched clusters, its time stays ~flat
+      // while the from-scratch prior propagation grows ~10x.
+      import graft.operators.Dedup
+      val base = graft.sources.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+      val reps = (0 until 10).map { k =>
+        base.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"r$k$$1").as("text"))
+      }
+      // localCheckpoint (not persist): production reads the prior labels and
+      // the pair index FROM STORAGE — live lineage here (10-way union +
+      // minhashLsh) would re-ANALYZE per downstream plan and the measurement
+      // becomes driver-side analysis cost, not incremental work (CLAUDE.md
+      // "checkpoint INPUT relations too")
+      var docs = reps.reduce(_ unionByName _).repartition(32)
+      timed("sf1 corpus materialize (50k docs)")(
+        { docs = docs.localCheckpoint(true); docs.count() })
+      var pairs = Dedup.minhashLsh(docs, "doc_id", "text", n = 3, k = 8, r = 2,
+        minJaccard = 0.2, maxDf = 20)
+      timed("pairs persist")(
+        { pairs = pairs.localCheckpoint(true); pairs.count() })
+      val isNew = (c: org.apache.spark.sql.Column) =>
+        c < 1000000L && c % 10 >= 7
+      val batch1 = docs.filter(!isNew(col("doc_id")))
+      val batch2 = docs.filter(isNew(col("doc_id")))
+      val priorPairs = pairs.filter(!isNew(col("doc_a")) && !isNew(col("doc_b")))
+      val newPairs = pairs.filter(isNew(col("doc_a")) || isNew(col("doc_b")))
+      var prior: org.apache.spark.sql.DataFrame = null
+      timed("prior propagate (48.5k docs)")(
+        { prior = Dedup.dupClusters(priorPairs, batch1, "doc_id"); prior.count() })
+      timed("incremental (1.5k batch)")(
+        Dedup.dupClustersIncremental(prior, newPairs, batch2, "doc_id").count())
     } else if (args.headOption.contains("d05pieces")) {
       val docs = graft.sources.Tables.documents(spark, sfDir)
       val raw = graft.operators.Dedup.docShingles(docs, "doc_id", "text", 3).persist()

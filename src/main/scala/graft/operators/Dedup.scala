@@ -374,6 +374,14 @@ object Dedup {
                              newDocs: DataFrame, idCol: String,
                              maxIters: Int = 20,
                              reliableCheckpoint: Boolean = false): DataFrame = {
+    val debug = sys.env.contains("GRAFT_DEBUG_PROPAGATE")
+    def stage[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      if (debug) System.err.println(
+        f"[incremental] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
     val prior = existingLabels.select(col("doc_id"), col("cluster_id"))
     val p = newPairs.persist()
     val endpoints = p.select(col("doc_a").as("doc_id"))
@@ -383,19 +391,21 @@ object Dedup {
     // affected region — broadcast-sized in any realistic batch
     val touched = prior.join(endpoints, Seq("doc_id"))
       .select(col("cluster_id")).distinct().persist()
+    stage("touched materialize")(touched.count())
     val affected = prior.join(broadcast(touched), Seq("cluster_id"))
       .select(col("doc_id"), col("cluster_id")).persist()
+    stage("affected materialize")(affected.count())
     val starEdges = affected.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
     val seed = affected
       .unionByName(newDocs.select(col(idCol).as("doc_id"), col(idCol).as("cluster_id")))
-    val active = propagate(
+    val active = stage("active propagate")(propagate(
       p.select(col("doc_a"), col("doc_b")).unionByName(starEdges),
-      seed, maxIters, reliableCheckpoint)
+      seed, maxIters, reliableCheckpoint))
     val untouchedPrior = prior.join(broadcast(touched), Seq("cluster_id"), "left_anti")
       .select(col("doc_id"), col("cluster_id"))
     val out = untouchedPrior.unionByName(active).persist()
-    out.count() // materialize before releasing the intermediates below
+    stage("out materialize")(out.count()) // before releasing intermediates
     active.unpersist(); affected.unpersist(); touched.unpersist(); p.unpersist()
     out
   }
