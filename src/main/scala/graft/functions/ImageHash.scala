@@ -8,8 +8,10 @@ import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
 
 /** Perceptual difference hash (dHash) over a decoded image — the image leg
-  * of the dedup ladder. Decodes the binary column as a 24-bit BMP
-  * ([[graft.operators.BmpCodec]]), samples an 8×8 luminance grid
+  * of the dedup ladder. Decodes the binary column via the format-sniffing
+  * [[graft.operators.ImageCodec]] (24-bit BMP through
+  * [[graft.operators.BmpCodec]], PNG through the JDK-backed
+  * [[graft.operators.PngCodec]]), samples an 8×8 luminance grid
   * (nearest-neighbor: `sx = gx·w/8`, `sy = gy·h/8`, integer division) and
   * emits one bit per horizontally adjacent sample pair, set when the right
   * sample is strictly brighter — 8 rows × 7 comparisons = a 56-bit
@@ -56,9 +58,10 @@ object DHashExpr {
     ((px(o) & 0xff) + (px(o + 1) & 0xff) + (px(o + 2) & 0xff)) / 3
   }
 
-  /** Static helper invoked from generated code: BMP decode → 56-bit dHash. */
+  /** Static helper invoked from generated code: image decode (BMP or PNG,
+    * magic-sniffed) → 56-bit dHash. */
   def compute(bytes: Array[Byte]): Long = {
-    val img = graft.operators.BmpCodec.decode(bytes)
+    val img = graft.operators.ImageCodec.decode(bytes)
     val px = img.pixels
     var fp = 0L
     var gy = 0

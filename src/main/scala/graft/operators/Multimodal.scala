@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing (schema, batch iteration, partitioning, output
   * shape) is real and tested. Decode is REAL for 24-bit BMP
-  * ([[BmpCodec]] → [[imageFeatures]], oracle-verified by m03); formats
-  * needing native libraries absent from this container (JPEG, audio) keep
-  * the deterministic [[StubCodec]] stand-in behind the same contract:
+  * ([[BmpCodec]] → [[imageFeatures]], oracle-verified by m03) and for PNG
+  * via the JDK's `javax.imageio` ([[PngCodec]], oracle-verified by m05);
+  * formats needing native libraries absent from this container (JPEG,
+  * audio) keep the deterministic [[StubCodec]] stand-in behind the same
+  * contract:
   * `Iterator[MediaRow] → Iterator[MediaFeatures]`, the
   * mapInPandas/mapPartitions batch shape that amortizes codec init per
   * partition, not per row.
@@ -75,8 +77,9 @@ object Multimodal {
                            sum_r: Long, sum_g: Long, sum_b: Long,
                            wsum_r: Long, r_first: Int, r_last: Int)
 
-  /** REAL decode path (no stub): parse each binary column value as a 24-bit
-    * BMP ([[BmpCodec.decode]]) and emit per-channel integer stats. Same
+  /** REAL decode path (no stub): parse each binary column value as an image
+    * (BMP or PNG, magic-sniffed via [[ImageCodec.decode]]) and emit
+    * per-channel integer stats. Same
     * mapPartitions batch shape as [[extractFeatures]] — bytes never leave
     * the scan stage, only the small feature rows move. The weighted sum
     * `wsum_r = Σ (x + w·y + 1)·R(x,y)` is geometry-sensitive: a decoder bug
@@ -88,7 +91,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
-          val img = BmpCodec.decode(bytes)
+          val img = ImageCodec.decode(bytes)
           val px = img.pixels
           var sr = 0L; var sg = 0L; var sb = 0L; var wr = 0L
           var y = 0

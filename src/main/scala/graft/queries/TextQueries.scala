@@ -583,9 +583,8 @@ object TextQueries {
         (col("doc_id") % 480 + 1).cast("int").as("height"),
         lit(16000).cast("int").as("sample_rate"))
       // the binary-ingest path: persist as a parquet BINARY column, read back
-      val tmp = java.nio.file.Files.createTempDirectory("m02-media-").toString
-      fixture.write.mode("overwrite").parquet(tmp)
-      val media = spark.read.parquet(tmp).as[graft.operators.Multimodal.MediaRow]
+      val media = FixtureDirs.parquetRoundTrip(fixture, "m02-media-")
+        .as[graft.operators.Multimodal.MediaRow]
       graft.operators.Multimodal.extractFeatures(media).toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"),
           round(col("byte_entropy"), 6).as("byte_entropy"),
@@ -643,10 +642,9 @@ object TextQueries {
             ((x.toLong * y + id % 17) % 256).toInt)))
         }
       }.toDF("media_id", "media")
-      val tmp = java.nio.file.Files.createTempDirectory("m03-media-").toString
-      media.write.mode("overwrite").parquet(tmp)
       graft.operators.Multimodal
-        .imageFeatures(spark.read.parquet(tmp), "media_id", "media")
+        .imageFeatures(FixtureDirs.parquetRoundTrip(media, "m03-media-"),
+          "media_id", "media")
         .toDF().orderBy(col("media_id"))
     },
     Some("""WITH d AS (SELECT doc_id AS media_id, doc_id % 13 + 2 AS w, doc_id % 7 + 2 AS h
@@ -697,9 +695,11 @@ object TextQueries {
           }))
         }
       }.toDF("media_id", "media")
-      val tmp = java.nio.file.Files.createTempDirectory("m04-media-").toString
-      media.write.mode("overwrite").parquet(tmp)
-      Dedup.imageNearDup(spark.read.parquet(tmp), "media_id", "media")
+      // Fixture encode + parquet write happen inside the measured query; the
+      // operator under test is only decode + dHash + pigeonhole join (see
+      // FixtureDirs.parquetRoundTrip and COVERAGE.md's fixture-cost split).
+      Dedup.imageNearDup(FixtureDirs.parquetRoundTrip(media, "m04-media-"),
+          "media_id", "media")
         .orderBy(col("doc_a"), col("doc_b"))
     },
     Some("""WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 7 AS bright,
@@ -729,6 +729,71 @@ object TextQueries {
            |FROM p WHERE bit_count(xor(fp_a, fp_b)) <= 3
            |ORDER BY doc_a, doc_b""".stripMargin),
     "image near-dup: perceptual dHash over decoded BMP pixels + pigeonhole Hamming join (LLM-pipeline op)")
+
+  /** CROSS-FORMAT image near-dup: the m04 construction with the corpus split
+    * between real formats — even doc_ids encode their texture as PNG (JDK
+    * `javax.imageio` writer via [[graft.operators.PngCodec]]), odd as 24-bit
+    * BMP — and decode routed through the magic-sniffing
+    * [[graft.operators.ImageCodec]]. PNG truecolor is lossless, so
+    * decode(encode(f)) ≡ f for both formats and the analytic dHash oracle
+    * applies unchanged; a hash match proves the PNG decode path AND that a
+    * PNG rendition pairs with a BMP rendition of the same texture (groups of
+    * 4 contain both formats). Widths 5..13 cover every BMP stride residue
+    * and sub-8-px sampling duplication. */
+  val m05 = QueryDef(
+    "m05_image_neardup_png",
+    (spark, dir) => {
+      import spark.implicits._
+      val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions { it =>
+        it.map { id =>
+          val gid = id / 4
+          val w = (gid % 9 + 5).toInt; val h = (gid % 5 + 7).toInt
+          val bright = (id % 6).toInt
+          val spot = if (id % 5 == 0) 40 else 0
+          val pix = (x: Int, y: Int) => {
+            val sp = if (x == 0 && y == 0) spot else 0
+            ((((gid + 5) * (x + 2) * (y + 1) + 7L * x * x) % 197 + bright + sp).toInt,
+             (((gid + 11) * (x + 1) * (y + 3) + 2L * y * y) % 197 + bright + sp).toInt,
+             (((3 * gid + 2) * (x.toLong * y + 2 * x + y)) % 197 + bright + sp).toInt)
+          }
+          val bytes =
+            if (id % 2 == 0) graft.operators.PngCodec.encode(w, h, pix)
+            else graft.operators.BmpCodec.encode(w, h, pix)
+          (id, bytes)
+        }
+      }.toDF("media_id", "media")
+      Dedup.imageNearDup(FixtureDirs.parquetRoundTrip(media, "m05-media-"),
+          "media_id", "media")
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 6 AS bright,
+           |    CASE WHEN doc_id % 5 = 0 THEN 40 ELSE 0 END AS spot,
+           |    (doc_id // 4) % 9 + 5 AS w, (doc_id // 4) % 5 + 7 AS h
+           |  FROM documents),
+           |g AS (SELECT doc_id,
+           |    [[ ( ((gid + 5) * ((gx*w//8) + 2) * ((gy*h//8) + 1) + 7 * (gx*w//8) * (gx*w//8)) % 197
+           |       + ((gid + 11) * ((gx*w//8) + 1) * ((gy*h//8) + 3) + 2 * (gy*h//8) * (gy*h//8)) % 197
+           |       + ((3*gid + 2) * ((gx*w//8) * (gy*h//8) + 2*(gx*w//8) + (gy*h//8))) % 197
+           |       + 3 * bright
+           |       + CASE WHEN gx*w//8 = 0 AND gy*h//8 = 0 THEN 3 * spot ELSE 0 END ) // 3
+           |      for gx in range(0, 8)] for gy in range(0, 8)] AS gg
+           |  FROM d),
+           |fp AS (SELECT doc_id, CAST(list_sum(flatten(
+           |    [[CASE WHEN gg[gy+1][gx+2] > gg[gy+1][gx+1]
+           |           THEN 1::BIGINT << (gy*7+gx) ELSE 0::BIGINT END
+           |      for gx in range(0, 7)] for gy in range(0, 8)])) AS BIGINT) AS fp
+           |  FROM g),
+           |chunks AS (SELECT doc_id, fp, c AS chunk_idx, (fp >> (c * 14)) & 16383 AS chunk
+           |  FROM fp, (SELECT unnest([0, 1, 2, 3]) AS c)),
+           |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    a.fp AS fp_a, b.fp AS fp_b
+           |  FROM chunks a JOIN chunks b
+           |    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b, CAST(bit_count(xor(fp_a, fp_b)) AS INTEGER) AS hamming
+           |FROM p WHERE bit_count(xor(fp_a, fp_b)) <= 3
+           |ORDER BY doc_a, doc_b""".stripMargin),
+    "cross-format image near-dup: PNG (javax.imageio) + BMP renditions, format-sniffed decode, dHash + pigeonhole join (LLM-pipeline op)")
 
   /** Incremental clustering: replay the corpus as two batches — docs with
     * doc_id % 10 < 7 are the prior snapshot, the rest arrive as a new batch —
@@ -895,5 +960,5 @@ object TextQueries {
 
   def defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
-      d15, d16, d17, d18, d19, d20, d21, d22, m01, m02, m03, m04)
+      d15, d16, d17, d18, d19, d20, d21, d22, m01, m02, m03, m04, m05)
 }

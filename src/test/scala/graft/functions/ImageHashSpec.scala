@@ -1,7 +1,7 @@
 package graft.functions
 
 import graft.SparkSpec
-import graft.operators.{BmpCodec, Dedup}
+import graft.operators.{BmpCodec, Dedup, ImageCodec, PngCodec}
 
 /** Pins the perceptual-hash contract behind m04: dHash is invariant to
   * uniform brightness shifts, a 1-pixel perturbation flips at most one bit
@@ -46,6 +46,40 @@ class ImageHashSpec extends SparkSpec {
       val fp = DHashExpr.compute(BmpCodec.encode(12, 10, texture(seed)))
       assert(fp >= 0L && (fp >>> 56) == 0L)
     }
+  }
+
+  test("PNG round trip is lossless and matches the BMP decode bit-for-bit") {
+    for (seed <- 0L until 20L) {
+      val w = (seed % 9 + 5).toInt; val h = (seed % 5 + 7).toInt
+      val png = PngCodec.decode(PngCodec.encode(w, h, texture(seed)))
+      val bmp = BmpCodec.decode(BmpCodec.encode(w, h, texture(seed)))
+      assert(png.width == bmp.width && png.height == bmp.height)
+      assert(java.util.Arrays.equals(png.pixels, bmp.pixels),
+        s"seed $seed: PNG pixels differ from BMP pixels")
+    }
+  }
+
+  test("ImageCodec sniffs the format; dHash is format-invariant") {
+    for (seed <- 0L until 20L) {
+      val w = (seed % 9 + 6).toInt; val h = (seed % 5 + 8).toInt
+      val png = PngCodec.encode(w, h, texture(seed))
+      val bmp = BmpCodec.encode(w, h, texture(seed))
+      assert(ImageCodec.decode(png).pixels.sameElements(ImageCodec.decode(bmp).pixels))
+      assert(DHashExpr.compute(png) == DHashExpr.compute(bmp),
+        s"seed $seed: dHash differs across formats")
+    }
+    assertThrows[IllegalArgumentException](
+      ImageCodec.decode(Array[Byte](0x42, 0x41, 0, 0)))
+  }
+
+  test("imageNearDup pairs a PNG rendition with a BMP rendition") {
+    val rows = Seq(
+      (1L, BmpCodec.encode(11, 9, texture(17))),
+      (2L, PngCodec.encode(11, 9, shifted(texture(17), 4))), // PNG brightness copy
+      (3L, PngCodec.encode(11, 9, texture(911))))            // PNG distinct texture
+    val pairs = Dedup.imageNearDup(rows.toDF("media_id", "media"), "media_id", "media")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
 
   test("imageNearDup pairs perturbed renditions, not distinct textures") {
