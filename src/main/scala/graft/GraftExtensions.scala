@@ -29,7 +29,26 @@ object GraftExtensions {
   private def info(name: String, clazz: Class[_]) =
     new ExpressionInfo(clazz.getName, name)
 
-  private def intArg(e: Expression): Int = e.eval().asInstanceOf[Int]
+  /** Plan-time integer argument: must be foldable, any integral width
+    * accepted (a SQL bare literal may arrive as INT or BIGINT) — a clear
+    * AnalysisException naming the function and parameter beats the bare
+    * ClassCastException/NPE a CAST(… AS BIGINT) or non-foldable expression
+    * would otherwise throw at plan time. */
+  private def intArg(e: Expression, func: String, param: String): Int = {
+    def fail(): Nothing = throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "NON_FOLDABLE_ARGUMENT",
+      messageParameters = Map("funcName" -> s"`$func`",
+        "paramName" -> s"`$param`", "paramType" -> "\"INT\""),
+      cause = None)
+    if (!e.foldable) fail()
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case _ => fail()
+    }
+  }
 
   /** (identifier, info, builder) triples for `injectFunction` — one per
     * native expression. */
@@ -38,13 +57,13 @@ object GraftExtensions {
     (FunctionIdentifier("cosine_sim"), info("cosine_sim", classOf[CosineSimilarity]),
       (e: Seq[Expression]) => CosineSimilarity(e(0), e(1))),
     (FunctionIdentifier("sign_lsh"), info("sign_lsh", classOf[SignLsh]),
-      (e: Seq[Expression]) => SignLsh(e(0), intArg(e(1)), intArg(e(2)))),
+      (e: Seq[Expression]) => SignLsh(e(0), intArg(e(1), "sign_lsh", "bits"), intArg(e(2), "sign_lsh", "seed"))),
     (FunctionIdentifier("quantize_int8"), info("quantize_int8", classOf[QuantizeInt8]),
       (e: Seq[Expression]) => QuantizeInt8(e(0))),
     (FunctionIdentifier("word_shingles"), info("word_shingles", classOf[WordShinglesExpr]),
-      (e: Seq[Expression]) => WordShinglesExpr(e(0), intArg(e(1)))),
+      (e: Seq[Expression]) => WordShinglesExpr(e(0), intArg(e(1), "word_shingles", "n"))),
     (FunctionIdentifier("winnow_fps"), info("winnow_fps", classOf[WinnowingExpr]),
-      (e: Seq[Expression]) => WinnowingExpr(e(0), intArg(e(1)), intArg(e(2)))),
+      (e: Seq[Expression]) => WinnowingExpr(e(0), intArg(e(1), "winnow_fps", "k"), intArg(e(2), "winnow_fps", "window"))),
     (FunctionIdentifier("content_fingerprint"), info("content_fingerprint", classOf[FingerprintExpr]),
       (e: Seq[Expression]) => FingerprintExpr(e(0))),
     (FunctionIdentifier("img_dhash"), info("img_dhash", classOf[DHashExpr]),
@@ -66,7 +85,7 @@ object GraftExtensions {
         def iArr(i: Int) = e(i).eval()
           .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray()
         HierarchicalCellsExpr(e.head, dArr(1), dArr(2), iArr(3), iArr(4),
-          intArg(e(5)), intArg(e(6)), intArg(e(7)))
+          intArg(e(5), "hierarchical_cells", "dims"), intArg(e(6), "hierarchical_cells", "nlist"), intArg(e(7), "hierarchical_cells", "probeSupers"))
       }),
     // ---- mergeable sketch aggregates ([[Sketches]]) ----
     // Injected through the same ScalaAggregator bridge `spark.udf.register`
@@ -76,7 +95,7 @@ object GraftExtensions {
     // returned AggregateFunction in an AggregateExpression itself.
     (FunctionIdentifier("kmv_distinct"), info("kmv_distinct", classOf[Sketches.Kmv]),
       (e: Seq[Expression]) => GraftUdafBridge.aggregate(
-        new Sketches.Kmv(if (e.length > 1) intArg(e(1)) else 256), "kmv_distinct",
+        new Sketches.Kmv(if (e.length > 1) intArg(e(1), "kmv_distinct", "k") else 256), "kmv_distinct",
         e.take(1))),
     (FunctionIdentifier("hll_distinct"), info("hll_distinct", classOf[Sketches.Hll]),
       (e: Seq[Expression]) => GraftUdafBridge.aggregate(
@@ -84,7 +103,7 @@ object GraftExtensions {
     (FunctionIdentifier("cms_sketch"), info("cms_sketch", classOf[Sketches.Cms]),
       (e: Seq[Expression]) => GraftUdafBridge.aggregate(
         new Sketches.Cms(
-          if (e.length > 1) intArg(e(1)) else 4,
-          if (e.length > 2) intArg(e(2)) else 64), "cms_sketch",
+          if (e.length > 1) intArg(e(1), "cms_sketch", "d") else 4,
+          if (e.length > 2) intArg(e(2), "cms_sketch", "w") else 64), "cms_sketch",
         e.take(1))))
 }

@@ -145,12 +145,83 @@ object Sketches {
   class KmvMerge(k: Int) extends Aggregator[Seq[String], Array[String], Double] {
     private val kmv = new Kmv(k)
     override def zero: Array[String] = kmv.zero
-    override def reduce(buf: Array[String], sk: Seq[String]): Array[String] =
-      kmv.merge(buf, sk.toArray)
+    override def reduce(buf: Array[String], sk: Seq[String]): Array[String] = {
+      // Invariant check (cheap, O(len), second-level agg only): the input
+      // must be a KMV buffer from a KmvSketch with the SAME k — a larger-k
+      // buffer or a non-sketch array would silently corrupt the merge (e.g.
+      // buf.length returned as an "exact" count via the under-full branch).
+      val arr = sk.toArray
+      require(arr.length <= k,
+        s"KmvMerge(k=$k): input sketch has ${arr.length} hashes — built with a larger k?")
+      var i = 1
+      while (i < arr.length) {
+        require(arr(i - 1).compareTo(arr(i)) < 0,
+          "KmvMerge: input is not a sorted-distinct KMV buffer")
+        i += 1
+      }
+      kmv.merge(buf, arr)
+    }
     override def merge(a: Array[String], b: Array[String]): Array[String] = kmv.merge(a, b)
     override def finish(buf: Array[String]): Double = kmv.finish(buf)
     override def bufferEncoder: Encoder[Array[String]] = ExpressionEncoder[Array[String]]()
     override def outputEncoder: Encoder[Double] = ExpressionEncoder[Double]()
+  }
+
+  /** The rollup half of the HLL story (q45, mirroring [[KmvSketch]]): emit
+    * the per-group 256-register array instead of the estimate. Registers
+    * are max-mergeable, and max over any partition of the rows equals max
+    * over the union, so [[HllMerge]] over per-group registers is
+    * bit-identical to a flat [[Hll]] over the union. */
+  class HllSketch extends Aggregator[String, Array[Int], Seq[Int]] {
+    private val hll = new Hll
+    override def zero: Array[Int] = hll.zero
+    override def reduce(buf: Array[Int], h: String): Array[Int] = hll.reduce(buf, h)
+    override def merge(a: Array[Int], b: Array[Int]): Array[Int] = hll.merge(a, b)
+    override def finish(buf: Array[Int]): Seq[Int] = buf.toIndexedSeq
+    override def bufferEncoder: Encoder[Array[Int]] = ExpressionEncoder[Array[Int]]()
+    override def outputEncoder: Encoder[Seq[Int]] = ExpressionEncoder[Seq[Int]]()
+  }
+
+  /** Merge pre-built HLL register arrays (the [[HllSketch]] output) into the
+    * global estimate by elementwise max — O(groups · 256), never re-reads a
+    * raw key. Estimate math is [[Hll.finish]] verbatim. */
+  class HllMerge extends Aggregator[Seq[Int], Array[Int], Double] {
+    private val hll = new Hll
+    override def zero: Array[Int] = hll.zero
+    override def reduce(buf: Array[Int], sk: Seq[Int]): Array[Int] = {
+      require(sk.length == 256,
+        s"HllMerge: input has ${sk.length} registers, expected 256 (p=8)")
+      var i = 0
+      while (i < 256) { val v = sk(i); if (v > buf(i)) buf(i) = v; i += 1 }
+      buf
+    }
+    override def merge(a: Array[Int], b: Array[Int]): Array[Int] = hll.merge(a, b)
+    override def finish(buf: Array[Int]): Double = hll.finish(buf)
+    override def bufferEncoder: Encoder[Array[Int]] = ExpressionEncoder[Array[Int]]()
+    override def outputEncoder: Encoder[Double] = ExpressionEncoder[Double]()
+  }
+
+  /** Merge pre-built CMS counter matrices (the [[Cms]] output) by elementwise
+    * sum — counters are exact longs, so the merged matrix is identical to a
+    * flat [[Cms]] over the union, and any heavy-hitter probe against it gives
+    * the flat answer. O(groups · d·w), never re-hashes a raw key (q46). */
+  class CmsMerge(d: Int, w: Int) extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+    override def zero: Array[Long] = new Array[Long](d * w)
+    override def reduce(buf: Array[Long], sk: Seq[Long]): Array[Long] = {
+      require(sk.length == d * w,
+        s"CmsMerge(d=$d, w=$w): input has ${sk.length} cells, expected ${d * w}")
+      var i = 0
+      while (i < buf.length) { buf(i) += sk(i); i += 1 }
+      buf
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(buf: Array[Long]): Seq[Long] = buf.toIndexedSeq
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
   }
 
   /** HyperLogLog (raw estimator, p=8) over pre-hashed keys. Buffer = 256

@@ -1054,8 +1054,111 @@ object RelationalQueries {
     },
     "two-level sketch rollup: per-group KMV buffers merged to a global estimate")
 
+  /** HLL ROLLUP (q44's pattern for the second sketch family): one 256-register
+    * array per group ([[graft.functions.Sketches.HllSketch]]), merged to the
+    * global estimate by elementwise max ([[Sketches.HllMerge]]) — the second
+    * aggregation reads `groups · 256` ints, never a raw key. Register max
+    * over any partition of the rows equals register max over the union, and
+    * the estimate is the exact-integer dyadic sum (CLAUDE.md rule 6), so the
+    * rolled-up estimate is BIT-identical to q39's flat sketch — the oracle
+    * is q39's expression plus the group count. */
+  val q45 = QueryDef(
+    "q45_hll_rollup",
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+      val sketch = udaf(new graft.functions.Sketches.HllSketch,
+        org.apache.spark.sql.Encoders.STRING)
+      val mergeEst = udaf(new graft.functions.Sketches.HllMerge,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Int]]())
+      val perGroup = li
+        .select(col("l_returnflag").as("grp"),
+          md5(col("l_orderkey").cast("string")).as("h"))
+        .groupBy(col("grp")).agg(sketch(col("h")).as("sk"))
+      val est = perGroup.agg(count(lit(1)).as("n_groups"),
+        mergeEst(col("sk")).as("hll_estimate"))
+      val exact = li.agg(countDistinct(col("l_orderkey")).as("n_exact"))
+      exact.crossJoin(est).select(col("n_groups"), col("n_exact"), col("hll_estimate"))
+    },
+    Some {
+      val nibble = (i: Int) =>
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+      val bucket = s"${nibble(1)} * 16 + ${nibble(2)}"
+      val v = (0 to 12)
+        .map(j => s"${nibble(3 + j)} * ${math.pow(16, 12 - j).toLong}")
+        .mkString(" + ")
+      val rhoCase = (1 to 52)
+        .map(r => s"WHEN v >= ${1L << (52 - r)} THEN $r")
+        .mkString("CASE ", " ", " ELSE 52 END")
+      s"""WITH hx AS (SELECT md5(CAST(l_orderkey AS VARCHAR)) AS h FROM lineitem),
+         |parts AS (SELECT $bucket AS bucket, $v AS v FROM hx),
+         |rho AS (SELECT bucket, $rhoCase AS rho FROM parts),
+         |regs AS (SELECT bucket, max(rho) AS m_rho FROM rho GROUP BY bucket),
+         |s AS (SELECT sum(1::BIGINT << (52 - m_rho)) AS s_occ, count(*) AS n_occ FROM regs)
+         |SELECT (SELECT count(DISTINCT l_returnflag) FROM lineitem) AS n_groups,
+         |  (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS n_exact,
+         |  CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / 256)
+         |    * 65536 * CAST(4503599627370496 AS DOUBLE)
+         |    / CAST(s_occ + (256 - n_occ) * 4503599627370496 AS DOUBLE) AS hll_estimate
+         |FROM s""".stripMargin
+    },
+    "two-level HLL rollup: per-group register arrays max-merged to the flat estimate")
+
+  /** CMS ROLLUP (q44's pattern for the frequency sketch): one d·w counter
+    * matrix per group ([[graft.functions.Sketches.Cms]] keyed by
+    * event_type — per-source in production), merged by elementwise sum
+    * ([[Sketches.CmsMerge]]), then q41's heavy-hitter probe runs against the
+    * MERGED matrix. Counters are exact longs and sum is order-free, so the
+    * merged matrix — and therefore every probe — is identical to the flat
+    * sketch; the oracle is q41's flat expression plus the group count. The
+    * second aggregation reads `groups · d·w` longs, never re-hashes a key. */
+  val q46 = QueryDef(
+    "q46_cms_rollup",
+    (spark, dir) => {
+      val d = 4; val w = 64
+      val ev = Tables.eventsUs(spark, dir).select(col("user_id"), col("event_type"))
+      val cms = udaf(new graft.functions.Sketches.Cms(d, w),
+        org.apache.spark.sql.Encoders.STRING)
+      val cmsMerge = udaf(new graft.functions.Sketches.CmsMerge(d, w),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+      val perGroup = ev.groupBy(col("event_type"))
+        .agg(cms(col("user_id").cast("string")).as("sk"))
+      val merged = perGroup.agg(count(lit(1)).as("n_groups"),
+        cmsMerge(col("sk")).as("sk"))
+      def bucket(r: Int): org.apache.spark.sql.Column =
+        conv(substring(md5(concat(lit(s"$r|"), col("user_id").cast("string"))), 1, 2), 16, 10)
+          .cast("int") % w
+      val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+      exact.crossJoin(merged).select(
+          col("user_id"), col("n_groups"), col("n_exact"),
+          least((0 until d).map(r =>
+            element_at(col("sk"), lit(r * w) + bucket(r) + lit(1))): _*).as("cms_est"))
+        .orderBy(col("n_exact").desc, col("user_id")).limit(10)
+    },
+    Some {
+      val d = 4; val w = 64
+      def bucket(r: Int, key: String) =
+        s"((strpos('0123456789abcdef', substr(md5('$r|' || CAST($key AS VARCHAR)), 1, 1)) - 1) * 16" +
+          s" + strpos('0123456789abcdef', substr(md5('$r|' || CAST($key AS VARCHAR)), 2, 1)) - 1) % $w"
+      val rbUnion = (0 until d)
+        .map(r => s"SELECT user_id, $r AS r, ${bucket(r, "user_id")} AS b FROM ev")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $evCte,
+         |rb AS ($rbUnion),
+         |cells AS (SELECT r, b, count(*) AS c FROM rb GROUP BY r, b),
+         |exact AS (SELECT user_id, count(*) AS n_exact FROM ev GROUP BY user_id),
+         |probes AS (SELECT DISTINCT e.user_id, e.n_exact, rb.r, rb.b
+         |  FROM exact e JOIN rb ON rb.user_id = e.user_id)
+         |SELECT p.user_id,
+         |  (SELECT count(DISTINCT event_type) FROM ev) AS n_groups,
+         |  p.n_exact, min(c.c) AS cms_est
+         |FROM probes p JOIN cells c ON c.r = p.r AND c.b = p.b
+         |GROUP BY p.user_id, p.n_exact
+         |ORDER BY n_exact DESC, user_id LIMIT 10""".stripMargin
+    },
+    "two-level CMS rollup: per-group counter matrices summed, heavy-hitter probe on the merged sketch")
+
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q12, q13, q14, q15, q16, q17, q18, q19, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41, q42, q43, q44)
+    q41, q42, q43, q44, q45, q46)
 }

@@ -80,6 +80,14 @@ class GraftExtensionsSpec extends SparkSpec {
       val fp = s2.range(1).select(
         call_function("img_dhash", lit(bmp)).as("fp")).first().getLong(0)
       assert(fp == graft.functions.DHashExpr.compute(bmp))
+      // plan-time int args accept any integral width (a bare SQL literal may
+      // be INT or BIGINT) and fail with a named AnalysisException otherwise
+      assert(s2.sql("SELECT kmv_distinct(md5(CAST(id AS STRING)), CAST(16 AS BIGINT)) AS e FROM range(100)")
+        .first().getDouble(0) > 0.0, "BIGINT k literal must work")
+      val err = intercept[org.apache.spark.sql.AnalysisException](
+        s2.sql("SELECT word_shingles('a b c', id) FROM range(3)").collect())
+      assert(err.getMessage.contains("word_shingles") && err.getMessage.contains("`n`"),
+        s"expected a named NON_FOLDABLE_ARGUMENT error, got: ${err.getMessage}")
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

@@ -3,7 +3,7 @@ package graft.functions
 import java.security.MessageDigest
 
 import graft.SparkSpec
-import graft.functions.Sketches.{Cms, Hll, Kmv}
+import graft.functions.Sketches.{Cms, CmsMerge, Hll, HllMerge, HllSketch, Kmv, KmvMerge, KmvSketch}
 
 /** Pins the algebra that makes the sketch Aggregators safe to run as
   * partial-merge aggregates at any parallelism: `merge` must be associative
@@ -78,5 +78,40 @@ class SketchesSpec extends SparkSpec {
       }.min
       assert(est >= n, s"CMS underestimated $key: $est < $n")
     }
+  }
+
+  test("rollup ≡ flat for all three sketch families (the q44/q45/q46 contract)") {
+    val groups = chunks(hashes, 7) // arbitrary partition of the rows
+    // KMV: merge of per-group buffers = flat estimate
+    val kmv = new Kmv(64); val kmvSk = new KmvSketch(64); val kmvMg = new KmvMerge(64)
+    val kmvBufs = groups.map(g => kmvSk.finish(g.foldLeft(kmvSk.zero)(kmvSk.reduce)))
+    assert(kmvMg.finish(kmvBufs.foldLeft(kmvMg.zero)(kmvMg.reduce)) ==
+      kmv.finish(hashes.foldLeft(kmv.zero)(kmv.reduce)))
+    // HLL: max-merge of per-group registers = flat estimate
+    val hll = new Hll; val hllSk = new HllSketch; val hllMg = new HllMerge
+    val hllBufs = groups.map(g => hllSk.finish(g.foldLeft(hllSk.zero)(hllSk.reduce)))
+    assert(hllMg.finish(hllBufs.foldLeft(hllMg.zero)(hllMg.reduce)) ==
+      hll.finish(hashes.foldLeft(hll.zero)(hll.reduce)))
+    // CMS: sum-merge of per-group matrices = flat counter matrix
+    val cms = new Cms(4, 64); val cmsMg = new CmsMerge(4, 64)
+    val keyGroups = chunks(keys, 7)
+    val cmsBufs = keyGroups.map(g => cms.finish(g.foldLeft(cms.zero)(cms.reduce)))
+    assert(cmsBufs.foldLeft(cmsMg.zero)(cmsMg.reduce).toSeq ==
+      keys.foldLeft(cms.zero)(cms.reduce).toSeq)
+  }
+
+  test("merge aggregators reject malformed or mismatched-parameter inputs") {
+    val kmvMg = new KmvMerge(64)
+    // a buffer from a LARGER-k sketch must fail loudly, not mis-estimate
+    val big = new KmvSketch(128)
+    val bigBuf = big.finish(hashes.foldLeft(big.zero)(big.reduce))
+    assertThrows[IllegalArgumentException](kmvMg.reduce(kmvMg.zero, bigBuf))
+    // a non-sketch (unsorted) array must fail, not corrupt the merge
+    assertThrows[IllegalArgumentException](
+      kmvMg.reduce(kmvMg.zero, Seq("ff", "00")))
+    assertThrows[IllegalArgumentException](
+      new HllMerge().reduce(new HllMerge().zero, Seq(1, 2, 3)))
+    assertThrows[IllegalArgumentException](
+      new CmsMerge(4, 64).reduce(new CmsMerge(4, 64).zero, Seq(1L, 2L)))
   }
 }

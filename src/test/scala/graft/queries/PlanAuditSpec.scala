@@ -60,6 +60,37 @@ class PlanAuditSpec extends SparkSpec {
       s"sketch build lost its partial (map-side) phase:\n$p")
   }
 
+  test("q45: HLL rollup merges register arrays without re-expanding raw keys") {
+    val p = planOf("q45_hll_rollup")
+    val lines = p.linesIterator.toIndexedSeq
+    val iMerge = lines.indexWhere(_.toLowerCase.contains("hllmerge"))
+    val iSketch = lines.indexWhere(_.toLowerCase.contains("hllsketch"))
+    assert(iMerge >= 0 && iSketch > iMerge,
+      s"expected HllMerge above HllSketch (two-level agg):\n$p")
+    assert(!lines.slice(iMerge + 1, iSketch).exists(_.contains("md5")),
+      s"raw keys re-expanded above the sketch stage:\n$p")
+    assert(p.toLowerCase.contains("partial_hllsketch"),
+      s"sketch build lost its partial (map-side) phase:\n$p")
+  }
+
+  test("q46: CMS rollup sums counter matrices without re-hashing raw keys") {
+    val p = planOf("q46_cms_rollup")
+    val lines = p.linesIterator.toIndexedSeq
+    val iMerge = lines.indexWhere(_.toLowerCase.contains("cmsmerge"))
+    val iSketch = lines.indexWhere(l =>
+      l.toLowerCase.contains("cms(") && !l.toLowerCase.contains("cmsmerge"))
+    assert(iMerge >= 0 && iSketch > iMerge,
+      s"expected CmsMerge above Cms (two-level agg):\n$p")
+    // the only md5 above the per-group build is the PROBE's bucket function
+    // over the 10 exact heavy hitters, which lives in the project after the
+    // final cross join — not between the two aggregates
+    val between = lines.slice(iMerge + 1, iSketch)
+    assert(!between.exists(l => l.contains("md5") && l.contains("Aggregate")),
+      s"raw keys re-hashed between the sketch aggregates:\n$p")
+    assert(p.toLowerCase.contains("partial_cms"),
+      s"sketch build lost its partial (map-side) phase:\n$p")
+  }
+
   test("q26: salted join still plans as an equi-join on (key, salt)") {
     val p = planOf("q26_salted_join")
     assert(p.contains("HashJoin"), s"salted join lost its equi-join shape:\n$p")
