@@ -321,5 +321,72 @@ object StreamingQueries {
     s02.oracle,
     "D1 streaming dedup-within-watermark, bounded state (Spark 3.5+ API)")
 
-  def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09)
+  /** Streaming incremental dup clustering — the STREAMING execution path of
+    * [[graft.streaming.IncrementalClustering]] (d18 replays the same algebra
+    * inside one batch query): the documents table is split into three files
+    * so `availableNow` + `maxFilesPerTrigger=1` drives three sequential
+    * micro-batches through the foreachBatch pipeline — per-batch shingling,
+    * candidate pairs against the persistent shingle index, exact Jaccard,
+    * and [[graft.operators.Dedup.dupClustersIncremental]] extending the
+    * prior labels. Incremental ≡ from-scratch (IncrementalClusterSpec) and
+    * the final labels are batch-split-independent, so the oracle is the
+    * full-corpus recursive closure over UNCAPPED exact-Jaccard pairs at the
+    * pipeline's threshold. */
+  val s10 = QueryDef(
+    "s10_stream_incremental_clusters",
+    (spark, dir) => {
+      val docs = graft.sources.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+      // three-file source dir → three micro-batches; final labels do not
+      // depend on the split (incremental ≡ from-scratch at every prefix)
+      val srcDir = FixtureDirs.create("s10-docs-")
+      (0 until 3).foreach { i =>
+        val part = FixtureDirs.create(s"s10-part$i-")
+        docs.filter(col("doc_id") % 3 === i).coalesce(1)
+          .write.mode("overwrite").parquet(part.toString)
+        val f = java.nio.file.Files.list(part)
+          .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+        java.nio.file.Files.move(f, srcDir.resolve(s"batch$i.parquet"))
+      }
+      val root = FixtureDirs.create("s10-tables-").toString
+      val pipe = new graft.streaming.IncrementalClustering(
+        spark, root, n = 3, minJaccard = 0.5)
+      val stream = spark.readStream
+        .schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString)
+      withStreamConf(spark) {
+        pipe.attach(stream, newCkptDir()).awaitTermination()
+      }
+      pipe.labelsTable.read().orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+           |  CASE WHEN length(trim(text)) = 0 THEN []
+           |       ELSE string_split_regex(trim(text), '\s+') END AS w FROM documents),
+           |sh AS (SELECT doc_id, unnest(list_distinct(
+           |    CASE WHEN length(w) < 3 THEN []
+           |         ELSE [array_to_string(list_slice(w, i+1, i+3), ' ') for i in range(0, length(w)-2)] END)) AS shingle
+           |  FROM toks),
+           |sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+           |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+           |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |pairs AS (SELECT doc_a, doc_b FROM inter
+           |  JOIN sizes sa ON sa.doc_id = doc_a
+           |  JOIN sizes sb ON sb.doc_id = doc_b
+           |  WHERE CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter) >= 0.5),
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |nodes AS (SELECT doc_id FROM documents),
+           |reach AS (
+           |  WITH RECURSIVE r(doc_id, lab) AS (
+           |    SELECT doc_id, doc_id FROM nodes
+           |    UNION
+           |    SELECT e.dst, r.lab FROM r JOIN edges e ON e.src = r.doc_id)
+           |  SELECT doc_id, lab FROM r)
+           |SELECT doc_id, min(lab) AS cluster_id FROM reach
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "streaming incremental dup clustering: foreachBatch + persistent shingle index, availableNow drain (LLM-pipeline op)")
+
+  def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10)
 }
