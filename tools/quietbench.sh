@@ -1,0 +1,36 @@
+#!/usr/bin/env bash
+# Round-close bench hygiene, scripted (CLAUDE.md: "compare bench numbers
+# only from a quiet machine"). Refuses to run under load, runs graft.Bench
+# at sf0.1, writes bench_out.json at the repo root, and re-checks that the
+# recorded load_avg_start honored the rule. Commit the result separately:
+#   tools/quietbench.sh && git add bench_out.json && git commit -m "quiet bench"
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+MAX_LOAD="${MAX_LOAD:-1.0}"
+SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
+
+load1=$(awk '{print $1}' /proc/loadavg)
+if awk -v l="$load1" -v m="$MAX_LOAD" 'BEGIN{exit !(l > m)}'; then
+  echo "quietbench: REFUSING to run — 1-min load $load1 > $MAX_LOAD" >&2
+  echo "quietbench: wait for the machine to quiesce (uptime) and retry" >&2
+  exit 1
+fi
+echo "quietbench: load $load1 <= $MAX_LOAD, running bench on $SF_DIR" >&2
+
+# graft.Bench writes the raw JSON line to bench_out.json itself
+# (SPARK_GRAFT_BENCH_OUT); stdout is only for progress
+SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
+  sbt -batch "runMain graft.Bench" >/dev/null 2>&1
+
+start=$(python3 -c "import json;print(json.load(open('bench_out.json'))['load_avg_start'])")
+if awk -v l="$start" -v m="$MAX_LOAD" 'BEGIN{exit !(l > m)}'; then
+  echo "quietbench: recorded load_avg_start=$start > $MAX_LOAD — discard this run" >&2
+  exit 1
+fi
+python3 - <<'EOF'
+import json
+d = json.load(open('bench_out.json'))
+print(f"quietbench: total {d['value']:.1f}s / {len(d['queries'])} queries, "
+      f"load {d['load_avg_start']:.2f} -> {d['load_avg_end']:.2f}")
+EOF
