@@ -269,6 +269,53 @@ object Scratch {
         require(oldBuf == newBuf.toList && oldBuf.length == kk,
           "A/B implementations disagree")
       }
+    } else if (args.headOption.contains("streamsf1")) {
+      // streaming 10x scaling point: time- and user-shifted event replicas
+      // (the sf1new independence construction — disjoint keys AND disjoint
+      // time spans, so state per key and per window is unchanged; only the
+      // VOLUME grows 10x) written as a single events.parquet file so the
+      // s0x file-stream queries run on it unmodified. Claim under test:
+      // state-bounded streaming ops grow ∝ data, and the 1-2 s micro-batch
+      // machinery floor amortizes away at scale. Two runs per query per
+      // scale; read the SECOND (first pays plan-shape codegen).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      val yearNs = 31536000000000000L
+      val evx = (0 until 10).map { k =>
+        ev.select(
+          (col("event_id") + lit(k * 10000000L)).as("event_id"),
+          (col("ts") + lit(k * yearNs)).as("ts"),
+          (col("user_id") + lit(k * 1000000L)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionByName _)
+      val dir10 = java.nio.file.Files.createTempDirectory("streamsf1-")
+      val stage = java.nio.file.Files.createTempDirectory("streamsf1-stage-")
+      evx.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part, dir10.resolve("events.parquet"))
+      println(s"[scratch] 10x events at $dir10")
+      if (args.lift(1).contains("widths")) {
+        // does the 4-state-partition local optimum (profiled at sf0.1) still
+        // hold at 10x the per-batch volume, or must width scale with data?
+        import graft.queries.StreamingQueries
+        for (parts <- Seq(4, 8, 16);
+             name <- Seq("s02_stream_dedup", "s06_stream_session_window")) {
+          StreamingQueries.statePartitions = parts
+          for (i <- 1 to 3)
+            timed(s"sf1 parts=$parts $name run$i")(
+              SparkEntry.queries(name)(spark, dir10.toString).count())
+        }
+        StreamingQueries.statePartitions = 4
+      } else {
+        val qs = Seq("s02_stream_dedup", "s03_stream_interval_join",
+          "s05_stream_outer_interval_join", "s06_stream_session_window",
+          "s09_dedup_within_watermark")
+        for (name <- qs; i <- 1 to 2)
+          timed(s"sf0.1 $name run$i")(SparkEntry.queries(name)(spark, sfDir).count())
+        for (name <- qs; i <- 1 to 2)
+          timed(s"sf1 $name run$i")(SparkEntry.queries(name)(spark, dir10.toString).count())
+      }
     } else if (args.headOption.contains("drainprofile")) {
       // isolate the streaming-drain fixed cost: A/B checkpoint filesystem
       // (/tmp on /dev/vda vs /dev/shm tmpfs) x state-partition width for the

@@ -51,13 +51,29 @@ object StreamingQueries {
     case None => Files.createTempDirectory("graft-ckpt-").toString
   }
 
+  /** State-partition width for a drain over `dir`'s events file: the
+    * profiled local optimum ([[statePartitions]] = 4) at sf0.1, growing
+    * ~1 partition per 2 MB of input beyond that. The `streamsf1 widths`
+    * A/B measured the FIXED width as the super-linear stage at 10× volume
+    * (s02 8.6→3.8 s, s06 7.6→4.1 s moving 4→8 partitions) — state width
+    * must track per-batch volume like any other shuffle, it is not a
+    * constant of the machine. Capped at 64 locally; a cluster deployment
+    * sizes it from executor count the usual way. */
+  private def stateWidthFor(dir: String): Int = {
+    val bytes =
+      try java.nio.file.Files.size(java.nio.file.Paths.get(dir, "events.parquet"))
+      catch { case _: Exception => 0L }
+    math.min(math.max(statePartitions, (bytes / (2L << 20)).toInt), 64)
+  }
+
   /** Run `body` with test-scale streaming state partitioning: state-store
     * count = shuffle partitions at query start (a stream-stream join opens 4
     * stores per partition); fewer, larger state partitions beat many tiny
     * checkpoint files locally. Restored afterwards. */
-  private def withStreamConf[T](spark: SparkSession)(body: => T): T = {
+  private def withStreamConf[T](spark: SparkSession, width: Int = statePartitions)
+                               (body: => T): T = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    spark.conf.set("spark.sql.shuffle.partitions", width.toString)
     try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
@@ -68,7 +84,7 @@ object StreamingQueries {
     val src = eventsStream(spark, dir)
     val name = s"graft_stream_${runId.incrementAndGet()}"
     val ckpt = newCkptDir()
-    withStreamConf(spark) {
+    withStreamConf(spark, stateWidthFor(dir)) {
       val q = transform(src).writeStream
         .format("memory")
         .queryName(name)
