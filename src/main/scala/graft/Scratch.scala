@@ -269,6 +269,48 @@ object Scratch {
         require(oldBuf == newBuf.toList && oldBuf.length == kk,
           "A/B implementations disagree")
       }
+    } else if (args.headOption.contains("annrecall")) {
+      // recall@10 vs cost for the approximate ANN paths against brute-force
+      // ground truth — what a v03/v04 user actually cares about. Corpus:
+      // sf0.1 embeddings (2k × 64d) and the sf1new decorrelated 10x replica
+      // (20k). Queries: the first 100 vectors (replica 0 at sf1). Times are
+      // wall clock of the full top-10 retrieval (collect of 1000 rows).
+      import graft.operators.Similarity
+      import graft.functions.VectorFunctions
+      VectorFunctions.register(spark)
+      val emb0 = graft.sources.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val embx = (0 until 10).map { k =>
+        val flip = transform(col("embedding"),
+          (x, i) => when(pmod(i + lit(k * 7), lit(10)) < 5, x).otherwise(-x))
+        emb0.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
+          flip.as("embedding"))
+      }.reduce(_ unionByName _).repartition(32)
+      for ((tag, corpusRaw) <- Seq(("sf0.1", emb0), ("sf1", embx))) {
+        val c = corpusRaw.persist(); c.count()
+        val q = c.filter(col("vec_id") < 100)
+        def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+          df.select(col("query_id"), col("vec_id")).collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+        var ground: Set[(Long, Long)] = null
+        timed(s"$tag brute-force ground truth") {
+          ground = pairsOf(Similarity.bruteForceTopK(
+            q, c, VectorFunctions.cosineSim, 10))
+        }
+        def report(label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+          var got: Set[(Long, Long)] = null
+          timed(s"$tag $label") { got = pairsOf(df) }
+          println(f"[scratch] $tag $label recall@10 = ${
+            (ground & got).size.toDouble / ground.size}%.3f")
+        }
+        for ((t, p) <- Seq((4, 8), (8, 6), (8, 4), (12, 4), (15, 3)))
+          report(s"lsh tables=$t planes=$p")(Similarity.lshTopK(
+            q, c, VectorFunctions.cosineSim, 10, tables = t, planesPerTable = p))
+        for (probe <- Seq(1, 2, 4, 8))
+          report(s"ivf nlist=16 nprobe=$probe")(Similarity.ivfTopK(
+            q, c, VectorFunctions.cosineSim, 10, nlist = 16, nprobe = probe))
+        c.unpersist()
+      }
     } else if (args.headOption.contains("streamsf1")) {
       // streaming 10x scaling point: time- and user-shifted event replicas
       // (the sf1new independence construction — disjoint keys AND disjoint
