@@ -269,6 +269,39 @@ object Scratch {
         require(oldBuf == newBuf.toList && oldBuf.length == kk,
           "A/B implementations disagree")
       }
+    } else if (args.headOption.contains("m04pieces")) {
+      // fixture-vs-operator cost split for the image near-dup row: the m04
+      // bench number blends fixture BMP-encode + parquet write (generation,
+      // not the operator) with decode + dHash + pigeonhole join (the
+      // operator). Two runs each; read the second.
+      import graft.operators.{BmpCodec, Dedup}
+      import graft.queries.FixtureDirs
+      import spark.implicits._
+      val ids = graft.sources.Tables.documents(spark, sfDir)
+        .select(col("doc_id")).as[Long]
+      def mediaDf = ids.mapPartitions { it =>
+        it.map { id =>
+          val gid = id / 4
+          val w = (gid % 9 + 6).toInt; val h = (gid % 5 + 8).toInt
+          val bright = (id % 7).toInt
+          val spot = if (id % 5 == 0) 40 else 0
+          (id, BmpCodec.encode(w, h, (x, y) => {
+            val sp = if (x == 0 && y == 0) spot else 0
+            ((((gid + 3) * (x + 1) * (y + 2) + 5L * x * x) % 199 + bright + sp).toInt,
+             (((gid + 7) * (x + 2) * (y + 1) + 3L * y * y) % 199 + bright + sp).toInt,
+             (((2 * gid + 1) * (x.toLong * y + x + y)) % 199 + bright + sp).toInt)
+          }))
+        }
+      }.toDF("media_id", "media")
+      for (i <- 1 to 2) {
+        var fixture: org.apache.spark.sql.DataFrame = null
+        timed(s"m04 fixture (encode + parquet round trip) run$i") {
+          fixture = FixtureDirs.parquetRoundTrip(mediaDf, "m04pieces-")
+          fixture.count()
+        }
+        timed(s"m04 operator (decode + dHash + join) run$i")(
+          Dedup.imageNearDup(fixture, "media_id", "media").count())
+      }
     } else if (args.headOption.contains("annrecall")) {
       // recall@10 vs cost for the approximate ANN paths against brute-force
       // ground truth — what a v03/v04 user actually cares about. Corpus:
