@@ -211,6 +211,22 @@ object Dedup {
     simhashNearDup(fp, bits = 56, blocks = blocks, maxHamming = maxHamming)
   }
 
+  /** Audio near-dup over a binary media column: 56-bit energy-difference
+    * fingerprint per clip ([[graft.functions.AudioHashExpr]] — 16-bit PCM
+    * WAV decode + frame-energy gradient bits, all integer math), then the
+    * same pigeonhole block-partitioned Hamming join as [[simhashNearDup]].
+    * Gain-rescaled or single-frame-perturbed renditions hash within 2 bits
+    * of the original, so they pair at `maxHamming = 3`; the join key is
+    * (block_idx, 14-bit chunk), never all-pairs — media bytes stay in the
+    * scan stage, only (id, fingerprint) rows shuffle. */
+  def audioNearDup(media: DataFrame, idCol: String, mediaCol: String,
+                   blocks: Int = 4, maxHamming: Int = 3): DataFrame = {
+    graft.functions.AudioHash.registerNative(media.sparkSession)
+    val fp = media.select(col(idCol).as("doc_id"),
+      graft.functions.AudioHash.eHash(col(mediaCol)).as("simhash"))
+    simhashNearDup(fp, bits = 56, blocks = blocks, maxHamming = maxHamming)
+  }
+
   /** Connected components over a near-dup pair relation → duplicate
     * clusters: every doc gets `cluster_id` = the smallest doc id reachable
     * through pairs (isolated docs are their own cluster). The final step of

@@ -795,6 +795,73 @@ object TextQueries {
            |ORDER BY doc_a, doc_b""".stripMargin),
     "cross-format image near-dup: PNG (javax.imageio) + BMP renditions, format-sniffed decode, dHash + pigeonhole join (LLM-pipeline op)")
 
+  /** Audio NEAR-DUP — the dedup ladder applied to decoded PCM samples, the
+    * m04 construction for the audio modality. Fixture: docs in groups of 4
+    * (`gid = doc_id / 4`) share one group-specific clip (bounded
+    * pseudo-random integer samples of (gid, i) in ±7000, length 57·spf so
+    * the `f·n/57` frame boundaries are exact multiples); within a group
+    * each doc gets an integer gain 1..4 (which the energy-gradient hash is
+    * exactly invariant to — frame sums scale, comparisons don't move) and
+    * every doc_id % 5 == 0 additionally a +1000 spike on sample 0 (flips
+    * ≤ 2 fingerprint bits). So same-group renditions land within Hamming
+    * ≤ 2 and pair at maxHamming = 3 (pigeonhole: ≥ 1 of 4 14-bit chunks
+    * identical), while cross-group clips stay far apart. The encode →
+    * parquet BINARY → decode chain is [[graft.operators.WavCodec]]'s; the
+    * oracle computes the 56-bit fingerprint ANALYTICALLY from the
+    * sample-generating functions (exact integer frame sums) and mirrors
+    * the chunk join, so a hash match proves RIFF parse + 16-bit LE sample
+    * decode + framing + hash + join end-to-end. Gains up to 4 exercise
+    * negative 16-bit samples at ±32000, two bytes from the rails. */
+  val m06 = QueryDef(
+    "m06_audio_neardup",
+    (spark, dir) => {
+      import spark.implicits._
+      val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions { it =>
+        it.map { id =>
+          val gid = id / 4
+          val spf = (gid % 5 + 3).toInt
+          val n = 57 * spf
+          val gain = (id % 4 + 1).toInt
+          val spike = if (id % 5 == 0) 1000 else 0
+          val samples = Array.tabulate(n) { i =>
+            val base = (((gid + 5) * (i.toLong * i + 3 * i + 7) + (2 * gid + 1) * i) % 14001) - 7000
+            val sp = if (i == 0) spike else 0
+            (gain * (base + sp)).toShort
+          }
+          (id, graft.operators.WavCodec.encode(16000, 1, samples))
+        }
+      }.toDF("media_id", "media")
+      Dedup.audioNearDup(FixtureDirs.parquetRoundTrip(media, "m06-media-"),
+          "media_id", "media")
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 + 1 AS g,
+           |    CASE WHEN doc_id % 5 = 0 THEN 1000 ELSE 0 END AS spike,
+           |    (doc_id // 4) % 5 + 3 AS spf
+           |  FROM documents),
+           |e AS (SELECT doc_id,
+           |    [ list_sum([ abs(g * ((((gid + 5) * ((f*spf+j)*(f*spf+j) + 3*(f*spf+j) + 7)
+           |        + (2*gid + 1) * (f*spf+j)) % 14001) - 7000
+           |        + CASE WHEN f*spf + j = 0 THEN spike ELSE 0 END))
+           |      for j in range(0, spf)])
+           |      for f in range(0, 57)] AS en
+           |  FROM d),
+           |fp AS (SELECT doc_id, CAST(list_sum(
+           |    [CASE WHEN en[f+2] > en[f+1] THEN 1::BIGINT << f ELSE 0::BIGINT END
+           |     for f in range(0, 56)]) AS BIGINT) AS fp
+           |  FROM e),
+           |chunks AS (SELECT doc_id, fp, c AS chunk_idx, (fp >> (c * 14)) & 16383 AS chunk
+           |  FROM fp, (SELECT unnest([0, 1, 2, 3]) AS c)),
+           |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    a.fp AS fp_a, b.fp AS fp_b
+           |  FROM chunks a JOIN chunks b
+           |    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b, CAST(bit_count(xor(fp_a, fp_b)) AS INTEGER) AS hamming
+           |FROM p WHERE bit_count(xor(fp_a, fp_b)) <= 3
+           |ORDER BY doc_a, doc_b""".stripMargin),
+    "audio near-dup: energy-difference fingerprint over decoded PCM WAV + pigeonhole Hamming join (LLM-pipeline op)")
+
   /** Incremental clustering: replay the corpus as two batches — docs with
     * doc_id % 10 < 7 are the prior snapshot, the rest arrive as a new batch —
     * and extend the prior labels with [[Dedup.dupClustersIncremental]]
@@ -960,5 +1027,5 @@ object TextQueries {
 
   def defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
-      d15, d16, d17, d18, d19, d20, d21, d22, m01, m02, m03, m04, m05)
+      d15, d16, d17, d18, d19, d20, d21, d22, m01, m02, m03, m04, m05, m06)
 }
