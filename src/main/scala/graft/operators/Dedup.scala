@@ -211,6 +211,38 @@ object Dedup {
     simhashNearDup(fp, bits = 56, blocks = blocks, maxHamming = maxHamming)
   }
 
+  /** Exact duplicated-passage detection via content-defined chunking
+    * ([[graft.functions.CdcChunksExpr]]) — the scalable half of
+    * exact-substring training-data dedup (Lee et al. 2021): chunk
+    * boundaries are functions of content, so a substring shared between
+    * documents yields identical (hash, text) chunks in each, and one
+    * equi-shuffle on the chunk hash finds every repeated passage — no
+    * suffix array, no all-pairs. Returns the spans to cut: (doc_id, start,
+    * chunk_len, n_docs, n_occ) for every chunk of ≥ `minLen` normalized
+    * chars occurring ≥ 2 times in the corpus (within-doc repeats count —
+    * boilerplate repeated inside one document is still duplication).
+    * Offsets are 0-based into the normalized text (lower, ws-collapsed).
+    *
+    * Scale shape: chunking runs in the scan stage (native expression);
+    * only (doc_id, start, len, hash) rows shuffle — two hash-keyed
+    * aggregating joins, both on the chunk hash. A chunk shared by k docs
+    * costs k rows, not k² pairs. */
+  def exactSubstringSpans(docs: DataFrame, idCol: String, textCol: String,
+                          w: Int = 8, minLen: Int = 16): DataFrame = {
+    graft.functions.CdcChunks.registerNative(docs.sparkSession, w)
+    val chunks = docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.CdcChunks.chunks(col(textCol))).as("c"))
+      .select(col("doc_id"), col("c.start").cast("long").as("start"),
+        col("c.len").cast("long").as("chunk_len"), col("c.hash").as("h"))
+      .filter(col("chunk_len") >= minLen)
+    val dup = chunks.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_occ") >= 2)
+    chunks.join(dup, Seq("h"))
+      .select(col("doc_id"), col("start"), col("chunk_len"),
+        col("n_docs"), col("n_occ"))
+  }
+
   /** Audio near-dup over a binary media column: 56-bit energy-difference
     * fingerprint per clip ([[graft.functions.AudioHashExpr]] — 16-bit PCM
     * WAV decode + frame-energy gradient bits, all integer math), then the

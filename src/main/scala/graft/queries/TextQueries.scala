@@ -862,6 +862,40 @@ object TextQueries {
            |ORDER BY doc_a, doc_b""".stripMargin),
     "audio near-dup: energy-difference fingerprint over decoded PCM WAV + pigeonhole Hamming join (LLM-pipeline op)")
 
+  /** Exact duplicated-passage spans via content-defined chunking
+    * ([[Dedup.exactSubstringSpans]]): every ≥16-char normalized chunk
+    * occurring ≥2 times in the corpus, with the 0-based span to cut. The
+    * exact-substring half of training-data dedup (the fuzzy half is
+    * d05/d06/d07); at sf0.01 the 31-word vocabulary yields ~340 genuinely
+    * repeated passages across ~60 docs. The oracle recomputes boundaries
+    * position-by-position from the same md5 anchor rule. */
+  val d23 = QueryDef(
+    "d23_exact_substring_spans",
+    (spark, dir) =>
+      Dedup.exactSubstringSpans(Tables.documents(spark, dir), "doc_id", "text")
+        .orderBy(col("doc_id"), col("start")),
+    Some("""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+           |  FROM documents),
+           |c0 AS (SELECT doc_id, t, length(t) AS n,
+           |    CASE WHEN length(t) < 8 THEN []
+           |         ELSE [i + 8 for i in range(0, length(t) - 7)
+           |               if substr(md5(substr(t, i+1, 8)), 1, 1) = '0'] END AS cuts
+           |  FROM n),
+           |b AS (SELECT doc_id, t, list_sort(list_distinct([0] || cuts || [n])) AS bs
+           |  FROM c0 WHERE n > 0),
+           |ch AS (SELECT doc_id, bs[j+1] AS start, bs[j+2] - bs[j+1] AS chunk_len,
+           |    md5(substr(t, bs[j+1] + 1, bs[j+2] - bs[j+1])) AS h
+           |  FROM b, unnest(range(length(bs) - 1)) AS u(j)),
+           |f AS (SELECT * FROM ch WHERE chunk_len >= 16),
+           |g AS (SELECT h, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+           |  FROM f GROUP BY h HAVING count(*) >= 2)
+           |SELECT f.doc_id, CAST(f.start AS BIGINT) AS start,
+           |  CAST(f.chunk_len AS BIGINT) AS chunk_len,
+           |  CAST(g.n_docs AS BIGINT) AS n_docs, CAST(g.n_occ AS BIGINT) AS n_occ
+           |FROM f JOIN g USING (h)
+           |ORDER BY doc_id, start""".stripMargin),
+    "exact duplicated-passage spans: content-defined chunking + hash equi-join (LLM-pipeline op)")
+
   /** Incremental clustering: replay the corpus as two batches — docs with
     * doc_id % 10 < 7 are the prior snapshot, the rest arrive as a new batch —
     * and extend the prior labels with [[Dedup.dupClustersIncremental]]
@@ -1027,5 +1061,5 @@ object TextQueries {
 
   def defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
-      d15, d16, d17, d18, d19, d20, d21, d22, m01, m02, m03, m04, m05, m06)
+      d15, d16, d17, d18, d19, d20, d21, d22, d23, m01, m02, m03, m04, m05, m06)
 }
