@@ -1157,8 +1157,65 @@ object RelationalQueries {
     },
     "two-level CMS rollup: per-group counter matrices summed, heavy-hitter probe on the merged sketch")
 
+  /** QUANTILE ROLLUP — the q44 pattern for percentiles, completing the
+    * sketch-rollup family with the one summary the KMV/HLL/CMS trio can't
+    * answer. Sample-based: [[graft.functions.MinKValues]] keeps the
+    * (md5-hash, value) pairs with the k smallest hashes; any quantile of the
+    * sample estimates the population quantile (deterministic, partition- and
+    * engine-independent — unlike KLL/t-digest there is no RNG and no
+    * merge-order sensitivity, which is what makes it oracle-able). The merge
+    * is EXACT: min-k(∪ parts) = min-k(∪ per-part min-k's), so per-group
+    * samples (16 user buckets here; per-day/per-source at 100 TB) roll up to
+    * the global sample bit-identically — the query emits the flat-path and
+    * rollup-path estimates side by side and the oracle computes one value for
+    * both columns, making any divergence a hash mismatch. The second level
+    * reads groups·k rows, never a raw event (PlanAuditSpec pins no
+    * md5 above the per-group sample build). q29 is the exact-percentile
+    * baseline; this is its no-rescan scale path. */
+  val q47 = QueryDef(
+    "q47_quantile_sample_rollup",
+    (spark, dir) => {
+      val k = 256
+      val ev = Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("value"))
+      val sample = udaf(new graft.functions.MinKValues(k),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(String, Double)]())
+      val hv = ev.select(md5(col("event_id").cast("string")).as("h"),
+        col("value").as("v"), (col("user_id") % 16).as("grp"))
+      // flat path: one global sample
+      val flat = hv.agg(sample(col("h"), col("v")).as("sample"))
+        .select(array_sort(expr("transform(sample, x -> x.v)")).as("flat_vals"))
+      // rollup path: per-group samples, then min-k of the union of samples.
+      // The window is global but bounded by construction: groups · k rows.
+      val perGroup = hv.groupBy(col("grp")).agg(sample(col("h"), col("v")).as("sk"))
+      val top = perGroup.select(explode(col("sk")).as("x"))
+        .select(col("x.h").as("h"), col("x.v").as("v"))
+        .withColumn("rn", row_number().over(Window.orderBy(col("h"))))
+        .filter(col("rn") <= k)
+      val roll = top.agg(sort_array(collect_list(col("v"))).as("roll_vals"))
+      // sample quantile: sorted-sample element at floor(p·(k−1)), 0-based
+      val ps = Seq(0.25, 0.5, 0.75, 0.9)
+      val probes = explode(array(ps.map { p =>
+        struct(lit(p).as("p"), lit((p * (k - 1)).toInt + 1).as("idx"))
+      }: _*)).as("pr")
+      flat.crossJoin(roll).select(probes, col("flat_vals"), col("roll_vals"))
+        .select(col("pr.p").as("p"),
+          element_at(col("flat_vals"), col("pr.idx")).as("q_flat"),
+          element_at(col("roll_vals"), col("pr.idx")).as("q_roll"))
+        .orderBy(col("p"))
+    },
+    Some("""WITH h AS (SELECT md5(CAST(event_id AS VARCHAR)) AS h, value AS v FROM events),
+           |s AS (SELECT v FROM h ORDER BY h LIMIT 256),
+           |o AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM s),
+           |p AS (SELECT CAST(x.p AS DOUBLE) AS p, x.rn AS rn
+           |  FROM (VALUES (0.25, 64), (0.5, 128), (0.75, 192), (0.9, 230)) AS x(p, rn))
+           |SELECT p.p, o.v AS q_flat, o.v AS q_roll
+           |FROM p JOIN o ON o.rn = p.rn
+           |ORDER BY p.p""".stripMargin),
+    "quantile rollup: deterministic min-k value samples merged exactly, flat ≡ rollup by construction")
+
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q12, q13, q14, q15, q16, q17, q18, q19, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41, q42, q43, q44, q45, q46)
+    q41, q42, q43, q44, q45, q46, q47)
 }

@@ -91,6 +91,23 @@ class PlanAuditSpec extends SparkSpec {
       s"sketch build lost its partial (map-side) phase:\n$p")
   }
 
+  test("q47: quantile rollup consumes samples only — no md5 above the per-group build") {
+    val p = planOf("q47_quantile_sample_rollup")
+    val lines = p.linesIterator.toIndexedSeq
+    // the rollup side's second level is explode → window top-k → collect:
+    // every md5 in the plan must sit in a projection feeding a MinKValues
+    // aggregate (the sample builds), never above the per-group aggregate
+    val iWindow = lines.indexWhere(_.contains("row_number"))
+    assert(iWindow >= 0, s"rollup window stage missing:\n$p")
+    val iAgg = lines.indexWhere(_.toLowerCase.contains("minkvalues"), iWindow + 1)
+    assert(iAgg > iWindow, s"rollup per-group sample build missing below the window:\n$p")
+    assert(!lines.slice(iWindow + 1, iAgg).exists(_.contains("md5")),
+      s"raw keys re-hashed between the window top-k and the sample build:\n$p")
+    // both sample builds keep map-side partial aggregation
+    assert(p.toLowerCase.contains("partial_minkvalues"),
+      s"sample build lost its partial (map-side) phase:\n$p")
+  }
+
   test("q26: salted join still plans as an equi-join on (key, salt)") {
     val p = planOf("q26_salted_join")
     assert(p.contains("HashJoin"), s"salted join lost its equi-join shape:\n$p")
