@@ -215,4 +215,37 @@ object Relational {
     }
     topKPerGroup(local, keys, order, k)
   }
+
+  /** Sequential-pattern (funnel) counting — how many users reach each stage
+    * of an ordered event sequence, where stage i+1 must occur strictly
+    * after the user's stage-i time and within `windowUs` of it (exact
+    * integer µs — CLAUDE.md rule 1). Returns one row per stage:
+    * (`stage` = "<i>_<type>", `n_users`).
+    *
+    * Shape: per-stage min-timestamp aggregation, then an equi-join to the
+    * previous stage's relation — every shuffle is on the user key, and the
+    * per-stage relations shrink monotonically (stage k+1's input is
+    * filtered by stage k's survivors). Each stage's event filter is pushed
+    * to its own scan (`PushedFilters: EqualTo(event_type, ...)`), so a
+    * 100 TB corpus reads only the funnel's event types; the chained joins
+    * all hash on `userCol`, so AQE reuses the partitioning and can
+    * broadcast late stages as they shrink below the threshold. */
+  def funnel(ev: DataFrame, userCol: String, tsCol: String, typeCol: String,
+             stages: Seq[String], windowUs: Long): DataFrame = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    var reached = ev.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+    var out = reached.agg(count(lit(1)).as("n_users"))
+      .select(lit(s"1_${stages.head}").as("stage"), col("n_users"))
+    stages.zipWithIndex.drop(1).foreach { case (st, i) =>
+      reached = ev.filter(col(typeCol) === st)
+        .join(reached, Seq(userCol))
+        .filter(col(tsCol) > col("__t") && col(tsCol) <= col("__t") + windowUs)
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+      out = out.unionAll(reached.agg(count(lit(1)).as("n_users"))
+        .select(lit(s"${i + 1}_$st").as("stage"), col("n_users")))
+    }
+    out
+  }
 }

@@ -1214,8 +1214,40 @@ object RelationalQueries {
            |ORDER BY p.p""".stripMargin),
     "quantile rollup: deterministic min-k value samples merged exactly, flat ≡ rollup by construction")
 
+  /** Sequential-pattern funnel ([[Relational.funnel]]): users reaching
+    * view → click → purchase, each stage strictly after the previous
+    * stage's first occurrence and within a 72 h window of it. The
+    * product-analytics sequence query (MATCH_RECOGNIZE's most common use)
+    * expressed as chained keyed min-aggregations — every shuffle on
+    * user_id, per-stage relations shrink monotonically, each stage's
+    * event-type filter pushed to its own scan. Exact integer-µs window
+    * arithmetic both sides (rule 1). */
+  val q48 = QueryDef(
+    "q48_funnel",
+    (spark, dir) => {
+      val ev = Tables.eventsUs(spark, dir)
+        .select(col("user_id"), col("event_type"), col("ts_us"))
+      Relational.funnel(ev, "user_id", "ts_us", "event_type",
+          Seq("view", "click", "purchase"), windowUs = 72L * 3600 * 1000000)
+        .orderBy(col("stage"))
+    },
+    Some(s"""WITH $evCte,
+            |t1 AS (SELECT user_id, min(ts_us) AS t FROM ev
+            |  WHERE event_type = 'view' GROUP BY user_id),
+            |t2 AS (SELECT e.user_id, min(e.ts_us) AS t FROM ev e JOIN t1 USING (user_id)
+            |  WHERE e.event_type = 'click' AND e.ts_us > t1.t
+            |    AND e.ts_us <= t1.t + 259200000000 GROUP BY e.user_id),
+            |t3 AS (SELECT e.user_id, min(e.ts_us) AS t FROM ev e JOIN t2 USING (user_id)
+            |  WHERE e.event_type = 'purchase' AND e.ts_us > t2.t
+            |    AND e.ts_us <= t2.t + 259200000000 GROUP BY e.user_id)
+            |SELECT '1_view' AS stage, count(*) AS n_users FROM t1
+            |UNION ALL SELECT '2_click', count(*) FROM t2
+            |UNION ALL SELECT '3_purchase', count(*) FROM t3
+            |ORDER BY stage""".stripMargin),
+    "sequential-pattern funnel: chained keyed min-aggregations with a 72h stage window")
+
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q12, q13, q14, q15, q16, q17, q18, q19, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41, q42, q43, q44, q45, q46, q47)
+    q41, q42, q43, q44, q45, q46, q47, q48)
 }

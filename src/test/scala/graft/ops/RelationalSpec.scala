@@ -149,4 +149,23 @@ class RelationalSpec extends SparkSpec {
     assert(got.groupBy(identity).view.mapValues(_.length).toMap ==
       naive.groupBy(identity).view.mapValues(_.length).toMap)
   }
+
+  test("funnel: strict stage order, first-occurrence anchoring, window cutoff") {
+    // u1: full funnel in order; u2: click BEFORE first view (must not count);
+    // u3: click exactly at the window edge (inclusive), purchase 1µs past
+    // the click window (excluded); u4: view only
+    val win = 100L
+    val ev = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      (2L, "click", 5L), (2L, "view", 10L), (2L, "purchase", 50L),
+      (3L, "view", 0L), (3L, "click", 100L), (3L, "purchase", 201L),
+      (4L, "view", 7L)
+    ).toDF("user_id", "event_type", "ts_us")
+    val got = Relational.funnel(ev, "user_id", "ts_us", "event_type",
+        Seq("view", "click", "purchase"), windowUs = win)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("1_view" -> 4L, "2_click" -> 2L, "3_purchase" -> 1L), got)
+    // u2's purchase at 50 does not count: no valid click stage to anchor it
+    // u3's click at exactly view+100 counts (<=); purchase at click+101 doesn't
+  }
 }
