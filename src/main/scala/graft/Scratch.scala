@@ -302,6 +302,63 @@ object Scratch {
         timed(s"m04 operator (decode + dHash + join) run$i")(
           Dedup.imageNearDup(fixture, "media_id", "media").count())
       }
+    } else if (args.headOption.contains("d23sf1")) {
+      // 10x scaling point for content-defined-chunking substring dedup:
+      // word-prefixed replicas (the sf1 construction) have disjoint chunk
+      // hashes, so duplicated-passage output scales exactly 10x and the
+      // honest shape is linear (per-char md5 chunking dominates; the two
+      // hash-keyed shuffles carry only span rows). Warm each corpus once,
+      // read the second run.
+      import graft.operators.Dedup
+      val base = graft.sources.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+      val small = base.repartition(32).persist()
+      small.count()
+      val reps = (0 until 10).map { k =>
+        base.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"r$k$$1").as("text"))
+      }
+      val big = reps.reduce(_ unionByName _).repartition(32).persist()
+      timed("sf1 corpus materialize (50k docs)")(big.count())
+      for (i <- 1 to 2) {
+        timed(s"d23 spans sf0.1 run$i")(
+          Dedup.exactSubstringSpans(small, "doc_id", "text").count())
+        timed(s"d23 spans sf1 (10x) run$i")(
+          Dedup.exactSubstringSpans(big, "doc_id", "text").count())
+      }
+    } else if (args.headOption.contains("m06pieces")) {
+      // fixture-vs-operator cost split for the audio near-dup row (the m04
+      // split, audio leg): fixture = WAV encode + parquet round trip;
+      // operator = WAV decode + energy hash + pigeonhole join.
+      import graft.operators.{Dedup, WavCodec}
+      import graft.queries.FixtureDirs
+      import spark.implicits._
+      val ids = graft.sources.Tables.documents(spark, sfDir)
+        .select(col("doc_id")).as[Long]
+      def mediaDf = ids.mapPartitions { it =>
+        it.map { id =>
+          val gid = id / 4
+          val spf = (gid % 5 + 3).toInt
+          val n = 57 * spf
+          val gain = (id % 4 + 1).toInt
+          val spike = if (id % 5 == 0) 1000 else 0
+          val samples = Array.tabulate(n) { i =>
+            val base = (((gid + 5) * (i.toLong * i + 3 * i + 7) + (2 * gid + 1) * i) % 14001) - 7000
+            val sp = if (i == 0) spike else 0
+            (gain * (base + sp)).toShort
+          }
+          (id, WavCodec.encode(16000, 1, samples))
+        }
+      }.toDF("media_id", "media")
+      for (i <- 1 to 2) {
+        var fixture: org.apache.spark.sql.DataFrame = null
+        timed(s"m06 fixture (encode + parquet round trip) run$i") {
+          fixture = FixtureDirs.parquetRoundTrip(mediaDf, "m06pieces-")
+          fixture.count()
+        }
+        timed(s"m06 operator (decode + energy hash + join) run$i")(
+          Dedup.audioNearDup(fixture, "media_id", "media").count())
+      }
     } else if (args.headOption.contains("annrecall")) {
       // recall@10 vs cost for the approximate ANN paths against brute-force
       // ground truth — what a v03/v04 user actually cares about. Corpus:
