@@ -404,5 +404,70 @@ object StreamingQueries {
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "streaming incremental dup clustering: foreachBatch + persistent shingle index, availableNow drain (LLM-pipeline op)")
 
-  def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10)
+  /** STREAMING sequential-pattern funnel — q48's semantics executed as one
+    * pass over the live stream via `transformWithState` with event-time
+    * timers ([[graft.streaming.FunnelProcessor]]): per-user funnel-type
+    * events accumulate in ListState until the watermark passes the user's
+    * finality horizon `t1 + 2·window` (after which no admissible event can
+    * change any stage), then one (user, reached) row is emitted and state
+    * cleared — bounded state, the shape a 100 TB event pipeline runs
+    * instead of a nightly batch funnel. The drain's final no-data batch
+    * fires every expired horizon (StreamingFunnelSpec pins single-run
+    * flush); with a 0 s watermark delay the cutoff is exactly max event
+    * time, which the oracle mirrors in exact floor-ms arithmetic — users
+    * whose horizon hasn't passed are counted on neither side (inert at
+    * this data's 30-day span vs the 6-day horizon, so the counts equal
+    * q48's). Stage counts aggregate the drained per-user rows. */
+  val s11 = QueryDef(
+    "s11_stream_funnel",
+    (spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val winUs = 72L * 3600 * 1000000
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = spark.conf.getOption(provKey)
+      spark.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val perUser = try drain(spark, dir, "append") { ev =>
+        val idx = when(col("event_type") === "view", 0)
+          .when(col("event_type") === "click", 1).otherwise(2)
+        ev.filter(col("event_type").isin("view", "click", "purchase"))
+          .withWatermark("ts_utc", "0 seconds")
+          .select(col("user_id"), idx.cast("int").as("type_idx"), col("ts_us"))
+          .as[graft.streaming.StreamingFunnel.FunnelEvent]
+          .groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
+          .transformWithState(
+            new graft.streaming.FunnelProcessor(3, winUs),
+            TimeMode.EventTime(), OutputMode.Append())
+          .toDF()
+      } finally prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+      val names = array(lit("view"), lit("click"), lit("purchase"))
+      perUser.select(explode(sequence(lit(1), col("reached"))).as("i"))
+        .groupBy(col("i"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(concat(col("i"), lit("_"), element_at(names, col("i"))).as("stage"),
+          col("n_users"))
+        .orderBy(col("stage"))
+    },
+    Some(s"""WITH $evCte,
+            |t1 AS (SELECT user_id, min(ts_us) AS t FROM ev
+            |  WHERE event_type = 'view' GROUP BY user_id),
+            |fired AS (SELECT user_id, t FROM t1
+            |  WHERE t // 1000 + 518400001 <= (SELECT max(ts_us) // 1000 FROM ev)),
+            |t2 AS (SELECT e.user_id, min(e.ts_us) AS t FROM ev e JOIN fired USING (user_id)
+            |  WHERE e.event_type = 'click' AND e.ts_us > fired.t
+            |    AND e.ts_us <= fired.t + 259200000000 GROUP BY e.user_id),
+            |t3 AS (SELECT e.user_id, min(e.ts_us) AS t FROM ev e JOIN t2 USING (user_id)
+            |  WHERE e.event_type = 'purchase' AND e.ts_us > t2.t
+            |    AND e.ts_us <= t2.t + 259200000000 GROUP BY e.user_id)
+            |SELECT '1_view' AS stage, count(*) AS n_users FROM fired
+            |UNION ALL SELECT '2_click', count(*) FROM t2
+            |UNION ALL SELECT '3_purchase', count(*) FROM t3
+            |ORDER BY stage""".stripMargin),
+    "streaming funnel: transformWithState + event-time horizon timers, availableNow drain")
+
+  def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11)
 }
