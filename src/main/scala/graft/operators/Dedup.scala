@@ -243,6 +243,56 @@ object Dedup {
         col("n_docs"), col("n_occ"))
   }
 
+  /** The rewrite half of exact-substring dedup (Lee et al. 2021 §4.2): cut
+    * every duplicated passage found by the CDC chunking, keeping exactly
+    * one occurrence corpus-wide (the first by (doc_id, start)). Because
+    * chunks TILE the normalized text ([[graft.functions.CdcChunksExpr]]
+    * contract), the cleaned document is simply the concatenation of its
+    * kept chunks in start order — no span arithmetic, no overlap handling.
+    * Returns every input doc: (doc_id, clean_md5, clean_chars, n_cut,
+    * cut_chars) — the md5 stands in for the rewritten text so the row stays
+    * narrow; callers wanting the text itself concatenate the same kept
+    * chunks.
+    *
+    * Scale shape: one equi-shuffle on the chunk hash decides winners
+    * (min-struct aggregate, map-side partial), one shuffle on doc_id
+    * reassembles — the corpus text crosses the wire once, the unavoidable
+    * cost of any rewrite pass. Only chunks ≥ `minLen` are ever removed. */
+  def removeDuplicatedPassages(docs: DataFrame, idCol: String, textCol: String,
+                               w: Int = 8, minLen: Int = 16): DataFrame = {
+    graft.functions.CdcChunks.registerNative(docs.sparkSession, w)
+    val norm = trim(regexp_replace(lower(col(textCol)), "[ \\t\\n\\f\\r]+", " "))
+    val chunks = docs.select(col(idCol).as("doc_id"), norm.as("t"),
+        explode(graft.functions.CdcChunks.chunks(col(textCol))).as("c"))
+      .select(col("doc_id"), col("c.start").as("start"), col("c.len").as("len"),
+        col("c.hash").as("h"),
+        substring(col("t"), col("c.start") + 1, col("c.len")).as("txt"))
+    // winners: first (doc_id, start) occurrence of each duplicated >=minLen chunk
+    val dup = chunks.filter(col("len") >= minLen)
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("start"))).as("win"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .select(col("h"), col("win.doc_id").as("w_doc"), col("win.start").as("w_start"))
+    val marked = chunks.join(dup, Seq("h"), "left")
+      .withColumn("cut", col("w_doc").isNotNull &&
+        !(col("doc_id") === col("w_doc") && col("start") === col("w_start")))
+    val rebuilt = marked.groupBy(col("doc_id"))
+      .agg(
+        concat_ws("", transform(array_sort(collect_list(
+            when(!col("cut"), struct(col("start"), col("txt"))))),
+          x => x.getField("txt"))).as("cleaned"),
+        sum(when(col("cut"), 1L).otherwise(0L)).as("n_cut"),
+        sum(when(col("cut"), col("len")).otherwise(0L)).as("cut_chars"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left") // empty docs have no chunks
+      .select(col("doc_id"),
+        md5(coalesce(col("cleaned"), lit(""))).as("clean_md5"),
+        length(coalesce(col("cleaned"), lit(""))).cast("long").as("clean_chars"),
+        coalesce(col("n_cut"), lit(0L)).as("n_cut"),
+        coalesce(col("cut_chars"), lit(0L)).as("cut_chars"))
+  }
+
   /** Audio near-dup over a binary media column: 56-bit energy-difference
     * fingerprint per clip ([[graft.functions.AudioHashExpr]] — 16-bit PCM
     * WAV decode + frame-energy gradient bits, all integer math), then the

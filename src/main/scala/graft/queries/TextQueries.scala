@@ -896,6 +896,52 @@ object TextQueries {
            |ORDER BY doc_id, start""".stripMargin),
     "exact duplicated-passage spans: content-defined chunking + hash equi-join (LLM-pipeline op)")
 
+  /** The REWRITE half of exact-substring dedup
+    * ([[Dedup.removeDuplicatedPassages]]): d23 finds the duplicated spans,
+    * this row cuts them — every duplicated ≥16-char chunk loses all but its
+    * first (doc_id, start) occurrence corpus-wide, and each document is
+    * reassembled from its kept chunks (chunks tile the text, so rebuild is
+    * pure concatenation). The oracle recomputes boundaries, ranks
+    * occurrences with a window, and string_aggs the kept chunk texts in
+    * start order — md5 of the rebuilt text must match character-exact. */
+  val d24 = QueryDef(
+    "d24_remove_dup_passages",
+    (spark, dir) =>
+      Dedup.removeDuplicatedPassages(Tables.documents(spark, dir), "doc_id", "text")
+        .orderBy(col("doc_id")),
+    Some("""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+           |  FROM documents),
+           |c0 AS (SELECT doc_id, t, length(t) AS n,
+           |    CASE WHEN length(t) < 8 THEN []
+           |         ELSE [i + 8 for i in range(0, length(t) - 7)
+           |               if substr(md5(substr(t, i+1, 8)), 1, 1) = '0'] END AS cuts
+           |  FROM n),
+           |b AS (SELECT doc_id, t, list_sort(list_distinct([0] || cuts || [n])) AS bs
+           |  FROM c0 WHERE n > 0),
+           |ch AS (SELECT doc_id, bs[j+1] AS start, bs[j+2] - bs[j+1] AS len,
+           |    md5(substr(t, bs[j+1] + 1, bs[j+2] - bs[j+1])) AS h,
+           |    substr(t, bs[j+1] + 1, bs[j+2] - bs[j+1]) AS txt
+           |  FROM b, unnest(range(length(bs) - 1)) AS u(j)),
+           |marked AS (SELECT doc_id, start, len, txt,
+           |    CASE WHEN len >= 16
+           |      AND count(*) OVER (PARTITION BY CASE WHEN len >= 16 THEN h END) >= 2
+           |      AND row_number() OVER (PARTITION BY CASE WHEN len >= 16 THEN h END
+           |                             ORDER BY doc_id, start) > 1
+           |      THEN TRUE ELSE FALSE END AS cut
+           |  FROM ch),
+           |rebuilt AS (SELECT doc_id,
+           |    string_agg(CASE WHEN NOT cut THEN txt END, '' ORDER BY start) AS cleaned,
+           |    count(*) FILTER (cut) AS n_cut,
+           |    coalesce(sum(len) FILTER (cut), 0) AS cut_chars
+           |  FROM marked GROUP BY doc_id)
+           |SELECT d.doc_id, md5(coalesce(r.cleaned, '')) AS clean_md5,
+           |  CAST(length(coalesce(r.cleaned, '')) AS BIGINT) AS clean_chars,
+           |  CAST(coalesce(r.n_cut, 0) AS BIGINT) AS n_cut,
+           |  CAST(coalesce(r.cut_chars, 0) AS BIGINT) AS cut_chars
+           |FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin),
+    "exact-substring dedup rewrite: cut duplicated passages, keep first occurrence (LLM-pipeline op)")
+
   /** Incremental clustering: replay the corpus as two batches — docs with
     * doc_id % 10 < 7 are the prior snapshot, the rest arrive as a new batch —
     * and extend the prior labels with [[Dedup.dupClustersIncremental]]
@@ -1061,5 +1107,5 @@ object TextQueries {
 
   def defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
-      d15, d16, d17, d18, d19, d20, d21, d22, d23, m01, m02, m03, m04, m05, m06)
+      d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, m01, m02, m03, m04, m05, m06)
 }

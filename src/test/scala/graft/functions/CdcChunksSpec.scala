@@ -65,6 +65,33 @@ class CdcChunksSpec extends SparkSpec {
     assert(single == Seq((0, 3, Md5.hex("abc"))))
   }
 
+  test("removeDuplicatedPassages keeps exactly one occurrence, rebuild is exact") {
+    val passage = words(7L, 25)
+    val docs = Seq(
+      (0L, words(10L, 20) + " " + passage),
+      (1L, passage + " " + words(11L, 20)),
+      (2L, words(12L, 40))
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatedPassages(docs, "doc_id", "text")
+      .orderBy($"doc_id")
+      .select($"doc_id", $"clean_md5", $"clean_chars", $"n_cut", $"cut_chars")
+      .as[(Long, String, Long, Long, Long)].collect()
+    // doc 0 wins every shared chunk (smallest doc_id): nothing cut, md5 of
+    // its full normalized text
+    val norm0 = (words(10L, 20) + " " + passage).toLowerCase
+      .replaceAll("[ \\t\\n\\f\\r]+", " ").trim
+    assert(got(0)._2 == Md5.hex(norm0) && got(0)._4 == 0L)
+    assert(got(0)._3 == norm0.length)
+    // doc 1 loses the shared interior chunks: something cut, length reduced
+    // by exactly cut_chars
+    val norm1 = (passage + " " + words(11L, 20)).toLowerCase
+      .replaceAll("[ \\t\\n\\f\\r]+", " ").trim
+    assert(got(1)._4 > 0L, "no passage cut from doc 1")
+    assert(got(1)._3 == norm1.length - got(1)._5)
+    // unrelated doc untouched
+    assert(got(2)._4 == 0L && got(2)._5 == 0L)
+  }
+
   test("exactSubstringSpans finds a planted duplicated passage, no false pairs") {
     val passage = words(7L, 25)
     val docs = Seq(
