@@ -68,6 +68,10 @@ object GraftExtensions {
       (e: Seq[Expression]) => FingerprintExpr(e(0))),
     (FunctionIdentifier("img_dhash"), info("img_dhash", classOf[DHashExpr]),
       (e: Seq[Expression]) => DHashExpr(e(0))),
+    (FunctionIdentifier("audio_ehash"), info("audio_ehash", classOf[AudioHashExpr]),
+      (e: Seq[Expression]) => AudioHashExpr(e(0))),
+    (FunctionIdentifier("video_khash"), info("video_khash", classOf[VideoHashExpr]),
+      (e: Seq[Expression]) => VideoHashExpr(e(0))),
     (FunctionIdentifier("bloom_might_contain"), info("bloom_might_contain", classOf[BloomMightContain]),
       (e: Seq[Expression]) => BloomMightContain(e(0),
         e(1).eval().asInstanceOf[Array[Byte]])),

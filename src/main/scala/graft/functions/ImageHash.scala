@@ -62,15 +62,20 @@ object DHashExpr {
     * magic-sniffed) → 56-bit dHash. */
   def compute(bytes: Array[Byte]): Long = {
     val img = graft.operators.ImageCodec.decode(bytes)
-    val px = img.pixels
+    computePixels(img.pixels, img.width, img.height)
+  }
+
+  /** The grid hash on already-decoded pixels — shared with the per-frame
+    * video fingerprint ([[VideoHashExpr]]). */
+  def computePixels(px: Array[Byte], w: Int, h: Int): Long = {
     var fp = 0L
     var gy = 0
     while (gy < 8) {
-      val sy = gy * img.height / 8
-      var prev = gray(px, img.width, 0, sy) // sx(0) = 0
+      val sy = gy * h / 8
+      var prev = gray(px, w, 0, sy) // sx(0) = 0
       var gx = 0
       while (gx < 7) {
-        val cur = gray(px, img.width, (gx + 1) * img.width / 8, sy)
+        val cur = gray(px, w, (gx + 1) * w / 8, sy)
         if (cur > prev) fp |= 1L << (gy * 7 + gx)
         prev = cur
         gx += 1

@@ -309,6 +309,24 @@ object Dedup {
     simhashNearDup(fp, bits = 56, blocks = blocks, maxHamming = maxHamming)
   }
 
+  /** Video near-dup over a binary media column: 56-bit keyframe-sequence
+    * fingerprint per video ([[graft.functions.VideoHashExpr]] —
+    * uncompressed-AVI decode + 8 sampled keyframes, per-keyframe dHash,
+    * order-sensitive rotate-XOR fold, all integer math), then the same
+    * pigeonhole block-partitioned Hamming join as [[simhashNearDup]].
+    * Brightness-shifted or single-keyframe-perturbed renditions hash
+    * within 1 bit of the original, so they pair at `maxHamming = 3`; the
+    * join key is (block_idx, 14-bit chunk), never all-pairs — media bytes
+    * (the heaviest modality by far) stay in the scan stage, only
+    * (id, fingerprint) rows shuffle. */
+  def videoNearDup(media: DataFrame, idCol: String, mediaCol: String,
+                   blocks: Int = 4, maxHamming: Int = 3): DataFrame = {
+    graft.functions.VideoHash.registerNative(media.sparkSession)
+    val fp = media.select(col(idCol).as("doc_id"),
+      graft.functions.VideoHash.kHash(col(mediaCol)).as("simhash"))
+    simhashNearDup(fp, bits = 56, blocks = blocks, maxHamming = maxHamming)
+  }
+
   /** Connected components over a near-dup pair relation → duplicate
     * clusters: every doc gets `cluster_id` = the smallest doc id reachable
     * through pairs (isolated docs are their own cluster). The final step of

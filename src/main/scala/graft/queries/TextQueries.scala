@@ -862,6 +862,88 @@ object TextQueries {
            |ORDER BY doc_a, doc_b""".stripMargin),
     "audio near-dup: energy-difference fingerprint over decoded PCM WAV + pigeonhole Hamming join (LLM-pipeline op)")
 
+  /** Video NEAR-DUP — the dedup ladder applied to decoded AVI frames, the
+    * m04 construction for the video modality (the last one: image/audio/
+    * video all run real codecs now). Fixture: docs in groups of 4
+    * (`gid = doc_id / 4`) share one group-specific clip — nonlinear integer
+    * pixel functions of (gid, f, x, y), mod 199, with genuine frame motion
+    * (f-dependent terms) — at 8·(gid%3+1) frames so the `k·nF/8` keyframe
+    * indices land on exact frame multiples `k·m`. Within a group each doc
+    * gets a uniform brightness shift (`doc_id % 7`, which every per-frame
+    * dHash is invariant to, so the whole video fingerprint is too) and
+    * every doc_id % 5 == 0 additionally a +40 spot on pixel (0,0) of frame
+    * 0 — keyframe 0, rotation 0 in the XOR fold, so it flips ≤ 1
+    * fingerprint bit. Same-group renditions land within Hamming ≤ 1 and
+    * pair at maxHamming = 3; cross-group clips stay far apart. The
+    * encode → parquet BINARY → decode chain is
+    * [[graft.operators.AviCodec]]'s (RIFF walk, DIB bottom-up BGR rows);
+    * the oracle computes each keyframe's 56-bit dHash ANALYTICALLY from
+    * the frame functions, folds them with the same 56-bit rotate-XOR
+    * (exact integer halves, BIGINT-safe), and mirrors the chunk join — a
+    * hash match proves container parse + frame decode + keyframe sampling
+    * + hash + fold + join end-to-end. Widths 6..14 hit every DIB stride
+    * residue; frame counts 8/16/24 exercise the keyframe stride. */
+  val m07 = QueryDef(
+    "m07_video_neardup",
+    (spark, dir) => {
+      import spark.implicits._
+      val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions { it =>
+        it.map { id =>
+          val gid = id / 4
+          val w = (gid % 9 + 6).toInt; val h = (gid % 5 + 8).toInt
+          val nF = 8 * (gid % 3 + 1).toInt
+          val bright = (id % 7).toInt
+          val spot = if (id % 5 == 0) 40 else 0
+          (id, graft.operators.AviCodec.encode(w, h, nF, 10, (f, x, y) => {
+            val sp = if (f == 0 && x == 0 && y == 0) spot else 0
+            ((((gid + 3) * (x + 1) * (y + 2) + 5L * x * x + 11L * f * (x + y + 1)) % 199 + bright + sp).toInt,
+             (((gid + 7) * (x + 2) * (y + 1) + 3L * y * y + 13L * f * (y + 1)) % 199 + bright + sp).toInt,
+             (((2 * gid + 1) * (x.toLong * y + x + y) + 17L * f * f) % 199 + bright + sp).toInt)
+          }))
+        }
+      }.toDF("media_id", "media")
+      Dedup.videoNearDup(FixtureDirs.parquetRoundTrip(media, "m07-media-"),
+          "media_id", "media")
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 7 AS bright,
+           |    CASE WHEN doc_id % 5 = 0 THEN 40 ELSE 0 END AS spot,
+           |    (doc_id // 4) % 9 + 6 AS w, (doc_id // 4) % 5 + 8 AS h,
+           |    (doc_id // 4) % 3 + 1 AS m
+           |  FROM documents),
+           |k AS (SELECT d.*, kf FROM d, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS kf)),
+           |g AS (SELECT doc_id, kf,
+           |    [[ ( ((gid + 3) * ((gx*w//8) + 1) * ((gy*h//8) + 2) + 5 * (gx*w//8) * (gx*w//8)
+           |          + 11 * (kf*m) * ((gx*w//8) + (gy*h//8) + 1)) % 199
+           |       + ((gid + 7) * ((gx*w//8) + 2) * ((gy*h//8) + 1) + 3 * (gy*h//8) * (gy*h//8)
+           |          + 13 * (kf*m) * ((gy*h//8) + 1)) % 199
+           |       + ((2*gid + 1) * ((gx*w//8) * (gy*h//8) + (gx*w//8) + (gy*h//8))
+           |          + 17 * (kf*m) * (kf*m)) % 199
+           |       + 3 * bright
+           |       + CASE WHEN gx*w//8 = 0 AND gy*h//8 = 0 AND kf = 0 THEN 3 * spot ELSE 0 END ) // 3
+           |      for gx in range(0, 8)] for gy in range(0, 8)] AS gg
+           |  FROM k),
+           |dh AS (SELECT doc_id, kf, CAST(list_sum(flatten(
+           |    [[CASE WHEN gg[gy+1][gx+2] > gg[gy+1][gx+1]
+           |           THEN 1::BIGINT << (gy*7+gx) ELSE 0::BIGINT END
+           |      for gx in range(0, 7)] for gy in range(0, 8)])) AS BIGINT) AS dh
+           |  FROM g),
+           |fp AS (SELECT doc_id, CAST(bit_xor(
+           |      ((dh & ((1::BIGINT << (56 - 7*kf)) - 1)) << (7*kf)) | (dh >> (56 - 7*kf))
+           |    ) AS BIGINT) AS fp
+           |  FROM dh GROUP BY doc_id),
+           |chunks AS (SELECT doc_id, fp, c AS chunk_idx, (fp >> (c * 14)) & 16383 AS chunk
+           |  FROM fp, (SELECT unnest([0, 1, 2, 3]) AS c)),
+           |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    a.fp AS fp_a, b.fp AS fp_b
+           |  FROM chunks a JOIN chunks b
+           |    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b, CAST(bit_count(xor(fp_a, fp_b)) AS INTEGER) AS hamming
+           |FROM p WHERE bit_count(xor(fp_a, fp_b)) <= 3
+           |ORDER BY doc_a, doc_b""".stripMargin),
+    "video near-dup: per-keyframe dHash over decoded AVI frames, order-sensitive rotate-XOR fold + pigeonhole Hamming join (LLM-pipeline op)")
+
   /** Exact duplicated-passage spans via content-defined chunking
     * ([[Dedup.exactSubstringSpans]]): every ≥16-char normalized chunk
     * occurring ≥2 times in the corpus, with the 0-based span to cut. The
@@ -1107,5 +1189,6 @@ object TextQueries {
 
   def defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
-      d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, m01, m02, m03, m04, m05, m06)
+      d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, m01, m02, m03, m04, m05,
+      m06, m07)
 }

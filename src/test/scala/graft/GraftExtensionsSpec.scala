@@ -80,6 +80,17 @@ class GraftExtensionsSpec extends SparkSpec {
       val fp = s2.range(1).select(
         call_function("img_dhash", lit(bmp)).as("fp")).first().getLong(0)
       assert(fp == graft.functions.DHashExpr.compute(bmp))
+      // audio_ehash / video_khash over literal WAV/AVI match the helpers
+      val wav = graft.operators.WavCodec.encode(16000, 1,
+        Array.tabulate(114)(i => ((i * 37) % 200 - 100).toShort))
+      val efp = s2.range(1).select(
+        call_function("audio_ehash", lit(wav)).as("fp")).first().getLong(0)
+      assert(efp == graft.functions.AudioHashExpr.compute(wav))
+      val avi = graft.operators.AviCodec.encode(8, 8, 8, 10,
+        (f, x, y) => (x * 20 + f, y * 20, f * 10))
+      val vfp = s2.range(1).select(
+        call_function("video_khash", lit(avi)).as("fp")).first().getLong(0)
+      assert(vfp == graft.functions.VideoHashExpr.compute(avi))
       // plan-time int args accept any integral width (a bare SQL literal may
       // be INT or BIGINT) and fail with a named AnalysisException otherwise
       assert(s2.sql("SELECT kmv_distinct(md5(CAST(id AS STRING)), CAST(16 AS BIGINT)) AS e FROM range(100)")
