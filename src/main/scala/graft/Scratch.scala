@@ -399,6 +399,12 @@ object Scratch {
         for (probe <- Seq(1, 2, 4, 8))
           report(s"ivf nlist=16 nprobe=$probe")(Similarity.ivfTopK(
             q, c, VectorFunctions.cosineSim, 10, nlist = 16, nprobe = probe))
+        // PQ: pure ADC (32-bit codes, no corpus vectors at query time) and
+        // the deployed shortlist+rerank shape at three shortlist widths
+        report("pq adc m=8 ksub=16")(Similarity.pqTopK(q, c, 10))
+        for (r <- Seq(50, 100, 200))
+          report(s"pq rerank R=$r")(Similarity.pqTopKRerank(
+            q, c, VectorFunctions.cosineSim, 10, shortlist = r))
         c.unpersist()
       }
     } else if (args.headOption.contains("streamsf1")) {

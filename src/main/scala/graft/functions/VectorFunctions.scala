@@ -16,6 +16,9 @@ object VectorFunctions {
   private val QuantName = "quantize_int8"
   private val CellsName = "nearest_cells"
   private val HierName = "hierarchical_cells"
+  private val PqEncName = "pq_encode"
+  private val PqTabName = "pq_dist_table"
+  private val PqAdcName = "pq_adc"
 
   /** Idempotently register the native expressions in the session's function
     * registry (temp functions — survive for the session lifetime). */
@@ -44,6 +47,23 @@ object VectorFunctions {
         HierarchicalCellsExpr(exprs.head, dArr(1), dArr(2), iArr(3), iArr(4),
           int(5), int(6), int(7))
       }, "built-in")
+    def pqArgs(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) = (
+      exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toDoubleArray(),
+      exprs(2).eval().asInstanceOf[Int], exprs(3).eval().asInstanceOf[Int],
+      exprs(4).eval().asInstanceOf[Int])
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      PqEncName, exprs => {
+        val (cb, m, k, d) = pqArgs(exprs); PqEncodeExpr(exprs(0), cb, m, k, d)
+      }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      PqTabName, exprs => {
+        val (cb, m, k, d) = pqArgs(exprs); PqDistTableExpr(exprs(0), cb, m, k, d)
+      }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      PqAdcName, exprs => PqAdcExpr(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Int], exprs(3).eval().asInstanceOf[Int]),
+      "built-in")
   }
 
   /** Cosine similarity via the native expression; call [[register]] first. */
@@ -99,6 +119,23 @@ object VectorFunctions {
     call_function(HierName, v.cast("array<double>"), typedlit(superCents),
       typedlit(memberCents), typedlit(memberCellIds), typedlit(groupOffsets),
       lit(dims), lit(probeSupers), lit(take))
+
+  /** PQ code of an embedding (nibble-packed long); call [[register]] first.
+    * Codebook layout per [[PqEncodeExpr]]. */
+  def pqEncode(v: Column, cb: Seq[Double], m: Int, ksub: Int, dsub: Int): Column =
+    call_function(PqEncName, v.cast("array<double>"), typedlit(cb),
+      lit(m), lit(ksub), lit(dsub))
+
+  /** Per-query ADC distance table ([[PqDistTableExpr]]); call [[register]]
+    * first. */
+  def pqDistTable(v: Column, cb: Seq[Double], m: Int, ksub: Int, dsub: Int): Column =
+    call_function(PqTabName, v.cast("array<double>"), typedlit(cb),
+      lit(m), lit(ksub), lit(dsub))
+
+  /** ADC score of a code against a distance table ([[PqAdcExpr]]); call
+    * [[register]] first. */
+  def pqAdc(table: Column, code: Column, m: Int, ksub: Int): Column =
+    call_function(PqAdcName, table, code, lit(m), lit(ksub))
 
   /** Deterministic random-hyperplane sign-LSH bucket for an embedding
     * column — the 100 TB path for similarity search: bucket by LSH, join

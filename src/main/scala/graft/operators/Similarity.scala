@@ -227,6 +227,76 @@ object Similarity {
     seed
   }
 
+  /** Product-quantized top-k (ADC) — the MEMORY lever for 100 TB ANN
+    * (Jégou et al. 2011; the FAISS IVF-PQ building block). The corpus is
+    * encoded ONCE into nibble-packed PQ codes (`m`=8 subspaces × `ksub`=16
+    * codes → 32 bits per vector: 128× smaller than the float64 embedding,
+    * 64× vs float32 — at 100 TB the whole coded corpus fits in cluster
+    * memory, the raw embeddings don't); each query builds one exact
+    * `m×ksub` distance table and every corpus code scores with `m` table
+    * lookups, never touching corpus vectors at query time. The codebook is
+    * a deterministic stride sample of the corpus sliced into sub-vectors
+    * (the [[strideCentroids]]/v04 design: engine-portable so a DuckDB
+    * oracle mirrors training, encoding, and scoring bit-identically; swap
+    * in per-subspace k-means for tighter cells — the operator shape is
+    * unchanged). Scale shape: the query side broadcasts (tables are
+    * `m·ksub` doubles each); the coded corpus streams through the scan →
+    * score → per-query top-k, no shuffle of anything vector-sized.
+    * Output `(query_id, vec_id, adist, rank)` — ascending approximate L2²;
+    * ProductQuantizationSpec pins recall floors; Scratch `annrecall` records the curve. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             m: Int = 8, ksub: Int = 16, dims: Int = 64): DataFrame = {
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
+    val dsub = dims / m
+    VectorFunctions.register(corpus.sparkSession)
+    // codebook: ksub stride-sampled corpus vectors, entry (sub, c) = the
+    // c-th sample's sub-vector — flat layout per PqEncodeExpr
+    val samples = strideCentroids(corpus, ksub)
+    val cb: Seq[Double] = (0 until m).flatMap { sub =>
+      (0 until ksub).flatMap { c =>
+        val row = samples(c)._2
+        (0 until dsub).map(d => row(sub * dsub + d))
+      }
+    }
+    val codes = corpus.select(col("vec_id"),
+      VectorFunctions.pqEncode(col("embedding"), cb, m, ksub, dsub).as("code"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      VectorFunctions.pqDistTable(col("embedding"), cb, m, ksub, dsub).as("dtab"))
+    val scored = q.crossJoin(codes)
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("adist",
+        round(VectorFunctions.pqAdc(col("dtab"), col("code"), m, ksub), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("adist"), col("rank"))
+  }
+
+  /** PQ shortlist + exact re-rank — the deployed PQ shape: ADC over the
+    * coded corpus prunes to `shortlist` candidates per query (never touching
+    * corpus vectors), then ONLY those candidates' embeddings are fetched for
+    * exact cosine top-k. At 100 TB the second stage reads
+    * `queries × shortlist` vectors instead of the corpus — the equi-join on
+    * `vec_id` is the "fetch from the vector store" step. Recall =
+    * shortlist's capture rate of the true top-k (ProductQuantizationSpec
+    * pins the floor; Scratch `annrecall` records the curve). */
+  def pqTopKRerank(queries: DataFrame, corpus: DataFrame,
+                   cos: (Column, Column) => Column, k: Int,
+                   shortlist: Int = 100, m: Int = 8, ksub: Int = 16,
+                   dims: Int = 64): DataFrame = {
+    val cand = pqTopK(queries, corpus, shortlist, m, ksub, dims)
+      .select(col("query_id"), col("vec_id"))
+    val scored = cand
+      .join(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_vec")),
+        Seq("query_id"))
+      .join(corpus.select(col("vec_id"), col("embedding").as("c_vec")), Seq("vec_id"))
+      .withColumn("cos", round(cos(col("q_vec"), col("c_vec")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
+  }
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               cos: (Column, Column) => Column, k: Int,
               nlist: Int = 16, nprobe: Int = 4,

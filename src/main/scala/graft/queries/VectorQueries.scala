@@ -323,5 +323,102 @@ object VectorQueries {
     Some(v08Oracle),
     "SemDeDup via APPROXIMATE hierarchical probe (2 of 4 supers), literal centroid-tree oracle")
 
-  def defs: Seq[QueryDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08)
+  /** Product-quantized ANN (ADC) — [[Similarity.pqTopK]]: corpus encoded as
+    * nibble-packed PQ codes (m=8 × ksub=16 → 32 bits/vector, 128× smaller
+    * than the float64 embeddings), queries score codes through one exact
+    * m×ksub distance table each. The codebook is the deterministic stride
+    * sample sliced into sub-vectors, so the oracle mirrors TRAINING,
+    * ENCODING (per-subspace argmin, ties to the lower code), and SCORING
+    * (sub-partial sums added m-ascending — `list_sum(list(d ORDER BY
+    * sub))`) from the data itself, no literals; a hash match pins the whole
+    * PQ pipeline end-to-end. ProductQuantizationSpec covers recall floors
+    * vs brute force; Scratch `annrecall` records the curve. */
+  val v09 = QueryDef(
+    "v09_ann_pq",
+    (spark, dir) => {
+      VectorFunctions.register(spark)
+      val emb = Tables.embeddings(spark, dir)
+      Similarity.pqTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some {
+      val ksub = 16; val m = 8; val dsub = 8
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |samp AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c, emb
+         |  FROM e WHERE vec_id % greatest(1, (SELECT count(*) FROM e) // $ksub) = 0
+         |  ORDER BY vec_id LIMIT $ksub),
+         |cb AS (SELECT sub, c, list_slice(emb, sub*$dsub + 1, sub*$dsub + $dsub) AS w
+         |  FROM samp, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS sub)),
+         |dist AS (SELECT e.vec_id, cb.sub, cb.c,
+         |    list_sum([(e.emb[cb.sub*$dsub + i] - cb.w[i]) * (e.emb[cb.sub*$dsub + i] - cb.w[i])
+         |              for i in generate_series(1, $dsub)]) AS d
+         |  FROM e, cb),
+         |enc AS (SELECT vec_id, sub, c FROM (
+         |    SELECT vec_id, sub, c, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, c ASC) AS rn
+         |    FROM dist) WHERE rn = 1),
+         |parts AS (SELECT q.vec_id AS query_id, t.vec_id AS vec_id, qd.sub, qd.d
+         |  FROM (SELECT vec_id FROM e WHERE vec_id < 10) q
+         |  JOIN enc t ON t.vec_id <> q.vec_id
+         |  JOIN dist qd ON qd.vec_id = q.vec_id AND qd.sub = t.sub AND qd.c = t.c),
+         |scored AS (SELECT query_id, vec_id, round(list_sum(list(d ORDER BY sub)), 6) AS adist
+         |  FROM parts GROUP BY query_id, vec_id)
+         |SELECT query_id, vec_id, adist, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rank
+         |  FROM scored) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
+    "ANN memory lever: product quantization (32-bit codes) + ADC table scoring (LLM-pipeline op)")
+
+  /** PQ shortlist + exact cosine re-rank ([[Similarity.pqTopKRerank]]) —
+    * the deployed PQ shape: ADC prunes 500 → 100 candidates per query
+    * without touching corpus vectors, exact cosine re-ranks only the
+    * fetched candidates. The oracle extends v09's mirrored PQ pipeline
+    * with the shortlist cut and the v02 cosine ranking — a hash match pins
+    * that the re-rank reads exactly the ADC survivors. Recall vs brute
+    * force (0.72 here on the near-random worst case at R=100 of 500) is
+    * pinned by AnnRecallSpec and recorded in COVERAGE.md's curve. */
+  val v10 = QueryDef(
+    "v10_ann_pq_rerank",
+    (spark, dir) => {
+      VectorFunctions.register(spark)
+      val emb = Tables.embeddings(spark, dir)
+      Similarity.pqTopKRerank(emb.filter(col("vec_id") < 10), emb,
+          VectorFunctions.cosineSim, k = 5, shortlist = 100)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some {
+      val ksub = 16; val dsub = 8; val shortlist = 100
+      val cos = cosSql("q.emb", "t.emb")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |samp AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c, emb
+         |  FROM e WHERE vec_id % greatest(1, (SELECT count(*) FROM e) // $ksub) = 0
+         |  ORDER BY vec_id LIMIT $ksub),
+         |cb AS (SELECT sub, c, list_slice(emb, sub*$dsub + 1, sub*$dsub + $dsub) AS w
+         |  FROM samp, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS sub)),
+         |dist AS (SELECT e.vec_id, cb.sub, cb.c,
+         |    list_sum([(e.emb[cb.sub*$dsub + i] - cb.w[i]) * (e.emb[cb.sub*$dsub + i] - cb.w[i])
+         |              for i in generate_series(1, $dsub)]) AS d
+         |  FROM e, cb),
+         |enc AS (SELECT vec_id, sub, c FROM (
+         |    SELECT vec_id, sub, c, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, c ASC) AS rn
+         |    FROM dist) WHERE rn = 1),
+         |parts AS (SELECT q.vec_id AS query_id, t.vec_id AS vec_id, qd.sub, qd.d
+         |  FROM (SELECT vec_id FROM e WHERE vec_id < 10) q
+         |  JOIN enc t ON t.vec_id <> q.vec_id
+         |  JOIN dist qd ON qd.vec_id = q.vec_id AND qd.sub = t.sub AND qd.c = t.c),
+         |adc AS (SELECT query_id, vec_id, round(list_sum(list(d ORDER BY sub)), 6) AS adist
+         |  FROM parts GROUP BY query_id, vec_id),
+         |short AS (SELECT query_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rn
+         |    FROM adc) WHERE rn <= $shortlist),
+         |scored AS (SELECT s.query_id, s.vec_id, round($cos, 6) AS cos
+         |  FROM short s JOIN e q ON q.vec_id = s.query_id JOIN e t ON t.vec_id = s.vec_id)
+         |SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
+    "PQ shortlist + exact cosine re-rank: the deployed ANN-PQ shape (LLM-pipeline op)")
+
+  def defs: Seq[QueryDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10)
 }
