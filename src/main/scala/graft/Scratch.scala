@@ -359,6 +359,65 @@ object Scratch {
         timed(s"m06 operator (decode + energy hash + join) run$i")(
           Dedup.audioNearDup(fixture, "media_id", "media").count())
       }
+    } else if (args.headOption.contains("m07pieces")) {
+      // fixture-vs-operator cost split for the video near-dup row (the m04
+      // split, video leg): fixture = AVI encode + parquet round trip;
+      // operator = AVI decode + keyframe dHash fold + pigeonhole join.
+      import graft.operators.{AviCodec, Dedup}
+      import graft.queries.FixtureDirs
+      import spark.implicits._
+      val ids = graft.sources.Tables.documents(spark, sfDir)
+        .select(col("doc_id")).as[Long]
+      def mediaDf = ids.mapPartitions { it =>
+        it.map { id =>
+          val gid = id / 4
+          val w = (gid % 9 + 6).toInt; val h = (gid % 5 + 8).toInt
+          val nF = 8 * (gid % 3 + 1).toInt
+          val bright = (id % 7).toInt
+          val spot = if (id % 5 == 0) 40 else 0
+          (id, AviCodec.encode(w, h, nF, 10, (f, x, y) => {
+            val sp = if (f == 0 && x == 0 && y == 0) spot else 0
+            ((((gid + 3) * (x + 1) * (y + 2) + 5L * x * x + 11L * f * (x + y + 1)) % 199 + bright + sp).toInt,
+             (((gid + 7) * (x + 2) * (y + 1) + 3L * y * y + 13L * f * (y + 1)) % 199 + bright + sp).toInt,
+             (((2 * gid + 1) * (x.toLong * y + x + y) + 17L * f * f) % 199 + bright + sp).toInt)
+          }))
+        }
+      }.toDF("media_id", "media")
+      for (i <- 1 to 2) {
+        var fixture: org.apache.spark.sql.DataFrame = null
+        timed(s"m07 fixture (encode + parquet round trip) run$i") {
+          fixture = FixtureDirs.parquetRoundTrip(mediaDf, "m07pieces-")
+          fixture.count()
+        }
+        timed(s"m07 operator (decode + keyframe hash + join) run$i")(
+          Dedup.videoNearDup(fixture, "media_id", "media").count())
+      }
+    } else if (args.headOption.contains("d24sf1")) {
+      // 10x scaling point for the exact-substring REWRITE (d24 = d23 spans
+      // + cut-and-keep-first): word-prefixed replicas keep chunk hashes
+      // disjoint across replicas, so rewrite work scales with the data and
+      // the honest shape is linear. Warm each corpus once, read run2.
+      import graft.operators.Dedup
+      val base = graft.sources.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+      val small = base.repartition(32).persist()
+      small.count()
+      val reps = (0 until 10).map { k =>
+        base.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"r$k$$1").as("text"))
+      }
+      val big = reps.reduce(_ unionByName _).repartition(32).persist()
+      timed("sf1 corpus materialize (50k docs)")(big.count())
+      // sum over clean_md5 bytes, NOT count(): count() lets Catalyst prune
+      // the rebuilt-text projection — the operator's actual work
+      def force(df: org.apache.spark.sql.DataFrame): Unit =
+        df.agg(sum(length(col("clean_md5"))), sum(col("cut_chars"))).collect()
+      for (i <- 1 to 2) {
+        timed(s"d24 rewrite sf0.1 run$i")(
+          force(Dedup.removeDuplicatedPassages(small, "doc_id", "text")))
+        timed(s"d24 rewrite sf1 (10x) run$i")(
+          force(Dedup.removeDuplicatedPassages(big, "doc_id", "text")))
+      }
     } else if (args.headOption.contains("annrecall")) {
       // recall@10 vs cost for the approximate ANN paths against brute-force
       // ground truth — what a v03/v04 user actually cares about. Corpus:
