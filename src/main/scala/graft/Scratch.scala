@@ -418,6 +418,47 @@ object Scratch {
         timed(s"d24 rewrite sf1 (10x) run$i")(
           force(Dedup.removeDuplicatedPassages(big, "doc_id", "text")))
       }
+    } else if (args.headOption.contains("skewcorpus")) {
+      // adversarial boilerplate skew: EVERY doc shares one 40-word
+      // boilerplate prefix (license header / nav bar shape), so uncapped
+      // the inverted-index join degenerates into the single-reducer bomb —
+      // each shared shingle joins df² rows. The df-cap claim under test:
+      // capped cost on the boilerplate corpus ≈ the clean corpus's cost,
+      // while Σ df² (the exact row count through the shingle join) shows
+      // what uncapped WOULD process. 10x replicas as in d23sf1.
+      import graft.operators.Dedup
+      val boiler = ("begin standard corpus license header all rights " +
+        "reserved redistribution and use in source and binary forms with " +
+        "or without modification are permitted provided that the above " +
+        "copyright notice and this disclaimer appear in all copies end").trim
+      val base = graft.sources.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+      def reps(src: org.apache.spark.sql.DataFrame, prefix: String) =
+        (0 until 10).map { k =>
+          src.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
+            concat(lit(prefix), regexp_replace(col("text"), "(\\S+)", s"r$k$$1"))
+              .as("text"))
+        }.reduce(_ unionByName _).repartition(32).persist()
+      val clean = reps(base, "")
+      val skewed = reps(base, boiler + " ")
+      timed("materialize clean 50k")(clean.count())
+      timed("materialize boilerplate 50k")(skewed.count())
+      for ((tag, corpus) <- Seq(("clean", clean), ("boilerplate", skewed))) {
+        val df2 = Dedup.docShingles(corpus, "doc_id", "text")
+          .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .agg(sum(col("df") * col("df")).as("uncapped"),
+            sum(when(col("df") <= graft.queries.TextQueries.DedupMaxDf,
+              col("df") * col("df")).otherwise(0L)).as("capped"))
+          .collect()(0)
+        println(s"[scratch] $tag 50k join rows: uncapped=${df2.getLong(0)} " +
+          s"capped=${df2.getLong(1)}")
+        for (i <- 1 to 2)
+          timed(s"$tag d05 capped run$i")(
+            Dedup.ngramJaccard(corpus, "doc_id", "text", n = 3,
+              minJaccard = 0.2, maxDf = graft.queries.TextQueries.DedupMaxDf)
+              .count())
+      }
+      clean.unpersist(); skewed.unpersist()
     } else if (args.headOption.contains("annrecall")) {
       // recall@10 vs cost for the approximate ANN paths against brute-force
       // ground truth — what a v03/v04 user actually cares about. Corpus:

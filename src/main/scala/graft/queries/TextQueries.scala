@@ -23,7 +23,7 @@ object TextQueries {
   /** Boilerplate cap for the dedup ladder: shingles in more than `maxDf`
     * docs carry no dedup signal but fan the inverted-index join out
     * quadratically at scale (mirrors [[Dedup.capShingles]]). */
-  private val DedupMaxDf = 20
+  private[graft] val DedupMaxDf = 20
 
   /** Shared 3-gram shingle CTE chain: toks → sh (exploded distinct
     * shingles) → shc (document-frequency-capped universe). */
