@@ -77,6 +77,21 @@ object GraftExtensions {
         e(1).eval().asInstanceOf[Array[Byte]])),
     (FunctionIdentifier("interleave_bits"), info("interleave_bits", classOf[InterleaveBits]),
       (e: Seq[Expression]) => InterleaveBits(e(0), e(1))),
+    (FunctionIdentifier("pq_encode"), info("pq_encode", classOf[PqEncodeExpr]),
+      (e: Seq[Expression]) => PqEncodeExpr(e(0),
+        e(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toDoubleArray(),
+        intArg(e(2), "pq_encode", "m"), intArg(e(3), "pq_encode", "ksub"),
+        intArg(e(4), "pq_encode", "dsub"))),
+    (FunctionIdentifier("pq_dist_table"), info("pq_dist_table", classOf[PqDistTableExpr]),
+      (e: Seq[Expression]) => PqDistTableExpr(e(0),
+        e(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toDoubleArray(),
+        intArg(e(2), "pq_dist_table", "m"), intArg(e(3), "pq_dist_table", "ksub"),
+        intArg(e(4), "pq_dist_table", "dsub"))),
+    (FunctionIdentifier("pq_adc"), info("pq_adc", classOf[PqAdcExpr]),
+      (e: Seq[Expression]) => PqAdcExpr(e(0), e(1),
+        intArg(e(2), "pq_adc", "m"), intArg(e(3), "pq_adc", "ksub"))),
     (FunctionIdentifier("nearest_cells"), info("nearest_cells", classOf[NearestCellsExpr]),
       (e: Seq[Expression]) => NearestCellsExpr(e(0),
         e(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]

@@ -91,6 +91,17 @@ class GraftExtensionsSpec extends SparkSpec {
       val vfp = s2.range(1).select(
         call_function("video_khash", lit(avi)).as("fp")).first().getLong(0)
       assert(vfp == graft.functions.VideoHashExpr.compute(avi))
+      // PQ through pure SQL: 2 subspaces x 2 codes x 2 dims; vector (1,0,0,5)
+      // encodes to (code0=0: (1,0) nearer (0,0) than (9,9); code1=1: (0,5)
+      // nearer (0,4)), ADC of own code = (1-0)^2 + (5-4)^2 = 2
+      val adc = s2.sql(
+        """SELECT pq_adc(
+          |  pq_dist_table(CAST(array(1.0, 0.0, 0.0, 5.0) AS ARRAY<DOUBLE>),
+          |    CAST(array(0.0,0.0, 9.0,9.0, 9.0,9.0, 0.0,4.0) AS ARRAY<DOUBLE>), 2, 2, 2),
+          |  pq_encode(CAST(array(1.0, 0.0, 0.0, 5.0) AS ARRAY<DOUBLE>),
+          |    CAST(array(0.0,0.0, 9.0,9.0, 9.0,9.0, 0.0,4.0) AS ARRAY<DOUBLE>), 2, 2, 2),
+          |  2, 2) AS a""".stripMargin).first().getDouble(0)
+      assert(adc == 2.0, s"pq SQL path: expected 2.0, got $adc")
       // plan-time int args accept any integral width (a bare SQL literal may
       // be INT or BIGINT) and fail with a named AnalysisException otherwise
       assert(s2.sql("SELECT kmv_distinct(md5(CAST(id AS STRING)), CAST(16 AS BIGINT)) AS e FROM range(100)")

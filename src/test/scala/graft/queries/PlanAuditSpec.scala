@@ -44,6 +44,24 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("v09/v10: PQ corpus side carries codes, not vectors, past the join") {
+    val p = planOf("v09_ann_pq")
+    // encode in the scan-side projection, table build on the broadcast
+    // query side, ADC above the join
+    assert(p.contains("pq_encode") && p.contains("pq_dist_table") &&
+      p.contains("pq_adc"), s"PQ expressions missing:\n$p")
+    // the windowed top-k ranks (query_id, vec_id, adist) — if an embedding
+    // column survived past the join, the 128x compression claim is void
+    val windowLine = p.linesIterator.find(_.contains("Window")).get
+    assert(!windowLine.contains("embedding") && !windowLine.contains("_vec"),
+      s"vector column survives to the top-k:\n$windowLine")
+    // re-rank (v10): candidate fetch joins are hash equi-joins on ids, and
+    // the ADC shortlist stage still carries no vectors
+    val p2 = planOf("v10_ann_pq_rerank")
+    assert(!p2.contains("CartesianProduct"), s"v10 cartesian:\n$p2")
+    assert(p2.contains("pq_adc"), s"v10 lost the ADC stage:\n$p2")
+  }
+
   test("q44: rollup merges sketch buffers without re-expanding raw keys") {
     val p = planOf("q44_sketch_rollup")
     val lines = p.linesIterator.toIndexedSeq
