@@ -62,6 +62,8 @@ object GraftExtensions {
       (e: Seq[Expression]) => QuantizeInt8(e(0))),
     (FunctionIdentifier("word_shingles"), info("word_shingles", classOf[WordShinglesExpr]),
       (e: Seq[Expression]) => WordShinglesExpr(e(0), intArg(e(1), "word_shingles", "n"))),
+    (FunctionIdentifier("char_shingles"), info("char_shingles", classOf[CharShinglesExpr]),
+      (e: Seq[Expression]) => CharShinglesExpr(e(0), intArg(e(1), "char_shingles", "n"))),
     (FunctionIdentifier("winnow_fps"), info("winnow_fps", classOf[WinnowingExpr]),
       (e: Seq[Expression]) => WinnowingExpr(e(0), intArg(e(1), "winnow_fps", "k"), intArg(e(2), "winnow_fps", "window"))),
     (FunctionIdentifier("content_fingerprint"), info("content_fingerprint", classOf[FingerprintExpr]),

@@ -548,7 +548,7 @@ object Scratch {
       } else {
         val qs = Seq("s02_stream_dedup", "s03_stream_interval_join",
           "s05_stream_outer_interval_join", "s06_stream_session_window",
-          "s09_dedup_within_watermark")
+          "s09_dedup_within_watermark", "s11_stream_funnel")
         for (name <- qs; i <- 1 to 2)
           timed(s"sf0.1 $name run$i")(SparkEntry.queries(name)(spark, sfDir).count())
         for (name <- qs; i <- 1 to 2)

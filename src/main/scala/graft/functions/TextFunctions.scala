@@ -28,6 +28,7 @@ object TextFunctions {
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
 
   private val ShinglesName = "word_shingles"
+  private val CharShinglesName = "char_shingles"
   private val WinnowName = "winnow_fps"
   private val FingerprintName = "content_fingerprint"
 
@@ -46,7 +47,16 @@ object TextFunctions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       FingerprintName, exprs => FingerprintExpr(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      CharShinglesName,
+      exprs => CharShinglesExpr(exprs(0), exprs(1).eval().asInstanceOf[Int]),
+      "built-in")
   }
+
+  /** Native distinct char n-grams over normalized text ([[CharShinglesExpr]]);
+    * call [[registerNative]] first. */
+  def charShinglesNative(text: Column, n: Int): Column =
+    call_function(CharShinglesName, text, lit(n))
 
   /** Native single-pass fingerprint — semantics identical to
     * [[fingerprint]]; call [[registerNative]] first. */

@@ -1187,8 +1187,53 @@ object TextQueries {
            |WHERE rn <= 10 ORDER BY doc_id""".stripMargin),
     "per-source quota cap via salted-hash draw (LLM-pipeline op)")
 
+  /** Corpus-statistical quality scoring: per doc, how COMMON are its char
+    * trigrams corpus-wide — the gibberish/noise filter family (CCNet/
+    * fastText-style lexical scoring re-expressed relationally; d03/d11 are
+    * per-row heuristics, this is the two-pass corpus signal they can't
+    * see: mojibake, hex dumps, and markup have locally-plausible word
+    * stats but corpus-rare trigrams). Native [[CharShinglesExpr]] in the
+    * scan stage; one shuffle on the trigram for document frequency; the
+    * join BACK is a broadcast (trigram vocabulary is charset-bounded — a
+    * few 100k entries at any corpus size, the 100 TB-safe side); one
+    * shuffle on doc_id for the final roll-up. All features are exact
+    * integer counts or single int/int double divisions — bit-identical
+    * across engines unrounded (CLAUDE.md rule 3: pure per-row
+    * arithmetic). */
+  val d25 = QueryDef(
+    "d25_ngram_coherence",
+    (spark, dir) => {
+      TextFunctions.registerNative(spark)
+      val tri = Tables.documents(spark, dir).select(col("doc_id"),
+        explode(TextFunctions.charShinglesNative(col("text"), 3)).as("g"))
+      val dfreq = tri.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      tri.join(broadcast(dfreq), Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tri"),
+          sum(when(col("df") >= 3, 1L).otherwise(0L)).as("n_common"),
+          sum(col("df")).as("sum_df"))
+        .select(col("doc_id"), col("n_tri"), col("n_common"),
+          (col("n_common").cast("double") / col("n_tri")).as("coherence"),
+          (col("sum_df").cast("double") / col("n_tri")).as("avg_df"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g')) AS t
+           |  FROM documents),
+           |tl AS (SELECT doc_id, list_distinct(
+           |    [substring(t, i + 1, 3) for i in range(0, greatest(length(t) - 2, 0))]) AS gs
+           |  FROM n),
+           |tri AS (SELECT doc_id, unnest(gs) AS g FROM tl),
+           |dfreq AS (SELECT g, count(*) AS df FROM tri GROUP BY g)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+           |  CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+           |  CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS coherence,
+           |  CAST(sum(df) AS DOUBLE) / count(*) AS avg_df
+           |FROM tri JOIN dfreq USING (g)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "corpus-statistical quality: char-trigram document-frequency coherence (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
-      d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, m01, m02, m03, m04, m05,
-      m06, m07)
+      d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, m01, m02, m03,
+      m04, m05, m06, m07)
 }

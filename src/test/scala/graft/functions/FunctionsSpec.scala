@@ -12,6 +12,18 @@ class FunctionsSpec extends SparkSpec {
     assert(got.toSeq == Seq(0, 0, 3, 1))
   }
 
+  test("charShingles: normalized distinct trigrams, sub-n empty") {
+    TextFunctions.registerNative(spark)
+    val df = Seq("Ab  cD", "ab", "aaaa", "  X\tY\nZ  ").toDF("t")
+    val got = df.select(TextFunctions.charShinglesNative($"t", 3))
+      .as[Seq[String]].collect()
+    // "Ab  cD" normalizes to "ab cd": trigrams ab_, b_c, _cd (space shown _)
+    assert(got(0) == Seq("ab ", "b c", " cd"))
+    assert(got(1) == Seq.empty)              // shorter than n after trim
+    assert(got(2) == Seq("aaa"))             // distinct collapses repeats
+    assert(got(3) == Seq("x y", " y ", "y z")) // tabs/newlines collapse, trim
+  }
+
   test("wordShingles: distinct n-grams, short-text safe") {
     val df = Seq("a b c d", "a b", "x y x y x y").toDF("t")
     val got = df.select(TextFunctions.wordShingles($"t", 3)).as[Seq[String]].collect()
