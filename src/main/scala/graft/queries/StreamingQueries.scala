@@ -110,6 +110,36 @@ object StreamingQueries {
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
     "A1 streaming unwatermarked agg, availableNow drain (ref Gold/06-gold.py:93-95)")
 
+  /** A1 BOUNDED-STATE variant — the 100 TB re-design SURVEY §7.5(2)
+    * prescribes for the reference's unwatermarked agg: watermark +
+    * tumbling-window agg in APPEND mode. State is only the windows still
+    * open at the watermark (per event_type), evicted as windows close —
+    * bounded by windows-in-flight, not by stream history; downstream a
+    * periodic MERGE folds closed windows into running totals (the s04
+    * path). 0-second watermark delay ⇒ the drain's cutoff is exactly
+    * max(event_time) (CLAUDE.md rule 8); the final no-data batch flushes
+    * every window whose end ≤ cutoff, which the oracle mirrors in exact
+    * µs (epoch-aligned day windows: `(ts_us // 86400e6) · 86400e6`). The
+    * row pins the append-mode EMISSION RULE itself — which windows a
+    * drain emits — not just the arithmetic. */
+  val s12 = QueryDef(
+    "s12_stream_agg_bounded",
+    (spark, dir) => drain(spark, dir, "append") { ev =>
+      ev.withWatermark("ts_utc", "0 seconds")
+        .groupBy(window(col("ts_utc"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(unix_micros(col("window.start")).as("day_start_us"),
+          col("event_type"), col("n"), col("sum_value"))
+    }.orderBy(col("day_start_us"), col("event_type")),
+    Some(s"""WITH $evCte
+            |SELECT (ts_us // 86400000000) * 86400000000 AS day_start_us,
+            |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+            |FROM ev
+            |GROUP BY 1, 2
+            |HAVING day_start_us + 86400000000 <= (SELECT max(ts_us) FROM ev)
+            |ORDER BY day_start_us, event_type""".stripMargin),
+    "A1 bounded-state redesign: watermarked tumbling-window agg, append drain (SURVEY 7.5)")
+
   /** D1 streaming — watermark + dropDuplicates on the full row set
     * (ref Silver/05-silver.py:78-79). Full-row keys make the kept-row
     * deterministic, so the batch DISTINCT oracle matches exactly. */
@@ -469,5 +499,6 @@ object StreamingQueries {
             |ORDER BY stage""".stripMargin),
     "streaming funnel: transformWithState + event-time horizon timers, availableNow drain")
 
-  def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11)
+  def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
+    s10, s11, s12)
 }
