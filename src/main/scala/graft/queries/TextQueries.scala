@@ -1187,6 +1187,53 @@ object TextQueries {
            |WHERE rn <= 10 ORDER BY doc_id""".stripMargin),
     "per-source quota cap via salted-hash draw (LLM-pipeline op)")
 
+  /** Temperature-based source mixing — the data-mixture recipe every large
+    * pretraining run uses (sample source i ∝ nᵢ^α, α<1 upweights small
+    * sources; the multilingual/PaLM/Llama resampling rule). Two stages:
+    * per-source counts (bounded by #sources — collected and folded on the
+    * driver in SORTED source order so the float normalization is
+    * deterministic and engine-mirrorable, the centroid-collect class), then
+    * per-source quotas enforced by the d22 salted-hash draw (partition-
+    * independent, no global shuffle — rank only within source). α = 0.5,
+    * budget = half the corpus. √n is a single correctly-rounded IEEE op
+    * and W folds in source order = DuckDB's `list_sum(list(wt ORDER BY
+    * source))` — bit-identical; quotas are exact floors. */
+  val d26 = QueryDef(
+    "d26_temperature_mix",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      val total = counts.map(_._2).sum
+      val budget = total / 2
+      val weights = counts.map { case (s, n) => (s, math.sqrt(n.toDouble)) }
+      val bigW = weights.foldLeft(0.0)(_ + _._2) // sorted-source fold order
+      val quotas = weights.map { case (s, w) =>
+        (s, math.floor(budget * w / bigW).toLong)
+      }.toMap
+      import spark.implicits._
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+        .orderBy(md5(concat(col("doc_id").cast("string"), lit("mix"))).asc,
+          col("doc_id").asc)
+      val quotaDf = quotas.toSeq.toDF("source", "quota")
+      docs.withColumn("rn", row_number().over(w))
+        .join(broadcast(quotaDf), Seq("source"))
+        .filter(col("rn") <= col("quota"))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+           |w AS (SELECT source, sqrt(CAST(n AS DOUBLE)) AS wt FROM c),
+           |tot AS (SELECT list_sum(list(wt ORDER BY source)) AS W,
+           |    (SELECT count(*) FROM documents) // 2 AS N FROM w),
+           |q AS (SELECT source, CAST(floor(N * wt / W) AS BIGINT) AS quota FROM w, tot),
+           |r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source
+           |    ORDER BY md5(CAST(doc_id AS VARCHAR) || 'mix'), doc_id) AS rn
+           |  FROM documents)
+           |SELECT doc_id, source FROM r JOIN q USING (source)
+           |WHERE rn <= quota ORDER BY doc_id""".stripMargin),
+    "temperature-resampled source mixing: n^0.5 weights, deterministic salted draw (LLM-pipeline op)")
+
   /** Corpus-statistical quality scoring: per doc, how COMMON are its char
     * trigrams corpus-wide — the gibberish/noise filter family (CCNet/
     * fastText-style lexical scoring re-expressed relationally; d03/d11 are
@@ -1234,6 +1281,6 @@ object TextQueries {
 
   def defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
-      d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, m01, m02, m03,
-      m04, m05, m06, m07)
+      d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, m01, m02,
+      m03, m04, m05, m06, m07)
 }
