@@ -112,6 +112,54 @@ object Multimodal {
       }
   }
 
+  /** Nearest-neighbor resize of a decoded image — the dHash sampling rule
+    * (`sx = gx·w/W`, integer division) applied to every output pixel, so a
+    * resize is exact integer math an oracle can reproduce from the source
+    * pixel functions. */
+  def resizeNearest(img: BmpCodec.DecodedImage, outW: Int, outH: Int): BmpCodec.DecodedImage = {
+    require(outW > 0 && outH > 0, s"bad thumb dims ${outW}x$outH")
+    val out = new Array[Byte](outW * outH * 3)
+    var gy = 0
+    while (gy < outH) {
+      val sy = gy * img.height / outH
+      var gx = 0
+      while (gx < outW) {
+        val sx = gx * img.width / outW
+        val s = (sy * img.width + sx) * 3
+        val d = (gy * outW + gx) * 3
+        out(d) = img.pixels(s); out(d + 1) = img.pixels(s + 1); out(d + 2) = img.pixels(s + 2)
+        gx += 1
+      }
+      gy += 1
+    }
+    BmpCodec.DecodedImage(outW, outH, out)
+  }
+
+  /** Thumbnail generation — the multimodal RESIZE stage: decode each binary
+    * image (format-sniffed), nearest-neighbor resize to `outW`×`outH`,
+    * re-encode as BMP. Same mapPartitions batch shape as [[imageFeatures]];
+    * at 100 TB only (id, thumb) rows leave the scan stage — a thumbnail is
+    * a few hundred bytes against megapixel sources, so this is the
+    * columnar-media analog of column pruning. The re-encode round trip is
+    * intentional: m08's oracle reads features from decode(encode(resize(
+    * decode(...)))) — bit-exactness across the full chain, not just the
+    * sampler. */
+  def thumbnails(media: DataFrame, idCol: String, mediaCol: String,
+                 outW: Int, outH: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(mediaCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val thumb = resizeNearest(ImageCodec.decode(bytes), outW, outH)
+          (id, BmpCodec.encode(thumb.width, thumb.height, (x, y) => {
+            val o = (y * thumb.width + x) * 3
+            ((thumb.pixels(o) & 0xff, thumb.pixels(o + 1) & 0xff, thumb.pixels(o + 2) & 0xff))
+          }))
+        }
+      }.toDF(idCol, "thumb")
+  }
+
   /** Build a media table from the documents table (text bytes as the opaque
     * payload) — gives the multimodal path a deterministic, testdata-backed
     * input without shipping binary fixtures. */

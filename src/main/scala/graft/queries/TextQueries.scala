@@ -944,6 +944,58 @@ object TextQueries {
            |ORDER BY doc_a, doc_b""".stripMargin),
     "video near-dup: per-keyframe dHash over decoded AVI frames, order-sensitive rotate-XOR fold + pigeonhole Hamming join (LLM-pipeline op)")
 
+  /** Multimodal RESIZE — thumbnail generation, completing the decode /
+    * feature-extract / frame-sample / resize verb set with every stage
+    * real: format-sniffed decode (PNG for even ids, BMP for odd),
+    * nearest-neighbor resize to 8×6 (`sx = gx·w/W` integer division — the
+    * dHash sampling rule per output pixel), BMP re-encode, then the m03
+    * feature extraction ON THE THUMB. The oracle computes the thumb's
+    * geometry-sensitive features analytically by sampling the source pixel
+    * functions at the resize coordinates — a hash match pins decode,
+    * sampler, re-encode, and the second decode end-to-end (any stride,
+    * row-order, or channel-order bug at EITHER image size breaks wsum_r).
+    * Source dims 9..21 × 7..13 always exceed the 8×6 thumb, so every row
+    * is a genuine downscale. */
+  val m08 = QueryDef(
+    "m08_thumbnail_resize",
+    (spark, dir) => {
+      import spark.implicits._
+      val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions { it =>
+        it.map { id =>
+          val w = (id % 13 + 9).toInt; val h = (id % 7 + 7).toInt
+          val pix = (x: Int, y: Int) => (
+            ((id + 5L * x + 11L * y) % 251).toInt,
+            ((2L * x + 7L * y + 3L) % 251).toInt,
+            ((x.toLong * y + id % 29) % 251).toInt)
+          val bytes =
+            if (id % 2 == 0) graft.operators.PngCodec.encode(w, h, pix)
+            else graft.operators.BmpCodec.encode(w, h, pix)
+          (id, bytes)
+        }
+      }.toDF("media_id", "media")
+      val thumbs = graft.operators.Multimodal.thumbnails(
+        FixtureDirs.parquetRoundTrip(media, "m08-media-"), "media_id", "media",
+        outW = 8, outH = 6)
+      graft.operators.Multimodal.imageFeatures(thumbs, "media_id", "thumb")
+        .toDF().orderBy(col("media_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id AS media_id, doc_id % 13 + 9 AS w, doc_id % 7 + 7 AS h
+           |  FROM documents)
+           |SELECT media_id, CAST(8 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height,
+           |  CAST(list_sum(flatten([[ (media_id + 5*(gx*w//8) + 11*(gy*h//6)) % 251
+           |    for gx in range(0, 8)] for gy in range(0, 6)])) AS BIGINT) AS sum_r,
+           |  CAST(list_sum(flatten([[ (2*(gx*w//8) + 7*(gy*h//6) + 3) % 251
+           |    for gx in range(0, 8)] for gy in range(0, 6)])) AS BIGINT) AS sum_g,
+           |  CAST(list_sum(flatten([[ ((gx*w//8)*(gy*h//6) + media_id % 29) % 251
+           |    for gx in range(0, 8)] for gy in range(0, 6)])) AS BIGINT) AS sum_b,
+           |  CAST(list_sum(flatten([[ (gx + 8*gy + 1) * ((media_id + 5*(gx*w//8) + 11*(gy*h//6)) % 251)
+           |    for gx in range(0, 8)] for gy in range(0, 6)])) AS BIGINT) AS wsum_r,
+           |  CAST(media_id % 251 AS INTEGER) AS r_first,
+           |  CAST((media_id + 5*(7*w//8) + 11*(5*h//6)) % 251 AS INTEGER) AS r_last
+           |FROM d ORDER BY media_id""".stripMargin),
+    "multimodal resize: format-sniffed decode, nearest-neighbor 8x6 thumbnail, re-encode + analytic feature oracle (LLM-pipeline op)")
+
   /** Exact duplicated-passage spans via content-defined chunking
     * ([[Dedup.exactSubstringSpans]]): every ≥16-char normalized chunk
     * occurring ≥2 times in the corpus, with the 0-based span to cut. The
@@ -1282,5 +1334,5 @@ object TextQueries {
   def defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, m01, m02,
-      m03, m04, m05, m06, m07)
+      m03, m04, m05, m06, m07, m08)
 }

@@ -113,6 +113,42 @@ class MultimodalSpec extends SparkSpec {
     assert(f.r_first == 0 && f.r_last == 255)
   }
 
+  test("resizeNearest: identity at source dims, exact sampling on downscale") {
+    val src = BmpCodec.decode(BmpCodec.encode(10, 8,
+      (x, y) => (x * 20 + y, y * 25, (x * y) % 256)))
+    val same = Multimodal.resizeNearest(src, 10, 8)
+    assert(java.util.Arrays.equals(same.pixels, src.pixels), "identity resize")
+    val thumb = Multimodal.resizeNearest(src, 4, 2)
+    assert(thumb.width == 4 && thumb.height == 2)
+    for (gy <- 0 until 2; gx <- 0 until 4) {
+      val (sx, sy) = (gx * 10 / 4, gy * 8 / 2)
+      val t = (gy * 4 + gx) * 3; val s = (sy * 10 + sx) * 3
+      assert(thumb.pixels(t) == src.pixels(s) &&
+        thumb.pixels(t + 1) == src.pixels(s + 1) &&
+        thumb.pixels(t + 2) == src.pixels(s + 2),
+        s"thumb($gx,$gy) != src($sx,$sy)")
+    }
+  }
+
+  test("thumbnails: decode->resize->re-encode round trips through Spark") {
+    val rows = Seq(
+      (1L, BmpCodec.encode(12, 9, (x, y) => (x * 9, y * 11, 7))),
+      (2L, PngCodec.encode(15, 10, (x, y) => (x + y, x * 5, y * 13)))
+    ).toDF("media_id", "media")
+    val got = Multimodal.thumbnails(rows, "media_id", "media", 8, 6)
+      .as[(Long, Array[Byte])].collect().toMap
+    for ((id, w, h, enc) <- Seq(
+        (1L, 12, 9, "bmp"), (2L, 15, 10, "png"))) {
+      val thumb = BmpCodec.decode(got(id))
+      assert(thumb.width == 8 && thumb.height == 6, s"$enc thumb dims")
+      val src = ImageCodec.decode(rows.filter($"media_id" === id)
+        .head().getAs[Array[Byte]]("media"))
+      val expect = Multimodal.resizeNearest(src, 8, 6)
+      assert(java.util.Arrays.equals(thumb.pixels, expect.pixels),
+        s"$enc thumb pixels")
+    }
+  }
+
   test("Archiver writes exactly one json file per batch") {
     val landing = java.nio.file.Files.createTempDirectory("landing-").toString
     val batch = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
