@@ -418,6 +418,24 @@ object Scratch {
         timed(s"d24 rewrite sf1 (10x) run$i")(
           force(Dedup.removeDuplicatedPassages(big, "doc_id", "text")))
       }
+      // d25 on the same replicas (word-prefixes make replica trigram sets
+      // mostly disjoint — DF spreads, the vocabulary grows ~10x: the
+      // WORST case for the broadcast side, which is the claim under test)
+      import graft.functions.TextFunctions
+      TextFunctions.registerNative(spark)
+      def coherence(df: org.apache.spark.sql.DataFrame): Unit = {
+        val tri = df.select(col("doc_id"),
+          explode(TextFunctions.charShinglesNative(col("text"), 3)).as("g"))
+        val dfreq = tri.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        tri.join(broadcast(dfreq), Seq("g")).groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tri"),
+            sum(when(col("df") >= 3, 1L).otherwise(0L)).as("n_common"))
+          .agg(sum(col("n_tri")), sum(col("n_common"))).collect()
+      }
+      for (i <- 1 to 2) {
+        timed(s"d25 coherence sf0.1 run$i")(coherence(small))
+        timed(s"d25 coherence sf1 (10x) run$i")(coherence(big))
+      }
     } else if (args.headOption.contains("skewcorpus")) {
       // adversarial boilerplate skew: EVERY doc shares one 40-word
       // boilerplate prefix (license header / nav bar shape), so uncapped

@@ -62,6 +62,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p2.contains("pq_adc"), s"v10 lost the ADC stage:\n$p2")
   }
 
+  test("d25/d26: bounded-side joins are broadcasts, not shuffles") {
+    // d25's trigram-DF join-back (vocabulary charset-bounded) and d26's
+    // quota join (#sources-bounded) must both plan as broadcast hash
+    // joins — shuffling the corpus-sized side against them would be the
+    // 100 TB regression the scaladoc claims impossible
+    for (q <- Seq("d25_ngram_coherence", "d26_temperature_mix")) {
+      val p = planOf(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: no broadcast join:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q: bounded side shuffled:\n$p")
+    }
+  }
+
   test("q44: rollup merges sketch buffers without re-expanding raw keys") {
     val p = planOf("q44_sketch_rollup")
     val lines = p.linesIterator.toIndexedSeq
