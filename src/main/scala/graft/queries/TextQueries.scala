@@ -1331,8 +1331,103 @@ object TextQueries {
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "corpus-statistical quality: char-trigram document-frequency coherence (LLM-pipeline op)")
 
+  /** END-TO-END preprocessing pipeline in ONE plan — the composition proof:
+    * eval-split carve-out (d21's md5-byte rule) → quality gate (d11's
+    * composite score ≥ 0.75) → exact dedup keep-min (d01's fingerprint) →
+    * benchmark decontamination (drop docs sharing any 4-gram with the eval
+    * split) → temperature mix over the survivors (d26's α=0.5 quotas,
+    * recomputed on the POST-filter counts — mixture always runs last in a
+    * real pipeline, on what actually survived). Each stage is an
+    * already-verified operator; this row pins that they compose — shared
+    * lineage, one Catalyst plan per action, no materialization between
+    * stages except the bounded per-source count collect (the d26 class).
+    * The oracle is the same composition in CTEs. */
+  val d27 = QueryDef(
+    "d27_full_pipeline",
+    (spark, dir) => {
+      import spark.implicits._
+      TextFunctions.registerNative(spark)
+      val byte = (id: Column) => conv(substring(md5(id.cast("string")), 1, 2), 16, 10)
+        .cast("int")
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), col("source"))
+      val bench = docs.filter(byte(col("doc_id")) >= 250)
+      val corpus = docs.filter(byte(col("doc_id")) < 250)
+      val q = corpus.filter(TextFunctions.qualityScore(col("text")) >= 0.75)
+      val keep = Dedup.exact(q, "doc_id", "text").select(col("keep_id").as("doc_id"))
+      val deduped = q.join(keep, Seq("doc_id"))
+      val contaminated = Dedup.decontaminate(deduped, bench, "doc_id", "text", n = 4)
+        .select(col("doc_id"))
+      val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      val counts = clean.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      val budget = counts.map(_._2).sum / 2
+      val weights = counts.map { case (s, n) => (s, math.sqrt(n.toDouble)) }
+      val bigW = weights.foldLeft(0.0)(_ + _._2)
+      val quotaDf = weights.map { case (s, w) =>
+        (s, math.floor(budget * w / bigW).toLong)
+      }.toSeq.toDF("source", "quota")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+        .orderBy(md5(concat(col("doc_id").cast("string"), lit("p27"))).asc,
+          col("doc_id").asc)
+      clean.withColumn("rn", row_number().over(w))
+        .join(broadcast(quotaDf), Seq("source"))
+        .filter(col("rn") <= col("quota"))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val sw = TextFunctions.stopwords.map(s => s"'$s'").mkString("[", ",", "]")
+      s"""WITH b AS (SELECT doc_id, text, source,
+         |  (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         |  + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS hb
+         |  FROM documents),
+         |toks AS (SELECT doc_id, hb, source, text,
+         |  CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS w
+         |  FROM b),
+         |feat AS (SELECT doc_id, hb, source, text, w,
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |       ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END AS pr,
+         |  CASE WHEN length(w) = 0 THEN 0.0
+         |       ELSE CAST(length(list_filter(w, x -> list_contains($sw, x))) AS DOUBLE) / length(w) END AS swr,
+         |  CASE WHEN length(w) = 0 THEN 0.0
+         |       ELSE CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / length(w) END AS awl,
+         |  CASE WHEN length(w) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END AS len_ok
+         |  FROM toks),
+         |corpus AS (SELECT doc_id, source, text, w FROM feat WHERE hb < 250
+         |  AND (least(swr * 4.0, 1.0) + (1.0 - least(pr * 5.0, 1.0)) + len_ok
+         |       + CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) / 4.0 >= 0.75),
+         |fp AS (SELECT doc_id, source, w,
+         |  md5(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), '\\s+', ' ', 'g'))) AS f
+         |  FROM corpus),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+         |dd AS (SELECT fp.doc_id, fp.source, fp.w FROM fp JOIN keep USING (doc_id)),
+         |csh AS (SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN length(w) < 4 THEN []
+         |         ELSE [array_to_string(list_slice(w, i+1, i+4), ' ') for i in range(0, length(w)-3)] END)) AS shingle
+         |  FROM dd),
+         |bsh AS (SELECT DISTINCT unnest(list_distinct(
+         |    CASE WHEN length(w) < 4 THEN []
+         |         ELSE [array_to_string(list_slice(w, i+1, i+4), ' ') for i in range(0, length(w)-3)] END)) AS shingle
+         |  FROM toks WHERE hb >= 250),
+         |contam AS (SELECT DISTINCT doc_id FROM csh JOIN bsh USING (shingle)),
+         |clean AS (SELECT doc_id, source FROM dd
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         |c AS (SELECT source, count(*) AS n FROM clean GROUP BY source),
+         |wts AS (SELECT source, sqrt(CAST(n AS DOUBLE)) AS wt FROM c),
+         |tot AS (SELECT list_sum(list(wt ORDER BY source)) AS W,
+         |    (SELECT count(*) FROM clean) // 2 AS N FROM wts),
+         |qta AS (SELECT source, CAST(floor(N * wt / W) AS BIGINT) AS quota FROM wts, tot),
+         |r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR) || 'p27'), doc_id) AS rn
+         |  FROM clean)
+         |SELECT doc_id, source FROM r JOIN qta USING (source)
+         |WHERE rn <= quota ORDER BY doc_id""".stripMargin
+    },
+    "end-to-end pipeline: eval split -> quality gate -> exact dedup -> decontaminate -> temperature mix, one plan (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
-      d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, m01, m02,
-      m03, m04, m05, m06, m07, m08)
+      d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, m01,
+      m02, m03, m04, m05, m06, m07, m08)
 }
