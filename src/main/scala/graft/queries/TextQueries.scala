@@ -1358,7 +1358,9 @@ object TextQueries {
       val deduped = q.join(keep, Seq("doc_id"))
       val contaminated = Dedup.decontaminate(deduped, bench, "doc_id", "text", n = 4)
         .select(col("doc_id"))
-      val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      // consumed twice (count collect + final select) — without the persist
+      // the whole gate→dedup→decontaminate lineage recomputes per action
+      val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti").persist()
       val counts = clean.groupBy(col("source")).agg(count(lit(1)).as("n"))
         .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
       val budget = counts.map(_._2).sum / 2
