@@ -420,5 +420,97 @@ object VectorQueries {
     },
     "PQ shortlist + exact cosine re-rank: the deployed ANN-PQ shape (LLM-pipeline op)")
 
-  def defs: Seq[QueryDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10)
+  /** ORACLE-VERIFIED iterative k-means — on the int8-QUANTIZED domain,
+    * where the obstruction that keeps [[Similarity.kmeansRefine]] spec-only
+    * (float means are shuffle-order-dependent at ulp) vanishes: quantized
+    * components are exact integers, per-cell sums are exact, and the
+    * centroid update `floor(sum/n)` is one exact double division (< 2^53).
+    * One full Lloyd round — stride-sampled init (v04's rule) → integer-L2
+    * argmin assignment (ties to the lower cell) → exact floor-mean update
+    * (empty cells keep their previous centroid) → reassignment under the
+    * updated centroids — is therefore bit-identical across engines, and
+    * the oracle replays it in CTEs (per-cell `list(v ORDER BY vec_id)`
+    * then nested-comprehension column sums). Pins the TRAINING LOOP
+    * itself, not just one assignment pass; the float-domain refinement
+    * keeps its quality spec (OperatorsSpec) for production use. */
+  val v11 = QueryDef(
+    "v11_kmeans_quantized",
+    (spark, dir) => {
+      val k = 8; val dims = 64
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val maxabs = aggregate(col("emb"), lit(0.0), (a, x) => greatest(a, abs(x)))
+      val qv = emb.select(col("vec_id"),
+          when(maxabs === 0.0, transform(col("emb"), _ => lit(0L)))
+            .otherwise(transform(col("emb"),
+              x => floor(x / (maxabs / 127) + lit(0.5)).cast("long"))).as("v"))
+        .persist()
+      val n = qv.count()
+      val stride = math.max(1L, n / k)
+      var cents: Array[(Int, Seq[Long])] = qv
+        .filter(col("vec_id") % stride === 0).orderBy(col("vec_id")).limit(k)
+        .collect().zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Long](1)) }
+      import spark.implicits._
+      def assign(c: Array[(Int, Seq[Long])]): org.apache.spark.sql.DataFrame = {
+        val centDf = broadcast(c.toSeq.toDF("cell", "cv"))
+        val dist = aggregate(
+          zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), _ + _)
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+          .orderBy(col("dist").asc, col("cell").asc)
+        qv.crossJoin(centDf).withColumn("dist", dist)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("cell"))
+      }
+      val a1 = assign(cents)
+      val means = a1.join(qv, Seq("vec_id"))
+        .select(col("cell"), posexplode(col("v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(floor(sum(col("col")).cast("double") / count(lit(1))).cast("long").as("m"))
+        .collect()
+      val byCell = means.groupBy(_.getInt(0)).map { case (c, rows) =>
+        c -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      }
+      cents = cents.map { case (c, old) => (c, byCell.getOrElse(c, old)) }
+      assign(cents).orderBy(col("vec_id"))
+    },
+    Some {
+      val k = 8; val dims = 64
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |m AS (SELECT vec_id, emb, list_max(list_transform(emb, x -> abs(x))) AS maxabs FROM e),
+         |qv AS (SELECT vec_id, CASE WHEN maxabs = 0
+         |    THEN list_transform(emb, x -> 0::BIGINT)
+         |    ELSE list_transform(emb, x -> CAST(floor(x / (maxabs / 127) + 0.5) AS BIGINT)) END AS v
+         |  FROM m),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, v
+         |  FROM qv WHERE vec_id % greatest(1, (SELECT count(*) FROM qv) // $k) = 0
+         |  ORDER BY vec_id LIMIT $k),
+         |d1 AS (SELECT qv.vec_id, c0.cell,
+         |    CAST(list_sum([(qv.v[i] - c0.v[i]) * (qv.v[i] - c0.v[i])
+         |      for i in generate_series(1, $dims)]) AS BIGINT) AS d
+         |  FROM qv, c0),
+         |a1 AS (SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+         |    FROM d1) WHERE rn = 1),
+         |grp AS (SELECT cell, list(v ORDER BY vec_id) AS ls
+         |  FROM a1 JOIN qv USING (vec_id) GROUP BY cell),
+         |c1 AS (SELECT cell,
+         |    [CAST(floor(CAST(list_sum([ls[r+1][i+1] for r in range(0, length(ls))]) AS DOUBLE)
+         |       / length(ls)) AS BIGINT) for i in range(0, $dims)] AS v
+         |  FROM grp),
+         |cf AS (SELECT c0.cell, COALESCE(c1.v, c0.v) AS v FROM c0 LEFT JOIN c1 USING (cell)),
+         |d2 AS (SELECT qv.vec_id, cf.cell,
+         |    CAST(list_sum([(qv.v[i] - cf.v[i]) * (qv.v[i] - cf.v[i])
+         |      for i in generate_series(1, $dims)]) AS BIGINT) AS d
+         |  FROM qv, cf)
+         |SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+         |    FROM d2) WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin
+    },
+    "oracle-verified Lloyd round: int8-quantized k-means, exact integer means (LLM-pipeline op)")
+
+  def defs: Seq[QueryDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
+    v10, v11)
 }
