@@ -20,6 +20,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[WinnowingExpr]]/[[CdcChunksExpr]] rule, RE2-safe). Distinct
   * first-occurrence order, one tight JVM loop per row inside the codegen'd
   * stage (the [[WordShinglesExpr]] pattern at char level).
+  *
+  * N-grams slice by CODEPOINT, not UTF-16 code unit, so non-BMP characters
+  * (emoji, supplementary CJK) are never split across surrogate halves —
+  * matching DuckDB's codepoint-based `substring`. The remaining oracle
+  * contract is the lowercasing step: `toLowerCase(Locale.ROOT)` and DuckDB
+  * `lower()` agree on ASCII and the common Latin-1 range but can diverge on
+  * locale-special casings (e.g. dotted capital İ → "i̇" two-codepoint
+  * expansion both sides handle differently) — exact hash parity is
+  * guaranteed on text whose uppercase letters are 1:1 simple mappings,
+  * which includes all repo testdata.
   */
 case class CharShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
 
@@ -56,12 +66,23 @@ object CharShinglesExpr {
     while (start < end && norm0.charAt(start) == ' ') start += 1
     while (end > start && norm0.charAt(end - 1) == ' ') end -= 1
     val norm = norm0.substring(start, end)
-    val count = norm.length - n + 1
+    // slice by codepoint: cps(k) = char index where codepoint k starts
+    val cpCount = norm.codePointCount(0, norm.length)
+    val count = cpCount - n + 1
     if (count <= 0) return new GenericArrayData(Array.empty[Any])
+    val cps = new Array[Int](cpCount + 1)
+    var ci = 0
+    var k = 0
+    while (ci < norm.length) {
+      cps(k) = ci
+      ci += Character.charCount(norm.codePointAt(ci))
+      k += 1
+    }
+    cps(cpCount) = norm.length
     val seen = new java.util.LinkedHashSet[String](count * 2)
     var i = 0
     while (i < count) {
-      seen.add(norm.substring(i, i + n))
+      seen.add(norm.substring(cps(i), cps(i + n)))
       i += 1
     }
     val out = new Array[Any](seen.size)

@@ -105,8 +105,11 @@ object PqEncodeExpr {
   * codebook-layout contract. */
 case class PqDistTableExpr(child: Expression, cb: Array[Double],
                            m: Int, ksub: Int, dsub: Int) extends UnaryExpression {
+  require(m > 0 && ksub > 1 && ksub <= 16 && dsub > 0,
+    s"bad PQ geometry m=$m ksub=$ksub dsub=$dsub (codes are 4-bit nibbles)")
   require(cb.length == m * ksub * dsub,
     s"codebook length ${cb.length} != $m*$ksub*$dsub")
+  require(m * 4 <= 60, s"code width ${m * 4} bits exceeds the int64 envelope")
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "pq_dist_table"
@@ -153,6 +156,9 @@ object PqDistTableExpr {
   * reproduces exactly). */
 case class PqAdcExpr(left: Expression, right: Expression,
                      m: Int, ksub: Int) extends BinaryExpression {
+  require(m > 0 && ksub > 1 && ksub <= 16,
+    s"bad PQ geometry m=$m ksub=$ksub (codes are 4-bit nibbles)")
+  require(m * 4 <= 60, s"code width ${m * 4} bits exceeds the int64 envelope")
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "pq_adc"

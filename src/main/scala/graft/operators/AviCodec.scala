@@ -25,6 +25,10 @@ package graft.operators
   */
 object AviCodec {
 
+  /** Sanity cap on claimed frame dimensions (32k × 32k × 3 B ≈ 3 GiB —
+    * far beyond any DIB AVI, well inside Int for the size math). */
+  val MaxDim = 32768
+
   /** Decoded video: per-frame top-down interleaved RGB, normalized to the
     * same shape as [[BmpCodec.DecodedImage]] so every image consumer works
     * per frame unchanged. */
@@ -72,13 +76,18 @@ object AviCodec {
       require(bpp == 24, s"unsupported bpp $bpp (only 24-bit DIB)")
       require(compression == 0, s"unsupported compression $compression (only BI_RGB)")
       require(width > 0 && height > 0, s"bad dims ${width}x$height")
+      // cap claimed dims so stride*height / width*height*3 below can't wrap
+      // Int on adversarial headers (a frame can never exceed the file anyway)
+      require(width <= MaxDim && height <= MaxDim,
+        s"dims ${width}x$height exceed sanity cap $MaxDim")
     }
 
     def parseFrame(off: Int, size: Int): Unit = {
       require(width > 0, "movi frame before hdrl geometry")
       val stride = rowStride(width)
-      require(size >= stride * height,
-        s"truncated frame: need ${stride * height}, have $size")
+      val need = stride.toLong * height // Long: dim caps keep this honest too
+      require(size >= need,
+        s"truncated frame: need $need, have $size")
       val out = new Array[Byte](width * height * 3)
       var y = 0
       while (y < height) {
@@ -103,7 +112,9 @@ object AviCodec {
       while (off + 8 <= end) {
         val id = tag(bytes, off)
         val size = le32(bytes, off + 4)
-        require(size >= 0 && off + 8 + size <= end,
+        // Long bounds math: a hostile size near 2^31 would wrap off+8+size
+        // negative in Int and sail past the `<= end` check
+        require(size >= 0 && off.toLong + 8 + size <= end,
           s"truncated chunk '$id': size $size at offset $off (list ends $end)")
         id match {
           case "LIST" =>

@@ -1372,11 +1372,17 @@ object TextQueries {
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
         .orderBy(md5(concat(col("doc_id").cast("string"), lit("p27"))).asc,
           col("doc_id").asc)
-      clean.withColumn("rn", row_number().over(w))
+      // materialize the (tiny) survivor selection eagerly so the persisted
+      // intermediate can be dropped before returning — cached blocks must
+      // not accumulate across a 106-query bench session
+      val out = clean.withColumn("rn", row_number().over(w))
         .join(broadcast(quotaDf), Seq("source"))
         .filter(col("rn") <= col("quota"))
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+      clean.unpersist()
+      out
     },
     Some {
       val sw = TextFunctions.stopwords.map(s => s"'$s'").mkString("[", ",", "]")

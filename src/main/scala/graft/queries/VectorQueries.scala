@@ -473,7 +473,11 @@ object VectorQueries {
         c -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
       }
       cents = cents.map { case (c, old) => (c, byCell.getOrElse(c, old)) }
-      assign(cents).orderBy(col("vec_id"))
+      // eager-materialize the (n rows × 2 ints) result, then drop the qv
+      // cache — persisted blocks must not outlive the query (d27 pattern)
+      val out = assign(cents).orderBy(col("vec_id")).localCheckpoint(true)
+      qv.unpersist()
+      out
     },
     Some {
       val k = 8; val dims = 64

@@ -104,6 +104,25 @@ class NonAsciiNormalizationSpec extends SparkSpec {
     assert(sh(0)._2 != sh(2)._2, "different docs must not collapse")
   }
 
+  test("char shingles slice by codepoint: surrogate pairs never split") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // "🚀a🎉b" = 4 codepoints → 3 distinct char-2-grams, each a valid string
+    val grams = CharShinglesExpr.compute(UTF8String.fromString("🚀a🎉b"), 2)
+    val strs = (0 until grams.numElements()).map(i => grams.getUTF8String(i).toString)
+    assert(strs == Seq("🚀a", "a🎉", "🎉b"))
+    strs.foreach { g =>
+      assert(g.codePointCount(0, g.length) == 2, s"gram '$g' is not 2 codepoints")
+      assert(!g.exists(c => Character.isSurrogate(c) &&
+        (g.indexOf(c) == 0 && Character.isLowSurrogate(c) ||
+         g.indexOf(c) == g.length - 1 && Character.isHighSurrogate(c))),
+        s"gram '$g' contains a broken surrogate half")
+    }
+    // ASCII behavior unchanged: same grams as naive char slicing
+    val ascii = CharShinglesExpr.compute(UTF8String.fromString("abcab"), 3)
+    assert((0 until ascii.numElements()).map(i => ascii.getUTF8String(i).toString)
+      == Seq("abc", "bca", "cab"))
+  }
+
   test("exact dedup over a mixed-script corpus keys only true duplicates") {
     val docs = Seq(
       (1L, "的是了在我有和不"),

@@ -74,4 +74,17 @@ class ProductQuantizationSpec extends SparkSpec {
     assert((bf & rr).size.toDouble / bf.size >= 0.6,
       s"rerank recall ${(bf & rr).size.toDouble / bf.size}")
   }
+
+  test("all three expressions reject inconsistent geometry at plan time") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val one = Literal(1)
+    val oneL = Literal(1L)
+    val cbBig = new Array[Double](8 * 32 * 8) // ksub=32: codes overflow a nibble
+    assertThrows[IllegalArgumentException](PqEncodeExpr(one, cbBig, 8, 32, 8))
+    assertThrows[IllegalArgumentException](PqDistTableExpr(one, cbBig, 8, 32, 8))
+    assertThrows[IllegalArgumentException](PqAdcExpr(one, oneL, 8, 32))
+    val cbWide = new Array[Double](16 * 16 * 4) // m=16: 64 bits > int64 envelope
+    assertThrows[IllegalArgumentException](PqDistTableExpr(one, cbWide, 16, 16, 4))
+    assertThrows[IllegalArgumentException](PqAdcExpr(one, oneL, 16, 16))
+  }
 }

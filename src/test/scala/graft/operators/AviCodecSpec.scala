@@ -60,4 +60,33 @@ class AviCodecSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException]( // truncated mid-movi
       AviCodec.decode(java.util.Arrays.copyOf(avi, avi.length - 10)))
   }
+
+  test("adversarial headers fail loudly, not via Int wraparound") {
+    val avi = AviCodec.encode(6, 8, 2, 10, (f, x, y) => texture(2, f)(x, y))
+    def patchLe32(b: Array[Byte], o: Int, v: Int): Unit = {
+      b(o) = v.toByte; b(o + 1) = (v >> 8).toByte
+      b(o + 2) = (v >> 16).toByte; b(o + 3) = (v >> 24).toByte
+    }
+    // (a) chunk size near 2^31: off+8+size wraps negative in Int and would
+    // pass `<= end` without the Long bounds math
+    val bomb = avi.clone()
+    patchLe32(bomb, 16, Int.MaxValue - 4) // first LIST chunk's size field
+    val e1 = intercept[IllegalArgumentException](AviCodec.decode(bomb))
+    assert(e1.getMessage.contains("truncated chunk"))
+    // (b) huge claimed dims in strf: stride*height would wrap (or allocate
+    // garbage) without the dim cap — must be the cap's IAE, not NegativeArraySize
+    val strfOff = {
+      var o = -1; var i = 12
+      while (o < 0 && i + 8 <= avi.length) {
+        if (new String(avi, i, 4, "US-ASCII") == "strf") o = i
+        i += 1
+      }
+      o + 8
+    }
+    val huge = avi.clone()
+    patchLe32(huge, strfOff + 4, 0x40000000) // biWidth = 2^30
+    patchLe32(huge, strfOff + 8, 0x40000000) // biHeight = 2^30
+    val e2 = intercept[IllegalArgumentException](AviCodec.decode(huge))
+    assert(e2.getMessage.contains("sanity cap"))
+  }
 }
