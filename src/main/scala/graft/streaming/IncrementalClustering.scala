@@ -27,14 +27,29 @@ import graft.operators.Dedup
   * is rewrite-and-swap. Batch-replay equivalence with the from-scratch
   * operator is pinned by IncrementalClusterSpec.
   *
-  * Note on df-capping: [[graft.operators.Dedup.capShingles]] needs GLOBAL
-  * document frequencies; a growing corpus can only apply the cap at index-
-  * query time (step 2 reads the index anyway, so a `HAVING count ≤ maxDf`
-  * view is where it goes). Left uncapped here so replay ≡ the uncapped
-  * from-scratch operator, which is what the spec proves.
+  * Df-capping (`maxDf < Int.MaxValue`): [[graft.operators.Dedup.capShingles]]
+  * needs GLOBAL document frequencies, so the cap is applied at INDEX-QUERY
+  * time — the only place a growing corpus has them. A `shingle_df` table
+  * accumulates per-batch (shingle, delta) counts (append-only, compactable);
+  * each batch folds in its own delta, takes the shingles with
+  * `sum(delta) > maxDf` as the hot set (tiny by construction — that is what
+  * "boilerplate" means), and broadcast-anti-joins it out of BOTH sides of
+  * the candidate join. Jaccard then runs on the capped sets: capped
+  * set_size = stored (uncapped) size − per-doc hot-shingle count, computed
+  * only for docs touched by a candidate pair, so the per-batch shuffle
+  * stays batch-proportional — the corpus is read but never re-shuffled.
+  * This reproduces `Dedup.ngramJaccard(maxDf)` exactly while the hot set is
+  * STABLE across the stream (boilerplate present from its first batch — the
+  * r6b skew scenario). A shingle that crosses the cap mid-stream stops
+  * generating candidates from that batch on, but pairs it already merged
+  * are never retracted (labels stay a superset of the final-df from-scratch
+  * closure — conservative in the more-dedup direction). The uncapped
+  * default keeps strict replay ≡ uncapped from-scratch, the original spec
+  * proof, and skips the df table entirely.
   */
 final class IncrementalClustering(spark: SparkSession, root: String,
-                                  n: Int = 3, minJaccard: Double = 0.5) {
+                                  n: Int = 3, minJaccard: Double = 0.5,
+                                  maxDf: Int = Int.MaxValue) {
 
   private val indexSchema = new StructType()
     .add("doc_id", LongType).add("shingle", StringType)
@@ -43,9 +58,14 @@ final class IncrementalClustering(spark: SparkSession, root: String,
   private val labelsSchema = new StructType()
     .add("doc_id", LongType).add("cluster_id", LongType)
 
+  private val dfSchema = new StructType()
+    .add("shingle", StringType).add("delta", LongType)
+
   val indexTable = new ParquetTable(spark, s"$root/shingle_index", indexSchema)
   val sizesTable = new ParquetTable(spark, s"$root/doc_sizes", sizesSchema)
   val labelsTable = new ParquetTable(spark, s"$root/labels", labelsSchema)
+  /** Per-batch document-frequency deltas; only maintained when capped. */
+  val dfTable = new ParquetTable(spark, s"$root/shingle_df", dfSchema)
 
   /** Exact Jaccard for candidate pairs (doc_a, doc_b, n_inter) given global
     * per-doc set sizes. */
@@ -66,21 +86,54 @@ final class IncrementalClustering(spark: SparkSession, root: String,
     val newSizes = newShingles.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("set_size"))
     val oldIndex = indexTable.read()
+    val capped = maxDf != Int.MaxValue
+
+    // hot set over the corpus INCLUDING this batch — the index-query-time
+    // view of the global document frequencies (tiny by construction: few
+    // shingles exceed any sane cap)
+    val newDelta = newShingles.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("delta"))
+    val hot = if (!capped) null
+    else dfTable.read().unionByName(newDelta)
+      .groupBy(col("shingle")).agg(sum(col("delta")).as("df"))
+      .filter(col("df") > maxDf).select(col("shingle")).persist()
+    def capSide(ds: DataFrame): DataFrame =
+      if (!capped) ds else ds.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val cNew = capSide(newShingles)
+    val cOld = capSide(oldIndex)
 
     // new↔old: one shingle-keyed join against the index (direction is fixed,
     // so each unordered pair appears once; normalize with least/greatest)
-    val newOld = newShingles.select(col("doc_id").as("new_id"), col("shingle"))
-      .join(oldIndex.select(col("doc_id").as("old_id"), col("shingle")), "shingle")
+    val newOld = cNew.select(col("doc_id").as("new_id"), col("shingle"))
+      .join(cOld.select(col("doc_id").as("old_id"), col("shingle")), "shingle")
       .select(least(col("new_id"), col("old_id")).as("doc_a"),
         greatest(col("new_id"), col("old_id")).as("doc_b"))
     // new↔new: self-join with doc_a < doc_b (each pair once)
-    val newNew = newShingles.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(newShingles.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+    val newNew = cNew.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(cNew.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
-    val inter = newOld.unionByName(newNew)
+    val inter0 = newOld.unionByName(newNew)
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
-    val sizes = sizesTable.read().unionByName(newSizes)
+    val inter = if (capped) inter0.persist() else inter0 // consumed 2x below
+    val sizesStored = sizesTable.read().unionByName(newSizes)
+    val sizes = if (!capped) sizesStored
+    else {
+      // capped set_size = stored (uncapped) size − per-doc hot-shingle
+      // count, computed only for docs TOUCHED by a candidate pair — the
+      // corpus index is scanned (broadcast filters) but the shuffle carries
+      // only touched docs, keeping per-batch work batch-proportional
+      val touched = inter.select(col("doc_a").as("doc_id"))
+        .unionByName(inter.select(col("doc_b").as("doc_id"))).distinct()
+      val hotCounts = oldIndex.unionByName(newShingles.select(oldIndex.columns.map(col): _*))
+        .join(broadcast(hot), Seq("shingle"))
+        .join(broadcast(touched), Seq("doc_id"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("hot_n"))
+      sizesStored.join(broadcast(touched), Seq("doc_id"), "left_semi")
+        .join(hotCounts, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (col("set_size") - coalesce(col("hot_n"), lit(0L))).as("set_size"))
+    }
     val pairs = jaccardOf(inter, sizes)
 
     val labels = Dedup.dupClustersIncremental(
@@ -88,6 +141,7 @@ final class IncrementalClustering(spark: SparkSession, root: String,
     labelsTable.overwrite(labels)
     indexTable.append(newShingles)
     sizesTable.append(newSizes)
+    if (capped) { dfTable.append(newDelta); hot.unpersist(); inter.unpersist() }
     labels.unpersist()
     newShingles.unpersist()
   }

@@ -82,6 +82,47 @@ class IncrementalClusterSpec extends SparkSpec {
     scratch.unpersist()
   }
 
+  test("df-capped replay equals capped from-scratch; candidates collapse >=100x") {
+    // the r6b skew scenario as a stream: every doc carries a 40-word shared
+    // boilerplate tail (hot from batch 1: df 20 > maxDf 10), plus 10 unique
+    // words; four true dup pairs, two of them cross-batch
+    val boiler = (1 to 40).map(i => s"bp$i").mkString(" ")
+    val group = Map(2L -> 1L, 25L -> 5L, 50L -> 30L, 42L -> 41L)
+    def text(i: Long): String = {
+      val g = group.getOrElse(i, i)
+      (1 to 10).map(j => s"u${g}w$j").mkString(" ") + " " + boiler
+    }
+    val docs = (1L to 60L).map(i => (i, text(i)))
+    val batches = docs.grouped(20).map(_.toDF("doc_id", "text")).toSeq
+    val allDocs = docs.toDF("doc_id", "text")
+    val maxDf = 10
+
+    // (a) candidate-row collapse: the pre-agg inverted-index join rows
+    val ds = Dedup.docShingles(allDocs, "doc_id", "text", 3)
+    def candRows(d: DataFrame): Long = d.select(col("doc_id").as("a"), col("shingle"))
+      .join(d.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
+      .filter(col("a") < col("b")).count()
+    val uncappedRows = candRows(ds)
+    val cappedRows = candRows(Dedup.capShingles(ds, maxDf))
+    assert(uncappedRows >= 100L * cappedRows,
+      s"expected >=100x collapse, got $uncappedRows vs $cappedRows")
+
+    // (b) capped streaming replay ≡ capped from-scratch closure
+    val root = java.nio.file.Files.createTempDirectory("inc-cluster-cap-").toString
+    val pipe = new IncrementalClustering(spark, root, n = 3, minJaccard = 0.5,
+      maxDf = maxDf)
+    batches.zipWithIndex.foreach { case (b, i) => pipe.processBatch(b, i.toLong) }
+    val scratchPairs = Dedup.ngramJaccard(allDocs, "doc_id", "text",
+      n = 3, minJaccard = 0.5, maxDf = maxDf)
+    val scratch = Dedup.dupClusters(scratchPairs, allDocs, "doc_id")
+    val got = labelMap(pipe.labelsTable.read())
+    assert(got == labelMap(scratch))
+    // teeth: the four dup pairs merged, nothing else did
+    assert(got.values.groupBy(identity).count(_._2.size == 2) == 4)
+    assert(got.size == 60 && got.values.toSet.size == 56)
+    scratch.unpersist()
+  }
+
   test("attach wires the pipeline as a streaming foreachBatch sink") {
     val root = java.nio.file.Files.createTempDirectory("inc-cluster-stream-").toString
     val ckpt = java.nio.file.Files.createTempDirectory("inc-cluster-ckpt-").toString
