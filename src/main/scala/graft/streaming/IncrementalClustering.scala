@@ -78,10 +78,45 @@ final class IncrementalClustering(spark: SparkSession, root: String,
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
 
+  // ==Restart / exactly-once contract (CrashRecoverySpec)==
+  // The checkpoint makes the SOURCE exactly-once (files are never re-read
+  // after their batch commits), but Structured Streaming re-delivers the
+  // last batch when a stop lands between the offset-log and commit-log
+  // writes. The `_last_batch` marker — written LAST, after every table
+  // write, via atomic rename — makes a fully-applied re-delivery a no-op.
+  // Write order is recompute-safe up to the first append: labels overwrite
+  // is a pure function of (tables, batch) so re-running it is idempotent;
+  // a crash BETWEEN the appends (index written, sizes not) is outside this
+  // single-writer parquet protocol's envelope — production hardening is a
+  // transactional table format (Delta/Iceberg) for the two appends, or a
+  // batch-id column plus insert-only [[graft.merge.Merge]] on the natural
+  // keys ((doc_id, shingle) / doc_id), which the merge family already
+  // supports.
+  private def markerPath = java.nio.file.Paths.get(root, "_last_batch")
+
+  /** Highest batchId whose table writes all completed; -1 before any. */
+  def lastAppliedBatch: Long =
+    if (java.nio.file.Files.exists(markerPath))
+      new String(java.nio.file.Files.readAllBytes(markerPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    else -1L
+
+  private def writeMarker(batchId: Long): Unit = {
+    val tmp = java.nio.file.Files.createTempFile(
+      java.nio.file.Paths.get(root), ".marker-", ".tmp")
+    java.nio.file.Files.write(tmp, batchId.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, markerPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** Ingest one batch of new documents (doc_id, text); updates all three
     * tables. Public so a replay (or a spec) can drive it deterministically;
-    * [[attach]] wires it as the foreachBatch sink. */
+    * [[attach]] wires it as the foreachBatch sink. Re-delivery of an
+    * already-applied batchId is a no-op (see restart contract above). */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    if (batchId <= lastAppliedBatch) return
     val newShingles = Dedup.docShingles(batch, "doc_id", "text", n).persist()
     val newSizes = newShingles.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("set_size"))
@@ -142,6 +177,7 @@ final class IncrementalClustering(spark: SparkSession, root: String,
     indexTable.append(newShingles)
     sizesTable.append(newSizes)
     if (capped) { dfTable.append(newDelta); hot.unpersist(); inter.unpersist() }
+    writeMarker(batchId)
     labels.unpersist()
     newShingles.unpersist()
   }
