@@ -297,6 +297,65 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
   }
 
+  /** IVF × PQ-ADC × exact re-rank in ONE plan — the deployed 100 TB ANN
+    * composition (the FAISS IVFPQ shape): the corpus is reduced to
+    * `(vec_id, cell, code)` — one int + one nibble-packed long per vector —
+    * BEFORE any join; queries probe their `nprobe` nearest IVF cells, ADC
+    * scores ONLY the probed cells' codes (an equi-join on `cell`, never a
+    * corpus scan per query), the best `shortlist` per query survive, and
+    * exact cosine reads just `queries × shortlist` embeddings at the end.
+    * All three stages are the already-verified v04/v09/v10 pieces on the
+    * same `(query_id, vec_id)` shape; v12 pins the composition against the
+    * equivalent CTE chain, PlanAuditSpec pins that no embedding column
+    * crosses the cell join. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
+                cos: (Column, Column) => Column, k: Int,
+                nlist: Int = 16, nprobe: Int = 4, shortlist: Int = 50,
+                m: Int = 8, ksub: Int = 16, dims: Int = 64): DataFrame = {
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
+    val dsub = dims / m
+    VectorFunctions.register(corpus.sparkSession)
+    val cents = strideCentroids(corpus, nlist)
+    val topCells = topCellsOf(cents, cos) _
+    val samples = strideCentroids(corpus, ksub)
+    val cb: Seq[Double] = (0 until m).flatMap { sub =>
+      (0 until ksub).flatMap { c =>
+        val row = samples(c)._2
+        (0 until dsub).map(d => row(sub * dsub + d))
+      }
+    }
+    // corpus side: cell + code only — embeddings are dropped at the scan
+    val codes = corpus.select(col("vec_id"),
+      element_at(topCells(col("embedding"), 1), 1).getField("cell").as("cell"),
+      VectorFunctions.pqEncode(col("embedding"), cb, m, ksub, dsub).as("code"))
+    // query side: nprobe probes, each carrying the per-query ADC table
+    val q = queries.select(col("vec_id").as("query_id"),
+        VectorFunctions.pqDistTable(col("embedding"), cb, m, ksub, dsub).as("dtab"),
+        explode(topCells(col("embedding"), nprobe)).as("probe"))
+      .select(col("query_id"), col("dtab"), col("probe.cell").as("cell"))
+    // a corpus vector lives in exactly one cell and probes are distinct, so
+    // each (query, vec) candidate appears at most once — no dedup needed
+    val cand = q.join(codes, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("adist",
+        round(VectorFunctions.pqAdc(col("dtab"), col("code"), m, ksub), 6))
+    val ws = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))
+    val short = cand.withColumn("srank", row_number().over(ws))
+      .filter(col("srank") <= shortlist)
+      .select(col("query_id"), col("vec_id"))
+    // exact re-rank: the only stage that touches embeddings, at width
+    // queries × shortlist
+    val scored = short
+      .join(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_vec")),
+        Seq("query_id"))
+      .join(corpus.select(col("vec_id"), col("embedding").as("c_vec")), Seq("vec_id"))
+      .withColumn("cos", round(cos(col("q_vec"), col("c_vec")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
+  }
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               cos: (Column, Column) => Column, k: Int,
               nlist: Int = 16, nprobe: Int = 4,

@@ -515,6 +515,71 @@ object VectorQueries {
     },
     "oracle-verified Lloyd round: int8-quantized k-means, exact integer means (LLM-pipeline op)")
 
+  /** The deployed ANN composition in ONE plan ([[Similarity.ivfPqTopK]]):
+    * IVF cell probing (v04's assignment/probe rule) × PQ-ADC scoring of
+    * only the probed cells' codes (v09's codebook/encode/ADC rule) × exact
+    * cosine re-rank of the shortlist (v10's rule). The oracle is the same
+    * composition as CTEs — every stage is individually hash-verified by
+    * v04/v09/v10, this row pins that they COMPOSE (the d27 pattern for the
+    * vector family); PlanAuditSpec pins that no embedding column crosses
+    * the cell join before the re-rank. */
+  val v12 = QueryDef(
+    "v12_ann_ivf_pq_rerank",
+    (spark, dir) => {
+      VectorFunctions.register(spark)
+      val emb = Tables.embeddings(spark, dir)
+      Similarity.ivfPqTopK(emb.filter(col("vec_id") < 10), emb,
+          VectorFunctions.cosineSim, k = 5,
+          nlist = 16, nprobe = 4, shortlist = 50)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some {
+      val nlist = 16; val nprobe = 4; val shortlist = 50
+      val ksub = 16; val dsub = 8
+      val affCos = cosSql("e.emb", "cent.cemb")
+      val cos = cosSql("q.emb", "t.emb")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, emb AS cemb
+         |  FROM e WHERE vec_id % greatest(1, (SELECT count(*) FROM e) // $nlist) = 0
+         |  ORDER BY vec_id LIMIT $nlist),
+         |aff AS (SELECT e.vec_id, cent.cell, $affCos AS a FROM e, cent),
+         |assign AS (SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell DESC) AS rn
+         |    FROM aff) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell DESC) AS rn
+         |    FROM aff WHERE vec_id < 10) WHERE rn <= $nprobe),
+         |samp AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c, emb
+         |  FROM e WHERE vec_id % greatest(1, (SELECT count(*) FROM e) // $ksub) = 0
+         |  ORDER BY vec_id LIMIT $ksub),
+         |cb AS (SELECT sub, c, list_slice(emb, sub*$dsub + 1, sub*$dsub + $dsub) AS w
+         |  FROM samp, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS sub)),
+         |dist AS (SELECT e.vec_id, cb.sub, cb.c,
+         |    list_sum([(e.emb[cb.sub*$dsub + i] - cb.w[i]) * (e.emb[cb.sub*$dsub + i] - cb.w[i])
+         |              for i in generate_series(1, $dsub)]) AS d
+         |  FROM e, cb),
+         |enc AS (SELECT vec_id, sub, c FROM (
+         |    SELECT vec_id, sub, c, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, c ASC) AS rn
+         |    FROM dist) WHERE rn = 1),
+         |parts AS (SELECT p.query_id, s.vec_id, qd.sub, qd.d
+         |  FROM probes p JOIN assign s ON s.cell = p.cell
+         |  JOIN enc t ON t.vec_id = s.vec_id
+         |  JOIN dist qd ON qd.vec_id = p.query_id AND qd.sub = t.sub AND qd.c = t.c
+         |  WHERE s.vec_id <> p.query_id),
+         |adc AS (SELECT query_id, vec_id, round(list_sum(list(d ORDER BY sub)), 6) AS adist
+         |  FROM parts GROUP BY query_id, vec_id),
+         |short AS (SELECT query_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rn
+         |    FROM adc) WHERE rn <= $shortlist),
+         |scored AS (SELECT s.query_id, s.vec_id, round($cos, 6) AS cos
+         |  FROM short s JOIN e q ON q.vec_id = s.query_id JOIN e t ON t.vec_id = s.vec_id)
+         |SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
+    "deployed ANN composition: IVF probe x PQ-ADC x exact re-rank, one plan (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
-    v10, v11)
+    v10, v11, v12)
 }

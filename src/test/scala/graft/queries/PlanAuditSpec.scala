@@ -62,6 +62,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(p2.contains("pq_adc"), s"v10 lost the ADC stage:\n$p2")
   }
 
+  test("v12: composed IVF x PQ path carries no vectors past the cell join") {
+    val p = planOf("v12_ann_ivf_pq_rerank")
+    // all three stages present in one plan
+    assert(p.contains("nearest_cells") && p.contains("pq_encode") &&
+      p.contains("pq_dist_table") && p.contains("pq_adc"),
+      s"a composition stage is missing:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"non-equi join in v12:\n$p")
+    // the ADC shortlist window ranks (query_id, vec_id, adist) — if an
+    // embedding or *_vec column reaches it, the corpus vectors crossed the
+    // cell join and the memory story is void (re-rank reads them later, at
+    // width queries x shortlist, via the id equi-join)
+    val shortWindow = p.linesIterator.find(l =>
+      l.contains("Window") && l.contains("adist")).get
+    assert(!shortWindow.contains("embedding") && !shortWindow.contains("_vec"),
+      s"vector column reaches the ADC shortlist:\n$shortWindow")
+  }
+
   test("d25/d26: bounded-side joins are broadcasts, not shuffles") {
     // d25's trigram-DF join-back (vocabulary charset-bounded) and d26's
     // quota join (#sources-bounded) must both plan as broadcast hash
