@@ -499,6 +499,159 @@ object StreamingQueries {
             |ORDER BY stage""".stripMargin),
     "streaming funnel: transformWithState + event-time horizon timers, availableNow drain")
 
+  /** The reference's SIGNATURE end-to-end behavior — the two-set replay
+    * (SURVEY §5, `Test Scripts/08-batch-test.py:35-43`: set 2 re-delivers
+    * overlapping + new data; dedup, CDC recency, and merge semantics are
+    * pinned simultaneously) — phrased over testdata and EXECUTED THROUGH
+    * THE REAL STREAMING WAVES, not batch ops:
+    *
+    * landing (two parquet sets) → bronze (file-stream append sink +
+    * checkpoint, run 2 reads only the new set) → silver (streaming
+    * watermarked dedup → foreachBatch MERGE into bucketed [[ParquetTable]]s:
+    * events M1 insert-only on event_id, orders M3 CDC upsert with
+    * updated_day recency guard) → gold (per-user summary recompute + M5
+    * column-list upsert) — the `Medallion.runAll` wave order on the
+    * events/orders tables.
+    *
+    * Set 1 = even events + all orders (initial state, updated_day from
+    * o_orderdate). Set 2 re-delivers every third even event and ships the
+    * odd ones (streaming dedup absorbs the overlap), re-delivers `%7`
+    * orders verbatim (the recency guard no-op) and updates `%5` orders
+    * (status 'X', updated_day+1 — strictly newer, so CDC replaces; `%35`
+    * keys carry BOTH in one micro-batch, exercising the pre-merge latest-
+    * per-key collapse). The oracle is the batch CTE over the union with
+    * merge semantics applied: dedup ≡ all events, CDC ≡ orders with `%5`
+    * rows updated. */
+  val s13 = QueryDef(
+    "s13_medallion_replay",
+    (spark, dir) => {
+      import graft.merge.{Merge, ParquetTable}
+      import graft.ops.Relational
+      import org.apache.spark.sql.types.StructType
+      val evDdl = "event_id bigint, ts_us bigint, user_id bigint, value double"
+      val ordDdl = "o_orderkey bigint, o_custkey bigint, status string, " +
+        "o_totalprice double, updated_day bigint"
+
+      val events = graft.sources.Tables.eventsUs(spark, dir)
+        .select(col("event_id"), col("ts_us"), col("user_id"), col("value"))
+      val orders = graft.sources.Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus").as("status"), col("o_totalprice"),
+          expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+            .as("updated_day"))
+
+      val evLanding = FixtureDirs.create("s13-ev-landing-")
+      val ordLanding = FixtureDirs.create("s13-ord-landing-")
+      def land(df: DataFrame, dirP: java.nio.file.Path, name: String): Unit = {
+        val tmp = FixtureDirs.create("s13-tmp-")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val f = java.nio.file.Files.list(tmp)
+          .filter(_.toString.endsWith(".parquet")).findFirst().get()
+        java.nio.file.Files.move(f, dirP.resolve(name))
+      }
+
+      val root = FixtureDirs.create("s13-tables-").toString
+      val silverEvents = new ParquetTable(spark, s"$root/silver_events",
+        StructType.fromDDL(evDdl), Some((Seq("event_id"), 8)))
+      val silverOrders = new ParquetTable(spark, s"$root/silver_orders",
+        StructType.fromDDL(ordDdl), Some((Seq("o_orderkey"), 8)))
+      val goldDdl = "user_id bigint, n_events bigint, sum_value double, " +
+        "n_orders bigint, n_modified bigint, total_price double"
+      val goldTable = new ParquetTable(spark, s"$root/gold_summary",
+        StructType.fromDDL(goldDdl), Some((Seq("user_id"), 8)))
+      val bronzeEv = FixtureDirs.create("s13-bronze-ev-").toString
+      val bronzeOrd = FixtureDirs.create("s13-bronze-ord-").toString
+      val ckptBronzeEv = newCkptDir(); val ckptBronzeOrd = newCkptDir()
+      val ckptSilverEv = newCkptDir(); val ckptSilverOrd = newCkptDir()
+
+      def awaitDrain(q: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]): Unit =
+        q.trigger(Trigger.AvailableNow()).start().awaitTermination()
+
+      def runWaves(): Unit = withStreamConf(spark) {
+        // bronze: landing → append-only parquet (file sink + checkpoint)
+        awaitDrain(spark.readStream.schema(evDdl).parquet(evLanding.toString)
+          .writeStream.format("parquet").option("path", bronzeEv)
+          .option("checkpointLocation", ckptBronzeEv).outputMode("append"))
+        awaitDrain(spark.readStream.schema(ordDdl).parquet(ordLanding.toString)
+          .writeStream.format("parquet").option("path", bronzeOrd)
+          .option("checkpointLocation", ckptBronzeOrd).outputMode("append"))
+        // silver wave: bronze stream → watermarked dedup → foreachBatch MERGE
+        awaitDrain(spark.readStream.schema(evDdl).parquet(bronzeEv)
+          .withColumn("ts_utc", timestamp_micros(col("ts_us")))
+          .withWatermark("ts_utc", "3650 days")
+          .dropDuplicates(Seq("event_id")).drop("ts_utc")
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", ckptSilverEv)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            silverEvents.merge(b)((cur, bb) =>
+              Merge.insertOnly(cur, bb, Seq("event_id")))
+          })
+        awaitDrain(spark.readStream.schema(ordDdl).parquet(bronzeOrd)
+          .withColumn("upd_utc", timestamp_micros(col("updated_day") * 86400000000L))
+          .withWatermark("upd_utc", "36500 days")
+          .dropDuplicates(Seq("o_orderkey", "updated_day")).drop("upd_utc")
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", ckptSilverOrd)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            // one micro-batch can carry a re-delivery AND its newer update
+            // (%35 keys) — collapse to latest per key before the CDC merge
+            val latest = Relational.dedupKeyed(
+              Relational.latestPerKey(b, Seq("o_orderkey"), "updated_day"),
+              Seq("o_orderkey"), Seq(col("updated_day").desc, col("status")))
+            silverOrders.merge(latest)((cur, bb) =>
+              Merge.cdcUpsert(cur, bb, Seq("o_orderkey"), "updated_day"))
+          })
+        // gold: per-user summary recompute + M5 column-list upsert
+        val ea = silverEvents.read().groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        val oa = silverOrders.read().groupBy(col("o_custkey").as("user_id"))
+          .agg(count(lit(1)).as("n_orders"),
+            count(when(col("status") === "X", 1)).as("n_modified"),
+            round(sum(col("o_totalprice")), 2).as("total_price"))
+        val summary = ea.join(oa, Seq("user_id"), "left")
+          .select(col("user_id"), col("n_events"), col("sum_value"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("n_modified"), lit(0L)).as("n_modified"),
+            coalesce(col("total_price"), lit(0.0)).as("total_price"))
+        goldTable.merge(summary)((cur, b) => Merge.upsertColumns(cur, b,
+          Seq("user_id"),
+          Seq("n_events", "sum_value", "n_orders", "n_modified", "total_price")))
+      }
+
+      // ── run 1: set 1 ──
+      land(events.filter(col("event_id") % 2 === 0), evLanding, "set1.parquet")
+      land(orders, ordLanding, "set1.parquet")
+      runWaves()
+      // ── run 2: set 2 re-delivers + updates ──
+      land(events.filter(col("event_id") % 2 === 1 || col("event_id") % 6 === 0),
+        evLanding, "set2.parquet")
+      land(orders.filter(col("o_orderkey") % 7 === 0).unionByName(
+          orders.filter(col("o_orderkey") % 5 === 0)
+            .withColumn("status", lit("X"))
+            .withColumn("updated_day", col("updated_day") + 1)),
+        ordLanding, "set2.parquet")
+      runWaves()
+
+      goldTable.read().orderBy(col("user_id"))
+    },
+    Some("""WITH ev AS (SELECT event_id, user_id, value FROM events),
+           |o AS (SELECT o_orderkey, o_custkey,
+           |    CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS status,
+           |    o_totalprice FROM orders),
+           |ea AS (SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+           |  FROM ev GROUP BY user_id),
+           |oa AS (SELECT o_custkey AS user_id, count(*) AS n_orders,
+           |    count(*) FILTER (WHERE status = 'X') AS n_modified,
+           |    round(sum(o_totalprice), 2) AS total_price
+           |  FROM o GROUP BY 1)
+           |SELECT ea.user_id, n_events, sum_value,
+           |  coalesce(n_orders, 0) AS n_orders,
+           |  coalesce(n_modified, 0) AS n_modified,
+           |  coalesce(total_price, CAST(0 AS DOUBLE)) AS total_price
+           |FROM ea LEFT JOIN oa ON oa.user_id = ea.user_id
+           |ORDER BY ea.user_id""".stripMargin),
+    "medallion two-set replay through real streaming waves: dedup + CDC recency + M1/M3/M5 merges (SURVEY 5)")
+
   def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
-    s10, s11, s12)
+    s10, s11, s12, s13)
 }
