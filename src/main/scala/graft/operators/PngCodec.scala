@@ -78,8 +78,9 @@ object ImageCodec {
   def decode(bytes: Array[Byte]): BmpCodec.DecodedImage = {
     require(bytes.length >= 2, s"image too short: ${bytes.length} bytes")
     if (PngCodec.isPng(bytes)) PngCodec.decode(bytes)
+    else if (JpegCodec.isJpeg(bytes)) JpegCodec.decode(bytes)
     else if (bytes(0) == 'B' && bytes(1) == 'M') BmpCodec.decode(bytes)
     else throw new IllegalArgumentException(
-      f"unrecognized image magic 0x${bytes(0) & 0xff}%02x${bytes(1) & 0xff}%02x (supported: BMP, PNG)")
+      f"unrecognized image magic 0x${bytes(0) & 0xff}%02x${bytes(1) & 0xff}%02x (supported: BMP, PNG, JPEG)")
   }
 }

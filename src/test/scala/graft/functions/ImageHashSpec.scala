@@ -1,7 +1,7 @@
 package graft.functions
 
 import graft.SparkSpec
-import graft.operators.{BmpCodec, Dedup, ImageCodec, PngCodec}
+import graft.operators.{BmpCodec, Dedup, ImageCodec, JpegCodec, PngCodec}
 
 /** Pins the perceptual-hash contract behind m04: dHash is invariant to
   * uniform brightness shifts, a 1-pixel perturbation flips at most one bit
@@ -99,5 +99,65 @@ class ImageHashSpec extends SparkSpec {
     assert(pairs.contains((2L, 3L)))
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
       "distinct texture must not pair")
+  }
+
+  // ── JPEG (m09): lossy decode is spec-verified, not oracle-verified — see
+  // JpegCodec scaladoc. Smooth gradients give the dHash sample points a
+  // brightness margin well above JPEG q90 error; `dir` flips the gradient
+  // direction so distinct images land far apart in dHash. ──
+  private def gradient(dir: Int)(x: Int, y: Int): (Int, Int, Int) =
+    if (dir == 0) (math.min(10 * x + 3 * y, 255), math.min(8 * y + 40, 255), math.min(6 * x + 20, 255))
+    else (math.max(235 - 10 * x - 3 * y, 0), math.max(215 - 8 * y, 0), math.max(200 - 6 * x, 0))
+
+  test("JPEG: JDK writer emits JFIF, sniffing covers JFIF + EXIF, codec dispatches") {
+    val jfif = JpegCodec.encode(16, 12, gradient(0))
+    assert(JpegCodec.isJpeg(jfif))
+    assert((jfif(3) & 0xff) == 0xe0, "JDK writer should emit an APP0/JFIF marker")
+    // EXIF variant: same stream with an APP1 marker — sniffing must accept it
+    val exif = jfif.clone(); exif(3) = 0xe1.toByte
+    assert(JpegCodec.isJpeg(exif))
+    assert(!JpegCodec.isJpeg(PngCodec.encode(4, 4, gradient(0))))
+    // dispatch: ImageCodec routes JPEG bytes to the JPEG decoder
+    val viaDispatch = ImageCodec.decode(jfif)
+    assert(viaDispatch.width == 16 && viaDispatch.height == 12)
+  }
+
+  test("JPEG decode is deterministic: same bytes, same pixels") {
+    for (seed <- 0 until 10) {
+      val w = seed % 9 + 8; val h = seed % 5 + 8
+      val bytes = JpegCodec.encode(w, h, gradient(seed % 2))
+      val a = JpegCodec.decode(bytes); val b = JpegCodec.decode(bytes)
+      assert(a.width == w && a.height == h)
+      assert(java.util.Arrays.equals(a.pixels, b.pixels),
+        s"seed $seed: two decodes of the same bytes differ")
+    }
+  }
+
+  test("dHash is stable under quality-90 JPEG re-encode of BMP fixtures") {
+    for (seed <- 0 until 10) {
+      val w = seed % 9 + 10; val h = seed % 5 + 10
+      val bmp = BmpCodec.decode(BmpCodec.encode(w, h, gradient(seed % 2)))
+      val jpeg = JpegCodec.reencode(bmp, 0.9f)
+      val d = java.lang.Long.bitCount(
+        DHashExpr.compute(BmpCodec.encode(w, h, gradient(seed % 2)))
+          ^ DHashExpr.compute(jpeg))
+      // within the pigeonhole join's default pairing radius (maxHamming=3)
+      assert(d <= 3, s"seed $seed: q90 re-encode flipped $d of 56 bits")
+    }
+    // opposite gradient directions stay far apart across the lossy boundary
+    val a = DHashExpr.compute(JpegCodec.encode(14, 12, gradient(0)))
+    val b = DHashExpr.compute(JpegCodec.encode(14, 12, gradient(1)))
+    assert(java.lang.Long.bitCount(a ^ b) > 20, "distinct images collapsed")
+  }
+
+  test("imageNearDup pairs a JPEG rendition with its BMP original") {
+    val rows = Seq(
+      (1L, BmpCodec.encode(14, 12, gradient(0))),
+      (2L, JpegCodec.reencode(
+        BmpCodec.decode(BmpCodec.encode(14, 12, gradient(0))), 0.9f)),
+      (3L, JpegCodec.encode(14, 12, gradient(1)))) // distinct image
+    val pairs = Dedup.imageNearDup(rows.toDF("media_id", "media"), "media_id", "media")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
 }
