@@ -26,7 +26,61 @@ object Scratch {
       println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
 
-    if (args.headOption.contains("sf1")) {
+    if (args.headOption.contains("sf1dir")) {
+      // Materialize a PERSISTED sf1 replica dir (10x sf0.1, all tables) for
+      // the full-suite 10x bench: key-shifted replicas keep every join/
+      // blocking dimension disjoint across replicas (the honest linear-
+      // scaling construction of the `sf1`/`sf1new` modes), dimensions
+      // (region/nation) stay single-copy so FKs remain valid, dates and
+      // event times are UNSHIFTED so date-filtered scans keep their
+      // selectivity (filters pass 10x the rows — density scaling).
+      // documents get word-prefixed replicas (zero cross-replica shingles);
+      // embeddings get per-replica sign flips (cross-replica cosine ~
+      // random). Each table lands as ONE file named <table>.parquet to
+      // match the driver layout (the streaming sources glob that name).
+      val out = args(1)
+      val n = 10
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("sf1gen-")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val f = java.nio.file.Files.list(tmp)
+          .filter(_.toString.endsWith(".parquet")).findFirst().get()
+        java.nio.file.Files.move(f, java.nio.file.Paths.get(out, s"$name.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        println(s"[sf1dir] wrote $name")
+      }
+      def replicate(name: String, shifts: Map[String, Long]): Unit = {
+        val base = graft.sources.Tables(spark, sfDir, name)
+        writeOne((0 until n).map { k =>
+          base.select(base.columns.map(c => shifts.get(c)
+            .map(s => (col(c) + lit(k.toLong * s)).as(c)).getOrElse(col(c))).toIndexedSeq: _*)
+        }.reduce(_ unionByName _), name)
+      }
+      writeOne(graft.sources.Tables(spark, sfDir, "region"), "region")
+      writeOne(graft.sources.Tables(spark, sfDir, "nation"), "nation")
+      replicate("customer", Map("c_custkey" -> 10000000L))
+      replicate("supplier", Map("s_suppkey" -> 10000000L))
+      replicate("part", Map("p_partkey" -> 10000000L))
+      replicate("orders", Map("o_orderkey" -> 100000000L, "o_custkey" -> 10000000L))
+      replicate("lineitem", Map("l_orderkey" -> 100000000L,
+        "l_partkey" -> 10000000L, "l_suppkey" -> 10000000L))
+      replicate("events", Map("event_id" -> 100000000L, "user_id" -> 1000000L))
+      val docsBase = graft.sources.Tables.documents(spark, sfDir)
+      writeOne((0 until n).map { k =>
+        docsBase.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"r$k$$1").as("text"),
+          col("lang"), concat(lit(s"r$k"), col("source")).as("source"),
+          col("n_chars"))
+      }.reduce(_ unionByName _), "documents")
+      val embBase = graft.sources.Tables.embeddings(spark, sfDir)
+      writeOne((0 until n).map { k =>
+        val flip = transform(col("embedding"),
+          (x, i) => when(pmod(i + lit(k * 7), lit(10)) < 5, x).otherwise(-x))
+        embBase.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
+          flip.as("embedding"), col("label"))
+      }.reduce(_ unionByName _), "embeddings")
+    } else if (args.headOption.contains("sf1")) {
       // synthetic sf1: 10 replicas of the sf0.1 documents, each replica's
       // words prefixed with a replica tag — zero cross-replica shingle
       // overlap, so the corpus is exactly 10 independent copies and pair
