@@ -78,7 +78,10 @@ object Scratch {
         val flip = transform(col("embedding"),
           (x, i) => when(pmod(i + lit(k * 7), lit(10)) < 5, x).otherwise(-x))
         embBase.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
-          flip.as("embedding"), col("label"))
+          flip.as("embedding"),
+          // labels are v01's blocking dimension — shift per replica so
+          // blocks stay disjoint (10 independent copies, not 10x occupancy)
+          (col("label") + lit(k * 100000)).as("label"))
       }.reduce(_ unionByName _), "embeddings")
     } else if (args.headOption.contains("sf1")) {
       // synthetic sf1: 10 replicas of the sf0.1 documents, each replica's
