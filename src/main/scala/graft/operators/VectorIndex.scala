@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** PERSISTED IVF-PQ vector index — the deployed form of the v12 composition
+  * ([[Similarity.ivfPqTopK]]): build once, query many, and let the STORAGE
+  * LAYOUT do the probing. [[build]] assigns every vector to its IVF cell,
+  * PQ-encodes it, and writes `(vec_id, code)` hive-partitioned by `cell`
+  * (`index/cell=K/`), with centroids + codebook in a sidecar table. A
+  * [[query]] then computes the union of probed cells (driver-side, bounded
+  * by nlist ints) and filters the index scan on the PARTITION column — the
+  * executor never opens the other cells' files at all. That is the property
+  * the in-plan v12 cannot have: its scan reads the whole corpus and drops
+  * rows at the join; the index scan reads `|probed|/nlist` of the data
+  * (PlanAuditSpec pins `PartitionFilters` on the scan). ADC scoring and the
+  * exact re-rank are unchanged from v12 — codes-only until the shortlist,
+  * embeddings fetched by id at width `queries × shortlist` from the vector
+  * store (`vectors`, the corpus relation).
+  *
+  * At 100 TB: the index is ~3 TB of codes (the PQ 128× lever) laid out in
+  * nlist partitions; a query batch opens nprobe·|queries| partitions'
+  * worth of files, streams codes through codegen'd ADC, and fetches only
+  * shortlisted vectors. Rebuild = re-run [[build]] (rewrite-and-swap via a
+  * fresh root); incremental maintenance appends new codes to their cell
+  * partitions (parquet append per partition — the [[graft.merge.ParquetTable]]
+  * bucketed-append shape).
+  *
+  * Determinism: centroids and codebook follow the v04/v09 stride rules, so
+  * query results are bit-identical to [[Similarity.ivfPqTopK]] on the same
+  * corpus — v13's oracle IS v12's composed CTE chain.
+  */
+final class VectorIndex(spark: SparkSession, root: String,
+                        nlist: Int = 16, m: Int = 8, ksub: Int = 16,
+                        dims: Int = 64) {
+  require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
+  private val dsub = dims / m
+  private val indexDir = s"$root/index"
+  private val metaDir = s"$root/meta"
+
+  /** Build the index from `corpus` (vec_id, embedding): stride-sampled
+    * centroids + codebook (v04/v09 rules), cell assignment via the native
+    * [[graft.functions.NearestCellsExpr]], PQ codes via
+    * [[graft.functions.PqEncodeExpr]], layout partitioned by cell. */
+  def build(corpus: DataFrame): Unit = {
+    VectorFunctions.register(spark)
+    val cents = Similarity.strideCentroids(corpus, nlist)
+    val samples = Similarity.strideCentroids(corpus, ksub)
+    val cb: Seq[Double] = (0 until m).flatMap { sub =>
+      (0 until ksub).flatMap { c =>
+        val row = samples(c)._2
+        (0 until dsub).map(d => row(sub * dsub + d))
+      }
+    }
+    val topCells = Similarity.topCellsOf(cents, VectorFunctions.cosineSim) _
+    corpus.select(col("vec_id"),
+        element_at(topCells(col("embedding"), 1), 1).getField("cell").as("cell"),
+        VectorFunctions.pqEncode(col("embedding"), cb, m, ksub, dsub).as("code"))
+      .repartition(col("cell")) // ~one file per cell partition
+      .write.mode("overwrite").partitionBy("cell").parquet(indexDir)
+    import spark.implicits._
+    val metaRows =
+      cents.toSeq.map { case (i, v) => ("centroid", i, v) } :+
+        (("codebook", 0, cb))
+    metaRows.toDF("kind", "idx", "vals")
+      .coalesce(1).write.mode("overwrite").parquet(metaDir)
+  }
+
+  /** Incrementally add vectors using the FROZEN centroids/codebook — the
+    * deployed maintenance mode (codebook drift is handled by periodic
+    * rebuild, exactly like FAISS index training). New codes land ONLY in
+    * their own cell partitions; untouched cell directories are not
+    * rewritten (VectorIndexSpec pins byte-identity). */
+  def append(newVectors: DataFrame): Unit = {
+    VectorFunctions.register(spark)
+    val (cents, cb) = loadMeta()
+    val topCells = Similarity.topCellsOf(cents, VectorFunctions.cosineSim) _
+    newVectors.select(col("vec_id"),
+        element_at(topCells(col("embedding"), 1), 1).getField("cell").as("cell"),
+        VectorFunctions.pqEncode(col("embedding"), cb, m, ksub, dsub).as("code"))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(indexDir)
+  }
+
+  private def loadMeta(): (Array[(Int, Seq[Double])], Seq[Double]) = {
+    val rows = spark.read.parquet(metaDir).collect()
+    val cents = rows.filter(_.getString(0) == "centroid")
+      .map(r => (r.getInt(1), r.getSeq[Double](2))).sortBy(_._1)
+    val cb = rows.find(_.getString(0) == "codebook").get.getSeq[Double](2)
+    (cents, cb)
+  }
+
+  /** Top-k for `queries` (vec_id, embedding) against the persisted index;
+    * `vectors` is the vector store the re-rank fetches from by id. Output
+    * shape `(query_id, vec_id, cos, rank)` — identical to
+    * [[Similarity.ivfPqTopK]] by construction. */
+  def query(queries: DataFrame, vectors: DataFrame,
+            cos: (Column, Column) => Column, k: Int,
+            nprobe: Int = 4, shortlist: Int = 50): DataFrame = {
+    VectorFunctions.register(spark)
+    val (cents, cb) = loadMeta()
+    val topCells = Similarity.topCellsOf(cents, cos) _
+    val q = queries.select(col("vec_id").as("query_id"),
+        VectorFunctions.pqDistTable(col("embedding"), cb, m, ksub, dsub).as("dtab"),
+        explode(topCells(col("embedding"), nprobe)).as("probe"))
+      .select(col("query_id"), col("dtab"), col("probe.cell").as("cell"))
+    // union of probed cells: bounded driver state (≤ nlist ints) — this is
+    // what turns the index scan into a partition-pruned read
+    val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0))
+    val idx = spark.read.parquet(indexDir)
+      .filter(col("cell").isin(probed.map(Integer.valueOf).toSeq: _*))
+    val cand = q.join(idx, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("adist",
+        round(VectorFunctions.pqAdc(col("dtab"), col("code"), m, ksub), 6))
+    val ws = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))
+    val short = cand.withColumn("srank", row_number().over(ws))
+      .filter(col("srank") <= shortlist)
+      .select(col("query_id"), col("vec_id"))
+    val scored = short
+      .join(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_vec")),
+        Seq("query_id"))
+      .join(vectors.select(col("vec_id"), col("embedding").as("c_vec")), Seq("vec_id"))
+      .withColumn("cos", round(cos(col("q_vec"), col("c_vec")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
+  }
+}

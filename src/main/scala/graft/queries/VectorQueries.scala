@@ -523,17 +523,13 @@ object VectorQueries {
     * v04/v09/v10, this row pins that they COMPOSE (the d27 pattern for the
     * vector family); PlanAuditSpec pins that no embedding column crosses
     * the cell join before the re-rank. */
-  val v12 = QueryDef(
-    "v12_ann_ivf_pq_rerank",
-    (spark, dir) => {
-      VectorFunctions.register(spark)
-      val emb = Tables.embeddings(spark, dir)
-      Similarity.ivfPqTopK(emb.filter(col("vec_id") < 10), emb,
-          VectorFunctions.cosineSim, k = 5,
-          nlist = 16, nprobe = 4, shortlist = 50)
-        .orderBy(col("query_id"), col("rank"))
-    },
-    Some {
+  /** Shared oracle for v12/v13: the composed IVF × PQ-ADC × re-rank CTE
+    * chain. The persisted-index path (v13) is bit-identical to the in-plan
+    * composition (v12) by construction — same stride centroids, codebook,
+    * assignment, ADC, and re-rank rules — so one SQL text verifies both;
+    * what differs (and what v13 adds) is the STORAGE layout: the index
+    * scan is partition-pruned to the probed cells (PlanAuditSpec). */
+  private val ivfPqOracle: String = {
       val nlist = 16; val nprobe = 4; val shortlist = 50
       val ksub = 16; val dsub = 8
       val affCos = cosSql("e.emb", "cent.cemb")
@@ -577,9 +573,45 @@ object VectorQueries {
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
          |  FROM scored) WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin
+  }
+
+  val v12 = QueryDef(
+    "v12_ann_ivf_pq_rerank",
+    (spark, dir) => {
+      VectorFunctions.register(spark)
+      val emb = Tables.embeddings(spark, dir)
+      Similarity.ivfPqTopK(emb.filter(col("vec_id") < 10), emb,
+          VectorFunctions.cosineSim, k = 5,
+          nlist = 16, nprobe = 4, shortlist = 50)
+        .orderBy(col("query_id"), col("rank"))
     },
+    Some(ivfPqOracle),
     "deployed ANN composition: IVF probe x PQ-ADC x exact re-rank, one plan (LLM-pipeline op)")
 
+  /** The PERSISTED deployment of the same composition
+    * ([[graft.operators.VectorIndex]]): build writes (vec_id, code)
+    * hive-partitioned by IVF cell + a centroids/codebook sidecar; query
+    * computes the probed-cell union (bounded driver state) and filters the
+    * index scan on the PARTITION column, so unprobed cells' files are never
+    * opened — the storage-level skipping v12's in-plan scan cannot do.
+    * Results are bit-identical to v12 (same stride/codebook/tie rules), so
+    * the shared oracle text verifies the whole build→layout→prune→query
+    * path end-to-end; PlanAuditSpec pins `PartitionFilters` on the scan. */
+  val v13 = QueryDef(
+    "v13_ann_indexed",
+    (spark, dir) => {
+      VectorFunctions.register(spark)
+      val emb = Tables.embeddings(spark, dir)
+      val index = new graft.operators.VectorIndex(spark,
+        FixtureDirs.create("v13-index-").toString, nlist = 16)
+      index.build(emb)
+      index.query(emb.filter(col("vec_id") < 10), emb,
+          VectorFunctions.cosineSim, k = 5, nprobe = 4, shortlist = 50)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(ivfPqOracle),
+    "persisted IVF-PQ index: partition-pruned probe, build once query many (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
-    v10, v11, v12)
+    v10, v11, v12, v13)
 }

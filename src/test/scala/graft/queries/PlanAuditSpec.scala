@@ -80,6 +80,23 @@ class PlanAuditSpec extends SparkSpec {
       s"vector column reaches the ADC shortlist:\n$shortWindow")
   }
 
+  test("v13: persisted index scan is partition-pruned to probed cells") {
+    val p = planOf("v13_ann_indexed")
+    // the index relation is read through the hive partition column: the
+    // probed-cell filter must land as PartitionFilters (files of unprobed
+    // cells never open), not as a post-scan Filter over a full read
+    val scanLine = p.linesIterator.find(l =>
+      l.contains("PartitionFilters") && l.contains("cell")).getOrElse(
+      fail(s"no partition-filtered scan in v13:\n$p"))
+    assert(scanLine.contains("cell"), s"cell not in partition filters:\n$scanLine")
+    // the index scan carries codes, not vectors
+    val idxRead = p.linesIterator.find(l =>
+      l.contains("ReadSchema") && l.contains("code")).getOrElse(
+      fail(s"no code-carrying index scan in v13:\n$p"))
+    assert(!idxRead.contains("embedding"),
+      s"index scan reads embeddings:\n$idxRead")
+  }
+
   test("d25/d26: bounded-side joins are broadcasts, not shuffles") {
     // d25's trigram-DF join-back (vocabulary charset-bounded) and d26's
     // quota join (#sources-bounded) must both plan as broadcast hash
