@@ -652,6 +652,122 @@ object StreamingQueries {
            |ORDER BY ea.user_id""".stripMargin),
     "medallion two-set replay through real streaming waves: dedup + CDC recency + M1/M3/M5 merges (SURVEY 5)")
 
+  /** d27's ingest stages AS A STREAM — how a 100 TB pipeline actually
+    * runs its preprocessing (documents arrive continuously; nightly-batch
+    * d27 is the replay): file-stream the corpus in ascending doc_id
+    * ranges → per micro-batch: eval carve-out + quality gate (d27 rules)
+    * → 4-gram decontamination against the STATIC eval split (broadcast
+    * stream-static anti-join) → exact-dedup via fingerprint-keyed
+    * insert-only MERGE (cross-batch keep-first ≡ global keep-min because
+    * batches arrive in ascending id ranges; in-batch ties collapse to min
+    * id first). Stage order differs from d27 (decontaminate before dedup)
+    * but commutes: equal fingerprints mean equal normalized text, hence
+    * equal shingles and equal contamination status. The oracle is d27's
+    * CTE chain up to its `clean` relation — the temperature mix is the one
+    * stage that genuinely needs the full corpus (post-filter counts) and
+    * stays batch. */
+  val s14 = QueryDef(
+    "s14_stream_ingest_pipeline",
+    (spark, dir) => {
+      import graft.merge.{Merge, ParquetTable}
+      import graft.functions.TextFunctions
+      import graft.operators.Dedup
+      TextFunctions.registerNative(spark)
+      val byte = (id: org.apache.spark.sql.Column) =>
+        conv(substring(md5(id.cast("string")), 1, 2), 16, 10).cast("int")
+      val docs = graft.sources.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), col("source"))
+      val bench = docs.filter(byte(col("doc_id")) >= 250)
+
+      // source: 3 ascending doc_id ranges, one file per micro-batch
+      val srcDir = FixtureDirs.create("s14-docs-")
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val cuts = Seq(maxId / 3, 2 * maxId / 3)
+      val parts = Seq(
+        docs.filter(col("doc_id") <= cuts.head),
+        docs.filter(col("doc_id") > cuts.head && col("doc_id") <= cuts(1)),
+        docs.filter(col("doc_id") > cuts(1)))
+      parts.zipWithIndex.foreach { case (p, i) =>
+        val tmp = FixtureDirs.create(s"s14-part$i-")
+        p.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val f = java.nio.file.Files.list(tmp)
+          .filter(_.toString.endsWith(".parquet")).findFirst().get()
+        java.nio.file.Files.move(f, srcDir.resolve(s"batch$i.parquet"))
+      }
+
+      val root = FixtureDirs.create("s14-clean-").toString
+      val cleanTable = new ParquetTable(spark, s"$root/clean",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "fp string, doc_id bigint, source string"))
+      val stream = spark.readStream
+        .schema("doc_id bigint, text string, source string")
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      withStreamConf(spark) {
+        val q = stream.writeStream
+          .option("checkpointLocation", newCkptDir())
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val gated = batch.filter(byte(col("doc_id")) < 250)
+              .filter(TextFunctions.qualityScore(col("text")) >= 0.75)
+            val flagged = Dedup.decontaminate(gated, bench, "doc_id", "text", n = 4)
+              .select(col("doc_id"))
+            val clean = gated.join(flagged, Seq("doc_id"), "left_anti")
+              .select(TextFunctions.fingerprintNative(col("text")).as("fp"),
+                col("doc_id"), col("source"))
+            val collapsed = graft.ops.Relational.dedupKeyed(
+              clean, Seq("fp"), Seq(col("doc_id").asc))
+            cleanTable.merge(collapsed)((cur, b) =>
+              Merge.insertOnly(cur, b, Seq("fp")))
+          }
+          .start()
+        q.awaitTermination()
+      }
+      cleanTable.read().select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val sw = graft.functions.TextFunctions.stopwords
+        .map(s => s"'$s'").mkString("[", ",", "]")
+      s"""WITH b AS (SELECT doc_id, text, source,
+         |  (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         |  + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS hb
+         |  FROM documents),
+         |toks AS (SELECT doc_id, hb, source, text,
+         |  CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS w
+         |  FROM b),
+         |feat AS (SELECT doc_id, hb, source, text, w,
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |       ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END AS pr,
+         |  CASE WHEN length(w) = 0 THEN 0.0
+         |       ELSE CAST(length(list_filter(w, x -> list_contains($sw, x))) AS DOUBLE) / length(w) END AS swr,
+         |  CASE WHEN length(w) = 0 THEN 0.0
+         |       ELSE CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / length(w) END AS awl,
+         |  CASE WHEN length(w) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END AS len_ok
+         |  FROM toks),
+         |corpus AS (SELECT doc_id, source, text, w FROM feat WHERE hb < 250
+         |  AND (least(swr * 4.0, 1.0) + (1.0 - least(pr * 5.0, 1.0)) + len_ok
+         |       + CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) / 4.0 >= 0.75),
+         |fp AS (SELECT doc_id, source, w,
+         |  md5(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), '\\s+', ' ', 'g'))) AS f
+         |  FROM corpus),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+         |dd AS (SELECT fp.doc_id, fp.source, fp.w FROM fp JOIN keep USING (doc_id)),
+         |csh AS (SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN length(w) < 4 THEN []
+         |         ELSE [array_to_string(list_slice(w, i+1, i+4), ' ') for i in range(0, length(w)-3)] END)) AS shingle
+         |  FROM dd),
+         |bsh AS (SELECT DISTINCT unnest(list_distinct(
+         |    CASE WHEN length(w) < 4 THEN []
+         |         ELSE [array_to_string(list_slice(w, i+1, i+4), ' ') for i in range(0, length(w)-3)] END)) AS shingle
+         |  FROM toks WHERE hb >= 250),
+         |contam AS (SELECT DISTINCT doc_id FROM csh JOIN bsh USING (shingle))
+         |SELECT doc_id, source FROM dd
+         |WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+         |ORDER BY doc_id""".stripMargin
+    },
+    "streaming ingest preprocessing: quality gate + decontamination + fingerprint-keyed dedup merge as one drain (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
-    s10, s11, s12, s13)
+    s10, s11, s12, s13, s14)
 }
