@@ -562,6 +562,43 @@ object Dedup {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Two-stage benchmark decontamination for eval sets too large to
+    * broadcast as ROWS — the 100 TB regime [[decontaminate]]'s broadcast
+    * set can't reach (a web-scale held-out set has billions of distinct
+    * shingles; its bloom is megabytes): a bloom filter of the benchmark
+    * shingles' 64-bit hashes ships to every task, the corpus stream is
+    * pre-filtered MAP-SIDE by the codegen'd [[graft.functions
+    * .BloomMightContain]] probe, and only the bloom-passing survivors (true
+    * matches + an fpp-bounded trickle) verify exactly against the benchmark
+    * shingles in an equi-join. Bloom filters have no false negatives and
+    * the verify join removes false positives (including any xxhash64
+    * collisions), so the result is EXACTLY [[decontaminate]]'s — which is
+    * why d28 shares d21's oracle. Scale shape: the corpus is never
+    * shuffled; the verify shuffle carries only the passing fraction. */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String, n: Int,
+                         fpp: Double = 0.01): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.ops.BloomPrune.register(spark)
+    val cs = docShingles(corpus, idCol, textCol, n)
+    val bs = docShingles(benchmark, idCol, textCol, n)
+      .select(col("shingle")).distinct().persist()
+    val nKeys = math.max(1L, bs.count())
+    // distributed build (treeAggregate) over the 64-bit shingle hashes —
+    // the driver only ever holds the final bitset
+    val bloom = bs.select(xxhash64(col("shingle")).as("h"))
+      .stat.bloomFilter("h", nKeys, fpp)
+    val survivors = cs.filter(call_function("bloom_might_contain",
+      xxhash64(col("shingle")), lit(graft.ops.BloomPrune.serialize(bloom))))
+    // eager-materialize the (small: flagged docs × 2 cols) result so the
+    // benchmark-shingle cache can be dropped before returning (d27 pattern)
+    val out = survivors.join(bs, Seq("shingle")) // exact verify
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .localCheckpoint(true)
+    bs.unpersist()
+    out
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * partition the embedding space into `nlist` centroid cells, then within
     * each cell drop every vector that has a LOWER-id cell-mate with cosine

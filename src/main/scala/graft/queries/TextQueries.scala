@@ -1216,6 +1216,27 @@ object TextQueries {
            |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin),
     "benchmark decontamination: n-gram overlap vs eval split (LLM-pipeline op)")
 
+  /** The 100 TB variant of d21 ([[Dedup.decontaminateBloom]]): when the
+    * eval set's distinct shingles outgrow a broadcast SET, ship their bloom
+    * (bits, not rows), pre-filter the corpus map-side with the codegen'd
+    * probe, and exact-verify the rare survivors. No false negatives + the
+    * verify join removing false positives ⇒ the result is exactly d21's,
+    * so the two rows share one oracle text — the hash match proves the
+    * bloom path changes the COST SHAPE, not the answer. */
+  val d28 = QueryDef(
+    "d28_decontaminate_bloom",
+    (spark, dir) => {
+      val byte = (id: Column) => conv(substring(md5(id.cast("string")), 1, 2), 16, 10)
+        .cast("int")
+      val docs = Tables.documents(spark, dir)
+      val corpus = docs.filter(byte(col("doc_id")) < 250)
+      val bench = docs.filter(byte(col("doc_id")) >= 250)
+      Dedup.decontaminateBloom(corpus, bench, "doc_id", "text", n = 4)
+        .orderBy(col("doc_id"))
+    },
+    d21.oracle,
+    "two-stage bloom decontamination: map-side prefilter + exact verify, == d21 (LLM-pipeline op)")
+
   /** Per-source quota capping (RefinedWeb/C4-style source balancing): keep
     * at most k documents per source, chosen by salted-hash order — an
     * unbiased deterministic draw, not "first k by id". Rides the skew-safe
@@ -1437,6 +1458,6 @@ object TextQueries {
 
   def defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
-      d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, m01,
-      m02, m03, m04, m05, m06, m07, m08)
+      d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
+      m01, m02, m03, m04, m05, m06, m07, m08)
 }

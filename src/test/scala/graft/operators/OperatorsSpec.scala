@@ -186,6 +186,23 @@ class OperatorsSpec extends SparkSpec {
     assert(got(1L) == 1L && got(3L) == 1L) // exactly one shared 3-gram each
   }
 
+  test("decontaminateBloom == decontaminate at any fpp (exactness is fpp-free)") {
+    val corpus = spark.read.parquet(s"$sf001/documents.parquet")
+      .select($"doc_id", $"text").filter($"doc_id" % 5 =!= 0)
+    val bench = spark.read.parquet(s"$sf001/documents.parquet")
+      .select($"doc_id", $"text").filter($"doc_id" % 5 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"doc_id").as[(Long, Long)].collect().toSeq
+    val exact = rows(Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 3))
+    assert(exact.nonEmpty, "fixture has no overlap — test has no teeth")
+    // tight AND absurdly loose fpp: the verify join must erase the
+    // difference — identical (doc_id, n_shared) rows in both cases
+    assert(rows(Dedup.decontaminateBloom(corpus, bench, "doc_id", "text",
+      n = 3, fpp = 0.01)) == exact)
+    assert(rows(Dedup.decontaminateBloom(corpus, bench, "doc_id", "text",
+      n = 3, fpp = 0.5)) == exact)
+  }
+
   // measured curve on the (near-random) testdata embeddings, probe 1..8 of
   // 8 supers: 0.47, 0.65, 0.76, 0.83, 0.90, 0.94, 0.98, 1.0 — clustered
   // real-world embeddings sit far above this floor because the coarse
