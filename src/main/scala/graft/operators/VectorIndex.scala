@@ -45,6 +45,23 @@ final class VectorIndex(spark: SparkSession, root: String,
     * [[graft.functions.NearestCellsExpr]], PQ codes via
     * [[graft.functions.PqEncodeExpr]], layout partitioned by cell. */
   def build(corpus: DataFrame): Unit = {
+    buildMeta(corpus)
+    val (cents, cb) = loadMeta()
+    val topCells = Similarity.topCellsOf(cents, VectorFunctions.cosineSim) _
+    corpus.select(col("vec_id"),
+        element_at(topCells(col("embedding"), 1), 1).getField("cell").as("cell"),
+        VectorFunctions.pqEncode(col("embedding"), cb, m, ksub, dsub).as("code"))
+      .repartition(col("cell")) // ~one file per cell partition
+      .write.mode("overwrite").partitionBy("cell").parquet(indexDir)
+  }
+
+  /** Train and persist ONLY the meta (centroids + codebook, v04/v09 stride
+    * rules) — the "index training" step. Data then arrives via [[append]]:
+    * the streaming-maintenance mode (s15) trains on a corpus sample and
+    * streams the corpus itself through foreachBatch appends; because codes
+    * are a pure function of (vector, frozen meta), the resulting index is
+    * bit-identical to a one-shot [[build]] regardless of batch split. */
+  def buildMeta(corpus: DataFrame): Unit = {
     VectorFunctions.register(spark)
     val cents = Similarity.strideCentroids(corpus, nlist)
     val samples = Similarity.strideCentroids(corpus, ksub)
@@ -54,12 +71,6 @@ final class VectorIndex(spark: SparkSession, root: String,
         (0 until dsub).map(d => row(sub * dsub + d))
       }
     }
-    val topCells = Similarity.topCellsOf(cents, VectorFunctions.cosineSim) _
-    corpus.select(col("vec_id"),
-        element_at(topCells(col("embedding"), 1), 1).getField("cell").as("cell"),
-        VectorFunctions.pqEncode(col("embedding"), cb, m, ksub, dsub).as("code"))
-      .repartition(col("cell")) // ~one file per cell partition
-      .write.mode("overwrite").partitionBy("cell").parquet(indexDir)
     import spark.implicits._
     val metaRows =
       cents.toSeq.map { case (i, v) => ("centroid", i, v) } :+

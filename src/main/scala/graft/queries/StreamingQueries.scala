@@ -768,6 +768,54 @@ object StreamingQueries {
     },
     "streaming ingest preprocessing: quality gate + decontamination + fingerprint-keyed dedup merge as one drain (LLM-pipeline op)")
 
+  /** STREAMING maintenance of the persisted vector index
+    * ([[graft.operators.VectorIndex]]): meta (centroids + codebook) is
+    * trained once and FROZEN — the real deployment shape (FAISS trains on a
+    * sample, then the corpus streams in) — and the corpus itself arrives as
+    * a file stream whose micro-batches append codes to their cell
+    * partitions via foreachBatch. Codes are a pure per-row function of
+    * (vector, frozen meta), so the streamed index is bit-identical to a
+    * one-shot build regardless of the batch split — which is why this row
+    * shares v12/v13's oracle: the hash match proves the STREAMED index
+    * answers queries exactly like the batch-built one. */
+  val s15 = QueryDef(
+    "s15_stream_index_maintenance",
+    (spark, dir) => {
+      import graft.functions.VectorFunctions
+      VectorFunctions.register(spark)
+      val emb = graft.sources.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      val srcDir = FixtureDirs.create("s15-emb-")
+      (0 until 3).foreach { i =>
+        val tmp = FixtureDirs.create(s"s15-part$i-")
+        emb.filter(col("vec_id") % 3 === i).coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val f = java.nio.file.Files.list(tmp)
+          .filter(_.toString.endsWith(".parquet")).findFirst().get()
+        java.nio.file.Files.move(f, srcDir.resolve(s"batch$i.parquet"))
+      }
+      val index = new graft.operators.VectorIndex(spark,
+        FixtureDirs.create("s15-index-").toString, nlist = 16)
+      index.buildMeta(emb) // train once, freeze
+      val stream = spark.readStream
+        .schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      withStreamConf(spark) {
+        val q = stream.writeStream
+          .option("checkpointLocation", newCkptDir())
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch((b: DataFrame, _: Long) => index.append(b))
+          .start()
+        q.awaitTermination()
+      }
+      index.query(emb.filter(col("vec_id") < 10), emb,
+          VectorFunctions.cosineSim, k = 5, nprobe = 4, shortlist = 50)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(VectorQueries.ivfPqOracle),
+    "streaming index maintenance: frozen meta + foreachBatch code appends == batch-built index (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
-    s10, s11, s12, s13, s14)
+    s10, s11, s12, s13, s14, s15)
 }

@@ -529,7 +529,7 @@ object VectorQueries {
     * assignment, ADC, and re-rank rules — so one SQL text verifies both;
     * what differs (and what v13 adds) is the STORAGE layout: the index
     * scan is partition-pruned to the probed cells (PlanAuditSpec). */
-  private val ivfPqOracle: String = {
+  private[queries] val ivfPqOracle: String = {
       val nlist = 16; val nprobe = 4; val shortlist = 50
       val ksub = 16; val dsub = 8
       val affCos = cosSql("e.emb", "cent.cemb")
