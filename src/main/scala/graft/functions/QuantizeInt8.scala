@@ -49,7 +49,57 @@ case class QuantizeInt8(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Vector twin of [[QuantizeInt8]]: the quantized components as
+  * `array<double>` of exact integer values (same maxabs/127 scale,
+  * same floor(x/scale + 0.5) rule) — the SQ8 representation the int8
+  * brute-force scorer (v14) ranks on. Integer values in doubles keep
+  * every downstream fold ([[CosineSimilarity]]'s sequential dot/norms)
+  * exact integer arithmetic far below 2^53, hence bit-identical across
+  * engines — the v11 insight applied to the SCORING domain. */
+case class QuantizeInt8Vec(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "quantize_int8_vec"
+
+  override def nullSafeEval(v: Any): Any =
+    QuantizeInt8.computeVec(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.QuantizeInt8.computeVec($v);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object QuantizeInt8 {
+  /** Static helper for [[QuantizeInt8Vec]]: quantized components as exact
+    * integer-valued doubles. */
+  def computeVec(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    var maxabs = 0.0
+    var i = 0
+    while (i < n) {
+      val a = java.lang.Math.abs(arr.getDouble(i))
+      if (a > maxabs) maxabs = a
+      i += 1
+    }
+    val scale = if (maxabs == 0.0) 0.0 else maxabs / 127
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      out(i) = if (scale == 0.0) 0.0
+               else java.lang.Math.floor(arr.getDouble(i) / scale + 0.5)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Static helper invoked from generated code. */
   def compute(arr: ArrayData): InternalRow = {
     val n = arr.numElements()

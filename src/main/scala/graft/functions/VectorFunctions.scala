@@ -14,6 +14,7 @@ object VectorFunctions {
   private val FuncName = "cosine_sim"
   private val LshName = "sign_lsh"
   private val QuantName = "quantize_int8"
+  private val QuantVecName = "quantize_int8_vec"
   private val CellsName = "nearest_cells"
   private val HierName = "hierarchical_cells"
   private val PqEncName = "pq_encode"
@@ -31,6 +32,8 @@ object VectorFunctions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       QuantName, exprs => QuantizeInt8(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      QuantVecName, exprs => QuantizeInt8Vec(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       CellsName, exprs => NearestCellsExpr(exprs(0),
         exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
@@ -87,6 +90,12 @@ object VectorFunctions {
     * compression — see [[QuantizeInt8]]. */
   def quantizeInt8(v: Column): Column =
     call_function(QuantName, v.cast("array<double>"))
+
+  /** Quantized components as exact integer-valued doubles
+    * ([[QuantizeInt8Vec]]) — the SQ8 scoring domain; call [[register]]
+    * first. */
+  def quantizeInt8Vec(v: Column): Column =
+    call_function(QuantVecName, v.cast("array<double>"))
 
   /** Int8 quantization from built-ins only (`aggregate` max-abs +
     * `transform` floor) — the no-extension fallback; identical semantics to

@@ -612,6 +612,45 @@ object VectorQueries {
     Some(ivfPqOracle),
     "persisted IVF-PQ index: partition-pruned probe, build once query many (LLM-pipeline op)")
 
+  /** SQ8 similarity search — the OTHER quantized scoring domain (FAISS
+    * `SQ8`, 4× memory vs float32, 8× vs float64; the middle ground between
+    * exact float (v02) and PQ's 128× (v09)): rank by cosine over the
+    * int8-quantized components. Per-vector max-abs scales cancel in
+    * cosine, so no dequantization is needed at query time; quantized
+    * components are exact integers carried in doubles, every fold stays
+    * exact integer arithmetic far below 2^53 (the v11 insight applied to
+    * SCORING), and the whole path — quantize, dot, norms, ranking — is
+    * bit-identical across engines with NO approximation in the oracle
+    * contract. Runs on the native [[graft.functions.QuantizeInt8Vec]] +
+    * [[graft.functions.CosineSimilarity]] expressions; OperatorsSpec pins
+    * recall vs the float baseline. */
+  val v14 = QueryDef(
+    "v14_ann_sq8",
+    (spark, dir) => {
+      VectorFunctions.register(spark)
+      val emb = Tables.embeddings(spark, dir).select(col("vec_id"),
+        VectorFunctions.quantizeInt8Vec(col("embedding")).as("embedding"))
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb,
+          VectorFunctions.cosineSim, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some {
+      val cos = cosSql("q.emb", "c.emb")
+      s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |mx AS (SELECT vec_id, emb, list_max(list_transform(emb, x -> abs(x))) AS maxabs FROM e0),
+         |e AS (SELECT vec_id, CASE WHEN maxabs = 0 THEN list_transform(emb, x -> 0.0)
+         |    ELSE list_transform(emb, x -> floor(x / (maxabs / 127) + 0.5)) END AS emb
+         |  FROM mx),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id, round($cos, 6) AS cos
+         |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+         |SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
+    "SQ8 similarity: int8-quantized cosine ranking, scales cancel, exact integer folds (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
-    v10, v11, v12, v13)
+    v10, v11, v12, v13, v14)
 }

@@ -186,6 +186,26 @@ class OperatorsSpec extends SparkSpec {
     assert(got(1L) == 1L && got(3L) == 1L) // exactly one shared 3-gram each
   }
 
+  test("SQ8 cosine ranking: high recall vs float brute force; exact cross-run") {
+    import graft.functions.VectorFunctions
+    VectorFunctions.register(spark)
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val qemb = emb.select($"vec_id",
+      VectorFunctions.quantizeInt8Vec($"embedding").as("embedding"))
+    def top(df: org.apache.spark.sql.DataFrame) =
+      Similarity.bruteForceTopK(df.filter($"vec_id" < 10), df,
+          VectorFunctions.cosineSim, 5)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val floatTop = top(emb)
+    val sq8Top = top(qemb)
+    // int8 quantization error is ~1/254 per component — top-5 should
+    // largely survive even on near-random worst-case vectors
+    val recall = (floatTop & sq8Top).size.toDouble / floatTop.size
+    assert(recall >= 0.7, s"SQ8 recall $recall")
+    assert(sq8Top == top(qemb), "SQ8 ranking must be deterministic")
+  }
+
   test("decontaminateBloom == decontaminate at any fpp (exactness is fpp-free)") {
     val corpus = spark.read.parquet(s"$sf001/documents.parquet")
       .select($"doc_id", $"text").filter($"doc_id" % 5 =!= 0)
