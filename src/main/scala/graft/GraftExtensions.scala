@@ -99,6 +99,11 @@ object GraftExtensions {
         e(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
           .toDoubleArray(),
         e(2).eval().asInstanceOf[Int], e(3).eval().asInstanceOf[Int])),
+    (FunctionIdentifier("nearest_cell_l2"), info("nearest_cell_l2", classOf[NearestCellL2Expr]),
+      (e: Seq[Expression]) => NearestCellL2Expr(e(0),
+        e(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toLongArray(),
+        intArg(e(2), "nearest_cell_l2", "dims"))),
     (FunctionIdentifier("hierarchical_cells"), info("hierarchical_cells", classOf[HierarchicalCellsExpr]),
       (e: Seq[Expression]) => {
         def dArr(i: Int) = e(i).eval()

@@ -16,6 +16,7 @@ object VectorFunctions {
   private val QuantName = "quantize_int8"
   private val QuantVecName = "quantize_int8_vec"
   private val CellsName = "nearest_cells"
+  private val CellL2Name = "nearest_cell_l2"
   private val HierName = "hierarchical_cells"
   private val PqEncName = "pq_encode"
   private val PqTabName = "pq_dist_table"
@@ -66,6 +67,12 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       PqAdcName, exprs => PqAdcExpr(exprs(0), exprs(1),
         exprs(2).eval().asInstanceOf[Int], exprs(3).eval().asInstanceOf[Int]),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      CellL2Name, exprs => NearestCellL2Expr(exprs(0),
+        exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toLongArray(),
+        exprs(2).eval().asInstanceOf[Int]),
       "built-in")
   }
 
@@ -118,6 +125,13 @@ object VectorFunctions {
                    take: Int): Column =
     call_function(CellsName, v.cast("array<double>"),
       typedlit(flatCents), lit(dims), lit(take))
+
+  /** Nearest cell by exact integer squared-L2 on the int8-quantized domain
+    * ([[NearestCellL2Expr]] — map-only Lloyd assignment, no join/shuffle);
+    * call [[register]] first. */
+  def nearestCellL2(v: Column, flatCents: Seq[Long], dims: Int): Column =
+    call_function(CellL2Name, v.cast("array<bigint>"),
+      typedlit(flatCents), lit(dims))
 
   /** Two-level centroid assignment ([[HierarchicalCellsExpr]]); call
     * [[register]] first. Layout contract documented on the expression. */

@@ -451,17 +451,16 @@ object VectorQueries {
         .filter(col("vec_id") % stride === 0).orderBy(col("vec_id")).limit(k)
         .collect().zipWithIndex
         .map { case (r, i) => (i, r.getSeq[Long](1)) }
-      import spark.implicits._
+      // Map-only native argmin (NearestCellL2Expr): replaces the former
+      // crossJoin × nlist + row_number window — each assignment pass was a
+      // corpus-wide shuffle; now it's a narrow projection. Exact integer
+      // arithmetic keeps it bit-identical to the composition AND the oracle.
+      graft.functions.VectorFunctions.register(spark)
       def assign(c: Array[(Int, Seq[Long])]): org.apache.spark.sql.DataFrame = {
-        val centDf = broadcast(c.toSeq.toDF("cell", "cv"))
-        val dist = aggregate(
-          zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
-          lit(0L), _ + _)
-        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
-          .orderBy(col("dist").asc, col("cell").asc)
-        qv.crossJoin(centDf).withColumn("dist", dist)
-          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .select(col("vec_id"), col("cell"))
+        val flat = c.sortBy(_._1).flatMap(_._2).toIndexedSeq
+        qv.select(col("vec_id"),
+          graft.functions.VectorFunctions.nearestCellL2(col("v"), flat, dims)
+            .as("cell"))
       }
       val a1 = assign(cents)
       val means = a1.join(qv, Seq("vec_id"))

@@ -32,6 +32,8 @@ class GraftExtensionsSpec extends SparkSpec {
           |  interleave_bits(3, 1) AS z,
           |  nearest_cells(array(1.0d, 0.0d),
           |    array(1.0d, 0.0d, 0.0d, 1.0d), 2, 1)[0].cell AS cell,
+          |  nearest_cell_l2(array(1L, 9L),
+          |    array(0L, 0L, 0L, 10L), 2) AS l2cell,
           |  hierarchical_cells(array(0.0d, 1.0d),
           |    array(1.0d, 0.0d, 0.0d, 1.0d),
           |    array(1.0d, 0.0d, 0.0d, 1.0d),
@@ -45,7 +47,8 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(row.getLong(5) >= 0 && row.getLong(5) < 256)
       assert(row.getLong(6) == 7L)   // morton(3,1): a bits 0,2 + b bit 1
       assert(row.getInt(7) == 0)     // x-axis query → cell 0
-      assert(row.getInt(8) == 1)     // y-axis query → super 1 → cell 1
+      assert(row.getInt(8) == 1)     // (1,9) nearer (0,10) → L2 cell 1
+      assert(row.getInt(9) == 1)     // y-axis query → super 1 → cell 1
       // sketch aggregates resolve from pure SQL (the ScalaAggregator bridge):
       // 100 distinct keys < k=256 → KMV estimate is exactly the distinct
       // count; HLL lands within its 256-register error band; CMS counter
