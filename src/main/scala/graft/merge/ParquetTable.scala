@@ -30,27 +30,59 @@ import org.apache.spark.sql.types.{IntegerType, StructType}
   * At cluster scale the same protocol works over any filesystem with atomic
   * rename (HDFS, most object-store committers); the swap cost is O(1) per
   * touched bucket because data files are never copied.
+  *
+  * ==Time travel (`keepVersions > 0`)==
+  * The Delta `VERSION AS OF` analog: each [[overwrite]]/[[merge]] cuts a new
+  * version, and the previous `current` is RETIRED INTO `root/.v-<gen>`
+  * instead of deleted (rename only — no data copied). [[readVersion]] reads
+  * a retained version, [[history]] lists what is readable, and retention
+  * prunes to the newest `keepVersions` retained dirs. Each written tree
+  * carries a `_gen` marker file (underscore-prefixed → invisible to Spark's
+  * file index) so version identity survives process restarts.
+  *
+  * Unbucketed tables only: a bucketed merge swaps individual bucket
+  * directories, so its historical state is an OVERLAY of per-bucket
+  * generations — reconstructing "the table as of version v" needs a commit
+  * log mapping versions to file sets, which is precisely the Delta/Iceberg
+  * metadata design and out of scope for this directory-swap table. The
+  * constructor rejects the combination loudly rather than serving wrong
+  * history.
   */
 final class ParquetTable(spark: SparkSession, root: String, schema: StructType,
-                         bucketBy: Option[(Seq[String], Int)] = None) {
+                         bucketBy: Option[(Seq[String], Int)] = None,
+                         keepVersions: Int = 0) {
+  require(keepVersions == 0 || bucketBy.isEmpty,
+    "time travel (keepVersions > 0) requires an unbucketed table: bucketed " +
+      "merges swap per-bucket, so version reconstruction needs a commit log " +
+      "(the Delta design) — see the class scaladoc")
   private val rootPath: Path = Paths.get(root)
   private val current: Path = rootPath.resolve("current")
 
   Files.createDirectories(rootPath)
 
-  // Resume generation numbering past any .staging-*/.retired-* left by a
-  // crashed run: starting at 0 would make the next swap's ATOMIC_MOVE hit
-  // FileAlreadyExistsException on the leftover directory and wedge the table.
-  // Leftovers are kept (not auto-deleted) — a crash mid-swapBuckets leaves a
-  // mixed-generation table whose recovery is an operator decision; the
-  // bucketed swap is per-bucket atomic, not all-or-nothing (see [[merge]]).
+  // declared before `gen` — its initializer reads the marker
+  private val GenMarker = "_gen"
+  private def markerOf(dir: Path): Option[Long] = {
+    val m = dir.resolve(GenMarker)
+    if (Files.exists(m)) Some(new String(Files.readAllBytes(m), "UTF-8").trim.toLong)
+    else None
+  }
+
+  // Resume generation numbering past any .staging-*/.retired-*/.v-* left by
+  // a crashed or prior run: starting at 0 would make the next swap's
+  // ATOMIC_MOVE hit FileAlreadyExistsException on the leftover directory and
+  // wedge the table. Leftovers are kept (not auto-deleted) — a crash
+  // mid-swapBuckets leaves a mixed-generation table whose recovery is an
+  // operator decision; the bucketed swap is per-bucket atomic, not
+  // all-or-nothing (see [[merge]]).
   @volatile private var gen: Long = {
     import scala.jdk.CollectionConverters._
-    val GenDir = """\.(?:staging|retired)-(\d+)""".r
+    val GenDir = """\.(?:staging|retired|v)-(\d+)""".r
     Files.list(rootPath).iterator().asScala
       .map(_.getFileName.toString)
       .collect { case GenDir(n) => n.toLong }
       .foldLeft(0L)(math.max)
+      .max(markerOf(current).getOrElse(0L))
   }
 
   private val BucketCol = "__bucket"
@@ -102,11 +134,58 @@ final class ParquetTable(spark: SparkSession, root: String, schema: StructType,
     gen += 1
     val staging = rootPath.resolve(s".staging-$gen")
     writeTo(df, staging, SaveMode.Overwrite)
-    val retired = rootPath.resolve(s".retired-$gen")
-    if (Files.exists(current))
-      Files.move(current, retired, StandardCopyOption.ATOMIC_MOVE)
+    if (keepVersions > 0)
+      Files.write(staging.resolve(GenMarker), gen.toString.getBytes("UTF-8"))
+    if (Files.exists(current)) {
+      val prev = markerOf(current).getOrElse(0L)
+      if (keepVersions > 0 && prev > 0)
+        // retain: rename-only retirement into the version store
+        Files.move(current, rootPath.resolve(s".v-$prev"),
+          StandardCopyOption.ATOMIC_MOVE)
+      else {
+        val retired = rootPath.resolve(s".retired-$gen")
+        Files.move(current, retired, StandardCopyOption.ATOMIC_MOVE)
+        cleanup(retired)
+      }
+    }
     Files.move(staging, current, StandardCopyOption.ATOMIC_MOVE)
-    cleanup(retired)
+    pruneVersions()
+  }
+
+  /** Generation number of the live table (0 = never overwritten or history
+    * disabled before the first retained write). */
+  def currentVersion: Long = markerOf(current).getOrElse(0L)
+
+  /** Readable versions, ascending — retained `.v-*` dirs plus the live one. */
+  def history(): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    val VDir = """\.v-(\d+)""".r
+    val retained = Files.list(rootPath).iterator().asScala
+      .map(_.getFileName.toString).collect { case VDir(n) => n.toLong }.toSeq
+    (retained ++ Some(currentVersion).filter(_ > 0)).sorted
+  }
+
+  /** Read the table as of version `v` (Delta `VERSION AS OF` analog). Fails
+    * loudly for versions never cut or already pruned by retention. */
+  def readVersion(v: Long): DataFrame = {
+    if (v == currentVersion) read()
+    else {
+      val dir = rootPath.resolve(s".v-$v")
+      require(Files.exists(dir),
+        s"version $v not available; readable versions: ${history().mkString(", ")}")
+      spark.read.schema(diskSchema).parquet(dir.toString)
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    }
+  }
+
+  /** Retention: keep only the newest `keepVersions` retained dirs. */
+  private def pruneVersions(): Unit = if (keepVersions > 0) {
+    import scala.jdk.CollectionConverters._
+    val VDir = """\.v-(\d+)""".r
+    Files.list(rootPath).iterator().asScala
+      .map(_.getFileName.toString).collect { case VDir(n) => n.toLong }
+      .toSeq.sorted.dropRight(keepVersions)
+      .foreach(v => cleanup(rootPath.resolve(s".v-$v")))
   }
 
   /** Swap only the bucket subdirectories in `buckets`; other live bucket

@@ -173,5 +173,63 @@ object MergeQueries {
            |ORDER BY l_returnflag, l_linestatus""".stripMargin),
     "M5 explicit-column-list upsert (ref Gold/06-gold.py:31-80)")
 
-  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5)
+  /** Time travel over the versioned [[graft.merge.ParquetTable]] — the
+    * lakehouse `VERSION AS OF` capability as a verified row. A real table is
+    * written through three version cuts (overwrite, M1 insert-only merge, M4
+    * SCD1 merge — each the verbatim semantics of q08/q09), then EVERY
+    * readable version is read back via `readVersion` and summarized. The
+    * oracle recomputes the three historical states in CTEs, so a hash match
+    * proves the version store returns each HISTORICAL state exactly — not
+    * the current one, not a mix.
+    *
+    * Scale: versions are rename-retired (no data copied); the per-version
+    * summary is one agg each over a partition-parallel parquet scan. The
+    * driver fold is over `history()` — bounded by retention, O(versions). */
+  val tt = QueryDef(
+    "q49_time_travel",
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+      val root = FixtureDirs.create("q49-tt-").toString
+      val t = new graft.merge.ParquetTable(spark, s"$root/orders_v", o.schema,
+        keepVersions = 4)
+      val target = o.filter(col("o_orderdate") < lit("1995-01-01").cast("timestamp"))
+      val batch1 = o.filter(col("o_totalprice") > 150000)
+      val batch2 = o.filter(col("o_orderstatus") === "F")
+        .withColumn("o_totalprice", round(col("o_totalprice") + 1000, 2))
+        .withColumn("o_orderstatus", lit("R"))
+      t.overwrite(target)                                                 // v1
+      t.merge(batch1)((cur, b) => Merge.insertOnly(cur, b, Seq("o_orderkey"))) // v2
+      t.merge(batch2)((cur, b) => Merge.scd1(cur, b, Seq("o_orderkey")))  // v3
+      t.history().map { v =>
+        t.readVersion(v).agg(
+            count(lit(1)).as("n"),
+            round(sum(col("o_totalprice")), 2).as("sum_price"))
+          .select(lit(v.toInt).as("version"), col("n"), col("sum_price"))
+      }.reduce(_.union(_)).orderBy(col("version"))
+    },
+    Some("""WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders),
+           |v1 AS (SELECT * FROM o WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'),
+           |b1 AS (SELECT * FROM o WHERE o_totalprice > 150000),
+           |v2 AS (SELECT * FROM v1
+           |  UNION ALL
+           |  SELECT * FROM b1 b
+           |  WHERE NOT EXISTS (SELECT 1 FROM v1 t WHERE t.o_orderkey = b.o_orderkey)),
+           |b2 AS (SELECT o_orderkey, 'R' AS o_orderstatus,
+           |              round(o_totalprice + 1000, 2) AS o_totalprice, o_orderdate
+           |       FROM o WHERE o_orderstatus = 'F'),
+           |v3 AS (SELECT * FROM b2
+           |  UNION ALL
+           |  SELECT * FROM v2
+           |  WHERE NOT EXISTS (SELECT 1 FROM b2 b WHERE b.o_orderkey = v2.o_orderkey)),
+           |s AS (
+           |  SELECT 1 AS version, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price FROM v1
+           |  UNION ALL
+           |  SELECT 2, count(*), round(sum(o_totalprice), 2) FROM v2
+           |  UNION ALL
+           |  SELECT 3, count(*), round(sum(o_totalprice), 2) FROM v3)
+           |SELECT version, n, sum_price FROM s ORDER BY version""".stripMargin),
+    "Lakehouse time travel: versioned rename-swap table, VERSION AS OF reads (Delta analog)")
+
+  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt)
 }
