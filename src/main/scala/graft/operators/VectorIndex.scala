@@ -39,6 +39,7 @@ final class VectorIndex(spark: SparkSession, root: String,
   private val dsub = dims / m
   private val indexDir = s"$root/index"
   private val metaDir = s"$root/meta"
+  private val tombDir = s"$root/tombstones"
 
   /** Build the index from `corpus` (vec_id, embedding): stride-sampled
     * centroids + codebook (v04/v09 rules), cell assignment via the native
@@ -95,6 +96,55 @@ final class VectorIndex(spark: SparkSession, root: String,
       .write.mode("append").partitionBy("cell").parquet(indexDir)
   }
 
+  /** Logical delete — the Delta deletion-vector / FAISS `IDSelector`
+    * analog: ids are appended to a tombstone side-table and [[query]] masks
+    * candidates against it (broadcast anti-join — the set is assumed small
+    * relative to the corpus; when it grows, [[vacuum]] folds it in).
+    * O(|ids|) write; no index file is touched. */
+  def delete(ids: DataFrame): Unit =
+    ids.select(col("vec_id")).write.mode("append").parquet(tombDir)
+
+  private def tombstones: Option[DataFrame] =
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(tombDir)))
+      Some(spark.read.parquet(tombDir))
+    else None
+
+  /** Physically remove tombstoned codes: rewrite ONLY the cell partitions
+    * that contain deleted ids (staging write + per-partition dir swap — the
+    * [[graft.merge.ParquetTable]] bucketed-swap shape; untouched cells keep
+    * their files byte-identical), then drop the tombstone set. A cell whose
+    * codes are all deleted simply loses its partition directory. Queries
+    * before and after vacuum return identical results — vacuum changes the
+    * COST of masking (anti-join per query → nothing), not the answer. */
+  def vacuum(): Unit = tombstones.foreach { ts =>
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tsB = broadcast(ts)
+    val idx = spark.read.parquet(indexDir)
+    val touched = idx.join(tsB, Seq("vec_id"))
+      .select(col("cell")).distinct().collect().map(_.getInt(0)).sorted
+    def deleteRec(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+    if (touched.nonEmpty) {
+      val staging = Paths.get(root, ".vacuum-staging")
+      deleteRec(staging)
+      idx.filter(col("cell").isin(touched.map(Integer.valueOf).toSeq: _*))
+        .join(tsB, Seq("vec_id"), "left_anti")
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
+      touched.foreach { c =>
+        val live = Paths.get(indexDir, s"cell=$c")
+        val next = staging.resolve(s"cell=$c")
+        deleteRec(live)
+        if (Files.exists(next))
+          Files.move(next, live, StandardCopyOption.ATOMIC_MOVE)
+      }
+      deleteRec(staging)
+    }
+    deleteRec(Paths.get(tombDir))
+  }
+
   private def loadMeta(): (Array[(Int, Seq[Double])], Seq[Double]) = {
     val rows = spark.read.parquet(metaDir).collect()
     val cents = rows.filter(_.getString(0) == "centroid")
@@ -120,8 +170,12 @@ final class VectorIndex(spark: SparkSession, root: String,
     // union of probed cells: bounded driver state (≤ nlist ints) — this is
     // what turns the index scan into a partition-pruned read
     val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0))
-    val idx = spark.read.parquet(indexDir)
+    val scan = spark.read.parquet(indexDir)
       .filter(col("cell").isin(probed.map(Integer.valueOf).toSeq: _*))
+    // tombstone mask (see [[delete]]): broadcast anti-join on the pruned
+    // scan — cost proportional to the probed cells, not the index
+    val idx = tombstones.fold(scan)(ts =>
+      scan.join(broadcast(ts), Seq("vec_id"), "left_anti"))
     val cand = q.join(idx, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("adist",

@@ -813,7 +813,7 @@ object StreamingQueries {
           VectorFunctions.cosineSim, k = 5, nprobe = 4, shortlist = 50)
         .orderBy(col("query_id"), col("rank"))
     },
-    Some(VectorQueries.ivfPqOracle),
+    Some(VectorQueries.ivfPqOracle()),
     "streaming index maintenance: frozen meta + foreachBatch code appends == batch-built index (LLM-pipeline op)")
 
   def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,

@@ -528,7 +528,7 @@ object VectorQueries {
     * assignment, ADC, and re-rank rules — so one SQL text verifies both;
     * what differs (and what v13 adds) is the STORAGE layout: the index
     * scan is partition-pruned to the probed cells (PlanAuditSpec). */
-  private[queries] val ivfPqOracle: String = {
+  private[queries] def ivfPqOracle(candFilter: String = ""): String = {
       val nlist = 16; val nprobe = 4; val shortlist = 50
       val ksub = 16; val dsub = 8
       val affCos = cosSql("e.emb", "cent.cemb")
@@ -560,7 +560,7 @@ object VectorQueries {
          |  FROM probes p JOIN assign s ON s.cell = p.cell
          |  JOIN enc t ON t.vec_id = s.vec_id
          |  JOIN dist qd ON qd.vec_id = p.query_id AND qd.sub = t.sub AND qd.c = t.c
-         |  WHERE s.vec_id <> p.query_id),
+         |  WHERE s.vec_id <> p.query_id$candFilter),
          |adc AS (SELECT query_id, vec_id, round(list_sum(list(d ORDER BY sub)), 6) AS adist
          |  FROM parts GROUP BY query_id, vec_id),
          |short AS (SELECT query_id, vec_id FROM (
@@ -584,7 +584,7 @@ object VectorQueries {
           nlist = 16, nprobe = 4, shortlist = 50)
         .orderBy(col("query_id"), col("rank"))
     },
-    Some(ivfPqOracle),
+    Some(ivfPqOracle()),
     "deployed ANN composition: IVF probe x PQ-ADC x exact re-rank, one plan (LLM-pipeline op)")
 
   /** The PERSISTED deployment of the same composition
@@ -608,7 +608,7 @@ object VectorQueries {
           VectorFunctions.cosineSim, k = 5, nprobe = 4, shortlist = 50)
         .orderBy(col("query_id"), col("rank"))
     },
-    Some(ivfPqOracle),
+    Some(ivfPqOracle()),
     "persisted IVF-PQ index: partition-pruned probe, build once query many (LLM-pipeline op)")
 
   /** SQ8 similarity search — the OTHER quantized scoring domain (FAISS
@@ -650,6 +650,33 @@ object VectorQueries {
     },
     "SQ8 similarity: int8-quantized cosine ranking, scales cancel, exact integer folds (LLM-pipeline op)")
 
+  /** Deletion support for the persisted index — the maintenance operation
+    * s15's append story leaves open. [[graft.operators.VectorIndex.delete]]
+    * appends ids to a tombstone side-table (the Delta deletion-vector /
+    * FAISS IDSelector analog; O(|ids|), no index file touched) and the
+    * query masks candidates with a broadcast anti-join on the
+    * partition-pruned scan; `vacuum()` later folds the set in by rewriting
+    * only the touched cell partitions (VectorIndexSpec pins tombstone ≡
+    * vacuumed results and untouched-partition byte-identity). Oracle =
+    * the composed v12/v13 CTE chain with deleted ids excluded from the
+    * CANDIDATE side only — deleted vectors still issue queries, exactly
+    * the index semantics. */
+  val v15 = QueryDef(
+    "v15_ann_index_delete",
+    (spark, dir) => {
+      VectorFunctions.register(spark)
+      val emb = Tables.embeddings(spark, dir)
+      val index = new graft.operators.VectorIndex(spark,
+        FixtureDirs.create("v15-index-").toString, nlist = 16)
+      index.build(emb)
+      index.delete(emb.filter(col("vec_id") % 7 === 0).select(col("vec_id")))
+      index.query(emb.filter(col("vec_id") < 10), emb,
+          VectorFunctions.cosineSim, k = 5, nprobe = 4, shortlist = 50)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(ivfPqOracle(" AND s.vec_id % 7 <> 0")),
+    "persisted-index deletes: tombstone mask at query, vacuum folds in (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
-    v10, v11, v12, v13, v14)
+    v10, v11, v12, v13, v14, v15)
 }

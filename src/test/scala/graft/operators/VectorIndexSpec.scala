@@ -74,4 +74,67 @@ class VectorIndexSpec extends SparkSpec {
     assert(got.exists(_ % 2 == 0) && got.exists(_ % 2 == 1),
       s"results only cover one half: ${got.toSeq}")
   }
+
+  test("delete masks candidates; vacuum folds in without changing results") {
+    VectorFunctions.register(spark)
+    val root = Files.createTempDirectory("vidx-del-")
+    val idx = new VectorIndex(spark, root.toString)
+    idx.build(emb)
+    val q = emb.filter(col("vec_id") < 10)
+    def run() = rows(idx.query(q, emb, VectorFunctions.cosineSim,
+      k = 5, nprobe = 4, shortlist = 50))
+    val before = run()
+    // delete a few ids that ARE in the current results: guarantees the
+    // masking is observable AND touches only a handful of cells (the
+    // partition-scoped-vacuum assertion below needs untouched cells)
+    val dead = before.map(_._2).distinct.take(3).toSet
+    idx.delete(dead.toSeq.toDF("vec_id"))
+    val masked = run()
+    assert(masked != before, "delete changed nothing (degenerate fixture)")
+    assert(masked.forall { case (_, vid, _, _) => !dead(vid) },
+      "tombstoned id surfaced in results")
+    // untouched cells must survive vacuum byte-identical
+    def cellFiles(): Map[String, Seq[(String, Long)]] = {
+      val index = root.resolve("index")
+      import scala.jdk.CollectionConverters._
+      Files.list(index).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("cell="))
+        .map { p =>
+          p.getFileName.toString ->
+            Files.list(p).iterator().asScala
+              .map(f => (f.getFileName.toString, Files.size(f)))
+              .toSeq.sortBy(_._1)
+        }.toMap
+    }
+    val before2 = cellFiles()
+    idx.vacuum()
+    // tombstone dir is gone, results unchanged: vacuum moved the masking
+    // cost from query time to storage, not the answer
+    assert(!Files.exists(root.resolve("tombstones")))
+    assert(run() == masked)
+    // cells that held no deleted ids kept their exact files
+    val after2 = cellFiles()
+    val leftover = spark.read.parquet(root.resolve("index").toString)
+      .filter(col("vec_id").isin(dead.toSeq: _*)).count()
+    assert(leftover == 0, "vacuum left deleted codes behind")
+    val unchanged = before2.keySet.intersect(after2.keySet)
+      .filter(k => before2(k) == after2(k))
+    assert(unchanged.nonEmpty, "every cell was rewritten — vacuum is not partition-scoped")
+  }
+
+  test("vacuum removes an all-deleted cell's partition directory") {
+    VectorFunctions.register(spark)
+    val root = Files.createTempDirectory("vidx-del-all-")
+    val idx = new VectorIndex(spark, root.toString)
+    idx.build(emb)
+    // delete EVERY vector of one populated cell
+    val assigned = spark.read.parquet(root.resolve("index").toString)
+    val someCell = assigned.groupBy(col("cell")).count()
+      .orderBy(col("count"), col("cell")).select(col("cell"))
+      .first().getInt(0)
+    idx.delete(assigned.filter(col("cell") === someCell).select(col("vec_id")))
+    idx.vacuum()
+    assert(!Files.exists(root.resolve("index").resolve(s"cell=$someCell")),
+      "emptied cell partition dir not removed")
+  }
 }
