@@ -816,6 +816,55 @@ object StreamingQueries {
     Some(VectorQueries.ivfPqOracle()),
     "streaming index maintenance: frozen meta + foreachBatch code appends == batch-built index (LLM-pipeline op)")
 
+  /** STREAMING sketch maintenance — the [[graft.functions.Sketches.Kmv]]
+    * mergeable aggregate running INSIDE a watermarked tumbling-window agg:
+    * per-day distinct-user estimates maintained by the state store (the
+    * partial KMV buffer — ≤k sorted hashes — IS the window's state, merged
+    * incrementally per micro-batch), emitted in append mode as windows
+    * close. The streaming dashboard pattern at 100 TB: per-window state is
+    * O(k), never O(distinct), and closed windows leave the store. k=16 so
+    * real windows saturate the buffer and exercise the ESTIMATE math (not
+    * the exact-count underflow path); estimate is bit-identical across
+    * engines per the q30 dyadic-rational rule, emission mirrors s12's
+    * append cutoff in exact µs. */
+  val s16 = QueryDef(
+    "s16_stream_windowed_sketch",
+    (spark, dir) => drain(spark, dir, "append") { ev =>
+      val kmv = udaf(new graft.functions.Sketches.Kmv(16),
+        org.apache.spark.sql.Encoders.STRING)
+      ev.withWatermark("ts_utc", "0 seconds")
+        .groupBy(window(col("ts_utc"), "1 day"))
+        .agg(kmv(md5(col("user_id").cast("string"))).as("kmv_users"),
+          count(lit(1)).as("n_events"))
+        .select(unix_micros(col("window.start")).as("day_start_us"),
+          col("kmv_users"), col("n_events"))
+    }.orderBy(col("day_start_us")),
+    Some {
+      val nibbleSum = (1 to 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(kth, $i, 1)) - 1) / ${math.pow(16.0, i)}")
+        .mkString(" + ")
+      s"""WITH $evCte,
+         |w AS (SELECT (ts_us // 86400000000) * 86400000000 AS day_start_us,
+         |             md5(CAST(user_id AS VARCHAR)) AS h
+         |      FROM ev),
+         |hd AS (SELECT DISTINCT day_start_us, h FROM w),
+         |top AS (SELECT day_start_us, h FROM hd
+         |  QUALIFY row_number() OVER (PARTITION BY day_start_us ORDER BY h) <= 16),
+         |k AS (SELECT day_start_us, max(h) AS kth, count(*) AS n_h
+         |      FROM top GROUP BY 1),
+         |n AS (SELECT (ts_us // 86400000000) * 86400000000 AS day_start_us,
+         |             count(*) AS n_events
+         |      FROM ev GROUP BY 1)
+         |SELECT k.day_start_us AS day_start_us,
+         |  CASE WHEN n_h < 16 THEN CAST(n_h AS DOUBLE)
+         |       ELSE 15 / ($nibbleSum) END AS kmv_users,
+         |  n.n_events
+         |FROM k JOIN n ON k.day_start_us = n.day_start_us
+         |WHERE k.day_start_us + 86400000000 <= (SELECT max(ts_us) FROM ev)
+         |ORDER BY k.day_start_us""".stripMargin
+    },
+    "streaming KMV sketch per tumbling window: O(k) state, append emission (sketch + streaming compose)")
+
   def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
-    s10, s11, s12, s13, s14, s15)
+    s10, s11, s12, s13, s14, s15, s16)
 }
