@@ -97,6 +97,20 @@ class PlanAuditSpec extends SparkSpec {
       s"index scan reads embeddings:\n$idxRead")
   }
 
+  test("v15: tombstone mask is a broadcast anti-join on the pruned scan") {
+    val p = planOf("v15_ann_index_delete")
+    // deletion must not cost the index its storage-level pruning…
+    p.linesIterator.find(l =>
+      l.contains("PartitionFilters") && l.contains("cell")).getOrElse(
+      fail(s"no partition-filtered scan in v15:\n$p"))
+    // …and the mask itself must be a BROADCAST LeftAnti — a shuffled anti
+    // join would move the probed cells' codes for a tombstone set that is
+    // small by design (vacuum exists for when it is not)
+    val anti = p.linesIterator.find(_.contains("LeftAnti")).getOrElse(
+      fail(s"no anti-join mask in v15:\n$p"))
+    assert(anti.contains("Broadcast"), s"tombstone mask shuffled:\n$anti")
+  }
+
   test("d25/d26: bounded-side joins are broadcasts, not shuffles") {
     // d25's trigram-DF join-back (vocabulary charset-bounded) and d26's
     // quota join (#sources-bounded) must both plan as broadcast hash
