@@ -178,6 +178,54 @@ final class ParquetTable(spark: SparkSession, root: String, schema: StructType,
     }
   }
 
+  /** Change data feed between two readable versions (Delta
+    * `table_changes(from, to)` analog): for every adjacent version pair in
+    * `(fromV, toV]` emit the row-level delta, tagged `_change_type` ∈
+    * {insert, delete, update_preimage, update_postimage} and
+    * `_commit_version` = the later version of the pair.
+    *
+    * This directory-swap table has no commit log recording row-level
+    * changes, so the feed is computed as a keyed SNAPSHOT DIFF — the same
+    * strategy Iceberg's `create_changelog_view` uses for copy-on-write
+    * tables: per pair, one full-outer shuffle join of the two snapshots on
+    * `keys`, unmatched-left → delete, unmatched-right → insert, matched
+    * with any non-key difference → pre+post image pair. Cost is
+    * O(|v| + |v+1|) per pair, fully partition-parallel, no driver state;
+    * a log-backed CDF (Delta's) reads only changed files, which is exactly
+    * the metadata this table's scaladoc scopes out. `keys` must be a
+    * primary key of every version involved (all [[Merge]] flavors keep key
+    * uniqueness); duplicate keys within a snapshot would fan the join out.
+    *
+    * The classification runs in ONE pass over the joined pair: each row
+    * emits an array of 0–2 tagged images (unchanged matches are filtered by
+    * null-safe struct equality before the explode), so no branch re-reads
+    * the join. */
+  def changes(fromV: Long, toV: Long, keys: Seq[String]): DataFrame = {
+    val vs = history().filter(v => v >= fromV && v <= toV)
+    require(vs.headOption.contains(fromV) && vs.lastOption.contains(toV) && fromV < toV,
+      s"changes($fromV, $toV) needs both endpoints readable and fromV < toV; " +
+        s"readable versions: ${history().mkString(", ")}")
+    val dataCols = schema.fieldNames.toIndexedSeq
+    vs.sliding(2).map { case Seq(a, b) =>
+      val pre  = readVersion(a).select(keys.map(col) :+
+        struct(dataCols.map(col): _*).as("_pre"): _*)
+      val post = readVersion(b).select(keys.map(col) :+
+        struct(dataCols.map(col): _*).as("_post"): _*)
+      pre.join(post, keys, "full_outer")
+        .filter(!(col("_pre") <=> col("_post"))) // drops unchanged matches; null <=> row is false
+        .select(explode(
+          when(col("_pre").isNull,
+            array(struct(col("_post").as("img"), lit("insert").as("ct"))))
+          .when(col("_post").isNull,
+            array(struct(col("_pre").as("img"), lit("delete").as("ct"))))
+          .otherwise(array(
+            struct(col("_pre").as("img"), lit("update_preimage").as("ct")),
+            struct(col("_post").as("img"), lit("update_postimage").as("ct"))))).as("e"))
+        .select(col("e.img.*"), col("e.ct").as("_change_type"),
+          lit(b).as("_commit_version"))
+    }.reduce(_.union(_))
+  }
+
   /** Retention: keep only the newest `keepVersions` retained dirs. */
   private def pruneVersions(): Unit = if (keepVersions > 0) {
     import scala.jdk.CollectionConverters._

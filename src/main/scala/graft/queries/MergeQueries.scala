@@ -231,5 +231,111 @@ object MergeQueries {
            |SELECT version, n, sum_price FROM s ORDER BY version""".stripMargin),
     "Lakehouse time travel: versioned rename-swap table, VERSION AS OF reads (Delta analog)")
 
-  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt)
+  /** Change data feed over the same versioned table as q49, extended with a
+    * delete-where cut (v4) so every `_change_type` appears: v1 overwrite,
+    * v2 M1 insert-only (inserts), v3 M4 SCD1 (updates), v4 delete-where
+    * (deletes). [[graft.merge.ParquetTable.changes]] computes the per-pair
+    * keyed snapshot diff; the oracle recomputes each version state in CTEs
+    * (q49's, verified) and re-states the diff as NOT EXISTS / join pairs.
+    * A hash match proves the feed reports EXACTLY the row-level delta of
+    * every commit — images, types, and commit attribution.
+    *
+    * Scale: three full-outer key joins (one per adjacent pair), each a
+    * plain equi-shuffle; output ordered by (version, type, key). The price
+    * column changed by SCD1 is compared within-engine only (both engines
+    * agree on equality of their own arithmetic); emitted doubles are q49's
+    * round-2 values, already proven hash-stable. */
+  val cdf = QueryDef(
+    "q50_change_data_feed",
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+      val root = FixtureDirs.create("q50-cdf-").toString
+      val t = new graft.merge.ParquetTable(spark, s"$root/orders_v", o.schema,
+        keepVersions = 5)
+      val target = o.filter(col("o_orderdate") < lit("1995-01-01").cast("timestamp"))
+      val batch1 = o.filter(col("o_totalprice") > 150000)
+      val batch2 = o.filter(col("o_orderstatus") === "F")
+        .withColumn("o_totalprice", round(col("o_totalprice") + 1000, 2))
+        .withColumn("o_orderstatus", lit("R"))
+      t.overwrite(target)                                                      // v1
+      t.merge(batch1)((cur, b) => Merge.insertOnly(cur, b, Seq("o_orderkey"))) // v2
+      t.merge(batch2)((cur, b) => Merge.scd1(cur, b, Seq("o_orderkey")))       // v3
+      t.overwrite(t.read().filter(col("o_totalprice") <= 250000))              // v4 delete-where
+      t.changes(1, 4, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("o_date_us"), // NTZ→LTZ exact under the session's UTC tz
+          col("_change_type"), col("_commit_version"))
+        .orderBy(col("_commit_version"), col("_change_type"), col("o_orderkey"))
+    },
+    Some("""WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders),
+           |v1 AS (SELECT * FROM o WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'),
+           |b1 AS (SELECT * FROM o WHERE o_totalprice > 150000),
+           |v2 AS (SELECT * FROM v1
+           |  UNION ALL
+           |  SELECT * FROM b1 b
+           |  WHERE NOT EXISTS (SELECT 1 FROM v1 t WHERE t.o_orderkey = b.o_orderkey)),
+           |b2 AS (SELECT o_orderkey, 'R' AS o_orderstatus,
+           |              round(o_totalprice + 1000, 2) AS o_totalprice, o_orderdate
+           |       FROM o WHERE o_orderstatus = 'F'),
+           |v3 AS (SELECT * FROM b2
+           |  UNION ALL
+           |  SELECT * FROM v2
+           |  WHERE NOT EXISTS (SELECT 1 FROM b2 b WHERE b.o_orderkey = v2.o_orderkey)),
+           |v4 AS (SELECT * FROM v3 WHERE o_totalprice <= 250000),
+           |ch AS (
+           |  SELECT n.*, 'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+           |  FROM v2 n WHERE NOT EXISTS (SELECT 1 FROM v1 p WHERE p.o_orderkey = n.o_orderkey)
+           |  UNION ALL
+           |  SELECT p.*, 'delete', 2 FROM v1 p
+           |  WHERE NOT EXISTS (SELECT 1 FROM v2 n WHERE n.o_orderkey = p.o_orderkey)
+           |  UNION ALL
+           |  SELECT p.*, 'update_preimage', 2
+           |  FROM v1 p JOIN v2 n ON p.o_orderkey = n.o_orderkey
+           |  WHERE (p.o_orderstatus, p.o_totalprice, p.o_orderdate)
+           |        IS DISTINCT FROM (n.o_orderstatus, n.o_totalprice, n.o_orderdate)
+           |  UNION ALL
+           |  SELECT n.*, 'update_postimage', 2
+           |  FROM v1 p JOIN v2 n ON p.o_orderkey = n.o_orderkey
+           |  WHERE (p.o_orderstatus, p.o_totalprice, p.o_orderdate)
+           |        IS DISTINCT FROM (n.o_orderstatus, n.o_totalprice, n.o_orderdate)
+           |  UNION ALL
+           |  SELECT n.*, 'insert', 3 FROM v3 n
+           |  WHERE NOT EXISTS (SELECT 1 FROM v2 p WHERE p.o_orderkey = n.o_orderkey)
+           |  UNION ALL
+           |  SELECT p.*, 'delete', 3 FROM v2 p
+           |  WHERE NOT EXISTS (SELECT 1 FROM v3 n WHERE n.o_orderkey = p.o_orderkey)
+           |  UNION ALL
+           |  SELECT p.*, 'update_preimage', 3
+           |  FROM v2 p JOIN v3 n ON p.o_orderkey = n.o_orderkey
+           |  WHERE (p.o_orderstatus, p.o_totalprice, p.o_orderdate)
+           |        IS DISTINCT FROM (n.o_orderstatus, n.o_totalprice, n.o_orderdate)
+           |  UNION ALL
+           |  SELECT n.*, 'update_postimage', 3
+           |  FROM v2 p JOIN v3 n ON p.o_orderkey = n.o_orderkey
+           |  WHERE (p.o_orderstatus, p.o_totalprice, p.o_orderdate)
+           |        IS DISTINCT FROM (n.o_orderstatus, n.o_totalprice, n.o_orderdate)
+           |  UNION ALL
+           |  SELECT n.*, 'insert', 4 FROM v4 n
+           |  WHERE NOT EXISTS (SELECT 1 FROM v3 p WHERE p.o_orderkey = n.o_orderkey)
+           |  UNION ALL
+           |  SELECT p.*, 'delete', 4 FROM v3 p
+           |  WHERE NOT EXISTS (SELECT 1 FROM v4 n WHERE n.o_orderkey = p.o_orderkey)
+           |  UNION ALL
+           |  SELECT p.*, 'update_preimage', 4
+           |  FROM v3 p JOIN v4 n ON p.o_orderkey = n.o_orderkey
+           |  WHERE (p.o_orderstatus, p.o_totalprice, p.o_orderdate)
+           |        IS DISTINCT FROM (n.o_orderstatus, n.o_totalprice, n.o_orderdate)
+           |  UNION ALL
+           |  SELECT n.*, 'update_postimage', 4
+           |  FROM v3 p JOIN v4 n ON p.o_orderkey = n.o_orderkey
+           |  WHERE (p.o_orderstatus, p.o_totalprice, p.o_orderdate)
+           |        IS DISTINCT FROM (n.o_orderstatus, n.o_totalprice, n.o_orderdate))
+           |SELECT o_orderkey, o_orderstatus, o_totalprice,
+           |       epoch_us(o_orderdate) AS o_date_us, _change_type, _commit_version
+           |FROM ch
+           |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin),
+    "Change data feed: per-commit row-level delta over the versioned table (Delta table_changes analog)")
+
+  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf)
 }

@@ -70,6 +70,27 @@ class TimeTravelSpec extends SparkSpec {
     assert(e.getMessage.contains("commit log"))
   }
 
+  test("changes() reports the exact row-level delta of each commit") {
+    val (t, _) = table(keep = 4)
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))         // v1
+    t.merge(Seq((1L, "A"), (3L, "c")).toDF("k", "v"))(            // v2: update 1, insert 3
+      (cur, b) => Merge.scd1(cur, b, Seq("k")))
+    t.overwrite(t.read().filter($"k" =!= 2L))                     // v3: delete 2
+    val ch = t.changes(1, 3, Seq("k"))
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(ch == Set(
+      (1L, "a", "update_preimage", 2L),
+      (1L, "A", "update_postimage", 2L),
+      (3L, "c", "insert", 2L),
+      (2L, "b", "delete", 3L)))
+    // unchanged rows emit nothing; a single-pair slice sees only its commit
+    assert(t.changes(2, 3, Seq("k")).as[(Long, String, String, Long)]
+      .collect().toSet == Set((2L, "b", "delete", 3L)))
+    // endpoints must be readable and ordered
+    intercept[IllegalArgumentException](t.changes(1, 99, Seq("k")))
+    intercept[IllegalArgumentException](t.changes(3, 1, Seq("k")))
+  }
+
   test("keepVersions=0 tables behave exactly as before (no version dirs)") {
     val (t, dir) = table(keep = 0)
     t.overwrite(Seq((1L, "a")).toDF("k", "v"))
