@@ -245,23 +245,32 @@ object MergeQueries {
     * column changed by SCD1 is compared within-engine only (both engines
     * agree on equality of their own arithmetic); emitted doubles are q49's
     * round-2 values, already proven hash-stable. */
+  /** The shared 4-cut versioned history behind q50/q51: v1 overwrite,
+    * v2 M1 insert-only (inserts), v3 M4 SCD1 (updates, incl. the F→R status
+    * change that MOVES rows across the q51 group key), v4 delete-where. */
+  private def ordersVersioned(spark: org.apache.spark.sql.SparkSession, dir: String,
+                              prefix: String): graft.merge.ParquetTable = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+    val root = FixtureDirs.create(prefix).toString
+    val t = new graft.merge.ParquetTable(spark, s"$root/orders_v", o.schema,
+      keepVersions = 5)
+    val target = o.filter(col("o_orderdate") < lit("1995-01-01").cast("timestamp"))
+    val batch1 = o.filter(col("o_totalprice") > 150000)
+    val batch2 = o.filter(col("o_orderstatus") === "F")
+      .withColumn("o_totalprice", round(col("o_totalprice") + 1000, 2))
+      .withColumn("o_orderstatus", lit("R"))
+    t.overwrite(target)                                                      // v1
+    t.merge(batch1)((cur, b) => Merge.insertOnly(cur, b, Seq("o_orderkey"))) // v2
+    t.merge(batch2)((cur, b) => Merge.scd1(cur, b, Seq("o_orderkey")))       // v3
+    t.overwrite(t.read().filter(col("o_totalprice") <= 250000))              // v4 delete-where
+    t
+  }
+
   val cdf = QueryDef(
     "q50_change_data_feed",
     (spark, dir) => {
-      val o = Tables.orders(spark, dir)
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
-      val root = FixtureDirs.create("q50-cdf-").toString
-      val t = new graft.merge.ParquetTable(spark, s"$root/orders_v", o.schema,
-        keepVersions = 5)
-      val target = o.filter(col("o_orderdate") < lit("1995-01-01").cast("timestamp"))
-      val batch1 = o.filter(col("o_totalprice") > 150000)
-      val batch2 = o.filter(col("o_orderstatus") === "F")
-        .withColumn("o_totalprice", round(col("o_totalprice") + 1000, 2))
-        .withColumn("o_orderstatus", lit("R"))
-      t.overwrite(target)                                                      // v1
-      t.merge(batch1)((cur, b) => Merge.insertOnly(cur, b, Seq("o_orderkey"))) // v2
-      t.merge(batch2)((cur, b) => Merge.scd1(cur, b, Seq("o_orderkey")))       // v3
-      t.overwrite(t.read().filter(col("o_totalprice") <= 250000))              // v4 delete-where
+      val t = ordersVersioned(spark, dir, "q50-cdf-")
       t.changes(1, 4, Seq("o_orderkey"))
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
           unix_micros(col("o_orderdate").cast("timestamp")).as("o_date_us"), // NTZ→LTZ exact under the session's UTC tz
@@ -337,5 +346,55 @@ object MergeQueries {
            |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin),
     "Change data feed: per-commit row-level delta over the versioned table (Delta table_changes analog)")
 
-  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf)
+  /** Incremental view maintenance: the per-status (count, sum-of-cents)
+    * aggregate of v1 is kept current by applying the v1→v4 change feed via
+    * [[graft.ops.IncrementalView.applyDelta]] — the table itself is never
+    * re-aggregated. The ORACLE aggregates the final v4 state directly, so a
+    * hash match proves delta-maintenance ≡ recompute — exactly, not
+    * approximately, because the measure is integer cents (associative
+    * addition; no float-grouping caveat). The history exercises every IVM
+    * edge: inserts, deletes, and the F→R SCD1 updates whose pre/post images
+    * fall in DIFFERENT groups (row migration = old group decrement + new
+    * group increment).
+    *
+    * Scale: maintenance cost is one agg over the delta + a group-key join
+    * against the prior aggregate (|groups| rows) — independent of table
+    * size; the recompute it replaces scans the full table per refresh. */
+  val ivm = QueryDef(
+    "q51_incremental_view",
+    (spark, dir) => {
+      val t = ordersVersioned(spark, dir, "q51-ivm-")
+      val cents = (c: org.apache.spark.sql.Column) =>
+        round(c * 100, 0).cast("long") // 2-dec input ⇒ ±ulp of an integer, never near .5
+      val prior = t.readVersion(1)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("sum_cents"))
+      val feed = t.changes(1, 4, Seq("o_orderkey"))
+        .withColumn("sum_cents", cents(col("o_totalprice")))
+      graft.ops.IncrementalView.applyDelta(prior, feed,
+          Seq("o_orderstatus"), Seq("sum_cents"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders),
+           |v1 AS (SELECT * FROM o WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'),
+           |b1 AS (SELECT * FROM o WHERE o_totalprice > 150000),
+           |v2 AS (SELECT * FROM v1
+           |  UNION ALL
+           |  SELECT * FROM b1 b
+           |  WHERE NOT EXISTS (SELECT 1 FROM v1 t WHERE t.o_orderkey = b.o_orderkey)),
+           |b2 AS (SELECT o_orderkey, 'R' AS o_orderstatus,
+           |              round(o_totalprice + 1000, 2) AS o_totalprice, o_orderdate
+           |       FROM o WHERE o_orderstatus = 'F'),
+           |v3 AS (SELECT * FROM b2
+           |  UNION ALL
+           |  SELECT * FROM v2
+           |  WHERE NOT EXISTS (SELECT 1 FROM b2 b WHERE b.o_orderkey = v2.o_orderkey)),
+           |v4 AS (SELECT * FROM v3 WHERE o_totalprice <= 250000)
+           |SELECT o_orderstatus, count(*) AS n,
+           |       CAST(sum(CAST(round(o_totalprice * CAST(100 AS DOUBLE), 0) AS BIGINT)) AS BIGINT) AS sum_cents
+           |FROM v4 GROUP BY o_orderstatus
+           |ORDER BY o_orderstatus""".stripMargin),
+    "Incremental view maintenance: CDF deltas keep the aggregate current, oracle recomputes from the snapshot")
+
+  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm)
 }
