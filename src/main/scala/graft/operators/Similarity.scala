@@ -356,10 +356,21 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
   }
 
+  /** `keep`: optional metadata predicate for FILTERED vector search — the
+    * production "ANN + WHERE clause" pattern. The index (centroids +
+    * assignment rule) is built on the FULL corpus, so one index serves
+    * every filter; the predicate restricts only the candidate side.
+    * Applied BEFORE cell assignment, which is equivalent (assignment is a
+    * pure per-row function) and lets Catalyst push the predicate through
+    * the assignment projection into the corpus scan — non-matching vectors
+    * never materialize (PlanAuditSpec pins `PushedFilters`). This is
+    * pre-filtering: exact k among matching candidates in probed cells, no
+    * recall cliff when the filter is selective (post-filtering top-k
+    * first would return < k). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               cos: (Column, Column) => Column, k: Int,
               nlist: Int = 16, nprobe: Int = 4,
-              kmeansIters: Int = 0): DataFrame = {
+              kmeansIters: Int = 0, keep: Option[Column] = None): DataFrame = {
     // `kmeansIters > 0` refines the stride sample with Lloyd iterations
     // ([[kmeansRefine]]) for tighter cells.
     VectorFunctions.register(corpus.sparkSession) // nearest_cells (assignment)
@@ -369,7 +380,7 @@ object Similarity {
 
     val topCells = topCellsOf(centroids, cos) _
 
-    val c = corpus
+    val c = keep.fold(corpus)(corpus.filter)
       .withColumn("cell", element_at(topCells(col("embedding"), 1), 1).getField("cell"))
       .select(col("vec_id"), col("embedding").as("c_vec"), col("cell"))
     val q = queries

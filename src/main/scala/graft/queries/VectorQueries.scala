@@ -677,6 +677,54 @@ object VectorQueries {
     Some(ivfPqOracle(" AND s.vec_id % 7 <> 0")),
     "persisted-index deletes: tombstone mask at query, vacuum folds in (LLM-pipeline op)")
 
+  /** FILTERED vector search — ANN with a metadata WHERE clause, the
+    * production retrieval pattern (vector DBs call it pre-filtering). The
+    * IVF index (centroids + assignment) is built on the FULL corpus so one
+    * index serves every filter; the `label % 3 = 0` predicate restricts
+    * only the candidate side, applied before assignment (equivalent — the
+    * assignment is a pure per-row function) so Catalyst pushes it into the
+    * corpus scan: non-matching vectors never materialize (PlanAuditSpec
+    * pins `PushedFilters`). Pre-filter returns an exact k among matching
+    * candidates in probed cells — no post-filter recall cliff under a
+    * selective predicate. Oracle = v04's CTE chain with the same predicate
+    * on the candidate join. */
+  val v16 = QueryDef(
+    "v16_ann_filtered",
+    (spark, dir) => {
+      VectorFunctions.register(spark)
+      val emb = Tables.embeddings(spark, dir)
+      Similarity.ivfTopK(
+          emb.filter(col("vec_id") < 10), emb,
+          VectorFunctions.cosineSim, k = 5, nlist = 16, nprobe = 4,
+          keep = Some(col("label") % 3 === 0))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some {
+      val nlist = 16; val nprobe = 4
+      val affCos = cosSql("e.emb", "cent.cemb")
+      val cos = cosSql("q.emb", "t.emb")
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, emb AS cemb
+         |  FROM e WHERE vec_id % greatest(1, (SELECT count(*) FROM e) // $nlist) = 0
+         |  ORDER BY vec_id LIMIT $nlist),
+         |aff AS (SELECT e.vec_id, cent.cell, $affCos AS a FROM e, cent),
+         |assign AS (SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell DESC) AS rn
+         |    FROM aff) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell DESC) AS rn
+         |    FROM aff WHERE vec_id < 10) WHERE rn <= $nprobe),
+         |scored AS (SELECT p.query_id, s.vec_id, round($cos, 6) AS cos
+         |  FROM probes p JOIN assign s ON s.cell = p.cell
+         |  JOIN e q ON q.vec_id = p.query_id JOIN e t ON t.vec_id = s.vec_id
+         |  WHERE s.vec_id <> p.query_id AND t.label % 3 = 0)
+         |SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
+    "filtered vector search: metadata predicate pushed to the corpus scan, full-corpus index (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
-    v10, v11, v12, v13, v14, v15)
+    v10, v11, v12, v13, v14, v15, v16)
 }

@@ -97,6 +97,17 @@ class PlanAuditSpec extends SparkSpec {
       s"index scan reads embeddings:\n$idxRead")
   }
 
+  test("v16: metadata predicate is pushed into the corpus scan") {
+    val p = planOf("v16_ann_filtered")
+    // the label filter must reach the parquet scan as a pushed filter —
+    // a post-assignment Filter would decode+assign every non-matching
+    // vector first
+    val pushed = p.linesIterator.find(l =>
+      l.contains("PushedFilters") && l.contains("label")).getOrElse(
+      fail(s"label predicate not pushed to scan in v16:\n$p"))
+    assert(pushed.contains("label"), s"label missing from pushed filters:\n$pushed")
+  }
+
   test("v15: tombstone mask is a broadcast anti-join on the pruned scan") {
     val p = planOf("v15_ann_index_delete")
     // deletion must not cost the index its storage-level pruning…
