@@ -248,7 +248,7 @@ object MergeQueries {
   /** The shared 4-cut versioned history behind q50/q51: v1 overwrite,
     * v2 M1 insert-only (inserts), v3 M4 SCD1 (updates, incl. the F→R status
     * change that MOVES rows across the q51 group key), v4 delete-where. */
-  private def ordersVersioned(spark: org.apache.spark.sql.SparkSession, dir: String,
+  private[queries] def ordersVersioned(spark: org.apache.spark.sql.SparkSession, dir: String,
                               prefix: String): graft.merge.ParquetTable = {
     val o = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
