@@ -396,5 +396,46 @@ object MergeQueries {
            |ORDER BY o_orderstatus""".stripMargin),
     "Incremental view maintenance: CDF deltas keep the aggregate current, oracle recomputes from the snapshot")
 
-  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm)
+  /** File-level data skipping — the manifest half of the lakehouse scan
+    * story (Delta/Iceberg per-file stats), as a verified row. Orders are
+    * range-clustered by `o_orderdate` into a multi-file layout with a
+    * `_file_stats` manifest ([[graft.ops.DataSkipping.clusteredWrite]]);
+    * the half-year range scan then reads ONLY manifest-surviving files (the
+    * `require` makes the row FAIL LOUDLY if pruning ever stops happening —
+    * this row pins the mechanism, not just the answer). The oracle is the
+    * plain full-scan range aggregate, so the hash match proves pruning is a
+    * pure superset optimization: fewer files, identical rows.
+    *
+    * Scale: manifest build is one distributed agg (#files rows); the scan
+    * reads ~7% of files for ~7% of the date domain. Row-group pruning
+    * (q43) still applies WITHIN the surviving files — the two layers
+    * compose exactly as in Delta. */
+  val skip = QueryDef(
+    "q52_data_skipping",
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+      val root = FixtureDirs.create("q52-skip-").resolve("orders_c").toString
+      graft.ops.DataSkipping.clusteredWrite(o, "o_orderdate", root,
+        nFiles = 16, statCols = Seq("o_orderdate"))
+      val lo = lit("1995-01-01").cast("timestamp")
+      val hi = lit("1995-06-30").cast("timestamp")
+      val total = spark.read.parquet(root).inputFiles.length
+      val kept = graft.ops.DataSkipping.prunedFiles(spark, root, "o_orderdate", lo, hi)
+      require(kept.length < total,
+        s"data skipping pruned nothing (${kept.length} of $total files) — " +
+          "manifest or clustering broke")
+      graft.ops.DataSkipping.readRange(spark, root, "o_orderdate", lo, hi)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+           |FROM orders
+           |WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+           |                      AND TIMESTAMP '1995-06-30 00:00:00'
+           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+    "File-level data skipping: per-file min/max manifest prunes the scan's file list (Delta stats analog)")
+
+  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip)
 }
