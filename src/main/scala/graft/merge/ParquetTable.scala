@@ -50,7 +50,8 @@ import org.apache.spark.sql.types.{IntegerType, StructType}
   */
 final class ParquetTable(spark: SparkSession, root: String, schema: StructType,
                          bucketBy: Option[(Seq[String], Int)] = None,
-                         keepVersions: Int = 0) {
+                         keepVersions: Int = 0,
+                         checks: Seq[(String, String)] = Nil) {
   require(keepVersions == 0 || bucketBy.isEmpty,
     "time travel (keepVersions > 0) requires an unbucketed table: bucketed " +
       "merges swap per-bucket, so version reconstruction needs a commit log " +
@@ -105,7 +106,22 @@ final class ParquetTable(spark: SparkSession, root: String, schema: StructType,
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], diskSchema)
 
-  private def writeTo(df: DataFrame, dest: Path, mode: SaveMode): Unit = bucketBy match {
+  /** CHECK-constraint enforcement (the Delta `ALTER TABLE ADD CONSTRAINT`
+    * analog): every write path runs the row through `assert_true`, so a
+    * violating row fails the WRITE JOB loudly — naming the constraint —
+    * before any file lands in staging (the swap never happens, the table
+    * is untouched). Single pass, fully distributed, rides the write scan;
+    * no separate validation job. NULL results PASS, matching SQL CHECK
+    * semantics (`NOT NULL` is spelled `"c IS NOT NULL"`). */
+  private def enforced(df: DataFrame): DataFrame =
+    checks.foldLeft(df) { case (d, (name, sql)) =>
+      d.filter(assert_true(coalesce(expr(sql), lit(true)),
+        lit(s"CHECK constraint '$name' violated: $sql")).isNull)
+    }
+
+  private def writeTo(df0: DataFrame, dest: Path, mode: SaveMode): Unit = {
+   val df = enforced(df0)
+   bucketBy match {
     case None => df.write.mode(mode).parquet(dest.toString)
     case Some((keys, _)) =>
       // one shuffle keyed by bucket → ~one file per touched bucket (without
@@ -119,6 +135,33 @@ final class ParquetTable(spark: SparkSession, root: String, schema: StructType,
         .repartition(col(BucketCol))
         .sortWithinPartitions((BucketCol +: keys).map(col).toIndexedSeq: _*)
         .write.mode(mode).partitionBy(BucketCol).parquet(dest.toString)
+   }
+  }
+
+  /** Schema evolution (the Delta `mergeSchema` analog): return a handle on
+    * the SAME table directory with a widened schema. Enforces Delta's
+    * additive rules — every existing column keeps its name and type; new
+    * columns are appended — and fails loudly on drops, renames, or type
+    * changes (those require a rewrite, which is [[overwrite]]'s job).
+    *
+    * No data moves: existing files are untouched (byte-identical — see
+    * SchemaEvolutionSpec) and are read NULL-FILLED for the new columns,
+    * because every read path pins the table schema explicitly
+    * (`spark.read.schema(...)`), which is exactly how Delta serves
+    * pre-evolution files. Subsequent writes carry the new columns. At
+    * 100 TB this is the only affordable way to add a column — a backfill
+    * rewrite of the table is a policy decision, not a schema operation. */
+  def evolve(wider: StructType): ParquetTable = {
+    schema.fields.foreach { f =>
+      val nf = wider.fields.find(_.name == f.name).getOrElse(
+        throw new IllegalArgumentException(
+          s"schema evolution is additive-only: existing column '${f.name}' missing " +
+            "from the evolved schema (drops/renames need a rewrite)"))
+      require(nf.dataType == f.dataType,
+        s"schema evolution cannot change types: '${f.name}' ${f.dataType.simpleString} " +
+          s"-> ${nf.dataType.simpleString} (type changes need a rewrite)")
+    }
+    new ParquetTable(spark, root, wider, bucketBy, keepVersions, checks)
   }
 
   /** Append-only write (bronze layer): plain parquet append, no swap. */

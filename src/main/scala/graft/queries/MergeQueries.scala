@@ -437,5 +437,41 @@ object MergeQueries {
            |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
     "File-level data skipping: per-file min/max manifest prunes the scan's file list (Delta stats analog)")
 
-  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip)
+  /** Schema evolution (Delta `mergeSchema` analog) as a verified row: the
+    * table is written with FOUR columns, evolved to add `o_orderpriority`,
+    * and the post-evolution batch appends with the new column — the
+    * pre-evolution files are never rewritten
+    * ([[graft.merge.ParquetTable.evolve]]; byte-identity pinned by
+    * SchemaEvolutionSpec). The evolved read NULL-FILLS old rows, and the
+    * aggregate groups them under a sentinel label, so the oracle (which
+    * reconstructs the same split from the raw table) hash-matches ONLY if
+    * null-fill returns exactly the pre-evolution rows — not dropped, not
+    * defaulted, not rewritten. */
+  val evo = QueryDef(
+    "q53_schema_evolution",
+    (spark, dir) => {
+      val full = Tables.orders(spark, dir)
+      val cut = lit("1995-01-01").cast("timestamp")
+      val narrow = full.select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"))
+      val root = FixtureDirs.create("q53-evo-").resolve("orders_e").toString
+      val t = new graft.merge.ParquetTable(spark, root, narrow.schema)
+      t.overwrite(narrow.filter(col("o_orderdate") < cut))
+      val t2 = t.evolve(narrow.schema.add("o_orderpriority",
+        org.apache.spark.sql.types.StringType))
+      t2.append(full.select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+        .filter(col("o_orderdate") >= cut))
+      t2.read()
+        .groupBy(coalesce(col("o_orderpriority"), lit("PRE-EVOLUTION")).as("prio"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy(col("prio"))
+    },
+    Some("""SELECT CASE WHEN o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+           |            THEN 'PRE-EVOLUTION' ELSE o_orderpriority END AS prio,
+           |       count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+           |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin),
+    "Schema evolution: additive column, old files untouched and read null-filled (mergeSchema analog)")
+
+  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo)
 }
