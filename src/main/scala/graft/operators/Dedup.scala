@@ -327,6 +327,55 @@ object Dedup {
     simhashNearDup(fp, bits = 56, blocks = blocks, maxHamming = maxHamming)
   }
 
+  /** Edit-distance fuzzy join on a fixed-width normalized key — entity
+    * resolution for near-identical titles/URLs/names, the PassJoin family
+    * (Li et al., PVLDB 2011) re-expressed relationally. The key is the
+    * `width`-codepoint prefix of the pinned-envelope normalization (lower →
+    * whitespace-collapse → trim); rows whose key is shorter than `width`
+    * are excluded (the fixed-width contract keeps the pigeonhole exact).
+    *
+    * Candidate generation is the pigeonhole SEGMENT join: the key is split
+    * into `maxDist + 1` disjoint segments; `k` edits can touch at most `k`
+    * segments, so for any pair within `maxDist` at least one of the left
+    * key's segments survives VERBATIM somewhere in the right key — join
+    * left-segments against ALL right q-grams on content, and recall is
+    * EXACT (no LSH-style miss probability). Survivors verify with one
+    * `levenshtein` call per distinct candidate pair.
+    *
+    * Scale shape: segments/grams are a per-row codegen'd literal array (no
+    * interpreted HOF), the join is an equi-shuffle on gram content, and
+    * only (id, 24-char key) rows move — never document text. On a
+    * boilerplate-heavy corpus the gram join inherits d05's skew exposure;
+    * the same [[capShingles]]-style df-cap applies (drop grams whose df
+    * exceeds a cap before the join — pairs sharing ONLY ubiquitous grams
+    * are boilerplate collisions, not entities). Left uncapped here because
+    * the verified row pins exact PassJoin semantics.
+    */
+  def fuzzyPrefixJoin(docs: DataFrame, idCol: String, textCol: String,
+                      width: Int = 24, maxDist: Int = 5): DataFrame = {
+    require(width % (maxDist + 1) == 0,
+      s"width $width must split evenly into ${maxDist + 1} segments")
+    val segLen = width / (maxDist + 1)
+    val norm = trim(regexp_replace(lower(col(textCol)), "[ \\t\\n\\f\\r]+", " "))
+    val keyed = docs.select(col(idCol).as("doc_id"),
+        substring(norm, 1, width).as("p"))
+      .filter(length(col("p")) === width)
+    val segs = keyed.select(col("doc_id"), col("p"),
+      explode(array_distinct(array((0 until maxDist + 1).map(i =>
+        substring(col("p"), i * segLen + 1, segLen)): _*))).as("g"))
+    val grams = keyed.select(col("doc_id"), col("p"),
+      explode(array_distinct(array((0 to width - segLen).map(i =>
+        substring(col("p"), i + 1, segLen)): _*))).as("g"))
+    segs.as("a").join(grams.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.p").as("pa"), col("b.p").as("pb"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("pa"), col("pb")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   /** Connected components over a near-dup pair relation → duplicate
     * clusters: every doc gets `cluster_id` = the smallest doc id reachable
     * through pairs (isolated docs are their own cluster). The final step of

@@ -1456,8 +1456,37 @@ object TextQueries {
     },
     "end-to-end pipeline: eval split -> quality gate -> exact dedup -> decontaminate -> temperature mix, one plan (LLM-pipeline op)")
 
+  /** Edit-distance fuzzy join ([[graft.operators.Dedup.fuzzyPrefixJoin]]):
+    * PassJoin pigeonhole segments over the 24-char normalized prefix,
+    * levenshtein ≤ 5 verify — entity resolution for near-identical
+    * titles/keys. The oracle re-states the exact construction (segment ×
+    * all-grams join, DuckDB `levenshtein` — both engines implement
+    * unit-cost Wagner-Fischer, identical on ASCII), so the hash match pins
+    * blocking AND verify. */
+  val d29 = QueryDef(
+    "d29_fuzzy_join",
+    (spark, dir) => {
+      Dedup.fuzzyPrefixJoin(Tables.documents(spark, dir), "doc_id", "text",
+          width = 24, maxDist = 5)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH n AS (SELECT doc_id,
+           |    substring(trim(regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g')), 1, 24) AS p
+           |  FROM documents),
+           |f AS (SELECT doc_id, p FROM n WHERE length(p) = 24),
+           |segs AS (SELECT doc_id, p,
+           |    unnest(list_distinct([substring(p, 1 + i*4, 4) for i in range(0, 6)])) AS g FROM f),
+           |grams AS (SELECT doc_id, p,
+           |    unnest(list_distinct([substring(p, i + 1, 4) for i in range(0, 21)])) AS g FROM f),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.p AS pa, b.p AS pb
+           |  FROM segs a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id)
+           |SELECT id_a, id_b, CAST(levenshtein(pa, pb) AS INTEGER) AS dist
+           |FROM cand WHERE levenshtein(pa, pb) <= 5
+           |ORDER BY id_a, id_b""".stripMargin),
+    "fuzzy entity-resolution join: PassJoin pigeonhole blocking + levenshtein verify (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
-      d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
+      d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
       m01, m02, m03, m04, m05, m06, m07, m08)
 }

@@ -223,6 +223,36 @@ class OperatorsSpec extends SparkSpec {
       n = 3, fpp = 0.5)) == exact)
   }
 
+  test("fuzzyPrefixJoin: EXACT recall vs brute-force levenshtein (pigeonhole guarantee)") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select($"doc_id", $"text")
+    val got = Dedup.fuzzyPrefixJoin(docs, "doc_id", "text", width = 24, maxDist = 5)
+      .orderBy($"id_a", $"id_b").as[(Long, Long, Int)].collect().toSeq
+    assert(got.nonEmpty, "fixture yields no fuzzy pairs — test has no teeth")
+    // brute force over all keyed pairs: every within-distance pair MUST be
+    // found (segments give exact recall, unlike LSH), with the same distance
+    val norm = trim(regexp_replace(lower($"text"), "[ \\t\\n\\f\\r]+", " "))
+    val keyed = docs.select($"doc_id", substring(norm, 1, 24).as("p"))
+      .filter(length($"p") === 24)
+    val brute = keyed.as("a").crossJoin(keyed.as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id", levenshtein($"a.p", $"b.p").as("d"))
+      .filter($"d" <= 5)
+      .orderBy($"a.doc_id", $"b.doc_id").as[(Long, Long, Int)].collect().toSeq
+    assert(got == brute)
+  }
+
+  test("fuzzyPrefixJoin contracts: width divisibility; short keys excluded") {
+    val e = intercept[IllegalArgumentException] {
+      Dedup.fuzzyPrefixJoin(Seq((1L, "x")).toDF("doc_id", "text"),
+        "doc_id", "text", width = 25, maxDist = 5)
+    }
+    assert(e.getMessage.contains("split evenly"))
+    // keys shorter than width are excluded, not padded or crashed
+    val tiny = Seq((1L, "short"), (2L, "short")).toDF("doc_id", "text")
+    assert(Dedup.fuzzyPrefixJoin(tiny, "doc_id", "text").count() == 0)
+  }
+
   // measured curve on the (near-random) testdata embeddings, probe 1..8 of
   // 8 supers: 0.47, 0.65, 0.76, 0.83, 0.90, 0.94, 0.98, 1.0 — clustered
   // real-world embeddings sit far above this floor because the coarse
