@@ -68,6 +68,8 @@ object GraftExtensions {
       (e: Seq[Expression]) => WinnowingExpr(e(0), intArg(e(1), "winnow_fps", "k"), intArg(e(2), "winnow_fps", "window"))),
     (FunctionIdentifier("content_fingerprint"), info("content_fingerprint", classOf[FingerprintExpr]),
       (e: Seq[Expression]) => FingerprintExpr(e(0))),
+    (FunctionIdentifier("nfc_normalize"), info("nfc_normalize", classOf[NfcNormalizeExpr]),
+      (e: Seq[Expression]) => NfcNormalizeExpr(e(0))),
     (FunctionIdentifier("img_dhash"), info("img_dhash", classOf[DHashExpr]),
       (e: Seq[Expression]) => DHashExpr(e(0))),
     (FunctionIdentifier("audio_ehash"), info("audio_ehash", classOf[AudioHashExpr]),

@@ -31,6 +31,7 @@ object TextFunctions {
   private val CharShinglesName = "char_shingles"
   private val WinnowName = "winnow_fps"
   private val FingerprintName = "content_fingerprint"
+  private val NfcName = "nfc_normalize"
 
   /** Idempotently register the native expressions ([[WordShinglesExpr]],
     * [[WinnowingExpr]], [[FingerprintExpr]]) in the session's function
@@ -51,7 +52,13 @@ object TextFunctions {
       CharShinglesName,
       exprs => CharShinglesExpr(exprs(0), exprs(1).eval().asInstanceOf[Int]),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      NfcName, exprs => NfcNormalizeExpr(exprs(0)), "built-in")
   }
+
+  /** Native Unicode NFC normalization ([[NfcNormalizeExpr]]); call
+    * [[registerNative]] first. */
+  def nfcNormalize(text: Column): Column = call_function(NfcName, text)
 
   /** Native distinct char n-grams over normalized text ([[CharShinglesExpr]]);
     * call [[registerNative]] first. */

@@ -1485,8 +1485,44 @@ object TextQueries {
            |ORDER BY id_a, id_b""".stripMargin),
     "fuzzy entity-resolution join: PassJoin pigeonhole blocking + levenshtein verify (LLM-pipeline op)")
 
+  /** Unicode NFC normalization ([[graft.functions.NfcNormalizeExpr]] — the
+    * canonical-composition pass that runs before any hash-based dedup so
+    * composed and decomposed renditions of the same text fingerprint
+    * identically). The ASCII testdata is NFC-trivially, so the row
+    * manufactures the hard case: every 'e' gains a COMBINING ACUTE
+    * (U+0301), making the text genuinely decomposed; both engines then
+    * normalize and the md5-of-bytes match proves the JDK's UAX #15
+    * implementation and DuckDB's `nfc_normalize` compose to the SAME byte
+    * sequence. `len_raw > len_nfc` pins that composition actually happened
+    * (e + U+0301 → single é codepoint); idempotency pins NFC's fixpoint
+    * property. Map-only, codegen'd, no shuffle until the final sort. */
+  val d30 = QueryDef(
+    "d30_unicode_nfc",
+    (spark, dir) => {
+      TextFunctions.registerNative(spark)
+      val injected = regexp_replace(col("text"), "e", "e\u0301") // e + COMBINING ACUTE (decomposed)
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), injected.as("t"))
+        .select(col("doc_id"), col("t"),
+          TextFunctions.nfcNormalize(col("t")).as("nt"))
+        .select(col("doc_id"),
+          length(col("t")).as("len_raw"),
+          length(col("nt")).as("len_nfc"),
+          md5(col("nt")).as("nfc_md5"),
+          (TextFunctions.nfcNormalize(col("nt")) === col("nt")).as("idempotent"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH inj AS (SELECT doc_id, regexp_replace(text, 'e', 'e' || chr(769), 'g') AS t
+           |  FROM documents),
+           |n AS (SELECT doc_id, t, nfc_normalize(t) AS nt FROM inj)
+           |SELECT doc_id, CAST(length(t) AS INTEGER) AS len_raw,
+           |       CAST(length(nt) AS INTEGER) AS len_nfc,
+           |       md5(nt) AS nfc_md5, nfc_normalize(nt) = nt AS idempotent
+           |FROM n ORDER BY doc_id""".stripMargin),
+    "Unicode NFC normalization: native UAX #15 expression, byte-identical to DuckDB nfc_normalize (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
-      m01, m02, m03, m04, m05, m06, m07, m08)
+      d30, m01, m02, m03, m04, m05, m06, m07, m08)
 }

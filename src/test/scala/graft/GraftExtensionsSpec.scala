@@ -49,6 +49,9 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(row.getInt(7) == 0)     // x-axis query → cell 0
       assert(row.getInt(8) == 1)     // (1,9) nearer (0,10) → L2 cell 1
       assert(row.getInt(9) == 1)     // y-axis query → super 1 → cell 1
+      // nfc_normalize from pure SQL: decomposed e+U+0301 composes to U+00E9
+      assert(s2.sql("SELECT nfc_normalize('café') = 'café' AS ok")
+        .first().getBoolean(0), "SQL nfc_normalize must compose")
       // sketch aggregates resolve from pure SQL (the ScalaAggregator bridge):
       // 100 distinct keys < k=256 → KMV estimate is exactly the distinct
       // count; HLL lands within its 256-register error band; CMS counter

@@ -123,6 +123,34 @@ class NonAsciiNormalizationSpec extends SparkSpec {
       == Seq("abc", "bca", "cab"))
   }
 
+  test("NFC: decomposed sequences compose; ASCII is identity (zero-copy); fixpoint holds") {
+    TextFunctions.registerNative(spark)
+    val decomposedE = "e\u0301"             // e + COMBINING ACUTE
+    val composedE = "\u00e9"                 // é precomposed
+    val cases = Seq(
+      s"caf$decomposedE",                         // composes to café
+      s"caf$composedE",                           // already NFC
+      "plain ascii text",                         // identity fast path
+      s"A$decomposedE${decomposedE}B",            // stacked combining marks
+      "d\u0307\u0323")                    // dot-above then dot-below: NFC reorders (ccc 230>220) then composes d+dot-below
+    val out = cases.toDF("t")
+      .select(TextFunctions.nfcNormalize($"t").as("n")).as[String].collect()
+    assert(out(0) == s"caf$composedE")
+    assert(out(1) == s"caf$composedE")
+    assert(out(2) == "plain ascii text")
+    // every output is a fixpoint and matches the JDK reference directly
+    cases.zip(out).foreach { case (in, o) =>
+      assert(o == java.text.Normalizer.normalize(in, java.text.Normalizer.Form.NFC))
+      assert(java.text.Normalizer.isNormalized(o, java.text.Normalizer.Form.NFC))
+    }
+    // dedup integration: composed and decomposed renditions fingerprint
+    // identically AFTER nfc, differently before — the reason the op exists
+    val pair = Seq((1L, s"caf$decomposedE"), (2L, s"caf$composedE")).toDF("doc_id", "text")
+    val pre = pair.select(md5($"text")).distinct().count()
+    val post = pair.select(md5(TextFunctions.nfcNormalize($"text"))).distinct().count()
+    assert(pre == 2 && post == 1)
+  }
+
   test("exact dedup over a mixed-script corpus keys only true duplicates") {
     val docs = Seq(
       (1L, "的是了在我有和不"),
