@@ -928,6 +928,77 @@ object StreamingQueries {
     MergeQueries.ivm.oracle, // maintained-from-deltas ≡ recompute-of-final-state
     "streaming CDC apply: change feed drained into a maintained aggregate, never re-aggregating the base (LLM-pipeline op)")
 
+  /** STREAMING heavy hitters — [[graft.functions.Sketches.Cms]] INSIDE a
+    * watermarked tumbling-window agg (s16's pattern, CMS instead of KMV):
+    * per day-window the streaming state is one d·w counter matrix, merged
+    * across micro-batches by the state store, emitted append as windows
+    * close. Per-window state is O(d·w) — never O(distinct keys) — which is
+    * the whole point of sketched streaming aggregation at 100 TB (exact
+    * per-key streaming counts are s01's unbounded-state shape). The drained
+    * sketches are then probed batch-side for each window's observed keys
+    * and the top-3 per window reported with exact-vs-estimate columns; the
+    * oracle recomputes the same d·w cells per closed window relationally
+    * (q41's bit-exact bucket mirror + s12's exact-µs append cutoff), so a
+    * hash match pins streaming merge, emission rule, AND probe arithmetic. */
+  val s18 = QueryDef(
+    "s18_stream_windowed_heavy",
+    (spark, dir) => {
+      val d = 4; val w = 64
+      val cms = udaf(new graft.functions.Sketches.Cms(d, w),
+        org.apache.spark.sql.Encoders.STRING)
+      val perWin = drain(spark, dir, "append") { ev =>
+        ev.withWatermark("ts_utc", "0 seconds")
+          .groupBy(window(col("ts_utc"), "1 day"))
+          .agg(cms(col("user_id").cast("string")).as("sk"))
+          .select(unix_micros(col("window.start")).as("day_start_us"), col("sk"))
+      }
+      def bucket(r: Int): org.apache.spark.sql.Column =
+        conv(substring(md5(concat(lit(s"$r|"), col("user_id").cast("string"))), 1, 2), 16, 10)
+          .cast("int") % w
+      val exact = graft.sources.Tables.eventsUs(spark, dir)
+        .select((expr("ts_us div 86400000000L") * 86400000000L).as("day_start_us"),
+          col("user_id"))
+        .groupBy(col("day_start_us"), col("user_id"))
+        .agg(count(lit(1)).as("n_exact"))
+      val est = exact.join(perWin, Seq("day_start_us"))
+        .select(col("day_start_us"), col("user_id"), col("n_exact"),
+          least((0 until d).map(r =>
+            element_at(col("sk"), lit(r * w) + bucket(r) + lit(1))): _*).as("cms_est"))
+      val byWin = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("day_start_us"))
+        .orderBy(col("n_exact").desc, col("user_id"))
+      est.withColumn("rn", row_number().over(byWin))
+        .filter(col("rn") <= 3).drop("rn")
+        .orderBy(col("day_start_us"), col("n_exact").desc, col("user_id"))
+    },
+    Some {
+      val d = 4; val w = 64
+      def bucket(r: Int) =
+        s"((strpos('0123456789abcdef', substr(md5('$r|' || CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 16" +
+          s" + strpos('0123456789abcdef', substr(md5('$r|' || CAST(user_id AS VARCHAR)), 2, 1)) - 1) % $w"
+      val rbUnion = (0 until d)
+        .map(r => s"SELECT day_start_us, user_id, $r AS r, ${bucket(r)} AS b FROM closed")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $evCte,
+         |e AS (SELECT (ts_us // 86400000000) * 86400000000 AS day_start_us, user_id FROM ev),
+         |closed AS (SELECT * FROM e
+         |  WHERE day_start_us + 86400000000 <= (SELECT max(ts_us) FROM ev)),
+         |rb AS ($rbUnion),
+         |cells AS (SELECT day_start_us, r, b, count(*) AS c FROM rb GROUP BY 1, 2, 3),
+         |exact AS (SELECT day_start_us, user_id, count(*) AS n_exact FROM closed GROUP BY 1, 2),
+         |probes AS (SELECT DISTINCT e.day_start_us, e.user_id, e.n_exact, rb.r, rb.b
+         |  FROM exact e JOIN rb ON rb.user_id = e.user_id AND rb.day_start_us = e.day_start_us),
+         |est AS (SELECT p.day_start_us, p.user_id, p.n_exact, min(c.c) AS cms_est
+         |  FROM probes p JOIN cells c
+         |    ON c.day_start_us = p.day_start_us AND c.r = p.r AND c.b = p.b
+         |  GROUP BY 1, 2, 3)
+         |SELECT day_start_us, user_id, n_exact, cms_est FROM est
+         |QUALIFY row_number() OVER (PARTITION BY day_start_us
+         |  ORDER BY n_exact DESC, user_id) <= 3
+         |ORDER BY day_start_us, n_exact DESC, user_id""".stripMargin
+    },
+    "streaming CMS heavy hitters per tumbling window: O(d*w) state, append emission, bit-exact probe")
+
   def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
-    s10, s11, s12, s13, s14, s15, s16, s17)
+    s10, s11, s12, s13, s14, s15, s16, s17, s18)
 }
