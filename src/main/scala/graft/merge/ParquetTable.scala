@@ -269,6 +269,43 @@ final class ParquetTable(spark: SparkSession, root: String, schema: StructType,
     }.reduce(_.union(_))
   }
 
+  /** Shallow clone (the Delta `SHALLOW CLONE` analog): a new independent
+    * table at `destRoot` whose `current/` holds HARDLINKS to this table's
+    * live data files — zero bytes copied, O(#files) metadata, instant at
+    * any size. Copy-on-write falls out of the existing write protocol:
+    * every mutation path on either table writes NEW generation files and
+    * swaps directories (append adds fresh part files; overwrite/merge
+    * stage-then-swap; retirement unlinks, which never touches the shared
+    * inode), so neither table can observe the other's changes.
+    *
+    * The clone starts its OWN history: the `_gen` marker is deliberately
+    * not carried over (matching Delta, where a clone's version counter
+    * restarts), and retained `.v-*` dirs are not cloned. Non-parquet
+    * metadata (`_SUCCESS`) is copied, not linked — Hadoop committers
+    * recreate such files in place on append.
+    *
+    * On a real deployment this maps to the same trick at the metadata
+    * layer (object stores have no hardlinks, but a cloned manifest
+    * pointing at shared immutable objects is exactly the Delta/Iceberg
+    * design); the local form is the single-box equivalent. */
+  def cloneTo(destRoot: String): ParquetTable = {
+    require(exists, "cannot clone a never-written table")
+    val destRootPath = Paths.get(destRoot)
+    val dest = destRootPath.resolve("current")
+    require(!Files.exists(dest), s"clone destination already holds a table: $dest")
+    import scala.jdk.CollectionConverters._
+    Files.createDirectories(destRootPath)
+    Files.walk(current).iterator().asScala.foreach { p =>
+      val rel = current.relativize(p)
+      val q = dest.resolve(rel)
+      if (Files.isDirectory(p)) Files.createDirectories(q)
+      else if (p.getFileName.toString == GenMarker) () // fresh history
+      else if (p.getFileName.toString.endsWith(".parquet")) Files.createLink(q, p)
+      else Files.copy(p, q)
+    }
+    new ParquetTable(spark, destRoot, schema, bucketBy, keepVersions, checks)
+  }
+
   /** Retention: keep only the newest `keepVersions` retained dirs. */
   private def pruneVersions(): Unit = if (keepVersions > 0) {
     import scala.jdk.CollectionConverters._

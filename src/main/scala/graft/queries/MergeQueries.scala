@@ -473,5 +473,49 @@ object MergeQueries {
            |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin),
     "Schema evolution: additive column, old files untouched and read null-filled (mergeSchema analog)")
 
-  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo)
+  /** Shallow clone + copy-on-write divergence as a verified row: the
+    * source table is cloned ([[graft.merge.ParquetTable.cloneTo]] — pure
+    * hardlinks, zero bytes copied; CloneSpec pins the inode sharing), the
+    * CLONE takes an SCD1 merge, and the row reports BOTH tables' summaries.
+    * The oracle recomputes source = the original slice and clone = merge
+    * applied to it, so a hash match proves the clone read the source's
+    * exact state AND the divergent write never leaked back — the
+    * copy-on-write contract, checked on content cross-engine (the byte
+    * layer is CloneSpec's). */
+  val cl = QueryDef(
+    "q54_shallow_clone",
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+      val root = FixtureDirs.create("q54-clone-")
+      val t = new graft.merge.ParquetTable(spark, root.resolve("src").toString, o.schema)
+      t.overwrite(o.filter(col("o_orderdate") < lit("1995-01-01").cast("timestamp")))
+      val c = t.cloneTo(root.resolve("dup").toString)
+      val batch = o.filter(col("o_orderstatus") === "F")
+        .withColumn("o_totalprice", round(col("o_totalprice") + 1000, 2))
+        .withColumn("o_orderstatus", lit("R"))
+      c.merge(batch)((cur, b) => Merge.scd1(cur, b, Seq("o_orderkey")))
+      def summarize(df: org.apache.spark.sql.DataFrame, side: String) =
+        df.agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+          .select(lit(side).as("side"), col("n"), col("sum_price"))
+      summarize(t.read(), "source").union(summarize(c.read(), "clone"))
+        .orderBy(col("side"))
+    },
+    Some("""WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders),
+           |v1 AS (SELECT * FROM o WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'),
+           |b AS (SELECT o_orderkey, 'R' AS o_orderstatus,
+           |             round(o_totalprice + 1000, 2) AS o_totalprice, o_orderdate
+           |      FROM o WHERE o_orderstatus = 'F'),
+           |cl AS (SELECT * FROM b
+           |  UNION ALL
+           |  SELECT * FROM v1
+           |  WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.o_orderkey = v1.o_orderkey)),
+           |s AS (
+           |  SELECT 'source' AS side, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price FROM v1
+           |  UNION ALL
+           |  SELECT 'clone', count(*), round(sum(o_totalprice), 2) FROM cl)
+           |SELECT side, n, sum_price FROM s ORDER BY side""".stripMargin),
+    "Shallow clone: zero-copy hardlink clone, copy-on-write divergence (Delta SHALLOW CLONE analog)")
+
+  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl)
 }
