@@ -51,7 +51,14 @@ import org.apache.spark.sql.types.{IntegerType, StructType}
 final class ParquetTable(spark: SparkSession, root: String, schema: StructType,
                          bucketBy: Option[(Seq[String], Int)] = None,
                          keepVersions: Int = 0,
-                         checks: Seq[(String, String)] = Nil) {
+                         checks: Seq[(String, String)] = Nil,
+                         statsBy: Seq[String] = Nil) {
+  require(statsBy.isEmpty || bucketBy.isEmpty,
+    "file-stats manifests (statsBy) require an unbucketed table: bucketed " +
+      "merges swap per-bucket directories, so an atomic root manifest needs " +
+      "per-bucket manifests (the same commit-log design the time-travel " +
+      "restriction cites) — bucketed tables already prune by bucket key and " +
+      "carry sorted row-group stats on the merge keys")
   require(keepVersions == 0 || bucketBy.isEmpty,
     "time travel (keepVersions > 0) requires an unbucketed table: bucketed " +
       "merges swap per-bucket, so version reconstruction needs a commit log " +
@@ -98,6 +105,18 @@ final class ParquetTable(spark: SparkSession, root: String, schema: StructType,
 
   /** Read the live table (empty frame with the right schema if never written). */
   def read(): DataFrame = readRaw().select(schema.fieldNames.map(col).toIndexedSeq: _*)
+
+  /** Range scan through the file-stats manifest ([[graft.ops.DataSkipping]]):
+    * reads ONLY files whose min/max interval for `c` intersects `[lo, hi]`
+    * — requires `c` ∈ `statsBy`. Result ≡ `read().filter(c between lo hi)`;
+    * only the files touched differ. */
+  def readRange(c: String, lo: Column, hi: Column): DataFrame = {
+    require(statsBy.contains(c),
+      s"no file stats for column '$c' (statsBy = ${statsBy.mkString(",")})")
+    if (!exists) read().filter(col(c) >= lo && col(c) <= hi)
+    else graft.ops.DataSkipping.readRange(spark, current.toString, c, lo, hi)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
 
   /** Live table including the bucket partition column (when bucketed) —
     * filters on [[BucketCol]] prune partition directories at the source. */
@@ -161,13 +180,28 @@ final class ParquetTable(spark: SparkSession, root: String, schema: StructType,
         s"schema evolution cannot change types: '${f.name}' ${f.dataType.simpleString} " +
           s"-> ${nf.dataType.simpleString} (type changes need a rewrite)")
     }
-    new ParquetTable(spark, root, wider, bucketBy, keepVersions, checks)
+    new ParquetTable(spark, root, wider, bucketBy, keepVersions, checks, statsBy)
   }
 
-  /** Append-only write (bronze layer): plain parquet append, no swap. */
+  private def listParquet(dir: Path): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    if (!Files.exists(dir)) Set.empty
+    else Files.list(dir).iterator().asScala.map(_.getFileName.toString)
+      .filter(_.endsWith(".parquet")).toSet
+  }
+
+  /** Append-only write (bronze layer): plain parquet append, no swap. With
+    * `statsBy`, the file-stats manifest is maintained INCREMENTALLY — stats
+    * computed over the newly added files only (O(batch), never a table
+    * rescan — the Delta write-path behavior). */
   def append(df: DataFrame): Unit = {
     Files.createDirectories(current)
+    val before = if (statsBy.isEmpty) Set.empty[String] else listParquet(current)
     writeTo(df, current, SaveMode.Append)
+    if (statsBy.nonEmpty) {
+      val added = (listParquet(current) -- before).toSeq.sorted
+      graft.ops.DataSkipping.appendStats(spark, current.toString, statsBy, added)
+    }
   }
 
   /** Replace table content with `df` via write-to-staging + directory swap.
@@ -177,6 +211,10 @@ final class ParquetTable(spark: SparkSession, root: String, schema: StructType,
     gen += 1
     val staging = rootPath.resolve(s".staging-$gen")
     writeTo(df, staging, SaveMode.Overwrite)
+    // manifest built on STAGING so data + stats swap in together — readers
+    // never see a manifest describing the other generation
+    if (statsBy.nonEmpty)
+      graft.ops.DataSkipping.collectStats(spark, staging.toString, statsBy)
     if (keepVersions > 0)
       Files.write(staging.resolve(GenMarker), gen.toString.getBytes("UTF-8"))
     if (Files.exists(current)) {
@@ -303,7 +341,7 @@ final class ParquetTable(spark: SparkSession, root: String, schema: StructType,
       else if (p.getFileName.toString.endsWith(".parquet")) Files.createLink(q, p)
       else Files.copy(p, q)
     }
-    new ParquetTable(spark, destRoot, schema, bucketBy, keepVersions, checks)
+    new ParquetTable(spark, destRoot, schema, bucketBy, keepVersions, checks, statsBy)
   }
 
   /** Retention: keep only the newest `keepVersions` retained dirs. */

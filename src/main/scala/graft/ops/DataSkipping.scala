@@ -54,28 +54,68 @@ object DataSkipping {
     collectStats(df.sparkSession, path, statCols)
   }
 
+  /** File names are stored RELATIVE to the data directory (basename, not
+    * URI): the manifest then survives directory swaps, hardlink clones
+    * ([[graft.merge.ParquetTable.cloneTo]]), and machine moves — the same
+    * reason Delta's log records relative paths. */
+  private def baseName: Column =
+    regexp_replace(input_file_name(), "^.*/", "")
+
+  private def statsOver(df: DataFrame, statCols: Seq[String]): DataFrame = {
+    val aggs = statCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    df.groupBy(baseName.as(FileCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Replace `<dir>/_file_stats` with `m` atomically enough for the
+    * single-writer model: stage, drop, move. */
+  private def writeManifest(spark: SparkSession, dir: String, m: DataFrame): Unit = {
+    import java.nio.file.{Files, Paths}
+    val staging = Paths.get(dir, s".$ManifestDir-staging")
+    // manifest is #files rows — one small file, one footer to read back
+    m.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    val live = Paths.get(dir, ManifestDir)
+    if (Files.exists(live)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(live).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+    Files.move(staging, live)
+  }
+
   /** (Re)build `<dir>/_file_stats`: one row per data file, min/max per stat
     * column. One distributed agg; #files output rows. Call again after any
     * rewrite — the manifest describes a snapshot, not a live view. */
-  def collectStats(spark: SparkSession, dir: String, statCols: Seq[String]): Unit = {
-    val aggs = statCols.flatMap(c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    spark.read.parquet(dir)
-      .groupBy(input_file_name().as(FileCol))
-      .agg(aggs.head, aggs.tail: _*)
-      .coalesce(1) // manifest is #files rows — one small file, one footer to read back
-      .write.mode("overwrite").parquet(s"$dir/$ManifestDir")
+  def collectStats(spark: SparkSession, dir: String, statCols: Seq[String]): Unit =
+    writeManifest(spark, dir, statsOver(spark.read.parquet(dir), statCols))
+
+  /** Incremental manifest maintenance for APPEND-only writes: stats are
+    * computed over `addedFiles` ONLY (names relative to `dir`) and unioned
+    * with the existing manifest — O(new data), never a table rescan; the
+    * Delta write-path behavior. */
+  def appendStats(spark: SparkSession, dir: String, statCols: Seq[String],
+                  addedFiles: Seq[String]): Unit = {
+    if (addedFiles.isEmpty) return
+    val fresh = statsOver(
+      spark.read.parquet(addedFiles.map(f => s"$dir/$f"): _*), statCols)
+    val old = manifest(spark, dir)
+    writeManifest(spark, dir,
+      old.map(_.unionByName(fresh)).getOrElse(fresh).localCheckpoint(true))
+    // localCheckpoint: the union reads the OLD manifest files, which
+    // writeManifest is about to delete — materialize before the swap
   }
 
-  private def manifest(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/$ManifestDir")
+  private def manifest(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val p = java.nio.file.Paths.get(dir, ManifestDir)
+    if (java.nio.file.Files.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
 
   /** Data files whose `[min, max]` interval for `c` intersects `[lo, hi]` —
-    * the candidate set a range scan must read. Bounded driver list
-    * (≤ #files strings). */
+    * the candidate set a range scan must read (names relative to `dir`).
+    * Bounded driver list (≤ #files strings). */
   def prunedFiles(spark: SparkSession, dir: String, c: String,
                   lo: Column, hi: Column): Seq[String] =
     manifest(spark, dir)
+      .getOrElse(throw new IllegalStateException(s"no $ManifestDir manifest under $dir"))
       .filter(col(s"max_$c") >= lo && col(s"min_$c") <= hi)
       .select(col(FileCol)).collect().map(_.getString(0)).toIndexedSeq
 
@@ -91,6 +131,6 @@ object DataSkipping {
     if (files.isEmpty) {
       val schema = spark.read.parquet(dir).schema
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else spark.read.parquet(files: _*).filter(pred)
+    } else spark.read.parquet(files.map(f => s"$dir/$f"): _*).filter(pred)
   }
 }
