@@ -54,6 +54,34 @@ object Dedup {
       ds.join(broadcast(hot), Seq("shingle"), "left_anti")
     }
 
+  /** Cross-document novelty: the fraction of a document's distinct n-gram
+    * shingles whose FIRST corpus occurrence (min doc_id over the corpus) is
+    * this document — the inter-document counterpart of the intra-doc
+    * repetition ratios: a near-zero score marks a document whose content
+    * already exists elsewhere even when no single pair crosses a near-dup
+    * threshold (e.g. a mosaic of fragments), the standard marginal-value
+    * signal when ranking documents for inclusion.
+    *
+    * Scale shape: TWO independent partial-aggregated passes over the
+    * exploded shingle relation — per-doc counts (count combiner on doc_id)
+    * and first-occurrence (min combiner on shingle, then count on doc_id) —
+    * followed by a join of two doc-cardinality relations. The corpus-sized
+    * shingle relation is never joined, so boilerplate shingles (huge df)
+    * cost only their map-side min-combiner: skew-immune WITHOUT a df cap,
+    * unlike the pairwise ladder. */
+  def crossDocNovelty(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3): DataFrame = {
+    val sh = docShingles(docs, idCol, textCol, n)
+    val perDoc = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val novel = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        (coalesce(col("n_novel"), lit(0L)).cast("double") / col("n_shingles"))
+          .as("novelty"))
+  }
+
   /** Per-pair exact Jaccard from intersection counts + per-doc set sizes,
     * thresholded. `inter` must have (doc_a, doc_b, n_inter). */
   private def jaccardOf(inter: DataFrame, sizes: DataFrame,

@@ -517,5 +517,40 @@ object MergeQueries {
            |SELECT side, n, sum_price FROM s ORDER BY side""".stripMargin),
     "Shallow clone: zero-copy hardlink clone, copy-on-write divergence (Delta SHALLOW CLONE analog)")
 
-  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl)
+  /** Compaction (the Delta/Iceberg `OPTIMIZE` analog) as a verified row:
+    * four keyed appends leave 4 small files per bucket — the streaming-
+    * ingest pathology that kills scan throughput at 100 TB (file-open cost
+    * dominates once files ≪ row-group size) — then
+    * [[graft.merge.ParquetTable.compact]] rewrites each oversized bucket to
+    * one file. The row `require`s the physical file count actually dropped,
+    * and the aggregate over the compacted table hash-matches the oracle
+    * over the raw union — content-preservation under the rewrite is the
+    * verified property (byte-identity of untouched buckets is pinned by
+    * MergePropertiesSpec). Cost model at scale: O(oversized buckets) — the
+    * bucket directories below the threshold are not even re-listed. */
+  val opt = QueryDef(
+    "q55_compaction",
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val root = FixtureDirs.create("q55-opt-").resolve("orders_o").toString
+      val t = new graft.merge.ParquetTable(spark, root, o.schema,
+        bucketBy = Some((Seq("o_orderkey"), 8)))
+      (0 until 4).foreach { k =>
+        t.append(o.filter(pmod(col("o_orderkey"), lit(4)) === k))
+      }
+      val before = t.read().inputFiles.length
+      t.compact(maxFilesPerBucket = 1)
+      val after = t.read().inputFiles.length
+      require(after < before,
+        s"compaction reduced nothing ($before -> $after files)")
+      t.read().groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+           |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+    "Compaction: OPTIMIZE-style small-file rewrite, content-preserving, per-bucket scoped (Delta OPTIMIZE analog)")
+
+  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl, opt)
 }

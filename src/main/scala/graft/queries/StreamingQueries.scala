@@ -999,6 +999,51 @@ object StreamingQueries {
     },
     "streaming CMS heavy hitters per tumbling window: O(d*w) state, append emission, bit-exact probe")
 
+  /** Streaming AS-OF enrichment (the q36 semantics on the streaming path):
+    * each streamed purchase picks the latest click at-or-before its
+    * timestamp per user. Stream-stream as-of would need ordered state per
+    * key; the scalable form is STREAM-STATIC — the dimension side is
+    * pre-bucketed once per batch epoch into disjoint validity intervals
+    * `[click_ts, next_click_ts)` via a lead window (a batch plan, sized by
+    * the dim table, NOT the stream), and the streaming join is then a
+    * STATELESS left-outer equi-join on user + interval predicate: no
+    * watermark, no state store, every micro-batch row emits exactly once.
+    * This is how a 100 TB pipeline does SCD-style temporal lookups: the
+    * interval table is the slowly-changing dim, refreshed per epoch,
+    * broadcast when small. Ties on (user_id, click_ts) would make the
+    * first-of-tie interval empty `[t, t)` while DuckDB's ASOF picks an
+    * arbitrary tie member — the testdata has none (verified), and a
+    * production deployment would pre-dedupe the dim on the timestamp key.
+    * Oracle = native ASOF LEFT JOIN (a genuinely different algorithm). */
+  val s19 = QueryDef(
+    "s19_stream_asof_enrich",
+    (spark, dir) => drain(spark, dir, "append") { ev =>
+      val clicks = graft.sources.Tables.eventsUs(spark, dir)
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+          col("ts_us").as("click_ts"))
+      val iv = clicks.withColumn("next_ts",
+        lead(col("click_ts"), 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cu")).orderBy(col("click_ts"), col("click_id"))))
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+        .join(iv,
+          col("user_id") === col("cu") && col("ts_us") >= col("click_ts") &&
+            (col("next_ts").isNull || col("ts_us") < col("next_ts")),
+          "left_outer")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("click_id"), col("click_ts"))
+    }.orderBy(col("event_id")),
+    Some(s"""WITH $evCte,
+            |l AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'purchase'),
+            |r AS (SELECT event_id AS click_id, user_id, ts_us AS click_ts
+            |      FROM ev WHERE event_type = 'click')
+            |SELECT l.event_id, l.user_id, l.ts_us, r.click_id, r.click_ts
+            |FROM l ASOF LEFT JOIN r
+            |  ON l.user_id = r.user_id AND l.ts_us >= r.click_ts
+            |ORDER BY l.event_id""".stripMargin),
+    "streaming as-of enrichment: stateless stream-static interval join over a lead-bucketed dim (q36 on the streaming path)")
+
   def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
-    s10, s11, s12, s13, s14, s15, s16, s17, s18)
+    s10, s11, s12, s13, s14, s15, s16, s17, s18, s19)
 }

@@ -25,16 +25,21 @@ object TextQueries {
     * quadratically at scale (mirrors [[Dedup.capShingles]]). */
   private[graft] val DedupMaxDf = 20
 
+  /** toks → sh (exploded distinct 3-gram shingles) — the uncapped shingle
+    * relation (mirrors [[Dedup.docShingles]]). */
+  private val rawShingleCte =
+    s"""toks AS (SELECT doc_id,
+      |  CASE WHEN length(trim(text)) = 0 THEN []
+      |       ELSE string_split_regex(trim(text), '\\s+') END AS w FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN length(w) < 3 THEN []
+      |         ELSE [array_to_string(list_slice(w, i+1, i+3), ' ') for i in range(0, length(w)-2)] END)) AS shingle
+      |  FROM toks)""".stripMargin
+
   /** Shared 3-gram shingle CTE chain: toks → sh (exploded distinct
     * shingles) → shc (document-frequency-capped universe). */
   private val shingleCte =
-    s"""toks AS (SELECT doc_id,
-       |  CASE WHEN length(trim(text)) = 0 THEN []
-       |       ELSE string_split_regex(trim(text), '\\s+') END AS w FROM documents),
-       |sh AS (SELECT doc_id, unnest(list_distinct(
-       |    CASE WHEN length(w) < 3 THEN []
-       |         ELSE [array_to_string(list_slice(w, i+1, i+3), ' ') for i in range(0, length(w)-2)] END)) AS shingle
-       |  FROM toks),
+    s"""$rawShingleCte,
        |dfc AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= $DedupMaxDf),
        |shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfc USING (shingle))""".stripMargin
 
@@ -1521,8 +1526,31 @@ object TextQueries {
            |FROM n ORDER BY doc_id""".stripMargin),
     "Unicode NFC normalization: native UAX #15 expression, byte-identical to DuckDB nfc_normalize (LLM-pipeline op)")
 
+  /** Cross-document novelty ([[Dedup.crossDocNovelty]]): fraction of each
+    * doc's distinct 3-gram shingles first seen (min doc_id) in that doc —
+    * the inter-document diversity signal complementing d14's intra-doc
+    * repetition. Docs with < 3 tokens have no shingles and drop out (both
+    * sides). The novelty double is a single int64/int64 IEEE division —
+    * bit-identical across engines, no rounding (CLAUDE.md float rule:
+    * pure per-row arithmetic stays unrounded). */
+  val d31 = QueryDef(
+    "d31_cross_doc_novelty",
+    (spark, dir) => {
+      Dedup.crossDocNovelty(Tables.documents(spark, dir), "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $rawShingleCte,
+            |per_doc AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+            |firsts AS (SELECT min(doc_id) AS doc_id FROM sh GROUP BY shingle),
+            |novel AS (SELECT doc_id, count(*) AS n_novel FROM firsts GROUP BY doc_id)
+            |SELECT p.doc_id, p.n_shingles, coalesce(n.n_novel, 0) AS n_novel,
+            |  CAST(coalesce(n.n_novel, 0) AS DOUBLE) / p.n_shingles AS novelty
+            |FROM per_doc p LEFT JOIN novel n USING (doc_id)
+            |ORDER BY p.doc_id""".stripMargin),
+    "cross-document novelty: first-occurrence shingle fraction, skew-immune two-pass agg (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
-      d30, m01, m02, m03, m04, m05, m06, m07, m08)
+      d30, d31, m01, m02, m03, m04, m05, m06, m07, m08)
 }

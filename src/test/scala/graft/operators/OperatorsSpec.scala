@@ -50,6 +50,29 @@ class OperatorsSpec extends SparkSpec {
     assert(nd.toSeq.contains((1L, 2L)))
   }
 
+  test("crossDocNovelty: verbatim dup scores 0, fresh doc 1, mosaic in between; " +
+      "shingle totals conserved") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),   // first: all novel
+      (2L, "the quick brown fox jumps over the lazy dog"),   // verbatim dup: 0
+      (3L, "entirely fresh content with new words here"),    // disjoint: 1
+      (4L, "the quick brown fox sat beside entirely fresh content")) // mosaic
+      .toDF("doc_id", "text")
+    val got = Dedup.crossDocNovelty(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_shingles", "n_novel", "novelty")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(got(0)._4 == 1.0)
+    assert(got(1)._4 == 0.0)
+    assert(got(2)._4 == 1.0)
+    assert(got(3)._4 > 0.0 && got(3)._4 < 1.0)
+    // every shingle's first occurrence is attributed exactly once
+    val distinctShingles = Dedup.docShingles(docs, "doc_id", "text", 3)
+      .select("shingle").distinct().count()
+    assert(got.map(_._3).sum == distinctShingles)
+  }
+
   test("dupClusters: min-label connected components incl. isolated nodes") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
     val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
