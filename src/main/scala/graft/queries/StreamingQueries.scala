@@ -1044,6 +1044,74 @@ object StreamingQueries {
             |ORDER BY l.event_id""".stripMargin),
     "streaming as-of enrichment: stateless stream-static interval join over a lead-bucketed dim (q36 on the streaming path)")
 
+  /** Streaming ingest with inline AUTO-COMPACTION (the Delta
+    * autoOptimize/optimizeWrite analog, composing q55's compact with the
+    * K2 foreachBatch sink): continuous appends are the small-file pathology
+    * — one file per bucket PER MICRO-BATCH, so a day of 1-minute batches
+    * leaves 1440 files/bucket and scan throughput dies at 100 TB. Each
+    * batch here appends then compacts any bucket over the file threshold;
+    * the drain-end `require` pins the bound (≤ threshold files per bucket,
+    * vs n_batches without compaction) and the oracle pins that repeated
+    * rewrite-under-ingest preserved content exactly. Cost stays
+    * O(oversized buckets) per batch — below-threshold buckets are not
+    * re-listed, the same property q55 verifies statically. */
+  val s20 = QueryDef(
+    "s20_stream_auto_compact",
+    (spark, dir) => {
+      import graft.merge.ParquetTable
+      val ev = graft.sources.Tables.eventsUs(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts_us"))
+      // source: 6 ascending event-time ranges, one file per micro-batch
+      val srcDir = FixtureDirs.create("s20-src-")
+      val bounds = ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val nBatches = 6
+      val step = (hi - lo) / nBatches + 1
+      (0 until nBatches).foreach { i =>
+        val tmp = FixtureDirs.create(s"s20-part$i-")
+        ev.filter(col("ts_us") >= lo + i * step && col("ts_us") < lo + (i + 1) * step)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val f = java.nio.file.Files.list(tmp)
+          .filter(_.toString.endsWith(".parquet")).findFirst().get()
+        java.nio.file.Files.move(f, srcDir.resolve(s"batch$i.parquet"))
+      }
+      val maxFiles = 2
+      val root = FixtureDirs.create("s20-table-").resolve("events_t").toString
+      val table = new ParquetTable(spark, root,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id bigint, user_id bigint, event_type string, value double, ts_us bigint"),
+        bucketBy = Some((Seq("user_id"), 8)))
+      withStreamConf(spark) {
+        val q = spark.readStream
+          .schema("event_id bigint, user_id bigint, event_type string, value double, ts_us bigint")
+          .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+          .writeStream
+          .option("checkpointLocation", newCkptDir())
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            table.append(batch)
+            table.compact(maxFilesPerBucket = maxFiles)
+            ()
+          }
+          .start()
+        q.awaitTermination()
+      }
+      val perBucket = table.read().inputFiles
+        .groupBy(f => f.split("/").takeRight(2).head).view.mapValues(_.length)
+      val worst = perBucket.values.max
+      require(worst <= maxFiles,
+        s"auto-compaction failed to bound bucket files: worst=$worst " +
+          s"(uncompacted would be $nBatches)")
+      table.read().groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    "streaming ingest + inline auto-compaction: bounded files per bucket under continuous appends (Delta autoOptimize analog)")
+
   def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
-    s10, s11, s12, s13, s14, s15, s16, s17, s18, s19)
+    s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20)
 }

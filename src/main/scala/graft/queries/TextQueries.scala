@@ -350,6 +350,26 @@ object TextQueries {
            |ORDER BY source, doc_id""".stripMargin),
     "consistent min-k sampling via typed Aggregator (LLM-pipeline op)")
 
+  /** `scored(doc_id, quality)` CTE chain mirroring
+    * [[TextFunctions.qualityScore]] — shared by d11 (the score itself) and
+    * d32 (score-weighted sampling). Same formula, same association order. */
+  private val qualityScoredCte = {
+    val sw = TextFunctions.stopwords.map(s => s"'$s'").mkString("[", ",", "]")
+    s"""q AS (SELECT doc_id,
+       |  CASE WHEN length(text) = 0 THEN 0.0
+       |       ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END AS pr,
+       |  CASE WHEN length(w) = 0 THEN 0.0
+       |       ELSE CAST(length(list_filter(w, x -> list_contains($sw, x))) AS DOUBLE) / length(w) END AS sw,
+       |  CASE WHEN length(w) = 0 THEN 0.0
+       |       ELSE CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / length(w) END AS awl,
+       |  CASE WHEN length(w) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END AS len_ok
+       |FROM toks),
+       |scored AS (SELECT doc_id,
+       |  (least(sw * 4.0, 1.0) + (1.0 - least(pr * 5.0, 1.0)) + len_ok
+       |   + CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) / 4.0 AS quality
+       |FROM q)""".stripMargin
+  }
+
   /** Composite quality score — the classic cheap pretraining-quality
     * heuristic. Pure per-row float math over components already verified by
     * d03 (bit-identical IEEE on both engines) composed with identical
@@ -362,23 +382,9 @@ object TextQueries {
           TextFunctions.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))
     },
-    Some {
-      val sw = TextFunctions.stopwords.map(s => s"'$s'").mkString("[", ",", "]")
-      s"""WITH $tokCte,
-         |q AS (SELECT doc_id,
-         |  CASE WHEN length(text) = 0 THEN 0.0
-         |       ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END AS pr,
-         |  CASE WHEN length(w) = 0 THEN 0.0
-         |       ELSE CAST(length(list_filter(w, x -> list_contains($sw, x))) AS DOUBLE) / length(w) END AS sw,
-         |  CASE WHEN length(w) = 0 THEN 0.0
-         |       ELSE CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / length(w) END AS awl,
-         |  CASE WHEN length(w) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END AS len_ok
-         |FROM toks)
-         |SELECT doc_id,
-         |  (least(sw * 4.0, 1.0) + (1.0 - least(pr * 5.0, 1.0)) + len_ok
-         |   + CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) / 4.0 AS quality
-         |FROM q ORDER BY doc_id""".stripMargin
-    },
+    Some(s"""WITH $tokCte,
+            |$qualityScoredCte
+            |SELECT doc_id, quality FROM scored ORDER BY doc_id""".stripMargin),
     "composite quality score: stopword/punct/length heuristic (LLM-pipeline op)")
 
   /** SimHash near-dup pairs via pigeonhole block join — the Hamming-distance
@@ -1549,8 +1555,38 @@ object TextQueries {
             |ORDER BY p.doc_id""".stripMargin),
     "cross-document novelty: first-occurrence shingle fraction, skew-immune two-pass agg (LLM-pipeline op)")
 
+  /** Quality-WEIGHTED sampling — the soft-threshold curation step (keep a
+    * doc with probability equal to its quality score) that modern pipelines
+    * prefer over a hard cutoff: borderline docs survive in proportion to
+    * their score instead of cliff-edging at a threshold. Deterministic and
+    * engine-portable: the per-doc uniform is the 8-nibble md5 prefix of a
+    * salted doc_id, a dyadic rational n/2^32 (exact in a double, q30's KMV
+    * rule), and the quality double is d11's bit-identical score — so the
+    * keep decision `u < quality` compares two exactly-reproducible doubles.
+    * Map-only per-row math; no shuffle until the final sort. */
+  val d32 = QueryDef(
+    "d32_quality_weighted_sample",
+    (spark, dir) => {
+      val u = (conv(substring(md5(concat(lit("smp|"), col("doc_id").cast("string"))), 1, 8),
+          16, 10).cast("long").cast("double") / lit(4294967296.0)).as("u")
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("quality"), u)
+        .filter(col("u") < col("quality"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $tokCte,
+            |$qualityScoredCte,
+            |s AS (SELECT doc_id, quality,
+            |  CAST(CAST('0x' || substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
+            |    / CAST(4294967296 AS DOUBLE) AS u
+            |FROM scored)
+            |SELECT doc_id, quality, u FROM s WHERE u < quality
+            |ORDER BY doc_id""".stripMargin),
+    "quality-weighted sampling: keep-probability = quality score, md5-dyadic uniform (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
-      d30, d31, m01, m02, m03, m04, m05, m06, m07, m08)
+      d30, d31, d32, m01, m02, m03, m04, m05, m06, m07, m08)
 }
