@@ -90,6 +90,30 @@ object Merge {
     }.toIndexedSeq: _*)
   }
 
+  /** M6 — delete-matched (`WHEN MATCHED [AND cond] THEN DELETE` — beyond
+    * the reference's five flavors; the Delta MERGE arm every GDPR /
+    * right-to-be-forgotten pipeline runs). Target rows with a matching
+    * batch key are REMOVED — all of them, or only those where some
+    * matching batch row satisfies `guard` — and batch rows are never
+    * inserted. Plan shape: one left-anti join on `keys` (+ guard), so the
+    * same single-shuffle cost class as M1, and through
+    * [[ParquetTable.merge]] only the buckets holding requested keys are
+    * rewritten — O(touched partitions) erasure, which is the property that
+    * makes per-user deletion affordable on a 100 TB table. Idempotent by
+    * construction: re-applying the same deletion batch is a no-op. */
+  def deleteMatched(target: DataFrame, batch: DataFrame, keys: Seq[String],
+                    guard: Option[(String => Column, String => Column) => Column] = None)
+      : DataFrame =
+    guard match {
+      case None => antiByKey(target, batch, keys)
+      case Some(g) =>
+        val b = batch.select(batch.columns.map(c => col(c).as("__b_" + c)).toIndexedSeq: _*)
+        val cond = keys.map(k => target(k) <=> b("__b_" + k)).reduce(_ && _)
+        val tc: String => Column = c => target(c)
+        val bc: String => Column = c => b("__b_" + c)
+        target.join(b, cond && g(tc, bc), "left_anti")
+    }
+
   /** M5 — explicit-column-list upsert (gold summary,
     * `Gold/06-gold.py:31-80`): same plan shape as M4 but only `updateCols`
     * change on match; other target columns are preserved.

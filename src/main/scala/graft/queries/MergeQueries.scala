@@ -552,5 +552,42 @@ object MergeQueries {
            |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
     "Compaction: OPTIMIZE-style small-file rewrite, content-preserving, per-bucket scoped (Delta OPTIMIZE analog)")
 
-  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl, opt)
+  /** M6 delete-matched as a verified row — the GDPR / right-to-be-forgotten
+    * MERGE arm (`WHEN MATCHED AND cond THEN DELETE`): erasure requests (the
+    * orderkeys of one customer stratum) are merged into a BUCKETED table,
+    * deleting matched orders only where the guard holds (pre-1995 rows —
+    * the conditional arm). Through [[graft.merge.ParquetTable.merge]] only
+    * buckets holding requested keys are rewritten — O(touched partitions)
+    * erasure, the property that makes per-user deletion affordable at
+    * 100 TB. The oracle re-states the erasure relationally
+    * (NOT EXISTS over requests × guard). */
+  val del = QueryDef(
+    "q56_merge_delete",
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"))
+      val root = FixtureDirs.create("q56-del-").resolve("orders_d").toString
+      val t = new graft.merge.ParquetTable(spark, root, o.schema,
+        bucketBy = Some((Seq("o_orderkey"), 8)))
+      t.overwrite(o)
+      val requests = o.filter(pmod(col("o_custkey"), lit(7)) === 3)
+        .select(col("o_orderkey"))
+      val cut = lit("1995-01-01").cast("timestamp")
+      t.merge(requests)((cur, b) =>
+        Merge.deleteMatched(cur, b, Seq("o_orderkey"),
+          Some((tc, _) => tc("o_orderdate") < cut)))
+      t.read().groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""WITH req AS (SELECT o_orderkey FROM orders WHERE o_custkey % 7 = 3),
+           |kept AS (SELECT * FROM orders o WHERE NOT EXISTS (
+           |  SELECT 1 FROM req r WHERE r.o_orderkey = o.o_orderkey
+           |    AND o.o_orderdate < TIMESTAMP '1995-01-01 00:00:00'))
+           |SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+           |FROM kept GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+    "MERGE delete-matched: guarded GDPR-style erasure, bucket-scoped rewrite (Delta WHEN MATCHED THEN DELETE analog)")
+
+  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl, opt, del)
 }

@@ -66,6 +66,27 @@ class MergeSpec extends SparkSpec {
     assert(got.toSeq == Seq(("m1", 900L), ("m2", 300L)))
   }
 
+  test("M6 deleteMatched: unguarded erases all matched keys; guarded erases " +
+      "only guard-passing rows; idempotent; insertOnly restores") {
+    val target = Seq((1, "a", 10L), (2, "b", 20L), (3, "c", 30L)).toDF("k", "v", "ts")
+    val req = Seq((2, "x", 0L), (3, "x", 0L)).toDF("k", "v", "ts")
+    val plain = Merge.deleteMatched(target, req, Seq("k"))
+    assert(plain.orderBy("k").as[(Int, String, Long)].collect().toSeq ==
+      Seq((1, "a", 10L)))
+    // guarded: delete matched keys only where the target row is old (ts < 25)
+    val guarded = Merge.deleteMatched(target, req, Seq("k"),
+      Some((t, _) => t("ts") < 25L))
+    assert(guarded.orderBy("k").as[(Int, String, Long)].collect().toSeq ==
+      Seq((1, "a", 10L), (3, "c", 30L)))
+    // idempotent: re-applying the same deletion batch is a no-op
+    val again = Merge.deleteMatched(guarded, req, Seq("k"), Some((t, _) => t("ts") < 25L))
+    assert(again.orderBy("k").collect().toSeq == guarded.orderBy("k").collect().toSeq)
+    // composition: M1 re-insert after erasure restores the deleted key
+    val restored = Merge.insertOnly(plain, Seq((2, "b2", 21L)).toDF("k", "v", "ts"), Seq("k"))
+    assert(restored.orderBy("k").as[(Int, String, Long)].collect().toSeq ==
+      Seq((1, "a", 10L), (2, "b2", 21L)))
+  }
+
   test("M1 insertOnly is null-key idempotent") {
     val target = Seq((Some(1), "a")).toDF("k", "v")
     val batch = Seq((Option.empty[Int], "n"), (Some(2), "b")).toDF("k", "v")
