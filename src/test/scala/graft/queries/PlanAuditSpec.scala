@@ -44,6 +44,24 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("d31: novelty joins only doc-cardinality aggregates — the corpus-sized " +
+      "shingle relation never reaches a join") {
+    val p = planOf("d31_cross_doc_novelty")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"d31 has a non-equi join:\n$p")
+    // the one join in the plan sits ABOVE both aggregates: every join line
+    // must appear before (higher than) the first partial_count over the
+    // exploded shingles. If the shingle relation itself were joined (the
+    // skew bomb the scaladoc rules out), a join would appear below an agg.
+    val lines = p.linesIterator.toVector
+    val joinIdx = lines.zipWithIndex.filter(_._1.contains("Join")).map(_._2)
+    val aggIdx = lines.zipWithIndex
+      .filter { case (l, _) => l.contains("HashAggregate") }.map(_._2)
+    assert(joinIdx.nonEmpty && aggIdx.nonEmpty, s"unexpected plan shape:\n$p")
+    assert(joinIdx.max < aggIdx.min,
+      s"a join consumes a pre-aggregate (corpus-sized) relation:\n$p")
+  }
+
   test("v09/v10: PQ corpus side carries codes, not vectors, past the join") {
     val p = planOf("v09_ann_pq")
     // encode in the scan-side projection, table build on the broadcast
