@@ -259,6 +259,21 @@ final class ParquetTable(spark: SparkSession, root: String, schema: StructType,
     }
   }
 
+  /** Restore the table to the content of version `v` (the Delta `RESTORE
+    * TABLE ... TO VERSION AS OF` analog). Like Delta, restore is a ROLL
+    * FORWARD: it cuts a NEW version whose content equals `v`, so history is
+    * preserved (the bad versions remain readable for forensics until
+    * retention prunes them) and a restore is itself undoable. Cost is one
+    * rewrite of the restored content — Delta's metadata-only restore needs
+    * the commit log this table's scaladoc scopes out. Requires
+    * `keepVersions > 0` (restore without retained versions is overwrite). */
+  def restore(v: Long): Unit = {
+    require(keepVersions > 0, "restore needs a versioned table (keepVersions > 0)")
+    require(history().contains(v),
+      s"version $v not available; readable versions: ${history().mkString(", ")}")
+    overwrite(readVersion(v))
+  }
+
   /** Change data feed between two readable versions (Delta
     * `table_changes(from, to)` analog): for every adjacent version pair in
     * `(fromV, toV]` emit the row-level delta, tagged `_change_type` ∈

@@ -91,6 +91,32 @@ class TimeTravelSpec extends SparkSpec {
     intercept[IllegalArgumentException](t.changes(3, 1, Seq("k")))
   }
 
+  test("restore rolls FORWARD: new version with the old content, history " +
+      "intact, undoable; unversioned/unknown targets fail loudly") {
+    val (t, _) = table(keep = 4)
+    t.overwrite(Seq((1L, "a")).toDF("k", "v"))                    // v1
+    t.merge(Seq((2L, "b")).toDF("k", "v"))(                       // v2
+      (cur, b) => Merge.insertOnly(cur, b, Seq("k")))
+    t.restore(1)                                                  // v3 ≡ v1
+    assert(t.history() == Seq(1L, 2L, 3L))
+    assert(t.currentVersion == 3L)
+    assert(t.read().orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a")))
+    // the rolled-back version stays readable (forensics)
+    assert(t.readVersion(2).orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // restore is itself undoable: restore(2) brings the merged state back
+    t.restore(2)                                                  // v4 ≡ v2
+    assert(t.read().orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // unknown version fails loudly
+    intercept[IllegalArgumentException](t.restore(99))
+    // unversioned table refuses restore
+    val (u, _) = table(keep = 0)
+    u.overwrite(Seq((1L, "a")).toDF("k", "v"))
+    intercept[IllegalArgumentException](u.restore(1))
+  }
+
   test("keepVersions=0 tables behave exactly as before (no version dirs)") {
     val (t, dir) = table(keep = 0)
     t.overwrite(Seq((1L, "a")).toDF("k", "v"))
