@@ -1,6 +1,6 @@
 package graft.queries
 
-import java.nio.file.{Files, Path}
+import java.nio.file.{Files, Path, Paths}
 import java.util.concurrent.ConcurrentLinkedQueue
 
 import org.apache.spark.sql.DataFrame
@@ -62,4 +62,18 @@ object FixtureDirs {
     })
     df.sparkSession.read.parquet(dir)
   }
+
+  /** Session-lifetime cached fixture DIRECTORY, same contract as
+    * [[cachedRoundTrip]] but for arbitrary builds (the streaming rows'
+    * multi-file micro-batch sources): `build` runs once per
+    * (prefix, sfDir); repeats reuse the directory. The built content must
+    * be a deterministic function of the key — STREAM SOURCES ONLY; any
+    * directory the query MUTATES (checkpoints, sink tables) must stay
+    * per-invocation or a repeat would observe the prior run's state. */
+  def cachedDir(prefix: String, sfDir: String)(build: Path => Unit): Path =
+    Paths.get(roundTripCache.computeIfAbsent("dir|" + prefix + "|" + sfDir, _ => {
+      val d = create(prefix)
+      build(d)
+      d.toString
+    }))
 }

@@ -680,19 +680,21 @@ object StreamingQueries {
       val bench = docs.filter(byte(col("doc_id")) >= 250)
 
       // source: 3 ascending doc_id ranges, one file per micro-batch
-      val srcDir = FixtureDirs.create("s14-docs-")
-      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
-      val cuts = Seq(maxId / 3, 2 * maxId / 3)
-      val parts = Seq(
-        docs.filter(col("doc_id") <= cuts.head),
-        docs.filter(col("doc_id") > cuts.head && col("doc_id") <= cuts(1)),
-        docs.filter(col("doc_id") > cuts(1)))
-      parts.zipWithIndex.foreach { case (p, i) =>
-        val tmp = FixtureDirs.create(s"s14-part$i-")
-        p.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val f = java.nio.file.Files.list(tmp)
-          .filter(_.toString.endsWith(".parquet")).findFirst().get()
-        java.nio.file.Files.move(f, srcDir.resolve(s"batch$i.parquet"))
+      // (session-cached, deterministic per sf dir — see s20)
+      val srcDir = FixtureDirs.cachedDir("s14-docs-", dir) { d =>
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val cuts = Seq(maxId / 3, 2 * maxId / 3)
+        val parts = Seq(
+          docs.filter(col("doc_id") <= cuts.head),
+          docs.filter(col("doc_id") > cuts.head && col("doc_id") <= cuts(1)),
+          docs.filter(col("doc_id") > cuts(1)))
+        parts.zipWithIndex.foreach { case (p, i) =>
+          val tmp = FixtureDirs.create(s"s14-part$i-")
+          p.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val f = java.nio.file.Files.list(tmp)
+            .filter(_.toString.endsWith(".parquet")).findFirst().get()
+          java.nio.file.Files.move(f, d.resolve(s"batch$i.parquet"))
+        }
       }
 
       val root = FixtureDirs.create("s14-clean-").toString
@@ -1063,18 +1065,21 @@ object StreamingQueries {
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"), col("ts_us"))
       // source: 6 ascending event-time ranges, one file per micro-batch
-      val srcDir = FixtureDirs.create("s20-src-")
-      val bounds = ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
-      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      // (session-cached: deterministic function of the sf dir, so bench
+      // repeats measure the ingest+compaction, not source construction)
       val nBatches = 6
-      val step = (hi - lo) / nBatches + 1
-      (0 until nBatches).foreach { i =>
-        val tmp = FixtureDirs.create(s"s20-part$i-")
-        ev.filter(col("ts_us") >= lo + i * step && col("ts_us") < lo + (i + 1) * step)
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val f = java.nio.file.Files.list(tmp)
-          .filter(_.toString.endsWith(".parquet")).findFirst().get()
-        java.nio.file.Files.move(f, srcDir.resolve(s"batch$i.parquet"))
+      val srcDir = FixtureDirs.cachedDir("s20-src-", dir) { d =>
+        val bounds = ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
+        val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+        val step = (hi - lo) / nBatches + 1
+        (0 until nBatches).foreach { i =>
+          val tmp = FixtureDirs.create(s"s20-part$i-")
+          ev.filter(col("ts_us") >= lo + i * step && col("ts_us") < lo + (i + 1) * step)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val f = java.nio.file.Files.list(tmp)
+            .filter(_.toString.endsWith(".parquet")).findFirst().get()
+          java.nio.file.Files.move(f, d.resolve(s"batch$i.parquet"))
+        }
       }
       val maxFiles = 2
       val root = FixtureDirs.create("s20-table-").resolve("events_t").toString
