@@ -27,12 +27,13 @@ object Scratch {
     }
 
     if (args.headOption.contains("q")) {
-      // time one registered query in isolation: Scratch q <name> [repeats]
+      // time registered queries in isolation: Scratch q <n1,n2,...> [repeats]
       // (bench-identical session; run1 = cold incl. codegen, rest = warm)
-      val name = args(1)
       val n = args.lift(2).map(_.toInt).getOrElse(3)
-      val fn = graft.queries.Registry.queries(name)
-      (1 to n).foreach { i => timed(s"$name run$i") { fn(spark, sfDir).count() } }
+      args(1).split(',').foreach { name =>
+        val fn = graft.queries.Registry.queries(name)
+        (1 to n).foreach { i => timed(s"$name run$i") { fn(spark, sfDir).count() } }
+      }
     } else if (args.headOption.contains("sf1dir")) {
       // Materialize a PERSISTED sf1 replica dir (10x sf0.1, all tables) for
       // the full-suite 10x bench: key-shifted replicas keep every join/

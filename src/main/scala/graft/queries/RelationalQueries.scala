@@ -1246,8 +1246,50 @@ object RelationalQueries {
             |ORDER BY stage""".stripMargin),
     "sequential-pattern funnel: chained keyed min-aggregations with a 72h stage window")
 
+  /** Cohort retention matrix — the canonical product/health-analytics
+    * rollup (the reference's dashboards slice activity by signup recency):
+    * users are bucketed by their first-activity epoch-day (exact int64
+    * µs // 86400000000, never float time math), and each later active day
+    * counts into (cohort_day, day_offset). All stages are keyed shuffles:
+    * distinct (user, day) pairs, per-user min, then a cohort-keyed
+    * count-distinct; the cohort-size enrichment join is broadcastable
+    * (≤ #days rows). `retention` is a single bigint/bigint division
+    * performed identically on both engines — bit-exact. */
+  val q58 = QueryDef(
+    "q58_cohort_retention",
+    (spark, dir) => {
+      val act = Tables.eventsUs(spark, dir)
+        .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+        .distinct()
+      val cohort = act.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      val sizes = cohort.groupBy(col("cohort_day"))
+        .agg(countDistinct(col("user_id")).as("cohort_size"))
+      act.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .join(broadcast(sizes), Seq("cohort_day"))
+        .select(col("cohort_day"), col("day_offset"), col("n_users"),
+          col("cohort_size"),
+          (col("n_users").cast("double") / col("cohort_size")).as("retention"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    },
+    Some(s"""WITH $evCte,
+            |act AS (SELECT DISTINCT user_id, ts_us // 86400000000 AS day FROM ev),
+            |cohort AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id),
+            |sizes AS (SELECT cohort_day, count(DISTINCT user_id) AS cohort_size
+            |  FROM cohort GROUP BY cohort_day),
+            |ret AS (SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+            |    count(DISTINCT a.user_id) AS n_users
+            |  FROM act a JOIN cohort c USING (user_id) GROUP BY 1, 2)
+            |SELECT r.cohort_day, r.day_offset, r.n_users, s.cohort_size,
+            |  CAST(r.n_users AS DOUBLE) / s.cohort_size AS retention
+            |FROM ret r JOIN sizes s USING (cohort_day)
+            |ORDER BY cohort_day, day_offset""".stripMargin),
+    "cohort retention matrix: first-day cohorts x offset-day activity, exact µs day math")
+
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q12, q13, q14, q15, q16, q17, q18, q19, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41, q42, q43, q44, q45, q46, q47, q48)
+    q41, q42, q43, q44, q45, q46, q47, q48, q58)
 }

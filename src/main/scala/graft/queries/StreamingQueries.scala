@@ -1117,6 +1117,75 @@ object StreamingQueries {
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
     "streaming ingest + inline auto-compaction: bounded files per bucket under continuous appends (Delta autoOptimize analog)")
 
+  /** Streaming QUALITY ROUTER — the side-output / dead-letter-queue sink
+    * pattern missing from the single-sink K2 inventory: one drain gates
+    * each micro-batch with d33's Gopher rule battery and routes every row
+    * to exactly one of TWO persisted tables (accept / reject). Rejects are
+    * kept, not dropped — the 100 TB curation contract is auditability
+    * (what was filtered and why re-runs from the reject table without
+    * re-scanning the corpus). The gated batch is eagerly localCheckpoint'ed
+    * before the two appends — both sinks consume it, and a lazy plan would
+    * recompute the rule battery per sink. Row-disjointness by construction
+    * (`keep` vs `!keep` on the same materialized rows); the drained union
+    * ≡ the batch gate (the oracle) because the gate is stateless per-row
+    * math — batch split cannot change any decision. */
+  val s21 = QueryDef(
+    "s21_stream_quality_router",
+    (spark, dir) => {
+      import graft.merge.ParquetTable
+      val docs = graft.sources.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+      // source: 3 ascending doc_id ranges, one file per micro-batch
+      val srcDir = FixtureDirs.cachedDir("s21-docs-", dir) { d =>
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val cuts = Seq(maxId / 3, 2 * maxId / 3)
+        val parts = Seq(
+          docs.filter(col("doc_id") <= cuts.head),
+          docs.filter(col("doc_id") > cuts.head && col("doc_id") <= cuts(1)),
+          docs.filter(col("doc_id") > cuts(1)))
+        parts.zipWithIndex.foreach { case (p, i) =>
+          val tmp = FixtureDirs.create(s"s21-part$i-")
+          p.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val f = java.nio.file.Files.list(tmp)
+            .filter(_.toString.endsWith(".parquet")).findFirst().get()
+          java.nio.file.Files.move(f, d.resolve(s"batch$i.parquet"))
+        }
+      }
+      val root = FixtureDirs.create("s21-router-").toString
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id bigint, n_words int")
+      val accept = new ParquetTable(spark, s"$root/accept", schema)
+      val reject = new ParquetTable(spark, s"$root/reject", schema)
+      val stream = spark.readStream
+        .schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      withStreamConf(spark) {
+        val q = stream.writeStream
+          .option("checkpointLocation", newCkptDir())
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val gated = batch
+              .select(col("doc_id") +: TextQueries.gopherStatCols(col("text")): _*)
+              .withColumn("keep", TextQueries.gopherKeep)
+              .select(col("doc_id"), col("n_words"), col("keep"))
+              .localCheckpoint(true) // two sinks: compute the gate once
+            accept.append(gated.filter(col("keep")).drop("keep"))
+            reject.append(gated.filter(!col("keep")).drop("keep"))
+          }
+          .start()
+        q.awaitTermination()
+      }
+      accept.read().withColumn("sink", lit("accept"))
+        .unionByName(reject.read().withColumn("sink", lit("reject")))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH ${TextQueries.gopherCte}
+            |SELECT doc_id, n_words,
+            |  CASE WHEN keep THEN 'accept' ELSE 'reject' END AS sink
+            |FROM gated ORDER BY doc_id""".stripMargin),
+    "streaming quality router: Gopher gate splits each micro-batch into accept/reject sinks (dead-letter pattern)")
+
   def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
-    s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20)
+    s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21)
 }

@@ -1590,8 +1590,102 @@ object TextQueries {
             |ORDER BY doc_id""".stripMargin),
     "quality-weighted sampling: keep-probability = quality score, md5-dyadic uniform (LLM-pipeline op)")
 
+  /** Gopher-style rule-set quality gate (Rae et al. 2021, Appendix A) —
+    * the named rule battery modern pretraining pipelines run BEFORE any
+    * model-based scoring: document length bounds [50, 100k] words,
+    * mean-word-length band [3, 10], symbol-to-word ratio (# and ellipsis)
+    * < 0.1, ≥ 80% of words containing an alphabetic char, ≥ 2 distinct
+    * stopwords present, and the repetition cap (characters in the most
+    * frequent bigram < 20% of the document). Emits every per-rule statistic
+    * plus the composite keep decision so a downstream mix can re-threshold
+    * without recomputing. Map-only per-row math — no shuffle before the
+    * final sort; at 100 TB this runs entirely inside the scan stage.
+    * Gopher's line-shaped rules (bullet starts, ellipsis line ends) are
+    * inapplicable to this corpus (no newlines) and are documented out of
+    * the envelope rather than faked. All ratios are exact-int-valued
+    * doubles over single divisions — bit-identical across engines; the
+    * threshold comparisons are float-safe (CLAUDE.md rule 7). */
+  /** The six Gopher rule statistics as aliased columns over `text` —
+    * shared by d33 and the streaming router s21 so both paths gate with
+    * byte-identical math. */
+  private[queries] def gopherStatCols(text: Column): Seq[Column] = {
+    val w = TextFunctions.tokens(text)
+    val n = size(w)
+    val m = n - 1
+    val g2 = when(n < 2, array().cast("array<string>"))
+      .otherwise(zip_with(slice(w, lit(1), m), slice(w, lit(2), m),
+        (a, b) => concat(a, lit(" "), b)))
+    val symbols = (length(text) - length(translate(text, "#", ""))) +
+      expr("(length(text) - length(replace(text, '...', ''))) div 3")
+    Seq(
+      n.cast("int").as("n_words"),
+      TextFunctions.avgWordLen(text).as("mean_word_len"),
+      when(n === 0, lit(0.0))
+        .otherwise(size(filter(w, x => x.rlike("[A-Za-z]"))).cast("double") / n)
+        .as("alpha_word_ratio"),
+      when(n === 0, lit(0.0)).otherwise(symbols.cast("double") / n)
+        .as("symbol_word_ratio"),
+      size(array_intersect(array_distinct(w),
+        array(TextFunctions.stopwords.map(lit): _*))).cast("int")
+        .as("stopword_hits"),
+      when(size(g2) === 0 || length(text) === 0, lit(0.0))
+        .otherwise(array_max(transform(array_distinct(g2),
+          x => size(filter(g2, y => y === x)) * length(x))).cast("double")
+          / length(text))
+        .as("top_bigram_char_frac"))
+  }
+
+  /** Composite Gopher keep decision over the [[gopherStatCols]] aliases. */
+  private[queries] val gopherKeep: Column =
+    col("n_words").between(50, 100000) &&
+      col("mean_word_len").between(3, 10) &&
+      col("symbol_word_ratio") < 0.1 && col("alpha_word_ratio") > 0.8 &&
+      col("stopword_hits") >= 2 && col("top_bigram_char_frac") < 0.2
+
+  /** Shared DuckDB mirror of [[gopherStatCols]]+[[gopherKeep]]: CTE chain
+    * ending in `gated(doc_id, <6 stats>, keep)` — d33 selects it whole,
+    * s21 routes on it. */
+  private[queries] val gopherCte: String = {
+    val sw = TextFunctions.stopwords.map(s => s"'$s'").mkString("[", ",", "]")
+    s"""$tokCte,
+       |g AS (SELECT doc_id, text, w,
+       |  CASE WHEN length(w) < 2 THEN []
+       |       ELSE [w[i+1] || ' ' || w[i+2] for i in range(0, length(w) - 1)] END AS g2
+       |FROM toks),
+       |stats AS (SELECT doc_id,
+       |  CAST(length(w) AS INTEGER) AS n_words,
+       |  CASE WHEN length(w) = 0 THEN 0.0
+       |       ELSE CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / length(w) END AS mean_word_len,
+       |  CASE WHEN length(w) = 0 THEN 0.0
+       |       ELSE CAST(length(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / length(w) END AS alpha_word_ratio,
+       |  CASE WHEN length(w) = 0 THEN 0.0
+       |       ELSE CAST(length(text) - length(replace(text, '#', ''))
+       |            + (length(text) - length(replace(text, '...', ''))) // 3 AS DOUBLE) / length(w) END AS symbol_word_ratio,
+       |  CAST(length(list_intersect(list_distinct(w), $sw)) AS INTEGER) AS stopword_hits,
+       |  CASE WHEN length(g2) = 0 OR length(text) = 0 THEN 0.0
+       |       ELSE CAST(list_max(list_transform(list_distinct(g2),
+       |            x -> length(list_filter(g2, y -> y = x)) * length(x))) AS DOUBLE) / length(text) END AS top_bigram_char_frac
+       |FROM g),
+       |gated AS (SELECT *, (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3 AND 10
+       |  AND symbol_word_ratio < 0.1 AND alpha_word_ratio > 0.8
+       |  AND stopword_hits >= 2 AND top_bigram_char_frac < 0.2) AS keep
+       |FROM stats)""".stripMargin
+  }
+
+  val d33 = QueryDef(
+    "d33_gopher_rules",
+    (spark, dir) => {
+      Tables.documents(spark, dir)
+        .select(col("doc_id") +: gopherStatCols(col("text")): _*)
+        .withColumn("keep", gopherKeep)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $gopherCte
+            |SELECT * FROM gated ORDER BY doc_id""".stripMargin),
+    "Gopher rule-set quality gate: per-rule stats + composite keep (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
-      d30, d31, d32, m01, m02, m03, m04, m05, m06, m07, m08)
+      d30, d31, d32, d33, m01, m02, m03, m04, m05, m06, m07, m08)
 }

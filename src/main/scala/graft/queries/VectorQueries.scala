@@ -725,6 +725,64 @@ object VectorQueries {
     },
     "filtered vector search: metadata predicate pushed to the corpus scan, full-corpus index (LLM-pipeline op)")
 
+  /** Mutual k-NN graph construction — the standard substrate for
+    * graph-based corpus curation (density-based dedup, HNSW seeding,
+    * diversity clustering): an undirected edge (a, b) exists iff a is in
+    * b's top-k AND b is in a's top-k. Candidate generation is the same
+    * IVF-cell blocking as v04 (every vector is a query; probes shuffle on
+    * cell, never all-pairs), then the directed top-k relation is
+    * self-joined on the reversed key pair to keep mutual edges only. The
+    * directed k-NN relation is eagerly localCheckpoint'ed — it is consumed
+    * twice by the mutuality join, and a lazy persist would re-ANALYZE the
+    * whole IVF lineage per branch (CLAUDE.md perf note). Cosine is
+    * symmetric bit-for-bit (the sequential fold multiplies the same pairs
+    * in the same order), so keeping the left side's `cos` is exact. At
+    * 100 TB: probe fan-out is nprobe per vector, the mutual join shuffles
+    * only (id, id, cos) triples. */
+  val v17 = QueryDef(
+    "v17_knn_graph",
+    (spark, dir) => {
+      VectorFunctions.register(spark)
+      val emb = Tables.embeddings(spark, dir)
+      val knn = Similarity.ivfTopK(emb, emb, VectorFunctions.cosineSim,
+        k = 5, nlist = 16, nprobe = 4).localCheckpoint(true)
+      val fwd = knn.select(col("query_id").as("id_a"), col("vec_id").as("id_b"),
+        col("cos"))
+      val rev = knn.select(col("query_id").as("id_b"), col("vec_id").as("id_a"))
+      fwd.join(rev, Seq("id_a", "id_b"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("cos"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some {
+      val nlist = 16; val nprobe = 4
+      val affCos = cosSql("e.emb", "cent.cemb")
+      val cos = cosSql("q.emb", "t.emb")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, emb AS cemb
+         |  FROM e WHERE vec_id % greatest(1, (SELECT count(*) FROM e) // $nlist) = 0
+         |  ORDER BY vec_id LIMIT $nlist),
+         |aff AS (SELECT e.vec_id, cent.cell, $affCos AS a FROM e, cent),
+         |assign AS (SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell DESC) AS rn
+         |    FROM aff) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell DESC) AS rn
+         |    FROM aff) WHERE rn <= $nprobe),
+         |scored AS (SELECT p.query_id, s.vec_id, round($cos, 6) AS cos
+         |  FROM probes p JOIN assign s ON s.cell = p.cell
+         |  JOIN e q ON q.vec_id = p.query_id JOIN e t ON t.vec_id = s.vec_id
+         |  WHERE s.vec_id <> p.query_id),
+         |knn AS (SELECT query_id, vec_id, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored) WHERE rank <= 5)
+         |SELECT f.query_id AS id_a, f.vec_id AS id_b, f.cos
+         |FROM knn f JOIN knn r ON r.query_id = f.vec_id AND r.vec_id = f.query_id
+         |WHERE f.query_id < f.vec_id
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+    "mutual k-NN graph: IVF-blocked directed top-k + reversed-pair mutuality join (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
-    v10, v11, v12, v13, v14, v15, v16)
+    v10, v11, v12, v13, v14, v15, v16, v17)
 }

@@ -341,6 +341,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(graft.sources.ParquetMeta.rowCount(emb) == emb.count())
   }
 
+  test("d33 Gopher gate is map-only: no join, no aggregation shuffle before " +
+      "the final sort") {
+    val p = planOf("d33_gopher_rules")
+    assert(!p.contains("Join"), s"d33 grew a join:\n$p")
+    // the only exchange allowed is the final ORDER BY's range partitioner —
+    // the rule stats must compute inside the scan stage
+    val badExchange = p.linesIterator
+      .filter(_.contains("Exchange")).exists(!_.contains("rangepartitioning"))
+    assert(!badExchange, s"d33 shuffles before the sort:\n$p")
+  }
+
+  test("q58 cohort-size enrichment joins by broadcast, not shuffle") {
+    val p = planOf("q58_cohort_retention")
+    assert(p.contains("BroadcastHashJoin"), s"cohort sizes not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q58 has a non-equi join:\n$p")
+  }
+
+  test("v17 mutual k-NN graph: every edge is reciprocal in the directed " +
+      "top-k, no all-pairs join") {
+    import spark.implicits._
+    val p = planOf("v17_knn_graph")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"v17 fell back to all-pairs:\n$p")
+    graft.functions.VectorFunctions.register(spark)
+    val emb = graft.sources.Tables.embeddings(spark, sf001)
+    val directed = graft.operators.Similarity.ivfTopK(emb, emb,
+        graft.functions.VectorFunctions.cosineSim, k = 5, nlist = 16, nprobe = 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val edges = Registry.queries("v17_knn_graph")(spark, sf001)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(edges.nonEmpty, "mutual graph is empty at sf0.001")
+    edges.foreach { case (a, b) =>
+      assert(a < b, s"edge ($a,$b) not canonicalized")
+      assert(directed((a, b)) && directed((b, a)),
+        s"edge ($a,$b) is not mutual in the directed top-k")
+    }
+  }
+
   test("hot paths stay inside whole-stage codegen") {
     // codegen wrappers only appear in the FINAL adaptive plan → execute first
     for (q <- Seq("q01_pricing_summary", "d02_token_count", "d11_quality_score")) {
