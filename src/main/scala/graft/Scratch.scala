@@ -602,10 +602,16 @@ object Scratch {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val ev = spark.read.parquet(s"$sfDir/events.parquet")
       val yearNs = 31536000000000000L
+      // year shift adaptive to the ts generation (epoch-nanos long vs µs
+      // timestamp): timestampadd keeps the source column type either way
+      val shiftTs: Int => org.apache.spark.sql.Column =
+        if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          k => col("ts") + lit(k * yearNs)
+        else k => expr(s"timestampadd(DAY, ${k * 365}, ts)")
       val evx = (0 until 10).map { k =>
         ev.select(
           (col("event_id") + lit(k * 10000000L)).as("event_id"),
-          (col("ts") + lit(k * yearNs)).as("ts"),
+          shiftTs(k).as("ts"),
           (col("user_id") + lit(k * 1000000L)).as("user_id"),
           col("event_type"), col("value"), col("props"))
       }.reduce(_ unionByName _)

@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Batch table access over the driver-generated parquet testdata.
   *
@@ -17,24 +18,46 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events")
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark has no native type
-      // for ([PARQUET_TYPE_ILLEGAL]); read it as epoch-nanos LongType. All
+      // Some testdata generations write events.ts as parquet TIMESTAMP(NANOS),
+      // which Spark has no native type for ([PARQUET_TYPE_ILLEGAL]); this conf
+      // reads that variant as epoch-nanos LongType (a no-op for µs files). All
       // event-time math then happens in exact int64 microseconds (`ts_us`,
       // see eventsUs) — matching DuckDB, whose reader floors ns→µs.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** `events` with `ts` (epoch nanos, long) replaced by exact epoch
-    * microseconds `ts_us` (long) and a µs-precision timestamp `ts_utc`.
-    * Integer `div` (not `/`) — nanos ≈ 1.7e18 exceeds double's 2^53 exact
-    * range, so floating-point division would corrupt low bits.
-    */
+  /** Exact int64 epoch-µs projection of an events `ts` column, adaptive to
+    * the parquet generation: TIMESTAMP(NANOS) arrives as epoch-nanos long
+    * (integer `div`, not `/` — nanos ≈ 1.7e18 exceeds double's 2^53 exact
+    * range); TIMESTAMP(MICROS) arrives as TimestampType or (isAdjustedToUTC
+    * =false) TimestampNTZType, where `unix_micros` is exact by definition.
+    * The NTZ→timestamp cast reads the naive value in the session timezone —
+    * every entry point (Bench/Verify/Scratch/specs) pins UTC, matching
+    * DuckDB's `epoch_us(ts)` which treats naive timestamps as UTC epoch.
+    * The LongType branch resolves the column by its name `ts` (true at both
+    * call sites: eventsUs and StreamingQueries.eventsStream). */
+  def tsToUs(spark: SparkSession, ts: Column, tsType: DataType): Column = {
+    import org.apache.spark.sql.functions._
+    tsType match {
+      // SQL `div` = exact integer division (the Column API `/` is double)
+      case LongType => expr("ts div 1000")
+      case TimestampNTZType =>
+        require(spark.conf.get("spark.sql.session.timeZone", "") == "UTC",
+          "events.ts is TIMESTAMP_NTZ: the exact-µs contract needs session timeZone=UTC")
+        unix_micros(ts.cast(TimestampType))
+      case TimestampType => unix_micros(ts)
+      case other => throw new IllegalStateException(s"unexpected events.ts type: $other")
+    }
+  }
+
+  /** `events` with `ts` replaced by exact epoch microseconds `ts_us` (long)
+    * and a µs-precision timestamp `ts_utc`. */
   def eventsUs(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    events(spark, d)
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+    val df = events(spark, d)
+    df.withColumn("ts_us", tsToUs(spark, df("ts"), df.schema("ts").dataType))
+      .withColumn("ts_utc", timestamp_micros(org.apache.spark.sql.functions.col("ts_us")))
       .drop("ts")
   }
 
