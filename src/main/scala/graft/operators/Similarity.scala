@@ -395,4 +395,33 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
   }
+
+  /** RANGE (radius) search — every corpus vector with cosine ≥ `tau` of each
+    * query, the retrieval mode dedup thresholds and contamination sweeps use
+    * (a top-k cannot express "all matches above a similarity bar"). Same
+    * IVF-cell blocking as [[ivfTopK]]: candidates shuffle on cell, never
+    * all-pairs; each corpus vector is assigned to exactly ONE cell, so no
+    * candidate appears twice and no distinct is needed. Output size is
+    * data-dependent (pairs above `tau`), not k·|queries| — the caller owns
+    * the threshold. Approximate like every IVF retrieval: a match assigned
+    * to an unprobed cell is missed (the v04 recall-curve evidence applies
+    * verbatim; raise nprobe to trade cost for recall). */
+  def ivfRange(queries: DataFrame, corpus: DataFrame,
+               cos: (Column, Column) => Column, tau: Double,
+               nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val topCells = topCellsOf(strideCentroids(corpus, nlist), cos) _
+    val c = corpus
+      .withColumn("cell", element_at(topCells(col("embedding"), 1), 1).getField("cell"))
+      .select(col("vec_id"), col("embedding").as("c_vec"), col("cell"))
+    val q = queries
+      .withColumn("probe", explode(topCells(col("embedding"), nprobe)))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"),
+        col("probe.cell").as("cell"))
+    q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos", round(cos(col("q_vec"), col("c_vec")), 6))
+      .filter(col("cos") >= lit(tau))
+      .select(col("query_id"), col("vec_id"), col("cos"))
+  }
 }

@@ -1288,8 +1288,77 @@ object RelationalQueries {
             |ORDER BY cohort_day, day_offset""".stripMargin),
     "cohort retention matrix: first-day cohorts x offset-day activity, exact µs day math")
 
+  /** RECURSIVE hierarchy traversal — Spark 4's `WITH RECURSIVE` (UnionLoop)
+    * computing root + depth for every node of a key-derived forest (parent
+    * of c = c div 10; customers 1–9 are roots). The iterative-closure class
+    * d08 solves with pointer-jumping, expressed declaratively: each
+    * recursion level is one equi-join of the frontier against the node
+    * table, O(depth) levels — depth is log₁₀(N) here, so the loop count
+    * grows with the LOG of the data, not the data. Integer-only math end
+    * to end (div, +1, counts) — engine-exact by construction. */
+  val q59 = QueryDef(
+    "q59_recursive_hierarchy",
+    (spark, dir) => {
+      Tables.customer(spark, dir).createOrReplaceTempView("q59_customer")
+      spark.sql(
+        """WITH RECURSIVE chain AS (
+          |  SELECT c_custkey AS key, c_custkey AS root, 0 AS depth
+          |  FROM q59_customer WHERE c_custkey < 10
+          |  UNION ALL
+          |  SELECT c.c_custkey, ch.root, ch.depth + 1
+          |  FROM q59_customer c JOIN chain ch ON c.c_custkey div 10 = ch.key
+          |  WHERE c.c_custkey >= 10)
+          |SELECT root, depth, count(*) AS n, min(key) AS min_key, max(key) AS max_key
+          |FROM chain GROUP BY root, depth
+          |ORDER BY root, depth""".stripMargin)
+    },
+    Some("""WITH RECURSIVE chain AS (
+           |  SELECT c_custkey AS key, c_custkey AS root, 0 AS depth
+           |  FROM customer WHERE c_custkey < 10
+           |  UNION ALL
+           |  SELECT c.c_custkey, ch.root, ch.depth + 1
+           |  FROM customer c JOIN chain ch ON c.c_custkey // 10 = ch.key
+           |  WHERE c.c_custkey >= 10)
+           |SELECT root, depth, count(*) AS n, min(key) AS min_key, max(key) AS max_key
+           |FROM chain GROUP BY root, depth
+           |ORDER BY root, depth""".stripMargin),
+    "recursive CTE hierarchy traversal: per-level equi-joins, O(log N) levels")
+
+  /** Window DISTRIBUTION functions — ntile / percent_rank / cume_dist, the
+    * §2.7 scalar-surface family the ranking rows (W1, q16) do not touch.
+    * percent_rank = (rank−1)/(N−1) and cume_dist = peers≤x / N are single
+    * int/int IEEE divisions, bit-identical across engines unrounded
+    * (CLAUDE.md float rule 3); ntile needs a TOTAL order (its value depends
+    * on row position within ties), so the window orders by (value,
+    * event_id) — unique tiebreak, engine-independent. Windows are computed
+    * over each FULL event_type partition, then the output is restricted to
+    * a stable user slice to keep the verified row small. */
+  val q60 = QueryDef(
+    "q60_window_distribution",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      Tables.eventsUs(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+          ntile(10).over(w).as("decile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .filter(col("user_id") < 30)
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT * FROM (
+           |  SELECT event_id, user_id, event_type, value,
+           |    CAST(ntile(10) OVER w AS INTEGER) AS decile,
+           |    percent_rank() OVER w AS pr,
+           |    cume_dist() OVER w AS cd
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id))
+           |WHERE user_id < 30 ORDER BY event_id""".stripMargin),
+    "window distribution functions: ntile/percent_rank/cume_dist with total-order ties")
+
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q12, q13, q14, q15, q16, q17, q18, q19, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41, q42, q43, q44, q45, q46, q47, q48, q58)
+    q41, q42, q43, q44, q45, q46, q47, q48, q58, q59, q60)
 }

@@ -17,20 +17,29 @@ object StreamingQueries {
 
   private val runId = new AtomicLong()
 
-  private val eventsDdl =
-    "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+  private def eventsDdl(tsDdl: String) =
+    s"event_id bigint, ts $tsDdl, user_id bigint, event_type string, value double, props string"
 
   /** Streaming source over the events table (file streaming source wants a
     * directory: stream the sf dir filtered to the events file), with the
-    * nanos-ts convention of Tables.eventsUs applied. */
+    * exact-µs ts convention of Tables.eventsUs applied. The explicit stream
+    * schema must match the file's physical generation (nanos-long vs µs
+    * timestamp), so probe the batch footer once and declare accordingly. */
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.streaming.schemaInference", "false")
-    spark.readStream
-      .schema(org.apache.spark.sql.types.StructType.fromDDL(eventsDdl))
+    val tsType = graft.sources.Tables.events(spark, dir).schema("ts").dataType
+    val tsDdl = tsType match {
+      case org.apache.spark.sql.types.LongType => "bigint"
+      case org.apache.spark.sql.types.TimestampNTZType => "timestamp_ntz"
+      case _ => "timestamp"
+    }
+    val raw = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(eventsDdl(tsDdl)))
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+    raw
+      .withColumn("ts_us", graft.sources.Tables.tsToUs(spark, raw("ts"), tsType))
+      .withColumn("ts_utc", timestamp_micros(col("ts_us")))
       .drop("ts")
   }
 
@@ -1186,6 +1195,98 @@ object StreamingQueries {
             |FROM gated ORDER BY doc_id""".stripMargin),
     "streaming quality router: Gopher gate splits each micro-batch into accept/reject sinks (dead-letter pattern)")
 
+  /** Streaming DECONTAMINATION gate — d21's benchmark-overlap check as an
+    * ingest-time router: the eval-set shingle relation is computed ONCE and
+    * eagerly localCheckpoint'ed (the static side input every micro-batch
+    * reuses — recomputing it per batch would re-shingle the benchmark
+    * N-batches times), then each arriving batch shingles itself, joins the
+    * BROADCAST benchmark set, and lands (doc_id, n_shared, status) in the
+    * audit table. Stateless per-batch (the gate decision for a doc depends
+    * only on that doc + the frozen benchmark), so the drained union ≡ the
+    * batch d21-with-complement oracle regardless of the split. The 100 TB
+    * upgrade path when the eval set outgrows a broadcast is exactly d28's
+    * bloom pre-filter — same gate, swap [[graft.operators.Dedup
+    * .decontaminate]]'s join for `decontaminateBloom`. */
+  val s22 = QueryDef(
+    "s22_stream_decontaminate",
+    (spark, dir) => {
+      import graft.merge.ParquetTable
+      import graft.operators.Dedup
+      val byte = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("int")
+      val docs = graft.sources.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), byte.as("hb"))
+      // frozen side input: the eval split's distinct 4-gram shingles
+      val bench = Dedup.docShingles(
+          docs.filter(col("hb") >= 250), "doc_id", "text", n = 4)
+        .select(col("shingle")).distinct()
+        .localCheckpoint(true)
+      val corpus = docs.filter(col("hb") < 250).select(col("doc_id"), col("text"))
+      val srcDir = FixtureDirs.cachedDir("s22-docs-", dir) { d =>
+        val maxId = corpus.agg(max(col("doc_id"))).head().getLong(0)
+        val cuts = Seq(maxId / 3, 2 * maxId / 3)
+        val parts = Seq(
+          corpus.filter(col("doc_id") <= cuts.head),
+          corpus.filter(col("doc_id") > cuts.head && col("doc_id") <= cuts(1)),
+          corpus.filter(col("doc_id") > cuts(1)))
+        parts.zipWithIndex.foreach { case (p, i) =>
+          val tmp = FixtureDirs.create(s"s22-part$i-")
+          p.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val f = java.nio.file.Files.list(tmp)
+            .filter(_.toString.endsWith(".parquet")).findFirst().get()
+          java.nio.file.Files.move(f, d.resolve(s"batch$i.parquet"))
+        }
+      }
+      val audit = new ParquetTable(spark,
+        s"${FixtureDirs.create("s22-audit-")}/audit",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id bigint, n_shared bigint, status string"))
+      val stream = spark.readStream
+        .schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      try withStreamConf(spark) {
+        val q = stream.writeStream
+          .option("checkpointLocation", newCkptDir())
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val hits = Dedup.docShingles(batch, "doc_id", "text", n = 4)
+              .join(broadcast(bench), Seq("shingle"))
+              .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+            audit.append(batch.select(col("doc_id"))
+              .join(hits, Seq("doc_id"), "left")
+              .select(col("doc_id"),
+                coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+                when(col("n_shared").isNull, lit("clean"))
+                  .otherwise(lit("flagged")).as("status")))
+            ()
+          }
+          .start()
+        q.awaitTermination()
+      } finally bench.unpersist() // side input dead once the drain lands
+      audit.read().orderBy(col("doc_id"))
+    },
+    Some("""WITH b AS (SELECT doc_id,
+           |  (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+           |  + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS hb, text
+           |  FROM documents),
+           |toks AS (SELECT doc_id, hb,
+           |  CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\s+') END AS w
+           |  FROM b),
+           |sh AS (SELECT doc_id, hb, unnest(list_distinct(
+           |    CASE WHEN length(w) < 4 THEN []
+           |         ELSE [array_to_string(list_slice(w, i+1, i+4), ' ') for i in range(0, length(w)-3)] END)) AS shingle
+           |  FROM toks),
+           |bench AS (SELECT DISTINCT shingle FROM sh WHERE hb >= 250),
+           |hits AS (SELECT sh.doc_id, count(*) AS n_shared
+           |  FROM sh JOIN bench USING (shingle) WHERE sh.hb < 250
+           |  GROUP BY sh.doc_id)
+           |SELECT c.doc_id, coalesce(h.n_shared, 0) AS n_shared,
+           |  CASE WHEN h.doc_id IS NULL THEN 'clean' ELSE 'flagged' END AS status
+           |FROM (SELECT doc_id FROM b WHERE hb < 250) c
+           |LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin),
+    "streaming decontamination gate: frozen benchmark shingles vs each micro-batch (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
-    s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21)
+    s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22)
 }

@@ -1684,8 +1684,97 @@ object TextQueries {
             |SELECT * FROM gated ORDER BY doc_id""".stripMargin),
     "Gopher rule-set quality gate: per-rule stats + composite keep (LLM-pipeline op)")
 
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): rank raw-corpus documents
+    * by how much they resemble a target domain, using hashed n-gram
+    * features — here word BIGRAMS (with multiplicity, DSIR's counts) hashed
+    * to 256 md5 buckets. The published score is Σ c_f·log(p_t(f)/p_r(f));
+    * ln() differs at ulp level across engines (the d20 precedent), so this
+    * row ranks by the log-free linear surrogate Σ c_f·(p̂_t(f) − p̂_r(f))
+    * scaled to integers: with add-one smoothing over B=256 buckets,
+    * score = Σ_g [(CT[b(g)]+1)·(R+B) − (CR[b(g)]+1)·(T+B)] — exact int64
+    * end to end (document the trade: same sign per feature as the log
+    * ratio, different weighting of extreme ratios). Shape at 100 TB: one
+    * bigram explode (map-side), two 256-row count aggregations, the bucket
+    * stats re-joined BROADCAST — the corpus shuffles only (doc, bucket)
+    * pairs into the per-doc sum; counts approach int64 products ~1e13 at
+    * sf1, DECIMAL(38) is the headroom upgrade if a deployment needs it. */
+  val d34 = QueryDef(
+    "d34_dsir_importance",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val w = when(length(trim(col("text"))) === 0,
+          array().cast("array<string>"))
+        .otherwise(split(trim(col("text")), "\\s+"))
+      val bg = docs.withColumn("w", w)
+        .withColumn("g", explode(zip_with(
+          slice(col("w"), lit(1), greatest(size(col("w")) - 1, lit(0))),
+          slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))))
+        .withColumn("bkt",
+          conv(substring(md5(col("g")), 1, 2), 16, 10).cast("int"))
+        .select(col("doc_id"), col("source"), col("bkt"))
+      val tgt = bg.filter(col("source") === "src0")
+        .groupBy(col("bkt")).agg(count(lit(1)).as("ct"))
+      val rawBg = bg.filter(col("source") =!= "src0")
+      val rawCnt = rawBg.groupBy(col("bkt")).agg(count(lit(1)).as("cr"))
+      val tot = tgt.agg(coalesce(sum(col("ct")), lit(0L)).as("t_tot"))
+        .crossJoin(rawCnt.agg(coalesce(sum(col("cr")), lit(0L)).as("r_tot")))
+      val scored = rawBg
+        .join(broadcast(rawCnt), Seq("bkt"))
+        .join(broadcast(tgt), Seq("bkt"), "left")
+        .crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum((coalesce(col("ct"), lit(0L)) + 1) * (col("r_tot") + 256) -
+              (col("cr") + 1) * (col("t_tot") + 256)).as("score"))
+      val rawDocs = docs.filter(col("source") =!= "src0")
+        .select(col("doc_id"), col("source"))
+      rawDocs.join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("score"), lit(0L)).as("score"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("rank") <= 50)
+        .orderBy(col("rank"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, source,
+           |  CASE WHEN length(trim(text)) = 0 THEN []
+           |       ELSE string_split_regex(trim(text), '\s+') END AS w
+           |  FROM documents),
+           |bg AS (SELECT doc_id, source, unnest(
+           |    CASE WHEN length(w) < 2 THEN []
+           |         ELSE [w[i] || ' ' || w[i+1] for i in range(1, length(w))] END) AS g
+           |  FROM toks),
+           |bb AS (SELECT doc_id, source,
+           |  (strpos('0123456789abcdef', substr(md5(g), 1, 1)) - 1) * 16
+           |  + strpos('0123456789abcdef', substr(md5(g), 2, 1)) - 1 AS bkt
+           |  FROM bg),
+           |ct AS (SELECT bkt, count(*) AS ct FROM bb WHERE source = 'src0' GROUP BY bkt),
+           |cr AS (SELECT bkt, count(*) AS cr FROM bb WHERE source <> 'src0' GROUP BY bkt),
+           |tot AS (SELECT CAST((SELECT coalesce(sum(ct), 0) FROM ct) AS BIGINT) AS t_tot,
+           |               CAST((SELECT coalesce(sum(cr), 0) FROM cr) AS BIGINT) AS r_tot),
+           |sc AS (SELECT bb.doc_id, count(*) AS n_bigrams,
+           |    CAST(sum((coalesce(ct.ct, 0) + 1) * (tot.r_tot + 256)
+           |             - (cr.cr + 1) * (tot.t_tot + 256)) AS BIGINT) AS score
+           |  FROM bb JOIN cr USING (bkt) LEFT JOIN ct USING (bkt) CROSS JOIN tot
+           |  WHERE bb.source <> 'src0' GROUP BY bb.doc_id)
+           |SELECT doc_id, source, n_bigrams, score, rank FROM (
+           |  SELECT a.doc_id, a.source,
+           |    coalesce(sc.n_bigrams, 0) AS n_bigrams,
+           |    coalesce(sc.score, 0) AS score,
+           |    CAST(row_number() OVER (ORDER BY coalesce(sc.score, 0) DESC, a.doc_id)
+           |      AS INTEGER) AS rank
+           |  FROM (SELECT doc_id, source FROM documents WHERE source <> 'src0') a
+           |  LEFT JOIN sc USING (doc_id))
+           |WHERE rank <= 50 ORDER BY rank""".stripMargin),
+    "DSIR-style importance resampling: hashed-bigram domain score, log-free integer surrogate (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
-      d30, d31, d32, d33, m01, m02, m03, m04, m05, m06, m07, m08)
+      d30, d31, d32, d33, d34, m01, m02, m03, m04, m05, m06, m07, m08)
 }

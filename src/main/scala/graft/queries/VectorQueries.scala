@@ -783,6 +783,49 @@ object VectorQueries {
     },
     "mutual k-NN graph: IVF-blocked directed top-k + reversed-pair mutuality join (LLM-pipeline op)")
 
+  /** RANGE (radius) search — all corpus vectors with cosine ≥ τ per query,
+    * via the same IVF-cell blocking as v04 ([[Similarity.ivfRange]]). The
+    * retrieval mode threshold-driven curation needs (semantic dedup sweeps,
+    * contamination radius checks) where top-k is the wrong contract: the
+    * answer set size is data-dependent. τ = 0.25 is exactly representable
+    * in binary (2⁻²), so the `round(cos, 6) >= τ` comparison cannot
+    * straddle an ulp between engines; on this near-random corpus it keeps
+    * the result non-trivial (the max pairwise cos ≈ 0.51). Oracle = v04's
+    * assignment/probe CTE chain with the threshold in place of the rank
+    * window. */
+  val v18 = QueryDef(
+    "v18_range_search",
+    (spark, dir) => {
+      VectorFunctions.register(spark)
+      val emb = Tables.embeddings(spark, dir)
+      Similarity.ivfRange(
+          emb.filter(col("vec_id") < 10), emb,
+          VectorFunctions.cosineSim, tau = 0.25, nlist = 16, nprobe = 4)
+        .orderBy(col("query_id"), col("vec_id"))
+    },
+    Some {
+      val nlist = 16; val nprobe = 4
+      val affCos = cosSql("e.emb", "cent.cemb")
+      val cos = cosSql("q.emb", "t.emb")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, emb AS cemb
+         |  FROM e WHERE vec_id % greatest(1, (SELECT count(*) FROM e) // $nlist) = 0
+         |  ORDER BY vec_id LIMIT $nlist),
+         |aff AS (SELECT e.vec_id, cent.cell, $affCos AS a FROM e, cent),
+         |assign AS (SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell DESC) AS rn
+         |    FROM aff) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell DESC) AS rn
+         |    FROM aff WHERE vec_id < 10) WHERE rn <= $nprobe)
+         |SELECT p.query_id, s.vec_id, round($cos, 6) AS cos
+         |FROM probes p JOIN assign s ON s.cell = p.cell
+         |JOIN e q ON q.vec_id = p.query_id JOIN e t ON t.vec_id = s.vec_id
+         |WHERE s.vec_id <> p.query_id AND round($cos, 6) >= CAST(0.25 AS DOUBLE)
+         |ORDER BY p.query_id, s.vec_id""".stripMargin
+    },
+    "range (radius) search: IVF-blocked cosine >= tau retrieval (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
-    v10, v11, v12, v13, v14, v15, v16, v17)
+    v10, v11, v12, v13, v14, v15, v16, v17, v18)
 }

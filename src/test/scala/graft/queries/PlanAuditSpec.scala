@@ -380,6 +380,25 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q59 recursive hierarchy executes as a UnionLoop, not a static unroll") {
+    val p = planOf("q59_recursive_hierarchy")
+    assert(p.contains("UnionLoop"), s"q59 lost the recursive plan:\n$p")
+  }
+
+  test("d34 DSIR: bucket statistics join back broadcast — the corpus-sized " +
+      "bigram relation is never the build side of a shuffle join") {
+    val p = planOf("d34_dsir_importance")
+    assert(p.contains("BroadcastHashJoin"), s"bucket stats not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"d34 has a cartesian (beyond the " +
+      s"1-row totals crossJoin, which plans as broadcast):\n$p")
+  }
+
+  test("v18 range search keeps the IVF equi-join shape — no all-pairs scan") {
+    val p = planOf("v18_range_search")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"v18 fell back to all-pairs:\n$p")
+  }
+
   test("hot paths stay inside whole-stage codegen") {
     // codegen wrappers only appear in the FINAL adaptive plan → execute first
     for (q <- Seq("q01_pricing_summary", "d02_token_count", "d11_quality_score")) {
