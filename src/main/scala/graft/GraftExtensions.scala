@@ -76,6 +76,8 @@ object GraftExtensions {
       (e: Seq[Expression]) => AudioHashExpr(e(0))),
     (FunctionIdentifier("video_khash"), info("video_khash", classOf[VideoHashExpr]),
       (e: Seq[Expression]) => VideoHashExpr(e(0))),
+    (FunctionIdentifier("frame_energy"), info("frame_energy", classOf[FrameEnergyExpr]),
+      (e: Seq[Expression]) => FrameEnergyExpr(e(0))),
     (FunctionIdentifier("bloom_might_contain"), info("bloom_might_contain", classOf[BloomMightContain]),
       (e: Seq[Expression]) => BloomMightContain(e(0),
         e(1).eval().asInstanceOf[Array[Byte]])),

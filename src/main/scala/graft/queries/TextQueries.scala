@@ -1773,8 +1773,66 @@ object TextQueries {
            |WHERE rank <= 50 ORDER BY rank""".stripMargin),
     "DSIR-style importance resampling: hashed-bigram domain score, log-free integer surrogate (LLM-pipeline op)")
 
+  /** Video SCENE-CUT detection — shot-boundary search over decoded frames,
+    * the keyframe-selection primitive video curation runs before any
+    * per-shot processing (pixel-domain frame differencing, the Zhang et
+    * al. 1993 formulation). Fixture: per-doc clips whose pixel functions
+    * carry (a) a small alternating drift (`f % 2` per channel → consecutive
+    * frame-sum delta exactly 3·w·h) and (b) one hard cut at `nF/2` (+40
+    * per channel → delta 120·w·h ± the drift flip). The detector is the
+    * plan itself: native [[graft.functions.FrameEnergyExpr]] reduces each
+    * video to its per-frame energy profile inside the scan stage (media
+    * bytes never shuffle — the profile is nFrames × 8 bytes), then
+    * relational `lag` + threshold (60·w·h, cleanly between 3·w·h and
+    * 117·w·h) finds the boundary. Oracle = the construction's closed form:
+    * cut at nF/2 with delta (120 ± 3)·w·h by cut parity — a hash match
+    * pins container parse, frame decode, energy sum, lag, and threshold
+    * end-to-end. */
+  val m10 = QueryDef(
+    "m10_video_scene_detect",
+    (spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions { it =>
+        it.map { id =>
+          val w = (id % 7 + 6).toInt; val h = (id % 5 + 7).toInt
+          val nF = (12 + (id % 3) * 6).toInt
+          val cut = nF / 2
+          (id, graft.operators.AviCodec.encode(w, h, nF, 10, (f, x, y) => {
+            val drift = f % 2
+            val jump = if (f >= cut) 40 else 0
+            ((((id + 3) * (x + 1) * (y + 2) + 5L * x) % 199 + drift + jump).toInt,
+             (((id + 7) * (x + 2) * (y + 1) + 3L * y) % 199 + drift + jump).toInt,
+             (((2 * id + 1) * (x.toLong * y + x + y) + 11L) % 199 + drift + jump).toInt)
+          }))
+        }
+      }.toDF("media_id", "media")
+      graft.functions.FrameEnergy.registerNative(spark)
+      val prof = FixtureDirs.cachedRoundTrip(media, "m10-media-", dir)
+        .select(col("media_id").as("doc_id"),
+          posexplode(graft.functions.FrameEnergy.frameEnergy(col("media")))
+            .as(Seq("f", "s")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("f"))
+      prof.withColumn("prev", lag(col("s"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .withColumn("delta", abs(col("s") - col("prev")))
+        .filter(col("delta") >=
+          lit(60L) * (col("doc_id") % 7 + 6) * (col("doc_id") % 5 + 7))
+        .select(col("doc_id"), col("f").as("cut_frame"), col("delta"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id, doc_id % 7 + 6 AS w, doc_id % 5 + 7 AS h,
+           |    12 + (doc_id % 3) * 6 AS nf
+           |  FROM documents)
+           |SELECT doc_id, CAST(nf // 2 AS INTEGER) AS cut_frame,
+           |  CAST(CASE WHEN (nf // 2) % 2 = 1 THEN 123 * w * h
+           |            ELSE 117 * w * h END AS BIGINT) AS delta
+           |FROM d ORDER BY doc_id""".stripMargin),
+    "video scene-cut detection: native per-frame energy profile + relational lag/threshold (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
-      d30, d31, d32, d33, d34, m01, m02, m03, m04, m05, m06, m07, m08)
+      d30, d31, d32, d33, d34, m01, m02, m03, m04, m05, m06, m07, m08, m10)
 }
