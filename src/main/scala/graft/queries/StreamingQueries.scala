@@ -1142,6 +1142,7 @@ object StreamingQueries {
     "s21_stream_quality_router",
     (spark, dir) => {
       import graft.merge.ParquetTable
+      graft.functions.TopBigramFrac.registerNative(spark)
       val docs = graft.sources.Tables.documents(spark, dir)
         .select(col("doc_id"), col("text"))
       // source: 3 ascending doc_id ranges, one file per micro-batch

@@ -1608,13 +1608,30 @@ object TextQueries {
   /** The six Gopher rule statistics as aliased columns over `text` —
     * shared by d33 and the streaming router s21 so both paths gate with
     * byte-identical math. */
-  private[queries] def gopherStatCols(text: Column): Seq[Column] = {
+  /** The top-bigram rule as the original HOF composition — QUADRATIC and
+    * interpreted, kept only as the reference implementation the
+    * GopherGateSpec equality-checks [[graft.functions.TopBigramFracExpr]]
+    * against (the production path below uses the native linear pass; the
+    * s21 drain measured the HOF at ~3.4 ms/doc single-threaded). */
+  private[graft] def topBigramFracHof(text: Column): Column = {
     val w = TextFunctions.tokens(text)
     val n = size(w)
     val m = n - 1
     val g2 = when(n < 2, array().cast("array<string>"))
       .otherwise(zip_with(slice(w, lit(1), m), slice(w, lit(2), m),
         (a, b) => concat(a, lit(" "), b)))
+    when(size(g2) === 0 || length(text) === 0, lit(0.0))
+      .otherwise(array_max(transform(array_distinct(g2),
+        x => size(filter(g2, y => y === x)) * length(x))).cast("double")
+        / length(text))
+  }
+
+  /** Callers must have [[graft.functions.TopBigramFrac.registerNative]]
+    * (or GraftExtensions) applied to the session — the bigram rule runs as
+    * the native codegen'd expression. */
+  private[queries] def gopherStatCols(text: Column): Seq[Column] = {
+    val w = TextFunctions.tokens(text)
+    val n = size(w)
     val symbols = (length(text) - length(translate(text, "#", ""))) +
       expr("(length(text) - length(replace(text, '...', ''))) div 3")
     Seq(
@@ -1628,10 +1645,7 @@ object TextQueries {
       size(array_intersect(array_distinct(w),
         array(TextFunctions.stopwords.map(lit): _*))).cast("int")
         .as("stopword_hits"),
-      when(size(g2) === 0 || length(text) === 0, lit(0.0))
-        .otherwise(array_max(transform(array_distinct(g2),
-          x => size(filter(g2, y => y === x)) * length(x))).cast("double")
-          / length(text))
+      graft.functions.TopBigramFrac.topBigramFrac(text)
         .as("top_bigram_char_frac"))
   }
 
@@ -1675,6 +1689,7 @@ object TextQueries {
   val d33 = QueryDef(
     "d33_gopher_rules",
     (spark, dir) => {
+      graft.functions.TopBigramFrac.registerNative(spark)
       Tables.documents(spark, dir)
         .select(col("doc_id") +: gopherStatCols(col("text")): _*)
         .withColumn("keep", gopherKeep)

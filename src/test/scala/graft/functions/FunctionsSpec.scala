@@ -142,4 +142,22 @@ class FunctionsSpec extends SparkSpec {
       .orderBy($"vec_id").as[(Long, Int)].collect().toSeq
     assert(again == native)
   }
+  test("topBigramFrac: native linear pass equals the quadratic HOF reference") {
+    TopBigramFrac.registerNative(spark)
+    val edge = Seq(
+      "", "  ", "one", "a b", "a b a b a b", "x y z x y z x y",
+      "the the the", "a  b   a b", "\ta b", "word " * 40 + "tail")
+    val corpus = graft.sources.Tables.documents(spark, sf001)
+      .select($"text").as[String].collect().toSeq
+    val df = (edge ++ corpus).toDF("text")
+    val got = df.select(
+      TopBigramFrac.topBigramFrac($"text").as("native"),
+      graft.queries.TextQueries.topBigramFracHof($"text").as("hof"))
+      .collect()
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getDouble(0) == r.getDouble(1),
+        s"row $i: native ${r.getDouble(0)} != hof ${r.getDouble(1)}")
+    }
+  }
+
 }
