@@ -34,6 +34,25 @@ object Scratch {
         val fn = graft.queries.Registry.queries(name)
         (1 to n).foreach { i => timed(s"$name run$i") { fn(spark, sfDir).count() } }
       }
+    } else if (args.headOption.contains("v17scaled")) {
+      // v17 at 10x with nlist SCALED with the corpus (the honest 100 TB
+      // configuration — the registered row freezes nlist=16 for oracle
+      // parity, the v06-class trade): candidates/query stay ~constant when
+      // cells hold ~constant members, so the mutual k-NN graph is ~linear
+      // in corpus size. Usage: Scratch v17scaled <nlist> (sfDir from env).
+      import graft.functions.VectorFunctions
+      VectorFunctions.register(spark)
+      val nlist = args.lift(1).map(_.toInt).getOrElse(160)
+      val emb = graft.sources.Tables.embeddings(spark, sfDir)
+      def mutual(): Long = {
+        val knn = graft.operators.Similarity.ivfTopK(emb, emb,
+          VectorFunctions.cosineSim, k = 5, nlist = nlist, nprobe = 4)
+          .localCheckpoint(true)
+        val fwd = knn.select(col("query_id").as("id_a"), col("vec_id").as("id_b"), col("cos"))
+        val rev = knn.select(col("query_id").as("id_b"), col("vec_id").as("id_a"))
+        fwd.join(rev, Seq("id_a", "id_b")).filter(col("id_a") < col("id_b")).count()
+      }
+      (1 to 2).foreach { i => timed(s"v17 nlist=$nlist run$i")(println(s"edges=${mutual()}")) }
     } else if (args.headOption.contains("sf1dir")) {
       // Materialize a PERSISTED sf1 replica dir (10x sf0.1, all tables) for
       // the full-suite 10x bench: key-shifted replicas keep every join/
