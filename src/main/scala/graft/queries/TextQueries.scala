@@ -1846,8 +1846,140 @@ object TextQueries {
            |FROM d ORDER BY doc_id""".stripMargin),
     "video scene-cut detection: native per-frame energy profile + relational lag/threshold (LLM-pipeline op)")
 
+  /** Curation pipeline v2 — the d27 composition exercise over THIS round's
+    * pieces, as ONE plan: Gopher rule gate (d33) → benchmark
+    * decontamination (d21) → exact dedup keep-first (d01) → DSIR
+    * importance selection vs the src0 target domain (d34), emitting the
+    * final top-100 training manifest. Stage order is the production one:
+    * cheap map-only gate first (kills 53% of the corpus before anything
+    * shuffles), decon + dedup next (so the selection quota fills with
+    * clean unique docs), importance ranking last. DSIR bucket statistics
+    * follow the pipeline: target counts over the full src0 reference,
+    * raw counts over the survivor set itself. Every stage is individually
+    * verified (d33/d21/d01/d34); this row pins that they COMPOSE — same
+    * hash discipline as d27. */
+  val d35 = QueryDef(
+    "d35_curation_pipeline_v2",
+    (spark, dir) => {
+      graft.functions.TopBigramFrac.registerNative(spark)
+      val byte = (id: Column) => conv(substring(md5(id.cast("string")), 1, 2), 16, 10)
+        .cast("int")
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), col("source"))
+      val bench = docs.filter(byte(col("doc_id")) >= 250)
+      val corpus = docs.filter(byte(col("doc_id")) < 250)
+      // 1. Gopher gate (map-only, native bigram rule)
+      val gated = corpus
+        .select(col("doc_id") +: col("source") +: col("text") +:
+          gopherStatCols(col("text")): _*)
+        .filter(gopherKeep)
+        .select(col("doc_id"), col("source"), col("text"))
+      // 2. decontamination vs the eval split (broadcast bench shingles)
+      val contaminated = Dedup.decontaminate(gated, bench, "doc_id", "text", n = 4)
+        .select(col("doc_id"))
+      val cleanDocs = gated.join(contaminated, Seq("doc_id"), "left_anti")
+      // 3. exact dedup, keep-first
+      val keepIds = Dedup.exact(cleanDocs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      // consumed twice below (raw bigram stats + the scored selection) —
+      // persist, then eagerly materialize the tiny result and unpersist
+      val deduped = cleanDocs.join(keepIds, Seq("doc_id")).persist()
+      // 4. DSIR selection: hashed-bigram importance vs the src0 target
+      val bigrams = (df: org.apache.spark.sql.DataFrame) => df
+        .withColumn("w", when(length(trim(col("text"))) === 0,
+            array().cast("array<string>"))
+          .otherwise(split(trim(col("text")), "\\s+")))
+        .withColumn("g", explode(zip_with(
+          slice(col("w"), lit(1), greatest(size(col("w")) - 1, lit(0))),
+          slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))))
+        .withColumn("bkt",
+          conv(substring(md5(col("g")), 1, 2), 16, 10).cast("int"))
+        .select(col("doc_id"), col("source"), col("bkt"))
+      val tgt = bigrams(docs.filter(col("source") === "src0"))
+        .groupBy(col("bkt")).agg(count(lit(1)).as("ct"))
+      val rawBg = bigrams(deduped.filter(col("source") =!= "src0"))
+      val rawCnt = rawBg.groupBy(col("bkt")).agg(count(lit(1)).as("cr"))
+      val tot = tgt.agg(coalesce(sum(col("ct")), lit(0L)).as("t_tot"))
+        .crossJoin(rawCnt.agg(coalesce(sum(col("cr")), lit(0L)).as("r_tot")))
+      val scored = rawBg
+        .join(broadcast(rawCnt), Seq("bkt"))
+        .join(broadcast(tgt), Seq("bkt"), "left")
+        .crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(sum((coalesce(col("ct"), lit(0L)) + 1) * (col("r_tot") + 256) -
+            (col("cr") + 1) * (col("t_tot") + 256)).as("score"))
+      val out = deduped.filter(col("source") =!= "src0")
+        .select(col("doc_id"), col("source"))
+        .join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("score"), lit(0L)).as("score"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("rank") <= 100)
+        .orderBy(col("rank"))
+        .localCheckpoint(true)
+      deduped.unpersist()
+      out
+    },
+    Some {
+      s"""WITH $gopherCte,
+         |hb AS (SELECT doc_id,
+         |  (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         |  + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS b
+         |  FROM documents),
+         |gk AS (SELECT g.doc_id, d.source, d.text
+         |  FROM gated g JOIN documents d USING (doc_id) JOIN hb USING (doc_id)
+         |  WHERE g.keep AND hb.b < 250),
+         |gsh AS (SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN length(w) < 4 THEN []
+         |         ELSE [array_to_string(list_slice(w, i+1, i+4), ' ') for i in range(0, length(w)-3)] END)) AS shingle
+         |  FROM toks WHERE doc_id IN (SELECT doc_id FROM gk)),
+         |bsh AS (SELECT DISTINCT unnest(list_distinct(
+         |    CASE WHEN length(w) < 4 THEN []
+         |         ELSE [array_to_string(list_slice(w, i+1, i+4), ' ') for i in range(0, length(w)-3)] END)) AS shingle
+         |  FROM toks JOIN hb USING (doc_id) WHERE hb.b >= 250),
+         |contam AS (SELECT DISTINCT doc_id FROM gsh JOIN bsh USING (shingle)),
+         |cl AS (SELECT * FROM gk WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         |keepids AS (SELECT min(doc_id) AS doc_id FROM cl
+         |  GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), '\\s+', ' ', 'g')))),
+         |dd AS (SELECT cl.* FROM cl JOIN keepids USING (doc_id)),
+         |tb AS (SELECT doc_id, unnest(
+         |    CASE WHEN length(w) < 2 THEN []
+         |         ELSE [w[i] || ' ' || w[i+1] for i in range(1, length(w))] END) AS g
+         |  FROM toks WHERE doc_id IN (SELECT doc_id FROM documents WHERE source = 'src0')),
+         |rb AS (SELECT t.doc_id, unnest(
+         |    CASE WHEN length(t.w) < 2 THEN []
+         |         ELSE [t.w[i] || ' ' || t.w[i+1] for i in range(1, length(t.w))] END) AS g
+         |  FROM toks t JOIN dd USING (doc_id) WHERE dd.source <> 'src0'),
+         |ct AS (SELECT (strpos('0123456789abcdef', substr(md5(g), 1, 1)) - 1) * 16
+         |    + strpos('0123456789abcdef', substr(md5(g), 2, 1)) - 1 AS bkt, count(*) AS ct
+         |  FROM tb GROUP BY 1),
+         |cr AS (SELECT (strpos('0123456789abcdef', substr(md5(g), 1, 1)) - 1) * 16
+         |    + strpos('0123456789abcdef', substr(md5(g), 2, 1)) - 1 AS bkt, count(*) AS cr
+         |  FROM rb GROUP BY 1),
+         |tot AS (SELECT CAST((SELECT coalesce(sum(ct), 0) FROM ct) AS BIGINT) AS t_tot,
+         |               CAST((SELECT coalesce(sum(cr), 0) FROM cr) AS BIGINT) AS r_tot),
+         |sc AS (SELECT rbb.doc_id,
+         |    CAST(sum((coalesce(ct.ct, 0) + 1) * (tot.r_tot + 256)
+         |             - (cr.cr + 1) * (tot.t_tot + 256)) AS BIGINT) AS score
+         |  FROM (SELECT doc_id, (strpos('0123456789abcdef', substr(md5(g), 1, 1)) - 1) * 16
+         |          + strpos('0123456789abcdef', substr(md5(g), 2, 1)) - 1 AS bkt FROM rb) rbb
+         |  JOIN cr USING (bkt) LEFT JOIN ct USING (bkt) CROSS JOIN tot
+         |  GROUP BY rbb.doc_id)
+         |SELECT doc_id, source, score, rank FROM (
+         |  SELECT d.doc_id, d.source, coalesce(sc.score, 0) AS score,
+         |    CAST(row_number() OVER (ORDER BY coalesce(sc.score, 0) DESC, d.doc_id)
+         |      AS INTEGER) AS rank
+         |  FROM (SELECT doc_id, source FROM dd WHERE source <> 'src0') d
+         |  LEFT JOIN sc USING (doc_id))
+         |WHERE rank <= 100 ORDER BY rank""".stripMargin
+    },
+    "curation pipeline v2: Gopher gate -> decontamination -> exact dedup -> DSIR selection as ONE plan (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
-      d30, d31, d32, d33, d34, m01, m02, m03, m04, m05, m06, m07, m08, m10)
+      d30, d31, d32, d33, d34, d35, m01, m02, m03, m04, m05, m06, m07, m08, m10)
 }
