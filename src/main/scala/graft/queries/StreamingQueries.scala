@@ -1288,6 +1288,120 @@ object StreamingQueries {
            |LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin),
     "streaming decontamination gate: frozen benchmark shingles vs each micro-batch (LLM-pipeline op)")
 
+  /** Streaming DSIR gate — d34's domain-relevance score at ingest,
+    * completing the streaming curation triple (s21 quality, s22
+    * contamination, s23 domain relevance). The hashed-bigram bucket
+    * statistics are FROZEN once per deployment — target counts over the
+    * src0 reference, raw counts over the full raw reference corpus —
+    * eagerly localCheckpoint'ed (three tiny frames: ≤256 rows each plus
+    * the 1-row totals), then every micro-batch re-derives only ITS OWN
+    * bigrams and joins the broadcast stats; kept = score > 0 (more
+    * target-like than the raw average), rejects audited, not dropped.
+    * Stateless per-batch given the frozen stats ⇒ drain ≡ the batch d34
+    * scoring with the same threshold. The batch side joins stay valid
+    * because every batch doc IS part of the raw reference (its buckets
+    * are in the frozen `cr` by construction). */
+  val s23 = QueryDef(
+    "s23_stream_dsir_gate",
+    (spark, dir) => {
+      import graft.merge.ParquetTable
+      val docs = graft.sources.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val bigrams = (df: org.apache.spark.sql.DataFrame) => df
+        .withColumn("w", when(length(trim(col("text"))) === 0,
+            array().cast("array<string>"))
+          .otherwise(split(trim(col("text")), "\\s+")))
+        .withColumn("g", explode(zip_with(
+          slice(col("w"), lit(1), greatest(size(col("w")) - 1, lit(0))),
+          slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))))
+        .withColumn("bkt",
+          conv(substring(md5(col("g")), 1, 2), 16, 10).cast("int"))
+        .select(col("doc_id"), col("bkt"))
+      // frozen per-deployment side inputs
+      val tgt = bigrams(docs.filter(col("source") === "src0"))
+        .groupBy(col("bkt")).agg(count(lit(1)).as("ct")).localCheckpoint(true)
+      val rawDocs = docs.filter(col("source") =!= "src0")
+      val rawCnt = bigrams(rawDocs)
+        .groupBy(col("bkt")).agg(count(lit(1)).as("cr")).localCheckpoint(true)
+      val tot = tgt.agg(coalesce(sum(col("ct")), lit(0L)).as("t_tot"))
+        .crossJoin(rawCnt.agg(coalesce(sum(col("cr")), lit(0L)).as("r_tot")))
+        .localCheckpoint(true)
+      val srcDir = FixtureDirs.cachedDir("s23-docs-", dir) { d =>
+        val maxId = rawDocs.agg(max(col("doc_id"))).head().getLong(0)
+        val cuts = Seq(maxId / 3, 2 * maxId / 3)
+        val parts = Seq(
+          rawDocs.filter(col("doc_id") <= cuts.head),
+          rawDocs.filter(col("doc_id") > cuts.head && col("doc_id") <= cuts(1)),
+          rawDocs.filter(col("doc_id") > cuts(1)))
+        parts.zipWithIndex.foreach { case (p, i) =>
+          val tmp = FixtureDirs.create(s"s23-part$i-")
+          p.select(col("doc_id"), col("text")).coalesce(1)
+            .write.mode("overwrite").parquet(tmp.toString)
+          val f = java.nio.file.Files.list(tmp)
+            .filter(_.toString.endsWith(".parquet")).findFirst().get()
+          java.nio.file.Files.move(f, d.resolve(s"batch$i.parquet"))
+        }
+      }
+      val audit = new ParquetTable(spark,
+        s"${FixtureDirs.create("s23-audit-")}/audit",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id bigint, score bigint, kept boolean"))
+      val stream = spark.readStream
+        .schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      try withStreamConf(spark) {
+        val q = stream.writeStream
+          .option("checkpointLocation", newCkptDir())
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val scored = bigrams(batch)
+              .join(broadcast(rawCnt), Seq("bkt"))
+              .join(broadcast(tgt), Seq("bkt"), "left")
+              .crossJoin(broadcast(tot))
+              .groupBy(col("doc_id"))
+              .agg(sum((coalesce(col("ct"), lit(0L)) + 1) * (col("r_tot") + 256) -
+                  (col("cr") + 1) * (col("t_tot") + 256)).as("score"))
+            audit.append(batch.select(col("doc_id"))
+              .join(scored, Seq("doc_id"), "left")
+              .select(col("doc_id"),
+                coalesce(col("score"), lit(0L)).as("score"),
+                (coalesce(col("score"), lit(0L)) > 0).as("kept")))
+            ()
+          }
+          .start()
+        q.awaitTermination()
+      } finally { tgt.unpersist(); rawCnt.unpersist(); tot.unpersist() }
+      audit.read().orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, source,
+           |  CASE WHEN length(trim(text)) = 0 THEN []
+           |       ELSE string_split_regex(trim(text), '\s+') END AS w
+           |  FROM documents),
+           |bg AS (SELECT doc_id, source, unnest(
+           |    CASE WHEN length(w) < 2 THEN []
+           |         ELSE [w[i] || ' ' || w[i+1] for i in range(1, length(w))] END) AS g
+           |  FROM toks),
+           |bb AS (SELECT doc_id, source,
+           |  (strpos('0123456789abcdef', substr(md5(g), 1, 1)) - 1) * 16
+           |  + strpos('0123456789abcdef', substr(md5(g), 2, 1)) - 1 AS bkt
+           |  FROM bg),
+           |ct AS (SELECT bkt, count(*) AS ct FROM bb WHERE source = 'src0' GROUP BY bkt),
+           |cr AS (SELECT bkt, count(*) AS cr FROM bb WHERE source <> 'src0' GROUP BY bkt),
+           |tot AS (SELECT CAST((SELECT coalesce(sum(ct), 0) FROM ct) AS BIGINT) AS t_tot,
+           |               CAST((SELECT coalesce(sum(cr), 0) FROM cr) AS BIGINT) AS r_tot),
+           |sc AS (SELECT bb.doc_id,
+           |    CAST(sum((coalesce(ct.ct, 0) + 1) * (tot.r_tot + 256)
+           |             - (cr.cr + 1) * (tot.t_tot + 256)) AS BIGINT) AS score
+           |  FROM bb JOIN cr USING (bkt) LEFT JOIN ct USING (bkt) CROSS JOIN tot
+           |  WHERE bb.source <> 'src0' GROUP BY bb.doc_id)
+           |SELECT d.doc_id, coalesce(sc.score, 0) AS score,
+           |  coalesce(sc.score, 0) > 0 AS kept
+           |FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+           |LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin),
+    "streaming DSIR gate: frozen hashed-bigram domain stats score each micro-batch (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
-    s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22)
+    s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23)
 }

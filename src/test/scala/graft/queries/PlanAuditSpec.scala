@@ -399,6 +399,15 @@ class PlanAuditSpec extends SparkSpec {
       s"v18 fell back to all-pairs:\n$p")
   }
 
+  test("m10 scene detect: media bytes never reach an exchange — only the " +
+      "per-frame energy profile shuffles") {
+    val p = planOf("m10_video_scene_detect")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toVector
+    assert(exchanges.nonEmpty, s"unexpected plan shape:\n$p")
+    assert(!exchanges.exists(_.contains("media")),
+      s"media column crosses a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
   test("hot paths stay inside whole-stage codegen") {
     // codegen wrappers only appear in the FINAL adaptive plan → execute first
     for (q <- Seq("q01_pricing_summary", "d02_token_count", "d11_quality_score")) {
