@@ -1307,17 +1307,7 @@ object StreamingQueries {
       import graft.merge.ParquetTable
       val docs = graft.sources.Tables.documents(spark, dir)
         .select(col("doc_id"), col("source"), col("text"))
-      val bigrams = (df: org.apache.spark.sql.DataFrame) => df
-        .withColumn("w", when(length(trim(col("text"))) === 0,
-            array().cast("array<string>"))
-          .otherwise(split(trim(col("text")), "\\s+")))
-        .withColumn("g", explode(zip_with(
-          slice(col("w"), lit(1), greatest(size(col("w")) - 1, lit(0))),
-          slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
-          (a, b) => concat(a, lit(" "), b))))
-        .withColumn("bkt",
-          conv(substring(md5(col("g")), 1, 2), 16, 10).cast("int"))
-        .select(col("doc_id"), col("bkt"))
+      val bigrams = TextQueries.bigramBuckets _
       // frozen per-deployment side inputs
       val tgt = bigrams(docs.filter(col("source") === "src0"))
         .groupBy(col("bkt")).agg(count(lit(1)).as("ct")).localCheckpoint(true)

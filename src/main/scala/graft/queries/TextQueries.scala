@@ -1699,6 +1699,26 @@ object TextQueries {
             |SELECT * FROM gated ORDER BY doc_id""".stripMargin),
     "Gopher rule-set quality gate: per-rule stats + composite keep (LLM-pipeline op)")
 
+  /** Word bigrams (WITH multiplicity — DSIR counts) hashed to 256 md5
+    * buckets: `(doc_id, bkt)` per bigram occurrence. Shared by the DSIR
+    * family (d34 selection, d35 pipeline, s23 streaming gate). Tokenizes
+    * exactly like tokCte (space-trim, `\s+` split); the shifted `zip_with`
+    * keeps duplicates where [[graft.functions.WordShinglesExpr]] would
+    * dedup. Interpreted-HOF cost is acceptable here: one pass per scored
+    * relation, parallel over the scan (the s21 single-partition trap does
+    * not apply — s23's gate joins AFTER this explode repartitions). */
+  private[queries] def bigramBuckets(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = df
+    .withColumn("w", when(length(trim(col("text"))) === 0,
+        array().cast("array<string>"))
+      .otherwise(split(trim(col("text")), "\\s+")))
+    .withColumn("g", explode(zip_with(
+      slice(col("w"), lit(1), greatest(size(col("w")) - 1, lit(0))),
+      slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))))
+    .withColumn("bkt",
+      conv(substring(md5(col("g")), 1, 2), 16, 10).cast("int"))
+    .select(col("doc_id"), col("bkt"))
+
   /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): rank raw-corpus documents
     * by how much they resemble a target domain, using hashed n-gram
@@ -1719,20 +1739,9 @@ object TextQueries {
     (spark, dir) => {
       val docs = Tables.documents(spark, dir)
         .select(col("doc_id"), col("source"), col("text"))
-      val w = when(length(trim(col("text"))) === 0,
-          array().cast("array<string>"))
-        .otherwise(split(trim(col("text")), "\\s+"))
-      val bg = docs.withColumn("w", w)
-        .withColumn("g", explode(zip_with(
-          slice(col("w"), lit(1), greatest(size(col("w")) - 1, lit(0))),
-          slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
-          (a, b) => concat(a, lit(" "), b))))
-        .withColumn("bkt",
-          conv(substring(md5(col("g")), 1, 2), 16, 10).cast("int"))
-        .select(col("doc_id"), col("source"), col("bkt"))
-      val tgt = bg.filter(col("source") === "src0")
+      val tgt = bigramBuckets(docs.filter(col("source") === "src0"))
         .groupBy(col("bkt")).agg(count(lit(1)).as("ct"))
-      val rawBg = bg.filter(col("source") =!= "src0")
+      val rawBg = bigramBuckets(docs.filter(col("source") =!= "src0"))
       val rawCnt = rawBg.groupBy(col("bkt")).agg(count(lit(1)).as("cr"))
       val tot = tgt.agg(coalesce(sum(col("ct")), lit(0L)).as("t_tot"))
         .crossJoin(rawCnt.agg(coalesce(sum(col("cr")), lit(0L)).as("r_tot")))
@@ -1885,20 +1894,9 @@ object TextQueries {
       // persist, then eagerly materialize the tiny result and unpersist
       val deduped = cleanDocs.join(keepIds, Seq("doc_id")).persist()
       // 4. DSIR selection: hashed-bigram importance vs the src0 target
-      val bigrams = (df: org.apache.spark.sql.DataFrame) => df
-        .withColumn("w", when(length(trim(col("text"))) === 0,
-            array().cast("array<string>"))
-          .otherwise(split(trim(col("text")), "\\s+")))
-        .withColumn("g", explode(zip_with(
-          slice(col("w"), lit(1), greatest(size(col("w")) - 1, lit(0))),
-          slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
-          (a, b) => concat(a, lit(" "), b))))
-        .withColumn("bkt",
-          conv(substring(md5(col("g")), 1, 2), 16, 10).cast("int"))
-        .select(col("doc_id"), col("source"), col("bkt"))
-      val tgt = bigrams(docs.filter(col("source") === "src0"))
+      val tgt = bigramBuckets(docs.filter(col("source") === "src0"))
         .groupBy(col("bkt")).agg(count(lit(1)).as("ct"))
-      val rawBg = bigrams(deduped.filter(col("source") =!= "src0"))
+      val rawBg = bigramBuckets(deduped.filter(col("source") =!= "src0"))
       val rawCnt = rawBg.groupBy(col("bkt")).agg(count(lit(1)).as("cr"))
       val tot = tgt.agg(coalesce(sum(col("ct")), lit(0L)).as("t_tot"))
         .crossJoin(rawCnt.agg(coalesce(sum(col("cr")), lit(0L)).as("r_tot")))
