@@ -1357,8 +1357,37 @@ object RelationalQueries {
            |WHERE user_id < 30 ORDER BY event_id""".stripMargin),
     "window distribution functions: ntile/percent_rank/cume_dist with total-order ties")
 
+  /** Explicit GROUPING SETS — the third grouping-family surface (q17 =
+    * rollup, q32 = cube): an arbitrary, non-hierarchical set list —
+    * (status, priority), (status), (priority) but NOT the grand total —
+    * exactly the shape dashboards ask for and neither rollup nor cube
+    * produces without a post-filter. grouping_id disambiguates the null
+    * produced by set-collapse from a (hypothetical) null data value.
+    * One shuffle: Spark expands to the set list map-side. */
+  val q61 = QueryDef(
+    "q61_grouping_sets",
+    (spark, dir) => {
+      Tables.orders(spark, dir).createOrReplaceTempView("q61_orders")
+      spark.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
+          |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+          |FROM q61_orders
+          |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+          |  (o_orderstatus), (o_orderpriority))
+          |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin)
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority,
+           |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
+           |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+           |FROM orders
+           |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+           |  (o_orderstatus), (o_orderpriority))
+           |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin),
+    "explicit GROUPING SETS: arbitrary non-hierarchical set list + grouping_id")
+
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q12, q13, q14, q15, q16, q17, q18, q19, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41, q42, q43, q44, q45, q46, q47, q48, q58, q59, q60)
+    q41, q42, q43, q44, q45, q46, q47, q48, q58, q59, q60, q61)
 }
