@@ -359,6 +359,45 @@ final class ParquetTable(spark: SparkSession, root: String, schema: StructType,
     new ParquetTable(spark, destRoot, schema, bucketBy, keepVersions, checks, statsBy)
   }
 
+  /** VACUUM (the Delta `VACUUM` analog): physically delete data no longer
+    * referenced by any readable version inside the retention horizon —
+    * retained `.v-*` trees older than the newest `retainLast` of them, plus
+    * any `.staging-*`/`.retired-*` leftovers from crashed writes (those are
+    * referenced by no version at all, the uncommitted-file class Delta's
+    * VACUUM also collects). Returns the vacuumed version numbers, ascending.
+    *
+    * Contract after `vacuum(k)`:
+    *  - live content is untouched (`current/` is never a candidate);
+    *  - the newest `k` retained versions remain readable via [[readVersion]];
+    *  - a read of a vacuumed version fails loudly ([[readVersion]]'s
+    *    `require` — the version dir is gone, and [[history]] no longer
+    *    lists it);
+    *  - [[cloneTo]] trees are unaffected: clones hardlink data files, so
+    *    deleting this table's link only drops the inode's link count — the
+    *    clone keeps reading the same bytes (VacuumSpec pins this).
+    *
+    * Like every mutating verb on this table, VACUUM belongs to the single
+    * writer; it renames/deletes only dirs the write protocol has already
+    * retired, so concurrent READERS holding open files keep their POSIX
+    * view. On a real deployment the same verb runs against the commit-log
+    * manifest (delete objects unreferenced by manifests newer than the
+    * horizon) — the local form deletes whole rename-retired version trees,
+    * O(#files expired), no data scanned. */
+  def vacuum(retainLast: Int = keepVersions): Seq[Long] = {
+    require(retainLast >= 0, s"vacuum retention must be >= 0, got $retainLast")
+    import scala.jdk.CollectionConverters._
+    val VDir = """\.v-(\d+)""".r
+    val Leftover = """\.(?:staging|retired)-\d+""".r
+    val names = Files.list(rootPath).iterator().asScala
+      .map(_.getFileName.toString).toSeq
+    names.collect { case n @ Leftover() => n }
+      .foreach(n => cleanup(rootPath.resolve(n)))
+    val expired = names.collect { case VDir(n) => n.toLong }
+      .sorted.dropRight(retainLast)
+    expired.foreach(v => cleanup(rootPath.resolve(s".v-$v")))
+    expired
+  }
+
   /** Retention: keep only the newest `keepVersions` retained dirs. */
   private def pruneVersions(): Unit = if (keepVersions > 0) {
     import scala.jdk.CollectionConverters._

@@ -645,5 +645,66 @@ object MergeQueries {
            |SELECT version, n, sum_price FROM s ORDER BY version""".stripMargin),
     "RESTORE: roll-forward to a prior version's content, history preserved (Delta RESTORE analog)")
 
-  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl, opt, del, rst)
+  /** VACUUM (the Delta `VACUUM` analog) as a verified row: q49's
+    * three-version history, then `vacuum(retainLast = 1)` physically expires
+    * version 1 while keeping the newest retained version readable. The row
+    * emits the per-version summary of the POST-vacuum history — a hash match
+    * pins both halves of the contract at once: the live state (v3) is
+    * untouched by the GC, and the surviving retained version (v2) still
+    * reads its exact historical state (not the current one, not a mix).
+    * The destructive half — version trees physically gone, reads of expired
+    * versions failing loudly, shallow-clone hardlinks unaffected — is
+    * VacuumSpec's.
+    *
+    * Scale: VACUUM deletes whole rename-retired version trees — O(#files
+    * expired) filesystem metadata, zero data scanned or copied; on a real
+    * deployment the identical verb runs against the commit-log manifest. */
+  val vac = QueryDef(
+    "q62_vacuum",
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+      val root = FixtureDirs.create("q62-vac-").toString
+      val t = new graft.merge.ParquetTable(spark, s"$root/orders_g", o.schema,
+        keepVersions = 4)
+      val target = o.filter(col("o_orderdate") < lit("1995-01-01").cast("timestamp"))
+      val batch1 = o.filter(col("o_totalprice") > 150000)
+      val batch2 = o.filter(col("o_orderstatus") === "F")
+        .withColumn("o_totalprice", round(col("o_totalprice") + 1000, 2))
+        .withColumn("o_orderstatus", lit("R"))
+      t.overwrite(target)                                                 // v1
+      t.merge(batch1)((cur, b) => Merge.insertOnly(cur, b, Seq("o_orderkey"))) // v2
+      t.merge(batch2)((cur, b) => Merge.scd1(cur, b, Seq("o_orderkey")))  // v3
+      val expired = t.vacuum(retainLast = 1)
+      require(expired == Seq(1L),
+        s"expected vacuum to expire exactly version 1, got ${expired.mkString(",")}")
+      t.history().map { v =>
+        t.readVersion(v).agg(
+            count(lit(1)).as("n"),
+            round(sum(col("o_totalprice")), 2).as("sum_price"))
+          .select(lit(v.toInt).as("version"), col("n"), col("sum_price"))
+      }.reduce(_.union(_)).orderBy(col("version"))
+    },
+    Some("""WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders),
+           |v1 AS (SELECT * FROM o WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'),
+           |b1 AS (SELECT * FROM o WHERE o_totalprice > 150000),
+           |v2 AS (SELECT * FROM v1
+           |  UNION ALL
+           |  SELECT * FROM b1 b
+           |  WHERE NOT EXISTS (SELECT 1 FROM v1 t WHERE t.o_orderkey = b.o_orderkey)),
+           |b2 AS (SELECT o_orderkey, 'R' AS o_orderstatus,
+           |              round(o_totalprice + 1000, 2) AS o_totalprice, o_orderdate
+           |       FROM o WHERE o_orderstatus = 'F'),
+           |v3 AS (SELECT * FROM b2
+           |  UNION ALL
+           |  SELECT * FROM v2
+           |  WHERE NOT EXISTS (SELECT 1 FROM b2 b WHERE b.o_orderkey = v2.o_orderkey)),
+           |s AS (
+           |  SELECT 2 AS version, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price FROM v2
+           |  UNION ALL
+           |  SELECT 3, count(*), round(sum(o_totalprice), 2) FROM v3)
+           |SELECT version, n, sum_price FROM s ORDER BY version""".stripMargin),
+    "VACUUM: retention GC expires old versions physically, newer time travel + live state untouched (Delta VACUUM analog)")
+
+  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl, opt, del, rst, vac)
 }

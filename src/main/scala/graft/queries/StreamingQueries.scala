@@ -573,43 +573,50 @@ object StreamingQueries {
       val ckptBronzeEv = newCkptDir(); val ckptBronzeOrd = newCkptDir()
       val ckptSilverEv = newCkptDir(); val ckptSilverOrd = newCkptDir()
 
-      def awaitDrain(q: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]): Unit =
-        q.trigger(Trigger.AvailableNow()).start().awaitTermination()
+      def startDrain(q: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]) =
+        q.trigger(Trigger.AvailableNow()).start()
+      def awaitAll(qs: org.apache.spark.sql.streaming.StreamingQuery*): Unit =
+        qs.foreach(_.awaitTermination())
 
       def runWaves(): Unit = withStreamConf(spark) {
+        // Start-all-then-await per wave (ref 05-silver.py:486-503): the two
+        // streams of each wave write distinct targets, so their micro-batch
+        // floors overlap instead of summing.
         // bronze: landing → append-only parquet (file sink + checkpoint)
-        awaitDrain(spark.readStream.schema(evDdl).parquet(evLanding.toString)
-          .writeStream.format("parquet").option("path", bronzeEv)
-          .option("checkpointLocation", ckptBronzeEv).outputMode("append"))
-        awaitDrain(spark.readStream.schema(ordDdl).parquet(ordLanding.toString)
-          .writeStream.format("parquet").option("path", bronzeOrd)
-          .option("checkpointLocation", ckptBronzeOrd).outputMode("append"))
+        awaitAll(
+          startDrain(spark.readStream.schema(evDdl).parquet(evLanding.toString)
+            .writeStream.format("parquet").option("path", bronzeEv)
+            .option("checkpointLocation", ckptBronzeEv).outputMode("append")),
+          startDrain(spark.readStream.schema(ordDdl).parquet(ordLanding.toString)
+            .writeStream.format("parquet").option("path", bronzeOrd)
+            .option("checkpointLocation", ckptBronzeOrd).outputMode("append")))
         // silver wave: bronze stream → watermarked dedup → foreachBatch MERGE
-        awaitDrain(spark.readStream.schema(evDdl).parquet(bronzeEv)
-          .withColumn("ts_utc", timestamp_micros(col("ts_us")))
-          .withWatermark("ts_utc", "3650 days")
-          .dropDuplicates(Seq("event_id")).drop("ts_utc")
-          .writeStream.outputMode("update")
-          .option("checkpointLocation", ckptSilverEv)
-          .foreachBatch { (b: DataFrame, _: Long) =>
-            silverEvents.merge(b)((cur, bb) =>
-              Merge.insertOnly(cur, bb, Seq("event_id")))
-          })
-        awaitDrain(spark.readStream.schema(ordDdl).parquet(bronzeOrd)
-          .withColumn("upd_utc", timestamp_micros(col("updated_day") * 86400000000L))
-          .withWatermark("upd_utc", "36500 days")
-          .dropDuplicates(Seq("o_orderkey", "updated_day")).drop("upd_utc")
-          .writeStream.outputMode("update")
-          .option("checkpointLocation", ckptSilverOrd)
-          .foreachBatch { (b: DataFrame, _: Long) =>
-            // one micro-batch can carry a re-delivery AND its newer update
-            // (%35 keys) — collapse to latest per key before the CDC merge
-            val latest = Relational.dedupKeyed(
-              Relational.latestPerKey(b, Seq("o_orderkey"), "updated_day"),
-              Seq("o_orderkey"), Seq(col("updated_day").desc, col("status")))
-            silverOrders.merge(latest)((cur, bb) =>
-              Merge.cdcUpsert(cur, bb, Seq("o_orderkey"), "updated_day"))
-          })
+        awaitAll(
+          startDrain(spark.readStream.schema(evDdl).parquet(bronzeEv)
+            .withColumn("ts_utc", timestamp_micros(col("ts_us")))
+            .withWatermark("ts_utc", "3650 days")
+            .dropDuplicates(Seq("event_id")).drop("ts_utc")
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ckptSilverEv)
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              silverEvents.merge(b)((cur, bb) =>
+                Merge.insertOnly(cur, bb, Seq("event_id")))
+            }),
+          startDrain(spark.readStream.schema(ordDdl).parquet(bronzeOrd)
+            .withColumn("upd_utc", timestamp_micros(col("updated_day") * 86400000000L))
+            .withWatermark("upd_utc", "36500 days")
+            .dropDuplicates(Seq("o_orderkey", "updated_day")).drop("upd_utc")
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ckptSilverOrd)
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              // one micro-batch can carry a re-delivery AND its newer update
+              // (%35 keys) — collapse to latest per key before the CDC merge
+              val latest = Relational.dedupKeyed(
+                Relational.latestPerKey(b, Seq("o_orderkey"), "updated_day"),
+                Seq("o_orderkey"), Seq(col("updated_day").desc, col("status")))
+              silverOrders.merge(latest)((cur, bb) =>
+                Merge.cdcUpsert(cur, bb, Seq("o_orderkey"), "updated_day"))
+            }))
         // gold: per-user summary recompute + M5 column-list upsert
         val ea = silverEvents.read().groupBy(col("user_id"))
           .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))

@@ -67,12 +67,20 @@ final class Medallion(spark: SparkSession, landingDir: String, tablesDir: String
   /** Silver wave 1 (ref 05-silver.py:490-495): five streaming upsert jobs.
     * Each streams the append-only bronze parquet directory (file source ≡
     * append-only Delta stream) through its transform + watermarked dedup into
-    * a foreachBatch MERGE. */
+    * a foreachBatch MERGE.
+    *
+    * Start-all-then-await, exactly like the reference (`05-silver.py:486-503`
+    * starts every wave-1 stream and then `_await_queries` the active set):
+    * the five targets are distinct tables, so the concurrent foreachBatch
+    * MERGEs never contend, and the five availableNow micro-batch floors
+    * overlap instead of summing. */
   def runSilverWave1(): Unit = {
     spark.sparkContext.setLocalProperty("spark.scheduler.pool", "silver")
+    val started = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.streaming.StreamingQuery]
     def run(name: String, src: DataFrame, eventTime: String, keys: Seq[String])
            (sink: DataFrame => Unit): Unit = {
-      val q = Silver.streamingDedup(src, eventTime, keys)
+      started += Silver.streamingDedup(src, eventTime, keys)
         .writeStream
         .queryName(s"silver_$name")
         .option("checkpointLocation", s"$checkpointDir/silver_$name")
@@ -80,7 +88,6 @@ final class Medallion(spark: SparkSession, landingDir: String, tablesDir: String
         .foreachBatch((batch: DataFrame, _: Long) => sink(batch))
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
     }
     val regUsers = spark.readStream
       .schema(Schemas.registeredUsersCsv.add("load_time", "timestamp").add("source_file", "string"))
@@ -109,6 +116,7 @@ final class Medallion(spark: SparkSession, landingDir: String, tablesDir: String
       Seq("user_id", "time"))(Silver.upsertInsertOnly(workoutsTable, Seq("user_id", "time")))
     run("heart_rate", Silver.heartRateTransform(multiplexStream), "time",
       Seq("device_id", "time"))(Silver.upsertInsertOnly(heartRateTable, Seq("device_id", "time")))
+    started.foreach(_.awaitTermination())
   }
 
   /** Silver waves 2+3 (ref 05-silver.py:497-502): derived tables recomputed
