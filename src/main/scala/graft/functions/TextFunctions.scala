@@ -27,6 +27,7 @@ object TextFunctions {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
 
+  private val BpeName = "bpe_encode"
   private val ShinglesName = "word_shingles"
   private val CharShinglesName = "char_shingles"
   private val WinnowName = "winnow_fps"
@@ -54,7 +55,15 @@ object TextFunctions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       NfcName, exprs => NfcNormalizeExpr(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      BpeName, exprs => BpeEncodeExpr(exprs(0)), "built-in")
   }
+
+  /** True BPE subword stream over the frozen [[BpeMerges]] table (native
+    * [[BpeEncodeExpr]]); call [[registerNative]] first. `bpeTokenCount`
+    * remains the cheap regex PROXY — this is the real tokenizer the packing
+    * (d16) and mixing (d26) budgets model. */
+  def bpeTokens(text: Column): Column = call_function(BpeName, text)
 
   /** Native Unicode NFC normalization ([[NfcNormalizeExpr]]); call
     * [[registerNative]] first. */

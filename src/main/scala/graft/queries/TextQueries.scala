@@ -1976,8 +1976,62 @@ object TextQueries {
     },
     "curation pipeline v2: Gopher gate -> decontamination -> exact dedup -> DSIR selection as ONE plan (LLM-pipeline op)")
 
+  /** TRUE byte-pair encoding over the frozen trained merge table
+    * ([[graft.functions.BpeMerges]]) — the real tokenizer behind the token
+    * budgets that packing (d16) and mixing (d26) model; d02's
+    * `bpeTokenCount` is the regex proxy. Native [[graft.functions.BpeEncodeExpr]]
+    * (greedy lowest-rank-first, all occurrences per round, memoized per
+    * word); the row emits the exact subword STREAM plus the count, so a hash
+    * match pins every merge decision, not just totals.
+    *
+    * The oracle replays the merges in a DuckDB recursive CTE — one leftmost
+    * lowest-ranked merge per step — which equals the all-occurrences loop
+    * because the trained table is well-formed (see [[graft.functions.BpeMerges]];
+    * BpeSpec pins the equivalence against an independent reimplementation).
+    *
+    * Scale: map-only — one native-expression pass per row, no shuffle before
+    * the output sort; the merge table is a compiled-in constant (production
+    * tokenizers broadcast `merges.txt` the same way), and the per-word memo
+    * exploits Zipfian word repetition. */
+  val d36 = QueryDef(
+    "d36_bpe_tokenize",
+    (spark, dir) => {
+      TextFunctions.registerNative(spark)
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), TextFunctions.bpeTokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          concat_ws(" ", col("toks")).as("token_stream"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE
+            |pre AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]') AS ws
+            |  FROM documents),
+            |words0 AS (SELECT doc_id, unnest([{'i': i, 't': ws[i]} for i in generate_series(1, len(ws))]) AS w
+            |  FROM pre),
+            |words AS (SELECT doc_id, w.i AS widx, w.t AS tok FROM words0),
+            |init AS (SELECT doc_id, widx, [tok[i] for i in generate_series(1, length(tok))] AS syms FROM words),
+            |bpe(doc_id, widx, syms) AS (
+            |  SELECT * FROM init
+            |  UNION ALL
+            |  SELECT doc_id, widx, syms[1:p-1] || [syms[p] || syms[p+1]] || syms[p+2:]
+            |  FROM (SELECT doc_id, widx, syms,
+            |      (list_sort(list_filter([{'r': list_position(${graft.functions.BpeMerges.sqlLiteral}, syms[i] || ' ' || syms[i+1]), 'i': i}
+            |        for i in generate_series(1, len(syms)-1)], x -> x.r > 0)))[1].i AS p
+            |    FROM bpe) WHERE p IS NOT NULL),
+            |fin AS (SELECT doc_id, widx, syms FROM bpe
+            |  QUALIFY row_number() OVER (PARTITION BY doc_id, widx ORDER BY len(syms)) = 1),
+            |agg AS (SELECT doc_id, CAST(sum(len(syms)) AS INTEGER) AS n_tokens,
+            |    string_agg(array_to_string(syms, ' '), ' ' ORDER BY widx) AS token_stream
+            |  FROM fin GROUP BY doc_id)
+            |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+            |  coalesce(a.token_stream, '') AS token_stream
+            |FROM documents d LEFT JOIN agg a USING (doc_id)
+            |ORDER BY d.doc_id""".stripMargin),
+    "true BPE tokenization: frozen trained merge table, native greedy pair-merge, recursive-CTE oracle replay (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
-      d30, d31, d32, d33, d34, d35, m01, m02, m03, m04, m05, m06, m07, m08, m10)
+      d30, d31, d32, d33, d34, d35, d36, m01, m02, m03, m04, m05, m06, m07, m08, m10)
 }
