@@ -34,14 +34,14 @@ object Tables {
     * =false) TimestampNTZType, where `unix_micros` is exact by definition.
     * The NTZ→timestamp cast reads the naive value in the session timezone —
     * every entry point (Bench/Verify/Scratch/specs) pins UTC, matching
-    * DuckDB's `epoch_us(ts)` which treats naive timestamps as UTC epoch.
-    * The LongType branch resolves the column by its name `ts` (true at both
-    * call sites: eventsUs and StreamingQueries.eventsStream). */
+    * DuckDB's `epoch_us(ts)` which treats naive timestamps as UTC epoch. */
   def tsToUs(spark: SparkSession, ts: Column, tsType: DataType): Column = {
     import org.apache.spark.sql.functions._
     tsType match {
-      // SQL `div` = exact integer division (the Column API `/` is double)
-      case LongType => expr("ts div 1000")
+      // `div` = exact integer division (the Column API `/` is double);
+      // built from the PASSED column — an expr("ts div 1000") would rebind
+      // by the literal name and silently mis-resolve at new call sites
+      case LongType => call_function("div", ts, lit(1000L))
       case TimestampNTZType =>
         require(spark.conf.get("spark.sql.session.timeZone", "") == "UTC",
           "events.ts is TIMESTAMP_NTZ: the exact-µs contract needs session timeZone=UTC")

@@ -401,11 +401,31 @@ class PlanAuditSpec extends SparkSpec {
 
   test("m10 scene detect: media bytes never reach an exchange — only the " +
       "per-frame energy profile shuffles") {
-    val p = planOf("m10_video_scene_detect")
-    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toVector
-    assert(exchanges.nonEmpty, s"unexpected plan shape:\n$p")
-    assert(!exchanges.exists(_.contains("media")),
-      s"media column crosses a shuffle:\n${exchanges.mkString("\n")}")
+    // STRUCTURAL check, not a grep: explain prints Exchange lines without
+    // their output attributes ("Exchange hashpartitioning(doc_id#1L, 8)"),
+    // so text matching only guards against partitioning BY media. Walk the
+    // plan tree instead and inspect what each exchange actually CARRIES —
+    // every column of every exchange's child output must be media-free.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    def collectExchanges(p: SparkPlan): Seq[Exchange] = {
+      val here = p match { case e: Exchange => Seq(e); case _ => Nil }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case _ => p.children
+      }
+      here ++ kids.flatMap(collectExchanges)
+    }
+    val plan = Registry.queries("m10_video_scene_detect")(spark, sf001)
+      .queryExecution.executedPlan
+    val exchanges = collectExchanges(plan)
+    assert(exchanges.nonEmpty, s"unexpected plan shape:\n$plan")
+    exchanges.foreach { e =>
+      val carried = e.child.output.map(_.name)
+      assert(!carried.exists(_.toLowerCase.contains("media")),
+        s"media column crosses a shuffle (carries: ${carried.mkString(", ")}):\n$plan")
+    }
   }
 
   test("hot paths stay inside whole-stage codegen") {
