@@ -47,13 +47,20 @@ final class VectorIndex(spark: SparkSession, root: String,
     * [[graft.functions.PqEncodeExpr]], layout partitioned by cell. */
   def build(corpus: DataFrame): Unit = {
     buildMeta(corpus)
-    val (cents, cb) = loadMeta()
+    writeCodesTo(corpus, loadMeta(), indexDir, mode = "overwrite")
+  }
+
+  private def writeCodesTo(corpus: DataFrame,
+                           meta: (Array[(Int, Seq[Double])], Seq[Double]),
+                           dest: String, mode: String): Unit = {
+    VectorFunctions.register(spark)
+    val (cents, cb) = meta
     val topCells = Similarity.topCellsOf(cents, VectorFunctions.cosineSim) _
     corpus.select(col("vec_id"),
         element_at(topCells(col("embedding"), 1), 1).getField("cell").as("cell"),
         VectorFunctions.pqEncode(col("embedding"), cb, m, ksub, dsub).as("code"))
       .repartition(col("cell")) // ~one file per cell partition
-      .write.mode("overwrite").partitionBy("cell").parquet(indexDir)
+      .write.mode(mode).partitionBy("cell").parquet(dest)
   }
 
   /** Train and persist ONLY the meta (centroids + codebook, v04/v09 stride
@@ -62,7 +69,9 @@ final class VectorIndex(spark: SparkSession, root: String,
     * streams the corpus itself through foreachBatch appends; because codes
     * are a pure function of (vector, frozen meta), the resulting index is
     * bit-identical to a one-shot [[build]] regardless of batch split. */
-  def buildMeta(corpus: DataFrame): Unit = {
+  def buildMeta(corpus: DataFrame): Unit = writeMetaTo(corpus, metaDir)
+
+  private def writeMetaTo(corpus: DataFrame, dest: String): Unit = {
     VectorFunctions.register(spark)
     val cents = Similarity.strideCentroids(corpus, nlist)
     val samples = Similarity.strideCentroids(corpus, ksub)
@@ -77,7 +86,7 @@ final class VectorIndex(spark: SparkSession, root: String,
       cents.toSeq.map { case (i, v) => ("centroid", i, v) } :+
         (("codebook", 0, cb))
     metaRows.toDF("kind", "idx", "vals")
-      .coalesce(1).write.mode("overwrite").parquet(metaDir)
+      .coalesce(1).write.mode("overwrite").parquet(dest)
   }
 
   /** Incrementally add vectors using the FROZEN centroids/codebook — the
@@ -85,16 +94,8 @@ final class VectorIndex(spark: SparkSession, root: String,
     * rebuild, exactly like FAISS index training). New codes land ONLY in
     * their own cell partitions; untouched cell directories are not
     * rewritten (VectorIndexSpec pins byte-identity). */
-  def append(newVectors: DataFrame): Unit = {
-    VectorFunctions.register(spark)
-    val (cents, cb) = loadMeta()
-    val topCells = Similarity.topCellsOf(cents, VectorFunctions.cosineSim) _
-    newVectors.select(col("vec_id"),
-        element_at(topCells(col("embedding"), 1), 1).getField("cell").as("cell"),
-        VectorFunctions.pqEncode(col("embedding"), cb, m, ksub, dsub).as("code"))
-      .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(indexDir)
-  }
+  def append(newVectors: DataFrame): Unit =
+    writeCodesTo(newVectors, loadMeta(), indexDir, mode = "append")
 
   /** Logical delete — the Delta deletion-vector / FAISS `IDSelector`
     * analog: ids are appended to a tombstone side-table and [[query]] masks
@@ -116,16 +117,19 @@ final class VectorIndex(spark: SparkSession, root: String,
     * codes are all deleted simply loses its partition directory. Queries
     * before and after vacuum return identical results — vacuum changes the
     * COST of masking (anti-join per query → nothing), not the answer. */
+  private def deleteRec(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+
   def vacuum(): Unit = tombstones.foreach { ts =>
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tsB = broadcast(ts)
     val idx = spark.read.parquet(indexDir)
     val touched = idx.join(tsB, Seq("vec_id"))
       .select(col("cell")).distinct().collect().map(_.getInt(0)).sorted
-    def deleteRec(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-    }
     if (touched.nonEmpty) {
       val staging = Paths.get(root, ".vacuum-staging")
       deleteRec(staging)
@@ -143,6 +147,77 @@ final class VectorIndex(spark: SparkSession, root: String,
       deleteRec(staging)
     }
     deleteRec(Paths.get(tombDir))
+  }
+
+  /** Re-train + re-encode from the CURRENT corpus and cut a new index
+    * generation — the periodic rebuild the frozen-codebook [[append]] mode
+    * assumes (FAISS re-trains the same way once the cell histogram drifts).
+    *
+    * The new meta (centroids + codebook, same stride rules as [[build]])
+    * and the full re-encoded code set are staged beside the live index,
+    * then cut over by directory rename: the previous generation's
+    * meta/index/tombstones are RETIRED INTO `root/.v-<gen>` (rename only,
+    * no data copied — the [[graft.merge.ParquetTable]] version-store
+    * design), so the old version stays fully queryable via [[version]]
+    * during and after the cutover, with its own tombstone set. Existing
+    * tombstones are folded into the rebuild input (a retrain is also a
+    * vacuum), so the new generation starts with an empty tombstone set.
+    *
+    * Because meta is a pure function of the corpus (stride rules) and codes
+    * are a pure function of (vector, meta), a retrain is bit-identical to a
+    * fresh [[build]] on the same corpus — RetrainSpec pins it. Each
+    * directory move is atomic; the cutover is per-directory (meta, then
+    * index), matching the single-writer discipline every mutating verb here
+    * assumes — concurrent queries during a cutover should read a pinned
+    * [[version]]. */
+  def retrain(corpus: DataFrame): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val live = tombstones.fold(corpus)(ts =>
+      corpus.join(broadcast(ts), Seq("vec_id"), "left_anti"))
+    val staging = Paths.get(root, ".retrain-staging")
+    deleteRec(staging)
+    writeMetaTo(live, staging.resolve("meta").toString)
+    val metaRows = spark.read.parquet(staging.resolve("meta").toString).collect()
+    val cents = metaRows.filter(_.getString(0) == "centroid")
+      .map(r => (r.getInt(1), r.getSeq[Double](2))).sortBy(_._1)
+    val cb = metaRows.find(_.getString(0) == "codebook").get.getSeq[Double](2)
+    writeCodesTo(live, (cents, cb), staging.resolve("index").toString,
+      mode = "overwrite")
+    // cutover: retire the live generation (rename-only), then move the new
+    // one in — old version remains readable at .v-<gen>
+    val gen = versions.foldLeft(0L)(math.max) + 1
+    val retired = Paths.get(root, s".v-$gen")
+    Files.createDirectories(retired)
+    Seq("meta" -> metaDir, "index" -> indexDir, "tombstones" -> tombDir)
+      .foreach { case (name, dir) =>
+        val p = Paths.get(dir)
+        if (Files.exists(p))
+          Files.move(p, retired.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      }
+    Files.move(staging.resolve("meta"), Paths.get(metaDir),
+      StandardCopyOption.ATOMIC_MOVE)
+    Files.move(staging.resolve("index"), Paths.get(indexDir),
+      StandardCopyOption.ATOMIC_MOVE)
+    deleteRec(staging)
+  }
+
+  /** Retired generations, ascending (empty before the first [[retrain]]). */
+  def versions: Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(root)
+    val VDir = """\.v-(\d+)""".r
+    if (!java.nio.file.Files.exists(p)) Seq.empty
+    else java.nio.file.Files.list(p).iterator().asScala
+      .map(_.getFileName.toString).collect { case VDir(n) => n.toLong }
+      .toSeq.sorted
+  }
+
+  /** A read handle on retired generation `v` — same query surface, its own
+    * meta/index/tombstones, untouched by later retrains. */
+  def version(v: Long): VectorIndex = {
+    require(versions.contains(v),
+      s"index generation $v not retained; available: ${versions.mkString(", ")}")
+    new VectorIndex(spark, s"$root/.v-$v", nlist, m, ksub, dims)
   }
 
   private def loadMeta(): (Array[(Int, Seq[Double])], Seq[Double]) = {

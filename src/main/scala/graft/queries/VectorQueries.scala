@@ -826,6 +826,40 @@ object VectorQueries {
     },
     "range (radius) search: IVF-blocked cosine >= tau retrieval (LLM-pipeline op)")
 
+  /** Index RE-TRAIN ([[graft.operators.VectorIndex.retrain]], v19): the
+    * lifecycle verb the frozen-codebook append mode (s15) assumes — once
+    * the cell histogram drifts, re-train centroids/codebook from the
+    * CURRENT corpus, re-encode, and cut a new generation with the old one
+    * still queryable. The row constructs a deliberately DRIFTED index
+    * (meta trained on the even-id half, odd half appended under that
+    * frozen meta), retrains on the full corpus, and queries. Because meta
+    * is a pure function of the corpus (stride rules) and codes of
+    * (vector, meta), the retrained index must land EXACTLY on the fresh-
+    * build geometry — the oracle is v13's fresh-build CTE chain verbatim,
+    * so a hash match proves the retrain discarded every trace of the
+    * drifted geometry. Cutover atomicity + old-version readback are
+    * RetrainSpec's.
+    *
+    * Scale: retrain is one training pass + one map-side re-encode of the
+    * corpus into nlist partitions (the build cost, amortized over the
+    * append era it resets); the cutover itself is O(1) renames. */
+  val v19 = QueryDef(
+    "v19_index_retrain",
+    (spark, dir) => {
+      VectorFunctions.register(spark)
+      val emb = Tables.embeddings(spark, dir)
+      val index = new graft.operators.VectorIndex(spark,
+        FixtureDirs.create("v19-index-").toString, nlist = 16)
+      index.build(emb.filter(col("vec_id") % 2 === 0))
+      index.append(emb.filter(col("vec_id") % 2 === 1))
+      index.retrain(emb)
+      index.query(emb.filter(col("vec_id") < 10), emb,
+          VectorFunctions.cosineSim, k = 5, nprobe = 4, shortlist = 50)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(ivfPqOracle()),
+    "index retrain: drifted build+append, re-train + re-encode + generation cutover lands on fresh-build geometry (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
-    v10, v11, v12, v13, v14, v15, v16, v17, v18)
+    v10, v11, v12, v13, v14, v15, v16, v17, v18, v19)
 }
