@@ -2003,6 +2003,31 @@ object TextQueries {
     * the output sort; the merge table is a compiled-in constant (production
     * tokenizers broadcast `merges.txt` the same way), and the per-word memo
     * exploits Zipfian word repetition. */
+  /** Shared DuckDB replay of the frozen [[graft.functions.BpeMerges]] table
+    * (d36's oracle, reused by d37): pre-tokenize with d02's classes, then
+    * one leftmost lowest-ranked merge per recursion step — equivalent to
+    * the native all-occurrences loop because the trained table is
+    * well-formed (see [[graft.functions.BpeMerges]]). Ends at `fin`
+    * (doc_id, widx, syms = final subwords per pre-token). Caller must open
+    * with `WITH RECURSIVE`. Kept s-interpolated (CLAUDE.md rule 10). */
+  private[queries] def bpeCte: String =
+    s"""pre AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]') AS ws
+       |  FROM documents),
+       |words0 AS (SELECT doc_id, unnest([{'i': i, 't': ws[i]} for i in generate_series(1, len(ws))]) AS w
+       |  FROM pre),
+       |words AS (SELECT doc_id, w.i AS widx, w.t AS tok FROM words0),
+       |init AS (SELECT doc_id, widx, [tok[i] for i in generate_series(1, length(tok))] AS syms FROM words),
+       |bpe(doc_id, widx, syms) AS (
+       |  SELECT * FROM init
+       |  UNION ALL
+       |  SELECT doc_id, widx, syms[1:p-1] || [syms[p] || syms[p+1]] || syms[p+2:]
+       |  FROM (SELECT doc_id, widx, syms,
+       |      (list_sort(list_filter([{'r': list_position(${graft.functions.BpeMerges.sqlLiteral}, syms[i] || ' ' || syms[i+1]), 'i': i}
+       |        for i in generate_series(1, len(syms)-1)], x -> x.r > 0)))[1].i AS p
+       |    FROM bpe) WHERE p IS NOT NULL),
+       |fin AS (SELECT doc_id, widx, syms FROM bpe
+       |  QUALIFY row_number() OVER (PARTITION BY doc_id, widx ORDER BY len(syms)) = 1)""".stripMargin
+
   val d36 = QueryDef(
     "d36_bpe_tokenize",
     (spark, dir) => {
@@ -2014,23 +2039,7 @@ object TextQueries {
           concat_ws(" ", col("toks")).as("token_stream"))
         .orderBy(col("doc_id"))
     },
-    Some(s"""WITH RECURSIVE
-            |pre AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]') AS ws
-            |  FROM documents),
-            |words0 AS (SELECT doc_id, unnest([{'i': i, 't': ws[i]} for i in generate_series(1, len(ws))]) AS w
-            |  FROM pre),
-            |words AS (SELECT doc_id, w.i AS widx, w.t AS tok FROM words0),
-            |init AS (SELECT doc_id, widx, [tok[i] for i in generate_series(1, length(tok))] AS syms FROM words),
-            |bpe(doc_id, widx, syms) AS (
-            |  SELECT * FROM init
-            |  UNION ALL
-            |  SELECT doc_id, widx, syms[1:p-1] || [syms[p] || syms[p+1]] || syms[p+2:]
-            |  FROM (SELECT doc_id, widx, syms,
-            |      (list_sort(list_filter([{'r': list_position(${graft.functions.BpeMerges.sqlLiteral}, syms[i] || ' ' || syms[i+1]), 'i': i}
-            |        for i in generate_series(1, len(syms)-1)], x -> x.r > 0)))[1].i AS p
-            |    FROM bpe) WHERE p IS NOT NULL),
-            |fin AS (SELECT doc_id, widx, syms FROM bpe
-            |  QUALIFY row_number() OVER (PARTITION BY doc_id, widx ORDER BY len(syms)) = 1),
+    Some(s"""WITH RECURSIVE $bpeCte,
             |agg AS (SELECT doc_id, CAST(sum(len(syms)) AS INTEGER) AS n_tokens,
             |    string_agg(array_to_string(syms, ' '), ' ' ORDER BY widx) AS token_stream
             |  FROM fin GROUP BY doc_id)
@@ -2040,8 +2049,43 @@ object TextQueries {
             |ORDER BY d.doc_id""".stripMargin),
     "true BPE tokenization: frozen trained merge table, native greedy pair-merge, recursive-CTE oracle replay (LLM-pipeline op)")
 
+  /** Sequence packing on TRUE BPE counts (d16 ∘ d36): the packing budget a
+    * real pipeline allocates is measured in the deployed tokenizer's
+    * tokens, not a regex proxy — same windowed prefix-sum shape as d16,
+    * n_tokens from the native [[graft.functions.BpeEncodeExpr]]. Budget 512
+    * (BPE tokens run ~16× denser than d16's whitespace tokens on this
+    * corpus, so bins stay multi-doc and the prefix-sum boundary logic is
+    * actually exercised). Oracle shares d36's recursive merge-replay CTEs. */
+  val d37 = QueryDef(
+    "d37_packing_bpe",
+    (spark, dir) => {
+      TextFunctions.registerNative(spark)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.documents(spark, dir)
+        .select(col("source"), col("doc_id"),
+          size(TextFunctions.bpeTokens(col("text"))).as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          expr("(cum - n_tokens) div 512").cast("int").as("bin"))
+        .orderBy(col("source"), col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE $bpeCte,
+            |bcnt AS (SELECT doc_id, CAST(sum(len(syms)) AS INTEGER) AS n_tokens
+            |  FROM fin GROUP BY doc_id),
+            |t AS (SELECT d.source, d.doc_id, coalesce(b.n_tokens, 0) AS n_tokens
+            |  FROM documents d LEFT JOIN bcnt b USING (doc_id))
+            |SELECT source, doc_id, n_tokens,
+            |  CAST((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 512
+            |    AS INTEGER) AS bin
+            |FROM t ORDER BY source, doc_id""".stripMargin),
+    "sequence packing on true BPE token budgets — d16's prefix-sum over d36's tokenizer (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
-      d30, d31, d32, d33, d34, d35, d36, m01, m02, m03, m04, m05, m06, m07, m08, m10)
+      d30, d31, d32, d33, d34, d35, d36, d37,
+      m01, m02, m03, m04, m05, m06, m07, m08, m10)
 }
