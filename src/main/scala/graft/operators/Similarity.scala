@@ -396,6 +396,40 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
   }
 
+  /** HARD-NEGATIVE MINING — for each query, the top-k most similar corpus
+    * vectors whose `labelCol` DIFFERS from the query's: the contrastive-
+    * training data op (high-similarity different-class pairs are the
+    * gradient-rich negatives; same-class neighbors are excluded as likely
+    * positives). Unlike [[ivfTopK]]'s static `keep` (a fixed WHERE on the
+    * candidate side), the predicate here is PER-PAIR (candidate label ≠
+    * query label), so it applies at the cell join — still only
+    * (id, vec, label, cell) tuples shuffle, never all-pairs, and the
+    * label inequality rides the same codegen'd filter as the self-pair
+    * exclusion. Approximate like every IVF retrieval (unprobed-cell
+    * misses; the v04 recall evidence applies). */
+  def ivfHardNegatives(queries: DataFrame, corpus: DataFrame,
+                       cos: (Column, Column) => Column, k: Int,
+                       labelCol: String, nlist: Int = 16,
+                       nprobe: Int = 4): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val topCells = topCellsOf(strideCentroids(corpus, nlist), cos) _
+    val c = corpus
+      .withColumn("cell", element_at(topCells(col("embedding"), 1), 1).getField("cell"))
+      .select(col("vec_id"), col("embedding").as("c_vec"), col("cell"),
+        col(labelCol).as("c_lab"))
+    val q = queries
+      .withColumn("probe", explode(topCells(col("embedding"), nprobe)))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"),
+        col("probe.cell").as("cell"), col(labelCol).as("q_lab"))
+    val cand = q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id") && col("q_lab") =!= col("c_lab"))
+    val scored = cand.withColumn("cos", round(cos(col("q_vec"), col("c_vec")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
+  }
+
   /** RANGE (radius) search — every corpus vector with cosine ≥ `tau` of each
     * query, the retrieval mode dedup thresholds and contamination sweeps use
     * (a top-k cannot express "all matches above a similarity bar"). Same

@@ -2083,9 +2083,74 @@ object TextQueries {
             |FROM t ORDER BY source, doc_id""".stripMargin),
     "sequence packing on true BPE token budgets — d16's prefix-sum over d36's tokenizer (LLM-pipeline op)")
 
+  /** PII DETECTION + REDACTION — the compliance pass every training-data
+    * pipeline runs before release: regex-class detectors (email, NANP
+    * phone, IPv4) counted per document, then masked with typed placeholders
+    * in detector order. The corpus's 31-word vocabulary contains no PII, so
+    * the row AUGMENTS the text with deterministic synthetic PII derived
+    * from doc_id (both engines construct the identical augmented text —
+    * the m0x authored-fixture pattern); the operator under test is the
+    * count+redact pass. Patterns are Java/RE2-portable (no lookaround;
+    * `\b` agrees — CLAUDE.md rule 4) and non-overlapping by construction
+    * (emails redacted first carry no digits into the phone pass, etc.).
+    * Map-only: counts and rewrites ride the scan stage; at 100 TB this is
+    * one pass, no shuffle before the output sort. */
+  val d38 = QueryDef(
+    "d38_pii_redact",
+    (spark, dir) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+      val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val id = col("doc_id").cast("string")
+      val aug = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), id, lit("@mail.example.com now")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" host 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0."), (col("doc_id") % 256).cast("string")))
+          .otherwise(lit("")))
+      Tables.documents(spark, dir)
+        .withColumn("aug", aug)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("aug"), lit(emailRe), lit(0))).as("n_email"),
+          size(regexp_extract_all(col("aug"), lit(phoneRe), lit(0))).as("n_phone"),
+          size(regexp_extract_all(col("aug"), lit(ipRe), lit(0))).as("n_ip"),
+          regexp_replace(regexp_replace(regexp_replace(col("aug"),
+              lit(emailRe), lit("<EMAIL>")),
+              lit(phoneRe), lit("<PHONE>")),
+              lit(ipRe), lit("<IP>")).as("redacted"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+      val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      s"""WITH aug AS (SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now' ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+         |    CASE WHEN doc_id % 7 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 256 AS VARCHAR) ELSE '' END AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$emailRe')) AS INTEGER) AS n_email,
+         |  CAST(len(regexp_extract_all(t, '$phoneRe')) AS INTEGER) AS n_phone,
+         |  CAST(len(regexp_extract_all(t, '$ipRe')) AS INTEGER) AS n_ip,
+         |  regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$emailRe', '<EMAIL>', 'g'),
+         |    '$phoneRe', '<PHONE>', 'g'),
+         |    '$ipRe', '<IP>', 'g') AS redacted
+         |FROM aug ORDER BY doc_id""".stripMargin
+    },
+    "PII detection + redaction: typed regex detectors, per-doc counts, placeholder masking (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
-      d30, d31, d32, d33, d34, d35, d36, d37,
+      d30, d31, d32, d33, d34, d35, d36, d37, d38,
       m01, m02, m03, m04, m05, m06, m07, m08, m10)
 }

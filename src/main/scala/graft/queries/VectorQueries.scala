@@ -917,6 +917,55 @@ object VectorQueries {
     Some(ivfPqOracle()),
     "index retrain: drifted build+append, re-train + re-encode + generation cutover lands on fresh-build geometry (LLM-pipeline op)")
 
+  /** HARD-NEGATIVE MINING ([[graft.operators.Similarity.ivfHardNegatives]],
+    * v20): per query, the top-k most-similar corpus vectors of a DIFFERENT
+    * label — the contrastive-training pair miner (high-similarity
+    * cross-class neighbors are the gradient-rich negatives; same-class
+    * neighbors are excluded as likely positives). The label inequality is a
+    * PER-PAIR predicate, which v16's static pre-filter cannot express: it
+    * applies at the IVF cell join, so only (id, vec, label, cell) tuples
+    * shuffle and the filter rides the same codegen'd stage as the
+    * self-pair exclusion. Oracle = v04's assignment/probe CTE chain with
+    * the label joined through and `q.label <> c.label` on the candidate
+    * join. */
+  val v20 = QueryDef(
+    "v20_hard_negatives",
+    (spark, dir) => {
+      VectorFunctions.register(spark)
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      Similarity.ivfHardNegatives(
+          emb.filter(col("vec_id") < 10), emb,
+          VectorFunctions.cosineSim, k = 5, labelCol = "label",
+          nlist = 16, nprobe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some {
+      val nlist = 16; val nprobe = 4
+      val affCos = cosSql("e.emb", "cent.cemb")
+      val cos = cosSql("q.emb", "t.emb")
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, emb AS cemb
+         |  FROM e WHERE vec_id % greatest(1, (SELECT count(*) FROM e) // $nlist) = 0
+         |  ORDER BY vec_id LIMIT $nlist),
+         |aff AS (SELECT e.vec_id, cent.cell, $affCos AS a FROM e, cent),
+         |assign AS (SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell DESC) AS rn
+         |    FROM aff) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell DESC) AS rn
+         |    FROM aff WHERE vec_id < 10) WHERE rn <= $nprobe),
+         |scored AS (SELECT p.query_id, s.vec_id, round($cos, 6) AS cos
+         |  FROM probes p JOIN assign s ON s.cell = p.cell
+         |  JOIN e q ON q.vec_id = p.query_id JOIN e t ON t.vec_id = s.vec_id
+         |  WHERE s.vec_id <> p.query_id AND q.label <> t.label)
+         |SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
+    "hard-negative mining: top-k cross-label neighbors via IVF blocking, per-pair label predicate (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
-    v10, v11, v12, v13, v14, v15, v16, v17, v17b, v18, v19)
+    v10, v11, v12, v13, v14, v15, v16, v17, v17b, v18, v19, v20)
 }
