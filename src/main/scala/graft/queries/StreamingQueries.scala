@@ -1399,6 +1399,58 @@ object StreamingQueries {
            |LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin),
     "streaming DSIR gate: frozen hashed-bigram domain stats score each micro-batch (LLM-pipeline op)")
 
+  /** Streaming PII REDACTION — d38's compliance pass at INGEST time, where
+    * a production pipeline actually runs it (masking before raw text ever
+    * lands in the lake, not as a later batch sweep). Each micro-batch runs
+    * the typed detectors + triple redaction ([[TextQueries.piiProject]] —
+    * pure codegen'd per-row projections, no HOFs, so the single-partition
+    * micro-batch trap d33 hit does not apply) and appends (doc_id, counts,
+    * redacted) to the audit table. Stateless per-row ⇒ the drained union ≡
+    * the batch pass regardless of split; oracle = d38's SQL verbatim. */
+  val s24 = QueryDef(
+    "s24_stream_pii_redact",
+    (spark, dir) => {
+      import graft.merge.ParquetTable
+      val docs = graft.sources.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+      val srcDir = FixtureDirs.cachedDir("s24-docs-", dir) { d =>
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val cuts = Seq(maxId / 3, 2 * maxId / 3)
+        val parts = Seq(
+          docs.filter(col("doc_id") <= cuts.head),
+          docs.filter(col("doc_id") > cuts.head && col("doc_id") <= cuts(1)),
+          docs.filter(col("doc_id") > cuts(1)))
+        parts.zipWithIndex.foreach { case (p, i) =>
+          val tmp = FixtureDirs.create(s"s24-part$i-")
+          p.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val f = java.nio.file.Files.list(tmp)
+            .filter(_.toString.endsWith(".parquet")).findFirst().get()
+          java.nio.file.Files.move(f, d.resolve(s"batch$i.parquet"))
+        }
+      }
+      val audit = new ParquetTable(spark,
+        s"${FixtureDirs.create("s24-audit-")}/audit",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id bigint, n_email int, n_phone int, n_ip int, redacted string"))
+      val stream = spark.readStream
+        .schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      withStreamConf(spark) {
+        val q = stream.writeStream
+          .option("checkpointLocation", newCkptDir())
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            audit.append(TextQueries.piiProject(batch))
+          }
+          .start()
+        q.awaitTermination()
+      }
+      audit.read().orderBy(col("doc_id"))
+    },
+    Some(TextQueries.piiOracleSql),
+    "streaming PII redaction: typed detectors + masking per micro-batch before landing (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
-    s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23)
+    s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24)
 }

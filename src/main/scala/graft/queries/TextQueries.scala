@@ -2095,57 +2095,65 @@ object TextQueries {
     * (emails redacted first carry no digits into the phone pass, etc.).
     * Map-only: counts and rewrites ride the scan stage; at 100 TB this is
     * one pass, no shuffle before the output sort. */
+  private val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PiiPhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private val PiiIpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** The d38/s24 PII pass over (doc_id, text): deterministic doc_id-derived
+    * augmentation (the corpus vocabulary has no natural PII), per-type
+    * counts, then triple redaction in detector order. Pure per-row
+    * projections — codegen'd, stateless, safe in single-partition
+    * micro-batches (the s21 HOF trap does not apply: no HOFs here). */
+  private[queries] def piiProject(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val aug = concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com now")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" call 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" host 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."), (col("doc_id") % 256).cast("string")))
+        .otherwise(lit("")))
+    df.withColumn("aug", aug)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("aug"), lit(PiiEmailRe), lit(0))).as("n_email"),
+        size(regexp_extract_all(col("aug"), lit(PiiPhoneRe), lit(0))).as("n_phone"),
+        size(regexp_extract_all(col("aug"), lit(PiiIpRe), lit(0))).as("n_ip"),
+        regexp_replace(regexp_replace(regexp_replace(col("aug"),
+            lit(PiiEmailRe), lit("<EMAIL>")),
+            lit(PiiPhoneRe), lit("<PHONE>")),
+            lit(PiiIpRe), lit("<IP>")).as("redacted"))
+  }
+
+  /** Shared d38/s24 oracle: the identical augmentation + counts + redaction
+    * in DuckDB (kept s-interpolated — CLAUDE.md rule 10). */
+  private[queries] def piiOracleSql: String =
+    s"""WITH aug AS (SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now' ELSE '' END ||
+       |    CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+       |    CASE WHEN doc_id % 7 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 256 AS VARCHAR) ELSE '' END AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '$PiiEmailRe')) AS INTEGER) AS n_email,
+       |  CAST(len(regexp_extract_all(t, '$PiiPhoneRe')) AS INTEGER) AS n_phone,
+       |  CAST(len(regexp_extract_all(t, '$PiiIpRe')) AS INTEGER) AS n_ip,
+       |  regexp_replace(regexp_replace(regexp_replace(t,
+       |    '$PiiEmailRe', '<EMAIL>', 'g'),
+       |    '$PiiPhoneRe', '<PHONE>', 'g'),
+       |    '$PiiIpRe', '<IP>', 'g') AS redacted
+       |FROM aug ORDER BY doc_id""".stripMargin
+
   val d38 = QueryDef(
     "d38_pii_redact",
-    (spark, dir) => {
-      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
-      val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-      val id = col("doc_id").cast("string")
-      val aug = concat(col("text"),
-        when(col("doc_id") % 3 === 0,
-          concat(lit(" contact user"), id, lit("@mail.example.com now")))
-          .otherwise(lit("")),
-        when(col("doc_id") % 5 === 0,
-          concat(lit(" call 555-"),
-            lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
-            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
-          .otherwise(lit("")),
-        when(col("doc_id") % 7 === 0,
-          concat(lit(" host 10."), (col("doc_id") % 256).cast("string"),
-            lit(".0."), (col("doc_id") % 256).cast("string")))
-          .otherwise(lit("")))
-      Tables.documents(spark, dir)
-        .withColumn("aug", aug)
-        .select(col("doc_id"),
-          size(regexp_extract_all(col("aug"), lit(emailRe), lit(0))).as("n_email"),
-          size(regexp_extract_all(col("aug"), lit(phoneRe), lit(0))).as("n_phone"),
-          size(regexp_extract_all(col("aug"), lit(ipRe), lit(0))).as("n_ip"),
-          regexp_replace(regexp_replace(regexp_replace(col("aug"),
-              lit(emailRe), lit("<EMAIL>")),
-              lit(phoneRe), lit("<PHONE>")),
-              lit(ipRe), lit("<IP>")).as("redacted"))
-        .orderBy(col("doc_id"))
-    },
-    Some {
-      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
-      val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-      s"""WITH aug AS (SELECT doc_id, text ||
-         |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now' ELSE '' END ||
-         |    CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
-         |    CASE WHEN doc_id % 7 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 256 AS VARCHAR) ELSE '' END AS t
-         |  FROM documents)
-         |SELECT doc_id,
-         |  CAST(len(regexp_extract_all(t, '$emailRe')) AS INTEGER) AS n_email,
-         |  CAST(len(regexp_extract_all(t, '$phoneRe')) AS INTEGER) AS n_phone,
-         |  CAST(len(regexp_extract_all(t, '$ipRe')) AS INTEGER) AS n_ip,
-         |  regexp_replace(regexp_replace(regexp_replace(t,
-         |    '$emailRe', '<EMAIL>', 'g'),
-         |    '$phoneRe', '<PHONE>', 'g'),
-         |    '$ipRe', '<IP>', 'g') AS redacted
-         |FROM aug ORDER BY doc_id""".stripMargin
-    },
+    (spark, dir) =>
+      piiProject(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+        .orderBy(col("doc_id")),
+    Some(piiOracleSql),
     "PII detection + redaction: typed regex detectors, per-doc counts, placeholder masking (LLM-pipeline op)")
 
   def defs: Seq[QueryDef] =
