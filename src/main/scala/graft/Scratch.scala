@@ -34,6 +34,29 @@ object Scratch {
         val fn = graft.queries.Registry.queries(name)
         (1 to n).foreach { i => timed(s"$name run$i") { fn(spark, sfDir).count() } }
       }
+    } else if (args.headOption.contains("qf")) {
+      // like `q` but FORCES projection work: count() lets Catalyst prune
+      // unreferenced projection columns (the d24sf1 lesson), so operators
+      // whose cost is in per-row rewrites (BPE, PII redaction) read as
+      // phantom-fast. Aggregate over every output column instead.
+      val n = args.lift(2).map(_.toInt).getOrElse(3)
+      args(1).split(',').foreach { name =>
+        val fn = graft.queries.Registry.queries(name)
+        (1 to n).foreach { i =>
+          timed(s"$name run$i (forced)") {
+            val df = fn(spark, sfDir)
+            val aggs = df.schema.fields.toIndexedSeq.map { f =>
+              f.dataType match {
+                case org.apache.spark.sql.types.StringType => sum(length(col(f.name)))
+                case _: org.apache.spark.sql.types.ArrayType => sum(size(col(f.name)))
+                case _: org.apache.spark.sql.types.NumericType => sum(col(f.name).cast("double"))
+                case _ => count(col(f.name))
+              }
+            }
+            df.agg(aggs.head, aggs.tail: _*).collect()
+          }
+        }
+      }
     } else if (args.headOption.contains("v17scaled")) {
       // v17 at 10x with nlist SCALED with the corpus (the honest 100 TB
       // configuration — the registered row freezes nlist=16 for oracle
