@@ -119,14 +119,27 @@ final class Medallion(spark: SparkSession, landingDir: String, tablesDir: String
     started.foreach(_.awaitTermination())
   }
 
-  /** Silver waves 2+3 (ref 05-silver.py:497-502): derived tables recomputed
-    * from the current upstream content and MERGEd. */
+  /** Silver waves 2+3 (ref 05-silver.py:496-502): derived tables recomputed
+    * from the current upstream content and MERGEd. Wave 2 = {user_bins,
+    * completed_workouts} — independent targets with disjoint upstreams, run
+    * CONCURRENTLY exactly like the reference's start-both-then-await; wave 3
+    * = workout_bpm, which reads completed_workouts and so must wait for the
+    * wave-2 barrier. Concurrent Spark actions from two threads are safe
+    * (separate jobs, separate target tables). */
   def runSilverWave2(): Unit = {
-    Silver.upsertUserBins(userBinsTable)(
-      Silver.userBins(userProfileTable.read(), usersTable.read(), asOf))
-    Silver.upsertInsertOnly(completedWorkoutsTable,
-      Seq("user_id", "workout_id", "session_id", "start_time"))(
-      Silver.completedWorkouts(workoutsTable.read()))
+    // a failed wave-2 job must fail the wave, not vanish with its thread
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    def job(body: => Unit) = new Thread(() =>
+      try body catch { case t: Throwable => failure.compareAndSet(null, t) })
+    val wave2 = Seq(
+      job(Silver.upsertUserBins(userBinsTable)(
+        Silver.userBins(userProfileTable.read(), usersTable.read(), asOf))),
+      job(Silver.upsertInsertOnly(completedWorkoutsTable,
+        Seq("user_id", "workout_id", "session_id", "start_time"))(
+        Silver.completedWorkouts(workoutsTable.read()))))
+    wave2.foreach(_.start())
+    wave2.foreach(_.join())
+    if (failure.get() != null) throw failure.get()
     Silver.upsertInsertOnly(workoutBpmTable,
       Seq("user_id", "workout_id", "session_id", "time"))(
       Silver.workoutBpm(completedWorkoutsTable.read(), usersTable.read(),
