@@ -428,6 +428,24 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("v20 hard negatives keeps the IVF equi-join shape — the per-pair " +
+      "label predicate adds no cartesian/nested-loop") {
+    val p = planOf("v20_hard_negatives")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"v20 fell back to all-pairs:\n$p")
+  }
+
+  test("d36 BPE and d38 PII are map-only: no join, no shuffle except the " +
+      "output sort's range exchange") {
+    for (q <- Seq("d36_bpe_tokenize", "d38_pii_redact")) {
+      val p = planOf(q)
+      assert(!p.contains("Join"), s"$q unexpectedly joins:\n$p")
+      val exchanges = p.linesIterator.filter(_.contains("Exchange")).toVector
+      assert(exchanges.forall(_.contains("rangepartitioning")),
+        s"$q shuffles beyond the output sort:\n${exchanges.mkString("\n")}")
+    }
+  }
+
   test("hot paths stay inside whole-stage codegen") {
     // codegen wrappers only appear in the FINAL adaptive plan → execute first
     for (q <- Seq("q01_pricing_summary", "d02_token_count", "d11_quality_score")) {
