@@ -185,6 +185,35 @@ class OperatorsSpec extends SparkSpec {
     assert((bf & ivfKm).size.toDouble / bf.size >= 0.5)
   }
 
+  test("ivfHardNegatives: recall >= 0.5 vs cross-label brute force; " +
+      "no same-label or self pairs survive") {
+    VectorFunctions.register(spark)
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select($"vec_id", $"embedding", $"label")
+    val q = emb.filter($"vec_id" < 10)
+    // ground truth: brute-force top-5 among cross-label candidates only
+    val labels = emb.select($"vec_id".as("query_id"), $"label".as("q_lab"))
+    val bf = Similarity.bruteForceTopK(q, emb, VectorFunctions.cosineSim, k = 1000)
+      .join(labels, Seq("query_id"))
+      .join(emb.select($"vec_id", $"label".as("c_lab")), Seq("vec_id"))
+      .filter($"q_lab" =!= $"c_lab")
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"query_id")
+          .orderBy($"cos".desc, $"vec_id")))
+      .filter($"rk" <= 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val hn = Similarity.ivfHardNegatives(q, emb, VectorFunctions.cosineSim,
+        k = 5, labelCol = "label", nlist = 8, nprobe = 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert((bf & hn).size.toDouble / bf.size >= 0.5,
+      s"hard-negative recall ${(bf & hn).size.toDouble / bf.size}")
+    // the per-pair predicate actually held: no self pairs, no same-label pairs
+    val lab = emb.select($"vec_id", $"label").as[(Long, Long)].collect().toMap
+    hn.foreach { case (a, b) =>
+      assert(a != b && lab(a) != lab(b), s"pair ($a,$b) violates the predicate")
+    }
+  }
+
   test("lshTopK recall >= 0.6 vs brute force on real embeddings") {
     VectorFunctions.register(spark)
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
