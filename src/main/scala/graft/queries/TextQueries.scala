@@ -2156,9 +2156,52 @@ object TextQueries {
     Some(piiOracleSql),
     "PII detection + redaction: typed regex detectors, per-doc counts, placeholder masking (LLM-pipeline op)")
 
+  /** EPOCH SHARD LAYOUT — the training data-loader step after curation:
+    * each epoch gets its own deterministic pseudo-random permutation of the
+    * corpus, laid out as (shard, position-within-shard) so N loader workers
+    * read N disjoint shards sequentially. Shard and order are md5-derived
+    * from (doc_id, epoch) — content-independent (stable under text edits),
+    * epoch-varying (each epoch is a genuinely different permutation, which
+    * the multi-epoch output pins), and engine-portable (rule-4 hashing).
+    * At 100 TB: one keyed shuffle per epoch (repartition by shard +
+    * sort-within — no global total order is ever materialized; the ORDER BY
+    * here is the verification sort, not the layout). */
+  val d39 = QueryDef(
+    "d39_epoch_shards",
+    (spark, dir) => {
+      import spark.implicits._
+      val epochs = Seq(1, 2).toDF("epoch")
+      val shard = pmod(
+        conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit("e"), col("epoch").cast("string"))), 1, 1), 16, 10).cast("int"),
+        lit(4))
+      val ord = md5(concat(col("doc_id").cast("string"),
+        lit("p"), col("epoch").cast("string")))
+      Tables.documents(spark, dir).select(col("doc_id"))
+        .crossJoin(epochs)
+        .withColumn("shard", shard)
+        .withColumn("pos", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("epoch"), col("shard"))
+            .orderBy(ord, col("doc_id"))))
+        .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
+        .orderBy(col("epoch"), col("shard"), col("pos"))
+    },
+    Some("""WITH e AS (SELECT 1 AS epoch UNION ALL SELECT 2),
+           |a AS (SELECT d.doc_id, e.epoch,
+           |    (strpos('0123456789abcdef',
+           |       substr(md5(CAST(d.doc_id AS VARCHAR) || 'e' || CAST(e.epoch AS VARCHAR)), 1, 1)) - 1) % 4 AS shard,
+           |    md5(CAST(d.doc_id AS VARCHAR) || 'p' || CAST(e.epoch AS VARCHAR)) AS ord
+           |  FROM documents d CROSS JOIN e)
+           |SELECT epoch, CAST(shard AS INTEGER) AS shard,
+           |  CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY ord, doc_id) AS INTEGER) AS pos,
+           |  doc_id
+           |FROM a ORDER BY epoch, shard, pos""".stripMargin),
+    "epoch shard layout: deterministic per-epoch permutation into loader shards, md5-keyed (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
-      d30, d31, d32, d33, d34, d35, d36, d37, d38,
+      d30, d31, d32, d33, d34, d35, d36, d37, d38, d39,
       m01, m02, m03, m04, m05, m06, m07, m08, m10)
 }

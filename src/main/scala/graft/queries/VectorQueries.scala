@@ -966,6 +966,58 @@ object VectorQueries {
     },
     "hard-negative mining: top-k cross-label neighbors via IVF blocking, per-pair label predicate (LLM-pipeline op)")
 
+  /** RAG RETRIEVAL JOIN (v21) — the serving-side composition every
+    * retrieval-augmented pipeline runs: ANN top-k over the embedding store,
+    * then a KEYED join back to the document store to attach the payload
+    * (source + snippet) the generator consumes. The embedding table is the
+    * index, the documents table is the store, `vec_id = doc_id` is the
+    * linkage; only (query_id, vec_id, cos, rank) rows reach the document
+    * join — k·|queries| rows, a broadcast-or-shuffle equi-join on the id,
+    * never the corpus. Oracle = the IVF CTE chain at k=3 joined to
+    * `documents` for the snippet. */
+  val v21 = QueryDef(
+    "v21_rag_retrieve",
+    (spark, dir) => {
+      VectorFunctions.register(spark)
+      val emb = Tables.embeddings(spark, dir)
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb,
+          VectorFunctions.cosineSim, k = 3, nlist = 16, nprobe = 4)
+        .join(Tables.documents(spark, dir)
+          .select(col("doc_id").as("vec_id"), col("source"),
+            substring(col("text"), 1, 64).as("snippet")), Seq("vec_id"))
+        .select(col("query_id"), col("rank"), col("vec_id"), col("cos"),
+          col("source"), col("snippet"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some {
+      val nlist = 16; val nprobe = 4
+      val affCos = cosSql("e.emb", "cent.cemb")
+      val cos = cosSql("q.emb", "t.emb")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, emb AS cemb
+         |  FROM e WHERE vec_id % greatest(1, (SELECT count(*) FROM e) // $nlist) = 0
+         |  ORDER BY vec_id LIMIT $nlist),
+         |aff AS (SELECT e.vec_id, cent.cell, $affCos AS a FROM e, cent),
+         |assign AS (SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell DESC) AS rn
+         |    FROM aff) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell DESC) AS rn
+         |    FROM aff WHERE vec_id < 10) WHERE rn <= $nprobe),
+         |scored AS (SELECT p.query_id, s.vec_id, round($cos, 6) AS cos
+         |  FROM probes p JOIN assign s ON s.cell = p.cell
+         |  JOIN e q ON q.vec_id = p.query_id JOIN e t ON t.vec_id = s.vec_id
+         |  WHERE s.vec_id <> p.query_id),
+         |knn AS (SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored) WHERE rank <= 3)
+         |SELECT k.query_id, k.rank, k.vec_id, k.cos, d.source,
+         |  substr(d.text, 1, 64) AS snippet
+         |FROM knn k JOIN documents d ON d.doc_id = k.vec_id
+         |ORDER BY k.query_id, k.rank""".stripMargin
+    },
+    "RAG retrieval join: ANN top-k + keyed document-store attachment (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
-    v10, v11, v12, v13, v14, v15, v16, v17, v17b, v18, v19, v20)
+    v10, v11, v12, v13, v14, v15, v16, v17, v17b, v18, v19, v20, v21)
 }
