@@ -80,6 +80,8 @@ object GraftExtensions {
       (e: Seq[Expression]) => FrameEnergyExpr(e(0))),
     (FunctionIdentifier("top_bigram_frac"), info("top_bigram_frac", classOf[TopBigramFracExpr]),
       (e: Seq[Expression]) => TopBigramFracExpr(e(0))),
+    (FunctionIdentifier("bpe_encode"), info("bpe_encode", classOf[BpeEncodeExpr]),
+      (e: Seq[Expression]) => BpeEncodeExpr(e(0))),
     (FunctionIdentifier("bloom_might_contain"), info("bloom_might_contain", classOf[BloomMightContain]),
       (e: Seq[Expression]) => BloomMightContain(e(0),
         e(1).eval().asInstanceOf[Array[Byte]])),

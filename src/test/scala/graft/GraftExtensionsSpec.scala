@@ -52,6 +52,9 @@ class GraftExtensionsSpec extends SparkSpec {
       // nfc_normalize from pure SQL: decomposed e+U+0301 composes to U+00E9
       assert(s2.sql("SELECT nfc_normalize('café') = 'café' AS ok")
         .first().getBoolean(0), "SQL nfc_normalize must compose")
+      // bpe_encode from pure SQL: the frozen merge table is compiled in
+      assert(s2.sql("SELECT bpe_encode('slow join') AS t").first()
+        .getSeq[String](0) == Seq("slow", "join"))
       // sketch aggregates resolve from pure SQL (the ScalaAggregator bridge):
       // 100 distinct keys < k=256 → KMV estimate is exactly the distinct
       // count; HLL lands within its 256-register error band; CMS counter
