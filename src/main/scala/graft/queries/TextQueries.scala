@@ -2199,9 +2199,54 @@ object TextQueries {
            |FROM a ORDER BY epoch, shard, pos""".stripMargin),
     "epoch shard layout: deterministic per-epoch permutation into loader shards, md5-keyed (LLM-pipeline op)")
 
+  /** LEAKAGE-AWARE SPLIT — d17's deterministic hash split applied to the
+    * near-dup CLUSTER instead of the document: every member of a connected
+    * near-dup component hashes on the shared cluster_id (min reachable
+    * doc_id), so near-duplicates can never straddle train/val/test — the
+    * eval-contamination mode a per-doc split (d17) cannot prevent and
+    * decontamination (d21) only patches after the fact. Contract is
+    * NO-LEAKAGE, not immutability: corpus growth that merges two clusters
+    * re-keys the merged component (documented; a frozen historical split
+    * would instead pin cluster_id at split time). Scale shape = d08's
+    * (df-capped LSH index join + min-label propagation) plus one map-side
+    * projection — the hash adds no shuffle. */
+  /** d40 core: d17's first-hash-byte thresholds applied to cluster_id —
+    * factored out so the spec can pin the no-leakage property on synthetic
+    * cluster labelings. */
+  private[graft] def clusterSplit(clusters: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val b = expr(
+      "cast(conv(substring(md5(cast(cluster_id as string)), 1, 2), 16, 10) as int)")
+    clusters.select(col("doc_id"), col("cluster_id"),
+      when(b < 243, "train").when(b < 250, "val").otherwise("test").as("split"))
+  }
+
+  val d40 = QueryDef(
+    "d40_leakage_split",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text", n = 3, k = 8, r = 2,
+        minJaccard = 0.2, maxDf = DedupMaxDf)
+      clusterSplit(Dedup.dupClusters(pairs, docs, "doc_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val clusterSql = d08.oracle.get
+        .replace("GROUP BY doc_id ORDER BY doc_id", "GROUP BY doc_id")
+      s"""WITH c AS ($clusterSql)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN b < 243 THEN 'train' WHEN b < 250 THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, cluster_id,
+         |  (strpos('0123456789abcdef', substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1)) - 1) * 16
+         |  + strpos('0123456789abcdef', substr(md5(CAST(cluster_id AS VARCHAR)), 2, 1)) - 1 AS b
+         |  FROM c)
+         |ORDER BY doc_id""".stripMargin
+    },
+    "leakage-aware train/val/test split: hash the near-dup cluster, not the doc (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
-      d30, d31, d32, d33, d34, d35, d36, d37, d38, d39,
+      d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40,
       m01, m02, m03, m04, m05, m06, m07, m08, m10)
 }

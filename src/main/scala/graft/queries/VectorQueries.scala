@@ -1018,6 +1018,87 @@ object VectorQueries {
     },
     "RAG retrieval join: ANN top-k + keyed document-store attachment (LLM-pipeline op)")
 
+  /** EMBEDDING SNAPSHOT DRIFT — the corpus-health monitor for a maintained
+    * embedding store (v13/v15/v19's lifecycle assumes one): per label,
+    * compare the centroid direction of two corpus snapshots (here the
+    * deterministic halves vec_id%2; in production, index generations) via
+    * the cosine of their component-sum vectors — identical to the cosine of
+    * the mean vectors since per-snapshot scaling cancels. Runs on the
+    * STORED int8 domain (v05's quantization — the v11/v14 insight): summed
+    * components are exact integers, so every fold is order-independent
+    * exact int64 arithmetic and the only float ops are two sqrt's, one
+    * multiply and one divide — each a single correctly-rounded IEEE op,
+    * bit-identical across engines. Scale shape: the dim-exploded relation
+    * partial-aggregates map-side to (labels × dims) rows per partition
+    * before the one keyed shuffle — shuffle volume is bounded by
+    * partitions × labels × dims, never by the corpus; a drift score per
+    * generation is O(labels) output. Int64 headroom: |sum| ≤ 127·n so
+    * dot-terms stay below 2^53 up to n ≈ 7·10^8 vectors per (label,
+    * snapshot); shard the sum hierarchically past that. */
+  /** v22 core over any (vec_id, label, embedding) frame — factored out so
+    * the spec can drive synthetic snapshots (identical halves → cos ≈ 1,
+    * orthogonal halves → cos = 0). */
+  private[graft] def embeddingDrift(base: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val d = base.select(
+        col("label"), (col("vec_id") % 2).cast("int").as("snap"),
+        VectorFunctions.quantizeInt8Vec(col("embedding")).as("qv"))
+      .select(col("label"), col("snap"),
+        posexplode(col("qv")).as(Seq("dim", "v")))
+    val s = d.groupBy(col("label"), col("dim")).agg(
+      sum(when(col("snap") === 0, col("v")).otherwise(lit(0.0)).cast("long")).as("sa"),
+      sum(when(col("snap") === 1, col("v")).otherwise(lit(0.0)).cast("long")).as("sb"))
+    val g = s.groupBy(col("label")).agg(
+      sum(col("sa") * col("sb")).as("dot"),
+      sum(col("sa") * col("sa")).as("na"),
+      sum(col("sb") * col("sb")).as("nb"))
+    val counts = base.groupBy(col("label")).agg(
+      sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n_b"))
+    g.join(counts, Seq("label"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        col("dot"), col("na"), col("nb"),
+        when(col("na") === 0 || col("nb") === 0, lit(0.0))
+          .otherwise(col("dot").cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .as("centroid_cos"))
+      .orderBy(col("label"))
+  }
+
+  val v22 = QueryDef(
+    "v22_embedding_drift",
+    (spark, dir) => {
+      VectorFunctions.register(spark)
+      embeddingDrift(Tables.embeddings(spark, dir))
+    },
+    Some("""WITH e AS (SELECT vec_id, label, CAST(vec_id % 2 AS INTEGER) AS snap,
+           |    CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+           |m AS (SELECT vec_id, label, snap, emb,
+           |    list_max(list_transform(emb, x -> abs(x))) AS maxabs FROM e),
+           |q AS (SELECT vec_id, label, snap,
+           |    CASE WHEN maxabs = 0 THEN list_transform(emb, x -> CAST(0 AS BIGINT))
+           |         ELSE list_transform(emb, x -> CAST(floor(x / (maxabs / 127) + 0.5) AS BIGINT)) END AS qv
+           |  FROM m),
+           |d AS (SELECT label, snap, i AS dim, qv[i + 1] AS v
+           |  FROM q, unnest(range(length(qv))) AS t(i)),
+           |s AS (SELECT label, dim,
+           |    CAST(sum(CASE WHEN snap = 0 THEN v ELSE 0 END) AS BIGINT) AS sa,
+           |    CAST(sum(CASE WHEN snap = 1 THEN v ELSE 0 END) AS BIGINT) AS sb
+           |  FROM d GROUP BY 1, 2),
+           |g AS (SELECT label, CAST(sum(sa * sb) AS BIGINT) AS dot,
+           |    CAST(sum(sa * sa) AS BIGINT) AS na,
+           |    CAST(sum(sb * sb) AS BIGINT) AS nb
+           |  FROM s GROUP BY label),
+           |c AS (SELECT label,
+           |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           |    CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+           |  FROM embeddings GROUP BY label)
+           |SELECT g.label, c.n_a, c.n_b, g.dot, g.na, g.nb,
+           |  CASE WHEN g.na = 0 OR g.nb = 0 THEN 0.0
+           |       ELSE CAST(g.dot AS DOUBLE) / (sqrt(CAST(g.na AS DOUBLE)) * sqrt(CAST(g.nb AS DOUBLE))) END AS centroid_cos
+           |FROM g JOIN c USING (label) ORDER BY label""".stripMargin),
+    "embedding snapshot drift: per-label centroid cosine on the int8 domain (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
-    v10, v11, v12, v13, v14, v15, v16, v17, v17b, v18, v19, v20, v21)
+    v10, v11, v12, v13, v14, v15, v16, v17, v17b, v18, v19, v20, v21, v22)
 }

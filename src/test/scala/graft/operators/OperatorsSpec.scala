@@ -355,4 +355,46 @@ class OperatorsSpec extends SparkSpec {
     kept.unpersist()
     assert(got == Map(0L -> 0, 3L -> 1, 5L -> 1)) // 1,2,4 dropped to a lower id
   }
+
+  test("leakage-aware split (d40): near-dup pairs never straddle splits; " +
+       "per-doc hash split would leak on the same corpus") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", n = 3, k = 8, r = 2,
+      minJaccard = 0.2)
+    val split = graft.queries.TextQueries.clusterSplit(
+        Dedup.dupClusters(pairs, docs, "doc_id"))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // every doc assigned exactly once
+    assert(split.size == docs.count())
+    val pairSeq = pairs.select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairSeq.nonEmpty, "fixture must exercise the property")
+    // the contract: no near-dup pair crosses a split boundary
+    pairSeq.foreach { case (a, b) =>
+      assert(split(a) == split(b), s"pair ($a,$b) leaked across splits") }
+    // contrast: d17's per-doc hash DOES place some near-dup pair in two
+    // different splits on this corpus — the leak d40 exists to prevent
+    def byte(id: Long): Int =
+      Integer.parseInt(org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(id.toString).substring(0, 2), 16)
+    def docSplit(id: Long): String = {
+      val b = byte(id); if (b < 243) "train" else if (b < 250) "val" else "test" }
+    assert(pairSeq.exists { case (a, b) => docSplit(a) != docSplit(b) },
+      "corpus too small to demonstrate the per-doc leak (tighten fixture)")
+  }
+
+  test("embeddingDrift (v22): identical snapshots -> cos ~= 1, orthogonal -> 0") {
+    VectorFunctions.register(spark)
+    // label 1: snapshot halves identical (vec 2i ≡ vec 2i+1) → drift cos ≈ 1
+    // label 2: half A on x-dims, half B on y-dims → dot = 0 → cos = 0 exactly
+    val emb = Seq(
+      (0L, 1, Seq(0.3f, -0.8f, 0.1f, 0f)), (1L, 1, Seq(0.3f, -0.8f, 0.1f, 0f)),
+      (2L, 1, Seq(-0.5f, 0.2f, 0.9f, 0f)), (3L, 1, Seq(-0.5f, 0.2f, 0.9f, 0f)),
+      (4L, 2, Seq(1f, 0f, 0f, 0f)), (5L, 2, Seq(0f, 0f, 1f, 0.5f)),
+      (6L, 2, Seq(0.7f, 0.2f, 0f, 0f)), (7L, 2, Seq(0f, 0f, 0.4f, 1f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = graft.queries.VectorQueries.embeddingDrift(emb)
+      .select("label", "centroid_cos").as[(Int, Double)].collect().toMap
+    assert(math.abs(got(1) - 1.0) < 1e-12, s"identical halves: ${got(1)}")
+    assert(got(2) == 0.0, s"orthogonal halves: ${got(2)}")
+  }
 }
