@@ -2244,9 +2244,56 @@ object TextQueries {
     },
     "leakage-aware train/val/test split: hash the near-dup cluster, not the doc (LLM-pipeline op)")
 
+  /** CORPUS DATA CARD — the per-source composition report every released
+    * dataset ships (docs, token/char budgets, exact-dup rate, quality-pass
+    * and language coverage): the aggregate face of the curation ladder,
+    * computed in ONE pass. All statistics are exact integers plus one
+    * int/int IEEE division (dup_rate) and a float-safe threshold count on
+    * d11's bit-identical quality score — no order-dependent float sums
+    * (the mean-quality trap; a mean would need the d26 sorted-fold
+    * mirroring, a threshold count needs nothing). Scale shape: map-side
+    * per-row projections (token count, md5, quality) ride the scan, then
+    * one keyed shuffle to |sources| groups; the distinct-fingerprint count
+    * is the only two-level agg and partial-aggregates per partition. */
+  val d41 = QueryDef(
+    "d41_data_card",
+    (spark, dir) => {
+      val rows = Tables.documents(spark, dir).select(
+        col("source"), col("lang"), col("n_chars"),
+        md5(col("text")).as("fp"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      rows.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_unique"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(when(col("quality") >= 0.5, 1L).otherwise(0L)).as("n_quality_ok"),
+          countDistinct(col("lang")).cast("int").as("n_langs"))
+        .select(col("source"), col("n_docs"), col("n_unique"),
+          ((col("n_docs") - col("n_unique")).cast("double") / col("n_docs"))
+            .as("dup_rate"),
+          col("total_tokens"), col("total_chars"), col("n_quality_ok"),
+          col("n_langs"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH $tokCte,
+            |$qualityScoredCte
+            |SELECT d.source,
+            |  CAST(count(*) AS BIGINT) AS n_docs,
+            |  CAST(count(DISTINCT md5(d.text)) AS BIGINT) AS n_unique,
+            |  CAST(count(*) - count(DISTINCT md5(d.text)) AS DOUBLE) / count(*) AS dup_rate,
+            |  CAST(sum(length(t.w)) AS BIGINT) AS total_tokens,
+            |  CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+            |  CAST(sum(CASE WHEN s.quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok,
+            |  CAST(count(DISTINCT d.lang) AS INTEGER) AS n_langs
+            |FROM documents d JOIN toks t USING (doc_id) JOIN scored s USING (doc_id)
+            |GROUP BY d.source ORDER BY d.source""".stripMargin),
+    "corpus data card: per-source docs/tokens/dup-rate/quality/lang report (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
-      d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40,
+      d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41,
       m01, m02, m03, m04, m05, m06, m07, m08, m10)
 }

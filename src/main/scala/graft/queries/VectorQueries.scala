@@ -1099,6 +1099,76 @@ object VectorQueries {
            |FROM g JOIN c USING (label) ORDER BY label""".stripMargin),
     "embedding snapshot drift: per-label centroid cosine on the int8 domain (LLM-pipeline op)")
 
+  /** ANN RECALL EVALUATION — the index-quality gate as a first-class
+    * relational row, not an offline notebook: per query, |IVF top-k ∩
+    * exact top-k| / k, computed in ONE plan joining the two deterministic
+    * rankings (v04's probe path, v02's ground truth). In production this is
+    * the continuous-eval job that decides nprobe/nlist retuning (v19's
+    * retrain trigger): ground truth runs on a SAMPLED query set (here the
+    * vec_id<10 panel), so the brute-force side costs |sample|·|corpus| —
+    * bounded by the panel, never all-pairs — and the comparison join
+    * carries only (query_id, vec_id) top-k pairs. Recall is a single
+    * int/int IEEE division, bit-exact. */
+  val v23 = QueryDef(
+    "v23_ann_recall_eval",
+    (spark, dir) => {
+      VectorFunctions.register(spark)
+      val emb = Tables.embeddings(spark, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+      val ivf = Similarity.ivfTopK(queries, emb, VectorFunctions.cosineSim,
+          k = 5, nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("vec_id"))
+      val exact = Similarity.bruteForceTopK(queries, emb,
+          VectorFunctions.cosineSim, k = 5)
+        .select(col("query_id"), col("vec_id"))
+      val hits = exact.join(ivf, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      queries.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / 5).as("recall_at_5"))
+        .orderBy(col("query_id"))
+    },
+    Some {
+      val nlist = 16; val nprobe = 4
+      val affCos = cosSql("e.emb", "cent.cemb")
+      val icos = cosSql("q.emb", "t.emb")
+      val bcos = cosSql("q.emb", "c.emb")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |bscored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id, round($bcos, 6) AS cos
+         |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |bf AS (SELECT query_id, vec_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM bscored) WHERE rank <= 5),
+         |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, emb AS cemb
+         |  FROM e WHERE vec_id % greatest(1, (SELECT count(*) FROM e) // $nlist) = 0
+         |  ORDER BY vec_id LIMIT $nlist),
+         |aff AS (SELECT e.vec_id, cent.cell, $affCos AS a FROM e, cent),
+         |assign AS (SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell DESC) AS rn
+         |    FROM aff) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell DESC) AS rn
+         |    FROM aff WHERE vec_id < 10) WHERE rn <= $nprobe),
+         |iscored AS (SELECT p.query_id, s.vec_id, round($icos, 6) AS cos
+         |  FROM probes p JOIN assign s ON s.cell = p.cell
+         |  JOIN e q ON q.vec_id = p.query_id JOIN e t ON t.vec_id = s.vec_id
+         |  WHERE s.vec_id <> p.query_id),
+         |ivf AS (SELECT query_id, vec_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM iscored) WHERE rank <= 5),
+         |hits AS (SELECT b.query_id, count(*) AS n_hit
+         |  FROM bf b JOIN ivf i ON i.query_id = b.query_id AND i.vec_id = b.vec_id
+         |  GROUP BY b.query_id)
+         |SELECT q.query_id, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 5 AS recall_at_5
+         |FROM (SELECT vec_id AS query_id FROM e WHERE vec_id < 10) q
+         |LEFT JOIN hits h USING (query_id) ORDER BY query_id""".stripMargin
+    },
+    "ANN recall@k evaluation: IVF vs exact ground truth in one plan (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
-    v10, v11, v12, v13, v14, v15, v16, v17, v17b, v18, v19, v20, v21, v22)
+    v10, v11, v12, v13, v14, v15, v16, v17, v17b, v18, v19, v20, v21, v22, v23)
 }
