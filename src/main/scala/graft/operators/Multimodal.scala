@@ -160,6 +160,37 @@ object Multimodal {
       }.toDF(idCol, "thumb")
   }
 
+  /** Voice-activity (silence) segmentation over a binary WAV column — the
+    * speech-curation primitive: maximal runs of frames whose Σ|sample|
+    * energy exceeds `threshold`, at `spf` samples per frame. The native
+    * [[graft.functions.AudioFrameEnergiesExpr]] reduces each clip to its
+    * frames×8-byte profile INSIDE the scan stage (media bytes never
+    * shuffle); activity thresholding and the gaps-and-islands run grouping
+    * are RELATIONAL (filter + `f − row_number()` + group-agg), so the
+    * detector policy stays visible and swappable in the plan — the m10
+    * scene-cut design applied to audio. Output: one row per segment with
+    * 0-based inclusive frame bounds, 1-based seg_idx ordered by start, and
+    * the exact-integer segment energy. */
+  def audioSegments(media: DataFrame, idCol: String, mediaCol: String,
+                    spf: Int, threshold: Long): DataFrame = {
+    graft.functions.FrameEnergy.registerNative(media.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val frames = media.select(col(idCol).as("media_id"),
+        posexplode(graft.functions.FrameEnergy.audioFrameEnergies(
+          col(mediaCol), spf)).as(Seq("f", "en")))
+      .filter(col("en") > threshold)
+    val w = Window.partitionBy(col("media_id")).orderBy(col("f"))
+    frames
+      .withColumn("grp", col("f") - row_number().over(w))
+      .groupBy(col("media_id"), col("grp"))
+      .agg(min(col("f")).as("start_f"), max(col("f")).as("end_f"),
+        count(lit(1)).as("n_frames"), sum(col("en")).as("energy"))
+      .withColumn("seg_idx", row_number().over(
+        Window.partitionBy(col("media_id")).orderBy(col("start_f"))))
+      .select(col("media_id"), col("seg_idx"), col("start_f"), col("end_f"),
+        col("n_frames"), col("energy"))
+  }
+
   /** Build a media table from the documents table (text bytes as the opaque
     * payload) — gives the multimodal path a deterministic, testdata-backed
     * input without shipping binary fixtures. */

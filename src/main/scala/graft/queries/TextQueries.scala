@@ -2291,9 +2291,66 @@ object TextQueries {
             |GROUP BY d.source ORDER BY d.source""".stripMargin),
     "corpus data card: per-source docs/tokens/dup-rate/quality/lang report (LLM-pipeline op)")
 
+  /** AUDIO VOICE-ACTIVITY SEGMENTATION — the speech-curation primitive
+    * (silence removal bounds every per-segment downstream cost: ASR,
+    * diarization, chunked storage), m10's scene-cut design applied to the
+    * audio modality: the native [[graft.functions.AudioFrameEnergiesExpr]]
+    * reduces each REAL encoded WAV to its exact-integer per-frame Σ|sample|
+    * profile inside the scan stage, then thresholding + gaps-and-islands
+    * run grouping stay relational. Fixture: every doc gets true 16-bit PCM
+    * ([[graft.operators.WavCodec.encode]]) with an analytically-known
+    * activity pattern — frame f is LOUD iff (doc_id + f² + 3f) % 5 < 3
+    * (samples 500..2499, frame energy ≥ 4000) and near-silent otherwise
+    * (samples in {−1,0,1}, energy ≤ 8) — threshold 1000 cleanly between;
+    * frame counts 40/48/56 vary per doc. The oracle computes energies from
+    * the sample functions and mirrors the islands SQL, so a hash match
+    * pins WAV encode → parquet BINARY → decode → framing → threshold →
+    * run-grouping end-to-end. */
+  val m11 = QueryDef(
+    "m11_audio_segments",
+    (spark, dir) => {
+      import spark.implicits._
+      val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions { it =>
+        it.map { id =>
+          val nFrames = (40 + (id % 3) * 8).toInt
+          val n = nFrames * 8
+          val samples = Array.tabulate(n) { i =>
+            val f = i / 8
+            val loud = (id + f.toLong * f + 3L * f) % 5 < 3
+            if (loud) (500 + (id + 31L * i) % 2000).toShort
+            else ((i % 3) - 1).toShort
+          }
+          (id, graft.operators.WavCodec.encode(16000, 1, samples))
+        }
+      }.toDF("media_id", "media")
+      graft.operators.Multimodal.audioSegments(
+          FixtureDirs.cachedRoundTrip(media, "m11-media-", dir),
+          "media_id", "media", spf = 8, threshold = 1000L)
+        .orderBy(col("media_id"), col("seg_idx"))
+    },
+    Some("""WITH d AS (SELECT doc_id, 40 + (doc_id % 3) * 8 AS nf FROM documents),
+           |fr AS (SELECT doc_id, f,
+           |    CASE WHEN (doc_id + f*f + 3*f) % 5 < 3
+           |         THEN list_sum([500 + (doc_id + 31*(f*8+j)) % 2000 for j in range(0, 8)])
+           |         ELSE list_sum([abs((f*8+j) % 3 - 1) for j in range(0, 8)]) END AS en
+           |  FROM d, unnest(range(nf)) AS t(f)),
+           |a AS (SELECT doc_id, f, en FROM fr WHERE en > 1000),
+           |g AS (SELECT doc_id, f, en,
+           |    f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS grp FROM a),
+           |s AS (SELECT doc_id AS media_id, min(f) AS start_f, max(f) AS end_f,
+           |    count(*) AS n_frames, sum(en) AS energy
+           |  FROM g GROUP BY doc_id, grp)
+           |SELECT media_id,
+           |  CAST(row_number() OVER (PARTITION BY media_id ORDER BY start_f) AS INTEGER) AS seg_idx,
+           |  CAST(start_f AS INTEGER) AS start_f, CAST(end_f AS INTEGER) AS end_f,
+           |  CAST(n_frames AS BIGINT) AS n_frames, CAST(energy AS BIGINT) AS energy
+           |FROM s ORDER BY media_id, seg_idx""".stripMargin),
+    "audio voice-activity segmentation: native frame energies + relational islands (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
       d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41,
-      m01, m02, m03, m04, m05, m06, m07, m08, m10)
+      m01, m02, m03, m04, m05, m06, m07, m08, m10, m11)
 }

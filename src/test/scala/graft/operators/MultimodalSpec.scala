@@ -149,6 +149,26 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audioSegments: hand-computed runs, trailing partial frame dropped") {
+    // clip 1: frames (spf=2): [loud 900+900] [quiet 1 1] [loud 500 600]
+    //         [loud 700 700] [quiet 0 0] + trailing sample 9999 (partial,
+    //         dropped) → segments [0,0] and [2,3]
+    val s1 = Array[Short](900, 900, 1, 1, 500, 600, 700, 700, 0, 0, 9999)
+    // clip 2: all quiet → no segments
+    val s2 = Array[Short](1, -1, 0, 1)
+    val media = Seq(
+      (1L, WavCodec.encode(16000, 1, s1)),
+      (2L, WavCodec.encode(16000, 1, s2))).toDF("media_id", "media")
+    val got = Multimodal.audioSegments(media, "media_id", "media",
+        spf = 2, threshold = 1000L)
+      .orderBy("media_id", "seg_idx")
+      .select("media_id", "seg_idx", "start_f", "end_f", "n_frames", "energy")
+      .as[(Long, Int, Int, Int, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1, 0, 0, 1L, 1800L),
+      (1L, 2, 2, 3, 2L, 2500L)))
+  }
+
   test("Archiver writes exactly one json file per batch") {
     val landing = java.nio.file.Files.createTempDirectory("landing-").toString
     val batch = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
