@@ -1451,6 +1451,102 @@ object StreamingQueries {
     Some(TextQueries.piiOracleSql),
     "streaming PII redaction: typed detectors + masking per micro-batch before landing (LLM-pipeline op)")
 
+  /** STREAMING DATA-CARD MAINTENANCE — d41's per-source composition report
+    * kept continuously current as the corpus ingests, without ever
+    * re-aggregating the base (s17's incremental-view discipline applied to
+    * the dataset-release report): each micro-batch folds its associative
+    * stat deltas (doc/token/char counts + the float-safe quality-threshold
+    * count — all exact integers) into a maintained stats table, while the
+    * two NON-associative statistics (distinct fingerprints, distinct langs)
+    * are maintained as insert-only keyed SET tables (s14's merge), from
+    * which the final card derives n_unique/n_langs exactly. Per-batch cost
+    * is batch-proportional + |sources| fold rows; batch-split independence
+    * holds because sums are commutative-associative and insert-only set
+    * merge is order-independent — so the drained card ≡ d41's one-pass
+    * batch card and d41's oracle verifies it verbatim. The batch relation
+    * is eagerly localCheckpoint'ed (three consumers — CLAUDE.md lesson). */
+  val s25 = QueryDef(
+    "s25_stream_data_card",
+    (spark, dir) => {
+      import graft.merge.{Merge, ParquetTable}
+      import graft.functions.TextFunctions
+      val docs = graft.sources.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), col("source"), col("lang"),
+          col("n_chars"))
+      val srcDir = FixtureDirs.cachedDir("s25-docs-", dir) { d =>
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val cuts = Seq(maxId / 3, 2 * maxId / 3)
+        val parts = Seq(
+          docs.filter(col("doc_id") <= cuts.head),
+          docs.filter(col("doc_id") > cuts.head && col("doc_id") <= cuts(1)),
+          docs.filter(col("doc_id") > cuts(1)))
+        parts.zipWithIndex.foreach { case (p, i) =>
+          val tmp = FixtureDirs.create(s"s25-part$i-")
+          p.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val f = java.nio.file.Files.list(tmp)
+            .filter(_.toString.endsWith(".parquet")).findFirst().get()
+          java.nio.file.Files.move(f, d.resolve(s"batch$i.parquet"))
+        }
+      }
+      val root = FixtureDirs.create("s25-card-").toString
+      val stats = new ParquetTable(spark, s"$root/stats",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "source string, n_docs bigint, total_tokens bigint, " +
+          "total_chars bigint, n_quality_ok bigint"))
+      val fpSet = new ParquetTable(spark, s"$root/fps",
+        org.apache.spark.sql.types.StructType.fromDDL("source string, fp string"))
+      val langSet = new ParquetTable(spark, s"$root/langs",
+        org.apache.spark.sql.types.StructType.fromDDL("source string, lang string"))
+      val stream = spark.readStream
+        .schema("doc_id bigint, text string, source string, lang string, n_chars bigint")
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      withStreamConf(spark) {
+        val q = stream.writeStream
+          .option("checkpointLocation", newCkptDir())
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val b = batch.select(col("source"), col("lang"), col("n_chars"),
+                md5(col("text")).as("fp"),
+                TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+                TextFunctions.qualityScore(col("text")).as("quality"))
+              .localCheckpoint(true)
+            val deltas = b.groupBy(col("source")).agg(
+              count(lit(1)).as("_d_docs"),
+              sum(col("n_tokens")).as("_d_tokens"),
+              sum(col("n_chars")).as("_d_chars"),
+              sum(when(col("quality") >= 0.5, 1L).otherwise(0L)).as("_d_quality"))
+            stats.overwrite(
+              stats.read().join(deltas, Seq("source"), "full_outer")
+                .select(col("source"),
+                  (coalesce(col("n_docs"), lit(0L)) + coalesce(col("_d_docs"), lit(0L))).as("n_docs"),
+                  (coalesce(col("total_tokens"), lit(0L)) + coalesce(col("_d_tokens"), lit(0L))).as("total_tokens"),
+                  (coalesce(col("total_chars"), lit(0L)) + coalesce(col("_d_chars"), lit(0L))).as("total_chars"),
+                  (coalesce(col("n_quality_ok"), lit(0L)) + coalesce(col("_d_quality"), lit(0L))).as("n_quality_ok")))
+            fpSet.merge(b.select(col("source"), col("fp")).dropDuplicates())(
+              (cur, nb) => Merge.insertOnly(cur, nb, Seq("source", "fp")))
+            langSet.merge(b.select(col("source"), col("lang")).dropDuplicates())(
+              (cur, nb) => Merge.insertOnly(cur, nb, Seq("source", "lang")))
+          }
+          .start()
+        q.awaitTermination()
+      }
+      val uniques = fpSet.read().groupBy(col("source"))
+        .agg(count(lit(1)).as("n_unique"))
+      val langs = langSet.read().groupBy(col("source"))
+        .agg(count(lit(1)).cast("int").as("n_langs"))
+      stats.read().join(uniques, Seq("source")).join(langs, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_unique"),
+          ((col("n_docs") - col("n_unique")).cast("double") / col("n_docs"))
+            .as("dup_rate"),
+          col("total_tokens"), col("total_chars"), col("n_quality_ok"),
+          col("n_langs"))
+        .orderBy(col("source"))
+    },
+    TextQueries.d41.oracle, // drained card ≡ the one-pass batch card
+    "streaming data-card maintenance: associative stat folds + insert-only distinct sets per micro-batch (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
-    s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24)
+    s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24,
+    s25)
 }
