@@ -430,6 +430,31 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
   }
 
+  /** CLUSTER-STRATIFIED DIVERSITY SAMPLE — `perCell` vectors per IVF cell,
+    * drawn by the deterministic md5 rule: the eval-panel / seed-selection
+    * op that guarantees GEOMETRIC coverage (every occupied region of
+    * embedding space is represented) where a uniform draw oversamples
+    * dense clusters — the selection counterpart of SemDeDup's dedup
+    * blocking, same cells (v04), same engine-portable draw (d10).
+    * Scale shape: map-only cell assignment (the codegen'd
+    * [[graft.functions.NearestCellsExpr]] against broadcast centroids),
+    * then ONE keyed shuffle of (vec_id, cell) pairs — embeddings never
+    * shuffle — and a per-cell top-`perCell` window; output is
+    * nlist·perCell rows regardless of corpus size. */
+  def ivfStratifiedSample(corpus: DataFrame, cos: (Column, Column) => Column,
+                          perCell: Int, nlist: Int = 16): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val topCells = topCellsOf(strideCentroids(corpus, nlist), cos) _
+    val assigned = corpus
+      .withColumn("cell", element_at(topCells(col("embedding"), 1), 1).getField("cell"))
+      .select(col("vec_id"), col("cell"))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    assigned.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= perCell)
+      .select(col("vec_id"), col("cell"), col("rn"))
+  }
+
   /** RANGE (radius) search — every corpus vector with cosine ≥ `tau` of each
     * query, the retrieval mode dedup thresholds and contamination sweeps use
     * (a top-k cannot express "all matches above a similarity bar"). Same

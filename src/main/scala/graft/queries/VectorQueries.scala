@@ -1169,6 +1169,37 @@ object VectorQueries {
     },
     "ANN recall@k evaluation: IVF vs exact ground truth in one plan (LLM-pipeline op)")
 
+  /** Cluster-stratified diversity sampling — see
+    * [[Similarity.ivfStratifiedSample]]. Oracle mirrors v04/v06's cell
+    * assignment plus the d10 md5 draw windowed per cell. */
+  val v24 = QueryDef(
+    "v24_diverse_sample",
+    (spark, dir) => {
+      VectorFunctions.register(spark)
+      Similarity.ivfStratifiedSample(Tables.embeddings(spark, dir),
+          VectorFunctions.cosineSim, perCell = 3, nlist = 16)
+        .orderBy(col("vec_id"))
+    },
+    Some {
+      val nlist = 16
+      val affCos = cosSql("e.emb", "cent.cemb")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, emb AS cemb
+         |  FROM e WHERE vec_id % greatest(1, (SELECT count(*) FROM e) // $nlist) = 0
+         |  ORDER BY vec_id LIMIT $nlist),
+         |aff AS (SELECT e.vec_id, cent.cell, $affCos AS a FROM e, cent),
+         |assign AS (SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell DESC) AS rn
+         |    FROM aff) WHERE rn = 1)
+         |SELECT vec_id, cell, CAST(rn AS INTEGER) AS rn FROM (
+         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY cell
+         |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |  FROM assign) WHERE rn <= 3
+         |ORDER BY vec_id""".stripMargin
+    },
+    "cluster-stratified diversity sample: k per IVF cell by deterministic draw (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
-    v10, v11, v12, v13, v14, v15, v16, v17, v17b, v18, v19, v20, v21, v22, v23)
+    v10, v11, v12, v13, v14, v15, v16, v17, v17b, v18, v19, v20, v21, v22, v23,
+    v24)
 }
