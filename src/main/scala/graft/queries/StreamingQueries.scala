@@ -1546,7 +1546,76 @@ object StreamingQueries {
     TextQueries.d41.oracle, // drained card ≡ the one-pass batch card
     "streaming data-card maintenance: associative stat folds + insert-only distinct sets per micro-batch (LLM-pipeline op)")
 
+  /** STREAMING ANN RECALL MONITOR — v23's index-quality evaluation run
+    * continuously over a stream of live queries (the serving-side
+    * continuous-eval loop that triggers v19 retrains): each micro-batch of
+    * query vectors is scored BOTH ways against the frozen corpus — IVF
+    * probe path and exact ground truth — and the per-query recall rows
+    * land in an audit table. The corpus/centroids are a frozen side input
+    * (s22's discipline: deterministic stride centroids derive identically
+    * every batch); per-query rows are independent, so drain ≡ batch at any
+    * split and v23's oracle verifies the drained audit verbatim. Scale
+    * shape: the ground-truth side costs |batch|·|corpus| — the monitor
+    * runs on a sampled query stream by construction, and the comparison
+    * join carries only (query_id, vec_id) top-k pairs. */
+  val s26 = QueryDef(
+    "s26_stream_recall_monitor",
+    (spark, dir) => {
+      import graft.merge.ParquetTable
+      import graft.functions.VectorFunctions
+      import graft.operators.Similarity
+      VectorFunctions.register(spark)
+      val emb = graft.sources.Tables.embeddings(spark, dir)
+      val panel = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"))
+      val srcDir = FixtureDirs.cachedDir("s26-queries-", dir) { d =>
+        Seq((0L, 3L), (4L, 6L), (7L, 9L)).zipWithIndex.foreach { case ((lo, hi), i) =>
+          val tmp = FixtureDirs.create(s"s26-part$i-")
+          panel.filter(col("vec_id").between(lo, hi))
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val f = java.nio.file.Files.list(tmp)
+            .filter(_.toString.endsWith(".parquet")).findFirst().get()
+          java.nio.file.Files.move(f, d.resolve(s"batch$i.parquet"))
+        }
+      }
+      val audit = new ParquetTable(spark,
+        s"${FixtureDirs.create("s26-audit-")}/audit",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "query_id bigint, n_hit bigint, recall_at_5 double"))
+      val stream = spark.readStream
+        .schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      withStreamConf(spark) {
+        val q = stream.writeStream
+          .option("checkpointLocation", newCkptDir())
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val queries = batch.localCheckpoint(true)
+            val ivf = Similarity.ivfTopK(queries, emb,
+                VectorFunctions.cosineSim, k = 5, nlist = 16, nprobe = 4)
+              .select(col("query_id"), col("vec_id"))
+            val exact = Similarity.bruteForceTopK(queries, emb,
+                VectorFunctions.cosineSim, k = 5)
+              .select(col("query_id"), col("vec_id"))
+            val hits = exact.join(ivf, Seq("query_id", "vec_id"), "left_semi")
+              .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+            audit.append(queries.select(col("vec_id").as("query_id"))
+              .join(hits, Seq("query_id"), "left")
+              .select(col("query_id"),
+                coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+                (coalesce(col("n_hit"), lit(0L)).cast("double") / 5)
+                  .as("recall_at_5")))
+          }
+          .start()
+        q.awaitTermination()
+      }
+      audit.read().orderBy(col("query_id"))
+    },
+    VectorQueries.v23.oracle, // per-query rows independent ⇒ drain ≡ batch
+    "streaming ANN recall monitor: continuous index-quality eval per micro-batch (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
     s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24,
-    s25)
+    s25, s26)
 }
