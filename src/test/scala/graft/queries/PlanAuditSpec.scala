@@ -13,6 +13,44 @@ class PlanAuditSpec extends SparkSpec {
   private def planOf(name: String): String =
     Registry.queries(name)(spark, sf001).queryExecution.executedPlan.toString
 
+  /** Every Exchange in the (possibly adaptive) plan tree — STRUCTURAL
+    * access to what each shuffle actually carries (explain prints Exchange
+    * lines without their output attributes, so text matching can't see
+    * carried columns). */
+  private def exchangesOf(name: String)
+      : (org.apache.spark.sql.execution.SparkPlan,
+         Seq[org.apache.spark.sql.execution.exchange.Exchange]) = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    def walk(p: SparkPlan): Seq[Exchange] = {
+      val here = p match { case e: Exchange => Seq(e); case _ => Nil }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case _ => p.children
+      }
+      here ++ kids.flatMap(walk)
+    }
+    val plan = Registry.queries(name)(spark, sf001)
+      .queryExecution.executedPlan
+    (plan, walk(plan))
+  }
+
+  /** Assert no exchange in `name`'s plan carries a column named (exactly,
+    * case-insensitively) any of `banned` — exact match, not substring:
+    * `media_id` must not trip a `media` ban. */
+  private def assertExchangesFreeOf(name: String, banned: Seq[String]): Unit = {
+    val (plan, exchanges) = exchangesOf(name)
+    assert(exchanges.nonEmpty, s"unexpected plan shape:\n$plan")
+    exchanges.foreach { e =>
+      val carried = e.child.output.map(_.name)
+      banned.foreach { b =>
+        assert(!carried.exists(_.toLowerCase == b),
+          s"$b column crosses a shuffle (carries: ${carried.mkString(", ")}):\n$plan")
+      }
+    }
+  }
+
   test("q01: shipdate filter is pushed to the parquet scan, columns pruned") {
     val p = planOf("q01_pricing_summary")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
@@ -401,31 +439,25 @@ class PlanAuditSpec extends SparkSpec {
 
   test("m10 scene detect: media bytes never reach an exchange — only the " +
       "per-frame energy profile shuffles") {
-    // STRUCTURAL check, not a grep: explain prints Exchange lines without
-    // their output attributes ("Exchange hashpartitioning(doc_id#1L, 8)"),
-    // so text matching only guards against partitioning BY media. Walk the
-    // plan tree instead and inspect what each exchange actually CARRIES —
-    // every column of every exchange's child output must be media-free.
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.execution.exchange.Exchange
-    def collectExchanges(p: SparkPlan): Seq[Exchange] = {
-      val here = p match { case e: Exchange => Seq(e); case _ => Nil }
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case _ => p.children
-      }
-      here ++ kids.flatMap(collectExchanges)
-    }
-    val plan = Registry.queries("m10_video_scene_detect")(spark, sf001)
-      .queryExecution.executedPlan
-    val exchanges = collectExchanges(plan)
-    assert(exchanges.nonEmpty, s"unexpected plan shape:\n$plan")
-    exchanges.foreach { e =>
-      val carried = e.child.output.map(_.name)
-      assert(!carried.exists(_.toLowerCase.contains("media")),
-        s"media column crosses a shuffle (carries: ${carried.mkString(", ")}):\n$plan")
-    }
+    assertExchangesFreeOf("m10_video_scene_detect", Seq("media"))
+  }
+
+  test("m11 audio segments: media bytes never reach an exchange — only " +
+      "(media_id, frame, energy) rows shuffle") {
+    assertExchangesFreeOf("m11_audio_segments", Seq("media"))
+  }
+
+  test("v22 embedding drift: no embedding or quantized vector crosses a " +
+      "shuffle — partial sums reduce the dim-explode map-side") {
+    assertExchangesFreeOf("v22_embedding_drift", Seq("embedding", "qv"))
+  }
+
+  test("v24 diverse sample: assignment is map-only against broadcast " +
+      "centroids — embeddings never shuffle, no all-pairs join") {
+    val p = planOf("v24_diverse_sample")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"v24 has an all-pairs join:\n$p")
+    assertExchangesFreeOf("v24_diverse_sample", Seq("embedding"))
   }
 
   test("v20 hard negatives keeps the IVF equi-join shape — the per-pair " +
