@@ -2348,9 +2348,57 @@ object TextQueries {
            |FROM s ORDER BY media_id, seg_idx""".stripMargin),
     "audio voice-activity segmentation: native frame energies + relational islands (LLM-pipeline op)")
 
+  /** BEST-RENDITION DEDUP — collapse each near-dup cluster to its
+    * HIGHEST-QUALITY member instead of the arbitrary min-id (d01/d08 keep
+    * first; production curation keeps the cleanest rendition — the
+    * canonical-document choice when the same text circulates as scans,
+    * re-encodes and boilerplate-wrapped copies). Keeper = argmax by
+    * (quality DESC, doc_id ASC): d11's quality score is bit-identical
+    * across engines, so ordering on it is float-safe, and the doc_id
+    * tiebreak makes the choice total. Scale shape: d08's clustering plus
+    * one (cluster_id)-keyed window over (doc_id, quality) pairs — text
+    * never shuffles; quality computes map-side in the scan stage. */
+  val d42 = QueryDef(
+    "d42_dedup_keep_best",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text", n = 3, k = 8, r = 2,
+        minJaccard = 0.2, maxDf = DedupMaxDf)
+      val clusters = Dedup.dupClusters(pairs, docs, "doc_id")
+      val scored = docs.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      clusters.join(scored, Seq("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("cluster_id"))
+        .agg(min(when(col("rn") === 1, col("doc_id"))).as("keep_id"),
+          max(when(col("rn") === 1, col("quality"))).as("best_quality"),
+          count(lit(1)).as("n_members"))
+        .orderBy(col("cluster_id"))
+    },
+    Some {
+      val clusterSql = d08.oracle.get
+        .replace("GROUP BY doc_id ORDER BY doc_id", "GROUP BY doc_id")
+      s"""WITH c AS ($clusterSql),
+         |$tokCte,
+         |$qualityScoredCte,
+         |ranked AS (SELECT c.cluster_id, c.doc_id, s.quality,
+         |    row_number() OVER (PARTITION BY c.cluster_id
+         |      ORDER BY s.quality DESC, c.doc_id) AS rn
+         |  FROM c JOIN scored s USING (doc_id))
+         |SELECT cluster_id,
+         |  min(CASE WHEN rn = 1 THEN doc_id END) AS keep_id,
+         |  max(CASE WHEN rn = 1 THEN quality END) AS best_quality,
+         |  CAST(count(*) AS BIGINT) AS n_members
+         |FROM ranked GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+    },
+    "best-rendition dedup: collapse each near-dup cluster to its highest-quality member (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
-      d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41,
+      d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41, d42,
       m01, m02, m03, m04, m05, m06, m07, m08, m10, m11)
 }
