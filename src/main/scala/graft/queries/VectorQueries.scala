@@ -1199,7 +1199,74 @@ object VectorQueries {
     },
     "cluster-stratified diversity sample: k per IVF cell by deterministic draw (LLM-pipeline op)")
 
+  /** ANN MRR EVALUATION — v23's companion metric: where recall@k asks "how
+    * much of the true top-k did the index surface", reciprocal rank asks
+    * "WHERE did the single true nearest neighbor land" — the
+    * position-sensitive retrieval metric (serving quality degrades with
+    * rank even when recall holds). Per query: the brute-force top-1 joined
+    * LEFT into the IVF top-k list; rank_in_ivf = 0 and rr = 0 when the
+    * probe path missed it entirely. rr is one int-reciprocal IEEE division
+    * (rule-7: the literal 1 is CAST to DOUBLE in the oracle — DuckDB bare
+    * numerics are DECIMAL). Same panel-bounded cost shape as v23. */
+  val v25 = QueryDef(
+    "v25_ann_mrr",
+    (spark, dir) => {
+      VectorFunctions.register(spark)
+      val emb = Tables.embeddings(spark, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+      val ivf = Similarity.ivfTopK(queries, emb, VectorFunctions.cosineSim,
+          k = 5, nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("vec_id"), col("rank"))
+      val truth = Similarity.bruteForceTopK(queries, emb,
+          VectorFunctions.cosineSim, k = 1)
+        .select(col("query_id"), col("vec_id").as("true_nn"))
+      truth.join(ivf.withColumnRenamed("vec_id", "true_nn"),
+          Seq("query_id", "true_nn"), "left")
+        .select(col("query_id"), col("true_nn"),
+          coalesce(col("rank"), lit(0)).as("rank_in_ivf"),
+          when(col("rank").isNull, lit(0.0))
+            .otherwise(lit(1.0) / col("rank")).as("rr"))
+        .orderBy(col("query_id"))
+    },
+    Some {
+      val nlist = 16; val nprobe = 4
+      val affCos = cosSql("e.emb", "cent.cemb")
+      val icos = cosSql("q.emb", "t.emb")
+      val bcos = cosSql("q.emb", "c.emb")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |bscored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id, round($bcos, 6) AS cos
+         |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |truth AS (SELECT query_id, vec_id AS true_nn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM bscored) WHERE rank = 1),
+         |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, emb AS cemb
+         |  FROM e WHERE vec_id % greatest(1, (SELECT count(*) FROM e) // $nlist) = 0
+         |  ORDER BY vec_id LIMIT $nlist),
+         |aff AS (SELECT e.vec_id, cent.cell, $affCos AS a FROM e, cent),
+         |assign AS (SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell DESC) AS rn
+         |    FROM aff) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell DESC) AS rn
+         |    FROM aff WHERE vec_id < 10) WHERE rn <= $nprobe),
+         |iscored AS (SELECT p.query_id, s.vec_id, round($icos, 6) AS cos
+         |  FROM probes p JOIN assign s ON s.cell = p.cell
+         |  JOIN e q ON q.vec_id = p.query_id JOIN e t ON t.vec_id = s.vec_id
+         |  WHERE s.vec_id <> p.query_id),
+         |ivf AS (SELECT query_id, vec_id, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM iscored) WHERE rank <= 5)
+         |SELECT t.query_id, t.true_nn,
+         |  CAST(coalesce(i.rank, 0) AS INTEGER) AS rank_in_ivf,
+         |  CASE WHEN i.rank IS NULL THEN 0.0 ELSE CAST(1 AS DOUBLE) / i.rank END AS rr
+         |FROM truth t LEFT JOIN ivf i
+         |  ON i.query_id = t.query_id AND i.vec_id = t.true_nn
+         |ORDER BY t.query_id""".stripMargin
+    },
+    "ANN MRR evaluation: reciprocal rank of the true nearest neighbor in the IVF list (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
     v10, v11, v12, v13, v14, v15, v16, v17, v17b, v18, v19, v20, v21, v22, v23,
-    v24)
+    v24, v25)
 }
