@@ -2396,9 +2396,68 @@ object TextQueries {
     },
     "best-rendition dedup: collapse each near-dup cluster to its highest-quality member (LLM-pipeline op)")
 
+  /** PREFERENCE-PAIR MINING — build (chosen, rejected) training pairs from
+    * quality signals within near-dup clusters: two renditions of the SAME
+    * underlying text whose quality scores differ are exactly the
+    * minimal-confound contrastive pair preference-tuning wants (content
+    * held constant, quality varies) — the d42 keeper decision emitted as
+    * supervision instead of applied as a filter. chosen = argmax, rejected
+    * = argmin by (quality, doc_id-tiebreak); singleton clusters yield no
+    * pair; quality_gap is one float subtraction of two bit-identical
+    * scores (rule-3 unrounded per-row arithmetic). Scale shape identical
+    * to d42: clustering + one cluster-keyed window, text never shuffles. */
+  val d43 = QueryDef(
+    "d43_preference_pairs",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(spark, dir)
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text", n = 3, k = 8, r = 2,
+        minJaccard = 0.2, maxDf = DedupMaxDf)
+      val clusters = Dedup.dupClusters(pairs, docs, "doc_id")
+      val scored = docs.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      val wBest = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      val wWorst = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("quality").asc, col("doc_id").desc)
+      clusters.join(scored, Seq("doc_id"))
+        .withColumn("rb", row_number().over(wBest))
+        .withColumn("rw", row_number().over(wWorst))
+        .groupBy(col("cluster_id"))
+        .agg(min(when(col("rb") === 1, col("doc_id"))).as("chosen_id"),
+          min(when(col("rw") === 1, col("doc_id"))).as("rejected_id"),
+          (max(when(col("rb") === 1, col("quality"))) -
+            max(when(col("rw") === 1, col("quality")))).as("quality_gap"),
+          count(lit(1)).as("n_members"))
+        .filter(col("n_members") >= 2)
+        .orderBy(col("cluster_id"))
+    },
+    Some {
+      val clusterSql = d08.oracle.get
+        .replace("GROUP BY doc_id ORDER BY doc_id", "GROUP BY doc_id")
+      s"""WITH c AS ($clusterSql),
+         |$tokCte,
+         |$qualityScoredCte,
+         |ranked AS (SELECT c.cluster_id, c.doc_id, s.quality,
+         |    row_number() OVER (PARTITION BY c.cluster_id
+         |      ORDER BY s.quality DESC, c.doc_id) AS rb,
+         |    row_number() OVER (PARTITION BY c.cluster_id
+         |      ORDER BY s.quality ASC, c.doc_id DESC) AS rw
+         |  FROM c JOIN scored s USING (doc_id))
+         |SELECT cluster_id,
+         |  min(CASE WHEN rb = 1 THEN doc_id END) AS chosen_id,
+         |  min(CASE WHEN rw = 1 THEN doc_id END) AS rejected_id,
+         |  max(CASE WHEN rb = 1 THEN quality END)
+         |    - max(CASE WHEN rw = 1 THEN quality END) AS quality_gap,
+         |  CAST(count(*) AS BIGINT) AS n_members
+         |FROM ranked GROUP BY cluster_id HAVING count(*) >= 2
+         |ORDER BY cluster_id""".stripMargin
+    },
+    "preference-pair mining: (chosen, rejected) from quality gaps within near-dup clusters (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
-      d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41, d42,
+      d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43,
       m01, m02, m03, m04, m05, m06, m07, m08, m10, m11)
 }
