@@ -1266,7 +1266,52 @@ object VectorQueries {
     },
     "ANN MRR evaluation: reciprocal rank of the true nearest neighbor in the IVF list (LLM-pipeline op)")
 
+  /** IVF CELL-BALANCE DIAGNOSTIC — the third index-health signal beside
+    * v22 (centroid drift) and v23/v25 (retrieval quality): per-cell
+    * occupancy of the current assignment plus each cell's share of the
+    * corpus. A skewed histogram is the direct retrain trigger for v19 —
+    * probe cost is occupancy-weighted, so one bloated cell makes every
+    * query probing it pay its size (the histogram predicts the p99, recall
+    * metrics only see the average). Exact integers + one int/int IEEE
+    * division per cell; map-only assignment then one keyed shuffle of
+    * (cell) — partial counts collapse per partition, output is nlist
+    * rows. */
+  val v26 = QueryDef(
+    "v26_index_balance",
+    (spark, dir) => {
+      VectorFunctions.register(spark)
+      val emb = Tables.embeddings(spark, dir)
+      val topCells = Similarity.topCellsOf(
+        Similarity.strideCentroids(emb, 16), VectorFunctions.cosineSim) _
+      val assigned = emb
+        .withColumn("cell",
+          element_at(topCells(col("embedding"), 1), 1).getField("cell"))
+        .select(col("vec_id"), col("cell"))
+      val total = assigned.groupBy().agg(count(lit(1)).as("n_total"))
+      assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+        .crossJoin(total)
+        .select(col("cell"), col("n_vectors"),
+          (col("n_vectors").cast("double") / col("n_total")).as("share"))
+        .orderBy(col("cell"))
+    },
+    Some {
+      val nlist = 16
+      val affCos = cosSql("e.emb", "cent.cemb")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, emb AS cemb
+         |  FROM e WHERE vec_id % greatest(1, (SELECT count(*) FROM e) // $nlist) = 0
+         |  ORDER BY vec_id LIMIT $nlist),
+         |aff AS (SELECT e.vec_id, cent.cell, $affCos AS a FROM e, cent),
+         |assign AS (SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell DESC) AS rn
+         |    FROM aff) WHERE rn = 1)
+         |SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors,
+         |  CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM assign) AS share
+         |FROM assign GROUP BY cell ORDER BY cell""".stripMargin
+    },
+    "IVF cell-balance diagnostic: per-cell occupancy + corpus share, the v19 retrain trigger (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
     v10, v11, v12, v13, v14, v15, v16, v17, v17b, v18, v19, v20, v21, v22, v23,
-    v24, v25)
+    v24, v25, v26)
 }
