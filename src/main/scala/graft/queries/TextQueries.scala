@@ -2455,9 +2455,122 @@ object TextQueries {
     },
     "preference-pair mining: (chosen, rejected) from quality gaps within near-dup clusters (LLM-pipeline op)")
 
+  /** CROSS-MODAL CONSISTENCY FILTER — the LAION-style paired-data check:
+    * when two IMAGES are near-duplicates (m04's dHash pigeonhole pairs),
+    * their paired CAPTIONS should agree too; a near-identical image whose
+    * captions are unrelated marks a mislabeled / scraped-mismatch pair
+    * that a unimodal filter cannot see. Per image pair: exact 3-gram
+    * caption Jaccard (d05's verify stage computed on the GIVEN pair list,
+    * not corpus-wide) + a `consistent` threshold flag. Scale shape: the
+    * pair list (already pigeonhole-bounded) joins the per-doc shingle
+    * relation twice keyed by doc — shingles of unpaired docs never join;
+    * media bytes stay in m04's scan stage. The media fixture shares m04's
+    * session cache (same construction, same prefix) so the decode cost is
+    * paid once per session. */
+  val m12 = QueryDef(
+    "m12_crossmodal_consistency",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+      val ids = docs.select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions { it =>
+        it.map { id =>
+          val gid = id / 4
+          val w = (gid % 9 + 6).toInt; val h = (gid % 5 + 8).toInt
+          val bright = (id % 7).toInt
+          val spot = if (id % 5 == 0) 40 else 0
+          (id, graft.operators.BmpCodec.encode(w, h, (x, y) => {
+            val sp = if (x == 0 && y == 0) spot else 0
+            ((((gid + 3) * (x + 1) * (y + 2) + 5L * x * x) % 199 + bright + sp).toInt,
+             (((gid + 7) * (x + 2) * (y + 1) + 3L * y * y) % 199 + bright + sp).toInt,
+             (((2 * gid + 1) * (x.toLong * y + x + y)) % 199 + bright + sp).toInt)
+          }))
+        }
+      }.toDF("media_id", "media")
+      val imgPairs = Dedup.imageNearDup(
+        FixtureDirs.cachedRoundTrip(media, "m04-media-", dir),
+        "media_id", "media")
+      val sh = Dedup.docShingles(docs, "doc_id", "text", n = 3)
+        .localCheckpoint(true) // consumed three times below
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      val shB = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+      val com = imgPairs.select(col("doc_a"), col("doc_b"))
+        .join(shA, Seq("doc_a")).join(shB, Seq("doc_b", "shingle"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
+      val denom = col("sz_a") + col("sz_b") - col("n_common")
+      imgPairs
+        .join(com, Seq("doc_a", "doc_b"), "left")
+        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")),
+          Seq("doc_a"), "left")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")),
+          Seq("doc_b"), "left")
+        .select(col("doc_a"), col("doc_b"), col("hamming"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"),
+          coalesce(col("sz_a"), lit(0L)).as("sz_a"),
+          coalesce(col("sz_b"), lit(0L)).as("sz_b"))
+        .select(col("doc_a"), col("doc_b"), col("hamming"), col("n_common"),
+          when(denom === 0, lit(0.0))
+            .otherwise(col("n_common").cast("double") / denom).as("caption_jaccard"))
+        .withColumn("consistent", col("caption_jaccard") >= 0.2)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 7 AS bright,
+           |    CASE WHEN doc_id % 5 = 0 THEN 40 ELSE 0 END AS spot,
+           |    (doc_id // 4) % 9 + 6 AS w, (doc_id // 4) % 5 + 8 AS h
+           |  FROM documents),
+           |g AS (SELECT doc_id,
+           |    [[ ( ((gid + 3) * ((gx*w//8) + 1) * ((gy*h//8) + 2) + 5 * (gx*w//8) * (gx*w//8)) % 199
+           |       + ((gid + 7) * ((gx*w//8) + 2) * ((gy*h//8) + 1) + 3 * (gy*h//8) * (gy*h//8)) % 199
+           |       + ((2*gid + 1) * ((gx*w//8) * (gy*h//8) + (gx*w//8) + (gy*h//8))) % 199
+           |       + 3 * bright
+           |       + CASE WHEN gx*w//8 = 0 AND gy*h//8 = 0 THEN 3 * spot ELSE 0 END ) // 3
+           |      for gx in range(0, 8)] for gy in range(0, 8)] AS gg
+           |  FROM d),
+           |fp AS (SELECT doc_id, CAST(list_sum(flatten(
+           |    [[CASE WHEN gg[gy+1][gx+2] > gg[gy+1][gx+1]
+           |           THEN 1::BIGINT << (gy*7+gx) ELSE 0::BIGINT END
+           |      for gx in range(0, 7)] for gy in range(0, 8)])) AS BIGINT) AS fp
+           |  FROM g),
+           |chunks AS (SELECT doc_id, fp, c AS chunk_idx, (fp >> (c * 14)) & 16383 AS chunk
+           |  FROM fp, (SELECT unnest([0, 1, 2, 3]) AS c)),
+           |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    a.fp AS fp_a, b.fp AS fp_b
+           |  FROM chunks a JOIN chunks b
+           |    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+           |ipairs AS (SELECT doc_a, doc_b,
+           |    CAST(bit_count(xor(fp_a, fp_b)) AS INTEGER) AS hamming
+           |  FROM p WHERE bit_count(xor(fp_a, fp_b)) <= 3),
+           |toks AS (SELECT doc_id,
+           |  CASE WHEN length(trim(text)) = 0 THEN []
+           |       ELSE string_split_regex(trim(text), '\s+') END AS w FROM documents),
+           |shg AS (SELECT doc_id, unnest(list_distinct(
+           |    CASE WHEN length(w) < 3 THEN []
+           |         ELSE [array_to_string(list_slice(w, i+1, i+3), ' ') for i in range(0, length(w)-2)] END)) AS shingle
+           |  FROM toks),
+           |ssize AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM shg GROUP BY doc_id),
+           |com AS (SELECT i.doc_a, i.doc_b, CAST(count(*) AS BIGINT) AS nc
+           |  FROM ipairs i JOIN shg a ON a.doc_id = i.doc_a
+           |  JOIN shg b ON b.doc_id = i.doc_b AND b.shingle = a.shingle
+           |  GROUP BY i.doc_a, i.doc_b)
+           |SELECT i.doc_a, i.doc_b, i.hamming,
+           |  coalesce(c.nc, 0) AS n_common,
+           |  CASE WHEN coalesce(sa.sz, 0) + coalesce(sb.sz, 0) - coalesce(c.nc, 0) = 0 THEN 0.0
+           |       ELSE CAST(coalesce(c.nc, 0) AS DOUBLE)
+           |            / (coalesce(sa.sz, 0) + coalesce(sb.sz, 0) - coalesce(c.nc, 0)) END AS caption_jaccard,
+           |  (CASE WHEN coalesce(sa.sz, 0) + coalesce(sb.sz, 0) - coalesce(c.nc, 0) = 0 THEN 0.0
+           |       ELSE CAST(coalesce(c.nc, 0) AS DOUBLE)
+           |            / (coalesce(sa.sz, 0) + coalesce(sb.sz, 0) - coalesce(c.nc, 0)) END) >= 0.2 AS consistent
+           |FROM ipairs i
+           |LEFT JOIN com c ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+           |LEFT JOIN ssize sa ON sa.doc_id = i.doc_a
+           |LEFT JOIN ssize sb ON sb.doc_id = i.doc_b
+           |ORDER BY i.doc_a, i.doc_b""".stripMargin),
+    "cross-modal consistency: image near-dup pairs scored by caption agreement (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
       d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43,
-      m01, m02, m03, m04, m05, m06, m07, m08, m10, m11)
+      m01, m02, m03, m04, m05, m06, m07, m08, m10, m11, m12)
 }
