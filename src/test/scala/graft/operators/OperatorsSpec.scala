@@ -382,6 +382,46 @@ class OperatorsSpec extends SparkSpec {
       "corpus too small to demonstrate the per-doc leak (tighten fixture)")
   }
 
+  test("preference pairs (d43): chosen strictly outranks rejected; " +
+       "singletons yield no pair; pair members share a cluster") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val got = graft.queries.TextQueries.d43.spark(spark, sf001)
+      .select("cluster_id", "chosen_id", "rejected_id", "quality_gap", "n_members")
+      .as[(Long, Long, Long, Double, Long)].collect().toSeq
+    assert(got.nonEmpty, "fixture must produce pairs")
+    val clusters = {
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text", n = 3, k = 8, r = 2,
+        minJaccard = 0.2)
+      Dedup.dupClusters(pairs, docs, "doc_id")
+        .as[(Long, Long)].collect().toMap // doc_id -> cluster_id
+    }
+    got.foreach { case (cid, chosen, rejected, gap, nm) =>
+      assert(chosen != rejected, s"cluster $cid pairs a doc with itself")
+      assert(nm >= 2, s"cluster $cid emitted a singleton pair")
+      assert(gap >= 0.0, s"cluster $cid has negative quality gap $gap")
+      assert(clusters(chosen) == cid && clusters(rejected) == cid,
+        s"cluster $cid pair members belong to other clusters")
+    }
+  }
+
+  test("cross-modal consistency (m12): unrelated captions on near-dup images " +
+       "are flagged, identical captions pass") {
+    // groups of 4 ids share an image (the m04 construction); doc texts are
+    // the captions. At sf0.001 every image near-dup pair with unrelated
+    // word-soup captions must come out inconsistent unless the captions
+    // genuinely share 3-grams at jaccard >= 0.2.
+    val rows = graft.queries.TextQueries.m12.spark(spark, sf001)
+      .select("doc_a", "doc_b", "n_common", "caption_jaccard", "consistent")
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    assert(rows.nonEmpty, "fixture must produce image near-dup pairs")
+    rows.foreach { case (a, b, nc, j, cons) =>
+      assert(cons == (j >= 0.2), s"flag disagrees with jaccard for ($a,$b)")
+      if (nc == 0L) assert(j == 0.0 && !cons, s"($a,$b) zero overlap must fail")
+    }
+    // the corpus-backed fixture exercises BOTH outcomes
+    assert(rows.exists(!_._5), "no inconsistent pair found — fixture too weak")
+  }
+
   test("embeddingDrift (v22): identical snapshots -> cos ~= 1, orthogonal -> 0") {
     VectorFunctions.register(spark)
     // label 1: snapshot halves identical (vec 2i ≡ vec 2i+1) → drift cos ≈ 1
