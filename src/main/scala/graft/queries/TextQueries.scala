@@ -2568,9 +2568,73 @@ object TextQueries {
            |ORDER BY i.doc_a, i.doc_b""".stripMargin),
     "cross-modal consistency: image near-dup pairs scored by caption agreement (LLM-pipeline op)")
 
+  /** BPE TOKENIZER TRAINING — the learning step d36 only consumes
+    * (Sennrich et al. 2016): derive the merge table FROM the corpus. The
+    * distributed part is the word-frequency count (one corpus shuffle,
+    * vocabulary-bounded output — how HF/sentencepiece trainers scale too);
+    * the merge loop itself runs on that vocabulary-sized table via
+    * [[graft.functions.BpeTrainer]] (driver-side bounded collect — the
+    * codebook/centroid class), with a total (count DESC, left, right)
+    * tie-break so the table is deterministic. The oracle replays ALL
+    * training rounds in DuckDB: per round, weighted adjacent-pair counts →
+    * the same argmax → merge application as a per-word recursive
+    * leftmost-rewrite (≡ left-to-right non-overlapping because applying
+    * (l,r) can never create a new (l,r) — see BpeTrainer scaladoc), rounds
+    * unrolled as generated CTE stages. A hash match pins every selection
+    * AND every application step of the training run. */
+  val d44 = QueryDef(
+    "d44_bpe_train",
+    (spark, dir) => {
+      import spark.implicits._
+      val wc = Tables.documents(spark, dir)
+        .select(explode(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .as[(String, Long)].collect().toSeq
+      val merges = graft.functions.BpeTrainer.train(wc, nMerges = 8)
+      merges.zipWithIndex.map { case (m, i) =>
+        (i + 1, m.left, m.right, m.pairCount) }
+        .toDF("merge_rank", "l_sym", "r_sym", "pair_count")
+        .orderBy(col("merge_rank"))
+    },
+    Some {
+      val n = 8
+      val rounds = (1 to n).map { r =>
+        val prev = if (r == 1) "s0" else s"s${r - 1}"
+        s"""p$r AS (SELECT x.l AS l, x.r AS r, CAST(sum(cnt) AS BIGINT) AS ct
+           |  FROM (SELECT cnt, unnest([{'l': syms[i], 'r': syms[i+1]}
+           |      for i in generate_series(1, len(syms)-1)]) AS x FROM $prev)
+           |  GROUP BY x.l, x.r),
+           |b$r AS (SELECT l, r, ct FROM p$r ORDER BY ct DESC, l, r LIMIT 1),
+           |m$r(w, cnt, syms) AS (
+           |  SELECT w, cnt, syms FROM $prev
+           |  UNION ALL
+           |  SELECT w, cnt, syms[1:p-1] || [syms[p] || syms[p+1]] || syms[p+2:]
+           |  FROM (SELECT m.w, m.cnt, m.syms AS syms,
+           |      (list_filter([{'i': i} for i in generate_series(1, len(m.syms)-1)],
+           |        x -> m.syms[x.i] = b.l AND m.syms[x.i+1] = b.r))[1].i AS p
+           |    FROM m$r m CROSS JOIN b$r b) WHERE p IS NOT NULL),
+           |s$r AS (SELECT w, cnt, syms FROM m$r
+           |  QUALIFY row_number() OVER (PARTITION BY w ORDER BY len(syms)) = 1)"""
+          .stripMargin
+      }.mkString(",\n")
+      val sel = (1 to n).map(r =>
+        s"SELECT CAST($r AS INTEGER) AS merge_rank, l AS l_sym, r AS r_sym, ct AS pair_count FROM b$r")
+        .mkString("\nUNION ALL ")
+      s"""WITH RECURSIVE
+         |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |  SELECT unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS w
+         |  FROM documents) GROUP BY w),
+         |s0 AS (SELECT w, cnt, [w[i] for i in generate_series(1, length(w))] AS syms FROM wc),
+         |$rounds
+         |$sel
+         |ORDER BY merge_rank""".stripMargin
+    },
+    "BPE tokenizer training: learn the merge table from corpus word counts, all rounds oracle-replayed (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
-      d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43,
+      d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43, d44,
       m01, m02, m03, m04, m05, m06, m07, m08, m10, m11, m12)
 }

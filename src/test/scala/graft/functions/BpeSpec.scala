@@ -79,4 +79,39 @@ class BpeSpec extends SparkSpec {
       .select(TextFunctions.bpeTokens(col("t"))).collect()
     assert(n(0).isNullAt(0))
   }
+
+  test("BpeTrainer: textbook example, overlap convention, determinism") {
+    // Sennrich-style toy: counts weight the argmax
+    val wc = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val m = BpeTrainer.train(wc, 4)
+    // pair counts round 1: (e,s)=9, (s,t)=9, (l,o)=7, (o,w)=7, ... —
+    // (e,s) wins the (count DESC, left, right) tie-break over (s,t)
+    assert(m(0).left == "e" && m(0).right == "s" && m(0).pairCount == 9L)
+    assert(m(1).left == "es" && m(1).right == "t" && m(1).pairCount == 9L)
+    assert(m(2).left == "l" && m(2).right == "o" && m(2).pairCount == 7L)
+    assert(m(3).left == "lo" && m(3).right == "w" && m(3).pairCount == 7L)
+    // overlapping occurrences all count: "aaa" has TWO (a,a) positions
+    val o = BpeTrainer.train(Seq(("aaa", 1L)), 1)
+    assert(o(0) == BpeTrainer.Merge("a", "a", 2L))
+    // ...but application is left-to-right NON-overlapping: "aaaa" -> aa aa
+    val o2 = BpeTrainer.train(Seq(("aaaa", 1L)), 2)
+    assert(o2(1) == BpeTrainer.Merge("aa", "aa", 1L))
+    // loud failure when pairs run dry
+    intercept[IllegalArgumentException] { BpeTrainer.train(Seq(("ab", 1L)), 2) }
+  }
+
+  test("BpeTrainer on the testdata corpus reproduces the frozen BpeMerges prefix") {
+    // the d36 table was trained by this algorithm at sf0.01 — training must
+    // regenerate its leading ranks exactly (closure of learn + apply; the
+    // sf0.001 subsample's frequency mix legitimately reorders ranks 2-8,
+    // so the closure is pinned at the table's training corpus)
+    val wc = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(explode(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)].collect().toSeq
+    val learned = BpeTrainer.train(wc, 8).map(m => (m.left, m.right))
+    assert(learned == BpeMerges.pairs.take(8),
+      s"training diverged from the frozen table: $learned")
+  }
 }
