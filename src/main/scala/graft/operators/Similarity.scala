@@ -455,6 +455,105 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("rn"))
   }
 
+  /** MAXIMAL MARGINAL RELEVANCE re-rank (Carbonell & Goldstein 1998) — the
+    * retrieval-diversity op RAG serving layers run after ANN: from a
+    * `candidates`-sized shortlist per query, greedily select `k` results
+    * maximizing `λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)`, so near-duplicate
+    * passages don't crowd the context window. Determinism: every cosine is
+    * rounded to 6 decimals BEFORE the greedy loop (the v02 rule), λ is an
+    * exact dyadic 0.5, and each step's score is two IEEE multiplies and a
+    * subtract on identical doubles — the argmax (ties to the lower vec_id)
+    * is therefore engine-portable and the whole greedy trajectory is
+    * oracle-replayable as unrolled per-step CTEs (the d44 technique).
+    * Scale shape: the shortlist bounds everything — pair sims are
+    * |queries|·c² rows, each greedy step is a window over |queries|·c rows;
+    * the corpus is touched only by the ANN shortlist (here brute force as
+    * ground-truth; compose with [[ivfTopK]] in production). The shortlist +
+    * pair relation are eagerly checkpointed: each of the k steps re-reads
+    * both, and an unchecked plan would re-run the corpus crossJoin per step
+    * (the dupClusters lesson). */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame,
+                cos: (Column, Column) => Column, candidates: Int, k: Int)
+      : DataFrame = {
+    val lam = lit(0.5)
+    val cand = bruteForceTopK(queries, corpus, cos, candidates)
+      .select(col("query_id"), col("vec_id"), col("cos").as("rel"))
+      .localCheckpoint(true)
+    val vecs = corpus.select(col("vec_id"), col("embedding"))
+    val withVec = cand.join(vecs, Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("rel"), col("embedding"))
+    val pairs = withVec.as("a")
+      .join(withVec.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.query_id").as("query_id"), col("a.vec_id").as("a"),
+        col("b.vec_id").as("b"),
+        round(cos(col("a.embedding"), col("b.embedding")), 6).as("sim"))
+      .localCheckpoint(true)
+
+    // Step 1: max relevance (empty selected set ⇒ max_sim = 0).
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    var selected = cand
+      .withColumn("max_sim", lit(0.0))
+      .withColumn("score", lam * col("rel") - lam * col("max_sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("query_id"), col("vec_id"), col("rel"), col("max_sim"),
+        col("score"), lit(1).as("sel_rank"))
+    var out = selected
+    for (step <- 2 to k) {
+      val sel = out.select(col("query_id"), col("vec_id"))
+      val remaining = cand.join(sel, Seq("query_id", "vec_id"), "left_anti")
+      val next = remaining
+        .join(pairs.select(col("query_id"), col("a").as("vec_id"), col("b"),
+          col("sim")), Seq("query_id", "vec_id"))
+        .join(sel.select(col("query_id"), col("vec_id").as("b")),
+          Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("vec_id"), col("rel"))
+        .agg(max(col("sim")).as("max_sim"))
+        .withColumn("score", lam * col("rel") - lam * col("max_sim"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("query_id"), col("vec_id"), col("rel"), col("max_sim"),
+          col("score"), lit(step).as("sel_rank"))
+      out = out.unionByName(next).localCheckpoint(true)
+    }
+    out.select(col("query_id"), col("sel_rank"), col("vec_id"), col("rel"),
+      col("max_sim"), col("score"))
+  }
+
+  /** TRUNCATED-DIMENSION two-stage search (the Matryoshka-representation
+    * serving pattern, Kusupati et al. 2022): shortlist by cosine over the
+    * first `prefixDims` components, exact full-dimension re-rank of the
+    * survivors. With MRL-trained embeddings the prefix is itself a valid
+    * embedding, so the shortlist stage reads `prefixDims/dims` of the
+    * vector bytes — at 100 TB the prefix lives in its OWN column (or
+    * index), the scan prunes to it, and full vectors are fetched for only
+    * `shortlist·|queries|` rows. Both stages round to 6 decimals before
+    * ranking (ties to lower vec_id) — deterministic and oracle-mirrorable
+    * via `list_slice`. */
+  def truncatedRerank(queries: DataFrame, corpus: DataFrame,
+                      cos: (Column, Column) => Column, prefixDims: Int,
+                      shortlist: Int, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_vec"))
+    val c = corpus.select(col("vec_id"), col("embedding").as("c_vec"))
+    val pre = q.crossJoin(c)
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("pre_cos", round(cos(slice(col("q_vec"), 1, prefixDims),
+        slice(col("c_vec"), 1, prefixDims)), 6))
+    val wPre = Window.partitionBy(col("query_id"))
+      .orderBy(col("pre_cos").desc, col("vec_id"))
+    val short = pre.withColumn("prn", row_number().over(wPre))
+      .filter(col("prn") <= shortlist)
+    val scored = short.withColumn("cos", round(cos(col("q_vec"), col("c_vec")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("pre_cos"), col("cos"),
+        col("rank"))
+  }
+
   /** RANGE (radius) search — every corpus vector with cosine ≥ `tau` of each
     * query, the retrieval mode dedup thresholds and contamination sweeps use
     * (a top-k cannot express "all matches above a similarity bar"). Same

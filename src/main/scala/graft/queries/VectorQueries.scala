@@ -1311,7 +1311,103 @@ object VectorQueries {
     },
     "IVF cell-balance diagnostic: per-cell occupancy + corpus share, the v19 retrain trigger (LLM-pipeline op)")
 
+  /** MMR DIVERSE RE-RANK — [[Similarity.mmrRerank]]: greedy maximal-
+    * marginal-relevance selection from a per-query shortlist, the
+    * context-window diversity op RAG serving runs after retrieval. The
+    * oracle replays the ENTIRE greedy trajectory as unrolled per-step CTEs
+    * (the d44 technique): per step, the anti-joined remaining candidates
+    * get `max(sim to selected)`, score `0.5·rel − 0.5·max_sim` (exact
+    * dyadic λ — two IEEE ops on rounded-6 inputs), and a QUALIFY argmax
+    * with ties to the lower vec_id. A hash match pins every selection of
+    * every step. */
+  val v27 = QueryDef(
+    "v27_mmr_rerank",
+    (spark, dir) => {
+      VectorFunctions.register(spark)
+      val emb = Tables.embeddings(spark, dir)
+      Similarity.mmrRerank(emb.filter(col("vec_id") < 10), emb,
+          VectorFunctions.cosineSim, candidates = 8, k = 4)
+        .orderBy(col("query_id"), col("sel_rank"))
+    },
+    Some {
+      val cands = 8; val k = 4
+      val bcos = cosSql("q.emb", "c.emb")
+      val pcos = cosSql("ea.emb", "eb.emb")
+      val steps = (2 to k).map { r =>
+        val selU = (1 until r)
+          .map(i => s"SELECT query_id, vec_id FROM sel$i")
+          .mkString(" UNION ALL ")
+        s"""su$r AS ($selU),
+           |sc$r AS (SELECT c.query_id, c.vec_id, c.rel, max(p.sim) AS max_sim
+           |  FROM cand c JOIN pairs p ON p.query_id = c.query_id AND p.a = c.vec_id
+           |  JOIN su$r s ON s.query_id = p.query_id AND s.vec_id = p.b
+           |  WHERE NOT EXISTS (SELECT 1 FROM su$r x
+           |    WHERE x.query_id = c.query_id AND x.vec_id = c.vec_id)
+           |  GROUP BY c.query_id, c.vec_id, c.rel),
+           |sel$r AS (SELECT query_id, vec_id, rel, max_sim,
+           |    CAST(0.5 AS DOUBLE)*rel - CAST(0.5 AS DOUBLE)*max_sim AS score
+           |  FROM sc$r QUALIFY row_number() OVER (PARTITION BY query_id
+           |    ORDER BY CAST(0.5 AS DOUBLE)*rel - CAST(0.5 AS DOUBLE)*max_sim DESC, vec_id) = 1)"""
+          .stripMargin
+      }.mkString(",\n")
+      val sel = (1 to k).map(r =>
+        s"SELECT query_id, CAST($r AS INTEGER) AS sel_rank, vec_id, rel, max_sim, score FROM sel$r")
+        .mkString("\nUNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |bscored AS (SELECT q.vec_id AS query_id, c.vec_id, round($bcos, 6) AS cos
+         |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |cand AS (SELECT query_id, vec_id, cos AS rel FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM bscored) WHERE rank <= $cands),
+         |pairs AS (SELECT a.query_id, a.vec_id AS a, b.vec_id AS b, round($pcos, 6) AS sim
+         |  FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+         |  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id),
+         |sel1 AS (SELECT query_id, vec_id, rel, CAST(0 AS DOUBLE) AS max_sim,
+         |    CAST(0.5 AS DOUBLE)*rel - CAST(0.5 AS DOUBLE)*CAST(0 AS DOUBLE) AS score
+         |  FROM cand QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY CAST(0.5 AS DOUBLE)*rel - CAST(0.5 AS DOUBLE)*CAST(0 AS DOUBLE) DESC, vec_id) = 1),
+         |$steps
+         |$sel
+         |ORDER BY query_id, sel_rank""".stripMargin
+    },
+    "MMR diverse re-rank: greedy λ·rel − (1−λ)·max-sim selection, trajectory oracle-replayed (LLM-pipeline op)")
+
+  /** TRUNCATED-DIM two-stage search — [[Similarity.truncatedRerank]]: the
+    * Matryoshka serving pattern (prefix-dim shortlist, full-dim exact
+    * re-rank). Both stages are deterministic rounded-6 rankings, so the
+    * oracle mirrors them with `list_slice`; the hash match pins that the
+    * re-rank reads exactly the prefix-stage survivors. Recall vs full
+    * brute force is pinned by AnnRecallSpec (prefix dims are the
+    * cost/recall lever). */
+  val v28 = QueryDef(
+    "v28_matryoshka_rerank",
+    (spark, dir) => {
+      VectorFunctions.register(spark)
+      val emb = Tables.embeddings(spark, dir)
+      Similarity.truncatedRerank(emb.filter(col("vec_id") < 10), emb,
+          VectorFunctions.cosineSim, prefixDims = 16, shortlist = 50, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some {
+      val pre = 16; val shortlist = 50
+      val pcos = cosSql(s"list_slice(q.emb, 1, $pre)", s"list_slice(c.emb, 1, $pre)")
+      val fcos = cosSql("q.emb", "t.emb")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |pre AS (SELECT q.vec_id AS query_id, c.vec_id, round($pcos, 6) AS pre_cos
+         |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |short AS (SELECT query_id, vec_id, pre_cos FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY pre_cos DESC, vec_id) AS prn
+         |    FROM pre) WHERE prn <= $shortlist),
+         |scored AS (SELECT s.query_id, s.vec_id, s.pre_cos, round($fcos, 6) AS cos
+         |  FROM short s JOIN e q ON q.vec_id = s.query_id JOIN e t ON t.vec_id = s.vec_id)
+         |SELECT query_id, vec_id, pre_cos, cos, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
+    "matryoshka two-stage ANN: truncated-dim shortlist + full-dim exact re-rank (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
     v10, v11, v12, v13, v14, v15, v16, v17, v17b, v18, v19, v20, v21, v22, v23,
-    v24, v25, v26)
+    v24, v25, v26, v27, v28)
 }

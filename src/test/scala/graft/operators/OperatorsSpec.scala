@@ -225,6 +225,69 @@ class OperatorsSpec extends SparkSpec {
     assert((bf & lsh).size.toDouble / bf.size >= 0.6)
   }
 
+  test("mmrRerank: k distinct picks per query; greedy order demotes the " +
+      "near-clone of the first pick below the diverse candidate") {
+    VectorFunctions.register(spark)
+    // q's top two relevances are near-clones of each other (a, b); c is less
+    // relevant but diverse. Greedy MMR at λ=0.5 must pick the clone LAST.
+    val emb = Seq(
+      (100L, Array(1f, 0f, 0f)),       // query
+      (1L, Array(9f, 3f, 0f)),         // a: rel .9487
+      (2L, Array(9.1f, 3f, 0f)),       // b: rel .9497, sim(a,b) ~ .99994
+      (3L, Array(5f, 0f, 5f))          // c: rel .7071, sim to a/b ~ .67
+    ).toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.mmrRerank(
+        emb.filter($"vec_id" === 100L), emb.filter($"vec_id" < 100L),
+        VectorFunctions.cosineSim, candidates = 3, k = 3)
+      .orderBy($"sel_rank")
+      .select($"sel_rank", $"vec_id").as[(Int, Long)].collect().toSeq
+    assert(out == Seq((1, 2L), (2, 3L), (3, 1L)),
+      s"greedy trajectory $out — expected b, then diverse c, clone a last")
+
+    // contract on real embeddings: exactly k distinct picks per query, and
+    // step 1 is the brute-force top-1
+    val real = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q = real.filter($"vec_id" < 5)
+    val mmr = graft.operators.Similarity.mmrRerank(q, real,
+        VectorFunctions.cosineSim, candidates = 8, k = 4)
+      .select("query_id", "sel_rank", "vec_id")
+      .as[(Long, Int, Long)].collect().toSeq
+    val perQ = mmr.groupBy(_._1)
+    assert(perQ.size == 5 && perQ.values.forall(s => s.size == 4 &&
+      s.map(_._3).distinct.size == 4))
+    val top1 = graft.operators.Similarity.bruteForceTopK(q, real,
+        VectorFunctions.cosineSim, 1)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toMap
+    perQ.foreach { case (qid, sels) =>
+      assert(sels.find(_._2 == 1).get._3 == top1(qid),
+        s"step-1 pick for $qid is not the max-relevance candidate")
+    }
+  }
+
+  test("truncatedRerank: with full shortlist ≡ brute force exactly; " +
+      "narrow shortlist keeps recall") {
+    VectorFunctions.register(spark)
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 10)
+    val bf = graft.operators.Similarity.bruteForceTopK(q, emb,
+        VectorFunctions.cosineSim, 5)
+      .select("query_id", "vec_id", "cos", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // shortlist ≥ corpus ⇒ the prefix stage prunes nothing ⇒ bit-equal ranks
+    val full = graft.operators.Similarity.truncatedRerank(q, emb,
+        VectorFunctions.cosineSim, prefixDims = 16, shortlist = 500, k = 5)
+      .select("query_id", "vec_id", "cos", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(full == bf)
+    // narrow shortlist: the 16-of-64-dim prefilter still lands most of top-5
+    val narrow = graft.operators.Similarity.truncatedRerank(q, emb,
+        VectorFunctions.cosineSim, prefixDims = 16, shortlist = 50, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val bfIds = bf.map(t => (t._1, t._2))
+    assert((bfIds & narrow).size.toDouble / bfIds.size >= 0.5,
+      s"matryoshka recall ${(bfIds & narrow).size.toDouble / bfIds.size}")
+  }
+
   test("decontaminate flags exactly the docs sharing an n-gram with the benchmark") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon"), // shares "beta gamma delta" ✔
