@@ -2632,9 +2632,77 @@ object TextQueries {
     },
     "BPE tokenizer training: learn the merge table from corpus word counts, all rounds oracle-replayed (LLM-pipeline op)")
 
+  /** BIGRAM-LM FLUENCY SCORING — the statistical-LM quality filter (the
+    * CCNet/KenLM idea with the LM trained IN-ENGINE, d44's pattern): score
+    * each document by the mean conditional probability of its word bigrams
+    * under the corpus's own bigram model, `mean_i p(w_{i+1}|w_i)` with
+    * `p = cnt(w_i,w_{i+1}) / cnt(w_i·)`. Word salad scores near 0 (unseen
+    * transitions), templated/repetitive text near 1. Exactness: each `p`
+    * is ONE IEEE division of exact int64 counts; the per-doc sum folds in
+    * POSITION order (CLAUDE.md rule 9 — Spark's sorted-collect sequential
+    * fold ≡ DuckDB `list_sum(list(p ORDER BY pos))`, the v09 mechanism);
+    * the mean is one more exact division. Scale shape: the count tables
+    * are VOCABULARY-bounded (checkpointed — the d34 rule: cache the small
+    * stats, never the corpus-sized bigram explode; the explode is a
+    * map-side projection recomputed per consumer), the score join keys on
+    * (w1,w2)/(w1) — broadcast-able at any real vocab — and the ordered
+    * fold runs post-aggregation on one row per document. */
+  val d45 = QueryDef(
+    "d45_lm_fluency",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val toks = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("w"))
+      val m = size(col("w")) - 1
+      val bg = toks.select(col("doc_id"),
+          posexplode(when(size(col("w")) < 2,
+              array().cast("array<struct<w1:string,w2:string>>"))
+            .otherwise(zip_with(slice(col("w"), lit(1), m),
+              slice(col("w"), lit(2), m),
+              (a, b) => struct(a.as("w1"), b.as("w2"))))).as(Seq("pos0", "x")))
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+          col("x.w1").as("w1"), col("x.w2").as("w2"))
+      val cb = bg.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cb")).localCheckpoint(true)
+      val cp = bg.groupBy(col("w1"))
+        .agg(count(lit(1)).as("cp")).localCheckpoint(true)
+      val p = bg.join(cb, Seq("w1", "w2")).join(cp, Seq("w1"))
+        .select(col("doc_id"), col("pos"),
+          (col("cb").cast("double") / col("cp")).as("p"))
+      val agg = p.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_bigrams"),
+        aggregate(sort_array(collect_list(struct(col("pos"), col("p")))),
+          lit(0.0), (acc, x) => acc + x.getField("p")).as("s"))
+      docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("s") / col("n_bigrams"), lit(0.0)).as("fluency"))
+        .withColumn("fluent", col("fluency") >= 0.05)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+           |    CASE WHEN length(trim(text)) = 0 THEN []
+           |         ELSE string_split_regex(trim(text), '\s+') END AS w FROM documents),
+           |bg AS (SELECT doc_id, x.pos AS pos, x.w1 AS w1, x.w2 AS w2 FROM (
+           |    SELECT doc_id, unnest([{'pos': i, 'w1': w[i], 'w2': w[i+1]}
+           |      for i in generate_series(1, len(w)-1)]) AS x FROM toks)),
+           |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY 1, 2),
+           |cp AS (SELECT w1, CAST(count(*) AS BIGINT) AS cp FROM bg GROUP BY 1),
+           |p AS (SELECT bg.doc_id, bg.pos, CAST(cb.cb AS DOUBLE) / cp.cp AS p
+           |  FROM bg JOIN cb ON cb.w1 = bg.w1 AND cb.w2 = bg.w2
+           |  JOIN cp ON cp.w1 = bg.w1),
+           |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |    list_sum(list(p ORDER BY pos)) AS s FROM p GROUP BY doc_id)
+           |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+           |  coalesce(a.s / a.n_bigrams, 0.0) AS fluency,
+           |  coalesce(a.s / a.n_bigrams, 0.0) >= 0.05 AS fluent
+           |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+           |ORDER BY d.doc_id""".stripMargin),
+    "bigram-LM fluency scoring: in-engine-trained statistical LM quality filter (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
       d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43, d44,
-      m01, m02, m03, m04, m05, m06, m07, m08, m10, m11, m12)
+      d45, m01, m02, m03, m04, m05, m06, m07, m08, m10, m11, m12)
 }

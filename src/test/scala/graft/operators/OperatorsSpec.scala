@@ -467,6 +467,26 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("lm fluency (d45): common transitions outscore rare ones; " +
+      "deterministic transitions score 1; empty doc scores 0") {
+    val dir = java.nio.file.Files.createTempDirectory("d45spec").toString
+    (Seq.tabulate(6)(i => (i.toLong, "the cat sat")) ++
+        Seq((6L, "the dog ran"), (7L, "")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.TextQueries.d45.spark(spark, dir)
+      .select("doc_id", "n_bigrams", "fluency", "fluent")
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // p(cat|the) = 6/7, p(sat|cat) = 1 → fluency = (6/7 + 1)/2, exactly
+    assert(got(0L)._3 == (6.0 / 7 + 1.0) / 2)
+    // p(dog|the) = 1/7, p(ran|dog) = 1 → (1/7 + 1)/2
+    assert(got(6L)._3 == (1.0 / 7 + 1.0) / 2)
+    assert(got(0L)._3 > got(6L)._3, "common transitions must outscore rare")
+    assert(got(7L) == ((7L, 0L, 0.0, false)), "empty doc: 0 bigrams, score 0")
+    assert(got(0L)._4, "the templated doc passes the gate")
+  }
+
   test("cross-modal consistency (m12): unrelated captions on near-dup images " +
        "are flagged, identical captions pass") {
     // groups of 4 ids share an image (the m04 construction); doc texts are
