@@ -1386,8 +1386,64 @@ object RelationalQueries {
            |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin),
     "explicit GROUPING SETS: arbitrary non-hierarchical set list + grouping_id")
 
+  /** The read side of q63, factored for PlanAuditSpec: joins the two
+    * BUCKETED tables. The `merge` hint keeps the demonstration honest
+    * (a broadcast would also be exchange-free but wouldn't exercise
+    * co-location); with both sides bucketed on the key into the same
+    * bucket count, the SMJ needs NO Exchange — each task reads bucket i
+    * of both tables. (A per-bucket SortExec remains: since Spark 3.0
+    * bucket sortBy metadata doesn't feed outputOrdering unless a legacy
+    * flag is set — sorting the already-sorted one-file bucket is a
+    * linear pass.) */
+  private[graft] def q63Join(spark: org.apache.spark.sql.SparkSession) =
+    spark.table("q63_orders").hint("merge")
+      .join(spark.table("q63_customer"),
+        col("o_custkey") === col("c_custkey"))
+
+  /** BUCKETED CO-LOCATED JOIN — the storage-layout lever for the 100 TB
+    * fact⋈dim case where BOTH sides are big: write each table bucketed +
+    * sorted by the join key (`bucketBy`/`sortBy`, Spark's persisted
+    * hash-partitioning contract), and the sort-merge join reads bucket i
+    * of each side in task i — ZERO shuffle at query time, every run,
+    * amortizing the one-time layout cost across every subsequent join on
+    * that key (the q43 z-order idea, applied to join topology instead of
+    * scan pruning). The only exchanges left in the
+    * plan are the mktsegment aggregation and the output sort — both over
+    * group-count-sized relations. PlanAuditSpec pins that no Exchange
+    * carries the join key or the pre-agg payload. */
+  val q63 = QueryDef(
+    "q63_bucketed_join",
+    (spark, dir) => {
+      val scratch = FixtureDirs.create("q63-bucketed-").toString
+      spark.sql("DROP TABLE IF EXISTS q63_orders")
+      spark.sql("DROP TABLE IF EXISTS q63_customer")
+      // repartition on the bucket key first: task i then holds exactly
+      // bucket i's rows (same murmur3 hash both sides), so each bucket is
+      // ONE file — the layout Spark requires to trust sortBy metadata
+      // (multi-file buckets re-sort at read), and the one that avoids the
+      // tasks×buckets small-file explosion at scale
+      Tables.orders(spark, dir).repartition(8, col("o_custkey")).write
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$scratch/orders").mode("overwrite")
+        .saveAsTable("q63_orders")
+      Tables.customer(spark, dir).repartition(8, col("c_custkey")).write
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$scratch/customer").mode("overwrite")
+        .saveAsTable("q63_customer")
+      q63Join(spark)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+           |  round(sum(o_totalprice), 2) AS revenue
+           |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+    "bucketed co-located join: persisted hash layout, shuffle-free sort-merge join (beyond reference)")
+
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q12, q13, q14, q15, q16, q17, q18, q19, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41, q42, q43, q44, q45, q46, q47, q48, q58, q59, q60, q61)
+    q41, q42, q43, q44, q45, q46, q47, q48, q58, q59, q60, q61, q63)
 }

@@ -431,6 +431,49 @@ class PlanAuditSpec extends SparkSpec {
       s"1-row totals crossJoin, which plans as broadcast):\n$p")
   }
 
+  test("q63 bucketed join: the SMJ rides bucket co-location — no Exchange " +
+      "carries the join key or the pre-agg payload, and the join subtree " +
+      "is exchange-free over bucketed scans") {
+    // builds the bucketed tables (and verifies the query end-to-end shape)
+    val (plan, exchanges) = exchangesOf("q63_bucketed_join")
+    exchanges.foreach { e =>
+      val carried = e.child.output.map(_.name.toLowerCase)
+      Seq("o_custkey", "c_custkey", "o_totalprice").foreach { b =>
+        assert(!carried.contains(b),
+          s"$b crosses a shuffle (carries ${carried.mkString(",")}):\n$plan")
+      }
+    }
+    // the factored join alone: zero exchanges, zero sorts — bucket layout
+    // satisfies both the partitioning and the ordering requirement
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan) // post-collect AQE stages
+        case _ => p.children
+      }
+      p +: kids.flatMap(nodes)
+    }
+    val join = RelationalQueries.q63Join(spark)
+    join.collect() // finalize the adaptive plan
+    val ns = nodes(join.queryExecution.executedPlan)
+    assert(ns.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      s"expected a sort-merge join:\n${join.queryExecution.executedPlan}")
+    assert(!ns.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.exchange.Exchange]),
+      s"bucketed join still shuffles:\n${join.queryExecution.executedPlan}")
+    // both scans actually ride the bucket layout (a SortExec remains: since
+    // Spark 3.0 bucket sortBy metadata doesn't feed outputOrdering — the
+    // re-sort of each already-sorted one-file bucket is a linear pass)
+    val scans = ns.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 2 && scans.forall(_.bucketedScan),
+      s"scan is not bucketed:\n${join.queryExecution.executedPlan}")
+  }
+
   test("v18 range search keeps the IVF equi-join shape — no all-pairs scan") {
     val p = planOf("v18_range_search")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
