@@ -112,6 +112,48 @@ object Multimodal {
       }
   }
 
+  case class ImageQuality(media_id: Long, width: Int, height: Int,
+                          n_pixels: Int, min_lum: Int, max_lum: Int,
+                          contrast: Int, n_distinct_lum: Int, keep: Boolean)
+
+  /** IMAGE QUALITY GATE — the LAION-style curation filter for image
+    * corpora: drop images too small (`n_pixels < minPixels`) or too flat
+    * (`max−min` summed-channel luminance below `minContrast` — solid
+    * colors, blank frames, single-color placeholders). All stats are exact
+    * integers over the decoded pixels (luminance = r+g+b, no division), so
+    * the gate is engine-portable; same mapPartitions batch shape as
+    * [[imageFeatures]] — media bytes never leave the scan stage, only the
+    * per-image stat row moves. `n_distinct_lum` (a 766-slot bitset per
+    * image) is the cheap palette-collapse signal (dithered/quantized
+    * placeholder detection). */
+  def imageQuality(media: DataFrame, idCol: String, mediaCol: String,
+                   minPixels: Int = 16, minContrast: Int = 30)
+      : Dataset[ImageQuality] = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(mediaCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val img = ImageCodec.decode(bytes)
+          val px = img.pixels
+          val n = img.width * img.height
+          var mn = Int.MaxValue; var mx = Int.MinValue
+          val seen = new java.util.BitSet(766)
+          var i = 0
+          while (i < n) {
+            val o = i * 3
+            val lum = (px(o) & 0xff) + (px(o + 1) & 0xff) + (px(o + 2) & 0xff)
+            if (lum < mn) mn = lum
+            if (lum > mx) mx = lum
+            seen.set(lum)
+            i += 1
+          }
+          ImageQuality(id, img.width, img.height, n, mn, mx, mx - mn,
+            seen.cardinality(), n >= minPixels && (mx - mn) >= minContrast)
+        }
+      }
+  }
+
   /** Nearest-neighbor resize of a decoded image — the dHash sampling rule
     * (`sx = gx·w/W`, integer division) applied to every output pixel, so a
     * resize is exact integer math an oracle can reproduce from the source

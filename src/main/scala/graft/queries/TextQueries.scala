@@ -2632,6 +2632,56 @@ object TextQueries {
     },
     "BPE tokenizer training: learn the merge table from corpus word counts, all rounds oracle-replayed (LLM-pipeline op)")
 
+  /** IMAGE QUALITY GATE (m13) — [[graft.operators.Multimodal.imageQuality]]
+    * over a fixture where every third image is a solid color (contrast 0 —
+    * the blank-placeholder class the gate exists for) and the rest carry
+    * m03's textured pixel functions; sizes sweep 2..14 × 2..8 so the
+    * min-pixels cut also fires. The oracle recomputes min/max/distinct
+    * summed-channel luminance ANALYTICALLY from the pixel functions
+    * (m03's technique) — a hash match proves decode + stats + gate. */
+  val m13 = QueryDef(
+    "m13_image_quality_gate",
+    (spark, dir) => {
+      import spark.implicits._
+      val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions { it =>
+        it.map { id =>
+          val w = (id % 13 + 2).toInt; val h = (id % 7 + 2).toInt
+          val bmp =
+            if (id % 3 == 0) {
+              val c = (id % 256).toInt
+              graft.operators.BmpCodec.encode(w, h, (_, _) => (c, c, c))
+            } else graft.operators.BmpCodec.encode(w, h, (x, y) => (
+              ((id + 7L * x + 13L * y) % 256).toInt,
+              ((3L * x + 5L * y + 1L) % 256).toInt,
+              ((x.toLong * y + id % 17) % 256).toInt))
+          (id, bmp)
+        }
+      }.toDF("media_id", "media")
+      graft.operators.Multimodal
+        .imageQuality(FixtureDirs.cachedRoundTrip(media, "m13-media-", dir),
+          "media_id", "media")
+        .toDF().orderBy(col("media_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id AS media_id, doc_id % 13 + 2 AS w, doc_id % 7 + 2 AS h
+           |  FROM documents),
+           |l AS (SELECT media_id, w, h,
+           |    CASE WHEN media_id % 3 = 0
+           |      THEN flatten([[ 3 * (media_id % 256) for x in range(0, w)] for y in range(0, h)])
+           |      ELSE flatten([[ (media_id + 7*x + 13*y) % 256 + (3*x + 5*y + 1) % 256
+           |             + (x*y + media_id % 17) % 256
+           |        for x in range(0, w)] for y in range(0, h)]) END AS gg
+           |  FROM d)
+           |SELECT media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           |  CAST(w * h AS INTEGER) AS n_pixels,
+           |  CAST(list_min(gg) AS INTEGER) AS min_lum,
+           |  CAST(list_max(gg) AS INTEGER) AS max_lum,
+           |  CAST(list_max(gg) - list_min(gg) AS INTEGER) AS contrast,
+           |  CAST(len(list_distinct(gg)) AS INTEGER) AS n_distinct_lum,
+           |  (w * h >= 16 AND list_max(gg) - list_min(gg) >= 30) AS keep
+           |FROM l ORDER BY media_id""".stripMargin),
+    "image quality gate: resolution + contrast + palette stats over decoded pixels (LLM-pipeline op)")
+
   /** BIGRAM-LM FLUENCY SCORING — the statistical-LM quality filter (the
     * CCNet/KenLM idea with the LM trained IN-ENGINE, d44's pattern): score
     * each document by the mean conditional probability of its word bigrams
@@ -2704,5 +2754,5 @@ object TextQueries {
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
       d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43, d44,
-      d45, m01, m02, m03, m04, m05, m06, m07, m08, m10, m11, m12)
+      d45, m01, m02, m03, m04, m05, m06, m07, m08, m10, m11, m12, m13)
 }

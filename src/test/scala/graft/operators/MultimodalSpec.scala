@@ -20,6 +20,22 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2).n_bytes == 0 && got(2).frame_offsets.isEmpty && got(2).thumb_bytes == 0)
   }
 
+  test("imageQuality (m13): flat image fails contrast, tiny image fails " +
+      "pixels, textured large image passes; stats exact") {
+    val flat = BmpCodec.encode(8, 8, (_, _) => (10, 20, 30))      // lum 60 everywhere
+    val tiny = BmpCodec.encode(3, 3, (x, y) => (x * 80, y * 80, 0)) // 9 px < 16
+    val good = BmpCodec.encode(8, 8, (x, y) => (x * 30, y * 30, 5))
+    val media = Seq((1L, flat), (2L, tiny), (3L, good)).toDF("media_id", "media")
+    val got = Multimodal.imageQuality(media, "media_id", "media")
+      .collect().map(q => q.media_id -> q).toMap
+    assert(got(1L).contrast == 0 && got(1L).n_distinct_lum == 1 && !got(1L).keep)
+    assert(got(2L).n_pixels == 9 && got(2L).contrast == 320 && !got(2L).keep)
+    assert(got(3L).min_lum == 5 && got(3L).max_lum == 7 * 30 * 2 + 5 &&
+      got(3L).keep, s"expected pass: ${got(3L)}")
+    // distinct luminances of good: {30(x+y)+5 : x,y in 0..7} -> 15 values
+    assert(got(3L).n_distinct_lum == 15)
+  }
+
   test("mediaFromDocuments builds a well-typed media table from testdata") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
     val media = Multimodal.mediaFromDocuments(spark, docs)
