@@ -1615,7 +1615,59 @@ object StreamingQueries {
     VectorQueries.v23.oracle, // per-query rows independent ⇒ drain ≡ batch
     "streaming ANN recall monitor: continuous index-quality eval per micro-batch (LLM-pipeline op)")
 
+  /** STREAMING EMBEDDING-DRIFT MONITOR (s27) — v22's corpus-health signal
+    * maintained continuously as embeddings arrive: each micro-batch folds
+    * its ASSOCIATIVE integer partials ((label, dim) component sums +
+    * per-label counts, [[VectorQueries.driftPartialSums]]) into an
+    * append-only state table; the drift projection reads the folded state.
+    * Quantization is per-vector, sums are exact int64 — ANY batch split
+    * folds to the same integers, so drain ≡ batch and v22's oracle applies
+    * verbatim. State volume is labels × (dims+1) rows per batch,
+    * corpus-independent; embeddings never cross an exchange (v22's
+    * plan-audit property holds per micro-batch). */
+  val s27 = QueryDef(
+    "s27_stream_drift_monitor",
+    (spark, dir) => {
+      import graft.merge.ParquetTable
+      import graft.functions.VectorFunctions
+      VectorFunctions.register(spark)
+      val emb = graft.sources.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val srcDir = FixtureDirs.cachedDir("s27-emb-", dir) { d =>
+        (0 to 2).foreach { i =>
+          val tmp = FixtureDirs.create(s"s27-part$i-")
+          emb.filter(col("vec_id") % 3 === i)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val f = java.nio.file.Files.list(tmp)
+            .filter(_.toString.endsWith(".parquet")).findFirst().get()
+          java.nio.file.Files.move(f, d.resolve(s"batch$i.parquet"))
+        }
+      }
+      val state = new ParquetTable(spark,
+        s"${FixtureDirs.create("s27-state-")}/state",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "label int, dim int, sa bigint, sb bigint"))
+      val stream = spark.readStream
+        .schema("vec_id bigint, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      withStreamConf(spark) {
+        val q = stream.writeStream
+          .option("checkpointLocation", newCkptDir())
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            state.append(
+              VectorQueries.driftPartialSums(batch.localCheckpoint(true)))
+          }
+          .start()
+        q.awaitTermination()
+      }
+      VectorQueries.driftFromPartials(state.read())
+    },
+    VectorQueries.v22.oracle, // associative integer folds ⇒ drain ≡ batch
+    "streaming embedding-drift monitor: per-batch associative partials into state, v22 verbatim (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
     s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24,
-    s25, s26)
+    s25, s26, s27)
 }

@@ -1035,26 +1035,41 @@ object VectorQueries {
     * generation is O(labels) output. Int64 headroom: |sum| ≤ 127·n so
     * dot-terms stay below 2^53 up to n ≈ 7·10^8 vectors per (label,
     * snapshot); shard the sum hierarchically past that. */
-  /** v22 core over any (vec_id, label, embedding) frame — factored out so
-    * the spec can drive synthetic snapshots (identical halves → cos ≈ 1,
-    * orthogonal halves → cos = 0). */
-  private[graft] def embeddingDrift(base: org.apache.spark.sql.DataFrame)
+  /** v22's ASSOCIATIVE state: per-(label, dim) int64 component sums for the
+    * two snapshots, plus per-label row counts riding `dim = -1` rows. Each
+    * vector is quantized independently (per-vector maxabs), so partials
+    * over ANY split of the corpus fold to the same integers — the property
+    * s27 streams on. */
+  private[graft] def driftPartialSums(batch: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val d = base.select(
+    val d = batch.select(
         col("label"), (col("vec_id") % 2).cast("int").as("snap"),
         VectorFunctions.quantizeInt8Vec(col("embedding")).as("qv"))
       .select(col("label"), col("snap"),
         posexplode(col("qv")).as(Seq("dim", "v")))
-    val s = d.groupBy(col("label"), col("dim")).agg(
+    val dims = d.groupBy(col("label"), col("dim")).agg(
       sum(when(col("snap") === 0, col("v")).otherwise(lit(0.0)).cast("long")).as("sa"),
       sum(when(col("snap") === 1, col("v")).otherwise(lit(0.0)).cast("long")).as("sb"))
-    val g = s.groupBy(col("label")).agg(
+    val counts = batch.groupBy(col("label")).agg(
+        sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("sa"),
+        sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("sb"))
+      .select(col("label"), lit(-1).as("dim"), col("sa"), col("sb"))
+    dims.select(col("label"), col("dim"), col("sa"), col("sb"))
+      .unionByName(counts)
+  }
+
+  /** Fold partials (one or many generations of them) and finish v22's
+    * drift projection — exact int64 folds, two sqrt's and one divide. */
+  private[graft] def driftFromPartials(parts: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val sums = parts.filter(col("dim") >= 0).groupBy(col("label"), col("dim"))
+      .agg(sum(col("sa")).as("sa"), sum(col("sb")).as("sb"))
+    val g = sums.groupBy(col("label")).agg(
       sum(col("sa") * col("sb")).as("dot"),
       sum(col("sa") * col("sa")).as("na"),
       sum(col("sb") * col("sb")).as("nb"))
-    val counts = base.groupBy(col("label")).agg(
-      sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
-      sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n_b"))
+    val counts = parts.filter(col("dim") === -1).groupBy(col("label"))
+      .agg(sum(col("sa")).as("n_a"), sum(col("sb")).as("n_b"))
     g.join(counts, Seq("label"))
       .select(col("label"), col("n_a"), col("n_b"),
         col("dot"), col("na"), col("nb"),
@@ -1064,6 +1079,14 @@ object VectorQueries {
           .as("centroid_cos"))
       .orderBy(col("label"))
   }
+
+  /** v22 core over any (vec_id, label, embedding) frame — factored out so
+    * the spec can drive synthetic snapshots (identical halves → cos ≈ 1,
+    * orthogonal halves → cos = 0). Composed from the associative partials
+    * so batch and streaming (s27) share one implementation. */
+  private[graft] def embeddingDrift(base: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    driftFromPartials(driftPartialSums(base))
 
   val v22 = QueryDef(
     "v22_embedding_drift",

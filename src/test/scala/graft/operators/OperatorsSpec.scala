@@ -520,4 +520,18 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(got(1) - 1.0) < 1e-12, s"identical halves: ${got(1)}")
     assert(got(2) == 0.0, s"orthogonal halves: ${got(2)}")
   }
+
+  test("driftPartialSums fold over any batch split ≡ embeddingDrift " +
+      "bit-for-bit (the s27 drain ≡ batch property)") {
+    VectorFunctions.register(spark)
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val direct = graft.queries.VectorQueries.embeddingDrift(emb)
+      .collect().toSeq.map(_.toSeq)
+    val parts = (0 to 2).map(i => graft.queries.VectorQueries
+        .driftPartialSums(emb.filter($"vec_id" % 3 === i)))
+      .reduce(_ unionByName _)
+    val folded = graft.queries.VectorQueries.driftFromPartials(parts)
+      .collect().toSeq.map(_.toSeq)
+    assert(folded == direct)
+  }
 }
