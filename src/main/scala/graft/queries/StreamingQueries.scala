@@ -1667,7 +1667,56 @@ object StreamingQueries {
     VectorQueries.v22.oracle, // associative integer folds ⇒ drain ≡ batch
     "streaming embedding-drift monitor: per-batch associative partials into state, v22 verbatim (LLM-pipeline op)")
 
+  /** STREAMING LM-FLUENCY GATE (s28) — d45's statistical-LM quality score
+    * applied at INGEST (the s21/s23 frozen-side-input discipline): the
+    * bigram LM is trained ONCE on the reference corpus (two vocabulary-
+    * bounded checkpointed count tables), then every arriving micro-batch
+    * is scored against it and landed with its gate verdict. Scoring is a
+    * pure per-document function of the frozen counts, so any batch split
+    * produces identical rows — drain ≡ batch and d45's oracle applies
+    * verbatim. */
+  val s28 = QueryDef(
+    "s28_stream_fluency_gate",
+    (spark, dir) => {
+      import graft.merge.ParquetTable
+      val docs = graft.sources.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+      val (cb, cp) = TextQueries.lmCounts(docs) // frozen LM side input
+      val srcDir = FixtureDirs.cachedDir("s28-docs-", dir) { d =>
+        (0 to 2).foreach { i =>
+          val tmp = FixtureDirs.create(s"s28-part$i-")
+          docs.filter(col("doc_id") % 3 === i)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val f = java.nio.file.Files.list(tmp)
+            .filter(_.toString.endsWith(".parquet")).findFirst().get()
+          java.nio.file.Files.move(f, d.resolve(s"batch$i.parquet"))
+        }
+      }
+      val audit = new ParquetTable(spark,
+        s"${FixtureDirs.create("s28-audit-")}/audit",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id bigint, n_bigrams bigint, fluency double, fluent boolean"))
+      val stream = spark.readStream
+        .schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      withStreamConf(spark) {
+        val q = stream.writeStream
+          .option("checkpointLocation", newCkptDir())
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            audit.append(
+              TextQueries.lmScore(batch.localCheckpoint(true), cb, cp))
+          }
+          .start()
+        q.awaitTermination()
+      }
+      audit.read().orderBy(col("doc_id"))
+    },
+    TextQueries.d45.oracle, // frozen LM + per-doc scoring ⇒ drain ≡ batch
+    "streaming LM-fluency gate: frozen in-engine LM scores each micro-batch at ingest (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
     s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24,
-    s25, s26, s27)
+    s25, s26, s27, s28)
 }

@@ -2632,6 +2632,74 @@ object TextQueries {
     },
     "BPE tokenizer training: learn the merge table from corpus word counts, all rounds oracle-replayed (LLM-pipeline op)")
 
+  /** DEDUP RECALL EVALUATION (d46) — v23's index-quality idea applied to
+    * TEXT dedup: per exact-Jaccard band, what fraction of true near-dup
+    * pairs (d05's inverted-index ground truth) does the MinHash-LSH
+    * pipeline (d06, k=8 r=2) surface? The per-band table IS the LSH
+    * S-curve — the (bands, rows) tuning signal: low-similarity bands are
+    * expected misses, a hole in the ≥0.8 band means the signature config
+    * is wrong. Bands cut by pure comparisons (rule-7 safe), recall is one
+    * int/int IEEE division. In production the ground-truth side runs on a
+    * SAMPLED partition (the v23 panel idea); the relation algebra here is
+    * identical, and both sides share the df-capped shingle universe so
+    * the eval never pays the all-pairs bomb the cap exists for. */
+  val d46 = QueryDef(
+    "d46_dedup_recall_eval",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val exact = Dedup.ngramJaccard(docs, "doc_id", "text",
+        n = 3, minJaccard = 0.05, maxDf = DedupMaxDf)
+      val lsh = Dedup.minhashLsh(docs, "doc_id", "text",
+          n = 3, k = 8, r = 2, minJaccard = 0.05, maxDf = DedupMaxDf)
+        .select(col("doc_a"), col("doc_b"), lit(1).as("hit"))
+      exact.join(lsh, Seq("doc_a", "doc_b"), "left")
+        .withColumn("band",
+          when(col("jaccard") >= 0.8, 3).when(col("jaccard") >= 0.6, 2)
+            .when(col("jaccard") >= 0.4, 1).otherwise(0))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0))).as("n_caught"))
+        .select(col("band"), col("n_true"), col("n_caught"),
+          (col("n_caught").cast("double") / col("n_true")).as("recall"))
+        .orderBy(col("band"))
+    },
+    Some {
+      val k = 8; val r = 2
+      val mhCols = (0 until k).map(i => s"min(md5('$i|' || shingle)) AS mh$i").mkString(",\n    ")
+      val bandRows = (0 until k / r).map { b =>
+        val parts = (0 until r).map(j => s"mh${b * r + j}").mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band_idx, md5($parts) AS band_hash FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $shingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS set_size FROM shc GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+         |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |exact AS (SELECT doc_a, doc_b,
+         |    CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter) AS jaccard
+         |  FROM inter
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter) >= 0.05),
+         |sig AS (SELECT doc_id,
+         |    $mhCols
+         |  FROM shc GROUP BY doc_id),
+         |bands AS ($bandRows),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+         |banded AS (SELECT e.jaccard,
+         |    CASE WHEN e.jaccard >= 0.8 THEN 3 WHEN e.jaccard >= 0.6 THEN 2
+         |         WHEN e.jaccard >= 0.4 THEN 1 ELSE 0 END AS band,
+         |    CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM exact e LEFT JOIN cand c ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b)
+         |SELECT band, CAST(count(*) AS BIGINT) AS n_true,
+         |  CAST(sum(hit) AS BIGINT) AS n_caught,
+         |  CAST(sum(hit) AS DOUBLE) / count(*) AS recall
+         |FROM banded GROUP BY band ORDER BY band""".stripMargin
+    },
+    "dedup recall evaluation: per-Jaccard-band LSH recall vs exact ground truth — the (k,r) tuning signal (LLM-pipeline op)")
+
   /** IMAGE QUALITY GATE (m13) — [[graft.operators.Multimodal.imageQuality]]
     * over a fixture where every third image is a solid color (contrast 0 —
     * the blank-placeholder class the gate exists for) and the rest carry
@@ -2697,38 +2765,63 @@ object TextQueries {
     * map-side projection recomputed per consumer), the score join keys on
     * (w1,w2)/(w1) — broadcast-able at any real vocab — and the ordered
     * fold runs post-aggregation on one row per document. */
+  /** d45's positioned-bigram relation: (doc_id, pos, w1, w2). A map-side
+    * projection off the scan — deliberately never persisted (the d34
+    * rule). */
+  private[graft] def lmBigrams(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.tokens(col("text")).as("w"))
+    val m = size(col("w")) - 1
+    toks.select(col("doc_id"),
+        posexplode(when(size(col("w")) < 2,
+            array().cast("array<struct<w1:string,w2:string>>"))
+          .otherwise(zip_with(slice(col("w"), lit(1), m),
+            slice(col("w"), lit(2), m),
+            (a, b) => struct(a.as("w1"), b.as("w2"))))).as(Seq("pos0", "x")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+        col("x.w1").as("w1"), col("x.w2").as("w2"))
+  }
+
+  /** d45's trained LM: vocabulary-bounded (bigram, prefix) count tables,
+    * eagerly checkpointed — the frozen side input s28 streams against. */
+  private[graft] def lmCounts(corpus: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val bg = lmBigrams(corpus)
+    (bg.groupBy(col("w1"), col("w2"))
+       .agg(count(lit(1)).as("cb")).localCheckpoint(true),
+     bg.groupBy(col("w1"))
+       .agg(count(lit(1)).as("cp")).localCheckpoint(true))
+  }
+
+  /** Score `docs` against a (frozen) bigram LM — per-doc mean conditional
+    * probability, summed in position order (rule 9). Pure function of
+    * (docs, cb, cp): batch-splitting `docs` is score-invariant, the s28
+    * drain ≡ batch property. */
+  private[graft] def lmScore(docs: org.apache.spark.sql.DataFrame,
+                             cb: org.apache.spark.sql.DataFrame,
+                             cp: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val p = lmBigrams(docs).join(cb, Seq("w1", "w2")).join(cp, Seq("w1"))
+      .select(col("doc_id"), col("pos"),
+        (col("cb").cast("double") / col("cp")).as("p"))
+    val agg = p.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_bigrams"),
+      aggregate(sort_array(collect_list(struct(col("pos"), col("p")))),
+        lit(0.0), (acc, x) => acc + x.getField("p")).as("s"))
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("s") / col("n_bigrams"), lit(0.0)).as("fluency"))
+      .withColumn("fluent", col("fluency") >= 0.05)
+  }
+
   val d45 = QueryDef(
     "d45_lm_fluency",
     (spark, dir) => {
       val docs = Tables.documents(spark, dir)
-      val toks = docs.select(col("doc_id"),
-        graft.functions.TextFunctions.tokens(col("text")).as("w"))
-      val m = size(col("w")) - 1
-      val bg = toks.select(col("doc_id"),
-          posexplode(when(size(col("w")) < 2,
-              array().cast("array<struct<w1:string,w2:string>>"))
-            .otherwise(zip_with(slice(col("w"), lit(1), m),
-              slice(col("w"), lit(2), m),
-              (a, b) => struct(a.as("w1"), b.as("w2"))))).as(Seq("pos0", "x")))
-        .select(col("doc_id"), (col("pos0") + 1).as("pos"),
-          col("x.w1").as("w1"), col("x.w2").as("w2"))
-      val cb = bg.groupBy(col("w1"), col("w2"))
-        .agg(count(lit(1)).as("cb")).localCheckpoint(true)
-      val cp = bg.groupBy(col("w1"))
-        .agg(count(lit(1)).as("cp")).localCheckpoint(true)
-      val p = bg.join(cb, Seq("w1", "w2")).join(cp, Seq("w1"))
-        .select(col("doc_id"), col("pos"),
-          (col("cb").cast("double") / col("cp")).as("p"))
-      val agg = p.groupBy(col("doc_id")).agg(
-        count(lit(1)).as("n_bigrams"),
-        aggregate(sort_array(collect_list(struct(col("pos"), col("p")))),
-          lit(0.0), (acc, x) => acc + x.getField("p")).as("s"))
-      docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-          coalesce(col("s") / col("n_bigrams"), lit(0.0)).as("fluency"))
-        .withColumn("fluent", col("fluency") >= 0.05)
-        .orderBy(col("doc_id"))
+      val (cb, cp) = lmCounts(docs)
+      lmScore(docs, cb, cp).orderBy(col("doc_id"))
     },
     Some("""WITH toks AS (SELECT doc_id,
            |    CASE WHEN length(trim(text)) = 0 THEN []
@@ -2754,5 +2847,5 @@ object TextQueries {
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
       d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43, d44,
-      d45, m01, m02, m03, m04, m05, m06, m07, m08, m10, m11, m12, m13)
+      d45, d46, m01, m02, m03, m04, m05, m06, m07, m08, m10, m11, m12, m13)
 }
