@@ -2632,6 +2632,46 @@ object TextQueries {
     },
     "BPE tokenizer training: learn the merge table from corpus word counts, all rounds oracle-replayed (LLM-pipeline op)")
 
+  /** TOKENIZER FERTILITY REPORT (d47) — the tokenizer-health metric every
+    * multilingual/multi-domain pipeline tracks: per source, words per the
+    * BPE pre-tokenizer, total subword tokens under the frozen trained
+    * table (d36/d44), FERTILITY (tokens/word — a rising value means the
+    * vocabulary doesn't cover the domain) and the single-token hit rate
+    * (fraction of words the vocab absorbs whole — the d44 retrain
+    * trigger). Per-word counts ride the same memoized native
+    * [[graft.functions.BpeEncodeExpr]] as d36; the relation is one
+    * word-explode + one keyed shuffle to |sources| rows; ratios are exact
+    * int/int IEEE divisions. Oracle shares d36's recursive merge-replay
+    * CTE verbatim. */
+  val d47 = QueryDef(
+    "d47_tokenizer_fertility",
+    (spark, dir) => {
+      TextFunctions.registerNative(spark)
+      val words = Tables.documents(spark, dir)
+        .select(col("source"), explode(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).as("wtok"))
+        .select(col("source"),
+          size(TextFunctions.bpeTokens(col("wtok"))).as("nt"))
+      words.groupBy(col("source")).agg(
+          count(lit(1)).as("n_words"),
+          sum(col("nt")).as("n_tokens"),
+          sum(when(col("nt") === 1, 1L).otherwise(0L)).as("n_single"))
+        .select(col("source"), col("n_words"), col("n_tokens"), col("n_single"),
+          (col("n_tokens").cast("double") / col("n_words")).as("fertility"),
+          (col("n_single").cast("double") / col("n_words")).as("single_token_rate"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH RECURSIVE $bpeCte,
+            |w AS (SELECT d.source, len(f.syms) AS nt
+            |  FROM fin f JOIN documents d USING (doc_id))
+            |SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+            |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+            |  CAST(sum(CASE WHEN nt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_single,
+            |  CAST(sum(nt) AS DOUBLE) / count(*) AS fertility,
+            |  CAST(sum(CASE WHEN nt = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS single_token_rate
+            |FROM w GROUP BY source ORDER BY source""".stripMargin),
+    "tokenizer fertility report: per-source tokens/word + single-token hit rate under the frozen BPE (LLM-pipeline op)")
+
   /** DEDUP RECALL EVALUATION (d46) — v23's index-quality idea applied to
     * TEXT dedup: per exact-Jaccard band, what fraction of true near-dup
     * pairs (d05's inverted-index ground truth) does the MinHash-LSH
@@ -2847,5 +2887,5 @@ object TextQueries {
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
       d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43, d44,
-      d45, d46, m01, m02, m03, m04, m05, m06, m07, m08, m10, m11, m12, m13)
+      d45, d46, d47, m01, m02, m03, m04, m05, m06, m07, m08, m10, m11, m12, m13)
 }
