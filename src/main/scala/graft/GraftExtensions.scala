@@ -102,6 +102,11 @@ object GraftExtensions {
     (FunctionIdentifier("pq_adc"), info("pq_adc", classOf[PqAdcExpr]),
       (e: Seq[Expression]) => PqAdcExpr(e(0), e(1),
         intArg(e(2), "pq_adc", "m"), intArg(e(3), "pq_adc", "ksub"))),
+    (FunctionIdentifier("residual_vec"), info("residual_vec", classOf[ResidualExpr]),
+      (e: Seq[Expression]) => ResidualExpr(e(0), e(1),
+        e(2).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toDoubleArray(),
+        intArg(e(3), "residual_vec", "dims"))),
     (FunctionIdentifier("nearest_cells"), info("nearest_cells", classOf[NearestCellsExpr]),
       (e: Seq[Expression]) => NearestCellsExpr(e(0),
         e(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]

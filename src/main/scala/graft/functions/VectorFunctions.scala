@@ -21,6 +21,7 @@ object VectorFunctions {
   private val PqEncName = "pq_encode"
   private val PqTabName = "pq_dist_table"
   private val PqAdcName = "pq_adc"
+  private val ResName = "residual_vec"
 
   /** Idempotently register the native expressions in the session's function
     * registry (temp functions — survive for the session lifetime). */
@@ -67,6 +68,12 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       PqAdcName, exprs => PqAdcExpr(exprs(0), exprs(1),
         exprs(2).eval().asInstanceOf[Int], exprs(3).eval().asInstanceOf[Int]),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      ResName, exprs => ResidualExpr(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toDoubleArray(),
+        exprs(3).eval().asInstanceOf[Int]),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       CellL2Name, exprs => NearestCellL2Expr(exprs(0),
@@ -159,6 +166,13 @@ object VectorFunctions {
     * [[register]] first. */
   def pqAdc(table: Column, code: Column, m: Int, ksub: Int): Column =
     call_function(PqAdcName, table, code, lit(m), lit(ksub))
+
+  /** Residual against the assigned centroid ([[ResidualExpr]], matrix as a
+    * reference object, fused loop); call [[register]] first. */
+  def residualVec(v: Column, cell: Column, flatCents: Seq[Double],
+                  dims: Int): Column =
+    call_function(ResName, v.cast("array<double>"), cell.cast("int"),
+      typedlit(flatCents), lit(dims))
 
   /** Deterministic random-hyperplane sign-LSH bucket for an embedding
     * column — the 100 TB path for similarity search: bucket by LSH, join

@@ -356,6 +356,105 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
   }
 
+  /** RESIDUAL IVF-PQ — the true FAISS IVFPQ encoding ([[ivfPqTopK]] PQ-codes
+    * raw vectors; Jégou et al. 2011 §IV quantize the residual `v − c(v)`
+    * against the assigned centroid): residuals from every cell cluster
+    * around the origin, so ONE small codebook covers all cells and the
+    * same code budget buys tighter quantization once cells are real
+    * clusters. Structure cost: the query-side ADC table becomes
+    * PER-(query, probed cell) — `nprobe` tables of `m·ksub` doubles per
+    * query instead of one, still broadcast-sized. The codebook trains on
+    * an OFFSET stride sample (`vec_id % stride == 1` — disjoint from the
+    * centroid sample, whose residuals are all-zero) with residuals under
+    * the SAME assignment rule. Corpus side: assign → native
+    * [[graft.functions.ResidualExpr]] → PQ code, all in the scan stage —
+    * raw embeddings never shuffle; the exact re-rank fetches only the
+    * `shortlist·|queries|` survivors. Every arithmetic step is the
+    * engine-portable kind (exact subtracts, sequential L2 folds,
+    * m-ascending ADC sums), so a DuckDB oracle mirrors training, encoding,
+    * probing, and scoring bit-identically. */
+  def ivfPqResidualTopK(queries: DataFrame, corpus: DataFrame,
+                        cos: (Column, Column) => Column, k: Int,
+                        nlist: Int = 16, nprobe: Int = 4, shortlist: Int = 50,
+                        m: Int = 8, ksub: Int = 16, dims: Int = 64): DataFrame = {
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
+    val dsub = dims / m
+    VectorFunctions.register(corpus.sparkSession)
+    val cents = strideCentroids(corpus, nlist)
+    val topCells = topCellsOf(cents, cos) _
+    val flatCents: IndexedSeq[Double] = {
+      val arr = new Array[Double](cents.length * dims)
+      cents.foreach { case (cell, v) =>
+        var i = 0
+        while (i < dims) {
+          arr(cell * dims + i) = if (i < v.length) v(i) else 0.0; i += 1
+        }
+      }
+      arr.toIndexedSeq
+    }
+    val n = graft.sources.ParquetMeta.rowCount(corpus)
+    val stride = math.max(1L, n / ksub)
+    val samp = corpus.filter(col("vec_id") % stride === 1)
+      .orderBy(col("vec_id")).limit(ksub)
+      .withColumn("cell",
+        element_at(topCells(col("embedding"), 1), 1).getField("cell"))
+      .select(col("embedding").cast("array<double>").as("emb"), col("cell"))
+      .collect()
+    require(samp.length == ksub,
+      s"residual codebook sample ${samp.length} != $ksub (corpus too small)")
+    val rcb: Seq[Double] = {
+      val arr = new Array[Double](m * ksub * dsub)
+      samp.zipWithIndex.foreach { case (r, c) =>
+        val v = r.getSeq[Double](0)
+        val cell = r.getAs[Int]("cell")
+        var sub = 0
+        while (sub < m) {
+          var d = 0
+          while (d < dsub) {
+            val i = sub * dsub + d
+            val x = if (i < v.length) v(i) else 0.0
+            arr((sub * ksub + c) * dsub + d) = x - flatCents(cell * dims + i)
+            d += 1
+          }
+          sub += 1
+        }
+      }
+      arr.toSeq
+    }
+    // corpus side: assign → residual → code, one map-only pass
+    val codes = corpus
+      .withColumn("cell",
+        element_at(topCells(col("embedding"), 1), 1).getField("cell"))
+      .select(col("vec_id"), col("cell"),
+        VectorFunctions.pqEncode(
+          VectorFunctions.residualVec(col("embedding"), col("cell"),
+            flatCents, dims), rcb, m, ksub, dsub).as("code"))
+    // query side: one residual ADC table per probed cell
+    val q = queries
+      .withColumn("probe", explode(topCells(col("embedding"), nprobe)))
+      .select(col("vec_id").as("query_id"), col("probe.cell").as("cell"),
+        VectorFunctions.pqDistTable(
+          VectorFunctions.residualVec(col("embedding"), col("probe.cell"),
+            flatCents, dims), rcb, m, ksub, dsub).as("dtab"))
+    val cand = q.join(codes, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("adist",
+        round(VectorFunctions.pqAdc(col("dtab"), col("code"), m, ksub), 6))
+    val ws = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))
+    val short = cand.withColumn("srank", row_number().over(ws))
+      .filter(col("srank") <= shortlist)
+      .select(col("query_id"), col("vec_id"))
+    val scored = short
+      .join(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_vec")),
+        Seq("query_id"))
+      .join(corpus.select(col("vec_id"), col("embedding").as("c_vec")), Seq("vec_id"))
+      .withColumn("cos", round(cos(col("q_vec"), col("c_vec")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
+  }
+
   /** `keep`: optional metadata predicate for FILTERED vector search — the
     * production "ANN + WHERE clause" pattern. The index (centroids +
     * assignment rule) is built on the FULL corpus, so one index serves

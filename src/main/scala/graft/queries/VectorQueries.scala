@@ -1430,7 +1430,80 @@ object VectorQueries {
     },
     "matryoshka two-stage ANN: truncated-dim shortlist + full-dim exact re-rank (LLM-pipeline op)")
 
+  /** RESIDUAL IVF-PQ — [[Similarity.ivfPqResidualTopK]], the true FAISS
+    * IVFPQ encoding (residual against the assigned centroid, not the raw
+    * vector — v12's upgrade). The oracle mirrors the ENTIRE pipeline from
+    * the data: cell assignment, per-vector residuals, the offset-stride
+    * residual codebook, per-subspace argmin encoding, per-(query, probe)
+    * residual ADC tables, m-ascending ADC sums, shortlist, and exact
+    * re-rank — a hash match pins every stage. */
+  val v29 = QueryDef(
+    "v29_ann_ivfpq_residual",
+    (spark, dir) => {
+      VectorFunctions.register(spark)
+      val emb = Tables.embeddings(spark, dir)
+      Similarity.ivfPqResidualTopK(emb.filter(col("vec_id") < 10), emb,
+          VectorFunctions.cosineSim, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some {
+      val nlist = 16; val nprobe = 4; val ksub = 16; val dsub = 8
+      val shortlist = 50
+      val affCos = cosSql("e.emb", "cent.cemb")
+      val cos = cosSql("q.emb", "t.emb")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, emb AS cemb
+         |  FROM e WHERE vec_id % greatest(1, (SELECT count(*) FROM e) // $nlist) = 0
+         |  ORDER BY vec_id LIMIT $nlist),
+         |aff AS (SELECT e.vec_id, cent.cell, $affCos AS a FROM e, cent),
+         |assign AS (SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell DESC) AS rn
+         |    FROM aff) WHERE rn = 1),
+         |res AS (SELECT e.vec_id, a.cell,
+         |    [e.emb[i] - c.cemb[i] for i in generate_series(1, 64)] AS r
+         |  FROM e JOIN assign a ON a.vec_id = e.vec_id JOIN cent c ON c.cell = a.cell),
+         |samp AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c, vec_id
+         |  FROM e WHERE vec_id % greatest(1, (SELECT count(*) FROM e) // $ksub) = 1
+         |  ORDER BY vec_id LIMIT $ksub),
+         |cb AS (SELECT sub, samp.c, list_slice(res.r, sub*$dsub + 1, sub*$dsub + $dsub) AS w
+         |  FROM samp JOIN res ON res.vec_id = samp.vec_id,
+         |  (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS sub)),
+         |dist AS (SELECT res.vec_id, cb.sub, cb.c,
+         |    list_sum([(res.r[cb.sub*$dsub + i] - cb.w[i]) * (res.r[cb.sub*$dsub + i] - cb.w[i])
+         |              for i in generate_series(1, $dsub)]) AS d
+         |  FROM res, cb),
+         |enc AS (SELECT vec_id, sub, c FROM (
+         |    SELECT vec_id, sub, c, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, c ASC) AS rn
+         |    FROM dist) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell DESC) AS rn
+         |    FROM aff WHERE vec_id < 10) WHERE rn <= $nprobe),
+         |qres AS (SELECT p.query_id, p.cell,
+         |    [q.emb[i] - c.cemb[i] for i in generate_series(1, 64)] AS r
+         |  FROM probes p JOIN e q ON q.vec_id = p.query_id JOIN cent c ON c.cell = p.cell),
+         |qdist AS (SELECT qr.query_id, qr.cell, cb.sub, cb.c,
+         |    list_sum([(qr.r[cb.sub*$dsub + i] - cb.w[i]) * (qr.r[cb.sub*$dsub + i] - cb.w[i])
+         |              for i in generate_series(1, $dsub)]) AS d
+         |  FROM qres qr, cb),
+         |parts AS (SELECT qd.query_id, t.vec_id, qd.sub, qd.d
+         |  FROM enc t JOIN assign a ON a.vec_id = t.vec_id
+         |  JOIN qdist qd ON qd.cell = a.cell AND qd.sub = t.sub AND qd.c = t.c
+         |  WHERE t.vec_id <> qd.query_id),
+         |adc AS (SELECT query_id, vec_id, round(list_sum(list(d ORDER BY sub)), 6) AS adist
+         |  FROM parts GROUP BY 1, 2),
+         |short AS (SELECT query_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rn
+         |    FROM adc) WHERE rn <= $shortlist),
+         |scored AS (SELECT s.query_id, s.vec_id, round($cos, 6) AS cos
+         |  FROM short s JOIN e q ON q.vec_id = s.query_id JOIN e t ON t.vec_id = s.vec_id)
+         |SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
+    "residual IVF-PQ ANN: FAISS-style residual codes, per-probe ADC tables, exact re-rank (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
     v10, v11, v12, v13, v14, v15, v16, v17, v17b, v18, v19, v20, v21, v22, v23,
-    v24, v25, v26, v27, v28)
+    v24, v25, v26, v27, v28, v29)
 }

@@ -75,6 +75,32 @@ class ProductQuantizationSpec extends SparkSpec {
       s"rerank recall ${(bf & rr).size.toDouble / bf.size}")
   }
 
+  test("residualVec: centroid's own vector has zero residual; residual " +
+      "IVF-PQ holds the recall floor and returns full top-k") {
+    VectorFunctions.register(spark)
+    // vec 0 IS cell 0's centroid (stride sample starts at id 0), so its
+    // residual against cell 0 must be EXACTLY the zero vector
+    val cents = Similarity.strideCentroids(emb, 16)
+    val flat = cents.flatMap(_._2).toIndexedSeq
+    val own = emb.filter($"vec_id" === 0)
+      .select(VectorFunctions.residualVec(col("embedding"),
+        org.apache.spark.sql.functions.lit(0), flat, 64))
+      .collect().head.getSeq[Double](0)
+    assert(own.length == 64 && own.forall(_ == 0.0),
+      "centroid self-residual must be exactly 0")
+
+    val q = emb.filter($"vec_id" < 10)
+    val bf = Similarity.bruteForceTopK(q, emb, VectorFunctions.cosineSim, 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val res = Similarity.ivfPqResidualTopK(q, emb, VectorFunctions.cosineSim,
+        k = 5, shortlist = 100) // v10's R=100 precedent on worst-case data
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(res.groupBy(_._1).size == 10 &&
+      res.groupBy(_._1).values.forall(_.size == 5), "full top-k per query")
+    assert((bf & res).size.toDouble / bf.size >= 0.5,
+      s"residual IVF-PQ recall ${(bf & res).size.toDouble / bf.size}")
+  }
+
   test("all three expressions reject inconsistent geometry at plan time") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     val one = Literal(1)
