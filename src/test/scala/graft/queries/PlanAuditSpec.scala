@@ -474,6 +474,28 @@ class PlanAuditSpec extends SparkSpec {
       s"scan is not bucketed:\n${join.queryExecution.executedPlan}")
   }
 
+  test("v29 residual IVF-PQ keeps the cell equi-join shape — no cartesian, " +
+      "and no raw embedding crosses a shuffle (codes + tables only)") {
+    val p = planOf("v29_ann_ivfpq_residual")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"v29 fell back to all-pairs:\n$p")
+    // the candidate join carries (cell, code, dtab); corpus embeddings are
+    // consumed in the scan stage and re-fetched only for the shortlist
+    val (plan, exchanges) = exchangesOf("v29_ann_ivfpq_residual")
+    val joinExchanges = exchanges.filter(_.child.output.exists(_.name == "code"))
+    assert(joinExchanges.forall(!_.child.output.exists(_.name == "embedding")),
+      s"raw embedding rides the code shuffle:\n$plan")
+  }
+
+  test("m13 image quality gate: media bytes never reach an exchange") {
+    assertExchangesFreeOf("m13_image_quality_gate", Seq("media"))
+  }
+
+  test("d45 LM fluency: raw text never crosses a shuffle — only (w1,w2) " +
+      "count rows and per-doc stats move") {
+    assertExchangesFreeOf("d45_lm_fluency", Seq("text"))
+  }
+
   test("v18 range search keeps the IVF equi-join shape — no all-pairs scan") {
     val p = planOf("v18_range_search")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
