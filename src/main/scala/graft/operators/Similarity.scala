@@ -653,6 +653,58 @@ object Similarity {
         col("rank"))
   }
 
+  /** BINARY (sign) quantization + Hamming search — the 1-bit/dim memory
+    * lever (64-dim float64 → two int32-words: 32× smaller than int8, 256×
+    * smaller than the raw vector; the "binary embedding" serving pattern):
+    * fingerprint = sign bit per component packed into (lo, hi) 32-bit
+    * words (split so every partial sum stays positive — no int64
+    * sign-bit edge), candidates ranked by exact integer Hamming distance,
+    * exact cosine re-ranks the `shortlist` survivors. Packing follows the
+    * v22 dim-explode discipline: partial sums collapse map-side, the
+    * shuffle carries (vec_id, lo, hi) — never embeddings (plan-audited).
+    * At 100 TB the Hamming stage runs over the two-long fingerprint
+    * column only; bucket by fingerprint chunks (the m04 pigeonhole) to
+    * avoid the panel×corpus scan when the query set is large. All
+    * arithmetic is exact integers + one rounded cosine — fully
+    * oracle-mirrorable. */
+  def binaryHammingTopK(queries: DataFrame, corpus: DataFrame,
+                        cos: (Column, Column) => Column, k: Int,
+                        shortlist: Int): DataFrame = {
+    def bitsOf(df: DataFrame): DataFrame =
+      df.select(col("vec_id"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+        .groupBy(col("vec_id")).agg(
+          sum(when(col("dim") < 32 && col("v") > 0,
+            expr("shiftleft(1L, CAST(dim AS INT))")).otherwise(lit(0L))).as("lo"),
+          sum(when(col("dim") >= 32 && col("v") > 0,
+            expr("shiftleft(1L, CAST(dim AS INT) - 32)")).otherwise(lit(0L))).as("hi"))
+    val cb = bitsOf(corpus)
+    val qb = bitsOf(queries).select(col("vec_id").as("query_id"),
+      col("lo").as("qlo"), col("hi").as("qhi"))
+    val ham = qb.crossJoin(cb)
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        (bit_count(col("qlo").bitwiseXOR(col("lo"))) +
+          bit_count(col("qhi").bitwiseXOR(col("hi")))).cast("int").as("hamming"))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("vec_id"))
+    val short = ham.withColumn("srn", row_number().over(ws))
+      .filter(col("srn") <= shortlist)
+      .select(col("query_id"), col("vec_id"), col("hamming"))
+    val scored = short
+      .join(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_vec")), Seq("query_id"))
+      .join(corpus.select(col("vec_id"), col("embedding").as("c_vec")),
+        Seq("vec_id"))
+      .withColumn("cos", round(cos(col("q_vec"), col("c_vec")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("hamming"), col("cos"),
+        col("rank"))
+  }
+
   /** RANGE (radius) search — every corpus vector with cosine ≥ `tau` of each
     * query, the retrieval mode dedup thresholds and contamination sweeps use
     * (a top-k cannot express "all matches above a similarity bar"). Same

@@ -1716,7 +1716,55 @@ object StreamingQueries {
     TextQueries.d45.oracle, // frozen LM + per-doc scoring ⇒ drain ≡ batch
     "streaming LM-fluency gate: frozen in-engine LM scores each micro-batch at ingest (LLM-pipeline op)")
 
+  /** STREAMING TOKENIZER-FERTILITY MONITOR (s29) — d47's tokenizer-health
+    * report maintained as the corpus ingests (the s25/s27 discipline):
+    * each micro-batch folds its associative per-source integer partials
+    * (words, tokens, single-token words — [[TextQueries.fertilityPartials]])
+    * into an append-only state table; ratios are computed from the folded
+    * state. Exact int64 sums ⇒ drain ≡ batch, d47's oracle verbatim. A
+    * rising fertility on fresh batches is the live d44-retrain signal. */
+  val s29 = QueryDef(
+    "s29_stream_fertility_monitor",
+    (spark, dir) => {
+      import graft.merge.ParquetTable
+      graft.functions.TextFunctions.registerNative(spark)
+      val docs = graft.sources.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val srcDir = FixtureDirs.cachedDir("s29-docs-", dir) { d =>
+        (0 to 2).foreach { i =>
+          val tmp = FixtureDirs.create(s"s29-part$i-")
+          docs.filter(col("doc_id") % 3 === i)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val f = java.nio.file.Files.list(tmp)
+            .filter(_.toString.endsWith(".parquet")).findFirst().get()
+          java.nio.file.Files.move(f, d.resolve(s"batch$i.parquet"))
+        }
+      }
+      val state = new ParquetTable(spark,
+        s"${FixtureDirs.create("s29-state-")}/state",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "source string, n_words bigint, n_tokens bigint, n_single bigint"))
+      val stream = spark.readStream
+        .schema("doc_id bigint, source string, text string")
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      withStreamConf(spark) {
+        val q = stream.writeStream
+          .option("checkpointLocation", newCkptDir())
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            state.append(
+              TextQueries.fertilityPartials(batch.localCheckpoint(true)))
+          }
+          .start()
+        q.awaitTermination()
+      }
+      TextQueries.fertilityFromPartials(state.read())
+    },
+    TextQueries.d47.oracle, // associative integer folds ⇒ drain ≡ batch
+    "streaming tokenizer-fertility monitor: per-batch associative partials, d47 verbatim (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
     s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24,
-    s25, s26, s27, s28)
+    s25, s26, s27, s28, s29)
 }

@@ -2643,23 +2643,38 @@ object TextQueries {
     * word-explode + one keyed shuffle to |sources| rows; ratios are exact
     * int/int IEEE divisions. Oracle shares d36's recursive merge-replay
     * CTE verbatim. */
+  /** d47's ASSOCIATIVE per-source partials (word/token/single-token
+    * counts) — exact int64 sums, so any batch split folds to the same
+    * integers: the s29 streaming property. */
+  private[graft] def fertilityPartials(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("source"), explode(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).as("wtok"))
+      .select(col("source"),
+        size(TextFunctions.bpeTokens(col("wtok"))).as("nt"))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_words"),
+        sum(col("nt")).as("n_tokens"),
+        sum(when(col("nt") === 1, 1L).otherwise(0L)).as("n_single"))
+
+  /** Fold fertility partials (one or many batches of them) and finish
+    * d47's ratio projection. */
+  private[graft] def fertilityFromPartials(parts: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    parts.groupBy(col("source")).agg(
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_single")).as("n_single"))
+      .select(col("source"), col("n_words"), col("n_tokens"), col("n_single"),
+        (col("n_tokens").cast("double") / col("n_words")).as("fertility"),
+        (col("n_single").cast("double") / col("n_words")).as("single_token_rate"))
+      .orderBy(col("source"))
+
   val d47 = QueryDef(
     "d47_tokenizer_fertility",
     (spark, dir) => {
       TextFunctions.registerNative(spark)
-      val words = Tables.documents(spark, dir)
-        .select(col("source"), explode(regexp_extract_all(col("text"),
-          lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).as("wtok"))
-        .select(col("source"),
-          size(TextFunctions.bpeTokens(col("wtok"))).as("nt"))
-      words.groupBy(col("source")).agg(
-          count(lit(1)).as("n_words"),
-          sum(col("nt")).as("n_tokens"),
-          sum(when(col("nt") === 1, 1L).otherwise(0L)).as("n_single"))
-        .select(col("source"), col("n_words"), col("n_tokens"), col("n_single"),
-          (col("n_tokens").cast("double") / col("n_words")).as("fertility"),
-          (col("n_single").cast("double") / col("n_words")).as("single_token_rate"))
-        .orderBy(col("source"))
+      fertilityFromPartials(fertilityPartials(Tables.documents(spark, dir)))
     },
     Some(s"""WITH RECURSIVE $bpeCte,
             |w AS (SELECT d.source, len(f.syms) AS nt
@@ -2671,6 +2686,69 @@ object TextQueries {
             |  CAST(sum(CASE WHEN nt = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS single_token_rate
             |FROM w GROUP BY source ORDER BY source""".stripMargin),
     "tokenizer fertility report: per-source tokens/word + single-token hit rate under the frozen BPE (LLM-pipeline op)")
+
+  /** CONTAMINATION SCORE REPORT (d48) — d21 FLAGS contaminated docs; this
+    * is the WIMBD-class measurement the release report needs: per corpus
+    * document, its distinct 4-gram count, how many of those occur in the
+    * eval split, and the overlap FRACTION (partial contamination matters —
+    * a doc quoting one benchmark question is different from a verbatim
+    * dump). Same md5-byte corpus/bench split and shingle relation as d21
+    * (the bench side stays a broadcast set; d28's bloom is the 100 TB
+    * variant); the fraction is one int/int IEEE division, the flag a pure
+    * comparison. */
+  val d48 = QueryDef(
+    "d48_contamination_score",
+    (spark, dir) => {
+      val byte = (id: Column) => conv(substring(md5(id.cast("string")), 1, 2), 16, 10)
+        .cast("int")
+      val docs = Tables.documents(spark, dir)
+      val corpus = docs.filter(byte(col("doc_id")) < 250)
+      val bench = docs.filter(byte(col("doc_id")) >= 250)
+      val cs = Dedup.docShingles(corpus, "doc_id", "text", n = 4)
+        .localCheckpoint(true) // consumed by sizes AND the bench join
+      val bs = Dedup.docShingles(bench, "doc_id", "text", n = 4)
+        .select(col("shingle")).distinct()
+      val sizes = cs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      val shared = cs.join(broadcast(bs), Seq("shingle"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      val frac = when(coalesce(col("n_shingles"), lit(0L)) === 0, lit(0.0))
+        .otherwise(coalesce(col("n_shared"), lit(0L)).cast("double") /
+          col("n_shingles"))
+      corpus.select(col("doc_id"))
+        .join(sizes, Seq("doc_id"), "left")
+        .join(shared, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          frac.as("contamination"))
+        .withColumn("contaminated", col("contamination") >= 0.2)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH b AS (SELECT doc_id,
+           |  (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+           |  + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS hb, text
+           |  FROM documents),
+           |toks AS (SELECT doc_id, hb,
+           |  CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\s+') END AS w
+           |  FROM b),
+           |sh AS (SELECT doc_id, hb, unnest(list_distinct(
+           |    CASE WHEN length(w) < 4 THEN []
+           |         ELSE [array_to_string(list_slice(w, i+1, i+4), ' ') for i in range(0, length(w)-3)] END)) AS shingle
+           |  FROM toks),
+           |bench AS (SELECT DISTINCT shingle FROM sh WHERE hb >= 250),
+           |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+           |  FROM sh WHERE hb < 250 GROUP BY doc_id),
+           |shared AS (SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+           |  FROM sh JOIN bench USING (shingle) WHERE sh.hb < 250 GROUP BY sh.doc_id)
+           |SELECT b.doc_id, coalesce(s.n_shingles, 0) AS n_shingles,
+           |  coalesce(x.n_shared, 0) AS n_shared,
+           |  CASE WHEN coalesce(s.n_shingles, 0) = 0 THEN 0.0
+           |       ELSE CAST(coalesce(x.n_shared, 0) AS DOUBLE) / s.n_shingles END AS contamination,
+           |  (CASE WHEN coalesce(s.n_shingles, 0) = 0 THEN 0.0
+           |       ELSE CAST(coalesce(x.n_shared, 0) AS DOUBLE) / s.n_shingles END) >= 0.2 AS contaminated
+           |FROM b LEFT JOIN sizes s USING (doc_id) LEFT JOIN shared x USING (doc_id)
+           |WHERE b.hb < 250 ORDER BY b.doc_id""".stripMargin),
+    "contamination score report: per-doc eval-overlap fraction, the WIMBD-class release measurement (LLM-pipeline op)")
 
   /** DEDUP RECALL EVALUATION (d46) — v23's index-quality idea applied to
     * TEXT dedup: per exact-Jaccard band, what fraction of true near-dup
@@ -2887,5 +2965,5 @@ object TextQueries {
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
       d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43, d44,
-      d45, d46, d47, m01, m02, m03, m04, m05, m06, m07, m08, m10, m11, m12, m13)
+      d45, d46, d47, d48, m01, m02, m03, m04, m05, m06, m07, m08, m10, m11, m12, m13)
 }

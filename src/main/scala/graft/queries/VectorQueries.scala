@@ -1503,7 +1503,46 @@ object VectorQueries {
     },
     "residual IVF-PQ ANN: FAISS-style residual codes, per-probe ADC tables, exact re-rank (LLM-pipeline op)")
 
+  /** BINARY SIGN QUANTIZATION + HAMMING SEARCH —
+    * [[Similarity.binaryHammingTopK]]: 1 bit/dim fingerprints, integer
+    * Hamming shortlist, exact re-rank. The oracle packs the same sign
+    * bits via list-comprehension sums and mirrors xor+bit_count — every
+    * stage exact. */
+  val v30 = QueryDef(
+    "v30_ann_binary_hamming",
+    (spark, dir) => {
+      VectorFunctions.register(spark)
+      val emb = Tables.embeddings(spark, dir)
+      Similarity.binaryHammingTopK(emb.filter(col("vec_id") < 10), emb,
+          VectorFunctions.cosineSim, k = 5, shortlist = 50)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some {
+      val shortlist = 50
+      val cos = cosSql("q.emb", "t.emb")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |bits AS (SELECT vec_id,
+         |    CAST(list_sum([CASE WHEN emb[i+1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END
+         |      for i in range(0, 32)]) AS BIGINT) AS lo,
+         |    CAST(list_sum([CASE WHEN emb[i+33] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END
+         |      for i in range(0, 32)]) AS BIGINT) AS hi
+         |  FROM e),
+         |ham AS (SELECT q.vec_id AS query_id, c.vec_id,
+         |    CAST(bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi)) AS INTEGER) AS hamming
+         |  FROM bits q JOIN bits c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |short AS (SELECT query_id, vec_id, hamming FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) AS srn
+         |    FROM ham) WHERE srn <= $shortlist),
+         |scored AS (SELECT s.query_id, s.vec_id, s.hamming, round($cos, 6) AS cos
+         |  FROM short s JOIN e q ON q.vec_id = s.query_id JOIN e t ON t.vec_id = s.vec_id)
+         |SELECT query_id, vec_id, hamming, cos, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
+    "binary sign quantization + Hamming shortlist + exact re-rank: the 1-bit/dim ANN memory lever (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
     v10, v11, v12, v13, v14, v15, v16, v17, v17b, v18, v19, v20, v21, v22, v23,
-    v24, v25, v26, v27, v28, v29)
+    v24, v25, v26, v27, v28, v29, v30)
 }

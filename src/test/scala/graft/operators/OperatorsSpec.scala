@@ -288,6 +288,30 @@ class OperatorsSpec extends SparkSpec {
       s"matryoshka recall ${(bfIds & narrow).size.toDouble / bfIds.size}")
   }
 
+  test("binaryHammingTopK: self-fingerprint Hamming 0; recall vs brute " +
+      "force at shortlist 100") {
+    VectorFunctions.register(spark)
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 10)
+    // identical vectors pack to identical words → the true NN of a vector's
+    // clone sits at Hamming 0; check via a query joined against itself
+    val self = graft.operators.Similarity.binaryHammingTopK(
+        q, q.withColumn("vec_id", $"vec_id" + 1000), VectorFunctions.cosineSim,
+        k = 1, shortlist = 10)
+      .filter($"vec_id" === $"query_id" + 1000)
+      .select("hamming").as[Int].collect()
+    assert(self.length == 10 && self.forall(_ == 0),
+      "clone fingerprints must collide at Hamming 0")
+    val bf = graft.operators.Similarity.bruteForceTopK(q, emb,
+        VectorFunctions.cosineSim, 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val bh = graft.operators.Similarity.binaryHammingTopK(q, emb,
+        VectorFunctions.cosineSim, k = 5, shortlist = 100)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert((bf & bh).size.toDouble / bf.size >= 0.5,
+      s"binary-Hamming recall ${(bf & bh).size.toDouble / bf.size}")
+  }
+
   test("decontaminate flags exactly the docs sharing an n-gram with the benchmark") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon"), // shares "beta gamma delta" ✔
