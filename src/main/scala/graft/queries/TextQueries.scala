@@ -2818,6 +2818,109 @@ object TextQueries {
     },
     "dedup recall evaluation: per-Jaccard-band LSH recall vs exact ground truth — the (k,r) tuning signal (LLM-pipeline op)")
 
+  /** CURATION PIPELINE v3 (d49) — the RefinedWeb-shape composition on this
+    * round's gates, ONE plan end-to-end: (1) bigram-LM fluency score
+    * against the corpus-trained frozen LM (d45) gates word salad; (2) the
+    * contamination FRACTION vs the eval split (d48) gates leaked docs at
+    * 0.2 — a stronger rule than d35's binary decontamination; (3) exact
+    * dedup keeps the min-id rendition per fingerprint; (4) the survivors
+    * are ranked BY the fluency score itself and the top-100 selected via
+    * `orderBy.limit` (TakeOrderedAndProject — the distributed top-k, not a
+    * global single-partition window; the ≤100-row rank window runs after
+    * the cut). Fluency is both gate and selection objective — the
+    * quality-ranked-selection step real pipelines run after filtering. */
+  val d49 = QueryDef(
+    "d49_curation_pipeline_v3",
+    (spark, dir) => {
+      val byte = (id: Column) => conv(substring(md5(id.cast("string")), 1, 2), 16, 10)
+        .cast("int")
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val corpus = docs.filter(byte(col("doc_id")) < 250)
+      val bench = docs.filter(byte(col("doc_id")) >= 250)
+      val (cbT, cpT) = lmCounts(corpus)
+      val flu = lmScore(corpus, cbT, cpT)
+        .select(col("doc_id"), col("fluency"))
+      val cs = Dedup.docShingles(corpus, "doc_id", "text", n = 4)
+        .localCheckpoint(true)
+      val bs = Dedup.docShingles(bench, "doc_id", "text", n = 4)
+        .select(col("shingle")).distinct()
+      val sizes = cs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      val shared = cs.join(broadcast(bs), Seq("shingle"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      val contamination = when(coalesce(col("n_shingles"), lit(0L)) === 0, lit(0.0))
+        .otherwise(coalesce(col("n_shared"), lit(0L)).cast("double") /
+          col("n_shingles"))
+      val surv = corpus
+        .join(flu, Seq("doc_id"))
+        .join(sizes, Seq("doc_id"), "left")
+        .join(shared, Seq("doc_id"), "left")
+        .withColumn("contamination", contamination)
+        .filter(col("fluency") >= 0.035 && col("contamination") < 0.2)
+        .select(col("doc_id"), col("source"), col("text"), col("fluency"),
+          col("contamination"))
+        .localCheckpoint(true) // consumed by the dedup group AND the join
+      val keep = Dedup.exact(surv, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val top = surv.join(keep, Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("fluency"), col("contamination"))
+        .orderBy(col("fluency").desc, col("doc_id")).limit(100)
+      top.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("fluency").desc, col("doc_id"))))
+        .select(col("rank"), col("doc_id"), col("source"), col("fluency"),
+          col("contamination"))
+        .orderBy(col("rank"))
+    },
+    Some("""WITH b AS (SELECT doc_id,
+           |  (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+           |  + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS hb,
+           |  source, text FROM documents),
+           |corpus AS (SELECT doc_id, source, text FROM b WHERE hb < 250),
+           |tkf AS (SELECT doc_id,
+           |    CASE WHEN length(trim(text)) = 0 THEN []
+           |         ELSE string_split_regex(trim(text), '\s+') END AS w FROM corpus),
+           |bgf AS (SELECT doc_id, x.pos AS pos, x.w1 AS w1, x.w2 AS w2 FROM (
+           |    SELECT doc_id, unnest([{'pos': i, 'w1': w[i], 'w2': w[i+1]}
+           |      for i in generate_series(1, len(w)-1)]) AS x FROM tkf)),
+           |cbf AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM bgf GROUP BY 1, 2),
+           |cpf AS (SELECT w1, CAST(count(*) AS BIGINT) AS cp FROM bgf GROUP BY 1),
+           |pf AS (SELECT bgf.doc_id, bgf.pos, CAST(cbf.cb AS DOUBLE) / cpf.cp AS p
+           |  FROM bgf JOIN cbf ON cbf.w1 = bgf.w1 AND cbf.w2 = bgf.w2
+           |  JOIN cpf ON cpf.w1 = bgf.w1),
+           |agf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |    list_sum(list(p ORDER BY pos)) AS s FROM pf GROUP BY doc_id),
+           |flu AS (SELECT c.doc_id, coalesce(a.s / a.n_bigrams, 0.0) AS fluency
+           |  FROM corpus c LEFT JOIN agf a USING (doc_id)),
+           |tkc AS (SELECT doc_id, hb,
+           |  CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\s+') END AS w
+           |  FROM b),
+           |sh AS (SELECT doc_id, hb, unnest(list_distinct(
+           |    CASE WHEN length(w) < 4 THEN []
+           |         ELSE [array_to_string(list_slice(w, i+1, i+4), ' ') for i in range(0, length(w)-3)] END)) AS shingle
+           |  FROM tkc),
+           |bench AS (SELECT DISTINCT shingle FROM sh WHERE hb >= 250),
+           |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+           |  FROM sh WHERE hb < 250 GROUP BY doc_id),
+           |shared AS (SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+           |  FROM sh JOIN bench USING (shingle) WHERE sh.hb < 250 GROUP BY sh.doc_id),
+           |surv AS (SELECT c.doc_id, c.source, c.text, f.fluency,
+           |    CASE WHEN coalesce(s.n_shingles, 0) = 0 THEN 0.0
+           |         ELSE CAST(coalesce(x.n_shared, 0) AS DOUBLE) / s.n_shingles END AS contamination
+           |  FROM corpus c JOIN flu f USING (doc_id)
+           |  LEFT JOIN sizes s USING (doc_id) LEFT JOIN shared x USING (doc_id)
+           |  WHERE f.fluency >= 0.035
+           |    AND (CASE WHEN coalesce(s.n_shingles, 0) = 0 THEN 0.0
+           |         ELSE CAST(coalesce(x.n_shared, 0) AS DOUBLE) / s.n_shingles END) < 0.2),
+           |keep AS (SELECT min(doc_id) AS doc_id FROM surv
+           |  GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')))),
+           |sel AS (SELECT s.doc_id, s.source, s.fluency, s.contamination
+           |  FROM surv s JOIN keep k ON k.doc_id = s.doc_id)
+           |SELECT CAST(rank AS INTEGER) AS rank, doc_id, source, fluency, contamination FROM (
+           |  SELECT *, row_number() OVER (ORDER BY fluency DESC, doc_id) AS rank FROM sel)
+           |WHERE rank <= 100 ORDER BY rank""".stripMargin),
+    "curation pipeline v3: fluency gate -> contamination-fraction gate -> exact dedup -> quality-ranked top-100 in ONE plan (LLM-pipeline op)")
+
   /** IMAGE QUALITY GATE (m13) — [[graft.operators.Multimodal.imageQuality]]
     * over a fixture where every third image is a solid color (contrast 0 —
     * the blank-placeholder class the gate exists for) and the rest carry
@@ -2931,7 +3034,7 @@ object TextQueries {
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("s") / col("n_bigrams"), lit(0.0)).as("fluency"))
-      .withColumn("fluent", col("fluency") >= 0.05)
+      .withColumn("fluent", col("fluency") >= 0.035)
   }
 
   val d45 = QueryDef(
@@ -2956,7 +3059,7 @@ object TextQueries {
            |    list_sum(list(p ORDER BY pos)) AS s FROM p GROUP BY doc_id)
            |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
            |  coalesce(a.s / a.n_bigrams, 0.0) AS fluency,
-           |  coalesce(a.s / a.n_bigrams, 0.0) >= 0.05 AS fluent
+           |  coalesce(a.s / a.n_bigrams, 0.0) >= 0.035 AS fluent
            |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
            |ORDER BY d.doc_id""".stripMargin),
     "bigram-LM fluency scoring: in-engine-trained statistical LM quality filter (LLM-pipeline op)")
@@ -2965,5 +3068,5 @@ object TextQueries {
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
       d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43, d44,
-      d45, d46, d47, d48, m01, m02, m03, m04, m05, m06, m07, m08, m10, m11, m12, m13)
+      d45, d46, d47, d48, d49, m01, m02, m03, m04, m05, m06, m07, m08, m10, m11, m12, m13)
 }
