@@ -154,6 +154,45 @@ object Multimodal {
       }
   }
 
+  case class FrameStats(media_id: Long, frame: Int, min_lum: Int,
+                        max_lum: Int, contrast: Int, keep: Boolean)
+
+  /** VIDEO FRAME SAMPLING + per-frame quality gate — the "frame-sample"
+    * verb of a multimodal training pipeline: decode the container once,
+    * keep every `every`-th frame, and gate each sampled frame on the m13
+    * contrast rule (drops black/blank/solid frames — the placeholder
+    * class video curation removes before captioning). Stats are exact
+    * integers over decoded pixels; media bytes never leave the scan
+    * stage — only (media_id, frame, stats) rows move, `nFrames/every`
+    * per video regardless of resolution. */
+  def videoFrameSample(media: DataFrame, idCol: String, mediaCol: String,
+                       every: Int, minContrast: Int = 30)
+      : Dataset[FrameStats] = {
+    require(every > 0, s"bad sampling stride $every")
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(mediaCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val vid = AviCodec.decode(bytes)
+        vid.frames.iterator.zipWithIndex
+          .filter(_._2 % every == 0)
+          .map { case (img, f) =>
+            val px = img.pixels
+            val n = img.width * img.height
+            var mn = Int.MaxValue; var mx = Int.MinValue
+            var i = 0
+            while (i < n) {
+              val o = i * 3
+              val lum = (px(o) & 0xff) + (px(o + 1) & 0xff) + (px(o + 2) & 0xff)
+              if (lum < mn) mn = lum
+              if (lum > mx) mx = lum
+              i += 1
+            }
+            FrameStats(id, f, mn, mx, mx - mn, (mx - mn) >= minContrast)
+          }.toSeq
+      }
+  }
+
   /** Nearest-neighbor resize of a decoded image — the dHash sampling rule
     * (`sx = gx·w/W`, integer division) applied to every output pixel, so a
     * resize is exact integer math an oracle can reproduce from the source

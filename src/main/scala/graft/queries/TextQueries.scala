@@ -2971,6 +2971,59 @@ object TextQueries {
            |FROM l ORDER BY media_id""".stripMargin),
     "image quality gate: resolution + contrast + palette stats over decoded pixels (LLM-pipeline op)")
 
+  /** VIDEO FRAME SAMPLE + GATE (m14) —
+    * [[graft.operators.Multimodal.videoFrameSample]] over real AVIs where
+    * every fourth frame is a SOLID color (the blank-frame class the gate
+    * drops; textured frames vary per frame via f-terms in the pixel
+    * functions). Sampling every 3rd frame intersects the flat class at
+    * f ≡ 3 (mod 12), so the output exercises both verdicts. The oracle
+    * recomputes each sampled frame's min/max summed-channel luminance
+    * analytically (m10/m13's technique) — a hash match proves container
+    * decode, frame indexing, sampling, and the gate. */
+  val m14 = QueryDef(
+    "m14_video_frame_sample",
+    (spark, dir) => {
+      import spark.implicits._
+      val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions { it =>
+        it.map { id =>
+          val w = (id % 7 + 6).toInt; val h = (id % 5 + 7).toInt
+          val nF = (12 + (id % 3) * 6).toInt
+          (id, graft.operators.AviCodec.encode(w, h, nF, 10, (f, x, y) =>
+            if (f % 4 == 3) {
+              val c = (id % 199).toInt; (c, c, c)
+            } else (
+              (((id + 3) * (x + 1) * (y + 2) + 5L * x + 7L * f) % 199).toInt,
+              (((id + 7) * (x + 2) * (y + 1) + 3L * y + 11L * f) % 199).toInt,
+              (((2 * id + 1) * (x.toLong * y + x + y) + 13L * f) % 199).toInt)))
+        }
+      }.toDF("media_id", "media")
+      graft.operators.Multimodal
+        .videoFrameSample(FixtureDirs.cachedRoundTrip(media, "m14-media-", dir),
+          "media_id", "media", every = 3)
+        .toDF().orderBy(col("media_id"), col("frame"))
+    },
+    Some("""WITH d AS (SELECT doc_id, doc_id % 7 + 6 AS w, doc_id % 5 + 7 AS h,
+           |    12 + (doc_id % 3) * 6 AS nf
+           |  FROM documents),
+           |fr AS (SELECT doc_id, w, h, unnest([f for f in range(0, nf) if f % 3 = 0]) AS f
+           |  FROM d),
+           |l AS (SELECT doc_id, f,
+           |    CASE WHEN f % 4 = 3
+           |      THEN [3 * (doc_id % 199)]
+           |      ELSE flatten([[ ((doc_id + 3) * (x + 1) * (y + 2) + 5 * x + 7 * f) % 199
+           |             + ((doc_id + 7) * (x + 2) * (y + 1) + 3 * y + 11 * f) % 199
+           |             + ((2 * doc_id + 1) * (x * y + x + y) + 13 * f) % 199
+           |        for x in range(0, w)] for y in range(0, h)]) END AS gg
+           |  FROM fr)
+           |SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame,
+           |  CAST(list_min(gg) AS INTEGER) AS min_lum,
+           |  CAST(list_max(gg) AS INTEGER) AS max_lum,
+           |  CAST(list_max(gg) - list_min(gg) AS INTEGER) AS contrast,
+           |  (list_max(gg) - list_min(gg)) >= 30 AS keep
+           |FROM l ORDER BY media_id, frame""".stripMargin),
+    "video frame sampling + blank-frame gate: decode, every-kth sample, per-frame contrast cut (LLM-pipeline op)")
+
   /** BIGRAM-LM FLUENCY SCORING — the statistical-LM quality filter (the
     * CCNet/KenLM idea with the LM trained IN-ENGINE, d44's pattern): score
     * each document by the mean conditional probability of its word bigrams
@@ -3068,5 +3121,5 @@ object TextQueries {
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
       d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43, d44,
-      d45, d46, d47, d48, d49, m01, m02, m03, m04, m05, m06, m07, m08, m10, m11, m12, m13)
+      d45, d46, d47, d48, d49, m01, m02, m03, m04, m05, m06, m07, m08, m10, m11, m12, m13, m14)
 }

@@ -36,6 +36,30 @@ class MultimodalSpec extends SparkSpec {
     assert(got(3L).n_distinct_lum == 15)
   }
 
+  test("videoFrameSample (m14): stride honored, flat frames gated out, " +
+      "textured frames kept with exact stats") {
+    // 8 frames: even frames textured, odd frames solid gray
+    val avi = AviCodec.encode(4, 4, 8, 10, (f, x, y) =>
+      if (f % 2 == 1) (50, 50, 50) else (x * 40, y * 40, f))
+    val media = Seq((7L, avi)).toDF("media_id", "media")
+    val got = Multimodal.videoFrameSample(media, "media_id", "media",
+        every = 2, minContrast = 30)
+      .collect().sortBy(_.frame)
+    assert(got.map(_.frame).toSeq == Seq(0, 2, 4, 6), "every-2nd frame")
+    got.foreach { s =>
+      // textured frame f: lum = 40x + 40y + f, x,y in 0..3
+      assert(s.min_lum == s.frame && s.max_lum == 240 + s.frame &&
+        s.contrast == 240 && s.keep, s"frame stats wrong: $s")
+    }
+    val all = Multimodal.videoFrameSample(media, "media_id", "media",
+        every = 1, minContrast = 30)
+      .collect().sortBy(_.frame)
+    assert(all.length == 8)
+    all.filter(_.frame % 2 == 1).foreach { s =>
+      assert(s.contrast == 0 && !s.keep, s"flat frame must be gated: $s")
+    }
+  }
+
   test("mediaFromDocuments builds a well-typed media table from testdata") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
     val media = Multimodal.mediaFromDocuments(spark, docs)
