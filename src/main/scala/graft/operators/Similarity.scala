@@ -573,11 +573,20 @@ object Similarity {
     * (the dupClusters lesson). */
   def mmrRerank(queries: DataFrame, corpus: DataFrame,
                 cos: (Column, Column) => Column, candidates: Int, k: Int)
-      : DataFrame = {
+      : DataFrame =
+    mmrSelect(
+      bruteForceTopK(queries, corpus, cos, candidates)
+        .select(col("query_id"), col("vec_id"), col("cos").as("rel")),
+      corpus, cos, k)
+
+  /** The greedy MMR loop over an ARBITRARY per-query candidate relation
+    * `(query_id, vec_id, rel)` — factored so any retrieval stage (brute
+    * force, IVF, a persisted index) can feed it (v31 composes it after
+    * [[ivfTopK]]). See [[mmrRerank]] for the determinism contract. */
+  def mmrSelect(candidates: DataFrame, corpus: DataFrame,
+                cos: (Column, Column) => Column, k: Int): DataFrame = {
     val lam = lit(0.5)
-    val cand = bruteForceTopK(queries, corpus, cos, candidates)
-      .select(col("query_id"), col("vec_id"), col("cos").as("rel"))
-      .localCheckpoint(true)
+    val cand = candidates.localCheckpoint(true)
     val vecs = corpus.select(col("vec_id"), col("embedding"))
     val withVec = cand.join(vecs, Seq("vec_id"))
       .select(col("query_id"), col("vec_id"), col("rel"), col("embedding"))

@@ -2921,6 +2921,63 @@ object TextQueries {
            |WHERE rank <= 100 ORDER BY rank""".stripMargin),
     "curation pipeline v3: fluency gate -> contamination-fraction gate -> exact dedup -> quality-ranked top-100 in ONE plan (LLM-pipeline op)")
 
+  /** SCORE CALIBRATION REPORT (d50) — the tool the d49 lesson demands:
+    * before freezing any gate threshold, look at the score DISTRIBUTION.
+    * Per source: doc count and exact-rank p10/p50/p90 of the d45 fluency
+    * score. Percentiles are RANK-exact (value at `ceil(p·n)` by
+    * (score, doc_id) order), not interpolated — interpolation multiplies
+    * a decimal literal by a count and the two engines disagree at ulp
+    * (DuckDB decimal vs Spark double); the rank index is pure integer
+    * arithmetic (`(n·p_num + p_den−1) div p_den`) and the reported value
+    * is a score that actually occurs. One window + one group-by per
+    * source; the scored relation is d45's. */
+  val d50 = QueryDef(
+    "d50_score_calibration",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val (cbT, cpT) = lmCounts(docs)
+      val scored = lmScore(docs, cbT, cpT)
+        .select(col("doc_id"), col("fluency"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("fluency"), col("doc_id"))
+      val wn = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+      docs.select(col("doc_id"), col("source")).join(scored, Seq("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+        .groupBy(col("source")).agg(
+          max(col("n")).as("n_docs"),
+          max(when(col("rn") === expr("(n + 9) div 10"), col("fluency"))).as("p10"),
+          max(when(col("rn") === expr("(n + 1) div 2"), col("fluency"))).as("p50"),
+          max(when(col("rn") === expr("(n * 9 + 9) div 10"), col("fluency"))).as("p90"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+           |    CASE WHEN length(trim(text)) = 0 THEN []
+           |         ELSE string_split_regex(trim(text), '\s+') END AS w FROM documents),
+           |bg AS (SELECT doc_id, x.pos AS pos, x.w1 AS w1, x.w2 AS w2 FROM (
+           |    SELECT doc_id, unnest([{'pos': i, 'w1': w[i], 'w2': w[i+1]}
+           |      for i in generate_series(1, len(w)-1)]) AS x FROM toks)),
+           |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY 1, 2),
+           |cp AS (SELECT w1, CAST(count(*) AS BIGINT) AS cp FROM bg GROUP BY 1),
+           |p AS (SELECT bg.doc_id, bg.pos, CAST(cb.cb AS DOUBLE) / cp.cp AS p
+           |  FROM bg JOIN cb ON cb.w1 = bg.w1 AND cb.w2 = bg.w2
+           |  JOIN cp ON cp.w1 = bg.w1),
+           |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |    list_sum(list(p ORDER BY pos)) AS s FROM p GROUP BY doc_id),
+           |scored AS (SELECT d.doc_id, d.source, coalesce(a.s / a.n_bigrams, 0.0) AS fluency
+           |  FROM documents d LEFT JOIN agg a USING (doc_id)),
+           |j AS (SELECT source, fluency,
+           |    row_number() OVER (PARTITION BY source ORDER BY fluency, doc_id) AS rn,
+           |    count(*) OVER (PARTITION BY source) AS n
+           |  FROM scored)
+           |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+           |  max(CASE WHEN rn = (n + 9) // 10 THEN fluency END) AS p10,
+           |  max(CASE WHEN rn = (n + 1) // 2 THEN fluency END) AS p50,
+           |  max(CASE WHEN rn = (n * 9 + 9) // 10 THEN fluency END) AS p90
+           |FROM j GROUP BY source ORDER BY source""".stripMargin),
+    "score calibration report: per-source rank-exact fluency percentiles — pick gates from data (LLM-pipeline op)")
+
   /** IMAGE QUALITY GATE (m13) — [[graft.operators.Multimodal.imageQuality]]
     * over a fixture where every third image is a solid color (contrast 0 —
     * the blank-placeholder class the gate exists for) and the rest carry
@@ -3121,5 +3178,5 @@ object TextQueries {
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
       d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43, d44,
-      d45, d46, d47, d48, d49, m01, m02, m03, m04, m05, m06, m07, m08, m10, m11, m12, m13, m14)
+      d45, d46, d47, d48, d49, d50, m01, m02, m03, m04, m05, m06, m07, m08, m10, m11, m12, m13, m14)
 }

@@ -1343,6 +1343,39 @@ object VectorQueries {
     * dyadic λ — two IEEE ops on rounded-6 inputs), and a QUALIFY argmax
     * with ties to the lower vec_id. A hash match pins every selection of
     * every step. */
+  /** Shared MMR oracle fragments: the per-step greedy CTEs (assumes `cand`
+    * (query_id, vec_id, rel) and `pairs` (query_id, a, b, sim) are in
+    * scope) and the sel1..selk UNION — the d44 unrolled-replay technique,
+    * used by v27 (brute-force candidates) and v31 (IVF candidates). */
+  private def mmrStepsSql(k: Int): String = {
+    val steps = (2 to k).map { r =>
+      val selU = (1 until r)
+        .map(i => s"SELECT query_id, vec_id FROM sel$i")
+        .mkString(" UNION ALL ")
+      s"""su$r AS ($selU),
+         |sc$r AS (SELECT c.query_id, c.vec_id, c.rel, max(p.sim) AS max_sim
+         |  FROM cand c JOIN pairs p ON p.query_id = c.query_id AND p.a = c.vec_id
+         |  JOIN su$r s ON s.query_id = p.query_id AND s.vec_id = p.b
+         |  WHERE NOT EXISTS (SELECT 1 FROM su$r x
+         |    WHERE x.query_id = c.query_id AND x.vec_id = c.vec_id)
+         |  GROUP BY c.query_id, c.vec_id, c.rel),
+         |sel$r AS (SELECT query_id, vec_id, rel, max_sim,
+         |    CAST(0.5 AS DOUBLE)*rel - CAST(0.5 AS DOUBLE)*max_sim AS score
+         |  FROM sc$r QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY CAST(0.5 AS DOUBLE)*rel - CAST(0.5 AS DOUBLE)*max_sim DESC, vec_id) = 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""sel1 AS (SELECT query_id, vec_id, rel, CAST(0 AS DOUBLE) AS max_sim,
+       |    CAST(0.5 AS DOUBLE)*rel - CAST(0.5 AS DOUBLE)*CAST(0 AS DOUBLE) AS score
+       |  FROM cand QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY CAST(0.5 AS DOUBLE)*rel - CAST(0.5 AS DOUBLE)*CAST(0 AS DOUBLE) DESC, vec_id) = 1),
+       |$steps""".stripMargin
+  }
+
+  private def mmrSelUnionSql(k: Int): String = (1 to k).map(r =>
+    s"SELECT query_id, CAST($r AS INTEGER) AS sel_rank, vec_id, rel, max_sim, score FROM sel$r")
+    .mkString("\nUNION ALL ")
+
   val v27 = QueryDef(
     "v27_mmr_rerank",
     (spark, dir) => {
@@ -1356,26 +1389,6 @@ object VectorQueries {
       val cands = 8; val k = 4
       val bcos = cosSql("q.emb", "c.emb")
       val pcos = cosSql("ea.emb", "eb.emb")
-      val steps = (2 to k).map { r =>
-        val selU = (1 until r)
-          .map(i => s"SELECT query_id, vec_id FROM sel$i")
-          .mkString(" UNION ALL ")
-        s"""su$r AS ($selU),
-           |sc$r AS (SELECT c.query_id, c.vec_id, c.rel, max(p.sim) AS max_sim
-           |  FROM cand c JOIN pairs p ON p.query_id = c.query_id AND p.a = c.vec_id
-           |  JOIN su$r s ON s.query_id = p.query_id AND s.vec_id = p.b
-           |  WHERE NOT EXISTS (SELECT 1 FROM su$r x
-           |    WHERE x.query_id = c.query_id AND x.vec_id = c.vec_id)
-           |  GROUP BY c.query_id, c.vec_id, c.rel),
-           |sel$r AS (SELECT query_id, vec_id, rel, max_sim,
-           |    CAST(0.5 AS DOUBLE)*rel - CAST(0.5 AS DOUBLE)*max_sim AS score
-           |  FROM sc$r QUALIFY row_number() OVER (PARTITION BY query_id
-           |    ORDER BY CAST(0.5 AS DOUBLE)*rel - CAST(0.5 AS DOUBLE)*max_sim DESC, vec_id) = 1)"""
-          .stripMargin
-      }.mkString(",\n")
-      val sel = (1 to k).map(r =>
-        s"SELECT query_id, CAST($r AS INTEGER) AS sel_rank, vec_id, rel, max_sim, score FROM sel$r")
-        .mkString("\nUNION ALL ")
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          |bscored AS (SELECT q.vec_id AS query_id, c.vec_id, round($bcos, 6) AS cos
          |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
@@ -1385,12 +1398,8 @@ object VectorQueries {
          |pairs AS (SELECT a.query_id, a.vec_id AS a, b.vec_id AS b, round($pcos, 6) AS sim
          |  FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
          |  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id),
-         |sel1 AS (SELECT query_id, vec_id, rel, CAST(0 AS DOUBLE) AS max_sim,
-         |    CAST(0.5 AS DOUBLE)*rel - CAST(0.5 AS DOUBLE)*CAST(0 AS DOUBLE) AS score
-         |  FROM cand QUALIFY row_number() OVER (PARTITION BY query_id
-         |    ORDER BY CAST(0.5 AS DOUBLE)*rel - CAST(0.5 AS DOUBLE)*CAST(0 AS DOUBLE) DESC, vec_id) = 1),
-         |$steps
-         |$sel
+         |${mmrStepsSql(k)}
+         |${mmrSelUnionSql(k)}
          |ORDER BY query_id, sel_rank""".stripMargin
     },
     "MMR diverse re-rank: greedy λ·rel − (1−λ)·max-sim selection, trajectory oracle-replayed (LLM-pipeline op)")
@@ -1542,7 +1551,66 @@ object VectorQueries {
     },
     "binary sign quantization + Hamming shortlist + exact re-rank: the 1-bit/dim ANN memory lever (LLM-pipeline op)")
 
+  /** RAG SERVING STACK (v31) — the full retrieval path a serving layer
+    * runs per query, composed as ONE plan: IVF retrieval (v04's cell
+    * blocking, top-8 candidates) → greedy MMR diversity selection (v27's
+    * loop via [[Similarity.mmrSelect]], k=4) → keyed document-store
+    * payload attachment (v21's join). Every stage is individually
+    * verified; this row pins that they COMPOSE (the d35/d49 discipline
+    * applied to the vector side). Cost shape: corpus touched only by the
+    * cell join; MMR and the payload join run on k·|queries| rows. */
+  val v31 = QueryDef(
+    "v31_rag_serving_stack",
+    (spark, dir) => {
+      VectorFunctions.register(spark)
+      val emb = Tables.embeddings(spark, dir)
+      val cand = Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb,
+          VectorFunctions.cosineSim, k = 8, nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("vec_id"), col("cos").as("rel"))
+      Similarity.mmrSelect(cand, emb, VectorFunctions.cosineSim, k = 4)
+        .join(Tables.documents(spark, dir)
+          .select(col("doc_id").as("vec_id"), col("source"),
+            substring(col("text"), 1, 64).as("snippet")), Seq("vec_id"))
+        .select(col("query_id"), col("sel_rank"), col("vec_id"), col("rel"),
+          col("max_sim"), col("score"), col("source"), col("snippet"))
+        .orderBy(col("query_id"), col("sel_rank"))
+    },
+    Some {
+      val cands = 8; val k = 4; val nlist = 16; val nprobe = 4
+      val affCos = cosSql("e.emb", "cent.cemb")
+      val icos = cosSql("q.emb", "t.emb")
+      val pcos = cosSql("ea.emb", "eb.emb")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, emb AS cemb
+         |  FROM e WHERE vec_id % greatest(1, (SELECT count(*) FROM e) // $nlist) = 0
+         |  ORDER BY vec_id LIMIT $nlist),
+         |aff AS (SELECT e.vec_id, cent.cell, $affCos AS a FROM e, cent),
+         |assign AS (SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell DESC) AS rn
+         |    FROM aff) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell DESC) AS rn
+         |    FROM aff WHERE vec_id < 10) WHERE rn <= $nprobe),
+         |iscored AS (SELECT p.query_id, s.vec_id, round($icos, 6) AS cos
+         |  FROM probes p JOIN assign s ON s.cell = p.cell
+         |  JOIN e q ON q.vec_id = p.query_id JOIN e t ON t.vec_id = s.vec_id
+         |  WHERE s.vec_id <> p.query_id),
+         |cand AS (SELECT query_id, vec_id, cos AS rel FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM iscored) WHERE rank <= $cands),
+         |pairs AS (SELECT a.query_id, a.vec_id AS a, b.vec_id AS b, round($pcos, 6) AS sim
+         |  FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+         |  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id),
+         |${mmrStepsSql(k)},
+         |sel AS (${mmrSelUnionSql(k)})
+         |SELECT s.query_id, s.sel_rank, s.vec_id, s.rel, s.max_sim, s.score,
+         |  d.source, substr(d.text, 1, 64) AS snippet
+         |FROM sel s JOIN documents d ON d.doc_id = s.vec_id
+         |ORDER BY s.query_id, s.sel_rank""".stripMargin
+    },
+    "RAG serving stack: IVF retrieve -> MMR diversify -> payload attach, one composed plan (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
     v10, v11, v12, v13, v14, v15, v16, v17, v17b, v18, v19, v20, v21, v22, v23,
-    v24, v25, v26, v27, v28, v29, v30)
+    v24, v25, v26, v27, v28, v29, v30, v31)
 }
