@@ -1764,7 +1764,72 @@ object StreamingQueries {
     TextQueries.d47.oracle, // associative integer folds ⇒ drain ≡ batch
     "streaming tokenizer-fertility monitor: per-batch associative partials, d47 verbatim (LLM-pipeline op)")
 
+  /** STREAMING IMAGE-QUALITY GATE (s30) — m13's LAION-class gate applied
+    * at MEDIA INGEST (the first streaming × multimodal row): binary image
+    * blobs arrive in micro-batches, each batch is decoded and stat-gated
+    * in its scan stage (media bytes never cross an exchange — m13's
+    * plan-audited property holds per batch), and the per-image verdict
+    * rows land in the audit table. Stateless per-image function ⇒ drain ≡
+    * batch, m13's analytic oracle verbatim. */
+  val s30 = QueryDef(
+    "s30_stream_image_gate",
+    (spark, dir) => {
+      import graft.merge.ParquetTable
+      import spark.implicits._
+      val srcDir = FixtureDirs.cachedDir("s30-media-", dir) { d =>
+        val ids = graft.sources.Tables.documents(spark, dir)
+          .select(col("doc_id")).as[Long]
+        val media = ids.mapPartitions { it =>
+          it.map { id =>
+            val w = (id % 13 + 2).toInt; val h = (id % 7 + 2).toInt
+            val bmp =
+              if (id % 3 == 0) {
+                val c = (id % 256).toInt
+                graft.operators.BmpCodec.encode(w, h, (_, _) => (c, c, c))
+              } else graft.operators.BmpCodec.encode(w, h, (x, y) => (
+                ((id + 7L * x + 13L * y) % 256).toInt,
+                ((3L * x + 5L * y + 1L) % 256).toInt,
+                ((x.toLong * y + id % 17) % 256).toInt))
+            (id, bmp)
+          }
+        }.toDF("media_id", "media")
+        (0 to 2).foreach { i =>
+          val tmp = FixtureDirs.create(s"s30-part$i-")
+          media.filter(col("media_id") % 3 === i)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val f = java.nio.file.Files.list(tmp)
+            .filter(_.toString.endsWith(".parquet")).findFirst().get()
+          java.nio.file.Files.move(f, d.resolve(s"batch$i.parquet"))
+        }
+      }
+      val audit = new ParquetTable(spark,
+        s"${FixtureDirs.create("s30-audit-")}/audit",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "media_id bigint, width int, height int, n_pixels int, " +
+            "min_lum int, max_lum int, contrast int, n_distinct_lum int, " +
+            "keep boolean"))
+      val stream = spark.readStream
+        .schema("media_id bigint, media binary")
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      withStreamConf(spark) {
+        val q = stream.writeStream
+          .option("checkpointLocation", newCkptDir())
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            audit.append(graft.operators.Multimodal
+              .imageQuality(batch.localCheckpoint(true), "media_id", "media")
+              .toDF())
+          }
+          .start()
+        q.awaitTermination()
+      }
+      audit.read().orderBy(col("media_id"))
+    },
+    TextQueries.m13.oracle, // stateless per-image gate ⇒ drain ≡ batch
+    "streaming image-quality gate: per-batch decode + stat gate at media ingest, m13 verbatim (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
     s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24,
-    s25, s26, s27, s28, s29)
+    s25, s26, s27, s28, s29, s30)
 }
