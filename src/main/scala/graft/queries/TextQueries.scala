@@ -2921,6 +2921,91 @@ object TextQueries {
            |WHERE rank <= 100 ORDER BY rank""".stripMargin),
     "curation pipeline v3: fluency gate -> contamination-fraction gate -> exact dedup -> quality-ranked top-100 in ONE plan (LLM-pipeline op)")
 
+  /** OOD FLUENCY SCORING (d51) — d45 scores text against an LM trained on
+    * the SAME corpus, where every bigram is seen; scoring NEW text (the
+    * streaming-ingest reality) hits unseen transitions, and d45's inner
+    * count-join would silently DROP them — optimistic exactly on the word
+    * salad the gate exists for. This row does it right: add-one (Laplace)
+    * smoothing `p = (c(w1,w2)+1) / (c(w1·)+V)` with the vocabulary size V
+    * from the training split, unseen prefixes scoring 1/V, and an
+    * `n_unseen` column as the explicit OOD-ness signal. Train on the
+    * md5-byte corpus split, score the held-out eval split — true
+    * out-of-distribution scoring. All counts exact int64, each p one IEEE
+    * division; V rides a scalar subquery (rule 12) so one oracle text is
+    * honest at every scale factor. */
+  val d51 = QueryDef(
+    "d51_lm_fluency_ood",
+    (spark, dir) => {
+      val byte = (id: Column) => conv(substring(md5(id.cast("string")), 1, 2), 16, 10)
+        .cast("int")
+      val docs = Tables.documents(spark, dir)
+      val train = docs.filter(byte(col("doc_id")) < 250)
+      val eval = docs.filter(byte(col("doc_id")) >= 250)
+      val bgT = lmBigrams(train)
+      val cb = bgT.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cb")).localCheckpoint(true)
+      val cp = bgT.groupBy(col("w1"))
+        .agg(count(lit(1)).as("cp")).localCheckpoint(true)
+      val vDf = train
+        .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+        .agg(countDistinct(col("w")).as("v"))
+      val p = lmBigrams(eval)
+        .join(cb, Seq("w1", "w2"), "left")
+        .join(cp, Seq("w1"), "left")
+        .crossJoin(broadcast(vDf))
+        .select(col("doc_id"), col("pos"),
+          ((coalesce(col("cb"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("cp"), lit(0L)) + col("v"))).as("p"),
+          when(col("cb").isNull, 1L).otherwise(0L).as("unseen"))
+      val agg = p.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("unseen")).as("n_unseen"),
+        aggregate(sort_array(collect_list(struct(col("pos"), col("p")))),
+          lit(0.0), (acc, x) => acc + x.getField("p")).as("s"))
+      eval.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
+          coalesce(col("s") / col("n_bigrams"), lit(0.0)).as("fluency"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH b AS (SELECT doc_id,
+           |  (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+           |  + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS hb, text
+           |  FROM documents),
+           |ttk AS (SELECT doc_id,
+           |    CASE WHEN length(trim(text)) = 0 THEN []
+           |         ELSE string_split_regex(trim(text), '\s+') END AS w FROM b WHERE hb < 250),
+           |v AS (SELECT CAST(count(DISTINCT t.x) AS BIGINT) AS v
+           |  FROM (SELECT unnest(w) AS x FROM ttk) t),
+           |bgt AS (SELECT doc_id, x.w1 AS w1, x.w2 AS w2 FROM (
+           |    SELECT doc_id, unnest([{'w1': w[i], 'w2': w[i+1]}
+           |      for i in generate_series(1, len(w)-1)]) AS x FROM ttk)),
+           |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM bgt GROUP BY 1, 2),
+           |cp AS (SELECT w1, CAST(count(*) AS BIGINT) AS cp FROM bgt GROUP BY 1),
+           |etk AS (SELECT doc_id,
+           |    CASE WHEN length(trim(text)) = 0 THEN []
+           |         ELSE string_split_regex(trim(text), '\s+') END AS w FROM b WHERE hb >= 250),
+           |bge AS (SELECT doc_id, x.pos AS pos, x.w1 AS w1, x.w2 AS w2 FROM (
+           |    SELECT doc_id, unnest([{'pos': i, 'w1': w[i], 'w2': w[i+1]}
+           |      for i in generate_series(1, len(w)-1)]) AS x FROM etk)),
+           |p AS (SELECT e.doc_id, e.pos,
+           |    CAST(coalesce(cb.cb, 0) + 1 AS DOUBLE)
+           |      / (coalesce(cp.cp, 0) + (SELECT v FROM v)) AS p,
+           |    CASE WHEN cb.cb IS NULL THEN 1 ELSE 0 END AS unseen
+           |  FROM bge e LEFT JOIN cb ON cb.w1 = e.w1 AND cb.w2 = e.w2
+           |  LEFT JOIN cp ON cp.w1 = e.w1),
+           |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |    CAST(sum(unseen) AS BIGINT) AS n_unseen,
+           |    list_sum(list(p ORDER BY pos)) AS s FROM p GROUP BY doc_id)
+           |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+           |  coalesce(a.n_unseen, 0) AS n_unseen,
+           |  coalesce(a.s / a.n_bigrams, 0.0) AS fluency
+           |FROM (SELECT doc_id FROM b WHERE hb >= 250) d
+           |LEFT JOIN agg a USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin),
+    "OOD fluency scoring: add-one-smoothed LM over a held-out split, unseen-transition accounting (LLM-pipeline op)")
+
   /** SCORE CALIBRATION REPORT (d50) — the tool the d49 lesson demands:
     * before freezing any gate threshold, look at the score DISTRIBUTION.
     * Per source: doc count and exact-rank p10/p50/p90 of the d45 fluency
@@ -3178,5 +3263,5 @@ object TextQueries {
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
       d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43, d44,
-      d45, d46, d47, d48, d49, d50, m01, m02, m03, m04, m05, m06, m07, m08, m10, m11, m12, m13, m14)
+      d45, d46, d47, d48, d49, d50, d51, m01, m02, m03, m04, m05, m06, m07, m08, m10, m11, m12, m13, m14)
 }

@@ -545,6 +545,35 @@ class OperatorsSpec extends SparkSpec {
     assert(got(2) == 0.0, s"orthogonal halves: ${got(2)}")
   }
 
+  test("OOD fluency (d51): unseen transitions counted and Laplace-scored " +
+      "at 1/V, seen ones at (c+1)/(c·+V)") {
+    // find ids on each side of the md5-byte split (testdata can't exercise
+    // unseen bigrams — its vocabulary is shared corpus-wide)
+    def hb(id: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      ((d(0) & 0xf0) >> 4) * 16 + (d(0) & 0x0f)
+    }
+    val trainIds = (0L to 500L).filter(hb(_) < 250).take(3)
+    val evalIds = (0L to 500L).filter(hb(_) >= 250).take(2)
+    assert(trainIds.size == 3 && evalIds.size == 2)
+    val dir = java.nio.file.Files.createTempDirectory("d51spec").toString
+    (trainIds.map(id => (id, "src0", "the cat sat on the mat")) ++
+        Seq((evalIds(0), "src0", "zebra quantum flux"),
+          (evalIds(1), "src0", "the cat zebra")))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.TextQueries.d51.spark(spark, dir)
+      .select("doc_id", "n_bigrams", "n_unseen", "fluency")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // V = 5 (the cat sat on mat); all-unseen doc: both bigrams at 1/V
+    assert(got(evalIds(0)) == ((evalIds(0), 2L, 2L, 1.0 / 5)))
+    // mixed doc: (the,cat) seen c=3, c(the·)=6 -> (3+1)/(6+5); (cat,zebra)
+    // unseen with seen prefix c(cat·)=3 -> 1/(3+5)
+    val expect = (4.0 / 11 + 1.0 / 8) / 2
+    assert(got(evalIds(1)) == ((evalIds(1), 2L, 1L, expect)))
+  }
+
   test("driftPartialSums fold over any batch split ≡ embeddingDrift " +
       "bit-for-bit (the s27 drain ≡ batch property)") {
     VectorFunctions.register(spark)
