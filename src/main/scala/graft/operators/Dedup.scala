@@ -136,16 +136,7 @@ object Dedup {
     // one giant candidate set.
     val raw = docShingles(docs, idCol, textCol, n)
     val ds = (if (maxDf == Int.MaxValue) raw else capShingles(raw, maxDf)).persist()
-    val sig = ds.groupBy(col("doc_id")).agg(
-      min(md5(concat(lit("0|"), col("shingle")))).as("mh0"),
-      (1 until k).map(i => min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"mh$i")): _*)
-    val nBands = k / r
-    val bands = sig.select(col("doc_id"),
-      explode(array((0 until nBands).map { b =>
-        struct(lit(b).as("band_idx"),
-          md5(concat_ws("|", (0 until r).map(j => col(s"mh${b * r + j}")): _*)).as("band_hash"))
-      }: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
+    val bands = minhashBands(ds, k, r)
     val cand = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_hash"))
       .join(bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_hash")),
         Seq("band_idx", "band_hash"))
@@ -160,6 +151,59 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
     jaccardOf(inter, sizes, minJaccard)
+  }
+
+  /** MinHash signatures → LSH band rows `(doc_id, band_idx, band_hash)`
+    * over a `(doc_id, shingle)` relation — factored so symmetric dedup
+    * (minhashLsh) and asymmetric containment checks (fuzzyDecontaminate)
+    * share one banding definition. */
+  private[graft] def minhashBands(ds: DataFrame, k: Int, r: Int): DataFrame = {
+    val sig = ds.groupBy(col("doc_id")).agg(
+      min(md5(concat(lit("0|"), col("shingle")))).as("mh0"),
+      (1 until k).map(i => min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"mh$i")): _*)
+    val nBands = k / r
+    sig.select(col("doc_id"),
+        explode(array((0 until nBands).map { b =>
+          struct(lit(b).as("band_idx"),
+            md5(concat_ws("|", (0 until r).map(j => col(s"mh${b * r + j}")): _*)).as("band_hash"))
+        }: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
+  }
+
+  /** FUZZY (near-dup) decontamination — [[decontaminate]] catches verbatim
+    * n-gram overlap; paraphrased benchmark leakage (reworded questions,
+    * suffixed/prefixed copies) shares few exact n-grams in sequence but a
+    * high shingle-set SIMILARITY. Asymmetric LSH: band signatures of the
+    * (small) eval set BROADCAST against the corpus's band rows — the
+    * corpus is never self-joined — and candidates verify with exact
+    * Jaccard ≥ `minJaccard`. Output `(doc_id, bench_id, jaccard)`: which
+    * corpus doc leaks which benchmark item, the audit row exact
+    * decontamination can't produce. */
+  def fuzzyDecontaminate(corpus: DataFrame, bench: DataFrame,
+                         idCol: String, textCol: String, n: Int = 3,
+                         k: Int = 8, r: Int = 2,
+                         minJaccard: Double = 0.5): DataFrame = {
+    val cs = docShingles(corpus, idCol, textCol, n).persist()
+    val bs = docShingles(bench, idCol, textCol, n).persist()
+    val cand = minhashBands(cs, k, r)
+      .join(broadcast(minhashBands(bs, k, r)
+          .withColumnRenamed("doc_id", "bench_id")),
+        Seq("band_idx", "band_hash"))
+      .select(col("doc_id"), col("bench_id")).distinct()
+    val cSizes = cs.groupBy(col("doc_id")).agg(count(lit(1)).as("sa"))
+    val bSizes = bs.groupBy(col("doc_id")).agg(count(lit(1)).as("sb"))
+    val inter = cand
+      .join(cs, Seq("doc_id"))
+      .join(bs.select(col("doc_id").as("bench_id"), col("shingle")),
+        Seq("bench_id", "shingle"))
+      .groupBy(col("doc_id"), col("bench_id")).agg(count(lit(1)).as("n_inter"))
+    val jac = col("n_inter").cast("double") /
+      (col("sa") + col("sb") - col("n_inter"))
+    inter
+      .join(cSizes, Seq("doc_id"))
+      .join(bSizes.withColumnRenamed("doc_id", "bench_id"), Seq("bench_id"))
+      .select(col("doc_id"), col("bench_id"), jac.as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
   }
 
   /** SimHash fingerprint per doc over an arbitrary feature relation

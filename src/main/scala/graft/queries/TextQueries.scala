@@ -2921,6 +2921,88 @@ object TextQueries {
            |WHERE rank <= 100 ORDER BY rank""".stripMargin),
     "curation pipeline v3: fluency gate -> contamination-fraction gate -> exact dedup -> quality-ranked top-100 in ONE plan (LLM-pipeline op)")
 
+  /** FUZZY DECONTAMINATION (d52) — [[Dedup.fuzzyDecontaminate]]: catches
+    * PARAPHRASED benchmark leakage (d21/d28 only see verbatim n-gram
+    * overlap) via asymmetric MinHash-LSH — the small eval set's band rows
+    * broadcast against the corpus bands (the corpus never self-joins),
+    * candidates verified with exact Jaccard ≥ 0.5, output naming WHICH
+    * benchmark item each corpus doc leaks. The fixture plants a
+    * deterministic suffixed variant of every bench doc into the corpus
+    * (the d38 augmentation precedent — the testdata's own near-dups never
+    * straddle the md5 split at sf0.01), so both planted hits and honest
+    * misses (short docs diluted below 0.5) are exercised. */
+  val d52 = QueryDef(
+    "d52_fuzzy_decontaminate",
+    (spark, dir) => {
+      val byte = (id: Column) => conv(substring(md5(id.cast("string")), 1, 2), 16, 10)
+        .cast("int")
+      val docs = Tables.documents(spark, dir)
+      val bench = docs.filter(byte(col("doc_id")) >= 250)
+        .select(col("doc_id"), col("text"))
+      val planted = bench.select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(col("text"), lit(" planted paraphrase marker tail words")).as("text"))
+      val corpus = docs.filter(byte(col("doc_id")) < 250)
+        .select(col("doc_id"), col("text"))
+        .unionByName(planted)
+      Dedup.fuzzyDecontaminate(corpus, bench, "doc_id", "text",
+          n = 3, k = 8, r = 2, minJaccard = 0.5)
+        .orderBy(col("doc_id"), col("bench_id"))
+    },
+    Some {
+      val k = 8; val r = 2
+      def mhCols(src: String) = (0 until k)
+        .map(i => s"min(md5('$i|' || shingle)) AS mh$i").mkString(",\n    ")
+      def bandRows(sig: String) = (0 until k / r).map { b =>
+        val parts = (0 until r).map(j => s"mh${b * r + j}").mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band_idx, md5($parts) AS band_hash FROM $sig"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH b AS (SELECT doc_id,
+         |  (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         |  + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS hb, text
+         |  FROM documents),
+         |bench AS (SELECT doc_id, text FROM b WHERE hb >= 250),
+         |corpus AS (SELECT doc_id, text FROM b WHERE hb < 250
+         |  UNION ALL
+         |  SELECT doc_id + 10000000, text || ' planted paraphrase marker tail words' FROM bench),
+         |ctk AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+         |    ELSE string_split_regex(trim(text), '\\s+') END AS w FROM corpus),
+         |csh AS (SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN length(w) < 3 THEN []
+         |         ELSE [array_to_string(list_slice(w, i+1, i+3), ' ') for i in range(0, length(w)-2)] END)) AS shingle
+         |  FROM ctk),
+         |btk AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+         |    ELSE string_split_regex(trim(text), '\\s+') END AS w FROM bench),
+         |bsh AS (SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN length(w) < 3 THEN []
+         |         ELSE [array_to_string(list_slice(w, i+1, i+3), ' ') for i in range(0, length(w)-2)] END)) AS shingle
+         |  FROM btk),
+         |sigc AS (SELECT doc_id,
+         |    ${mhCols("csh")}
+         |  FROM csh GROUP BY doc_id),
+         |sigb AS (SELECT doc_id,
+         |    ${mhCols("bsh")}
+         |  FROM bsh GROUP BY doc_id),
+         |bandsc AS (${bandRows("sigc")}),
+         |bandsb AS (${bandRows("sigb")}),
+         |cand AS (SELECT DISTINCT c.doc_id, bb.doc_id AS bench_id
+         |  FROM bandsc c JOIN bandsb bb USING (band_idx, band_hash)),
+         |csz AS (SELECT doc_id, count(*) AS sa FROM csh GROUP BY doc_id),
+         |bsz AS (SELECT doc_id, count(*) AS sb FROM bsh GROUP BY doc_id),
+         |inter AS (SELECT cand.doc_id, cand.bench_id, count(*) AS n_inter
+         |  FROM cand
+         |  JOIN csh ON csh.doc_id = cand.doc_id
+         |  JOIN bsh ON bsh.doc_id = cand.bench_id AND bsh.shingle = csh.shingle
+         |  GROUP BY 1, 2)
+         |SELECT i.doc_id, i.bench_id,
+         |  CAST(n_inter AS DOUBLE) / (csz.sa + bsz.sb - n_inter) AS jaccard
+         |FROM inter i
+         |JOIN csz ON csz.doc_id = i.doc_id
+         |JOIN bsz ON bsz.doc_id = i.bench_id
+         |WHERE CAST(n_inter AS DOUBLE) / (csz.sa + bsz.sb - n_inter) >= 0.5
+         |ORDER BY i.doc_id, i.bench_id""".stripMargin
+    },
+    "fuzzy decontamination: paraphrased-leakage audit via asymmetric MinHash-LSH vs the eval set (LLM-pipeline op)")
+
   /** OOD FLUENCY SCORING (d51) — d45 scores text against an LM trained on
     * the SAME corpus, where every bigram is seen; scoring NEW text (the
     * streaming-ingest reality) hits unseen transitions, and d45's inner
@@ -3263,5 +3345,5 @@ object TextQueries {
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
       d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43, d44,
-      d45, d46, d47, d48, d49, d50, d51, m01, m02, m03, m04, m05, m06, m07, m08, m10, m11, m12, m13, m14)
+      d45, d46, d47, d48, d49, d50, d51, d52, m01, m02, m03, m04, m05, m06, m07, m08, m10, m11, m12, m13, m14)
 }

@@ -545,6 +545,28 @@ class OperatorsSpec extends SparkSpec {
     assert(got(2) == 0.0, s"orthogonal halves: ${got(2)}")
   }
 
+  test("fuzzyDecontaminate (d52): planted paraphrases map to their bench " +
+      "source; direct operator finds a suffixed copy, skips unrelated") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "totally unrelated content about something else entirely here"))
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.fuzzyDecontaminate(corpus, bench, "doc_id", "text",
+        n = 3, minJaccard = 0.5)
+      .select("doc_id", "bench_id").as[(Long, Long)].collect().toSet
+    assert(hits == Set((1L, 100L)), s"got $hits")
+
+    val got = graft.queries.TextQueries.d52.spark(spark, sf001)
+      .select("doc_id", "bench_id").as[(Long, Long)].collect()
+    assert(got.nonEmpty, "planted variants must be detected")
+    got.filter(_._1 >= 10000000L).foreach { case (d, b) =>
+      assert(d - 10000000L == b, s"planted $d must leak its own source, got $b")
+    }
+  }
+
   test("OOD fluency (d51): unseen transitions counted and Laplace-scored " +
       "at 1/V, seen ones at (c+1)/(c·+V)") {
     // find ids on each side of the md5-byte split (testdata can't exercise
