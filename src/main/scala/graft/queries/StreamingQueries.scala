@@ -1829,7 +1829,65 @@ object StreamingQueries {
     TextQueries.m13.oracle, // stateless per-image gate ⇒ drain ≡ batch
     "streaming image-quality gate: per-batch decode + stat gate at media ingest, m13 verbatim (LLM-pipeline op)")
 
+  /** STREAMING FUZZY DECONTAMINATION (s31) — d52 at INGEST: the eval
+    * set's shingles live as a FROZEN side input (the s22/s28 discipline —
+    * in production the benchmark set changes rarely and re-freezes on
+    * release), every arriving micro-batch is banded and checked against
+    * it, and flagged (doc, bench, jaccard) audit rows land before the
+    * batch does. Per-document scoring against a frozen reference is
+    * batch-split-invariant ⇒ drain ≡ batch, d52's oracle verbatim
+    * (including its planted paraphrases, which are split across the
+    * arriving batches). */
+  val s31 = QueryDef(
+    "s31_stream_fuzzy_decon",
+    (spark, dir) => {
+      import graft.merge.ParquetTable
+      val byte = (id: org.apache.spark.sql.Column) =>
+        conv(substring(md5(id.cast("string")), 1, 2), 16, 10).cast("int")
+      val docs = graft.sources.Tables.documents(spark, dir)
+      val bench = docs.filter(byte(col("doc_id")) >= 250)
+        .select(col("doc_id"), col("text")).localCheckpoint(true)
+      val srcDir = FixtureDirs.cachedDir("s31-docs-", dir) { d =>
+        val planted = bench.select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(col("text"),
+            lit(" planted paraphrase marker tail words")).as("text"))
+        val corpus = docs.filter(byte(col("doc_id")) < 250)
+          .select(col("doc_id"), col("text")).unionByName(planted)
+        (0 to 2).foreach { i =>
+          val tmp = FixtureDirs.create(s"s31-part$i-")
+          corpus.filter(col("doc_id") % 3 === i)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val f = java.nio.file.Files.list(tmp)
+            .filter(_.toString.endsWith(".parquet")).findFirst().get()
+          java.nio.file.Files.move(f, d.resolve(s"batch$i.parquet"))
+        }
+      }
+      val audit = new ParquetTable(spark,
+        s"${FixtureDirs.create("s31-audit-")}/audit",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id bigint, bench_id bigint, jaccard double"))
+      val stream = spark.readStream
+        .schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      withStreamConf(spark) {
+        val q = stream.writeStream
+          .option("checkpointLocation", newCkptDir())
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            audit.append(graft.operators.Dedup.fuzzyDecontaminate(
+              batch.localCheckpoint(true), bench, "doc_id", "text",
+              n = 3, k = 8, r = 2, minJaccard = 0.5))
+          }
+          .start()
+        q.awaitTermination()
+      }
+      audit.read().orderBy(col("doc_id"), col("bench_id"))
+    },
+    TextQueries.d52.oracle, // frozen bench reference ⇒ drain ≡ batch
+    "streaming fuzzy decontamination: per-batch paraphrase-leakage audit vs a frozen eval set, d52 verbatim (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
     s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24,
-    s25, s26, s27, s28, s29, s30)
+    s25, s26, s27, s28, s29, s30, s31)
 }
