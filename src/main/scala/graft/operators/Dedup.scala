@@ -183,8 +183,11 @@ object Dedup {
                          idCol: String, textCol: String, n: Int = 3,
                          k: Int = 8, r: Int = 2,
                          minJaccard: Double = 0.5): DataFrame = {
-    val cs = docShingles(corpus, idCol, textCol, n).persist()
-    val bs = docShingles(bench, idCol, textCol, n).persist()
+    // eager checkpoints (not persist): each is consumed 2–3× below, and a
+    // cache would be deduped across bench repeats by the CacheManager —
+    // the d27/v11 flattered-median trap
+    val cs = docShingles(corpus, idCol, textCol, n).localCheckpoint(true)
+    val bs = docShingles(bench, idCol, textCol, n).localCheckpoint(true)
     val cand = minhashBands(cs, k, r)
       .join(broadcast(minhashBands(bs, k, r)
           .withColumnRenamed("doc_id", "bench_id")),
