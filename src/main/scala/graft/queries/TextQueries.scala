@@ -3088,6 +3088,56 @@ object TextQueries {
            |ORDER BY d.doc_id""".stripMargin),
     "OOD fluency scoring: add-one-smoothed LM over a held-out split, unseen-transition accounting (LLM-pipeline op)")
 
+  /** PERPLEXITY-BUCKETED SHARDING (d53) — the CCNet recipe: split each
+    * source's documents into head/middle/tail TERCILES of the LM quality
+    * score (d45's fluency as the perplexity surrogate, ranked within
+    * source), so downstream mixing can oversample the head and cap the
+    * tail instead of applying one hard gate. Bucket assignment is pure
+    * integer arithmetic over the rank (`(rn−1)·3 div n` → 2=head, 0=tail
+    * after ordering fluency DESC), engine-exact like d39's epoch shards;
+    * cost is d45's scoring profile plus one rank window per source. */
+  val d53 = QueryDef(
+    "d53_perplexity_buckets",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val (cbT, cpT) = lmCounts(docs)
+      val scored = lmScore(docs, cbT, cpT)
+        .select(col("doc_id"), col("fluency"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("fluency").desc, col("doc_id"))
+      val wn = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+      docs.select(col("doc_id"), col("source")).join(scored, Seq("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+        .select(col("doc_id"), col("source"), col("fluency"),
+          expr("CAST(2 - ((rn - 1) * 3) div n AS INT)").as("bucket"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+           |    CASE WHEN length(trim(text)) = 0 THEN []
+           |         ELSE string_split_regex(trim(text), '\s+') END AS w FROM documents),
+           |bg AS (SELECT doc_id, x.pos AS pos, x.w1 AS w1, x.w2 AS w2 FROM (
+           |    SELECT doc_id, unnest([{'pos': i, 'w1': w[i], 'w2': w[i+1]}
+           |      for i in generate_series(1, len(w)-1)]) AS x FROM toks)),
+           |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY 1, 2),
+           |cp AS (SELECT w1, CAST(count(*) AS BIGINT) AS cp FROM bg GROUP BY 1),
+           |p AS (SELECT bg.doc_id, bg.pos, CAST(cb.cb AS DOUBLE) / cp.cp AS p
+           |  FROM bg JOIN cb ON cb.w1 = bg.w1 AND cb.w2 = bg.w2
+           |  JOIN cp ON cp.w1 = bg.w1),
+           |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |    list_sum(list(p ORDER BY pos)) AS s FROM p GROUP BY doc_id),
+           |scored AS (SELECT d.doc_id, d.source, coalesce(a.s / a.n_bigrams, 0.0) AS fluency
+           |  FROM documents d LEFT JOIN agg a USING (doc_id)),
+           |j AS (SELECT doc_id, source, fluency,
+           |    row_number() OVER (PARTITION BY source ORDER BY fluency DESC, doc_id) AS rn,
+           |    count(*) OVER (PARTITION BY source) AS n
+           |  FROM scored)
+           |SELECT doc_id, source, fluency,
+           |  CAST(2 - ((rn - 1) * 3) // n AS INTEGER) AS bucket
+           |FROM j ORDER BY doc_id""".stripMargin),
+    "perplexity-bucketed sharding: per-source head/middle/tail LM-quality terciles, the CCNet mixing recipe (LLM-pipeline op)")
+
   /** SCORE CALIBRATION REPORT (d50) — the tool the d49 lesson demands:
     * before freezing any gate threshold, look at the score DISTRIBUTION.
     * Per source: doc count and exact-rank p10/p50/p90 of the d45 fluency
@@ -3345,5 +3395,5 @@ object TextQueries {
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
       d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43, d44,
-      d45, d46, d47, d48, d49, d50, d51, d52, m01, m02, m03, m04, m05, m06, m07, m08, m10, m11, m12, m13, m14)
+      d45, d46, d47, d48, d49, d50, d51, d52, d53, m01, m02, m03, m04, m05, m06, m07, m08, m10, m11, m12, m13, m14)
 }
