@@ -272,6 +272,52 @@ object Multimodal {
         col("n_frames"), col("energy"))
   }
 
+  case class AudioQuality(media_id: Long, n_samples: Int, n_clipped: Long,
+                          n_frames: Int, n_silent: Long,
+                          silence_ratio: Double, keep: Boolean)
+
+  /** AUDIO QUALITY GATE — the speech-corpus curation cut: drop tracks with
+    * CLIPPED samples (|s| at the int16 rail — irrecoverable distortion) or
+    * mostly-silent content (fraction of `spf`-sample frames whose
+    * abs-energy ≤ `silenceThreshold` above `maxSilence`). One decode pass
+    * per track in the scan stage (the m13/m14 shape — audio bytes never
+    * leave it); counts are exact integers, the ratio one int/int IEEE
+    * division. */
+  def audioQuality(media: DataFrame, idCol: String, mediaCol: String,
+                   spf: Int, silenceThreshold: Long,
+                   maxSilence: Double = 0.5): Dataset[AudioQuality] = {
+    require(spf > 0, s"bad samples-per-frame $spf")
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(mediaCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val a = WavCodec.decode(bytes)
+          val s = a.samples
+          var clipped = 0L
+          var i = 0
+          while (i < s.length) {
+            if (s(i) == Short.MaxValue || s(i) == Short.MinValue) clipped += 1
+            i += 1
+          }
+          val nFrames = s.length / spf
+          var silent = 0L
+          var f = 0
+          while (f < nFrames) {
+            var en = 0L
+            var j = 0
+            while (j < spf) { en += math.abs(s(f * spf + j).toLong); j += 1 }
+            if (en <= silenceThreshold) silent += 1
+            f += 1
+          }
+          val ratio =
+            if (nFrames == 0) 0.0 else silent.toDouble / nFrames
+          AudioQuality(id, s.length, clipped, nFrames, silent, ratio,
+            clipped == 0 && ratio <= maxSilence)
+        }
+      }
+  }
+
   /** Build a media table from the documents table (text bytes as the opaque
     * payload) — gives the multimodal path a deterministic, testdata-backed
     * input without shipping binary fixtures. */

@@ -2348,6 +2348,60 @@ object TextQueries {
            |FROM s ORDER BY media_id, seg_idx""".stripMargin),
     "audio voice-activity segmentation: native frame energies + relational islands (LLM-pipeline op)")
 
+  /** AUDIO QUALITY GATE (m15) —
+    * [[graft.operators.Multimodal.audioQuality]] over real WAVs: m11's
+    * fixture extended with PLANTED defects — every 4th track gets samples
+    * at the int16 rail (clipping), every id≡3 (mod 5) track is ~80%
+    * silent frames — so both cut reasons fire alongside clean keeps. The
+    * oracle recomputes per-frame abs-energies, the clip census, and the
+    * silence ratio analytically from the sample functions (m11's
+    * technique); a hash match proves WAV decode + clip detection + frame
+    * energies + the gate. */
+  val m15 = QueryDef(
+    "m15_audio_quality_gate",
+    (spark, dir) => {
+      import spark.implicits._
+      val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions { it =>
+        it.map { id =>
+          val nFrames = (40 + (id % 3) * 8).toInt
+          val n = nFrames * 8
+          val loudBar = if (id % 5 == 3) 1 else 3
+          val samples = Array.tabulate(n) { i =>
+            val f = i / 8
+            val loud = (id + f.toLong * f + 3L * f) % 5 < loudBar
+            if (id % 4 == 0 && i % 97 == 0) Short.MaxValue
+            else if (loud) (500 + (id + 31L * i) % 2000).toShort
+            else ((i % 3) - 1).toShort
+          }
+          (id, graft.operators.WavCodec.encode(16000, 1, samples))
+        }
+      }.toDF("media_id", "media")
+      graft.operators.Multimodal.audioQuality(
+          FixtureDirs.cachedRoundTrip(media, "m15-media-", dir),
+          "media_id", "media", spf = 8, silenceThreshold = 1000L)
+        .toDF().orderBy(col("media_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id, 40 + (doc_id % 3) * 8 AS nf FROM documents),
+           |fr AS (SELECT doc_id, f,
+           |    list_sum([CASE WHEN doc_id % 4 = 0 AND (f*8+j) % 97 = 0 THEN 32767
+           |      WHEN (doc_id + f*f + 3*f) % 5 < (CASE WHEN doc_id % 5 = 3 THEN 1 ELSE 3 END)
+           |        THEN 500 + (doc_id + 31*(f*8+j)) % 2000
+           |      ELSE abs((f*8+j) % 3 - 1) END for j in range(0, 8)]) AS en
+           |  FROM d, unnest(range(nf)) AS t(f)),
+           |agg AS (SELECT fr.doc_id, max(d.nf) AS nf,
+           |    CAST(sum(CASE WHEN en <= 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_silent
+           |  FROM fr JOIN d ON d.doc_id = fr.doc_id GROUP BY fr.doc_id),
+           |clip AS (SELECT doc_id, CAST(list_sum(
+           |    [CASE WHEN doc_id % 4 = 0 AND i % 97 = 0 THEN 1 ELSE 0 END
+           |     for i in range(0, nf*8)]) AS BIGINT) AS n_clipped FROM d)
+           |SELECT a.doc_id AS media_id, CAST(a.nf * 8 AS INTEGER) AS n_samples,
+           |  c.n_clipped, CAST(a.nf AS INTEGER) AS n_frames, a.n_silent,
+           |  CAST(a.n_silent AS DOUBLE) / a.nf AS silence_ratio,
+           |  (c.n_clipped = 0 AND CAST(a.n_silent AS DOUBLE) / a.nf <= 0.5) AS keep
+           |FROM agg a JOIN clip c USING (doc_id) ORDER BY media_id""".stripMargin),
+    "audio quality gate: clipping census + silence-ratio cut over real WAV decode (LLM-pipeline op)")
+
   /** BEST-RENDITION DEDUP — collapse each near-dup cluster to its
     * HIGHEST-QUALITY member instead of the arbitrary min-id (d01/d08 keep
     * first; production curation keeps the cleanest rendition — the
@@ -3395,5 +3449,5 @@ object TextQueries {
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
       d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43, d44,
-      d45, d46, d47, d48, d49, d50, d51, d52, d53, m01, m02, m03, m04, m05, m06, m07, m08, m10, m11, m12, m13, m14)
+      d45, d46, d47, d48, d49, d50, d51, d52, d53, m01, m02, m03, m04, m05, m06, m07, m08, m10, m11, m12, m13, m14, m15)
 }

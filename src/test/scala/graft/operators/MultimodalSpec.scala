@@ -60,6 +60,25 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audioQuality (m15): clipping detected at both rails, silence " +
+      "ratio exact, clean loud track kept") {
+    val loud = WavCodec.encode(16000, 1, Array.fill(64)(2000.toShort))
+    val silent = WavCodec.encode(16000, 1, Array.fill(64)(1.toShort))
+    val clippedPos = WavCodec.encode(16000, 1,
+      Array.tabulate(64)(i => if (i == 5) Short.MaxValue else 2000.toShort))
+    val clippedNeg = WavCodec.encode(16000, 1,
+      Array.tabulate(64)(i => if (i == 9) Short.MinValue else 2000.toShort))
+    val media = Seq((1L, loud), (2L, silent), (3L, clippedPos), (4L, clippedNeg))
+      .toDF("media_id", "media")
+    val got = Multimodal.audioQuality(media, "media_id", "media",
+        spf = 8, silenceThreshold = 1000L)
+      .collect().map(q => q.media_id -> q).toMap
+    assert(got(1L).keep && got(1L).n_silent == 0 && got(1L).n_clipped == 0)
+    assert(!got(2L).keep && got(2L).silence_ratio == 1.0)
+    assert(!got(3L).keep && got(3L).n_clipped == 1)
+    assert(!got(4L).keep && got(4L).n_clipped == 1)
+  }
+
   test("mediaFromDocuments builds a well-typed media table from testdata") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
     val media = Multimodal.mediaFromDocuments(spark, docs)
