@@ -496,6 +496,15 @@ class PlanAuditSpec extends SparkSpec {
     assertExchangesFreeOf("d45_lm_fluency", Seq("text"))
   }
 
+  test("d52 fuzzy decontamination: the band join broadcasts the bench side " +
+      "— no corpus self-join, no cartesian") {
+    val p = planOf("d52_fuzzy_decontaminate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"d52 fell back to all-pairs:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bench band rows are not broadcast:\n$p")
+  }
+
   test("v18 range search keeps the IVF equi-join shape — no all-pairs scan") {
     val p = planOf("v18_range_search")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
