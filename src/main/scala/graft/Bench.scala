@@ -12,8 +12,32 @@ import org.apache.spark.sql.SparkSession
   * system load average at start and end: round 2's official bench was
   * recorded on a machine under 2-3× load and manufactured three phantom
   * regressions; a loaded run is now self-identifying.
+  *
+  * Timing FORCES every output column (r9): `count()` lets Catalyst prune
+  * unreferenced projections, aggregate expressions behind a groupBy, and
+  * the right side of a left join — so projection-heavy rows (BPE encode,
+  * PII redaction, recall evals) read phantom-fast (d36 0.13 s under count
+  * vs 0.6 s real; d41 0.18 vs 1.14; v23 0.28 vs 0.84). Each run now
+  * aggregates over every output column (the `Scratch qf` protocol), so the
+  * round record measures the work a consumer of the result would pay for.
   */
 object Bench {
+  /** One aggregate per output column — nothing in the plan is prunable. */
+  def forceAll(df: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val aggs = df.schema.fields.toIndexedSeq.map { f =>
+      f.dataType match {
+        case StringType => sum(length(col(f.name)))
+        case _: ArrayType => sum(size(col(f.name)))
+        case _: NumericType => sum(col(f.name).cast("double"))
+        case _ => count(col(f.name))
+      }
+    }
+    if (aggs.isEmpty) { df.count(); () }
+    else { df.agg(aggs.head, aggs.tail: _*).collect(); () }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -37,7 +61,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to repeats).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        try { forceAll(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: $e"); None }
       }

@@ -43,18 +43,7 @@ object Scratch {
       args(1).split(',').foreach { name =>
         val fn = graft.queries.Registry.queries(name)
         (1 to n).foreach { i =>
-          timed(s"$name run$i (forced)") {
-            val df = fn(spark, sfDir)
-            val aggs = df.schema.fields.toIndexedSeq.map { f =>
-              f.dataType match {
-                case org.apache.spark.sql.types.StringType => sum(length(col(f.name)))
-                case _: org.apache.spark.sql.types.ArrayType => sum(size(col(f.name)))
-                case _: org.apache.spark.sql.types.NumericType => sum(col(f.name).cast("double"))
-                case _ => count(col(f.name))
-              }
-            }
-            df.agg(aggs.head, aggs.tail: _*).collect()
-          }
+          timed(s"$name run$i (forced)") { Bench.forceAll(fn(spark, sfDir)) }
         }
       }
     } else if (args.headOption.contains("v17scaled")) {

@@ -182,12 +182,28 @@ object Dedup {
   def fuzzyDecontaminate(corpus: DataFrame, bench: DataFrame,
                          idCol: String, textCol: String, n: Int = 3,
                          k: Int = 8, r: Int = 2,
-                         minJaccard: Double = 0.5): DataFrame = {
+                         minJaccard: Double = 0.5,
+                         maxDf: Int = Int.MaxValue): DataFrame = {
     // eager checkpoints (not persist): each is consumed 2–3× below, and a
     // cache would be deduped across bench repeats by the CacheManager —
-    // the d27/v11 flattered-median trap
-    val cs = docShingles(corpus, idCol, textCol, n).localCheckpoint(true)
-    val bs = docShingles(bench, idCol, textCol, n).localCheckpoint(true)
+    // the d27/v11 flattered-median trap.
+    // `maxDf` is the same boilerplate guard as minhashLsh's: a hot shingle
+    // with a small md5 dominates minhash signatures on BOTH sides and
+    // collapses band buckets into huge candidate sets. The hot list is
+    // computed over the CORPUS df (the side where boilerplate lives) and
+    // removed from both relations so exact-Jaccard verification stays
+    // consistent with the banding input.
+    val rawCs = docShingles(corpus, idCol, textCol, n)
+    val hotless: DataFrame => DataFrame =
+      if (maxDf == Int.MaxValue) identity
+      else {
+        val hot = rawCs.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
+          .select(col("shingle")).localCheckpoint(true)
+        ds => ds.join(broadcast(hot), Seq("shingle"), "left_anti")
+      }
+    val cs = hotless(rawCs).localCheckpoint(true)
+    val bs = hotless(docShingles(bench, idCol, textCol, n)).localCheckpoint(true)
     val cand = minhashBands(cs, k, r)
       .join(broadcast(minhashBands(bs, k, r)
           .withColumnRenamed("doc_id", "bench_id")),

@@ -137,19 +137,26 @@ object Multimodal {
           val img = ImageCodec.decode(bytes)
           val px = img.pixels
           val n = img.width * img.height
-          var mn = Int.MaxValue; var mx = Int.MinValue
-          val seen = new java.util.BitSet(766)
-          var i = 0
-          while (i < n) {
-            val o = i * 3
-            val lum = (px(o) & 0xff) + (px(o + 1) & 0xff) + (px(o + 2) & 0xff)
-            if (lum < mn) mn = lum
-            if (lum > mx) mx = lum
-            seen.set(lum)
-            i += 1
+          // a zero-pixel decode (0-width/height container) would leave the
+          // sentinels in place and emit contrast = MinValue-MaxValue (wraps
+          // to 1) — emit honest zeros and fail the gate instead
+          if (n == 0) ImageQuality(id, img.width, img.height, 0, 0, 0, 0, 0,
+            keep = false)
+          else {
+            var mn = Int.MaxValue; var mx = Int.MinValue
+            val seen = new java.util.BitSet(766)
+            var i = 0
+            while (i < n) {
+              val o = i * 3
+              val lum = (px(o) & 0xff) + (px(o + 1) & 0xff) + (px(o + 2) & 0xff)
+              if (lum < mn) mn = lum
+              if (lum > mx) mx = lum
+              seen.set(lum)
+              i += 1
+            }
+            ImageQuality(id, img.width, img.height, n, mn, mx, mx - mn,
+              seen.cardinality(), n >= minPixels && (mx - mn) >= minContrast)
           }
-          ImageQuality(id, img.width, img.height, n, mn, mx, mx - mn,
-            seen.cardinality(), n >= minPixels && (mx - mn) >= minContrast)
         }
       }
   }
@@ -179,16 +186,19 @@ object Multimodal {
           .map { case (img, f) =>
             val px = img.pixels
             val n = img.width * img.height
-            var mn = Int.MaxValue; var mx = Int.MinValue
-            var i = 0
-            while (i < n) {
-              val o = i * 3
-              val lum = (px(o) & 0xff) + (px(o + 1) & 0xff) + (px(o + 2) & 0xff)
-              if (lum < mn) mn = lum
-              if (lum > mx) mx = lum
-              i += 1
+            if (n == 0) FrameStats(id, f, 0, 0, 0, keep = false)
+            else {
+              var mn = Int.MaxValue; var mx = Int.MinValue
+              var i = 0
+              while (i < n) {
+                val o = i * 3
+                val lum = (px(o) & 0xff) + (px(o + 1) & 0xff) + (px(o + 2) & 0xff)
+                if (lum < mn) mn = lum
+                if (lum > mx) mx = lum
+                i += 1
+              }
+              FrameStats(id, f, mn, mx, mx - mn, (mx - mn) >= minContrast)
             }
-            FrameStats(id, f, mn, mx, mx - mn, (mx - mn) >= minContrast)
           }.toSeq
       }
   }

@@ -394,7 +394,11 @@ object Similarity {
     }
     val n = graft.sources.ParquetMeta.rowCount(corpus)
     val stride = math.max(1L, n / ksub)
-    val samp = corpus.filter(col("vec_id") % stride === 1)
+    // `1 % stride` keeps the offset-stride sample (disjoint from the `% == 0`
+    // centroid sample) when stride > 1, and degrades to "first ksub ids" when
+    // ksub <= n < 2*ksub makes stride == 1 — a plain `% 1 === 1` would match
+    // nothing and fail the ksub require with a misleading message.
+    val samp = corpus.filter(col("vec_id") % stride === lit(1L % stride))
       .orderBy(col("vec_id")).limit(ksub)
       .withColumn("cell",
         element_at(topCells(col("embedding"), 1), 1).getField("cell"))
@@ -679,6 +683,13 @@ object Similarity {
   def binaryHammingTopK(queries: DataFrame, corpus: DataFrame,
                         cos: (Column, Column) => Column, k: Int,
                         shortlist: Int): DataFrame = {
+    // The two-word packing holds bits 0..31 (lo) and 32..95 (hi). Beyond
+    // dim 95 `shiftleft(1L, dim-32)` wraps modulo 64 and silently aliases
+    // bits — corrupt fingerprints, no error. Probe the real width up front.
+    val dims = corpus.select(size(col("embedding"))).head().getInt(0)
+    require(dims <= 96,
+      s"binaryHammingTopK packs sign bits into two 64-bit words (dims <= 96); " +
+        s"got dims=$dims — widen the packing before using wider embeddings")
     def bitsOf(df: DataFrame): DataFrame =
       df.select(col("vec_id"),
           posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))

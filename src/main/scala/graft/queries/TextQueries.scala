@@ -2640,10 +2640,20 @@ object TextQueries {
     "d44_bpe_train",
     (spark, dir) => {
       import spark.implicits._
+      // minCount cap BEFORE the collect: on curated corpora the vocabulary
+      // is bounded, but raw web text carries a heavy singleton tail (typos,
+      // hex blobs, hashes) that makes "distinct words" not meaningfully
+      // bounded — the standard trainer guard (HF/sentencepiece min_frequency)
+      // drops count-1 words inside the distributed aggregation, so the
+      // driver only ever sees the true repeated vocabulary. A count-1 word
+      // also can't win a merge argmax unless everything is a singleton, so
+      // on healthy corpora the cap changes nothing but the collect size.
+      val minCount = 2L
       val wc = Tables.documents(spark, dir)
         .select(explode(regexp_extract_all(col("text"),
           lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= minCount)
         .as[(String, Long)].collect().toSeq
       val merges = graft.functions.BpeTrainer.train(wc, nMerges = 8)
       merges.zipWithIndex.map { case (m, i) =>
@@ -2678,7 +2688,7 @@ object TextQueries {
       s"""WITH RECURSIVE
          |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
          |  SELECT unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS w
-         |  FROM documents) GROUP BY w),
+         |  FROM documents) GROUP BY w HAVING count(*) >= 2),
          |s0 AS (SELECT w, cnt, [w[i] for i in generate_series(1, length(w))] AS syms FROM wc),
          |$rounds
          |$sel

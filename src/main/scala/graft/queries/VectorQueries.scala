@@ -1472,7 +1472,8 @@ object VectorQueries {
          |    [e.emb[i] - c.cemb[i] for i in generate_series(1, 64)] AS r
          |  FROM e JOIN assign a ON a.vec_id = e.vec_id JOIN cent c ON c.cell = a.cell),
          |samp AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c, vec_id
-         |  FROM e WHERE vec_id % greatest(1, (SELECT count(*) FROM e) // $ksub) = 1
+         |  FROM e WHERE vec_id % greatest(1, (SELECT count(*) FROM e) // $ksub)
+         |    = 1 % greatest(1, (SELECT count(*) FROM e) // $ksub)
          |  ORDER BY vec_id LIMIT $ksub),
          |cb AS (SELECT sub, samp.c, list_slice(res.r, sub*$dsub + 1, sub*$dsub + $dsub) AS w
          |  FROM samp JOIN res ON res.vec_id = samp.vec_id,
