@@ -201,6 +201,21 @@ final class VectorIndex(spark: SparkSession, root: String,
     deleteRec(staging)
   }
 
+  /** v26's occupancy signal read off the PERSISTED layout: the maximum
+    * cell's share of the index, relative to uniform (1.0 = perfectly
+    * balanced, nlist = everything in one cell). This is the retrain
+    * trigger input the streaming maintenance loop (s32) polls per batch —
+    * probe cost is occupancy-weighted, so this ratio predicts the p99 a
+    * query probing the hot cell pays. Cost: one codes scan collapsed
+    * map-side to ≤ nlist counter rows. */
+  def occupancySkew(): Double = {
+    val counts = spark.read.parquet(indexDir)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1))
+    val total = counts.sum.toDouble
+    if (total == 0) 0.0 else counts.max * nlist / total
+  }
+
   /** Retired generations, ascending (empty before the first [[retrain]]). */
   def versions: Seq[Long] = {
     import scala.jdk.CollectionConverters._

@@ -1887,7 +1887,100 @@ object StreamingQueries {
     TextQueries.d52.oracle, // frozen bench reference ⇒ drain ≡ batch
     "streaming fuzzy decontamination: per-batch paraphrase-leakage audit vs a frozen eval set, d52 verbatim (LLM-pipeline op)")
 
+  /** STREAMING INDEX RETRAIN (s32) — wires the three lifecycle verbs the
+    * repo already carries into the closed maintenance loop a deployed
+    * vector store runs: s15's foreachBatch code appends + v26's occupancy
+    * signal (read off the persisted layout) + v19's generation-cutover
+    * retrain, fired automatically when skew crosses threshold.
+    *
+    * Fixture: meta trains on the first batch's slice; batches 0–1 append
+    * organic vectors (occupancy ≈ uniform, skew stays under threshold);
+    * batch 2 is a HOT BURST — every vector a clone of vec 0/1 (the
+    * "trending topic" ingest pattern) — which crowds two cells and pushes
+    * max-cell share past 2.4× uniform. The trigger then retrains on
+    * everything ingested so far (batch i holds `vec_id % 3 == i` by
+    * construction) and cuts a new generation; the retired one stays
+    * queryable (RetrainSpec / the `versions` require). The two `require`s
+    * are mechanism guards: a trigger that never fires, fires early, or
+    * fires repeatedly turns the row red rather than silently passing.
+    *
+    * Oracle: because the burst lands in the LAST batch, the retrain input
+    * is the full skew-injected corpus, and retrain ≡ fresh build
+    * (RetrainSpec) — so the row is v13's fresh-build CTE chain over the
+    * transformed corpus. A hash match proves the trigger fired at the
+    * right moment with the right input: any other firing pattern yields a
+    * different geometry and a different top-k.
+    *
+    * 100 TB shape: the skew poll is one codes scan collapsing map-side to
+    * ≤ nlist counters (in production, parquet footer counts per cell
+    * directory — no row scan at all); the retrain itself is v19's one
+    * training pass + one map-side re-encode, amortized over the append era
+    * it resets; appends between polls stay per-batch-proportional. */
+  val s32 = QueryDef(
+    "s32_stream_index_retrain",
+    (spark, dir) => {
+      import graft.functions.VectorFunctions
+      VectorFunctions.register(spark)
+      val base = graft.sources.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      val skewSrc = base.filter(col("vec_id") < 2)
+        .select(col("vec_id").as("sid"), col("embedding").as("semb"))
+      val corpus = base.join(broadcast(skewSrc), col("vec_id") % 2 === col("sid"))
+        .select(col("vec_id"),
+          when(col("vec_id") % 3 === 2, col("semb"))
+            .otherwise(col("embedding")).as("embedding"))
+      val srcDir = FixtureDirs.create("s32-emb-")
+      (0 until 3).foreach { i =>
+        val tmp = FixtureDirs.create(s"s32-part$i-")
+        corpus.filter(col("vec_id") % 3 === i).coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val f = java.nio.file.Files.list(tmp)
+          .filter(_.toString.endsWith(".parquet")).findFirst().get()
+        java.nio.file.Files.move(f, srcDir.resolve(s"batch$i.parquet"))
+      }
+      val index = new graft.operators.VectorIndex(spark,
+        FixtureDirs.create("s32-index-").toString, nlist = 16)
+      index.buildMeta(corpus.filter(col("vec_id") % 3 === 0))
+      val firedAt = new java.util.concurrent.atomic.AtomicLong(-1L)
+      val retrains = new java.util.concurrent.atomic.AtomicInteger(0)
+      val stream = spark.readStream
+        .schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      withStreamConf(spark) {
+        val q = stream.writeStream
+          .option("checkpointLocation", newCkptDir())
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, batchId: Long) =>
+            index.append(b)
+            if (index.occupancySkew() >= 2.4 && retrains.get == 0) {
+              index.retrain(corpus.filter(col("vec_id") % 3 <= batchId))
+              retrains.incrementAndGet()
+              firedAt.set(batchId)
+            }
+            ()
+          }
+          .start()
+        q.awaitTermination()
+      }
+      require(retrains.get == 1 && firedAt.get == 2,
+        s"retrain trigger fired ${retrains.get} time(s), last at batch ${firedAt.get} " +
+          "(expected exactly once, on the burst batch 2: organic batches must stay " +
+          "under the skew threshold and the burst must cross it)")
+      require(index.versions == Seq(1L),
+        s"pre-retrain generation must be retired-but-queryable; got ${index.versions}")
+      index.query(corpus.filter(col("vec_id") < 10), corpus,
+          VectorFunctions.cosineSim, k = 5, nprobe = 4, shortlist = 50)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(VectorQueries.ivfPqOracle(eSql =
+      """SELECT b.vec_id, CASE WHEN b.vec_id % 3 = 2 THEN s.emb ELSE b.emb END AS emb
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings) b
+        |  JOIN (SELECT vec_id AS sid, CAST(embedding AS DOUBLE[]) AS emb
+        |        FROM embeddings WHERE vec_id < 2) s ON s.sid = b.vec_id % 2""".stripMargin)),
+    "streaming index retrain: v26 occupancy skew fires v19 generation cutover under foreachBatch appends (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
     s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24,
-    s25, s26, s27, s28, s29, s30, s31)
+    s25, s26, s27, s28, s29, s30, s31, s32)
 }

@@ -3259,6 +3259,81 @@ object TextQueries {
            |FROM j GROUP BY source ORDER BY source""".stripMargin),
     "score calibration report: per-source rank-exact fluency percentiles — pick gates from data (LLM-pipeline op)")
 
+  /** SAMPLED SCORE CALIBRATION (d50b) — the 100 TB default for threshold
+    * picking; exact-rank d50 stays the audit row. d50's percentiles cost a
+    * full per-source sort of the scored corpus; here each source keeps a
+    * deterministic [[graft.functions.MinKValues]] min-k sample of
+    * (md5(doc_id), fluency) — built with partial aggregation, the shuffle
+    * carries ≤k-row buffers per (partition, source), and the merge is
+    * EXACT (min-k of a union ≡ min-k of per-part min-k's), so the sample
+    * — and therefore every reported percentile — is bit-identical across
+    * engines, partitionings, and incremental rollups. Percentiles are
+    * d50's rank rule applied to the sample (value at `ceil(p·m)` by
+    * (score, hash) order over m = |sample| rows — a window over
+    * sources·k rows, never the corpus). On sources with ≤ k docs the
+    * sample IS the population and d50b's numbers equal d50's. */
+  val d50b = QueryDef(
+    "d50b_score_calibration_sampled",
+    (spark, dir) => {
+      val k = 64
+      val docs = Tables.documents(spark, dir)
+      val (cbT, cpT) = lmCounts(docs)
+      val scored = lmScore(docs, cbT, cpT)
+        .select(col("doc_id"), col("fluency"))
+      val sample = udaf(new graft.functions.MinKValues(k),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(String, Double)]())
+      val hv = docs.select(col("doc_id"), col("source")).join(scored, Seq("doc_id"))
+        .select(col("source"), md5(col("doc_id").cast("string")).as("h"),
+          col("fluency").as("v"))
+      val samples = hv.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"), sample(col("h"), col("v")).as("sk"))
+      val ex = samples.select(col("source"), col("n_docs"), explode(col("sk")).as("x"))
+        .select(col("source"), col("n_docs"), col("x.h").as("h"), col("x.v").as("v"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("v"), col("h"))
+      val wn = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+      ex.withColumn("rn", row_number().over(w))
+        .withColumn("m", count(lit(1)).over(wn))
+        .groupBy(col("source")).agg(
+          max(col("n_docs")).as("n_docs"),
+          max(col("m")).as("sample_n"),
+          max(when(col("rn") === expr("(m + 9) div 10"), col("v"))).as("p10"),
+          max(when(col("rn") === expr("(m + 1) div 2"), col("v"))).as("p50"),
+          max(when(col("rn") === expr("(m * 9 + 9) div 10"), col("v"))).as("p90"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+           |    CASE WHEN length(trim(text)) = 0 THEN []
+           |         ELSE string_split_regex(trim(text), '\s+') END AS w FROM documents),
+           |bg AS (SELECT doc_id, x.pos AS pos, x.w1 AS w1, x.w2 AS w2 FROM (
+           |    SELECT doc_id, unnest([{'pos': i, 'w1': w[i], 'w2': w[i+1]}
+           |      for i in generate_series(1, len(w)-1)]) AS x FROM toks)),
+           |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY 1, 2),
+           |cp AS (SELECT w1, CAST(count(*) AS BIGINT) AS cp FROM bg GROUP BY 1),
+           |p AS (SELECT bg.doc_id, bg.pos, CAST(cb.cb AS DOUBLE) / cp.cp AS p
+           |  FROM bg JOIN cb ON cb.w1 = bg.w1 AND cb.w2 = bg.w2
+           |  JOIN cp ON cp.w1 = bg.w1),
+           |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |    list_sum(list(p ORDER BY pos)) AS s FROM p GROUP BY doc_id),
+           |scored AS (SELECT d.doc_id, d.source, coalesce(a.s / a.n_bigrams, 0.0) AS fluency
+           |  FROM documents d LEFT JOIN agg a USING (doc_id)),
+           |hv AS (SELECT source, md5(CAST(doc_id AS VARCHAR)) AS h, fluency AS v FROM scored),
+           |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM hv GROUP BY source),
+           |sk AS (SELECT source, h, v FROM hv
+           |  QUALIFY row_number() OVER (PARTITION BY source ORDER BY h) <= 64),
+           |j AS (SELECT source, v,
+           |    row_number() OVER (PARTITION BY source ORDER BY v, h) AS rn,
+           |    count(*) OVER (PARTITION BY source) AS m
+           |  FROM sk)
+           |SELECT j.source, nd.n_docs, CAST(max(m) AS BIGINT) AS sample_n,
+           |  max(CASE WHEN rn = (m + 9) // 10 THEN v END) AS p10,
+           |  max(CASE WHEN rn = (m + 1) // 2 THEN v END) AS p50,
+           |  max(CASE WHEN rn = (m * 9 + 9) // 10 THEN v END) AS p90
+           |FROM j JOIN nd USING (source)
+           |GROUP BY j.source, nd.n_docs ORDER BY j.source""".stripMargin),
+    "sampled score calibration: per-source percentiles from deterministic merge-exact min-k samples — no corpus sort (LLM-pipeline op)")
+
   /** IMAGE QUALITY GATE (m13) — [[graft.operators.Multimodal.imageQuality]]
     * over a fixture where every third image is a solid color (contrast 0 —
     * the blank-placeholder class the gate exists for) and the rest carry
@@ -3459,5 +3534,5 @@ object TextQueries {
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
       d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43, d44,
-      d45, d46, d47, d48, d49, d50, d51, d52, d53, m01, m02, m03, m04, m05, m06, m07, m08, m10, m11, m12, m13, m14, m15)
+      d45, d46, d47, d48, d49, d50, d50b, d51, d52, d53, m01, m02, m03, m04, m05, m06, m07, m08, m10, m11, m12, m13, m14, m15)
 }

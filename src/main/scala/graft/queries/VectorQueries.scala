@@ -528,12 +528,18 @@ object VectorQueries {
     * assignment, ADC, and re-rank rules — so one SQL text verifies both;
     * what differs (and what v13 adds) is the STORAGE layout: the index
     * scan is partition-pruned to the probed cells (PlanAuditSpec). */
-  private[queries] def ivfPqOracle(candFilter: String = ""): String = {
+  /** Default corpus CTE body for [[ivfPqOracle]] — the raw embeddings
+    * table; s32 substitutes a skew-injected transform of it. */
+  private[queries] val embESql: String =
+    "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings"
+
+  private[queries] def ivfPqOracle(candFilter: String = "",
+                                   eSql: String = embESql): String = {
       val nlist = 16; val nprobe = 4; val shortlist = 50
       val ksub = 16; val dsub = 8
       val affCos = cosSql("e.emb", "cent.cemb")
       val cos = cosSql("q.emb", "t.emb")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      s"""WITH e AS ($eSql),
          |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, emb AS cemb
          |  FROM e WHERE vec_id % greatest(1, (SELECT count(*) FROM e) // $nlist) = 0
          |  ORDER BY vec_id LIMIT $nlist),

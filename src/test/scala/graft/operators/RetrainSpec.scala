@@ -71,4 +71,38 @@ class RetrainSpec extends SparkSpec {
     assert(!Files.exists(root.resolve(".retrain-staging")))
     intercept[IllegalArgumentException](idx.version(99))
   }
+
+  test("occupancy-skew trigger fires exactly once on s32's append sequence") {
+    // replays the s32 maintenance loop batch-by-batch and pins the SIGNAL
+    // trajectory that makes the trigger exactly-once: the organic appends
+    // (batches 0-1) keep occupancySkew strictly under the 2.4x-uniform
+    // threshold — so an early firing is impossible — and the clone burst
+    // (batch 2) crosses it. (Retrain does NOT drive the signal back down
+    // here: identical clone vectors stay co-located under ANY geometry,
+    // which is exactly why the production loop also keeps a fired-guard /
+    // cooldown instead of trusting the signal to self-reset.)
+    VectorFunctions.register(spark)
+    val skewSrc = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("sid"), col("embedding").as("semb"))
+    val corpus = emb.join(broadcast(skewSrc), col("vec_id") % 2 === col("sid"))
+      .select(col("vec_id"),
+        when(col("vec_id") % 3 === 2, col("semb"))
+          .otherwise(col("embedding")).as("embedding"))
+    val idx = new VectorIndex(spark,
+      Files.createTempDirectory("vidx-trigger-").toString)
+    idx.buildMeta(corpus.filter(col("vec_id") % 3 === 0))
+    val threshold = 2.4
+    val skews = (0 until 3).map { i =>
+      idx.append(corpus.filter(col("vec_id") % 3 === i))
+      idx.occupancySkew()
+    }
+    assert(skews.take(2).forall(_ < threshold),
+      s"organic batches must stay under the threshold; skew trajectory $skews")
+    assert(skews(2) >= threshold,
+      s"the burst batch must cross the threshold; skew trajectory $skews")
+    // firing on that crossing = retrain on everything ingested; the cutover
+    // retires generation 1 (old index queryable — the other test's pins)
+    idx.retrain(corpus)
+    assert(idx.versions == Seq(1L))
+  }
 }
