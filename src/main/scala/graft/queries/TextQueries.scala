@@ -3202,6 +3202,47 @@ object TextQueries {
            |FROM j ORDER BY doc_id""".stripMargin),
     "perplexity-bucketed sharding: per-source head/middle/tail LM-quality terciles, the CCNet mixing recipe (LLM-pipeline op)")
 
+  /** INCREMENTAL CURATION, two-set replay (d54) — the reference's own key
+    * test idea (re-deliver OVERLAPPING data, pin the result — SURVEY §5)
+    * applied to the d49 pipeline via [[IncrementalCuration]]: ingest the
+    * corpus as two overlapping deliveries (70% then 50%, 20% overlap),
+    * persisting per-set partials (bigrams, LM count partials, fingerprints,
+    * contamination) and refreshing the selection from the stores. The
+    * overlap is dropped at ingest (insert-only-merge discipline), counts
+    * merge associatively, and the re-score runs the from-scratch float
+    * expressions verbatim over the stored bigram relation — so the final
+    * selection is BIT-IDENTICAL to from-scratch d49 over the union, and
+    * this row's oracle IS d49's oracle text (the s31/d52 sharing pattern).
+    * IncrementalCurationSpec additionally pins re-delivery no-ops and the
+    * stored-partial row counts. */
+  val d54 = QueryDef(
+    "d54_incremental_curation",
+    (spark, dir) => {
+      val byte = (id: Column) => conv(substring(md5(id.cast("string")), 1, 2), 16, 10)
+        .cast("int")
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val corpus = docs.filter(byte(col("doc_id")) < 250)
+      val bench = docs.filter(byte(col("doc_id")) >= 250)
+      val pipe = new IncrementalCuration(spark,
+        FixtureDirs.create("d54-state-").toString)
+      pipe.freezeBench(bench)
+      val set2 = corpus.filter(col("doc_id") % 10 >= 5)
+      val n1 = pipe.ingest(corpus.filter(col("doc_id") % 10 < 7))
+      val n2 = pipe.ingest(set2)
+      // mechanism guards: the second delivery must have exercised the
+      // overlap-drop path (ids with doc_id % 10 in {5, 6} re-delivered and
+      // dropped), and the two deliveries together must cover the corpus —
+      // otherwise the d49-oracle equivalence would be vacuous or wrong
+      require(n1 > 0 && n2 > 0 && n2 < set2.count(),
+        s"two-set fixture degenerated: ingests added ($n1, $n2) docs, no overlap dropped")
+      require(n1 + n2 == corpus.count(),
+        s"deliveries must cover the corpus exactly once: $n1 + $n2 != union")
+      pipe.select(100)
+    },
+    d49.oracle, // incremental refresh ≡ from-scratch d49 over the union
+    "incremental curation: two overlapping deliveries + partial-store refresh == from-scratch d49 (LLM-pipeline op)")
+
   /** SCORE CALIBRATION REPORT (d50) — the tool the d49 lesson demands:
     * before freezing any gate threshold, look at the score DISTRIBUTION.
     * Per source: doc count and exact-rank p10/p50/p90 of the d45 fluency
@@ -3488,15 +3529,27 @@ object TextQueries {
   private[graft] def lmScore(docs: org.apache.spark.sql.DataFrame,
                              cb: org.apache.spark.sql.DataFrame,
                              cp: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    lmScoreFromBigrams(docs.select(col("doc_id")), lmBigrams(docs), cb, cp)
+
+  /** [[lmScore]] over an ALREADY-MATERIALIZED bigram relation — the
+    * incremental-curation path (d54) re-scores from its stored
+    * `(doc_id, pos, w1, w2)` partials without re-tokenizing any document.
+    * Shared verbatim with the from-scratch path so both run the identical
+    * float expressions (same per-doc pos-ordered fold — rule 9). */
+  private[graft] def lmScoreFromBigrams(ids: org.apache.spark.sql.DataFrame,
+                                        bg: org.apache.spark.sql.DataFrame,
+                                        cb: org.apache.spark.sql.DataFrame,
+                                        cp: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val p = lmBigrams(docs).join(cb, Seq("w1", "w2")).join(cp, Seq("w1"))
+    val p = bg.join(cb, Seq("w1", "w2")).join(cp, Seq("w1"))
       .select(col("doc_id"), col("pos"),
         (col("cb").cast("double") / col("cp")).as("p"))
     val agg = p.groupBy(col("doc_id")).agg(
       count(lit(1)).as("n_bigrams"),
       aggregate(sort_array(collect_list(struct(col("pos"), col("p")))),
         lit(0.0), (acc, x) => acc + x.getField("p")).as("s"))
-    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+    ids.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("s") / col("n_bigrams"), lit(0.0)).as("fluency"))
@@ -3534,5 +3587,5 @@ object TextQueries {
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
       d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43, d44,
-      d45, d46, d47, d48, d49, d50, d50b, d51, d52, d53, m01, m02, m03, m04, m05, m06, m07, m08, m10, m11, m12, m13, m14, m15)
+      d45, d46, d47, d48, d49, d50, d50b, d51, d52, d53, d54, m01, m02, m03, m04, m05, m06, m07, m08, m10, m11, m12, m13, m14, m15)
 }
