@@ -3425,6 +3425,50 @@ object TextQueries {
            |FROM l ORDER BY media_id""".stripMargin),
     "image quality gate: resolution + contrast + palette stats over decoded pixels (LLM-pipeline op)")
 
+  /** JPEG DECODE + QUALITY GATE (m09) — m13's gate over REAL JPEGs
+    * ([[graft.operators.JpegCodec]], the production lossy format). JPEG
+    * decode is deterministic for a fixed decoder but NOT analytically
+    * reproducible in SQL (IDCT rounding — see JpegCodec scaladoc), so the
+    * m03/m13 analytic-pixel oracle technique cannot apply; the oracle is
+    * instead the GoldenFixtureSpec pattern (the reference's own
+    * `Gold/06-gold.py:132-137` golden-file assert): DuckDB reads the
+    * COMMITTED decoded-stats fixture under `src/test/resources/golden/`,
+    * so a hash match pins encode → parquet round trip → dispatch → decode
+    * → stats bit-for-bit against the reviewed fixture. The fixture is
+    * generated at sf0.01 (the driver's correctness SF) by JpegGoldenSpec
+    * and regenerated with GRAFT_GOLDEN_REGEN=true after an INTENDED codec
+    * change. Textured/solid mix as in m13 so both gate verdicts occur;
+    * solid 8-px-multiple-free sizes exercise JPEG's block padding. */
+  val m09 = QueryDef(
+    "m09_jpeg_quality_gate",
+    (spark, dir) => {
+      import spark.implicits._
+      val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions { it =>
+        it.map { id =>
+          val w = (id % 9 + 8).toInt; val h = (id % 5 + 8).toInt
+          val jpg =
+            if (id % 3 == 0) {
+              val c = (id % 256).toInt
+              graft.operators.JpegCodec.encode(w, h, (_, _) => (c, c, c))
+            } else graft.operators.JpegCodec.encode(w, h, (x, y) => (
+              ((id + 7L * x + 13L * y) % 256).toInt,
+              ((3L * x + 5L * y + 1L) % 256).toInt,
+              ((x.toLong * y + id % 17) % 256).toInt))
+          (id, jpg)
+        }
+      }.toDF("media_id", "media")
+      graft.operators.Multimodal
+        .imageQuality(FixtureDirs.cachedRoundTrip(media, "m09-media-", dir),
+          "media_id", "media")
+        .toDF().orderBy(col("media_id"))
+    },
+    Some("""SELECT media_id, width, height, n_pixels, min_lum, max_lum,
+           |  contrast, n_distinct_lum, keep
+           |FROM '/root/repo/src/test/resources/golden/m09_jpeg_quality_gate.parquet'
+           |ORDER BY media_id""".stripMargin),
+    "JPEG decode + quality gate vs the committed golden fixture — lossy decode has no analytic oracle (LLM-pipeline op)")
+
   /** VIDEO FRAME SAMPLE + GATE (m14) —
     * [[graft.operators.Multimodal.videoFrameSample]] over real AVIs where
     * every fourth frame is a SOLID color (the blank-frame class the gate
@@ -3587,5 +3631,5 @@ object TextQueries {
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
       d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43, d44,
-      d45, d46, d47, d48, d49, d50, d50b, d51, d52, d53, d54, m01, m02, m03, m04, m05, m06, m07, m08, m10, m11, m12, m13, m14, m15)
+      d45, d46, d47, d48, d49, d50, d50b, d51, d52, d53, d54, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14, m15)
 }
