@@ -443,6 +443,91 @@ object StreamingQueries {
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "streaming incremental dup clustering: foreachBatch + persistent shingle index, availableNow drain (LLM-pipeline op)")
 
+  /** s10 WITH THE DF-CAP LIVE (s10b) — the 100 TB boilerplate guard,
+    * hash-verified instead of only spec-verified. The fixture appends one
+    * boilerplate sentence to EVERY document (the shared-footer scenario the
+    * cap exists for): uncapped, its interior shingles (df = corpus size)
+    * would fan the inverted-index join out quadratically and weld the
+    * whole corpus into one cluster; with `maxDf = 50` live, each batch's
+    * index query folds the accumulated df deltas, takes the > 50 hot set,
+    * and anti-joins it out of both candidate sides (IncrementalClustering
+    * scaladoc). Streaming-capped ≡ from-scratch-capped here because the
+    * boilerplate is hot from its FIRST batch (~170 occurrences > 50 at
+    * sf0.01) and no natural shingle ever crosses 50 (measured max df ~25
+    * at sf0.1) — the hot set is prefix-stable, the documented equivalence
+    * precondition. The oracle is the from-scratch capped closure (cap
+    * mirrored as `df <= 50`, the d05/d06 technique); the requires guard
+    * the mechanisms: a dead cap collapses the corpus to one cluster, a
+    * vacuous fixture yields an empty hot set — both turn the row red at
+    * ANY scale factor, oracle or not. */
+  val s10b = QueryDef(
+    "s10b_stream_clusters_capped",
+    (spark, dir) => {
+      val boiler = " standard footer boilerplate legal notice text"
+      val docs = graft.sources.Tables.documents(spark, dir)
+        .select(col("doc_id"), concat(col("text"), lit(boiler)).as("text"))
+      val srcDir = FixtureDirs.create("s10b-docs-")
+      (0 until 3).foreach { i =>
+        val part = FixtureDirs.create(s"s10b-part$i-")
+        docs.filter(col("doc_id") % 3 === i).coalesce(1)
+          .write.mode("overwrite").parquet(part.toString)
+        val f = java.nio.file.Files.list(part)
+          .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+        java.nio.file.Files.move(f, srcDir.resolve(s"batch$i.parquet"))
+      }
+      val root = FixtureDirs.create("s10b-tables-").toString
+      val pipe = new graft.streaming.IncrementalClustering(
+        spark, root, n = 3, minJaccard = 0.5, maxDf = 50)
+      val stream = spark.readStream
+        .schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString)
+      withStreamConf(spark) {
+        pipe.attach(stream, newCkptDir()).awaitTermination()
+      }
+      val nHot = pipe.dfTable.read()
+        .groupBy(col("shingle")).agg(sum(col("delta")).as("df"))
+        .filter(col("df") > 50).count()
+      require(nHot > 0,
+        "vacuous fixture: no shingle crossed the df cap — the guard was never exercised")
+      val labels = pipe.labelsTable.read()
+      require(labels.select(col("cluster_id")).distinct().count() > 1,
+        "df-cap dead: the injected boilerplate welded the corpus into one cluster")
+      labels.orderBy(col("doc_id"))
+    },
+    Some("""WITH docs2 AS (SELECT doc_id,
+           |  text || ' standard footer boilerplate legal notice text' AS text FROM documents),
+           |toks AS (SELECT doc_id,
+           |  CASE WHEN length(trim(text)) = 0 THEN []
+           |       ELSE string_split_regex(trim(text), '\s+') END AS w FROM docs2),
+           |sh AS (SELECT doc_id, unnest(list_distinct(
+           |    CASE WHEN length(w) < 3 THEN []
+           |         ELSE [array_to_string(list_slice(w, i+1, i+3), ' ') for i in range(0, length(w)-2)] END)) AS shingle
+           |  FROM toks),
+           |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+           |csh AS (SELECT sh.doc_id, sh.shingle FROM sh
+           |  JOIN df ON df.shingle = sh.shingle WHERE df.df <= 50),
+           |sizes AS (SELECT doc_id, count(*) AS set_size FROM csh GROUP BY doc_id),
+           |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+           |  FROM csh a JOIN csh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |pairs AS (SELECT doc_a, doc_b FROM inter
+           |  JOIN sizes sa ON sa.doc_id = doc_a
+           |  JOIN sizes sb ON sb.doc_id = doc_b
+           |  WHERE CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter) >= 0.5),
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |nodes AS (SELECT doc_id FROM documents),
+           |reach AS (
+           |  WITH RECURSIVE r(doc_id, lab) AS (
+           |    SELECT doc_id, doc_id FROM nodes
+           |    UNION
+           |    SELECT e.dst, r.lab FROM r JOIN edges e ON e.src = r.doc_id)
+           |  SELECT doc_id, lab FROM r)
+           |SELECT doc_id, min(lab) AS cluster_id FROM reach
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "streaming capped clustering: df-cap boilerplate guard live under the drain, hash-verified vs the from-scratch capped closure (LLM-pipeline op)")
+
   /** STREAMING sequential-pattern funnel — q48's semantics executed as one
     * pass over the live stream via `transformWithState` with event-time
     * timers ([[graft.streaming.FunnelProcessor]]): per-user funnel-type
@@ -1981,6 +2066,6 @@ object StreamingQueries {
     "streaming index retrain: v26 occupancy skew fires v19 generation cutover under foreachBatch appends (LLM-pipeline op)")
 
   def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
-    s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24,
-    s25, s26, s27, s28, s29, s30, s31, s32)
+    s10, s10b, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23,
+    s24, s25, s26, s27, s28, s29, s30, s31, s32)
 }
