@@ -103,8 +103,9 @@ final class ParquetTable(spark: SparkSession, root: String, schema: StructType,
 
   def exists: Boolean = Files.exists(current)
 
-  /** Read the live table (empty frame with the right schema if never written). */
-  def read(): DataFrame = readRaw().select(schema.fieldNames.map(col).toIndexedSeq: _*)
+  /** Read the live table (empty frame with the right schema if never written).
+    * Deleted positions ([[deleteWhere]]) are filtered out — merge-on-read. */
+  def read(): DataFrame = applyDv(readRaw()).select(schema.fieldNames.map(col).toIndexedSeq: _*)
 
   /** Range scan through the file-stats manifest ([[graft.ops.DataSkipping]]):
     * reads ONLY files whose min/max interval for `c` intersects `[lo, hi]`
@@ -114,7 +115,7 @@ final class ParquetTable(spark: SparkSession, root: String, schema: StructType,
     require(statsBy.contains(c),
       s"no file stats for column '$c' (statsBy = ${statsBy.mkString(",")})")
     if (!exists) read().filter(col(c) >= lo && col(c) <= hi)
-    else graft.ops.DataSkipping.readRange(spark, current.toString, c, lo, hi)
+    else applyDv(graft.ops.DataSkipping.readRange(spark, current.toString, c, lo, hi))
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
@@ -124,6 +125,108 @@ final class ParquetTable(spark: SparkSession, root: String, schema: StructType,
     if (exists) spark.read.schema(diskSchema).parquet(current.toString)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], diskSchema)
+
+  // ==Deletion vectors — merge-on-read DELETE (the Delta deletion-vectors
+  // analog)==
+  // A DELETE writes only the POSITIONS of deleted rows into a tiny sidecar
+  // (`current/_dv/`, underscore-prefixed → invisible to Spark's file index),
+  // leaving every data file byte-identical — the write-amplification killer
+  // for GDPR erasure / retention sweeps at 100 TB, where a copy-on-write
+  // delete rewrites whole files to drop a few rows. Every read path then
+  // subtracts the positions with a (file, row_index) anti-join; AQE
+  // broadcasts the sidecar while it is small, which is the join-shaped
+  // analog of Delta's scan-time roaring-bitmap filter. Deletes are
+  // MATERIALIZED (files rewritten, sidecar cleared) only when the table
+  // owner chooses — [[materializeDeletes]], or implicitly by any
+  // rewrite-and-swap verb, exactly like OPTIMIZE on a DV-carrying Delta
+  // table.
+  //
+  // Positions key on the file's path RELATIVE to the table dir (the part
+  // after "current/"), so hardlink clones ([[cloneTo]]) and bucket swaps
+  // keep DV entries valid without path rewriting; entries referencing
+  // files retired by a later rewrite simply stop matching (the rewrite
+  // already materialized them). Row indexes come from the parquet reader's
+  // `_metadata.row_index` — stable per file, the same identity Delta DVs
+  // bind to.
+  private val DvDir = "_dv"
+  private val DvFile = "__dv_file"
+  private val DvPos = "__dv_pos"
+  private def dvStore: Path = current.resolve(DvDir)
+
+  /** Number of live deleted positions in the sidecar (0 = no DVs). */
+  def deletedPositions: Long =
+    if (!Files.exists(dvStore)) 0L
+    else spark.read.parquet(dvStore.toString).count()
+
+  private def withFilePos(df: DataFrame): DataFrame = df
+    .withColumn(DvFile, regexp_extract(col("_metadata.file_path"), "^.*/current/(.*)$", 1))
+    .withColumn(DvPos, col("_metadata.row_index"))
+
+  private def dvFrame: Option[DataFrame] =
+    if (Files.exists(dvStore)) Some(spark.read.parquet(dvStore.toString)) else None
+
+  /** Subtract deleted positions from a file-source scan of `current`. */
+  private def applyDv(raw: DataFrame): DataFrame = dvFrame match {
+    case None => raw
+    case Some(dv) =>
+      withFilePos(raw).join(dv, Seq(DvFile, DvPos), "left_anti").drop(DvFile, DvPos)
+  }
+
+  /** Merge-on-read DELETE: record the positions of live rows matching `cond`
+    * in the sidecar; no data file is touched. Returns the number of rows
+    * newly deleted (rows already DV-deleted never re-match — `cond` is
+    * evaluated against the merge-on-read view). Requires an unversioned
+    * table: [[readVersion]] reads retired trees without their sidecar, so
+    * serving DV-aware history needs the commit-log design the class scaladoc
+    * scopes out.
+    *
+    * Cost at scale: one partition-parallel scan evaluating `cond` (data
+    * skipping still prunes it) + a positions-only write, O(matches). */
+  def deleteWhere(cond: Column): Long = {
+    require(keepVersions == 0,
+      "deletion vectors need an unversioned table (keepVersions == 0): " +
+        "time-travel reads would resurrect DV-deleted rows — DV-aware " +
+        "history needs a commit log (see class scaladoc)")
+    if (!exists) 0L
+    else {
+      val live = applyDvKeepPos(withFilePos(readRaw()))
+      val hits = live.filter(cond).select(col(DvFile), col(DvPos)).persist()
+      val n = hits.count()
+      if (n > 0) hits.write.mode(SaveMode.Append).parquet(dvStore.toString)
+      hits.unpersist()
+      n
+    }
+  }
+
+  /** Keyed merge-on-read DELETE (the `MERGE ... WHEN MATCHED THEN DELETE`
+    * arm in DV form): delete live rows whose `keys` appear in `batch`.
+    * The batch joins the position scan directly — never collected — so
+    * erasure-request batches of any size stay distributed. */
+  def deleteMatched(batch: DataFrame, keys: Seq[String]): Long = {
+    require(keepVersions == 0,
+      "deletion vectors need an unversioned table (keepVersions == 0)")
+    if (!exists) 0L
+    else {
+      val live = applyDvKeepPos(withFilePos(readRaw()))
+      val hits = live.join(batch.select(keys.map(col).toIndexedSeq: _*).distinct(), keys)
+        .select(col(DvFile), col(DvPos)).persist()
+      val n = hits.count()
+      if (n > 0) hits.write.mode(SaveMode.Append).parquet(dvStore.toString)
+      hits.unpersist()
+      n
+    }
+  }
+
+  private def applyDvKeepPos(withPos: DataFrame): DataFrame = dvFrame match {
+    case None     => withPos
+    case Some(dv) => withPos.join(dv, Seq(DvFile, DvPos), "left_anti")
+  }
+
+  /** Rewrite the table without its deleted rows and clear the sidecar (the
+    * OPTIMIZE half of the DV lifecycle). One rewrite-and-swap; the staged
+    * tree carries no `_dv`, so the swap retires data and sidecar together —
+    * readers never see a cleared sidecar over un-rewritten files. */
+  def materializeDeletes(): Unit = if (deletedPositions > 0) overwrite(read())
 
   /** CHECK-constraint enforcement (the Delta `ALTER TABLE ADD CONSTRAINT`
     * analog): every write path runs the row through `assert_true`, so a
@@ -462,8 +565,9 @@ final class ParquetTable(spark: SparkSession, root: String, schema: StructType,
         .map(_.getFileName.toString.stripPrefix(s"$BucketCol=").toInt)
         .toSeq.sorted
       if (oversized.nonEmpty) {
-        val cur = readRaw()
-          .filter(col(BucketCol).isin(oversized: _*))
+        // DV-applied: a compaction rewrite MATERIALIZES the touched buckets'
+        // deletes (their sidecar entries go stale-harmless — new file names)
+        val cur = applyDv(readRaw().filter(col(BucketCol).isin(oversized: _*)))
           .select(schema.fieldNames.map(col).toIndexedSeq: _*)
         gen += 1
         val staging = rootPath.resolve(s".staging-$gen")
@@ -488,8 +592,8 @@ final class ParquetTable(spark: SparkSession, root: String, schema: StructType,
       val touched = batch.select(bucketExpr.as(BucketCol))
         .distinct().collect().map(_.getInt(0)).toSeq.sorted
       if (touched.nonEmpty) {
-        val cur = readRaw()
-          .filter(col(BucketCol).isin(touched: _*))
+        // DV-applied, same as compact: the merge sees the merge-on-read view
+        val cur = applyDv(readRaw().filter(col(BucketCol).isin(touched: _*)))
           .select(schema.fieldNames.map(col).toIndexedSeq: _*)
         gen += 1
         val staging = rootPath.resolve(s".staging-$gen")

@@ -706,5 +706,88 @@ object MergeQueries {
            |SELECT version, n, sum_price FROM s ORDER BY version""".stripMargin),
     "VACUUM: retention GC expires old versions physically, newer time travel + live state untouched (Delta VACUUM analog)")
 
-  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl, opt, del, rst, vac)
+  /** Deletion vectors (the Delta merge-on-read DELETE analog) as a verified
+    * row. Two delete waves — a GDPR erasure stratum and a retention sweep —
+    * run as [[graft.merge.ParquetTable.deleteWhere]]: each writes only the
+    * POSITIONS of deleted rows into the `_dv` sidecar, and the row
+    * `require`s that the data-file set (paths AND sizes) is UNTOUCHED — the
+    * zero-write-amplification property that makes per-row deletes affordable
+    * at 100 TB, vs q56's copy-on-write rewrite of every touched bucket. The
+    * merge-on-read aggregate is then pinned equal to the post-
+    * [[graft.merge.ParquetTable.materializeDeletes]] aggregate (files now
+    * rewritten, sidecar gone), and BOTH equal the oracle's relational
+    * restatement — so the hash match proves the sidecar anti-join and the
+    * materializing rewrite implement the same DELETE, and the per-wave
+    * deleted counts pin that wave 2 matched only rows still live after
+    * wave 1 (deletes compose, never double-count).
+    *
+    * Scale: a delete costs one predicate scan + an O(matches) positions
+    * write; the read-side cost is a (file, row_index) anti-join against a
+    * sidecar AQE broadcasts while small — the join-shaped analog of Delta's
+    * scan-time bitmap filter. Materialization is deferred to OPTIMIZE, the
+    * DV lifecycle Delta uses. */
+  val dvq = QueryDef(
+    "q64_deletion_vectors",
+    (spark, dir) => {
+      import spark.implicits._
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"))
+      val root = FixtureDirs.create("q64-dv-").resolve("orders_dv").toString
+      val t = new graft.merge.ParquetTable(spark, root, o.schema)
+      t.overwrite(o)
+      def dataFiles(): Map[String, Long] =
+        spark.read.parquet(s"$root/current").inputFiles.map { f =>
+          f -> java.nio.file.Files.size(java.nio.file.Paths.get(new java.net.URI(f)))
+        }.toMap
+      val before = dataFiles()
+      val cut = lit("1996-01-01").cast("timestamp")
+      val n1 = t.deleteWhere(pmod(col("o_custkey"), lit(7)) === 3)      // GDPR stratum
+      val n2 = t.deleteWhere(col("o_orderdate") < cut)                  // retention sweep
+      require(n1 > 0 && n2 > 0, s"delete waves matched nothing (n1=$n1, n2=$n2)")
+      require(t.deletedPositions == n1 + n2,
+        s"sidecar holds ${t.deletedPositions} positions, expected ${n1 + n2}")
+      require(dataFiles() == before,
+        "merge-on-read broke: a DELETE changed the data-file set")
+      def summarize(df: org.apache.spark.sql.DataFrame, phase: String) =
+        df.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+          .select(lit(phase).as("phase"), col("o_orderstatus"), col("n"), col("sum_price"))
+      // eager checkpoint: the merge-on-read plan must materialize BEFORE the
+      // swap retires the files it reads
+      val mor = summarize(t.read(), "mor").localCheckpoint(true)
+      t.materializeDeletes()
+      require(t.deletedPositions == 0, "materialize left sidecar entries behind")
+      require(dataFiles().keySet.intersect(before.keySet).isEmpty,
+        "materialize swapped no files")
+      val waves = Seq(("wave1", "-", n1, 0.0), ("wave2", "-", n2, 0.0))
+        .toDF("phase", "o_orderstatus", "n", "sum_price")
+      waves.union(mor).union(summarize(t.read(), "materialized"))
+        .orderBy(col("phase"), col("o_orderstatus"))
+    },
+    Some("""WITH kept AS (
+           |  SELECT * FROM orders
+           |  WHERE NOT (o_custkey % 7 = 3)
+           |    AND NOT (o_orderdate < TIMESTAMP '1996-01-01 00:00:00')),
+           |agg AS (
+           |  SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+           |  FROM kept GROUP BY o_orderstatus),
+           |w AS (
+           |  SELECT 'wave1' AS phase, '-' AS o_orderstatus,
+           |         (SELECT count(*) FROM orders WHERE o_custkey % 7 = 3) AS n,
+           |         CAST(0 AS DOUBLE) AS sum_price
+           |  UNION ALL
+           |  SELECT 'wave2', '-',
+           |         (SELECT count(*) FROM orders
+           |          WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+           |            AND NOT (o_custkey % 7 = 3)),
+           |         CAST(0 AS DOUBLE))
+           |SELECT phase, o_orderstatus, n, sum_price FROM (
+           |  SELECT * FROM w
+           |  UNION ALL SELECT 'mor' AS phase, o_orderstatus, n, sum_price FROM agg
+           |  UNION ALL SELECT 'materialized', o_orderstatus, n, sum_price FROM agg)
+           |ORDER BY phase, o_orderstatus""".stripMargin),
+    "Deletion vectors: positions-only merge-on-read DELETE, zero data rewrite, deferred materialization (Delta DV analog)")
+
+  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl, opt, del, rst, vac, dvq)
 }

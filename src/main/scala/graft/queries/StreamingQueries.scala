@@ -2065,7 +2065,71 @@ object StreamingQueries {
         |        FROM embeddings WHERE vec_id < 2) s ON s.sid = b.vec_id % 2""".stripMargin)),
     "streaming index retrain: v26 occupancy skew fires v19 generation cutover under foreachBatch appends (LLM-pipeline op)")
 
+  /** Streaming GDPR erasure through deletion vectors — q64's verb under a
+    * live request stream. Erasure requests (the `error` event topic stands
+    * in for an account-deletion topic) drain through foreachBatch, and each
+    * micro-batch applies [[graft.merge.ParquetTable.deleteMatched]]: a keyed
+    * join writes only deleted POSITIONS to the sidecar — the row `require`s
+    * the data-file set is untouched across the whole drain. That is the
+    * 100 TB right-to-be-forgotten shape: request latency is O(matches) per
+    * batch (one keyed probe of the table, data-skipping prunable), the
+    * rewrite deferred to OPTIMIZE. Re-delivered requests are no-ops (the
+    * position scan is anti-joined against the sidecar — same idempotency
+    * class as the checkpoint + idempotent-merge exactly-once story), so the
+    * accumulated deleted count is batching-independent and oracle-exact. */
+  val s33 = QueryDef(
+    "s33_stream_gdpr_erasure",
+    (spark, dir) => {
+      import spark.implicits._
+      val o = graft.sources.Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      val root = Files.createTempDirectory("graft-dv-erasure-").toString
+      val t = new graft.merge.ParquetTable(spark, s"$root/orders", o.schema)
+      t.overwrite(o)
+      def files(): Set[String] =
+        spark.read.parquet(s"$root/orders/current").inputFiles.toSet
+      val before = files()
+      val deleted = new AtomicLong()
+      val ckpt = newCkptDir()
+      withStreamConf(spark) {
+        val q = eventsStream(spark, dir)
+          .filter(col("event_type") === "error") // the erasure-request topic
+          .select(col("user_id").as("o_custkey"))
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            deleted.addAndGet(t.deleteMatched(batch, Seq("o_custkey"))); ()
+          }
+          .start()
+        q.awaitTermination()
+      }
+      require(deleted.get() > 0, "erasure stream deleted nothing")
+      require(files() == before,
+        "merge-on-read broke: the erasure drain rewrote data files")
+      val summary = t.read().groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+      Seq(("deleted_orders", deleted.get(), 0.0)).toDF("o_orderstatus", "n", "sum_price")
+        .union(summary)
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""WITH req AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error'),
+           |kept AS (SELECT * FROM orders o
+           |         WHERE NOT EXISTS (SELECT 1 FROM req r WHERE r.user_id = o.o_custkey))
+           |SELECT o_orderstatus, n, sum_price FROM (
+           |  SELECT 'deleted_orders' AS o_orderstatus,
+           |         (SELECT count(*) FROM orders
+           |          WHERE o_custkey IN (SELECT user_id FROM req)) AS n,
+           |         CAST(0 AS DOUBLE) AS sum_price
+           |  UNION ALL
+           |  SELECT o_orderstatus, count(*), round(sum(o_totalprice), 2)
+           |  FROM kept GROUP BY o_orderstatus)
+           |ORDER BY o_orderstatus""".stripMargin),
+    "streaming GDPR erasure: deletion-vector deleteMatched per micro-batch, zero data rewrite during the drain (q64's verb live)")
+
   def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
     s10, s10b, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23,
-    s24, s25, s26, s27, s28, s29, s30, s31, s32)
+    s24, s25, s26, s27, s28, s29, s30, s31, s32, s33)
 }

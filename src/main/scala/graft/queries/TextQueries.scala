@@ -3627,9 +3627,188 @@ object TextQueries {
            |ORDER BY d.doc_id""".stripMargin),
     "bigram-LM fluency scoring: in-engine-trained statistical LM quality filter (LLM-pipeline op)")
 
+  /** Graph trust propagation over the near-dup similarity graph — the
+    * web-curation pattern (seed trust at known-good sources, diffuse it over
+    * content-similarity edges so unlabeled documents inherit trust from the
+    * neighborhoods they duplicate). Harmonic/PageRank-style, but in FIXED-
+    * POINT INTEGER arithmetic: trust is scaled to 10^6, each round does
+    *
+    *   trust'(v) = ( trust(v) + Σ_{u~v} trust(u) div deg(u) ) div 2
+    *
+    * with integer division throughout — integer sums are associative, so
+    * the result is order-free across shuffles and EXACTLY mirrorable in
+    * DuckDB (three unrolled CTE rounds with `//`), where a double-weighted
+    * propagation would diverge at ulp on sum order (CLAUDE.md float rule).
+    *
+    * Scale shape: edges come from the SAME df-capped shingle inverted index
+    * as the dedup ladder (bucketed equi-join, never all-pairs); the degree
+    * is joined into the edge relation ONCE and the whole edge side is
+    * eagerly checkpointed before iterating (the measured lesson from the
+    * incremental-clustering loop: an unchecked-pointed input re-ANALYZES its
+    * full lineage every round). Each round is one edge-keyed join + one
+    * dst-keyed integer agg — linear in |E|, three rounds. */
+  val d55 = QueryDef(
+    "d55_trust_propagation",
+    (spark, dir) => {
+      val Scale = 1000000L
+      val docs = Tables.documents(spark, dir)
+      val ds = Dedup.capShingles(
+        Dedup.docShingles(docs, "doc_id", "text"), DedupMaxDf).persist()
+      val half = ds.as("x").join(ds.as("y"),
+          col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("shared")).filter(col("shared") >= 2)
+        .select(col("a"), col("b"))
+      val sym = half.union(half.select(col("b").as("a"), col("a").as("b")))
+      val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("deg_a"))
+      // degree folded into the edges, then the loop input pinned once
+      val edges = sym.join(deg, "a").localCheckpoint(true)
+      ds.unpersist()
+      val seeds = docs.select(col("doc_id"),
+        when(substring(col("source"), 4, 10).cast("int") % 4 === 0, lit(1))
+          .otherwise(lit(0)).as("seed"))
+      var t = seeds.withColumn("tr", col("seed").cast("long") * Scale)
+        .localCheckpoint(true)
+      (1 to 3).foreach { _ =>
+        val contrib = edges
+          .join(t.select(col("doc_id").as("a"), col("tr").as("tr_a")), "a")
+          .select(col("b").as("doc_id"), expr("tr_a div deg_a").as("c"))
+          .groupBy(col("doc_id")).agg(sum(col("c")).as("c"))
+        t = t.join(contrib, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("seed"),
+            expr("(tr + coalesce(c, 0L)) div 2").as("tr"))
+          .localCheckpoint(true)
+      }
+      t.join(deg.select(col("a").as("doc_id"), col("deg_a").as("degree")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("seed"),
+          coalesce(col("degree"), lit(0L)).as("degree"), col("tr").as("trust"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      def round(prev: String, cur: String) =
+        s"""$cur AS (SELECT n.doc_id, n.seed,
+           |    (n.tr + coalesce(s.c, 0)) // 2 AS tr
+           |  FROM $prev n LEFT JOIN (
+           |    SELECT e.b AS doc_id, CAST(sum(t.tr // e.deg_a) AS BIGINT) AS c
+           |    FROM edges e JOIN $prev t ON t.doc_id = e.a
+           |    GROUP BY e.b) s USING (doc_id))""".stripMargin
+      s"""WITH $shingleCte,
+         |half AS (SELECT x.doc_id AS a, y.doc_id AS b
+         |  FROM shc x JOIN shc y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |sym AS (SELECT a, b FROM half UNION ALL SELECT b, a FROM half),
+         |deg AS (SELECT a, count(*) AS deg_a FROM sym GROUP BY a),
+         |edges AS (SELECT s.a, s.b, d.deg_a FROM sym s JOIN deg d USING (a)),
+         |t0 AS (SELECT doc_id,
+         |    CASE WHEN CAST(substr(source, 4) AS INTEGER) % 4 = 0 THEN 1 ELSE 0 END AS seed,
+         |    CAST(CASE WHEN CAST(substr(source, 4) AS INTEGER) % 4 = 0
+         |              THEN 1000000 ELSE 0 END AS BIGINT) AS tr
+         |  FROM documents),
+         |${round("t0", "t1")},
+         |${round("t1", "t2")},
+         |${round("t2", "t3")}
+         |SELECT t3.doc_id, t3.seed, coalesce(d.deg_a, 0) AS degree, t3.tr AS trust
+         |FROM t3 LEFT JOIN deg d ON d.a = t3.doc_id
+         |ORDER BY doc_id""".stripMargin
+    },
+    "graph trust propagation: fixed-point integer diffusion over the df-capped similarity graph, 3 unrolled rounds (LLM-pipeline op)")
+
+  /** Cross-source content overlap from KMV sketches alone — "how much does
+    * source A duplicate source B" answered WITHOUT ever joining the two
+    * sources' shingles. One pass builds a ≤k-hash KMV sketch per source
+    * (mergeable [[graft.functions.Sketches.KmvSketch]] — partial buffers
+    * combine map-side, the shuffle carries one buffer per partition); all
+    * pairwise estimates then come off the sketch relation (#sources rows):
+    *
+    *  - union size:   (k−1)/U_k over the merged pair sketch (KMV union is
+    *    exact: min-k(A∪B) = min-k of the min-k's);
+    *  - Jaccard:      |{h ∈ min-k(A∪B) : h ∈ A_k ∧ h ∈ B_k}| / k (the
+    *    standard KMV intersection estimator);
+    *  - intersection: Jaccard × union.
+    *
+    * Under-full sketches (|A∪B| < k) degrade to EXACT set arithmetic — the
+    * sketch IS the set. At 100 TB this is the source-curation instrument:
+    * per-source sketches are k hashes each, pairwise math touches
+    * sources² · k strings, and the corpus is scanned exactly once. The
+    * estimates are oracle-exact (rule: md5 dyadic rationals — U_k is m/2^32
+    * both sides, every derived value one identical IEEE op chain).
+    *
+    * The pair join is a tiny theta self-join (src_a < src_b) over #sources
+    * rows — broadcast nested loop by construction, nothing corpus-sized. */
+  val d56 = QueryDef(
+    "d56_cross_source_overlap",
+    (spark, dir) => {
+      val k = 64
+      TextFunctions.registerNative(spark)
+      val srcSh = Tables.documents(spark, dir)
+        .select(col("source"),
+          explode(TextFunctions.wordShinglesNative(col("text"), 3)).as("shingle"))
+      val sketch = udaf(new graft.functions.Sketches.KmvSketch(k),
+        org.apache.spark.sql.Encoders.STRING)
+      val sk = srcSh.select(col("source"), md5(col("shingle")).as("h"))
+        .groupBy(col("source")).agg(sketch(col("h")).as("kmv"))
+      val pairs = sk.select(col("source").as("src_a"), col("kmv").as("kmv_a"))
+        .join(sk.select(col("source").as("src_b"), col("kmv").as("kmv_b")),
+          col("src_a") < col("src_b"))
+      val kD = lit(k.toDouble)
+      pairs
+        .withColumn("uni", array_sort(array_union(col("kmv_a"), col("kmv_b"))))
+        .withColumn("uk", slice(col("uni"), 1, k))
+        .withColumn("full", size(col("uni")) >= k)
+        .withColumn("common", size(filter(col("uk"), x =>
+          array_contains(col("kmv_a"), x) && array_contains(col("kmv_b"), x))))
+        .withColumn("est_union",
+          when(!col("full"), size(col("uni")).cast("double"))
+            .otherwise(lit((k - 1).toDouble) /
+              (conv(substring(element_at(col("uk"), k), 1, 8), 16, 10)
+                .cast("long").cast("double") / lit(4294967296.0))))
+        .withColumn("est_jaccard", col("common").cast("double") /
+          when(col("full"), kD).otherwise(size(col("uni")).cast("double")))
+        .withColumn("est_intersection", col("est_jaccard") * col("est_union"))
+        .select(col("src_a"), col("src_b"), col("est_union"),
+          col("est_jaccard"), col("est_intersection"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+    Some {
+      val nibbleSum = (1 to 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(uk[64], $i, 1)) - 1) / ${math.pow(16.0, i)}")
+        .mkString(" + ")
+      s"""WITH $rawShingleCte,
+         |srcsh AS (SELECT DISTINCT d.source, s.shingle
+         |          FROM sh s JOIN documents d USING (doc_id)),
+         |h AS (SELECT source, md5(shingle) AS h FROM srcsh),
+         |topk AS (SELECT source, h FROM h
+         |         QUALIFY row_number() OVER (PARTITION BY source ORDER BY h) <= 64),
+         |sk AS (SELECT source, list(h ORDER BY h) AS kmv FROM topk GROUP BY source),
+         |p AS (SELECT a.source AS src_a, b.source AS src_b,
+         |             a.kmv AS ka, b.kmv AS kb
+         |      FROM sk a JOIN sk b ON a.source < b.source),
+         |u AS (SELECT src_a, src_b, ka, kb,
+         |             list_sort(list_distinct(flatten([ka, kb]))) AS uni FROM p),
+         |c AS (SELECT src_a, src_b, ka, kb, uni,
+         |             uni[1:64] AS uk,
+         |             length(uni) >= 64 AS isfull FROM u),
+         |e AS (SELECT src_a, src_b, uni, isfull,
+         |             length([x for x in uk if list_contains(ka, x) AND list_contains(kb, x)]) AS common,
+         |             CASE WHEN NOT isfull THEN CAST(length(uni) AS DOUBLE)
+         |                  ELSE 63 / ($nibbleSum) END AS est_union
+         |      FROM c)
+         |SELECT src_a, src_b, est_union,
+         |       CAST(common AS DOUBLE) /
+         |         (CASE WHEN isfull THEN CAST(64 AS DOUBLE)
+         |               ELSE CAST(length(uni) AS DOUBLE) END) AS est_jaccard,
+         |       (CAST(common AS DOUBLE) /
+         |         (CASE WHEN isfull THEN CAST(64 AS DOUBLE)
+         |               ELSE CAST(length(uni) AS DOUBLE) END)) * est_union AS est_intersection
+         |FROM e
+         |ORDER BY src_a, src_b""".stripMargin
+    },
+    "cross-source overlap: pairwise union/Jaccard/intersection estimates from per-source KMV sketches, corpus scanned once (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
       d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43, d44,
-      d45, d46, d47, d48, d49, d50, d50b, d51, d52, d53, d54, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14, m15)
+      d45, d46, d47, d48, d49, d50, d50b, d51, d52, d53, d54, d55, d56, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14, m15)
 }
