@@ -48,6 +48,20 @@ import org.apache.spark.sql.types.{IntegerType, StructType}
   * constructor rejects the combination loudly rather than serving wrong
   * history.
   */
+object ParquetTable {
+  // per-root commit locks for the OCC CAS (in-JVM multi-writer; a cluster
+  // deployment replaces this with the commit log's atomic putIfAbsent)
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[merge] def lockFor(root: Path): Object =
+    commitLocks.computeIfAbsent(root.toAbsolutePath.normalize.toString,
+      _ => new Object)
+  // OCC staging names must be unique ACROSS writer instances (each instance
+  // counts `gen` from the same directory listing, so two concurrent stagers
+  // would otherwise collide on `.staging-N` and corrupt each other's tree)
+  private val occSeq = new java.util.concurrent.atomic.AtomicLong()
+}
+
 final class ParquetTable(spark: SparkSession, root: String, schema: StructType,
                          bucketBy: Option[(Seq[String], Int)] = None,
                          keepVersions: Int = 0,
@@ -192,7 +206,10 @@ final class ParquetTable(spark: SparkSession, root: String, schema: StructType,
       val live = applyDvKeepPos(withFilePos(readRaw()))
       val hits = live.filter(cond).select(col(DvFile), col(DvPos)).persist()
       val n = hits.count()
-      if (n > 0) hits.write.mode(SaveMode.Append).parquet(dvStore.toString)
+      if (n > 0) {
+        hits.write.mode(SaveMode.Append).parquet(dvStore.toString)
+        bumpCommits() // a DV delete IS a committed content change
+      }
       hits.unpersist()
       n
     }
@@ -211,7 +228,10 @@ final class ParquetTable(spark: SparkSession, root: String, schema: StructType,
       val hits = live.join(batch.select(keys.map(col).toIndexedSeq: _*).distinct(), keys)
         .select(col(DvFile), col(DvPos)).persist()
       val n = hits.count()
-      if (n > 0) hits.write.mode(SaveMode.Append).parquet(dvStore.toString)
+      if (n > 0) {
+        hits.write.mode(SaveMode.Append).parquet(dvStore.toString)
+        bumpCommits() // a DV delete IS a committed content change
+      }
       hits.unpersist()
       n
     }
@@ -305,6 +325,7 @@ final class ParquetTable(spark: SparkSession, root: String, schema: StructType,
       val added = (listParquet(current) -- before).toSeq.sorted
       graft.ops.DataSkipping.appendStats(spark, current.toString, statsBy, added)
     }
+    bumpCommits()
   }
 
   /** Replace table content with `df` via write-to-staging + directory swap.
@@ -320,6 +341,14 @@ final class ParquetTable(spark: SparkSession, root: String, schema: StructType,
       graft.ops.DataSkipping.collectStats(spark, staging.toString, statsBy)
     if (keepVersions > 0)
       Files.write(staging.resolve(GenMarker), gen.toString.getBytes("UTF-8"))
+    swapIn(staging, gen.toString)
+  }
+
+  /** The commit point of every full rewrite: retire `current`, move the
+    * staged tree in. All content-changing verbs funnel through here (or
+    * [[swapBuckets]] / the DV sidecar writes), each of which bumps the
+    * commit token [[commitToken]]. */
+  private def swapIn(staging: Path, retireSuffix: String): Unit = {
     if (Files.exists(current)) {
       val prev = markerOf(current).getOrElse(0L)
       if (keepVersions > 0 && prev > 0)
@@ -327,13 +356,113 @@ final class ParquetTable(spark: SparkSession, root: String, schema: StructType,
         Files.move(current, rootPath.resolve(s".v-$prev"),
           StandardCopyOption.ATOMIC_MOVE)
       else {
-        val retired = rootPath.resolve(s".retired-$gen")
+        val retired = rootPath.resolve(s".retired-$retireSuffix")
         Files.move(current, retired, StandardCopyOption.ATOMIC_MOVE)
         cleanup(retired)
       }
     }
     Files.move(staging, current, StandardCopyOption.ATOMIC_MOVE)
     pruneVersions()
+    bumpCommits()
+  }
+
+  // ==Optimistic concurrency — the Delta multi-writer commit protocol==
+  // Every committed change bumps a monotone token (`root/_commits`). An OCC
+  // writer STAGES its merge optimistically against the snapshot it read,
+  // then COMMITS with a compare-and-swap on the token: unchanged → swap in;
+  // changed → discard the staged tree and re-derive against the new
+  // snapshot (Delta's "logical conflict re-attempt"). Staging — the
+  // expensive distributed work — runs with NO lock held; only the token
+  // check + directory rename is serialized (per root, in-JVM here; on a
+  // real deployment the same CAS is the commit log's putIfAbsent, e.g. an
+  // atomic object-store PUT of version N+1).
+  private val CommitsFile = "_commits"
+
+  /** Monotone count of committed changes to this table (any writer). */
+  def commitToken: Long = {
+    val f = rootPath.resolve(CommitsFile)
+    if (Files.exists(f)) new String(Files.readAllBytes(f), "UTF-8").trim.toLong
+    else 0L
+  }
+
+  private def bumpCommits(): Unit =
+    // read-modify-write under the root's commit lock (concurrent appends or
+    // DV deletes from sibling writer handles must not lose bumps);
+    // write-then-atomic-rename so a concurrent reader never sees a torn file
+    ParquetTable.lockFor(rootPath).synchronized {
+      val tmp = rootPath.resolve(s".$CommitsFile-tmp-${Thread.currentThread().getId}")
+      Files.write(tmp, (commitToken + 1).toString.getBytes("UTF-8"))
+      Files.move(tmp, rootPath.resolve(CommitsFile),
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    }
+
+  /** A staged-but-uncommitted merge: the materialized result tree plus the
+    * commit token of the snapshot it was derived from. */
+  final case class Staged private[merge] (stagingDir: Path, expectedToken: Long,
+                                          retireSuffix: String)
+
+  /** Stage a merge optimistically: materialize `f(snapshot, batch)` into a
+    * staging tree WITHOUT committing. Unbucketed tables only (a bucketed
+    * conflict check must compare touched-bucket sets — the commit-log
+    * design, out of scope with the same argument as time travel). */
+  def stageMerge(batch: DataFrame)(f: (DataFrame, DataFrame) => DataFrame): Staged = {
+    require(bucketBy.isEmpty,
+      "OCC staging needs an unbucketed table: bucketed conflict detection " +
+        "compares touched-bucket sets, which needs a commit log (see scaladoc)")
+    require(keepVersions == 0,
+      "OCC staging needs an unversioned table: multi-writer version " +
+        "identity needs the commit log (same argument as time travel)")
+    val expected = commitToken
+    // occSeq (JVM-wide), not `gen`: sibling writer handles count gen from
+    // the same directory listing and would collide on the staging name
+    val suffix = s"occ${ParquetTable.occSeq.incrementAndGet()}"
+    val staging = rootPath.resolve(s".staging-$suffix")
+    writeTo(f(read(), batch), staging, SaveMode.Overwrite)
+    if (statsBy.nonEmpty)
+      graft.ops.DataSkipping.collectStats(spark, staging.toString, statsBy)
+    Staged(staging, expected, suffix)
+  }
+
+  /** Compare-and-swap commit of a staged merge: if no other commit landed
+    * since the stage's snapshot, swap it in and return true; otherwise
+    * discard the staged tree and return false (caller re-stages against the
+    * new snapshot). Only this token-check-plus-rename is serialized. */
+  def commitStaged(s: Staged): Boolean = ParquetTable.lockFor(rootPath).synchronized {
+    if (commitToken != s.expectedToken) { cleanup(s.stagingDir); false }
+    else { swapIn(s.stagingDir, s.retireSuffix); true }
+  }
+
+  /** OCC merge loop: stage → CAS-commit → on conflict re-stage from the
+    * fresh snapshot. Returns the number of attempts (1 = no contention).
+    * Serializable by construction: the committed result is always
+    * `f(latest-committed-snapshot, batch)`. */
+  def occMerge(batch: DataFrame, maxAttempts: Int = 5)
+              (f: (DataFrame, DataFrame) => DataFrame): Int = {
+    var attempts = 0
+    while (attempts < maxAttempts) {
+      attempts += 1
+      // A stale snapshot can VANISH mid-stage (the winner's commit retires
+      // the files this stage is reading — rename-based swap, so paths die).
+      // That is a conflict, not an error: retry against the new snapshot.
+      // A log-backed deployment never hits this (data files are immutable
+      // until VACUUM); it is the price of the directory-swap local form.
+      val staged =
+        try Some(stageMerge(batch)(f))
+        catch { case e: Throwable if snapshotVanished(e) => None }
+      if (staged.exists(commitStaged)) return attempts
+    }
+    throw new IllegalStateException(
+      s"OCC merge lost the commit race $maxAttempts times — livelock or a " +
+        "writer storm; raise maxAttempts or serialize these writers")
+  }
+
+  private def snapshotVanished(e: Throwable): Boolean = {
+    var c = e
+    while (c != null) {
+      if (c.isInstanceOf[java.io.FileNotFoundException]) return true
+      c = c.getCause
+    }
+    false
   }
 
   /** Generation number of the live table (0 = never overwritten or history
@@ -490,7 +619,7 @@ final class ParquetTable(spark: SparkSession, root: String, schema: StructType,
     require(retainLast >= 0, s"vacuum retention must be >= 0, got $retainLast")
     import scala.jdk.CollectionConverters._
     val VDir = """\.v-(\d+)""".r
-    val Leftover = """\.(?:staging|retired)-\d+""".r
+    val Leftover = """\.(?:staging|retired)-\S+""".r
     val names = Files.list(rootPath).iterator().asScala
       .map(_.getFileName.toString).toSeq
     names.collect { case n @ Leftover() => n }
@@ -538,6 +667,7 @@ final class ParquetTable(spark: SparkSession, root: String, schema: StructType,
     }
     cleanup(staging)
     cleanup(retired)
+    bumpCommits()
   }
 
   private def cleanup(dir: Path): Unit =

@@ -789,5 +789,67 @@ object MergeQueries {
            |ORDER BY phase, o_orderstatus""".stripMargin),
     "Deletion vectors: positions-only merge-on-read DELETE, zero data rewrite, deferred materialization (Delta DV analog)")
 
-  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl, opt, del, rst, vac, dvq)
+  /** Optimistic concurrency (the Delta multi-writer commit protocol) as a
+    * verified row. Two writers stage merges against the SAME snapshot —
+    * writer A an SCD1 upsert, writer B an insert-only merge — with the
+    * expensive distributed work (the staged rewrite) done lock-free. A's
+    * CAS commit lands; B's CAS then FAILS (the commit token moved), its
+    * staged tree is discarded, and B re-derives against A's committed state
+    * through [[graft.merge.ParquetTable.occMerge]] (one clean attempt —
+    * `require`d). The oracle restates the SERIAL schedule A-then-B, so the
+    * hash match proves the protocol is serializable: the lost-update anomaly
+    * (B's first staging, derived from the pre-A snapshot, would have erased
+    * A's updates) is exactly what the failed CAS discarded.
+    *
+    * Scale: staging is a full distributed merge with no lock held; only the
+    * token compare + directory rename serializes. On a real deployment the
+    * CAS is the commit log's putIfAbsent of version N+1 (the Delta
+    * protocol); conflict cost is a re-stage, same as Delta's logical
+    * re-attempt. */
+  val occ = QueryDef(
+    "q66_occ_merge",
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+      val root = FixtureDirs.create("q66-occ-").resolve("orders_occ").toString
+      val t = new graft.merge.ParquetTable(spark, root, o.schema)
+      t.overwrite(o.filter(col("o_orderdate") < lit("1995-01-01").cast("timestamp")))
+      val batchA = o.filter(col("o_orderstatus") === "F")
+        .withColumn("o_totalprice", round(col("o_totalprice") + 1000, 2))
+        .withColumn("o_orderstatus", lit("R"))
+      val batchB = o.filter(col("o_totalprice") > 150000)
+      // both writers stage against the same snapshot, lock-free
+      val sA = t.stageMerge(batchA)((cur, b) => Merge.scd1(cur, b, Seq("o_orderkey")))
+      val sB = t.stageMerge(batchB)((cur, b) => Merge.insertOnly(cur, b, Seq("o_orderkey")))
+      require(t.commitStaged(sA), "writer A's CAS must land on the clean table")
+      require(!t.commitStaged(sB),
+        "writer B's CAS must FAIL — its snapshot predates A's commit " +
+          "(committing it would lose A's updates)")
+      val attempts = t.occMerge(batchB)((cur, b) => Merge.insertOnly(cur, b, Seq("o_orderkey")))
+      require(attempts == 1, s"re-staged B saw contention ($attempts attempts)")
+      require(t.commitToken == 3L,
+        s"commit token must count exactly 3 commits, got ${t.commitToken}")
+      t.read().groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders),
+           |v1 AS (SELECT * FROM o WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'),
+           |ba AS (SELECT o_orderkey, 'R' AS o_orderstatus,
+           |              round(o_totalprice + 1000, 2) AS o_totalprice, o_orderdate
+           |       FROM o WHERE o_orderstatus = 'F'),
+           |v2 AS (SELECT * FROM ba
+           |  UNION ALL
+           |  SELECT * FROM v1
+           |  WHERE NOT EXISTS (SELECT 1 FROM ba b WHERE b.o_orderkey = v1.o_orderkey)),
+           |bb AS (SELECT * FROM o WHERE o_totalprice > 150000),
+           |v3 AS (SELECT * FROM v2
+           |  UNION ALL
+           |  SELECT * FROM bb b
+           |  WHERE NOT EXISTS (SELECT 1 FROM v2 t WHERE t.o_orderkey = b.o_orderkey))
+           |SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+           |FROM v3 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+    "Optimistic concurrency: lock-free staging, CAS commit, conflict rebase == serial schedule (Delta multi-writer protocol analog)")
+
+  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl, opt, del, rst, vac, dvq, occ)
 }

@@ -1,0 +1,117 @@
+package graft.merge
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+/** Optimistic concurrency: lock-free staging + CAS commit + conflict
+  * rebase (the Delta multi-writer protocol).
+  */
+class OccSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String = {
+    val d = Files.createTempDirectory(prefix)
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  private val s2 = StructType(Seq(
+    StructField("k", LongType), StructField("v", StringType)))
+
+  test("conflicting CAS discards the stale staging; rebase equals serial") {
+    val root = tmp("occ-basic-")
+    val t = new ParquetTable(spark, root, s2)
+    t.overwrite(Seq((1L, "base"), (2L, "base")).toDF("k", "v"))
+    val tok0 = t.commitToken
+
+    val sA = t.stageMerge(Seq((1L, "A")).toDF("k", "v"))(
+      (cur, b) => Merge.scd1(cur, b, Seq("k")))
+    val sB = t.stageMerge(Seq((2L, "B"), (3L, "B")).toDF("k", "v"))(
+      (cur, b) => Merge.scd1(cur, b, Seq("k")))
+    assert(t.commitToken == tok0, "staging must not commit anything")
+
+    assert(t.commitStaged(sA))
+    assert(!t.commitStaged(sB), "stale staging must fail the CAS")
+    // B's staged tree is discarded on conflict
+    assert(!Files.exists(sB.stagingDir))
+    // without the rebase, A's update to k=1 would be intact but B's
+    // snapshot-of-old-state would have erased it — verify rebase instead
+    assert(t.occMerge(Seq((2L, "B"), (3L, "B")).toDF("k", "v"))(
+      (cur, b) => Merge.scd1(cur, b, Seq("k"))) == 1)
+    val got = t.read().orderBy("k").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "A"), (2L, "B"), (3L, "B")),
+      s"rebase diverged from the serial schedule: $got")
+  }
+
+  test("every content-changing verb bumps the commit token") {
+    val root = tmp("occ-token-")
+    val t = new ParquetTable(spark, root, s2)
+    val t0 = t.commitToken
+    t.overwrite(Seq((1L, "a")).toDF("k", "v"))
+    assert(t.commitToken == t0 + 1)
+    t.append(Seq((2L, "b")).toDF("k", "v"))
+    assert(t.commitToken == t0 + 2)
+    t.merge(Seq((3L, "c")).toDF("k", "v"))(
+      (cur, b) => Merge.insertOnly(cur, b, Seq("k")))
+    assert(t.commitToken == t0 + 3)
+    t.deleteWhere(col("k") === 1L)
+    assert(t.commitToken == t0 + 4)
+    t.deleteWhere(col("k") === 999L) // matches nothing → NOT a commit
+    assert(t.commitToken == t0 + 4)
+    t.materializeDeletes()
+    assert(t.commitToken == t0 + 5)
+  }
+
+  test("two racing OCC writers both land; final state is their union") {
+    val root = tmp("occ-race-")
+    val t = new ParquetTable(spark, root, s2)
+    t.overwrite(Seq((0L, "base")).toDF("k", "v"))
+    // two handles on the same root, as two writer processes would hold
+    val w1 = new ParquetTable(spark, root, s2)
+    val w2 = new ParquetTable(spark, root, s2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val f1 = Future(w1.occMerge(
+      (1L to 5L).map(i => (i, "w1")).toDF("k", "v"), maxAttempts = 10)(
+      (cur, b) => Merge.insertOnly(cur, b, Seq("k"))))
+    val f2 = Future(w2.occMerge(
+      (11L to 15L).map(i => (i, "w2")).toDF("k", "v"), maxAttempts = 10)(
+      (cur, b) => Merge.insertOnly(cur, b, Seq("k"))))
+    val (a1, a2) = (Await.result(f1, 120.seconds), Await.result(f2, 120.seconds))
+    pool.shutdown()
+    assert(a1 >= 1 && a2 >= 1)
+    val keys = t.read().select("k").as[Long].collect().toSet
+    assert(keys == (Set(0L) ++ (1L to 5L) ++ (11L to 15L)),
+      s"a writer's commit was lost (attempts: $a1/$a2): $keys")
+  }
+
+  test("occMerge gives up loudly after maxAttempts") {
+    val root = tmp("occ-livelock-")
+    val t = new ParquetTable(spark, root, s2)
+    t.overwrite(Seq((1L, "a")).toDF("k", "v"))
+    // sabotage: the merge function itself commits, so every stage is stale
+    val e = intercept[IllegalStateException] {
+      t.occMerge(Seq((2L, "b")).toDF("k", "v"), maxAttempts = 2) { (cur, b) =>
+        t.append(Seq((99L, "interloper")).toDF("k", "v"))
+        Merge.insertOnly(cur, b, Seq("k"))
+      }
+    }
+    assert(e.getMessage.contains("2 times"))
+  }
+
+  test("bucketed tables reject OCC staging loudly") {
+    val root = tmp("occ-bucketed-")
+    val t = new ParquetTable(spark, root, s2, bucketBy = Some((Seq("k"), 4)))
+    t.overwrite(Seq((1L, "a")).toDF("k", "v"))
+    val e = intercept[IllegalArgumentException](
+      t.stageMerge(Seq((2L, "b")).toDF("k", "v"))(
+        (cur, b) => Merge.insertOnly(cur, b, Seq("k"))))
+    assert(e.getMessage.contains("unbucketed"))
+  }
+}

@@ -124,7 +124,8 @@ class TimeTravelSpec extends SparkSpec {
     import scala.jdk.CollectionConverters._
     val names = Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
       .map(_.getFileName.toString).toSet
-    assert(names == Set("current"))
+    // `_commits` is the OCC token (OccSpec) — the only other root artifact
+    assert(names == Set("current", "_commits"))
     assert(t.history().isEmpty)
     assert(t.currentVersion == 0L)
   }

@@ -552,6 +552,42 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("d55 trust propagation: similarity edges come from the shingle " +
+      "equi-join — no cartesian/nested-loop anywhere in the loop output") {
+    val p = planOf("d55_trust_propagation")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"d55 fell back to all-pairs:\n$p")
+  }
+
+  test("d56 cross-source overlap: raw shingles/hashes never cross a shuffle — " +
+      "only sketch buffers and pair rows do") {
+    // the pair theta-join over #sources rows is an intentional BNL; the
+    // audit is that nothing corpus-sized is shuffled: the per-source agg
+    // combines KMV buffers map-side, so no exchange carries a shingle or
+    // raw hash column
+    assertExchangesFreeOf("d56_cross_source_overlap", Seq("shingle", "h"))
+  }
+
+  test("deletion-vector read: the sidecar applies as a BROADCAST anti-join — " +
+      "the data scan is never shuffled to subtract positions") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val root = java.nio.file.Files.createTempDirectory("dv-plan-").toString
+    val t = new graft.merge.ParquetTable(spark, root,
+      org.apache.spark.sql.types.StructType.fromDDL("k bigint, v string"))
+    t.overwrite((1L to 1000L).map(i => (i, s"v$i")).toDF("k", "v"))
+    t.deleteWhere(col("k") % 100 === 0)
+    val df = t.read()
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), s"DV read lost the anti-join:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"DV sidecar is not broadcast — the table side would shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"DV application shuffles the data side:\n$p")
+  }
+
   test("hot paths stay inside whole-stage codegen") {
     // codegen wrappers only appear in the FINAL adaptive plan → execute first
     for (q <- Seq("q01_pricing_summary", "d02_token_count", "d11_quality_score")) {
