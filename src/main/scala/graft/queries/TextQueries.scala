@@ -3806,9 +3806,64 @@ object TextQueries {
     },
     "cross-source overlap: pairwise union/Jaccard/intersection estimates from per-source KMV sketches, corpus scanned once (LLM-pipeline op)")
 
+  /** PNG metadata scrub — the multimodal half of the PII story (d09/d38
+    * scrub text; camera serials, GPS positions and author tags live in an
+    * image's ANCILLARY chunks). Fixture PNGs are synthesized in-engine with
+    * a deterministic number of `tEXt` metadata chunks spliced after IHDR
+    * ([[graft.operators.PngCodec.withTextChunks]] — real chunk framing,
+    * CRC32 and all), then scrubbed with
+    * [[graft.operators.PngCodec.stripAncillary]], which keeps critical
+    * chunks byte-identical. The row emits chunk counts, bytes removed, and
+    * an ACTUAL decoded-pixel equality check; the oracle recomputes counts
+    * and byte totals analytically from the generation formula and asserts
+    * `pixels_unchanged = TRUE` — so a hash match proves the scrub removed
+    * exactly the metadata chunks and nothing of the image.
+    *
+    * Scale: map-only over the media partition (media bytes never cross an
+    * exchange — only the per-image stat row does); chunk surgery is a
+    * single linear pass per image, no decode needed on the hot path (the
+    * decode here is the verification, not the operator). */
+  val m16 = QueryDef(
+    "m16_png_metadata_scrub",
+    (spark, dir) => {
+      import spark.implicits._
+      val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      ids.mapPartitions { it =>
+        it.map { id =>
+          val w = (id % 7 + 4).toInt; val h = (id % 5 + 4).toInt
+          val pix = (x: Int, y: Int) => {
+            val v = (((id + 3) * (x + 1) * (y + 2)) % 251).toInt
+            (v, (v * 7) % 251, (v * 13) % 251)
+          }
+          val clean = graft.operators.PngCodec.encode(w, h, pix)
+          val nMeta = (id % 4).toInt
+          val entries = (0 until nMeta).map(j =>
+            ("Comment", s"k$j=v${(id * 31 + j * 7) % 1000}"))
+          val dirty = graft.operators.PngCodec.withTextChunks(clean, entries)
+          val scrubbed = graft.operators.PngCodec.stripAncillary(dirty)
+          val pixOk = graft.operators.PngCodec.decode(dirty).pixels
+            .sameElements(graft.operators.PngCodec.decode(scrubbed).pixels)
+          (id, graft.operators.PngCodec.chunks(dirty).length,
+            graft.operators.PngCodec.chunks(scrubbed).length,
+            (dirty.length - scrubbed.length).toLong, pixOk)
+        }
+      }.toDF("media_id", "n_chunks_before", "n_chunks_after",
+          "meta_bytes_removed", "pixels_unchanged")
+        .orderBy(col("media_id"))
+    },
+    Some("""SELECT doc_id AS media_id,
+           |  CAST(3 + doc_id % 4 AS INT) AS n_chunks_before,
+           |  CAST(3 AS INT) AS n_chunks_after,
+           |  CAST(coalesce(list_sum(
+           |    [24 + length(CAST((doc_id*31 + j*7) % 1000 AS VARCHAR))
+           |     for j in range(0, doc_id % 4)]), 0) AS BIGINT) AS meta_bytes_removed,
+           |  TRUE AS pixels_unchanged
+           |FROM documents ORDER BY media_id""".stripMargin),
+    "PNG metadata scrub: ancillary-chunk PII removal with byte-exact accounting, pixels pinned unchanged (multimodal PII op)")
+
   def defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
       d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43, d44,
-      d45, d46, d47, d48, d49, d50, d50b, d51, d52, d53, d54, d55, d56, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14, m15)
+      d45, d46, d47, d48, d49, d50, d50b, d51, d52, d53, d54, d55, d56, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14, m15, m16)
 }
