@@ -499,6 +499,58 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
   }
 
+  /** ADAPTIVE-NPROBE IVF — per-query probe width set by the centroid
+    * affinity margin instead of one global `nprobe` (FAISS's
+    * AutoTune/`nprobe` sweep made per-query, the "adaptive routing" idea in
+    * Auncel/SPANN-style serving): a query whose best cell wins by a wide
+    * margin is CONFIDENT — its neighbors almost surely live in that cell —
+    * while a query sitting between centroids must probe every cell within
+    * `delta` of its best affinity (capped at `maxProbe`). At 100 TB this is
+    * the latency/recall lever: the easy majority of queries touch 1–2
+    * cells, only the ambiguous tail pays the wide fan-out, and the probe
+    * decision is a per-row window over the query panel (queries × nlist
+    * rows) — the corpus appears only in the cell-keyed equi-join, exactly
+    * v04's shape.
+    *
+    * Determinism: affinities are the bit-identical sequential cosine the
+    * v04 oracle mirrors; `a >= a1 - delta` compares doubles both engines
+    * compute from the same literals, so the probe set itself is
+    * hash-verifiable. Output carries `n_probed` so the row pins the
+    * adaptive decision, not just the final ranking. */
+  def adaptiveIvfTopK(queries: DataFrame, corpus: DataFrame,
+                      cos: (Column, Column) => Column, k: Int,
+                      nlist: Int = 16, maxProbe: Int = 6,
+                      delta: Double = 0.10): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val centroids = strideCentroids(corpus, nlist)
+    val topCells = topCellsOf(centroids, cos) _
+
+    val c = corpus
+      .withColumn("cell", element_at(topCells(col("embedding"), 1), 1).getField("cell"))
+      .select(col("vec_id"), col("embedding").as("c_vec"), col("cell"))
+    val aff = queries
+      .withColumn("probe", explode(topCells(col("embedding"), nlist)))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"),
+        col("probe.cell").as("cell"), col("probe.a").as("aff"))
+    val wq = Window.partitionBy(col("query_id"))
+    val probes = aff
+      .withColumn("rn", row_number().over(
+        wq.orderBy(col("aff").desc, col("cell").desc)))
+      .withColumn("a1", max(col("aff")).over(wq))
+      .filter(col("rn") <= maxProbe &&
+        (col("rn") === 1 || col("aff") >= col("a1") - lit(delta)))
+      .withColumn("n_probed", count(lit(1)).over(wq).cast("int"))
+      .select(col("query_id"), col("q_vec"), col("cell"), col("n_probed"))
+    val cand = probes.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+    val scored = cand.withColumn("cos", round(cos(col("q_vec"), col("c_vec")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"), col("rank"),
+        col("n_probed"))
+  }
+
   /** HARD-NEGATIVE MINING — for each query, the top-k most similar corpus
     * vectors whose `labelCol` DIFFERS from the query's: the contrastive-
     * training data op (high-similarity different-class pairs are the

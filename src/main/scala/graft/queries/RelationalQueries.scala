@@ -1457,8 +1457,107 @@ object RelationalQueries {
            |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
     "bucketed co-located join: persisted hash layout, shuffle-free sort-merge join (beyond reference)")
 
+  /** DATA-QUALITY EXPECTATIONS — the declarative constraint gate every
+    * lakehouse ingest runs before promoting bronze → silver (Delta Live
+    * Tables' `EXPECT ... ON VIOLATION {WARN|DROP}` surface): each
+    * expectation is a boolean predicate tagged with an enforcement action;
+    * WARN counts violations but keeps the rows, DROP quarantines them. The
+    * testdata is clean, so the row injects deterministic dirt derived from
+    * `o_orderkey` (negative prices, NULL dates, dangling FKs, unknown
+    * priorities — both engines construct the identical bronze, the
+    * d38/m0x authored-fixture pattern); the operator under test is the
+    * single-pass flag + count + route.
+    *
+    * 100 TB shape: all predicate flags are map-side projections riding the
+    * scan; the FK expectation is the only join (orders ⋈ customer on
+    * custkey — dimension-sized right side, AQE broadcasts it; at true
+    * scale the q38 bloom-filter pre-prune is the same-shaped cheaper
+    * check). Everything then collapses into ONE aggregate of counting
+    * sums — no per-constraint re-scan, violations for all four
+    * expectations and the kept/quarantined split come out of the same
+    * pass, unpivoted driver-free via `stack`. */
+  /** The q65/s34 expectation set, shared Spark- and oracle-side. The
+    * testdata is clean, so [[expectationsBronze]] injects deterministic
+    * `o_orderkey`-derived dirt identically in both engines (the d38/m0x
+    * authored-fixture pattern). */
+  private[queries] val knownPriorities =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  private[queries] def expectationsBronze(o: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    o.select(
+      col("o_orderkey"),
+      when(col("o_orderkey") % 89 === 0, col("o_custkey") + 1000000L)
+        .otherwise(col("o_custkey")).as("o_custkey"),
+      when(col("o_orderkey") % 97 === 0, -col("o_totalprice"))
+        .otherwise(col("o_totalprice")).as("o_totalprice"),
+      when(col("o_orderkey") % 101 === 0, lit(null))
+        .otherwise(col("o_orderdate")).as("o_orderdate"),
+      when(col("o_orderkey") % 103 === 0, lit("UNKNOWN"))
+        .otherwise(col("o_orderpriority")).as("o_orderpriority"))
+
+  /** DuckDB mirror of [[expectationsBronze]] plus the FK flag: CTEs
+    * `bronze` (dirt-injected orders) and `f` (bronze + `ok_fk`). */
+  private[queries] val expectationsBronzeSql =
+    """bronze AS (SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 89 = 0 THEN o_custkey + 1000000 ELSE o_custkey END AS o_custkey,
+      |  CASE WHEN o_orderkey % 97 = 0 THEN -o_totalprice ELSE o_totalprice END AS o_totalprice,
+      |  CASE WHEN o_orderkey % 101 = 0 THEN NULL ELSE o_orderdate END AS o_orderdate,
+      |  CASE WHEN o_orderkey % 103 = 0 THEN 'UNKNOWN' ELSE o_orderpriority END AS o_orderpriority
+      |  FROM orders),
+      |f AS (SELECT b.*, c.c_custkey IS NOT NULL AS ok_fk
+      |  FROM bronze b LEFT JOIN customer c ON b.o_custkey = c.c_custkey)""".stripMargin
+
+  val q65 = QueryDef(
+    "q65_expectations",
+    (spark, dir) => {
+      val bronze = expectationsBronze(Tables.orders(spark, dir))
+      val cust = Tables.customer(spark, dir).select(col("c_custkey"))
+      val flagged = bronze
+        .join(cust, bronze("o_custkey") === cust("c_custkey"), "left")
+        .select(
+          (col("o_totalprice") > 0).as("ok_price"),
+          col("o_orderdate").isNotNull.as("ok_date"),
+          col("c_custkey").isNotNull.as("ok_fk"),
+          col("o_orderpriority").isin(knownPriorities: _*).as("ok_prio"))
+      flagged.agg(
+          count(lit(1)).as("n"),
+          sum(when(!col("ok_fk"), 1L).otherwise(0L)).as("v_fk"),
+          sum(when(!col("ok_date"), 1L).otherwise(0L)).as("v_date"),
+          sum(when(!col("ok_price"), 1L).otherwise(0L)).as("v_price"),
+          sum(when(!col("ok_prio"), 1L).otherwise(0L)).as("v_prio"),
+          sum(when(col("ok_date") && col("ok_fk"), 1L).otherwise(0L)).as("kept"))
+        .selectExpr(
+          """stack(7,
+            |  'exp_custkey_exists',   'drop',    v_fk,
+            |  'exp_orderdate_not_null','drop',   v_date,
+            |  'exp_price_positive',   'warn',    v_price,
+            |  'exp_priority_known',   'warn',    v_prio,
+            |  'zz_rows_in',           'summary', n,
+            |  'zz_rows_kept',         'summary', kept,
+            |  'zz_rows_quarantined',  'summary', n - kept
+            |) AS (expectation, action, violations)""".stripMargin)
+        .orderBy(col("expectation"))
+    },
+    Some(s"""WITH $expectationsBronzeSql,
+           |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(CASE WHEN NOT ok_fk THEN 1 ELSE 0 END) AS BIGINT) AS v_fk,
+           |  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_date,
+           |  CAST(sum(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+           |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW') THEN 1 ELSE 0 END) AS BIGINT) AS v_prio,
+           |  CAST(sum(CASE WHEN o_orderdate IS NOT NULL AND ok_fk THEN 1 ELSE 0 END) AS BIGINT) AS kept
+           |  FROM f)
+           |SELECT 'exp_custkey_exists' AS expectation, 'drop' AS action, v_fk AS violations FROM a
+           |UNION ALL SELECT 'exp_orderdate_not_null', 'drop', v_date FROM a
+           |UNION ALL SELECT 'exp_price_positive', 'warn', v_price FROM a
+           |UNION ALL SELECT 'exp_priority_known', 'warn', v_prio FROM a
+           |UNION ALL SELECT 'zz_rows_in', 'summary', n FROM a
+           |UNION ALL SELECT 'zz_rows_kept', 'summary', kept FROM a
+           |UNION ALL SELECT 'zz_rows_quarantined', 'summary', n - kept FROM a
+           |ORDER BY expectation""".stripMargin),
+    "data-quality expectations: declarative WARN/DROP constraint gate with quarantine accounting, one pass (DLT expectations analog)")
+
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q12, q13, q14, q15, q16, q17, q18, q19, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41, q42, q43, q44, q45, q46, q47, q48, q58, q59, q60, q61, q63)
+    q41, q42, q43, q44, q45, q46, q47, q48, q58, q59, q60, q61, q63, q65)
 }

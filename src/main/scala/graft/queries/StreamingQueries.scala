@@ -2129,7 +2129,174 @@ object StreamingQueries {
            |ORDER BY o_orderstatus""".stripMargin),
     "streaming GDPR erasure: deletion-vector deleteMatched per micro-batch, zero data rewrite during the drain (q64's verb live)")
 
+  /** STREAMING EXPECTATIONS — q65's declarative quality gate applied at
+    * ingest (the Delta Live Tables deployment shape: expectations live ON
+    * the streaming table, violations land in a dead-letter/quarantine
+    * relation with their reasons). Each micro-batch evaluates the same
+    * predicate flags (customer dimension localCheckpoint'ed ONCE as the
+    * frozen side input — the s22 pattern), appends passing rows to silver
+    * and DROP-violating rows to quarantine tagged with the concatenated
+    * failing-expectation names. Per-row stateless, so the drained split is
+    * batching-independent and the oracle is q65's bronze CTE regrouped by
+    * reason. `concat_ws` skips NULLs identically in both engines. */
+  val s34 = QueryDef(
+    "s34_stream_expectations",
+    (spark, dir) => {
+      import graft.merge.ParquetTable
+      val bronze = RelationalQueries.expectationsBronze(
+        graft.sources.Tables.orders(spark, dir))
+      val dateUs = graft.sources.Tables.tsToUs(spark, col("o_orderdate"),
+        bronze.schema("o_orderdate").dataType)
+      val cust = graft.sources.Tables.customer(spark, dir)
+        .select(col("c_custkey")).localCheckpoint(true)
+      val srcDir = FixtureDirs.cachedDir("s34-bronze-", dir) { d =>
+        val rows = bronze.select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), dateUs.as("o_date_us"), col("o_orderpriority"))
+        val maxId = rows.agg(max(col("o_orderkey"))).head().getLong(0)
+        val cuts = Seq(maxId / 3, 2 * maxId / 3)
+        val parts = Seq(
+          rows.filter(col("o_orderkey") <= cuts.head),
+          rows.filter(col("o_orderkey") > cuts.head && col("o_orderkey") <= cuts(1)),
+          rows.filter(col("o_orderkey") > cuts(1)))
+        parts.zipWithIndex.foreach { case (p, i) =>
+          val tmp = FixtureDirs.create(s"s34-part$i-")
+          p.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val f = java.nio.file.Files.list(tmp)
+            .filter(_.toString.endsWith(".parquet")).findFirst().get()
+          java.nio.file.Files.move(f, d.resolve(s"batch$i.parquet"))
+        }
+      }
+      val root = FixtureDirs.create("s34-exp-").toString
+      val silver = new ParquetTable(spark, s"$root/silver",
+        org.apache.spark.sql.types.StructType.fromDDL("o_orderkey bigint"))
+      val quar = new ParquetTable(spark, s"$root/quarantine",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "o_orderkey bigint, reason string"))
+      val stream = spark.readStream
+        .schema("o_orderkey bigint, o_custkey bigint, o_totalprice double, " +
+          "o_date_us bigint, o_orderpriority string")
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      withStreamConf(spark) {
+        val q = stream.writeStream
+          .option("checkpointLocation", newCkptDir())
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val flagged = batch
+              .join(cust, batch("o_custkey") === cust("c_custkey"), "left")
+              .select(batch("o_orderkey").as("o_orderkey"),
+                col("o_date_us").isNotNull.as("ok_date"),
+                cust("c_custkey").isNotNull.as("ok_fk"))
+              .withColumn("reason", concat_ws("+",
+                when(!col("ok_fk"), lit("exp_custkey_exists")),
+                when(!col("ok_date"), lit("exp_orderdate_not_null"))))
+              .localCheckpoint(true) // two sinks: evaluate the gate once
+            silver.append(flagged.filter(col("ok_fk") && col("ok_date"))
+              .select(col("o_orderkey")))
+            quar.append(flagged.filter(!(col("ok_fk") && col("ok_date")))
+              .select(col("o_orderkey"), col("reason")))
+          }
+          .start()
+        q.awaitTermination()
+      }
+      quar.read().groupBy(col("reason")).agg(count(lit(1)).as("n"))
+        .unionByName(silver.read().agg(count(lit(1)).as("n"))
+          .select(lit("zz_kept").as("reason"), col("n")))
+        .orderBy(col("reason"))
+    },
+    Some(s"""WITH ${RelationalQueries.expectationsBronzeSql},
+            |g AS (SELECT concat_ws('+',
+            |    CASE WHEN NOT ok_fk THEN 'exp_custkey_exists' END,
+            |    CASE WHEN o_orderdate IS NULL THEN 'exp_orderdate_not_null' END) AS reason
+            |  FROM f WHERE NOT (ok_fk AND o_orderdate IS NOT NULL))
+            |SELECT reason, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY reason
+            |UNION ALL
+            |SELECT 'zz_kept', CAST(count(*) AS BIGINT) FROM f
+            |WHERE ok_fk AND o_orderdate IS NOT NULL
+            |ORDER BY reason""".stripMargin),
+    "streaming expectations: q65's WARN/DROP gate at ingest, reason-tagged quarantine sink, batching-independent (DLT expectations analog)")
+
+  /** CONCURRENT STREAMING WRITERS through optimistic concurrency — two
+    * independent availableNow streams (disjoint key ranges: even vs odd
+    * user_id) upsert the SAME table via [[graft.merge.ParquetTable
+    * .occMerge]] with q10's recency-guard CDC merge. Their micro-batches
+    * interleave nondeterministically; OCC's stage → CAS → rebase loop
+    * serializes the commits, and because the writers touch disjoint keys
+    * and each writer's own batches commit in file order, the final table
+    * is DETERMINISTIC: per user, latest ts wins, ties broken by earliest
+    * batch (cdcUpsert's strict `<` keeps the incumbent), then highest
+    * event_id within a batch. The oracle replays exactly that ordering.
+    * Batch cuts derive from max(event_id) via integer division — scalar
+    * subqueries keep the oracle honest at every SF (the v17b lesson).
+    * This is q66's protocol under live concurrency — the multi-writer
+    * Delta pattern (ingest + backfill landing simultaneously). */
+  val s35 = QueryDef(
+    "s35_stream_occ_upsert",
+    (spark, dir) => {
+      import graft.merge.ParquetTable
+      import graft.ops.Relational
+      val ev = graft.sources.Tables.eventsUs(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts_us"))
+      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+      val c0 = maxId / 3; val c1 = 2 * maxId / 3
+      val latest = (df: DataFrame) => Relational.dedupKeyed(
+        df, Seq("user_id"), Seq(col("ts_us").desc, col("event_id").desc))
+      def writeBatches(prefix: String, parity: Int): java.nio.file.Path =
+        FixtureDirs.cachedDir(prefix, dir) { d =>
+          val mine = ev.filter(col("user_id") % 2 === parity)
+          val parts = Seq(
+            mine.filter(col("event_id") > c0 && col("event_id") <= c1),
+            mine.filter(col("event_id") > c1))
+          parts.zipWithIndex.foreach { case (p, i) =>
+            val tmp = FixtureDirs.create(s"$prefix$i-")
+            p.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+            val f = java.nio.file.Files.list(tmp)
+              .filter(_.toString.endsWith(".parquet")).findFirst().get()
+            java.nio.file.Files.move(f, d.resolve(s"batch$i.parquet"))
+          }
+        }
+      val dirA = writeBatches("s35-even-", 0)
+      val dirB = writeBatches("s35-odd-", 1)
+      val root = FixtureDirs.create("s35-occ-").resolve("events_occ").toString
+      val seed = latest(ev.filter(col("event_id") <= c0))
+      val t = new ParquetTable(spark, root, seed.schema)
+      t.overwrite(seed)
+      val ddl = "event_id bigint, user_id bigint, event_type string, " +
+        "value double, ts_us bigint"
+      def writer(src: java.nio.file.Path) = spark.readStream
+        .schema(ddl).option("maxFilesPerTrigger", "1").parquet(src.toString)
+        .writeStream
+        .option("checkpointLocation", newCkptDir())
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val attempts = t.occMerge(latest(batch), maxAttempts = 10)(
+            (cur, b) => graft.merge.Merge.cdcUpsert(cur, b, Seq("user_id"), "ts_us"))
+          require(attempts <= 10, s"occ writer gave up after $attempts")
+          ()
+        }
+      withStreamConf(spark) {
+        // start BOTH, then await: the commits genuinely race
+        val qa = writer(dirA).start(); val qb = writer(dirB).start()
+        qa.awaitTermination(); qb.awaitTermination()
+      }
+      require(t.commitToken == 5L,
+        s"expected 1 seed + 4 racing commits, got token ${t.commitToken}")
+      t.read().orderBy(col("user_id"))
+    },
+    Some(s"""WITH $evCte,
+            |cuts AS (SELECT max(event_id) // 3 AS c0, 2 * max(event_id) // 3 AS c1 FROM ev),
+            |w AS (SELECT user_id, event_id, event_type, value, ts_us,
+            |    CASE WHEN event_id <= c0 THEN 0 WHEN event_id <= c1 THEN 1 ELSE 2 END AS b
+            |  FROM ev, cuts)
+            |SELECT event_id, user_id, event_type, value, ts_us FROM w
+            |QUALIFY row_number() OVER (PARTITION BY user_id
+            |  ORDER BY ts_us DESC, b ASC, event_id DESC) = 1
+            |ORDER BY user_id""".stripMargin),
+    "two concurrent streaming writers upsert one table through OCC: racing commits, rebase, deterministic recency-guard result (multi-writer Delta pattern)")
+
   def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
     s10, s10b, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23,
-    s24, s25, s26, s27, s28, s29, s30, s31, s32, s33)
+    s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35)
 }

@@ -3861,9 +3861,59 @@ object TextQueries {
            |FROM documents ORDER BY media_id""".stripMargin),
     "PNG metadata scrub: ancillary-chunk PII removal with byte-exact accounting, pixels pinned unchanged (multimodal PII op)")
 
+  /** TOKENIZER VOCAB-UTILIZATION AUDIT — the report you run before shipping
+    * a tokenizer: for every trained merge (= every multi-char vocabulary
+    * entry), how many tokens in the corpus's final encoded stream actually
+    * ARE that entry? Entries with zero uses are dead weight — each one is a
+    * wasted embedding-matrix row in the model — and a merge can be dead
+    * even though training counted it frequent, because a LATER merge
+    * swallows every occurrence (e.g. a product that only ever appears as
+    * the left side of a higher-rank merge). That's why utilization must be
+    * measured on the ENCODED OUTPUT, not read off the training counts —
+    * and why this is a distinct op from d44 (training) and d47 (fertility).
+    *
+    * Scale: one native-BPE pass over the corpus (d36's map-only profile),
+    * one token-keyed count collapsed to ≤ vocab-size rows, then a
+    * broadcast-sized join against the 59-entry merge table. Oracle replays
+    * the same merges (d36's recursive CTE) and right-joins the identical
+    * literal vocabulary. */
+  val d57 = QueryDef(
+    "d57_vocab_utilization",
+    (spark, dir) => {
+      TextFunctions.registerNative(spark)
+      import spark.implicits._
+      val products = graft.functions.BpeMerges.pairs.zipWithIndex
+        .map { case ((a, b), i) => (i + 1, a + b) }
+        .toDF("merge_rank", "token")
+      val uses = Tables.documents(spark, dir)
+        .select(explode(TextFunctions.bpeTokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("uses"))
+      products.join(uses, Seq("token"), "left")
+        .select(col("merge_rank"), col("token"),
+          coalesce(col("uses"), lit(0L)).as("uses"),
+          (coalesce(col("uses"), lit(0L)) > 0).as("used"))
+        .orderBy(col("merge_rank"))
+    },
+    Some {
+      val prods = graft.functions.BpeMerges.pairs
+        .map { case (a, b) => s"'${a + b}'" }.mkString("[", ", ", "]")
+      s"""WITH RECURSIVE $bpeCte,
+         |toks AS (SELECT unnest(syms) AS token FROM fin),
+         |cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS uses FROM toks GROUP BY token),
+         |vocab AS (SELECT CAST(p.r AS INTEGER) AS merge_rank, p.t AS token FROM (
+         |  SELECT unnest([{'r': i, 't': prods[i]}
+         |    for i in generate_series(1, len(prods))]) AS p
+         |  FROM (SELECT $prods AS prods)) ),
+         |j AS (SELECT v.merge_rank, v.token, coalesce(c.uses, 0) AS uses
+         |  FROM vocab v LEFT JOIN cnt c USING (token))
+         |SELECT merge_rank, token, uses, uses > 0 AS used FROM j ORDER BY merge_rank""".stripMargin
+    },
+    "tokenizer vocab-utilization audit: per-merge usage counts on the encoded stream, dead-entry detection (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
       d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43, d44,
-      d45, d46, d47, d48, d49, d50, d50b, d51, d52, d53, d54, d55, d56, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14, m15, m16)
+      d45, d46, d47, d48, d49, d50, d50b, d51, d52, d53, d54, d55, d56, d57,
+      m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14, m15, m16)
 }

@@ -1617,7 +1617,58 @@ object VectorQueries {
     },
     "RAG serving stack: IVF retrieve -> MMR diversify -> payload attach, one composed plan (LLM-pipeline op)")
 
+  /** ADAPTIVE-NPROBE IVF ([[Similarity.adaptiveIvfTopK]]): per-query probe
+    * width from the centroid-affinity margin — probe every cell within
+    * δ=0.10 of the query's best affinity, capped at 6. On this panel the
+    * widths genuinely vary (1–6; the cap binds for one query, the margin
+    * rule for the rest — checked against the affinity distribution before
+    * freezing δ, the d49/d50 lesson). `n_probed` is emitted so the hash
+    * pins the adaptive routing decision itself. Oracle mirrors v04's
+    * stride-centroid affinity CTE plus the same margin filter; the δ
+    * literal is CAST to DOUBLE (CLAUDE.md rule 7). */
+  val v32 = QueryDef(
+    "v32_ann_adaptive_nprobe",
+    (spark, dir) => {
+      VectorFunctions.register(spark)
+      val emb = Tables.embeddings(spark, dir)
+      Similarity.adaptiveIvfTopK(
+          emb.filter(col("vec_id") < 10), emb,
+          VectorFunctions.cosineSim, k = 5, nlist = 16, maxProbe = 6,
+          delta = 0.10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some {
+      val nlist = 16; val maxProbe = 6
+      val affCos = cosSql("e.emb", "cent.cemb")
+      val cos = cosSql("q.emb", "t.emb")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, emb AS cemb
+         |  FROM e WHERE vec_id % greatest(1, (SELECT count(*) FROM e) // $nlist) = 0
+         |  ORDER BY vec_id LIMIT $nlist),
+         |aff AS (SELECT e.vec_id, cent.cell, $affCos AS a FROM e, cent),
+         |assign AS (SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell DESC) AS rn
+         |    FROM aff) WHERE rn = 1),
+         |qaff AS (SELECT vec_id AS query_id, cell, a,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell DESC) AS rn,
+         |    max(a) OVER (PARTITION BY vec_id) AS a1
+         |  FROM aff WHERE vec_id < 10),
+         |probes AS (SELECT query_id, cell,
+         |    CAST(count(*) OVER (PARTITION BY query_id) AS INTEGER) AS n_probed
+         |  FROM qaff
+         |  WHERE rn <= $maxProbe AND (rn = 1 OR a >= a1 - CAST(0.10 AS DOUBLE))),
+         |scored AS (SELECT p.query_id, s.vec_id, round($cos, 6) AS cos, p.n_probed
+         |  FROM probes p JOIN assign s ON s.cell = p.cell
+         |  JOIN e q ON q.vec_id = p.query_id JOIN e t ON t.vec_id = s.vec_id
+         |  WHERE s.vec_id <> p.query_id)
+         |SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank, n_probed FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
+    "adaptive-nprobe IVF: per-query probe width from the centroid-affinity margin, easy queries touch 1 cell (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
     v10, v11, v12, v13, v14, v15, v16, v17, v17b, v18, v19, v20, v21, v22, v23,
-    v24, v25, v26, v27, v28, v29, v30, v31)
+    v24, v25, v26, v27, v28, v29, v30, v31, v32)
 }
