@@ -1486,7 +1486,10 @@ object RelationalQueries {
   private[queries] def expectationsBronze(o: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     o.select(
       col("o_orderkey"),
-      when(col("o_orderkey") % 89 === 0, col("o_custkey") + 1000000L)
+      // negated key can never collide with a real custkey at ANY scale
+      // factor (a fixed +1M offset would silently stop dangling once
+      // custkeys pass 1M — the gate would go green-and-vacuous)
+      when(col("o_orderkey") % 89 === 0, -col("o_custkey") - 1L)
         .otherwise(col("o_custkey")).as("o_custkey"),
       when(col("o_orderkey") % 97 === 0, -col("o_totalprice"))
         .otherwise(col("o_totalprice")).as("o_totalprice"),
@@ -1499,7 +1502,7 @@ object RelationalQueries {
     * `bronze` (dirt-injected orders) and `f` (bronze + `ok_fk`). */
   private[queries] val expectationsBronzeSql =
     """bronze AS (SELECT o_orderkey,
-      |  CASE WHEN o_orderkey % 89 = 0 THEN o_custkey + 1000000 ELSE o_custkey END AS o_custkey,
+      |  CASE WHEN o_orderkey % 89 = 0 THEN -o_custkey - 1 ELSE o_custkey END AS o_custkey,
       |  CASE WHEN o_orderkey % 97 = 0 THEN -o_totalprice ELSE o_totalprice END AS o_totalprice,
       |  CASE WHEN o_orderkey % 101 = 0 THEN NULL ELSE o_orderdate END AS o_orderdate,
       |  CASE WHEN o_orderkey % 103 = 0 THEN 'UNKNOWN' ELSE o_orderpriority END AS o_orderpriority

@@ -2248,17 +2248,26 @@ object StreamingQueries {
           val parts = Seq(
             mine.filter(col("event_id") > c0 && col("event_id") <= c1),
             mine.filter(col("event_id") > c1))
+          // pin strictly increasing mtimes: Files.move preserves the tmp
+          // files' timestamps, and FileStreamSource orders by modification
+          // time — an mtime tie at fs granularity would leave batch order
+          // to listing luck, breaking the oracle's 'b ASC' tie-break
+          val mtimeBase = System.currentTimeMillis()
           parts.zipWithIndex.foreach { case (p, i) =>
             val tmp = FixtureDirs.create(s"$prefix$i-")
             p.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
             val f = java.nio.file.Files.list(tmp)
               .filter(_.toString.endsWith(".parquet")).findFirst().get()
-            java.nio.file.Files.move(f, d.resolve(s"batch$i.parquet"))
+            val dst = d.resolve(s"batch$i.parquet")
+            java.nio.file.Files.move(f, dst)
+            java.nio.file.Files.setLastModifiedTime(dst,
+              java.nio.file.attribute.FileTime.fromMillis(mtimeBase + i * 1000L))
           }
         }
       val dirA = writeBatches("s35-even-", 0)
       val dirB = writeBatches("s35-odd-", 1)
       val root = FixtureDirs.create("s35-occ-").resolve("events_occ").toString
+      val maxAttemptsSeen = new java.util.concurrent.atomic.AtomicInteger(0)
       val seed = latest(ev.filter(col("event_id") <= c0))
       val t = new ParquetTable(spark, root, seed.schema)
       t.overwrite(seed)
@@ -2271,9 +2280,14 @@ object StreamingQueries {
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, _: Long) =>
+          // occMerge THROWS when maxAttempts is exhausted, so no bound check
+          // here can fail; record the max observed attempt count instead —
+          // an observable trace of whether the race actually exercised the
+          // rebase path this run (it usually does, but is not guaranteed;
+          // s35b forces the contention deterministically)
           val attempts = t.occMerge(latest(batch), maxAttempts = 10)(
             (cur, b) => graft.merge.Merge.cdcUpsert(cur, b, Seq("user_id"), "ts_us"))
-          require(attempts <= 10, s"occ writer gave up after $attempts")
+          maxAttemptsSeen.accumulateAndGet(attempts, (a: Int, b: Int) => math.max(a, b))
           ()
         }
       withStreamConf(spark) {
@@ -2281,6 +2295,7 @@ object StreamingQueries {
         val qa = writer(dirA).start(); val qb = writer(dirB).start()
         qa.awaitTermination(); qb.awaitTermination()
       }
+      System.err.println(s"[s35] max OCC attempts observed: ${maxAttemptsSeen.get}")
       require(t.commitToken == 5L,
         s"expected 1 seed + 4 racing commits, got token ${t.commitToken}")
       t.read().orderBy(col("user_id"))

