@@ -189,18 +189,27 @@ final class ParquetTable(spark: SparkSession, root: String, schema: StructType,
   /** Merge-on-read DELETE: record the positions of live rows matching `cond`
     * in the sidecar; no data file is touched. Returns the number of rows
     * newly deleted (rows already DV-deleted never re-match — `cond` is
-    * evaluated against the merge-on-read view). Requires an unversioned
-    * table: [[readVersion]] reads retired trees without their sidecar, so
-    * serving DV-aware history needs the commit-log design the class scaladoc
-    * scopes out.
+    * evaluated against the merge-on-read view).
+    *
+    * ==Composition with time travel (`keepVersions > 0`)==
+    * A DV delete is a SUB-VERSION commit: it bumps [[commitToken]] but cuts
+    * no named version — named versions are overwrite boundaries, and every
+    * version's tree is freshly written at cut time (sidecar-free), so a
+    * version's content IS its raw tree. `VERSION AS OF v` therefore shows
+    * v's content as of its cut: rows DV-deleted later correctly RESURRECT
+    * in the historical read (in Delta the delete is a later version) while
+    * the live read keeps them deleted. No extra mechanism is needed — the
+    * retirement rename carries the `_dv` sidecar inside the `.v-*` tree,
+    * where [[readVersion]]'s file scan never sees it (underscore-prefixed),
+    * and [[readVersion]] of the LIVE version reads the raw tree for the
+    * same reason. DV deletes surface in [[changeFeed]] only at the next
+    * overwrite boundary (snapshot diffs compare named versions), and
+    * [[restore]] to a pre-delete version resurrects — both the Delta
+    * behaviors. TimeTravelSpec pins the composition.
     *
     * Cost at scale: one partition-parallel scan evaluating `cond` (data
     * skipping still prunes it) + a positions-only write, O(matches). */
   def deleteWhere(cond: Column): Long = {
-    require(keepVersions == 0,
-      "deletion vectors need an unversioned table (keepVersions == 0): " +
-        "time-travel reads would resurrect DV-deleted rows — DV-aware " +
-        "history needs a commit log (see class scaladoc)")
     if (!exists) 0L
     else {
       val live = applyDvKeepPos(withFilePos(readRaw()))
@@ -220,8 +229,6 @@ final class ParquetTable(spark: SparkSession, root: String, schema: StructType,
     * The batch joins the position scan directly — never collected — so
     * erasure-request batches of any size stay distributed. */
   def deleteMatched(batch: DataFrame, keys: Seq[String]): Long = {
-    require(keepVersions == 0,
-      "deletion vectors need an unversioned table (keepVersions == 0)")
     if (!exists) 0L
     else {
       val live = applyDvKeepPos(withFilePos(readRaw()))
@@ -479,9 +486,13 @@ final class ParquetTable(spark: SparkSession, root: String, schema: StructType,
   }
 
   /** Read the table as of version `v` (Delta `VERSION AS OF` analog). Fails
-    * loudly for versions never cut or already pruned by retention. */
+    * loudly for versions never cut or already pruned by retention.
+    * Version content is pinned at CUT time: DV deletes made since are later
+    * sub-version commits, so the live version too is served from the raw
+    * tree WITHOUT the sidecar (see [[deleteWhere]]'s composition note). */
   def readVersion(v: Long): DataFrame = {
-    if (v == currentVersion) read()
+    if (v == currentVersion)
+      readRaw().select(schema.fieldNames.map(col).toIndexedSeq: _*)
     else {
       val dir = rootPath.resolve(s".v-$v")
       require(Files.exists(dir),

@@ -789,6 +789,78 @@ object MergeQueries {
            |ORDER BY phase, o_orderstatus""".stripMargin),
     "Deletion vectors: positions-only merge-on-read DELETE, zero data rewrite, deferred materialization (Delta DV analog)")
 
+  /** Deletion vectors × time travel (the r9 verdict's composition ask) as a
+    * verified row. A DV delete on a VERSIONED table is a sub-version commit
+    * (named versions are overwrite boundaries, each cut as a fresh
+    * sidecar-free tree), so `VERSION AS OF v` is pinned at v's cut: after
+    * the delete, the pre-delete version RESURRECTS the deleted rows — read
+    * from the live tree's raw scan before the next cut, and from the
+    * retired `.v-1` tree (whose `_dv` sidecar rode along invisibly) after —
+    * while the live read keeps them deleted. The row `require`s the
+    * zero-write-amplification property (data files untouched by the
+    * delete) and that the OPTIMIZE cut (`overwrite(read())`) starts
+    * sidecar-free; the oracle restates all four phases relationally, so
+    * the hash pins live-vs-historical against the same DELETE predicate.
+    *
+    * Scale: identical cost story to q64 (positions-only delete, anti-join
+    * read) — time travel adds only the O(1) retirement rename; historical
+    * reads cost a plain scan of the retained tree. */
+  val dvtt = QueryDef(
+    "q64b_dv_time_travel",
+    (spark, dir) => {
+      import spark.implicits._
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"))
+      val root = FixtureDirs.create("q64b-dvtt-").resolve("orders_dvtt").toString
+      val t = new graft.merge.ParquetTable(spark, root, o.schema, keepVersions = 2)
+      t.overwrite(o)                                                  // v1
+      def dataFiles(): Map[String, Long] =
+        spark.read.parquet(s"$root/current").inputFiles.map { f =>
+          f -> java.nio.file.Files.size(java.nio.file.Paths.get(new java.net.URI(f)))
+        }.toMap
+      val before = dataFiles()
+      val n1 = t.deleteWhere(pmod(col("o_custkey"), lit(5)) === 2)    // GDPR stratum
+      require(n1 > 0, "delete matched nothing — the composition was never exercised")
+      require(dataFiles() == before,
+        "merge-on-read broke: the DV delete changed the data-file set")
+      def summarize(df: org.apache.spark.sql.DataFrame, phase: String) =
+        df.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+          .select(lit(phase).as("phase"), col("o_orderstatus"), col("n"), col("sum_price"))
+      // eager checkpoints: both views must materialize BEFORE the OPTIMIZE
+      // cut retires the files they read
+      val liveMor = summarize(t.read(), "live_mor").localCheckpoint(true)
+      val v1Live = summarize(t.readVersion(1), "v1_live_tree").localCheckpoint(true)
+      t.overwrite(t.read())                                           // v2 (OPTIMIZE)
+      require(t.deletedPositions == 0, "the v2 cut must start sidecar-free")
+      require(t.history() == Seq(1L, 2L),
+        s"expected versions 1,2 readable, got ${t.history().mkString(",")}")
+      val counts = Seq(("deleted", "-", n1, 0.0))
+        .toDF("phase", "o_orderstatus", "n", "sum_price")
+      counts.union(liveMor).union(v1Live)
+        .union(summarize(t.readVersion(1), "v1_retired"))
+        .union(summarize(t.read(), "v2_live"))
+        .orderBy(col("phase"), col("o_orderstatus"))
+    },
+    Some("""WITH kept AS (SELECT * FROM orders WHERE NOT (o_custkey % 5 = 2)),
+           |agg_kept AS (
+           |  SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+           |  FROM kept GROUP BY o_orderstatus),
+           |agg_full AS (
+           |  SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+           |  FROM orders GROUP BY o_orderstatus)
+           |SELECT phase, o_orderstatus, n, sum_price FROM (
+           |  SELECT 'deleted' AS phase, '-' AS o_orderstatus,
+           |         (SELECT count(*) FROM orders WHERE o_custkey % 5 = 2) AS n,
+           |         CAST(0 AS DOUBLE) AS sum_price
+           |  UNION ALL SELECT 'live_mor', o_orderstatus, n, sum_price FROM agg_kept
+           |  UNION ALL SELECT 'v1_live_tree', o_orderstatus, n, sum_price FROM agg_full
+           |  UNION ALL SELECT 'v1_retired', o_orderstatus, n, sum_price FROM agg_full
+           |  UNION ALL SELECT 'v2_live', o_orderstatus, n, sum_price FROM agg_kept)
+           |ORDER BY phase, o_orderstatus""".stripMargin),
+    "Deletion vectors compose with time travel: pre-delete versions resurrect in historical reads, live read stays deleted (Delta DV-in-commit-log analog)")
+
   /** Optimistic concurrency (the Delta multi-writer commit protocol) as a
     * verified row. Two writers stage merges against the SAME snapshot —
     * writer A an SCD1 upsert, writer B an insert-only merge — with the
@@ -851,5 +923,5 @@ object MergeQueries {
            |FROM v3 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
     "Optimistic concurrency: lock-free staging, CAS commit, conflict rebase == serial schedule (Delta multi-writer protocol analog)")
 
-  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl, opt, del, rst, vac, dvq, occ)
+  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl, opt, del, rst, vac, dvq, dvtt, occ)
 }

@@ -148,14 +148,33 @@ class DeletionVectorSpec extends SparkSpec {
     assert(got.toSeq == (5L to 20L).filterNot(k => k == 10L || k == 15L))
   }
 
-  test("versioned tables reject deletion vectors loudly") {
-    val root = tmp("dv-versioned-")
-    val t = new ParquetTable(spark, root, s2, keepVersions = 2)
-    t.overwrite(Seq((1L, "a")).toDF("k", "v"))
-    val e = intercept[IllegalArgumentException](t.deleteWhere(col("k") === 1L))
-    assert(e.getMessage.contains("unversioned"))
-    val e2 = intercept[IllegalArgumentException](
-      t.deleteMatched(Seq(1L).toDF("k"), Seq("k")))
-    assert(e2.getMessage.contains("unversioned"))
+  test("DV deletes compose with time travel: historical reads resurrect, " +
+      "live stays deleted (deleteWhere's composition contract)") {
+    val root = tmp("dv-tt-")
+    val t = new ParquetTable(spark, root, s2, keepVersions = 3)
+    def ks(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("k").as[Long].collect().sorted.toSeq
+    t.overwrite((1L to 10L).map(i => (i, s"v$i")).toDF("k", "v"))  // v1
+    assert(t.deleteWhere(col("k") % 2 === 0) == 5L)                // sub-version commit
+    // live read applies the sidecar; the live version's historical read is
+    // pinned at CUT time — pre-delete rows resurrect
+    assert(ks(t.read()) == Seq(1L, 3L, 5L, 7L, 9L))
+    assert(ks(t.readVersion(1)) == (1L to 10L))
+    // cut v2 from the live (DV-applied) view: v1 retires WITH its sidecar
+    // inside, which the version read never sees
+    t.overwrite(t.read())                                          // v2
+    assert(t.deletedPositions == 0L, "fresh tree must carry no sidecar")
+    assert(ks(t.readVersion(1)) == (1L to 10L))
+    assert(ks(t.readVersion(2)) == Seq(1L, 3L, 5L, 7L, 9L))
+    // keyed DV delete composes the same way
+    assert(t.deleteMatched(Seq(3L).toDF("k"), Seq("k")) == 1L)
+    assert(ks(t.read()) == Seq(1L, 5L, 7L, 9L))
+    assert(ks(t.readVersion(2)) == Seq(1L, 3L, 5L, 7L, 9L),
+      "post-cut DV delete leaked into the named version")
+    // restore to a pre-delete version resurrects (the Delta behavior);
+    // v3's cut retires v2 with its sidecar — its history stays pinned
+    t.restore(1)                                                   // v3 ≡ v1
+    assert(ks(t.read()) == (1L to 10L))
+    assert(ks(t.readVersion(2)) == Seq(1L, 3L, 5L, 7L, 9L))
   }
 }
