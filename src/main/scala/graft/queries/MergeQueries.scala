@@ -923,5 +923,72 @@ object MergeQueries {
            |FROM v3 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
     "Optimistic concurrency: lock-free staging, CAS commit, conflict rebase == serial schedule (Delta multi-writer protocol analog)")
 
-  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl, opt, del, rst, vac, dvq, dvtt, occ)
+  /** OCC under SAME-KEY contention (the r9 verdict's contended ask): two
+    * writers upsert the SAME user keys with a recency guard, and the
+    * interleaving is FORCED — writer A commits between writer B's snapshot
+    * read and CAS (B's first merge invocation triggers A's full
+    * stage+commit), so B's first attempt deterministically loses (stale-CAS
+    * or vanished-snapshot, whichever lands first) and its rebase re-derives
+    * against A's committed rows. `require(attempts > 1)` pins that the
+    * retry loop actually ran — the OccSpec analog q66 can't assert (its
+    * re-stage starts clean).
+    *
+    * Order-independence by construction (M3 semantics): the recency column
+    * `ord = ts_us·10¹⁰ + event_id` is globally unique and lexicographic in
+    * (ts_us, event_id), so per user the surviving row after any commit
+    * order is the global argmax — the oracle needs no knowledge of the
+    * schedule, only `row_number() OVER (ORDER BY ts_us DESC, event_id
+    * DESC)`. A plain ts guard would be order-DEPENDENT on cross-writer ts
+    * ties (incumbent wins a tie, and incumbency is the race outcome).
+    *
+    * Scale: identical to q66 — staging is the full distributed merge with
+    * no lock held; the conflict costs one re-stage. */
+  val occContended = QueryDef(
+    "q66b_occ_contended",
+    (spark, dir) => {
+      val ev = Tables.eventsUs(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts_us"))
+        .withColumn("ord",
+          col("ts_us").cast("decimal(38,0)") * lit(10000000000L) + col("event_id"))
+      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+      require(maxId < 10000000000L,
+        "ord construction needs event_id < 1e10 for lexicographic packing")
+      val c0 = maxId / 3; val c1 = 2 * maxId / 3
+      val latest = (df: org.apache.spark.sql.DataFrame) =>
+        Relational.dedupKeyed(df, Seq("user_id"), Seq(col("ord").desc))
+      val seed = latest(ev.filter(col("event_id") <= c0))
+      val batchA = latest(ev.filter(col("event_id") > c0 && col("event_id") <= c1))
+      val batchB = latest(ev.filter(col("event_id") > c1))
+      val root = FixtureDirs.create("q66b-occ-").resolve("events_occ").toString
+      val t = new graft.merge.ParquetTable(spark, root, seed.schema)
+      t.overwrite(seed)
+      val mergeFn = (cur: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =>
+        Merge.cdcUpsert(cur, b, Seq("user_id"), "ord")
+      val aDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val attempts = t.occMerge(batchB, maxAttempts = 5) { (cur, b) =>
+        if (aDone.compareAndSet(false, true)) {
+          // forced interleaving: A's commit lands while B is staging
+          val aAttempts = t.occMerge(batchA)(mergeFn)
+          require(aAttempts == 1, s"writer A saw contention ($aAttempts attempts)")
+        }
+        mergeFn(cur, b)
+      }
+      require(attempts > 1,
+        s"forced interleaving must make B's first attempt lose (got $attempts)")
+      require(t.commitToken == 3L,
+        s"expected seed + A + B commits, got token ${t.commitToken}")
+      t.read()
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts_us"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""WITH $evCte
+            |SELECT event_id, user_id, event_type, value, ts_us FROM ev
+            |QUALIFY row_number() OVER (PARTITION BY user_id
+            |  ORDER BY ts_us DESC, event_id DESC) = 1
+            |ORDER BY user_id""".stripMargin),
+    "OCC same-key contention: forced interleaving, attempts > 1, rebase result == global latest per key regardless of commit order (M3 recency guard)")
+
+  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl, opt, del, rst, vac, dvq, dvtt, occ, occContended)
 }

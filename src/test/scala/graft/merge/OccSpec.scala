@@ -105,6 +105,39 @@ class OccSpec extends SparkSpec {
     assert(e.getMessage.contains("2 times"))
   }
 
+  test("forced same-key interleaving: the loser rebases (attempts > 1) and " +
+      "the recency guard makes the result order-independent") {
+    val s3 = StructType(Seq(StructField("k", LongType),
+      StructField("v", StringType), StructField("ord", LongType)))
+    def run(interleave: Boolean): (Int, Seq[(Long, String, Long)]) = {
+      val root = tmp(s"occ-contended-$interleave-")
+      val t = new ParquetTable(spark, root, s3)
+      t.overwrite(Seq((1L, "seed", 10L), (2L, "seed", 10L)).toDF("k", "v", "ord"))
+      val batchA = Seq((1L, "A", 30L), (2L, "A", 20L)).toDF("k", "v", "ord")
+      val batchB = Seq((1L, "B", 20L), (2L, "B", 30L)).toDF("k", "v", "ord")
+      val mergeFn = (cur: org.apache.spark.sql.DataFrame,
+                     b: org.apache.spark.sql.DataFrame) =>
+        Merge.cdcUpsert(cur, b, Seq("k"), "ord")
+      val aDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+      if (!interleave) assert(t.occMerge(batchA)(mergeFn) == 1)
+      val attempts = t.occMerge(batchB, maxAttempts = 5) { (cur, b) =>
+        // interleave=true: A commits BETWEEN B's snapshot read and CAS, so
+        // B's first attempt must lose (stale CAS or vanished snapshot)
+        if (interleave && aDone.compareAndSet(false, true))
+          assert(t.occMerge(batchA)(mergeFn) == 1)
+        mergeFn(cur, b)
+      }
+      (attempts, t.read().orderBy("k").as[(Long, String, Long)].collect().toSeq)
+    }
+    val (contended, gotContended) = run(interleave = true)
+    val (serial, gotSerial) = run(interleave = false)
+    assert(contended > 1, "forced interleaving never exercised the rebase")
+    assert(serial == 1)
+    // per key the max-ord row wins regardless of schedule: k=1 from A, k=2 from B
+    val expected = Seq((1L, "A", 30L), (2L, "B", 30L))
+    assert(gotContended == expected && gotSerial == expected)
+  }
+
   test("bucketed tables reject OCC staging loudly") {
     val root = tmp("occ-bucketed-")
     val t = new ParquetTable(spark, root, s2, bucketBy = Some((Seq("k"), 4)))
