@@ -284,4 +284,66 @@ final class VectorIndex(spark: SparkSession, root: String,
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
   }
+
+  /** ADAPTIVE-NPROBE query over the persisted layout — the production form
+    * of [[Similarity.adaptiveIvfTopK]]: per-query probe width set by the
+    * centroid-affinity margin (`maxProbe` cap, cells within `delta` of the
+    * best affinity), so a CONFIDENT query opens exactly ONE cell directory
+    * while only the ambiguous tail fans out. The probed-cell union is still
+    * bounded driver state (≤ nlist ints) and lands as `PartitionFilters` on
+    * the index scan (PlanAuditSpec pins it under the adaptive widths), so
+    * the storage-level skipping composes with the routing decision — at
+    * 100 TB the easy majority of queries reads 1/nlist of the index, not
+    * nprobe/nlist. ADC shortlist + exact re-rank are [[query]]'s unchanged;
+    * output carries `n_probed` so the routing decision itself is
+    * hash-verifiable (v32's contract). */
+  def queryAdaptive(queries: DataFrame, vectors: DataFrame,
+                    cos: (Column, Column) => Column, k: Int,
+                    maxProbe: Int = 6, delta: Double = 0.10,
+                    shortlist: Int = 50): DataFrame = {
+    VectorFunctions.register(spark)
+    val (cents, cb) = loadMeta()
+    val topCells = Similarity.topCellsOf(cents, cos) _
+    val aff = queries.select(col("vec_id").as("query_id"),
+        VectorFunctions.pqDistTable(col("embedding"), cb, m, ksub, dsub).as("dtab"),
+        explode(topCells(col("embedding"), nlist)).as("probe"))
+      .select(col("query_id"), col("dtab"),
+        col("probe.cell").as("cell"), col("probe.a").as("aff"))
+    val wq = Window.partitionBy(col("query_id"))
+    // eager checkpoint, not persist: consumed twice (probed-cell union +
+    // the cell join) and tiny (≤ queries × maxProbe rows) — no cache left
+    // behind to flatter later timings
+    val probes = aff
+      .withColumn("rn", row_number().over(
+        wq.orderBy(col("aff").desc, col("cell").desc)))
+      .withColumn("a1", max(col("aff")).over(wq))
+      .filter(col("rn") <= maxProbe &&
+        (col("rn") === 1 || col("aff") >= col("a1") - lit(delta)))
+      .withColumn("n_probed", count(lit(1)).over(wq).cast("int"))
+      .select(col("query_id"), col("dtab"), col("cell"), col("n_probed"))
+      .localCheckpoint(true)
+    val probed = probes.select(col("cell")).distinct().collect().map(_.getInt(0))
+    val scan = spark.read.parquet(indexDir)
+      .filter(col("cell").isin(probed.map(Integer.valueOf).toSeq: _*))
+    val idx = tombstones.fold(scan)(ts =>
+      scan.join(broadcast(ts), Seq("vec_id"), "left_anti"))
+    val cand = probes.join(idx, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("adist",
+        round(VectorFunctions.pqAdc(col("dtab"), col("code"), m, ksub), 6))
+    val ws = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))
+    val short = cand.withColumn("srank", row_number().over(ws))
+      .filter(col("srank") <= shortlist)
+      .select(col("query_id"), col("vec_id"), col("n_probed"))
+    val scored = short
+      .join(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_vec")),
+        Seq("query_id"))
+      .join(vectors.select(col("vec_id"), col("embedding").as("c_vec")), Seq("vec_id"))
+      .withColumn("cos", round(cos(col("q_vec"), col("c_vec")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"), col("rank"),
+        col("n_probed"))
+  }
 }

@@ -534,11 +534,41 @@ object VectorQueries {
     "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings"
 
   private[queries] def ivfPqOracle(candFilter: String = "",
-                                   eSql: String = embESql): String = {
+                                   eSql: String = embESql,
+                                   adaptive: Boolean = false): String = {
       val nlist = 16; val nprobe = 4; val shortlist = 50
       val ksub = 16; val dsub = 8
+      val maxProbe = 6 // adaptive mode only (v32's margin rule)
       val affCos = cosSql("e.emb", "cent.cemb")
       val cos = cosSql("q.emb", "t.emb")
+      // probe CTE: fixed top-nprobe, or the v32 margin rule carrying
+      // n_probed (so the adaptive routing decision itself is hashed)
+      val probesSql =
+        if (!adaptive)
+          s"""probes AS (SELECT vec_id AS query_id, cell FROM (
+             |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell DESC) AS rn
+             |    FROM aff WHERE vec_id < 10) WHERE rn <= $nprobe),""".stripMargin
+        else
+          s"""qaff AS (SELECT vec_id AS query_id, cell, a,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell DESC) AS rn,
+             |    max(a) OVER (PARTITION BY vec_id) AS a1
+             |  FROM aff WHERE vec_id < 10),
+             |probes AS (SELECT query_id, cell,
+             |    CAST(count(*) OVER (PARTITION BY query_id) AS INTEGER) AS n_probed
+             |  FROM qaff
+             |  WHERE rn <= $maxProbe AND (rn = 1 OR a >= a1 - CAST(0.10 AS DOUBLE))),""".stripMargin
+      val finalSql =
+        if (!adaptive)
+          s"""SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+             |  FROM scored) WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin
+        else
+          s"""SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank, n_probed FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+             |  FROM scored) r JOIN (SELECT DISTINCT query_id, n_probed FROM probes) pw USING (query_id)
+             |WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin
       s"""WITH e AS ($eSql),
          |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, emb AS cemb
          |  FROM e WHERE vec_id % greatest(1, (SELECT count(*) FROM e) // $nlist) = 0
@@ -547,9 +577,7 @@ object VectorQueries {
          |assign AS (SELECT vec_id, cell FROM (
          |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell DESC) AS rn
          |    FROM aff) WHERE rn = 1),
-         |probes AS (SELECT vec_id AS query_id, cell FROM (
-         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell DESC) AS rn
-         |    FROM aff WHERE vec_id < 10) WHERE rn <= $nprobe),
+         |$probesSql
          |samp AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c, emb
          |  FROM e WHERE vec_id % greatest(1, (SELECT count(*) FROM e) // $ksub) = 0
          |  ORDER BY vec_id LIMIT $ksub),
@@ -574,10 +602,7 @@ object VectorQueries {
          |    FROM adc) WHERE rn <= $shortlist),
          |scored AS (SELECT s.query_id, s.vec_id, round($cos, 6) AS cos
          |  FROM short s JOIN e q ON q.vec_id = s.query_id JOIN e t ON t.vec_id = s.vec_id)
-         |SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
-         |  FROM scored) WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin
+         |$finalSql""".stripMargin
   }
 
   val v12 = QueryDef(
@@ -1668,7 +1693,33 @@ object VectorQueries {
     },
     "adaptive-nprobe IVF: per-query probe width from the centroid-affinity margin, easy queries touch 1 cell (LLM-pipeline op)")
 
+  /** Adaptive nprobe over the PERSISTED index (the r9 verdict's production
+    * ask): v32 routes over the in-memory IVF; here the same margin rule
+    * drives [[graft.operators.VectorIndex.queryAdaptive]] against the
+    * hive-partitioned layout, so a confident query's probe set — often ONE
+    * cell — lands as `PartitionFilters` on the index scan and unprobed
+    * cell directories are never opened (PlanAuditSpec pins the pruning
+    * under the adaptive widths). Composes the v32 routing with v13's
+    * storage skipping and v12's PQ-ADC shortlist + exact re-rank; the
+    * oracle is the shared ivfPqOracle chain with the adaptive probe CTE,
+    * emitting `n_probed` so the routing decision itself is hashed. */
+  val v32b = QueryDef(
+    "v32b_ann_adaptive_indexed",
+    (spark, dir) => {
+      VectorFunctions.register(spark)
+      val emb = Tables.embeddings(spark, dir)
+      val index = new graft.operators.VectorIndex(spark,
+        FixtureDirs.create("v32b-index-").toString, nlist = 16)
+      index.build(emb)
+      index.queryAdaptive(emb.filter(col("vec_id") < 10), emb,
+          VectorFunctions.cosineSim, k = 5, maxProbe = 6, delta = 0.10,
+          shortlist = 50)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(ivfPqOracle(adaptive = true)),
+    "adaptive nprobe over the persisted index: confident queries open one cell directory, probe set lands as PartitionFilters (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
     v10, v11, v12, v13, v14, v15, v16, v17, v17b, v18, v19, v20, v21, v22, v23,
-    v24, v25, v26, v27, v28, v29, v30, v31, v32)
+    v24, v25, v26, v27, v28, v29, v30, v31, v32, v32b)
 }

@@ -153,6 +153,24 @@ class PlanAuditSpec extends SparkSpec {
       s"index scan reads embeddings:\n$idxRead")
   }
 
+  test("v32b: adaptive probe widths still land as PartitionFilters on the " +
+      "persisted index scan") {
+    val p = planOf("v32b_ann_adaptive_indexed")
+    // the per-query margin rule decides the probe set at runtime, but its
+    // UNION is still bounded driver state — it must reach the index read
+    // as PartitionFilters (unprobed cell directories never open), exactly
+    // v13's storage-skipping property under adaptive widths
+    p.linesIterator.find(l =>
+      l.contains("PartitionFilters") && l.contains("cell")).getOrElse(
+      fail(s"no partition-filtered scan in v32b:\n$p"))
+    // and the index scan stays codes-only (vectors enter at the re-rank)
+    val idxRead = p.linesIterator.find(l =>
+      l.contains("ReadSchema") && l.contains("code")).getOrElse(
+      fail(s"no code-carrying index scan in v32b:\n$p"))
+    assert(!idxRead.contains("embedding"),
+      s"index scan reads embeddings:\n$idxRead")
+  }
+
   test("v16: metadata predicate is pushed into the corpus scan") {
     val p = planOf("v16_ann_filtered")
     // the label filter must reach the parquet scan as a pushed filter —
