@@ -2311,7 +2311,79 @@ object StreamingQueries {
             |ORDER BY user_id""".stripMargin),
     "two concurrent streaming writers upsert one table through OCC: racing commits, rebase, deterministic recency-guard result (multi-writer Delta pattern)")
 
+  /** STREAMING INCREMENTAL CURATION (s36) — d54's ingest under a
+    * checkpointed foreachBatch drain: document deliveries arrive as
+    * micro-batches (overlapping, like d54's 70/50 split), each batch
+    * updates the persisted partials ([[IncrementalCuration.ingest]] —
+    * set-proportional work, overlap dropped by the meta anti-join), and
+    * the post-drain [[IncrementalCuration.select]] refresh is
+    * BIT-IDENTICAL to from-scratch d49 over the union — this row's oracle
+    * IS d49's (the d54 sharing pattern, now through streaming). The
+    * reference's streaming test idea (`Test Scripts/09-stream-test.py`:
+    * drive the batch pipeline through a stream, pin the counts) applied to
+    * the curation pipeline — the d54 × s10 composition the r9 verdict
+    * asked for.
+    *
+    * At-least-once safety needs NO batch marker here: ingest is
+    * idempotent per ROW (already-seen doc_ids anti-join away), so a
+    * re-delivered micro-batch is a no-op — `require`d explicitly by
+    * re-ingesting the first delivery's content after the drain. */
+  val s36 = QueryDef(
+    "s36_stream_incremental_curation",
+    (spark, dir) => {
+      val byte = (id: org.apache.spark.sql.Column) =>
+        conv(substring(md5(id.cast("string")), 1, 2), 16, 10).cast("int")
+      val docs = graft.sources.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val corpus = docs.filter(byte(col("doc_id")) < 250)
+      val bench = docs.filter(byte(col("doc_id")) >= 250)
+      val pipe = new IncrementalCuration(spark,
+        FixtureDirs.create("s36-state-").toString)
+      pipe.freezeBench(bench)
+      // two OVERLAPPING deliveries as stream files (d54's split: 70% then
+      // 50%, 20% overlap), mtime-pinned so file order is deterministic
+      val srcDir = FixtureDirs.create("s36-docs-")
+      val deliveries = Seq(
+        corpus.filter(col("doc_id") % 10 < 7),
+        corpus.filter(col("doc_id") % 10 >= 5))
+      val mtimeBase = System.currentTimeMillis()
+      deliveries.zipWithIndex.foreach { case (d, i) =>
+        val part = FixtureDirs.create(s"s36-part$i-")
+        d.coalesce(1).write.mode("overwrite").parquet(part.toString)
+        val f = java.nio.file.Files.list(part)
+          .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+        val dst = srcDir.resolve(s"batch$i.parquet")
+        java.nio.file.Files.move(f, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtimeBase + i * 1000L))
+      }
+      val ingested = new java.util.concurrent.atomic.AtomicLong(0L)
+      val stream = spark.readStream
+        .schema("doc_id bigint, source string, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString)
+      withStreamConf(spark) {
+        stream.writeStream
+          .queryName("incremental_curation")
+          .option("checkpointLocation", newCkptDir())
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            ingested.addAndGet(pipe.ingest(b)); ()
+          }
+          .start().awaitTermination()
+      }
+      // mechanism guards: the stream covered the corpus exactly once
+      // (overlap dropped), and a full re-delivery is a no-op
+      require(ingested.get == corpus.count(),
+        s"stream ingested ${ingested.get} docs, corpus has ${corpus.count()}")
+      require(pipe.ingest(deliveries.head) == 0L,
+        "re-delivered batch must no-op (at-least-once safety)")
+      pipe.select(100)
+    },
+    TextQueries.d49.oracle, // streamed refresh ≡ from-scratch d49 over the union
+    "streaming incremental curation: overlapping micro-batch deliveries + partial-store refresh == from-scratch d49, re-delivery no-op (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
     s10, s10b, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23,
-    s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35)
+    s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36)
 }
