@@ -28,6 +28,7 @@ object TextFunctions {
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
 
   private val BpeName = "bpe_encode"
+  private val BpeWithName = "bpe_encode_with"
   private val ShinglesName = "word_shingles"
   private val CharShinglesName = "char_shingles"
   private val WinnowName = "winnow_fps"
@@ -57,6 +58,17 @@ object TextFunctions {
       NfcName, exprs => NfcNormalizeExpr(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       BpeName, exprs => BpeEncodeExpr(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      BpeWithName, exprs => {
+        val arr = exprs(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val pairs = (0 until arr.numElements()).map { i =>
+          val s = arr.getUTF8String(i).toString
+          val j = s.indexOf(' ') // pre-tokens never contain whitespace
+          (s.substring(0, j), s.substring(j + 1))
+        }.toIndexedSeq
+        BpeEncodeWithExpr(exprs(0), new BpeTable(pairs))
+      }, "built-in")
   }
 
   /** True BPE subword stream over the frozen [[BpeMerges]] table (native
@@ -64,6 +76,14 @@ object TextFunctions {
     * remains the cheap regex PROXY — this is the real tokenizer the packing
     * (d16) and mixing (d26) budgets model. */
   def bpeTokens(text: Column): Column = call_function(BpeName, text)
+
+  /** BPE subword stream over a CALLER-SUPPLIED merge table (native
+    * [[BpeEncodeWithExpr]] — the deployable retrained/pruned-tokenizer
+    * path, d58); call [[registerNative]] first. The table ships as a
+    * `"left right"` string-array literal. */
+  def bpeTokensWith(text: Column, pairs: Seq[(String, String)]): Column =
+    call_function(BpeWithName, text,
+      typedlit(pairs.map { case (a, b) => s"$a $b" }))
 
   /** Native Unicode NFC normalization ([[NfcNormalizeExpr]]); call
     * [[registerNative]] first. */

@@ -2010,9 +2010,13 @@ object TextQueries {
     * well-formed (see [[graft.functions.BpeMerges]]). Ends at `fin`
     * (doc_id, widx, syms = final subwords per pre-token). Caller must open
     * with `WITH RECURSIVE`. Kept s-interpolated (CLAUDE.md rule 10). */
-  private[queries] def bpeCte: String =
+  private[queries] def bpeCte: String = bpeCteOver("documents")
+
+  /** [[bpeCte]] over an arbitrary `(doc_id, text)` relation — d58 replays
+    * the encode over the deployment domain instead of the corpus. */
+  private[queries] def bpeCteOver(rel: String): String =
     s"""pre AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]') AS ws
-       |  FROM documents),
+       |  FROM $rel),
        |words0 AS (SELECT doc_id, unnest([{'i': i, 't': ws[i]} for i in generate_series(1, len(ws))]) AS w
        |  FROM pre),
        |words AS (SELECT doc_id, w.i AS widx, w.t AS tok FROM words0),
@@ -3911,10 +3915,110 @@ object TextQueries {
     },
     "tokenizer vocab-utilization audit: per-merge usage counts on the encoded stream, dead-entry detection (LLM-pipeline op)")
 
+  /** DOMAIN-ADAPTED TOKENIZER COMPACTION (d58) — the follow-up d57's
+    * finding demands, with a twist the implementation surfaced: on the
+    * TRAINING corpus every "dead" product is a live merge's ancestor (it
+    * fires as an intermediate), so the full-corpus prune is empty — the
+    * compaction verb bites when the corpus-trained tokenizer is DEPLOYED
+    * on a narrower domain (here the event-stream vocabulary: five event
+    * types, which fire only a handful of the 60 merges). The prune keeps
+    * the domain's LIVE products plus their ancestor closure
+    * ([[graft.functions.BpeMerges.pruneToLive]] — a dead merge can still
+    * fire as an intermediate, so naive unused-dropping would break its
+    * consumers; the closure is the survivable cut), re-encodes the domain
+    * with the pruned table ([[graft.functions.BpeEncodeWithExpr]], the
+    * deployable custom-table path) and `require`s the encoded stream
+    * BYTE-IDENTICAL — the proof the dropped entries were unreachable from
+    * this domain, at whatever SF the row runs. Output is the compaction
+    * audit: per merge, occurrence-weighted usage and the keep decision —
+    * each dropped entry is an embedding-matrix row the deployed model
+    * never needs. The oracle independently recomputes BOTH: usage by
+    * replaying d36's recursive encode over the domain, the keep set by a
+    * recursive reachability closure over the literal merge-dependency
+    * edges — so the hash pins the closure logic itself, and BpePruneSpec
+    * pins the byte-identity equivalence (and that the naive prune is NOT
+    * an identity).
+    *
+    * Scale: the domain's distinct strings are dictionary-sized (encode
+    * once, weight by one keyed count over the stream — the event scan
+    * never carries tokens), the collect is vocab-bounded (d44 class), and
+    * the closure is a driver fold over a 60-entry table. */
+  val d58 = QueryDef(
+    "d58_vocab_pruned_retrain",
+    (spark, dir) => {
+      TextFunctions.registerNative(spark)
+      import spark.implicits._
+      val allProducts = graft.functions.BpeMerges.pairs
+        .map { case (a, b) => a + b }.toSet
+      // occurrence-weighted token usage over the deployment domain: encode
+      // each DISTINCT event type once, weight by its stream frequency
+      val tyCnt = Tables.events(spark, dir)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val uses = tyCnt
+        .select(col("n"), explode(TextFunctions.bpeTokens(col("event_type"))).as("token"))
+        .groupBy(col("token")).agg(sum(col("n")).as("uses"))
+        .localCheckpoint(true) // consumed twice: live collect + audit join
+      val live = uses.filter(length(col("token")) > 1)
+        .select(col("token")).collect().map(_.getString(0)).toSet
+        .intersect(allProducts)
+      val pruned = graft.functions.BpeMerges.pruneToLive(live)
+      require(pruned.nonEmpty &&
+          pruned.size < graft.functions.BpeMerges.pairs.size,
+        s"compaction vacuous: kept ${pruned.size} of " +
+          s"${graft.functions.BpeMerges.pairs.size} merges")
+      // byte-identity of the encoded domain under the pruned table — the
+      // compaction's correctness proof (distinct strings; pure function)
+      val mismatches = tyCnt.select(
+          concat_ws(" ", TextFunctions.bpeTokens(col("event_type"))).as("s_full"),
+          concat_ws(" ", TextFunctions.bpeTokensWith(col("event_type"), pruned))
+            .as("s_pruned"))
+        .filter(col("s_full") =!= col("s_pruned")).count()
+      require(mismatches == 0,
+        s"compacted tokenizer changed the encoding of $mismatches domain strings")
+      val keptSet = pruned.map { case (a, b) => a + b }.toSet
+      val audit = graft.functions.BpeMerges.pairs.zipWithIndex
+        .map { case ((a, b), i) =>
+          (i + 1, a + b, live.contains(a + b), keptSet.contains(a + b))
+        }.toDF("merge_rank", "token", "used", "kept")
+      audit.join(uses, Seq("token"), "left")
+        .select(col("merge_rank"), col("token"),
+          coalesce(col("uses"), lit(0L)).as("uses"), col("used"), col("kept"))
+        .orderBy(col("merge_rank"))
+    },
+    Some {
+      val mLit = graft.functions.BpeMerges.pairs.zipWithIndex
+        .map { case ((a, b), i) => s"{'r': ${i + 1}, 'a': '$a', 'b': '$b'}" }
+        .mkString("[", ", ", "]")
+      val domain = "(SELECT DISTINCT event_type AS doc_id, event_type AS text FROM events)"
+      s"""WITH RECURSIVE ${bpeCteOver(domain)},
+         |tycnt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY event_type),
+         |toks AS (SELECT doc_id AS event_type, unnest(syms) AS token FROM fin),
+         |cnt AS (SELECT token, CAST(sum(n) AS BIGINT) AS uses
+         |  FROM toks JOIN tycnt USING (event_type) GROUP BY token),
+         |m AS (SELECT CAST(x.r AS INTEGER) AS merge_rank, x.a AS a, x.b AS b,
+         |    x.a || x.b AS token
+         |  FROM (SELECT unnest($mLit) AS x)),
+         |live AS (SELECT token FROM m WHERE token IN (SELECT token FROM cnt)),
+         |edge AS (SELECT token AS src, a AS dst FROM m WHERE length(a) > 1
+         |  UNION ALL SELECT token, b FROM m WHERE length(b) > 1),
+         |reach AS (WITH RECURSIVE rr(t) AS (
+         |    SELECT token FROM live
+         |    UNION
+         |    SELECT e.dst FROM rr JOIN edge e ON e.src = rr.t)
+         |  SELECT t FROM rr)
+         |SELECT merge_rank, m.token, coalesce(c.uses, 0) AS uses,
+         |  m.token IN (SELECT token FROM live) AS used,
+         |  m.token IN (SELECT t FROM reach) AS kept
+         |FROM m LEFT JOIN cnt c ON c.token = m.token
+         |ORDER BY merge_rank""".stripMargin
+    },
+    "domain-adapted tokenizer compaction: live products + ancestor closure kept for the event-type domain, encode output required byte-identical (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
       d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43, d44,
-      d45, d46, d47, d48, d49, d50, d50b, d51, d52, d53, d54, d55, d56, d57,
+      d45, d46, d47, d48, d49, d50, d50b, d51, d52, d53, d54, d55, d56, d57, d58,
       m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14, m15, m16)
 }
