@@ -42,6 +42,21 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt.max(1)
+    // STRUCTURAL load guard (r10): two rounds in a row closed on
+    // loaded-machine records that manufactured phantom regressions, so the
+    // artifact itself now refuses to lie — a run starting at 1-min load > 1
+    // aborts before any work unless SPARK_GRAFT_ALLOW_LOAD=1 explicitly
+    // overrides (the override run still records its load fields)
+    val loadGate =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    if (loadGate > 1.0 && !sys.env.get("SPARK_GRAFT_ALLOW_LOAD").contains("1")) {
+      System.err.println(
+        f"[bench] REFUSED: 1-min load average $loadGate%.2f > 1 — numbers " +
+          "recorded now would mix load noise into the round record; wait " +
+          "for a quiet machine or set SPARK_GRAFT_ALLOW_LOAD=1 to override")
+      sys.exit(2)
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
