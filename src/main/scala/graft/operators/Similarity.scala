@@ -805,4 +805,43 @@ object Similarity {
       .filter(col("cos") >= lit(tau))
       .select(col("query_id"), col("vec_id"), col("cos"))
   }
+
+  /** SEMANTIC (embedding-space) DECONTAMINATION — the leakage detector the
+    * shingle family cannot be: [[graft.operators.Dedup.decontaminate]] /
+    * `fuzzyDecontaminate` catch verbatim and near-verbatim n-gram overlap,
+    * but a PARAPHRASED eval item shares almost no shingles with its source
+    * while sitting next to it in embedding space. For every eval item,
+    * report its top-`k` nearest training vectors with `flagged` =
+    * cosine ≥ `minCos` — the per-item audit trail (which training doc
+    * leaks which eval item) plus the gate bit.
+    *
+    * Scale shape: eval sets are tiny, so `bench` BROADCASTS and the corpus
+    * makes ONE map-side pass through the codegen'd cosine — never
+    * self-joined, never shuffled with vectors (only (bench_id, vec_id,
+    * cos) rows move); the per-item top-k runs through the skew-safe
+    * two-phase [[graft.ops.Relational.topKPerGroupSalted]] (partial top-k
+    * per salt bounds any reducer at rows/saltFactor). For an eval set too
+    * large to broadcast, compose with the [[lshTopK]] bucketing exactly as
+    * `decontaminateBloom` scales `decontaminate`.
+    *
+    * Threshold discipline (the d49 lesson): `minCos` must be picked from
+    * the measured score distribution — v33 plants its leakage and pins
+    * `flagged == |bench|`, so a vacuous gate turns the row red. */
+  def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
+                            cos: (Column, Column) => Column,
+                            k: Int, minCos: Double): DataFrame = {
+    val pairs = corpus.select(col("vec_id"), col("embedding").as("c_vec"))
+      .crossJoin(broadcast(bench.select(col("vec_id").as("bench_id"),
+        col("embedding").as("b_vec"))))
+      .select(col("bench_id"), col("vec_id"),
+        round(cos(col("b_vec"), col("c_vec")), 6).as("cos"))
+    val top = graft.ops.Relational.topKPerGroupSalted(pairs, Seq("bench_id"),
+      Seq(col("cos").desc, col("vec_id").asc), k)
+    // ≤ k·|bench| rows reach this window — re-ranking is driver-scale cheap
+    val w = Window.partitionBy(col("bench_id")).orderBy(col("cos").desc, col("vec_id"))
+    top.withColumn("rank", row_number().over(w))
+      .withColumn("flagged", col("cos") >= lit(minCos))
+      .select(col("bench_id"), col("vec_id"), col("cos"), col("rank"),
+        col("flagged"))
+  }
 }

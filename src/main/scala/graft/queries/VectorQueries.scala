@@ -1719,7 +1719,51 @@ object VectorQueries {
     Some(ivfPqOracle(adaptive = true)),
     "adaptive nprobe over the persisted index: confident queries open one cell directory, probe set lands as PartitionFilters (LLM-pipeline op)")
 
+  /** SEMANTIC DECONTAMINATION (v33) — [[Similarity.semanticDecontaminate]]
+    * with PLANTED leakage: the eval set is a perturbed rendition of every
+    * 97th corpus vector (`x·1.1 + 0.05` per component, computed in double —
+    * the paraphrase analog: cosine with its source ≥ 0.93 at both SFs while
+    * the best unrelated pair sits ≤ 0.54, measured before freezing the 0.9
+    * gate — the d49 distribution discipline). The row `require`s exactly
+    * |bench| flagged pairs, so a dead threshold OR a missed plant turns it
+    * red; output is the per-item audit (top-5 training neighbors + flag).
+    * The perturbation's interpreted HOF runs only over the tiny broadcast
+    * side. */
+  val v33 = QueryDef(
+    "v33_semantic_decontamination",
+    (spark, dir) => {
+      VectorFunctions.register(spark)
+      val emb = Tables.embeddings(spark, dir)
+      val bench = emb.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id"),
+          transform(col("embedding").cast("array<double>"),
+            x => x * lit(1.1) + lit(0.05)).as("embedding"))
+      val out = Similarity.semanticDecontaminate(emb, bench,
+        VectorFunctions.cosineSim, k = 5, minCos = 0.9)
+        .localCheckpoint(true) // consumed twice: the teeth count + result
+      val flagged = out.filter(col("flagged")).count()
+      val nBench = bench.count()
+      require(flagged == nBench,
+        s"planted-leak detection off: $flagged flagged vs $nBench planted " +
+          "(threshold dead or a plant missed)")
+      out.orderBy(col("bench_id"), col("rank"))
+    },
+    Some {
+      val cos = cosSql("b.bemb", "e.emb")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |b AS (SELECT vec_id AS bench_id,
+         |    [x * CAST(1.1 AS DOUBLE) + CAST(0.05 AS DOUBLE) for x in emb] AS bemb
+         |  FROM e WHERE vec_id % 97 = 0),
+         |scored AS (SELECT b.bench_id, e.vec_id, round($cos, 6) AS cos FROM b, e)
+         |SELECT bench_id, vec_id, cos, CAST(rank AS INTEGER) AS rank,
+         |  cos >= CAST(0.9 AS DOUBLE) AS flagged FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY bench_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored) WHERE rank <= 5
+         |ORDER BY bench_id, rank""".stripMargin
+    },
+    "semantic decontamination: per-eval-item top-k training neighbors + cosine gate, planted paraphrase leakage required caught (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
     v10, v11, v12, v13, v14, v15, v16, v17, v17b, v18, v19, v20, v21, v22, v23,
-    v24, v25, v26, v27, v28, v29, v30, v31, v32, v32b)
+    v24, v25, v26, v27, v28, v29, v30, v31, v32, v32b, v33)
 }
