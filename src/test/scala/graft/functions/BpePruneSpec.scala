@@ -78,4 +78,37 @@ class BpePruneSpec extends SparkSpec {
   test("custom-table expression with the FULL table matches bpe_encode") {
     assert(streams(corpus, BpeMerges.pairs) == fullStreams(corpus))
   }
+
+  test("property: closure prune is an encode identity on ANY random domain") {
+    // deterministic ScalaCheck generators, fixed seeds (the repo's
+    // MergePropertiesSpec pattern): random domains drawn from the testdata
+    // vocabulary, merge-rich words, and arbitrary letter strings — the
+    // closure argument (every firing merge reaches a surfaced product) is
+    // corpus-independent, so the identity must hold for every domain
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val pool = Seq("join", "hash", "row", "batch", "scan", "column",
+      "customer", "filter", "small", "merge", "slow", "order", "vector",
+      "line", "table", "data", "value", "group", "agg", "the", "query",
+      "batcher", "customerize", "vectorize", "lowdata", "uptable")
+    val wordGen = Gen.frequency(
+      (4, Gen.oneOf(pool)),
+      (1, Gen.choose(1, 12).flatMap(n =>
+        Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))))
+    val domainGen = Gen.choose(1, 15).flatMap(n => Gen.listOfN(n, wordGen))
+    for (seed <- 0 until 25) {
+      val domain = domainGen.apply(Gen.Parameters.default, Seed(seed.toLong))
+        .get.distinct
+      val full = domain.map(w => BpeEncodeExpr.encodeWord(w).toSeq)
+      val live = full.flatten.filter(_.length > 1).toSet
+      val pruned = BpeMerges.pruneToLive(live)
+      val t = new BpeTable(pruned)
+      domain.zip(full).foreach { case (w, expect) =>
+        val got = BpeEncodeExpr.encodeWordWith(w, t.pairs, t.rank, t.memo).toSeq
+        assert(got == expect,
+          s"seed $seed: pruned encode of '$w' diverged: $got vs $expect " +
+            s"(live=$live, kept=${pruned.size})")
+      }
+    }
+  }
 }

@@ -196,6 +196,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(anti.contains("Broadcast"), s"tombstone mask shuffled:\n$anti")
   }
 
+  test("v33: eval side broadcasts; the corpus never shuffles with vectors") {
+    // audit the OPERATOR plan directly — the registered row checkpoints
+    // its result (teeth-count double consumption), which truncates the
+    // query's visible plan to an ExistingRDD
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorFunctions.register(spark)
+    val emb = graft.sources.Tables.embeddings(spark, sf001)
+    val bench = emb.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => x * lit(1.1) + lit(0.05)).as("embedding"))
+    val p = graft.operators.Similarity.semanticDecontaminate(emb, bench,
+        graft.functions.VectorFunctions.cosineSim, k = 5, minCos = 0.9)
+      .queryExecution.executedPlan.toString
+    // the bench×corpus pairing must be a broadcast nested-loop (the eval
+    // set is tiny by design) — a shuffled cross product would move the
+    // corpus
+    val bnlj = p.linesIterator.find(_.contains("BroadcastNestedLoopJoin"))
+      .getOrElse(fail(s"no broadcast cross pairing in v33:\n$p"))
+    assert(bnlj.contains("Cross") || bnlj.contains("Inner"),
+      s"unexpected join type:\n$bnlj")
+    // every shuffle carries (bench_id, vec_id, cos) rows only — no
+    // embedding/vector column crosses an exchange (the top-k phases run
+    // on scored pairs, vectors stay in the scan stage)
+    p.linesIterator.filter(l => l.contains("Exchange hashpartitioning"))
+      .foreach { l =>
+        assert(!l.contains("embedding") && !l.contains("_vec"),
+          s"vector column crosses a shuffle in v33:\n$l")
+      }
+  }
+
   test("d25/d26: bounded-side joins are broadcasts, not shuffles") {
     // d25's trigram-DF join-back (vocabulary charset-bounded) and d26's
     // quota join (#sources-bounded) must both plan as broadcast hash
