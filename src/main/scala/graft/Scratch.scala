@@ -46,6 +46,29 @@ object Scratch {
           timed(s"$name run$i (forced)") { Bench.forceAll(fn(spark, sfDir)) }
         }
       }
+    } else if (args.headOption.contains("s10bflat")) {
+      // Batch-proportionality evidence for the CAPPED incremental-clustering
+      // path (the r10 rework): drive processBatch directly over N equal
+      // slices of the boilerplate-injected corpus and print per-batch wall
+      // time. Batch-proportional = the curve stays ~flat as the accumulated
+      // corpus grows N-fold; the pre-rework design (per-batch full df-log
+      // fold + full index re-scan) grew with the prefix instead.
+      // Usage: Scratch s10bflat [nBatches] (sfDir from env).
+      val n = args.lift(1).map(_.toInt).getOrElse(10)
+      val boiler = " standard footer boilerplate legal notice text"
+      val docs = graft.sources.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), concat(col("text"), lit(boiler)).as("text"))
+        .localCheckpoint(true)
+      val root = java.nio.file.Files.createTempDirectory("s10bflat-").toString
+      val pipe = new graft.streaming.IncrementalClustering(
+        spark, root, n = 3, minJaccard = 0.5, maxDf = 50)
+      (0 until n).foreach { i =>
+        val b = docs.filter(col("doc_id") % n === i)
+        val t0 = System.nanoTime()
+        pipe.processBatch(b, i.toLong)
+        println(f"[s10bflat] batch $i: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+          f"(corpus after: ${pipe.labelsTable.read().count()})")
+      }
     } else if (args.headOption.contains("v17scaled")) {
       // v17 at 10x with nlist SCALED with the corpus (the honest 100 TB
       // configuration — the registered row freezes nlist=16 for oracle

@@ -4015,10 +4015,76 @@ object TextQueries {
     },
     "domain-adapted tokenizer compaction: live products + ancestor closure kept for the event-type domain, encode output required byte-identical (LLM-pipeline op)")
 
+  /** TRAINING CURRICULUM ORDER (d59) — the deterministic data-ordering
+    * verb: schedule the corpus easy→hard by the d45 fluency signal while
+    * INTERLEAVING sources, so early training sees fluent text without
+    * domain clumping (curriculum learning + the anti-clumping shuffle real
+    * pretraining runs bake into their data order). Per SOURCE: rank by
+    * (fluency DESC, doc_id), cut into 4 rank-exact quartile buckets
+    * (`(rn−1)·4 div ns` — integer arithmetic, the d50 discipline, no
+    * interpolated thresholds); the schedule key is then (bucket,
+    * within-bucket round, source) — bucket-major, sources rotating within
+    * each bucket.
+    *
+    * Scale shape: every window is PARTITIONED BY source (parallel per
+    * source; a celebrity source is the d22/q35 salting case). The
+    * (bucket, round, source, doc_id) key IS the schedule — at 100 TB the
+    * writer range-partition-sorts by it and positions are implicit in the
+    * written order; the explicit global `position` here is presentation
+    * for the verified row (one ≤corpus window, same class as every
+    * ORDER BY the gate already requires). */
+  val d59 = QueryDef(
+    "d59_curriculum_order",
+    (spark, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(spark, dir)
+      val (cbT, cpT) = lmCounts(docs)
+      val scored = lmScore(docs, cbT, cpT).select(col("doc_id"), col("fluency"))
+      val wS = w.partitionBy(col("source")).orderBy(col("fluency").desc, col("doc_id"))
+      val wN = w.partitionBy(col("source"))
+      val keyed = docs.select(col("doc_id"), col("source"))
+        .join(scored, Seq("doc_id"))
+        .withColumn("rn", row_number().over(wS))
+        .withColumn("ns", count(lit(1)).over(wN))
+        .withColumn("bucket", expr("((rn - 1) * 4) div ns").cast("int"))
+      val wB = w.partitionBy(col("source"), col("bucket")).orderBy(col("rn"))
+      keyed.withColumn("rnd", row_number().over(wB))
+        .withColumn("position", row_number().over(
+          w.orderBy(col("bucket"), col("rnd"), col("source"), col("doc_id"))))
+        .select(col("position"), col("doc_id"), col("source"), col("bucket"),
+          col("fluency"))
+        .orderBy(col("position"))
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+           |    CASE WHEN length(trim(text)) = 0 THEN []
+           |         ELSE string_split_regex(trim(text), '\s+') END AS w FROM documents),
+           |bg AS (SELECT doc_id, x.pos AS pos, x.w1 AS w1, x.w2 AS w2 FROM (
+           |    SELECT doc_id, unnest([{'pos': i, 'w1': w[i], 'w2': w[i+1]}
+           |      for i in generate_series(1, len(w)-1)]) AS x FROM toks)),
+           |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY 1, 2),
+           |cp AS (SELECT w1, CAST(count(*) AS BIGINT) AS cp FROM bg GROUP BY 1),
+           |p AS (SELECT bg.doc_id, bg.pos, CAST(cb.cb AS DOUBLE) / cp.cp AS p
+           |  FROM bg JOIN cb ON cb.w1 = bg.w1 AND cb.w2 = bg.w2
+           |  JOIN cp ON cp.w1 = bg.w1),
+           |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |    list_sum(list(p ORDER BY pos)) AS s FROM p GROUP BY doc_id),
+           |scored AS (SELECT d.doc_id, d.source, coalesce(a.s / a.n_bigrams, 0.0) AS fluency
+           |  FROM documents d LEFT JOIN agg a USING (doc_id)),
+           |j AS (SELECT doc_id, source, fluency,
+           |    row_number() OVER (PARTITION BY source ORDER BY fluency DESC, doc_id) AS rn,
+           |    count(*) OVER (PARTITION BY source) AS ns
+           |  FROM scored),
+           |k AS (SELECT *, CAST(((rn - 1) * 4) // ns AS INTEGER) AS bucket FROM j),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY source, bucket ORDER BY rn) AS rnd FROM k)
+           |SELECT CAST(row_number() OVER (ORDER BY bucket, rnd, source, doc_id) AS INTEGER) AS position,
+           |  doc_id, source, bucket, fluency
+           |FROM r ORDER BY position""".stripMargin),
+    "training curriculum order: easy-to-hard by fluency, rank-exact quartile buckets, sources interleaved within each bucket (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
       d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43, d44,
-      d45, d46, d47, d48, d49, d50, d50b, d51, d52, d53, d54, d55, d56, d57, d58,
+      d45, d46, d47, d48, d49, d50, d50b, d51, d52, d53, d54, d55, d56, d57, d58, d59,
       m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14, m15, m16)
 }
