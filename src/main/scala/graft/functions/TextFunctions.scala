@@ -60,11 +60,18 @@ object TextFunctions {
       BpeName, exprs => BpeEncodeExpr(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       BpeWithName, exprs => {
+        require(exprs.length == 2,
+          s"$BpeWithName(text, merges) takes exactly 2 arguments, got ${exprs.length}")
+        require(exprs(1).foldable,
+          s"$BpeWithName's second argument must be a LITERAL array of " +
+            "\"left right\" merge strings (the table ships with the plan)")
         val arr = exprs(1).eval()
           .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         val pairs = (0 until arr.numElements()).map { i =>
           val s = arr.getUTF8String(i).toString
           val j = s.indexOf(' ') // pre-tokens never contain whitespace
+          require(j > 0 && j < s.length - 1,
+            s"""malformed merge entry "$s" — expected "left right"""")
           (s.substring(0, j), s.substring(j + 1))
         }.toIndexedSeq
         BpeEncodeWithExpr(exprs(0), new BpeTable(pairs))

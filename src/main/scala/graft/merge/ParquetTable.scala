@@ -205,7 +205,7 @@ final class ParquetTable(spark: SparkSession, root: String, schema: StructType,
     * same reason. DV deletes surface in [[changeFeed]] only at the next
     * overwrite boundary (snapshot diffs compare named versions), and
     * [[restore]] to a pre-delete version resurrects — both the Delta
-    * behaviors. TimeTravelSpec pins the composition.
+    * behaviors. DeletionVectorSpec pins the composition.
     *
     * Cost at scale: one partition-parallel scan evaluating `cond` (data
     * skipping still prunes it) + a positions-only write, O(matches). */

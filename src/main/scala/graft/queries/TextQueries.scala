@@ -3954,6 +3954,7 @@ object TextQueries {
       // each DISTINCT event type once, weight by its stream frequency
       val tyCnt = Tables.events(spark, dir)
         .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // ≤ #event-types rows; consumed twice below
       val uses = tyCnt
         .select(col("n"), explode(TextFunctions.bpeTokens(col("event_type"))).as("token"))
         .groupBy(col("token")).agg(sum(col("n")).as("uses"))

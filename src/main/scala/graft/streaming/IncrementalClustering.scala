@@ -77,19 +77,25 @@ final class IncrementalClustering(spark: SparkSession, root: String,
                                   n: Int = 3, minJaccard: Double = 0.5,
                                   maxDf: Int = Int.MaxValue) {
 
+  // every append-only table carries the writing batch's id, so a crash
+  // between appends is RECOVERABLE: the scrub (below) deletes rows from
+  // batches past the marker before reprocessing — without the stamp, a
+  // replayed batch would double-count its df deltas and, worse, find its
+  // own crossings already in hot_shingles and silently skip the retro
+  // hot-counts (capped state drifting with no error)
   private val indexSchema = new StructType()
-    .add("doc_id", LongType).add("shingle", StringType)
+    .add("doc_id", LongType).add("shingle", StringType).add("batch_id", LongType)
   private val sizesSchema = new StructType()
-    .add("doc_id", LongType).add("set_size", LongType)
+    .add("doc_id", LongType).add("set_size", LongType).add("batch_id", LongType)
   private val labelsSchema = new StructType()
     .add("doc_id", LongType).add("cluster_id", LongType)
 
   private val dfSchema = new StructType()
-    .add("shingle", StringType).add("delta", LongType)
+    .add("shingle", StringType).add("delta", LongType).add("batch_id", LongType)
   private val hotSchema = new StructType()
-    .add("shingle", StringType)
+    .add("shingle", StringType).add("batch_id", LongType)
   private val hotCountsSchema = new StructType()
-    .add("doc_id", LongType).add("hot_n", LongType)
+    .add("doc_id", LongType).add("hot_n", LongType).add("batch_id", LongType)
 
   val indexTable = new ParquetTable(spark, s"$root/shingle_index", indexSchema)
   val sizesTable = new ParquetTable(spark, s"$root/doc_sizes", sizesSchema)
@@ -118,15 +124,30 @@ final class IncrementalClustering(spark: SparkSession, root: String,
   // last batch when a stop lands between the offset-log and commit-log
   // writes. The `_last_batch` marker — written LAST, after every table
   // write, via atomic rename — makes a fully-applied re-delivery a no-op.
-  // Write order is recompute-safe up to the first append: labels overwrite
-  // is a pure function of (tables, batch) so re-running it is idempotent;
-  // a crash BETWEEN the appends (index written, sizes not) is outside this
-  // single-writer parquet protocol's envelope — production hardening is a
-  // transactional table format (Delta/Iceberg) for the appends, or a
-  // batch-id column plus insert-only [[graft.merge.Merge]] on the natural
-  // keys ((doc_id, shingle) / doc_id — and (shingle)/(doc_id) for the
-  // capped delta tables), which the merge family already supports.
+  // A crash BETWEEN the appends (some tables written, marker not) is
+  // recovered by the batch-id SCRUB: every appended row is stamped with
+  // its batch id, and the first processBatch of an instance deletes rows
+  // from batches past the marker (one merge-on-read DELETE per table,
+  // once per restart) before reprocessing — so a replayed partial batch
+  // starts from exactly the marker's state. Labels need no stamp: the
+  // overwrite is an atomic swap of a pure function of (scrubbed tables,
+  // batch), so re-running it converges. At cluster scale the same
+  // protocol holds on any atomic-rename filesystem; a transactional table
+  // format (Delta/Iceberg) makes the scrub a metadata rollback instead.
   private def markerPath = java.nio.file.Paths.get(root, "_last_batch")
+
+  @volatile private var scrubbed = false
+  /** Delete rows stamped by batches past the marker — the crash-recovery
+    * truncation. Runs once per instance, before the first batch. */
+  private def scrubPartialWrites(): Unit = {
+    val cut = lastAppliedBatch
+    Seq(indexTable, sizesTable, dfTable, hotTable, hotCountsTable).foreach { t =>
+      val n = t.deleteWhere(col("batch_id") > cut)
+      if (n > 0) System.err.println(
+        s"[incremental-clustering] scrubbed $n partial rows (batch > $cut)")
+    }
+    scrubbed = true
+  }
 
   /** Highest batchId whose table writes all completed; -1 before any. */
   def lastAppliedBatch: Long =
@@ -151,10 +172,11 @@ final class IncrementalClustering(spark: SparkSession, root: String,
     * already-applied batchId is a no-op (see restart contract above). */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     if (batchId <= lastAppliedBatch) return
+    if (!scrubbed) scrubPartialWrites()
     val newShingles = Dedup.docShingles(batch, "doc_id", "text", n).persist()
     val newSizes = newShingles.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("set_size"))
-    val oldIndex = indexTable.read()
+    val oldIndex = indexTable.read().select(col("doc_id"), col("shingle"))
     val capped = maxDf != Int.MaxValue
 
     // ==Capped state, by delta (see class scaladoc)==
@@ -171,7 +193,8 @@ final class IncrementalClustering(spark: SparkSession, root: String,
         .join(broadcast(newDelta.select(col("shingle"))), Seq("shingle"), "left_semi")
         .groupBy(col("shingle")).agg(sum(col("delta")).as("prior_df"))
       newDelta.join(priorDf, Seq("shingle"), "left")
-        .join(broadcast(hotTable.read()), Seq("shingle"), "left_anti")
+        .join(broadcast(hotTable.read().select(col("shingle"))),
+          Seq("shingle"), "left_anti")
         .filter(coalesce(col("prior_df"), lit(0L)) + col("delta") > maxDf)
         .select(col("shingle"))
         .localCheckpoint(true) // tiny by construction; consumed up to 3×
@@ -180,7 +203,8 @@ final class IncrementalClustering(spark: SparkSession, root: String,
     // per-batch hot set = cumulative crossings (tiny-table read, ≡ the full
     // df fold's `sum(delta) > maxDf` set because df is monotone)
     val hot = if (!capped) null
-    else hotTable.read().unionByName(newlyHot).localCheckpoint(true)
+    else hotTable.read().select(col("shingle")).unionByName(newlyHot)
+      .localCheckpoint(true)
     def capSide(ds: DataFrame): DataFrame =
       if (!capped) ds else ds.join(broadcast(hot), Seq("shingle"), "left_anti")
     val cNew = capSide(newShingles)
@@ -213,7 +237,8 @@ final class IncrementalClustering(spark: SparkSession, root: String,
     val hotDeltas = if (!capped) null
     else if (anyNewHot) newDocHot.unionByName(retroHot) else newDocHot
 
-    val sizesStored = sizesTable.read().unionByName(newSizes)
+    val sizesStored = sizesTable.read().select(col("doc_id"), col("set_size"))
+      .unionByName(newSizes)
     val sizes = if (!capped) sizesStored
     else {
       // capped set_size = stored (uncapped) size − per-doc hot count,
@@ -223,7 +248,8 @@ final class IncrementalClustering(spark: SparkSession, root: String,
       val touched = inter.select(col("doc_a").as("doc_id"))
         .unionByName(inter.select(col("doc_b").as("doc_id"))).distinct()
         .localCheckpoint(true)
-      val hotN = hotCountsTable.read().unionByName(hotDeltas)
+      val hotN = hotCountsTable.read().select(col("doc_id"), col("hot_n"))
+        .unionByName(hotDeltas)
         .join(broadcast(touched), Seq("doc_id"), "left_semi")
         .groupBy(col("doc_id")).agg(sum(col("hot_n")).as("hot_n"))
       sizesStored.join(broadcast(touched), Seq("doc_id"), "left_semi")
@@ -239,13 +265,14 @@ final class IncrementalClustering(spark: SparkSession, root: String,
 
     val labels = Dedup.dupClustersIncremental(
       labelsTable.read(), pairs, batch.select(col("doc_id")), "doc_id")
+    val stamp = (df: DataFrame) => df.withColumn("batch_id", lit(batchId))
     labelsTable.overwrite(labels)
-    indexTable.append(newShingles)
-    sizesTable.append(newSizes)
+    indexTable.append(stamp(newShingles))
+    sizesTable.append(stamp(newSizes))
     if (capped) {
-      dfTable.append(newDelta)
-      if (anyNewHot) hotTable.append(newlyHot)
-      hotCountsTable.append(hotDeltas)
+      dfTable.append(stamp(newDelta))
+      if (anyNewHot) hotTable.append(stamp(newlyHot))
+      hotCountsTable.append(stamp(hotDeltas))
       newDelta.unpersist(); inter.unpersist()
     }
     writeMarker(batchId)

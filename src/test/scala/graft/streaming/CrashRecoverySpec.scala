@@ -125,6 +125,48 @@ class CrashRecoverySpec extends SparkSpec {
     assert(tableRows(pipe.sizesTable.read()) == sizes)
   }
 
+  test("partial batch (crash BETWEEN appends) is scrubbed before reprocessing") {
+    // capped pipeline so every state table is live; dup pairs (1,2) within
+    // batch 0 and (5,25) ACROSS the crash boundary
+    val boiler = (1 to 40).map(i => s"bp$i").mkString(" ")
+    def text(g: Long) = (1 to 10).map(j => s"u${g}w$j").mkString(" ") + " " + boiler
+    val b0 = (1L to 20L).map(i => (i, text(if (i == 2) 1 else i))).toDF("doc_id", "text")
+    val b1 = (21L to 40L).map(i => (i, text(if (i == 25) 5 else i))).toDF("doc_id", "text")
+    def run(root: String, poison: IncrementalClustering => Unit): IncrementalClustering = {
+      val p0 = new IncrementalClustering(spark, root, n = 3, minJaccard = 0.5, maxDf = 10)
+      p0.processBatch(b0, 0L)
+      poison(p0)
+      // the RESTART is a fresh instance — its first batch must scrub
+      val p1 = new IncrementalClustering(spark, root, n = 3, minJaccard = 0.5, maxDf = 10)
+      p1.processBatch(b1, 1L)
+      p1
+    }
+    // simulate a crash mid-batch-1: some appends landed (stamped batch 1),
+    // the marker did not move. The poison rows are chosen to CORRUPT the
+    // cross-boundary pair if not scrubbed: a fake df delta drives one of
+    // doc 25's distinctive shingles over the cap, the fake hot entry caps
+    // another away, and ghost index/sizes/hotCounts rows shift Jaccard.
+    val s25 = "u5w1 u5w2 u5w3" // a real shingle of doc 25's (= doc 5's) text
+    val crashed = run(Files.createTempDirectory("crash-scrub-").toString, p => {
+      p.indexTable.append(Seq((999L, s25, 1L)).toDF("doc_id", "shingle", "batch_id"))
+      p.sizesTable.append(Seq((999L, 42L, 1L)).toDF("doc_id", "set_size", "batch_id"))
+      p.dfTable.append(Seq((s25, 999L, 1L)).toDF("shingle", "delta", "batch_id"))
+      p.hotTable.append(Seq(("u5w4 u5w5 u5w6", 1L)).toDF("shingle", "batch_id"))
+      p.hotCountsTable.append(Seq((5L, 9L, 1L)).toDF("doc_id", "hot_n", "batch_id"))
+    })
+    val ref = run(Files.createTempDirectory("crash-scrub-ref-").toString, _ => ())
+    val got = labelMap(crashed.labelsTable.read())
+    assert(got == labelMap(ref.labelsTable.read()),
+      "scrub failed: partial-batch rows leaked into the replay")
+    assert(got(25L) == got(5L), "cross-boundary dup pair lost")
+    // the scrubbed state tables equal the clean run's (merge-on-read view)
+    assert(tableRows(crashed.indexTable.read()) == tableRows(ref.indexTable.read()))
+    assert(tableRows(crashed.sizesTable.read()) == tableRows(ref.sizesTable.read()))
+    assert(tableRows(crashed.dfTable.read()) == tableRows(ref.dfTable.read()))
+    assert(tableRows(crashed.hotTable.read()) == tableRows(ref.hotTable.read()))
+    assert(tableRows(crashed.hotCountsTable.read()) == tableRows(ref.hotCountsTable.read()))
+  }
+
   test("watermarked dedup drain: state store survives restart (file sink)") {
     val src = Files.createTempDirectory("crash-dedup-src-")
     val ckpt = Files.createTempDirectory("crash-dedup-ckpt-").toString
