@@ -990,5 +990,97 @@ object MergeQueries {
             |ORDER BY user_id""".stripMargin),
     "OCC same-key contention: forced interleaving, attempts > 1, rebase result == global latest per key regardless of commit order (M3 recency guard)")
 
-  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl, opt, del, rst, vac, dvq, dvtt, occ, occContended)
+  /** COMMIT-LOG TABLE lifecycle (q67) — [[graft.merge.LogTable]], the
+    * transactional form every [[graft.merge.ParquetTable]] scope-out points
+    * at, exercised END-TO-END on ONE table that composes everything the
+    * rename-swap design rejects: BUCKETED (8 buckets on the key) with FILE
+    * STATS, through five commits — overwrite, partition-scoped merge
+    * (untouched buckets' files shared across versions), a DV delete that
+    * is a NAMED version (data files untouched — `require`d), then a
+    * CONTENDED OCC pair with forced interleaving (manifest-CAS rebase,
+    * attempts > 1 `require`d; staging reads an IMMUTABLE snapshot, so the
+    * vanished-snapshot conflict class cannot occur). Every version is then
+    * read back VERSION AS OF and summarized, plus a stats-pruned range
+    * read over the live table — the oracle restates the whole serial
+    * history relationally, so one hash pins commit semantics, bucketed
+    * time travel, DV-aware history, and OCC serializability together. */
+  val logLifecycle = QueryDef(
+    "q67_logtable_lifecycle",
+    (spark, dir) => {
+      import spark.implicits._
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"))
+      val root = FixtureDirs.create("q67-log-").resolve("orders_log").toString
+      val t = new graft.merge.LogTable(spark, root, o.schema,
+        bucketBy = Some((Seq("o_orderkey"), 8)), statsBy = Seq("o_orderdate"))
+      t.overwrite(o.filter(col("o_orderdate") < lit("1995-01-01").cast("timestamp")))  // v1
+      t.merge(o.filter(col("o_totalprice") > 150000))(                                  // v2
+        (cur, b) => Merge.insertOnly(cur, b, Seq("o_orderkey")))
+      // (a corpus-wide batch touches every bucket, so no file sharing to
+      // require HERE — LogTableSpec pins cross-version file sharing with a
+      // bucket-confined batch)
+      val v2Files = t.liveFileNames().toSet
+      val n3 = t.deleteWhere(pmod(col("o_custkey"), lit(7)) === 3)                      // v3
+      require(n3 > 0, "DV delete matched nothing")
+      require(t.liveFileNames().toSet == v2Files,
+        "DV delete must not touch data files")
+      val batchA = o.filter(col("o_orderstatus") === "F")
+        .withColumn("o_totalprice", round(col("o_totalprice") + 1000, 2))
+        .withColumn("o_orderstatus", lit("R"))
+      val batchB = o.filter(col("o_custkey") % 5 === 1)
+      val aDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val attempts = t.occMerge(batchB, maxAttempts = 5) { (cur, b) =>                  // v4+v5
+        if (aDone.compareAndSet(false, true))
+          require(t.occMerge(batchA)((c2, b2) =>
+            Merge.scd1(c2, b2, Seq("o_orderkey"))) == 1)
+        Merge.insertOnly(cur, b, Seq("o_orderkey"))
+      }
+      require(attempts > 1,
+        s"forced interleaving must make B's first CAS lose (got $attempts)")
+      require(t.history() == Seq(1L, 2L, 3L, 4L, 5L),
+        s"expected versions 1..5, got ${t.history().mkString(",")}")
+      def phase(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+          .select(lit(name).as("phase"), col("n"), col("sum_price"))
+      val range = t.readRange("o_orderdate",
+        lit("1994-01-01").cast("timestamp"), lit("1994-06-30").cast("timestamp"))
+      (1L to 5L).map(v => phase(s"v$v", t.readVersion(v)))
+        .reduce(_ union _)
+        .union(Seq(("deleted", n3, 0.0)).toDF("phase", "n", "sum_price"))
+        .union(phase("range", range))
+        .orderBy(col("phase"))
+    },
+    Some("""WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate FROM orders),
+           |v1 AS (SELECT * FROM o WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'),
+           |b2 AS (SELECT * FROM o WHERE o_totalprice > 150000),
+           |v2 AS (SELECT * FROM v1
+           |  UNION ALL SELECT * FROM b2 b
+           |  WHERE NOT EXISTS (SELECT 1 FROM v1 t WHERE t.o_orderkey = b.o_orderkey)),
+           |v3 AS (SELECT * FROM v2 WHERE NOT (o_custkey % 7 = 3)),
+           |ba AS (SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
+           |              round(o_totalprice + 1000, 2) AS o_totalprice, o_orderdate
+           |       FROM o WHERE o_orderstatus = 'F'),
+           |v4 AS (SELECT * FROM ba
+           |  UNION ALL SELECT * FROM v3
+           |  WHERE NOT EXISTS (SELECT 1 FROM ba b WHERE b.o_orderkey = v3.o_orderkey)),
+           |bb AS (SELECT * FROM o WHERE o_custkey % 5 = 1),
+           |v5 AS (SELECT * FROM v4
+           |  UNION ALL SELECT * FROM bb b
+           |  WHERE NOT EXISTS (SELECT 1 FROM v4 t WHERE t.o_orderkey = b.o_orderkey)),
+           |s AS (
+           |  SELECT 'v1' AS phase, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price FROM v1
+           |  UNION ALL SELECT 'v2', count(*), round(sum(o_totalprice), 2) FROM v2
+           |  UNION ALL SELECT 'v3', count(*), round(sum(o_totalprice), 2) FROM v3
+           |  UNION ALL SELECT 'v4', count(*), round(sum(o_totalprice), 2) FROM v4
+           |  UNION ALL SELECT 'v5', count(*), round(sum(o_totalprice), 2) FROM v5
+           |  UNION ALL SELECT 'deleted',
+           |    (SELECT count(*) FROM v2 WHERE o_custkey % 7 = 3), CAST(0 AS DOUBLE)
+           |  UNION ALL SELECT 'range', count(*), round(sum(o_totalprice), 2) FROM v5
+           |    WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+           |      AND o_orderdate <= TIMESTAMP '1994-06-30 00:00:00')
+           |SELECT phase, n, sum_price FROM s ORDER BY phase""".stripMargin),
+    "commit-log table lifecycle: bucketed x time travel x file stats x DV-as-named-version x contended OCC, one manifest log (Delta protocol from first principles)")
+
+  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl, opt, del, rst, vac, dvq, dvtt, occ, occContended, logLifecycle)
 }

@@ -1,0 +1,138 @@
+package graft.merge
+
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+/** The commit-log table ([[LogTable]]) — every composition the rename-swap
+  * [[ParquetTable]] rejects must just work here: bucketed × time travel,
+  * bucketed × OCC, bucketed × file stats, DV-aware history, plus the
+  * no-vanished-snapshot property immutable files buy. */
+class LogTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val s2 = StructType(Seq(
+    StructField("k", LongType), StructField("v", StringType)))
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, String)] =
+    df.orderBy("k").as[(Long, String)].collect().toSeq
+
+  test("bucketed merge composes with time travel: partition-scoped rewrite, " +
+      "untouched files shared across versions, every version readable") {
+    val t = new LogTable(spark, tmp("log-tt-"), s2, bucketBy = Some((Seq("k"), 4)))
+    t.overwrite((1L to 40L).map(i => (i, s"v$i")).toDF("k", "v"))        // v1
+    val v1Files = t.liveFileNames()
+    val batch = Seq((1L, "UPD"), (41L, "NEW")).toDF("k", "v")
+    t.merge(batch)((cur, b) => Merge.scd1(cur, b, Seq("k")))             // v2
+    val v2Files = t.liveFileNames()
+    // untouched buckets keep their FILES (shared, not copied)
+    val shared = v1Files.toSet.intersect(v2Files.toSet)
+    assert(shared.nonEmpty, "no file sharing across versions — merge rewrote everything")
+    assert(v1Files.toSet != v2Files.toSet, "merge replaced no file")
+    // both versions readable, exact content (the composition ParquetTable rejects)
+    assert(rows(t.readVersion(1)) == (1L to 40L).map(i => (i, s"v$i")))
+    assert(rows(t.readVersion(2)) ==
+      ((2L to 40L).map(i => (i, s"v$i")) ++ Seq((1L, "UPD"), (41L, "NEW"))).sortBy(_._1))
+    assert(rows(t.read()) == rows(t.readVersion(2)))
+    assert(t.history() == Seq(1L, 2L))
+  }
+
+  test("DV delete is a NAMED version: AS OF pre-delete resurrects, the " +
+      "delete's own version stays deleted, data files untouched") {
+    val t = new LogTable(spark, tmp("log-dv-"), s2)
+    t.overwrite((1L to 10L).map(i => (i, s"v$i")).toDF("k", "v"))        // v1
+    val v1Files = t.liveFileNames()
+    assert(t.deleteWhere(col("k") % 2 === 0) == 5L)                      // v2
+    assert(t.liveFileNames() == v1Files, "DV delete touched data files")
+    assert(t.history() == Seq(1L, 2L))
+    assert(rows(t.readVersion(1)).map(_._1) == (1L to 10L))
+    assert(rows(t.readVersion(2)).map(_._1) == Seq(1L, 3L, 5L, 7L, 9L))
+    assert(rows(t.read()).map(_._1) == Seq(1L, 3L, 5L, 7L, 9L))
+    // deletes compose; a second wave is version 3 with both sidecars
+    assert(t.deleteWhere(col("k") === 3L) == 1L)                         // v3
+    assert(rows(t.readVersion(2)).map(_._1) == Seq(1L, 3L, 5L, 7L, 9L))
+    assert(rows(t.read()).map(_._1) == Seq(1L, 5L, 7L, 9L))
+    // a no-match delete cuts NO version
+    assert(t.deleteWhere(col("k") === 999L) == 0L)
+    assert(t.history() == Seq(1L, 2L, 3L))
+    // restore rolls forward to pre-delete content
+    t.restore(1)                                                         // v4
+    assert(rows(t.read()).map(_._1) == (1L to 10L))
+  }
+
+  test("OCC on a BUCKETED table: manifest CAS serializes, loser rebases") {
+    val t = new LogTable(spark, tmp("log-occ-"), s2, bucketBy = Some((Seq("k"), 4)))
+    t.overwrite(Seq((1L, "seed"), (2L, "seed")).toDF("k", "v"))          // v1
+    val aDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val attempts = t.occMerge(Seq((2L, "B"), (3L, "B")).toDF("k", "v"), 5) {
+      (cur, b) =>
+        if (aDone.compareAndSet(false, true))
+          assert(t.occMerge(Seq((1L, "A")).toDF("k", "v"))(
+            (c2, b2) => Merge.scd1(c2, b2, Seq("k"))) == 1)
+        Merge.scd1(cur, b, Seq("k"))
+    }
+    assert(attempts > 1, "forced interleaving never exercised the rebase")
+    assert(rows(t.read()) == Seq((1L, "A"), (2L, "B"), (3L, "B")))
+    assert(t.history().size == 3) // seed + A + B (B's lost attempt cut nothing)
+  }
+
+  test("no vanished snapshots: a reader pinned to an old version survives " +
+      "later commits (immutable files)") {
+    val t = new LogTable(spark, tmp("log-pin-"), s2)
+    t.overwrite((1L to 5L).map(i => (i, "old")).toDF("k", "v"))          // v1
+    val pinned = t.readVersion(1) // lazy plan over v1's files
+    t.overwrite((1L to 5L).map(i => (i, "new")).toDF("k", "v"))          // v2
+    t.overwrite((1L to 5L).map(i => (i, "newer")).toDF("k", "v"))        // v3
+    // the rename design would have retired+deleted v1's files by now;
+    // here the pinned plan still reads them
+    assert(rows(pinned) == (1L to 5L).map(i => (i, "old")))
+  }
+
+  test("file stats prune a BUCKETED table's scan; answer identical") {
+    val t = new LogTable(spark, tmp("log-stats-"), s2.add("d", LongType)
+      .asInstanceOf[StructType], bucketBy = None, statsBy = Seq("d"))
+    // write clustered files: 4 appends with disjoint d-ranges → 4 files
+    (0 until 4).foreach { g =>
+      t.append((1L to 25L).map(i =>
+        (g * 100L + i, s"g$g", g * 1000L + i)).toDF("k", "v", "d"))
+    }
+    val all = t.read()
+    val hit = t.readRange("d", lit(1000L), lit(1999L))
+    assert(rows2(hit) == rows2(all.filter(col("d") >= 1000L && col("d") <= 1999L)))
+    // pruning actually skipped files: the range read touches fewer files
+    assert(hit.inputFiles.length < all.inputFiles.length,
+      s"no files pruned: ${hit.inputFiles.length} vs ${all.inputFiles.length}")
+  }
+
+  private def rows2(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, Long)] =
+    df.orderBy("k").as[(Long, String, Long)].collect().toSeq
+
+  test("vacuum drops old versions' manifests and unreferenced files; " +
+      "retained versions intact; crashed-write leftovers collected") {
+    val root = tmp("log-vac-")
+    val t = new LogTable(spark, root, s2)
+    (1 to 4).foreach(i => t.overwrite(Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    // fake a crashed write (staged dir without a commit)
+    val ghost = java.nio.file.Paths.get(root, ".write-ghost")
+    Files.createDirectories(ghost)
+    Files.write(ghost.resolve("junk"), "x".getBytes)
+    val dropped = t.vacuum(retainLast = 2)
+    assert(dropped == Seq(1L, 2L))
+    assert(t.history() == Seq(3L, 4L))
+    assert(rows(t.readVersion(3)) == Seq((3L, "v3")))
+    assert(rows(t.read()) == Seq((4L, "v4")))
+    intercept[IllegalArgumentException](t.readVersion(1))
+    assert(!Files.exists(ghost), "crashed-write leftover survived vacuum")
+    // only retained versions' files remain on disk
+    val onDisk = Files.list(java.nio.file.Paths.get(root, "files"))
+      .iterator().asScala.map(_.getFileName.toString).toSet
+    val referenced = Seq(3L, 4L).flatMap(v => t.readVersion(v).inputFiles.toSeq)
+      .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+    assert(onDisk == referenced, s"orphan files survive vacuum: ${onDisk -- referenced}")
+  }
+}
