@@ -2311,6 +2311,92 @@ object StreamingQueries {
             |ORDER BY user_id""".stripMargin),
     "two concurrent streaming writers upsert one table through OCC: racing commits, rebase, deterministic recency-guard result (multi-writer Delta pattern)")
 
+  /** STREAMING MULTI-WRITER COMMIT-LOG TABLE (s37) — s35's racing-writers
+    * scenario on [[graft.merge.LogTable]], with SAME-KEY contention: two
+    * availableNow streams upsert EVERY user (no key partitioning — s35
+    * had to split parities because the rename-swap OCC serializes in-JVM;
+    * the manifest CAS serializes across processes, so contended writers
+    * are the normal case). Each micro-batch occMerges a cdcUpsert guarded
+    * by q66b's globally-unique `ord = ts_us·10¹⁰ + event_id`, making the
+    * final state the schedule-free global argmax per user — the oracle
+    * needs no knowledge of batching, interleaving, or who won which CAS.
+    * Immutable snapshots mean a loser's staged read NEVER hits the
+    * vanished-file conflict path (the FAILED_READ_FILE noise s35/q66b
+    * tolerate); the only conflict signal is the lost CAS itself. */
+  val s37 = QueryDef(
+    "s37_stream_log_table_occ",
+    (spark, dir) => {
+      import graft.ops.Relational
+      val ev = graft.sources.Tables.eventsUs(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts_us"))
+        .withColumn("ord",
+          col("ts_us").cast("decimal(38,0)") * lit(10000000000L) + col("event_id"))
+      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+      require(maxId < 10000000000L, "ord packing needs event_id < 1e10")
+      val c0 = maxId / 3; val c1 = 2 * maxId / 3
+      val latest = (df: DataFrame) => Relational.dedupKeyed(
+        df, Seq("user_id"), Seq(col("ord").desc))
+      // both writers see ALL users; writer A carries the mid third, writer
+      // B the last third — same keys, genuinely contended commits
+      def writeBatches(prefix: String, loId: Long, hiId: Long): java.nio.file.Path =
+        FixtureDirs.cachedDir(prefix, dir) { d =>
+          val mine = ev.filter(col("event_id") > loId && col("event_id") <= hiId)
+          val parts = Seq(
+            mine.filter(col("event_id") % 2 === 0),
+            mine.filter(col("event_id") % 2 === 1))
+          val mtimeBase = System.currentTimeMillis()
+          parts.zipWithIndex.foreach { case (p, i) =>
+            val tmp = FixtureDirs.create(s"$prefix$i-")
+            p.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+            val f = java.nio.file.Files.list(tmp)
+              .filter(_.toString.endsWith(".parquet")).findFirst().get()
+            val dst = d.resolve(s"batch$i.parquet")
+            java.nio.file.Files.move(f, dst)
+            java.nio.file.Files.setLastModifiedTime(dst,
+              java.nio.file.attribute.FileTime.fromMillis(mtimeBase + i * 1000L))
+          }
+        }
+      val dirA = writeBatches("s37-mid-", c0, c1)
+      val dirB = writeBatches("s37-late-", c1, maxId)
+      val root = FixtureDirs.create("s37-log-").resolve("events_log").toString
+      val seed = latest(ev.filter(col("event_id") <= c0))
+      val t = new graft.merge.LogTable(spark, root, seed.schema)
+      t.overwrite(seed)
+      val ddl = "event_id bigint, user_id bigint, event_type string, " +
+        "value double, ts_us bigint, ord decimal(38,0)"
+      val maxAttemptsSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+      def writer(src: java.nio.file.Path) = spark.readStream
+        .schema(ddl).option("maxFilesPerTrigger", "1").parquet(src.toString)
+        .writeStream
+        .option("checkpointLocation", newCkptDir())
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val attempts = t.occMerge(latest(batch), maxAttempts = 10)(
+            (cur, b) => graft.merge.Merge.cdcUpsert(cur, b, Seq("user_id"), "ord"))
+          maxAttemptsSeen.accumulateAndGet(attempts, (a: Int, b: Int) => math.max(a, b))
+          ()
+        }
+      withStreamConf(spark) {
+        val qa = writer(dirA).start(); val qb = writer(dirB).start()
+        qa.awaitTermination(); qb.awaitTermination()
+      }
+      System.err.println(s"[s37] max OCC attempts observed: ${maxAttemptsSeen.get}")
+      require(t.currentVersion == 5L,
+        s"expected 1 seed + 4 racing commits, got version ${t.currentVersion}")
+      t.read()
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts_us"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""WITH $evCte
+            |SELECT event_id, user_id, event_type, value, ts_us FROM ev
+            |QUALIFY row_number() OVER (PARTITION BY user_id
+            |  ORDER BY ts_us DESC, event_id DESC) = 1
+            |ORDER BY user_id""".stripMargin),
+    "two streaming writers race same-key upserts into the commit-log table: manifest-CAS rebase, schedule-free global-argmax result (multi-writer Delta on the log protocol)")
+
   /** STREAMING INCREMENTAL CURATION (s36) — d54's ingest under a
     * checkpointed foreachBatch drain: document deliveries arrive as
     * micro-batches (overlapping, like d54's 70/50 split), each batch
@@ -2385,5 +2471,5 @@ object StreamingQueries {
 
   def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
     s10, s10b, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23,
-    s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36)
+    s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37)
 }
