@@ -18,46 +18,67 @@ import org.apache.spark.sql.types.StructType
   *     `root/files/` and SHARED across versions — a version never copies
   *     data, it references files.
   *   - The LOG (`root/_log/<version>.json`) is an append-only sequence of
-  *     manifests; manifest N lists version N's data files (with their
-  *     bucket tag and per-file min/max stats) and its deletion-vector
-  *     files. The newest manifest IS the table.
+  *     DELTA manifests: commit N records only the files it ADDS and the
+  *     names it REMOVES (plus DV sidecar adds/removes), each tagged with a
+  *     `dataChange` flag. Version N's content = fold of deltas 1..N. This
+  *     is the Delta protocol's add/remove action form — a commit's log
+  *     entry is O(what changed), not O(table files), so a long-lived
+  *     append-heavy table writes O(total files) log bytes, not O(files²).
+  *   - CHECKPOINTS (`_log/<v>.checkpoint.json`, cut every
+  *     `checkpointInterval` commits and at vacuum) hold the FULL folded
+  *     state at v; snapshot reconstruction reads the newest checkpoint ≤ v
+  *     plus at most `checkpointInterval` deltas — O(1) in table age. The
+  *     `_log/_last_checkpoint` hint names the newest checkpoint so a 100 TB
+  *     reader never lists the whole log (Delta's `_last_checkpoint`,
+  *     verbatim); it is advisory — readers fall back to listing.
   *   - A COMMIT is one atomic create of `_log/<N+1>.json` (temp write +
-  *     rename WITHOUT replace — the filesystem's create-exclusive is the
+  *     hard-link WITHOUT replace — the filesystem's create-exclusive is the
   *     compare-and-swap). Losing the race throws FileAlreadyExists, the
   *     writer discards its orphan files and re-derives. This is the Delta
-  *     protocol's putIfAbsent of version N+1, verbatim.
+  *     protocol's putIfAbsent of version N+1, verbatim. Checkpoints are
+  *     DERIVED data: racing writers produce identical content, so the
+  *     same create-exclusive simply ignores the loser.
   *
   * What the log buys over the directory-swap table — every composition the
   * rename design had to reject now just works:
   *
-  *   - **bucketed × time travel**: a partition-scoped merge commits a
-  *     manifest = untouched files + the touched buckets' replacements, so
-  *     any historical version is a plain file list — no per-bucket
+  *   - **bucketed × time travel**: a partition-scoped merge commits
+  *     remove(touched buckets' files) + add(replacements), so any
+  *     historical version is a fold to a plain file list — no per-bucket
   *     generation overlay to reconstruct.
   *   - **bucketed × OCC**: conflict detection is the manifest CAS,
   *     independent of layout.
-  *   - **bucketed × file stats**: stats live per file IN the manifest
+  *   - **bucketed × file stats**: stats live per file IN the add action
   *     (Delta's stats-in-log), so [[readRange]] prunes bucketed tables too.
   *   - **DV-aware history**: a [[deleteWhere]] is a NAMED commit whose
-  *     manifest carries the new sidecar — `VERSION AS OF` reads the exact
-  *     DV state of that version (the composition [[ParquetTable]] serves
-  *     only at overwrite granularity).
+  *     delta adds the new sidecar — `VERSION AS OF` reads the exact DV
+  *     state of that version.
   *   - **no vanished snapshots**: files are immutable until [[vacuum]], so
   *     a reader (or an OCC stager) holding version V keeps reading V while
-  *     later commits land — the FAILED_READ_FILE conflict path of the
-  *     rename design cannot occur here.
+  *     later commits land.
+  *   - **OPTIMIZE that streams ignore**: [[compact]] commits its rewrite
+  *     with `dataChange = false`, so [[changesSince]] (the streaming-source
+  *     read) transparently skips it — Delta's OPTIMIZE/stream contract.
   *
   * At 100 TB the same protocol runs on any store with atomic
-  * create-if-absent (HDFS rename, object-store conditional PUT); manifests
-  * are O(#files) metadata and the log is pruned by [[vacuum]] retention.
-  * Single JSON manifests are the simplest correct form — Delta's
-  * checkpoint-parquet compaction of the log is a pure optimization layered
-  * on the identical commit semantics. LogTableSpec pins every composition
-  * above; q67 verifies the full lifecycle against a relational oracle.
+  * create-if-absent (HDFS rename, object-store conditional PUT); deltas
+  * are O(#changed files) metadata, checkpoints bound replay, and the log
+  * is pruned by [[vacuum]] retention. LogTableSpec pins every composition
+  * above; q67 verifies the full lifecycle against a relational oracle,
+  * q68 the checkpoint × compaction × vacuum composition, q69 the
+  * change-feed consumption protocol.
   */
+object LogTable {
+  /** Column name [[LogTable.changesBetween]] tags rows with under
+    * `withCommitVersion` (Delta CDF's `_commit_version`). */
+  val CommitVersionCol = "_commit_version"
+}
+
 final class LogTable(spark: SparkSession, root: String, schema: StructType,
                      bucketBy: Option[(Seq[String], Int)] = None,
-                     statsBy: Seq[String] = Nil) {
+                     statsBy: Seq[String] = Nil,
+                     checkpointInterval: Int = 10) {
+  require(checkpointInterval >= 1, "checkpointInterval must be >= 1")
   private val rootPath: Path = Paths.get(root)
   private val filesDir: Path = rootPath.resolve("files")
   private val logDir: Path = rootPath.resolve("_log")
@@ -75,29 +96,41 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     * per-column (min, max) stats as strings (None = no stats / all null). */
   private[merge] case class FileEntry(name: String, bucket: Int,
                                       stats: Map[String, (String, String)])
-  private[merge] case class Manifest(version: Long, files: Seq[FileEntry],
+  /** One commit's log entry — the Delta add/remove action set. */
+  private[merge] case class Delta(version: Long, dataChange: Boolean,
+                                  add: Seq[FileEntry], remove: Seq[String],
+                                  dvAdd: Seq[String], dvRemove: Seq[String])
+  /** Folded state as of a version. */
+  private[merge] case class Snapshot(version: Long, files: Seq[FileEntry],
                                      dv: Seq[String])
 
   // ── log primitives ──────────────────────────────────────────────────────
 
   private def manifestPath(v: Long): Path = logDir.resolve(f"$v%020d.json")
+  private def checkpointPath(v: Long): Path =
+    logDir.resolve(f"$v%020d.checkpoint.json")
+  private val lastCheckpointHint: Path = logDir.resolve("_last_checkpoint")
 
   private val VName = """(\d{20})\.json""".r
+  private val CpName = """(\d{20})\.checkpoint\.json""".r
+
   /** Version numbers present in the log, ascending (vacuum may have pruned
     * a prefix). Empty before the first commit. */
   def history(): Seq[Long] =
     Files.list(logDir).iterator().asScala.map(_.getFileName.toString)
       .collect { case VName(d) => d.toLong }.toSeq.sorted
 
+  /** Versions at which a checkpoint exists, ascending. */
+  def checkpointVersions(): Seq[Long] =
+    Files.list(logDir).iterator().asScala.map(_.getFileName.toString)
+      .collect { case CpName(d) => d.toLong }.toSeq.sorted
+
   /** Newest committed version; 0 = never written. */
   def currentVersion: Long = history().lastOption.getOrElse(0L)
 
-  private def readManifest(v: Long): Manifest = {
-    val p = manifestPath(v)
-    require(Files.exists(p),
-      s"version $v not available; readable versions: ${history().mkString(", ")}")
-    val n = mapper.readTree(Files.readAllBytes(p))
-    val files = n.get("files").elements().asScala.map { f =>
+  private def fileEntriesFrom(arr: com.fasterxml.jackson.databind.JsonNode)
+      : Seq[FileEntry] =
+    arr.elements().asScala.map { f =>
       val stats = Option(f.get("stats")).map { s =>
         s.properties().asScala.map { e =>
           e.getKey -> (e.getValue.get(0).asText(), e.getValue.get(1).asText())
@@ -105,18 +138,21 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
       }.getOrElse(Map.empty[String, (String, String)])
       FileEntry(f.get("name").asText(), f.get("bucket").asInt(), stats)
     }.toSeq
-    val dv = n.get("dv").elements().asScala.map(_.asText()).toSeq
-    Manifest(n.get("version").asLong(), files, dv)
+
+  private def texts(arr: com.fasterxml.jackson.databind.JsonNode): Seq[String] =
+    arr.elements().asScala.map(_.asText()).toSeq
+
+  private def readDelta(v: Long): Delta = {
+    val p = manifestPath(v)
+    require(Files.exists(p),
+      s"version $v not available; readable versions: ${history().mkString(", ")}")
+    val n = mapper.readTree(Files.readAllBytes(p))
+    Delta(n.get("version").asLong(), n.get("dataChange").asBoolean(),
+      fileEntriesFrom(n.get("add")), texts(n.get("remove")),
+      texts(n.get("dvAdd")), texts(n.get("dvRemove")))
   }
 
-  /** The CAS: atomically create `_log/<expected+1>.json`. False = another
-    * commit landed first (caller discards orphan files and re-derives). */
-  private def tryCommit(expected: Long, files: Seq[FileEntry],
-                        dv: Seq[String]): Boolean = {
-    val v = expected + 1
-    val node: ObjectNode = mapper.createObjectNode()
-    node.put("version", v)
-    val fa: ArrayNode = node.putArray("files")
+  private def writeFileEntries(fa: ArrayNode, files: Seq[FileEntry]): Unit =
     files.foreach { f =>
       val fn = fa.addObject()
       fn.put("name", f.name); fn.put("bucket", f.bucket)
@@ -127,28 +163,124 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
         }
       }
     }
-    val da: ArrayNode = node.putArray("dv")
-    dv.foreach(da.add)
+
+  /** Atomic create-exclusive of `path` with `bytes` content: temp write +
+    * hard link (POSIX rename silently REPLACES an existing target — link(2)
+    * fails with EEXIST, the true create-exclusive, and the linked name
+    * appears with its full content). False = the name already exists. */
+  private def createExclusive(path: Path, bytes: Array[Byte]): Boolean = {
     val tmp = Files.createTempFile(logDir, ".m-", ".tmp")
-    Files.write(tmp, mapper.writeValueAsBytes(node))
-    // createLink, NOT move: POSIX rename silently REPLACES an existing
-    // target (ATOMIC_MOVE does not imply no-replace), which would let two
-    // racing writers both "win". link(2) is atomic and fails with EEXIST —
-    // the true create-exclusive — and the linked name appears with its
-    // full content (the tmp file is already written).
-    try { Files.createLink(manifestPath(v), tmp); Files.delete(tmp); true }
+    Files.write(tmp, bytes)
+    try { Files.createLink(path, tmp); Files.delete(tmp); true }
     catch { case _: FileAlreadyExistsException => Files.delete(tmp); false }
+  }
+
+  /** The CAS: atomically create `_log/<expected+1>.json` holding the DELTA
+    * from `prev` to the new (files, dv) state. False = another commit
+    * landed first (caller discards orphan files and re-derives). On
+    * success, cuts a checkpoint when the version hits the interval. */
+  private def tryCommit(prev: Option[Snapshot], newFiles: Seq[FileEntry],
+                        newDv: Seq[String], dataChange: Boolean): Boolean = {
+    val expected = prev.map(_.version).getOrElse(0L)
+    val v = expected + 1
+    val prevFiles = prev.map(_.files).getOrElse(Seq.empty)
+    val prevDv = prev.map(_.dv).getOrElse(Seq.empty)
+    val prevNames = prevFiles.map(_.name).toSet
+    val newNames = newFiles.map(_.name).toSet
+    val node: ObjectNode = mapper.createObjectNode()
+    node.put("version", v)
+    node.put("dataChange", dataChange)
+    writeFileEntries(node.putArray("add"),
+      newFiles.filterNot(e => prevNames.contains(e.name)))
+    val rm: ArrayNode = node.putArray("remove")
+    prevFiles.map(_.name).filterNot(newNames.contains).foreach(rm.add)
+    val da: ArrayNode = node.putArray("dvAdd")
+    newDv.filterNot(prevDv.contains).foreach(da.add)
+    val dr: ArrayNode = node.putArray("dvRemove")
+    prevDv.filterNot(newDv.contains).foreach(dr.add)
+    val won = createExclusive(manifestPath(v), mapper.writeValueAsBytes(node))
+    if (won && v % checkpointInterval == 0)
+      writeCheckpoint(Snapshot(v, newFiles, newDv))
+    won
+  }
+
+  /** Write the full folded state at `s.version` as a checkpoint (+ the
+    * `_last_checkpoint` hint). Derived + deterministic-by-content: a racing
+    * duplicate write is dropped by create-exclusive; the hint is advisory
+    * (replace-ok) and readers fall back to listing. */
+  private def writeCheckpoint(s: Snapshot): Unit = {
+    val node: ObjectNode = mapper.createObjectNode()
+    node.put("version", s.version)
+    writeFileEntries(node.putArray("files"), s.files)
+    val da: ArrayNode = node.putArray("dv")
+    s.dv.foreach(da.add)
+    createExclusive(checkpointPath(s.version), mapper.writeValueAsBytes(node))
+    val tmp = Files.createTempFile(logDir, ".cp-", ".tmp")
+    Files.write(tmp, s.version.toString.getBytes)
+    Files.move(tmp, lastCheckpointHint, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def readCheckpoint(v: Long): Snapshot = {
+    val n = mapper.readTree(Files.readAllBytes(checkpointPath(v)))
+    Snapshot(n.get("version").asLong(), fileEntriesFrom(n.get("files")),
+      texts(n.get("dv")))
+  }
+
+  /** Newest checkpoint version ≤ `v`, via the hint when it qualifies (the
+    * O(1) path), else by listing. */
+  private def checkpointAtOrBefore(v: Long): Option[Long] = {
+    val hinted =
+      if (!Files.exists(lastCheckpointHint)) None
+      else scala.util.Try(new String(Files.readAllBytes(lastCheckpointHint))
+        .trim.toLong).toOption
+        .filter(h => h <= v && Files.exists(checkpointPath(h)))
+    hinted.orElse(checkpointVersions().filter(_ <= v).lastOption)
+  }
+
+  private def applyDelta(s: Snapshot, d: Delta): Snapshot = {
+    val rm = d.remove.toSet; val dvRm = d.dvRemove.toSet
+    Snapshot(d.version,
+      s.files.filterNot(e => rm.contains(e.name)) ++ d.add,
+      s.dv.filterNot(dvRm.contains) ++ d.dvAdd)
+  }
+
+  /** Fold the log to the state as of version `v`: newest checkpoint ≤ v,
+    * then at most `checkpointInterval` delta replays. Throws (require) when
+    * `v` was vacuumed away. */
+  private def snapshotAt(v: Long): Snapshot = {
+    val avail = history()
+    require(avail.contains(v) || checkpointVersions().contains(v),
+      s"version $v not available; readable versions: ${avail.mkString(", ")}")
+    checkpointAtOrBefore(v) match {
+      case Some(cp) if cp == v => readCheckpoint(cp)
+      case Some(cp) =>
+        val replay = avail.filter(x => x > cp && x <= v)
+        require(replay == (cp + 1 to v),
+          s"log gap between checkpoint $cp and version $v (vacuumed?)")
+        replay.foldLeft(readCheckpoint(cp))((s, x) => applyDelta(s, readDelta(x)))
+      case None =>
+        require(avail.headOption.contains(1L),
+          s"version $v not reconstructible: no checkpoint and the log prefix was vacuumed")
+        (1L to v).foldLeft(Snapshot(0L, Seq.empty, Seq.empty))(
+          (s, x) => applyDelta(s, readDelta(x)))
+    }
   }
 
   // ── data-file writes ────────────────────────────────────────────────────
 
   /** Materialize `df` into immutable uuid-named files under `files/`;
     * returns the new entries (bucket tag from the hive partition dir,
-    * per-file stats from one grouped aggregate over the staged write). */
-  private def writeFiles(df: DataFrame): Seq[FileEntry] = {
+    * per-file stats from one grouped aggregate over the staged write).
+    * `coalesceTo` (unbucketed only) bounds the file count — the
+    * compaction knob. */
+  private def writeFiles(df: DataFrame, coalesceTo: Option[Int] = None)
+      : Seq[FileEntry] = {
     val tmp = Files.createTempDirectory(rootPath, ".write-")
     bucketBy match {
-      case None => df.write.mode("overwrite").parquet(tmp.toString)
+      case None =>
+        val out = coalesceTo.map(n => df.repartition(n)).getOrElse(df)
+        out.write.mode("overwrite").parquet(tmp.toString)
       case Some((keys, _)) =>
         // one file per touched bucket, rows sorted on the keys for
         // row-group stats — the ParquetTable write discipline
@@ -229,14 +361,14 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
   def read(): DataFrame = {
     val v = currentVersion
     if (v == 0) emptyDf
-    else { val m = readManifest(v); readData(m.files, m.dv) }
+    else { val s = snapshotAt(v); readData(s.files, s.dv) }
   }
 
   /** The table as of version `v` — INCLUDING that version's deletion
     * vectors (DV-aware history: every commit is a named version here). */
   def readVersion(v: Long): DataFrame = {
-    val m = readManifest(v)
-    readData(m.files, m.dv)
+    val s = snapshotAt(v)
+    readData(s.files, s.dv)
   }
 
   /** Manifest-stats file skipping: read only files whose [lo, hi] for `c`
@@ -249,7 +381,7 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
       s"no file stats for column '$c' (statsBy = ${statsBy.mkString(",")})")
     val v = currentVersion
     if (v == 0) return emptyDf.filter(col(c) >= lo && col(c) <= hi)
-    val m = readManifest(v)
+    val m = snapshotAt(v)
     val dt = schema(c).dataType
     // one overlap evaluation for ALL stats-carrying files (Spark's own
     // cast/ordering semantics); stat-less files are kept unconditionally
@@ -272,27 +404,27 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
   /** Number of files the live version references (spec hook). */
   def liveFileNames(): Seq[String] = {
     val v = currentVersion
-    if (v == 0) Seq.empty else readManifest(v).files.map(_.name).sorted
+    if (v == 0) Seq.empty else snapshotAt(v).files.map(_.name).sorted
   }
 
   // ── commits ─────────────────────────────────────────────────────────────
 
-  /** Generic optimistic commit loop: derive the new manifest from the
-    * current snapshot, CAS it in; on a lost race discard the orphan files
+  /** Generic optimistic commit loop: derive the new state from the current
+    * snapshot, CAS the delta in; on a lost race discard the orphan files
     * and re-derive against the new snapshot. `derive` returning None means
     * "nothing to commit" (no version is cut). Returns attempts. */
-  private def commitLoop(maxAttempts: Int)
-                        (derive: Option[Manifest] => Option[(Seq[FileEntry], Seq[String], Seq[FileEntry])])
+  private def commitLoop(maxAttempts: Int, dataChange: Boolean = true)
+                        (derive: Option[Snapshot] => Option[(Seq[FileEntry], Seq[String], Seq[FileEntry])])
       : Int = {
     var attempts = 0
     while (attempts < maxAttempts) {
       attempts += 1
       val v = currentVersion
-      val snap = if (v == 0) None else Some(readManifest(v))
+      val snap = if (v == 0) None else Some(snapshotAt(v))
       derive(snap) match {
         case None => return attempts
         case Some((files, dv, fresh)) =>
-          if (tryCommit(v, files, dv)) return attempts
+          if (tryCommit(snap, files, dv, dataChange)) return attempts
           dropFiles(fresh)
       }
     }
@@ -342,11 +474,11 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
       }
     }
 
-  /** Merge-on-read DELETE as a NAMED COMMIT: the new version's manifest
-    * carries the same data files plus one more positions sidecar, so the
-    * delete is time-travelable ("AS OF" the pre-delete version resurrects,
-    * the delete's own version stays deleted). No data file is touched.
-    * Returns rows newly deleted (0 ⇒ no commit cut). */
+  /** Merge-on-read DELETE as a NAMED COMMIT: the new version's delta
+    * carries one more positions sidecar, so the delete is time-travelable
+    * ("AS OF" the pre-delete version resurrects, the delete's own version
+    * stays deleted). No data file is touched. Returns rows newly deleted
+    * (0 ⇒ no commit cut). */
   def deleteWhere(cond: Column): Long = {
     var deleted = 0L
     commitLoop(5) { snap =>
@@ -372,7 +504,7 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     deleted
   }
 
-  private def readDataWithPos(m: Manifest): DataFrame = {
+  private def readDataWithPos(m: Snapshot): DataFrame = {
     val raw = spark.read.schema(schema)
       .parquet(m.files.map(e => filesDir.resolve(e.name).toString): _*)
       .withColumn(DvName, regexp_extract(col("_metadata.file_path"), "([^/]+)$", 1))
@@ -394,22 +526,120 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
       Some((fresh, Seq.empty, fresh))
     }
 
+  /** OPTIMIZE: rewrite the live content into few large files — bucketed:
+    * one file per bucket (writeFiles' discipline); unbucketed: coalesced to
+    * ceil(bytes / targetFileBytes) files — and MATERIALIZE the deletion
+    * vectors (the rewrite reads DV-filtered rows, so stale sidecars are
+    * dropped — Delta's REORG … APPLY (PURGE)). Committed with
+    * `dataChange = false`: the logical content is unchanged, so
+    * [[changesSince]] consumers skip the commit entirely (Delta's
+    * OPTIMIZE/streaming contract). Returns the number of data files
+    * removed (0 ⇒ nothing worth compacting, no version cut). */
+  def compact(targetFileBytes: Long = 128L << 20): Int = {
+    var removed = 0
+    commitLoop(5, dataChange = false) { snap =>
+      snap match {
+        case None => removed = 0; None
+        case Some(m) =>
+          val bytes = m.files.map(e =>
+            Files.size(filesDir.resolve(e.name))).sum
+          val want = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+          val worthIt = m.dv.nonEmpty ||
+            (bucketBy match {
+              case Some((_, n)) => m.files.size > n
+              case None => m.files.size > want
+            })
+          if (!worthIt) { removed = 0; None }
+          else {
+            val fresh = writeFiles(readData(m.files, m.dv),
+              coalesceTo = if (bucketBy.isEmpty) Some(want) else None)
+            removed = m.files.size
+            Some((fresh, Seq.empty, fresh))
+          }
+      }
+    }
+    removed
+  }
+
+  /** The CHANGE FEED / streaming-source read: rows ADDED by dataChange
+    * commits in `(fromVersion, currentVersion]`, with the end version as
+    * the consumer's next cursor. `dataChange = false` commits (compaction)
+    * are transparently skipped. A dataChange commit that REMOVES files
+    * (overwrite/merge rewrite) or adds a DV (delete) is an update in the
+    * span — throws unless `ignoreChanges`, which then emits that commit's
+    * adds anyway (rewritten files re-emitted IN FULL; downstream must be
+    * idempotent — at-least-once, Delta's `ignoreChanges` verbatim). */
+  def changesSince(fromVersion: Long, ignoreChanges: Boolean = false)
+      : (Long, DataFrame) = {
+    val cur = currentVersion
+    (cur, changesBetween(fromVersion, cur, ignoreChanges))
+  }
+
+  /** Bounded form of [[changesSince]]: rows added by dataChange commits in
+    * `(fromVersion, toVersion]` — the exact getBatch contract of the
+    * streaming source ([[graft.sources.LogTableSource]]), where the engine
+    * fixes both offsets before asking for the data.
+    *
+    * `withCommitVersion` appends [[LogTable.CommitVersionCol]] — the commit
+    * each row was added by (Delta CDF's `_commit_version`). This is what
+    * makes `ignoreChanges` replays RESOLVABLE: a span covering a rewrite
+    * delivers both the stale and the new copy of a key, and only the
+    * version column lets a keyed consumer pick the right one (recency
+    * merge on `_commit_version`). */
+  def changesBetween(fromVersion: Long, toVersion: Long,
+                     ignoreChanges: Boolean = false,
+                     withCommitVersion: Boolean = false): DataFrame = {
+    if (toVersion <= fromVersion)
+      return if (withCommitVersion) emptyDf.withColumn(LogTable.CommitVersionCol, lit(0L))
+             else emptyDf
+    val avail = history()
+    val span = (fromVersion + 1) to toVersion
+    require(span.forall(avail.contains),
+      s"versions ${span.filterNot(avail.contains).mkString(",")} were vacuumed; " +
+        "cannot serve changes — restart the consumer from a full snapshot")
+    val perVersion: Seq[(Long, Seq[FileEntry])] = span.map { v =>
+      val d = readDelta(v)
+      if (!d.dataChange) (v, Seq.empty[FileEntry]) // compaction: no-op for consumers
+      else {
+        if (!ignoreChanges)
+          require(d.remove.isEmpty && d.dvAdd.isEmpty,
+            s"version $v is an update/delete, not an append; set ignoreChanges " +
+              "to re-emit its files (at-least-once) or restart from a snapshot")
+        (v, d.add)
+      }
+    }
+    if (!withCommitVersion) readData(perVersion.flatMap(_._2), Seq.empty)
+    else {
+      val parts = perVersion.collect { case (v, adds) if adds.nonEmpty =>
+        readData(adds, Seq.empty).withColumn(LogTable.CommitVersionCol, lit(v))
+      }
+      if (parts.isEmpty) emptyDf.withColumn(LogTable.CommitVersionCol, lit(0L))
+      else parts.reduce(_ union _)
+    }
+  }
+
   /** Roll FORWARD to the content of version `v` (history preserved). */
   def restore(v: Long): Unit = overwrite(readVersion(v))
 
-  /** Retention GC: keep the newest `retainLast` versions' manifests; drop
-    * older manifests and every file no retained version references —
-    * including orphans from crashed writes (staged files whose commit
-    * never landed). Reads of vacuumed versions fail loudly. */
+  /** Retention GC: keep the newest `retainLast` versions; cut a checkpoint
+    * AT the oldest retained version first (so it stays reconstructible
+    * without the dropped prefix), then drop older manifests + checkpoints
+    * and every file no retained version references — including orphans
+    * from crashed writes (staged files whose commit never landed). Reads
+    * of vacuumed versions fail loudly. */
   def vacuum(retainLast: Int = 1): Seq[Long] = {
     require(retainLast >= 1, "must retain at least the live version")
     val hs = history()
+    if (hs.isEmpty) return Seq.empty
     val (drop, keep) = hs.splitAt(math.max(0, hs.size - retainLast))
+    if (drop.nonEmpty) writeCheckpoint(snapshotAt(keep.head))
     val referenced: Set[String] = keep.flatMap { v =>
-      val m = readManifest(v)
+      val m = snapshotAt(v)
       m.files.map(_.name) ++ m.dv
     }.toSet
     drop.foreach(v => Files.deleteIfExists(manifestPath(v)))
+    checkpointVersions().filter(_ < keep.head)
+      .foreach(v => Files.deleteIfExists(checkpointPath(v)))
     Files.list(filesDir).iterator().asScala.toSeq
       .filterNot(p => referenced.contains(p.getFileName.toString))
       .foreach(Files.deleteIfExists(_))

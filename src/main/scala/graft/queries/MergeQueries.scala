@@ -1082,5 +1082,152 @@ object MergeQueries {
            |SELECT phase, n, sum_price FROM s ORDER BY phase""".stripMargin),
     "commit-log table lifecycle: bucketed x time travel x file stats x DV-as-named-version x contended OCC, one manifest log (Delta protocol from first principles)")
 
-  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl, opt, del, rst, vac, dvq, dvtt, occ, occContended, logLifecycle)
+  /** LOG MAINTENANCE (q68) — the checkpoint × compaction × vacuum
+    * composition on one [[graft.merge.LogTable]]: four appends (delta
+    * manifests; the interval-3 checkpoint lands at v3), a DV delete (v5),
+    * then [[graft.merge.LogTable.compact]] (v6 — `dataChange = false`,
+    * deletion vectors MATERIALIZED into the rewrite, file count collapses
+    * to the size target — all `require`d), then [[vacuum]] dropping
+    * v1–v3. Vacuum must first cut a checkpoint at the oldest retained
+    * version (v4) or that version becomes unreconstructible — the require
+    * on `checkpointVersions` pins exactly that protocol step. Post-vacuum,
+    * v4 is read THROUGH its vacuum-cut checkpoint, v5 through
+    * checkpoint(4)+one delta, live through checkpoint(6): all three
+    * reconstruction paths in one oracle. The oracle restates the content
+    * relationally — appends of 4 disjoint chunks = the full table, the
+    * delete = a filter, compact/vacuum = logical no-ops. */
+  val logMaintenance = QueryDef(
+    "q68_logtable_maintenance",
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"))
+      val root = FixtureDirs.create("q68-log-").resolve("orders_maint").toString
+      val t = new graft.merge.LogTable(spark, root, o.schema,
+        statsBy = Seq("o_orderdate"), checkpointInterval = 3)
+      (0 to 3).foreach(c =>                                                 // v1..v4
+        t.append(o.filter(pmod(col("o_orderkey"), lit(4)) === c)))
+      require(t.checkpointVersions() == Seq(3L),
+        s"interval-3 checkpoint expected at v3: ${t.checkpointVersions()}")
+      val nDel = t.deleteWhere(pmod(col("o_custkey"), lit(10)) === 4)       // v5 (DV)
+      require(nDel > 0, "DV delete matched nothing")
+      val filesBefore = t.liveFileNames().size
+      val removed = t.compact()                                             // v6, dataChange=false
+      require(removed == filesBefore, "compact must replace every data file")
+      require(t.liveFileNames().size < filesBefore,
+        "compact did not reduce the file count")
+      require(t.readVersion(6).count() == t.readVersion(5).count(),
+        "compact changed the logical content")
+      val dropped = t.vacuum(retainLast = 3)
+      require(dropped == Seq(1L, 2L, 3L) && t.history() == Seq(4L, 5L, 6L),
+        s"vacuum must drop v1-v3: dropped=$dropped history=${t.history()}")
+      require(t.checkpointVersions() == Seq(4L, 6L),
+        "vacuum must cut a checkpoint at the oldest retained version " +
+          s"(and keep v6's): ${t.checkpointVersions()}")
+      def phase(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+          .select(lit(name).as("phase"), col("n"), col("sum_price"))
+      import spark.implicits._
+      phase("v4", t.readVersion(4))          // checkpoint(4), vacuum-cut
+        .union(phase("v5", t.readVersion(5))) // checkpoint(4) + one delta
+        .union(phase("live", t.read()))       // checkpoint(6) exact
+        .union(Seq(("deleted", nDel, 0.0)).toDF("phase", "n", "sum_price"))
+        .orderBy(col("phase"))
+    },
+    Some("""WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate FROM orders),
+           |v5 AS (SELECT * FROM o WHERE NOT (o_custkey % 10 = 4)),
+           |s AS (
+           |  SELECT 'v4' AS phase, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price FROM o
+           |  UNION ALL SELECT 'v5', count(*), round(sum(o_totalprice), 2) FROM v5
+           |  UNION ALL SELECT 'live', count(*), round(sum(o_totalprice), 2) FROM v5
+           |  UNION ALL SELECT 'deleted',
+           |    (SELECT count(*) FROM o WHERE o_custkey % 10 = 4), CAST(0 AS DOUBLE))
+           |SELECT phase, n, sum_price FROM s ORDER BY phase""".stripMargin),
+    "log-table maintenance: interval checkpoints, OPTIMIZE with DV materialization (dataChange=false), vacuum cutting a checkpoint at the retention boundary — all three snapshot-reconstruction paths in one hash")
+
+  /** CHANGE FEED consumption protocol (q69) —
+    * [[graft.merge.LogTable.changesSince]] driven through the full contract
+    * on one table: (1) an append feeds exactly its rows; (2) a compaction
+    * commit between polls is TRANSPARENT (`dataChange = false` — the
+    * rewrite never reaches the consumer); (3) an empty poll returns an
+    * unchanged cursor; (4) an update-class commit (merge rewrite) poisons
+    * the span — `require`d to throw — until the consumer opts into
+    * `ignoreChanges`, which re-emits the rewritten files IN FULL
+    * (at-least-once, Delta's `ignoreChanges` verbatim). The consumer is the
+    * matching idempotent downstream: latest EMISSION per key wins, so its
+    * materialized state converges to the table despite the duplicate
+    * delivery — the exactly-once-by-idempotence composition the reference's
+    * streaming tests pin, here at the protocol level. The oracle restates
+    * feed slices as range filters (thirds via scalar subqueries — SF-honest)
+    * and the final state as the updated table. */
+  val logChangeFeed = QueryDef(
+    "q69_logtable_change_feed",
+    (spark, dir) => {
+      val ev = Tables.eventsUs(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts_us"))
+      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+      val c0 = maxId / 3; val c1 = 2 * maxId / 3
+      val root = FixtureDirs.create("q69-log-").resolve("events_feed").toString
+      val t = new graft.merge.LogTable(spark, root, ev.schema)
+      val feeds = scala.collection.mutable.ArrayBuffer.empty[(Int, org.apache.spark.sql.DataFrame)]
+      t.append(ev.filter(col("event_id") <= c0))                            // v1
+      val (cur1, f1) = t.changesSince(0L)
+      feeds += ((1, f1))
+      t.append(ev.filter(col("event_id") > c0 && col("event_id") <= c1))    // v2
+      require(t.compact() > 0, "compaction expected to rewrite files")      // v3
+      val (cur2, f2) = t.changesSince(cur1)
+      require(cur2 == 3L, s"cursor must advance past the compaction: $cur2")
+      feeds += ((2, f2))
+      val (cur2b, _) = t.changesSince(cur2)
+      require(cur2b == cur2, "empty poll must not move the cursor")
+      // update-class commit: upsert the last third AND boost the first
+      // third's event_type — a rewrite, not an append
+      val batch = ev.filter(col("event_id") > c1)
+        .union(ev.filter(col("event_id") <= c0)
+          .withColumn("event_type", lit("boosted")))
+      t.merge(batch)((curDf, b) => Merge.scd1(curDf, b, Seq("event_id")))   // v4
+      val poisoned =
+        try { t.changesSince(cur2); false }
+        catch { case _: IllegalArgumentException => true }
+      require(poisoned, "an update commit must poison the plain feed")
+      val (cur3, f3) = t.changesSince(cur2, ignoreChanges = true)
+      require(cur3 == 4L, s"cursor must land on the merge commit: $cur3")
+      feeds += ((3, f3))
+      // idempotent consumer: latest emission per key wins
+      val state = Relational.dedupKeyed(
+        feeds.map { case (step, df) => df.withColumn("__step", lit(step)) }
+          .reduce(_ union _),
+        Seq("event_id"), Seq(col("__step").desc)).drop("__step")
+      def feedRow(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("users"))
+          .select(lit(name).as("phase"), lit("*").as("event_type"), col("n"), col("users"))
+      feedRow("feed1", f1)
+        .union(feedRow("feed2", f2))
+        .union(feedRow("feed3", f3))
+        .union(state.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("users"))
+          .select(lit("state").as("phase"), col("event_type"), col("n"), col("users")))
+        .orderBy(col("phase"), col("event_type"))
+    },
+    Some(s"""WITH $evCte,
+            |b AS (SELECT max(event_id) // 3 AS c0, 2 * max(event_id) // 3 AS c1 FROM ev),
+            |upd AS (SELECT event_id, user_id,
+            |               CASE WHEN event_id <= (SELECT c0 FROM b) THEN 'boosted'
+            |                    ELSE event_type END AS event_type, value, ts_us
+            |        FROM ev),
+            |s AS (
+            |  SELECT 'feed1' AS phase, '*' AS event_type, count(*) AS n,
+            |         count(DISTINCT user_id) AS users
+            |  FROM ev WHERE event_id <= (SELECT c0 FROM b)
+            |  UNION ALL SELECT 'feed2', '*', count(*), count(DISTINCT user_id)
+            |  FROM ev WHERE event_id > (SELECT c0 FROM b) AND event_id <= (SELECT c1 FROM b)
+            |  UNION ALL SELECT 'feed3', '*', count(*), count(DISTINCT user_id) FROM upd
+            |  UNION ALL SELECT 'state', event_type, count(*), count(DISTINCT user_id)
+            |  FROM upd GROUP BY event_type)
+            |SELECT phase, event_type, n, users FROM s
+            |ORDER BY phase, event_type""".stripMargin),
+    "change-feed protocol: append feeds, compaction transparently skipped, update commit poisons the span until ignoreChanges re-emits in full, idempotent latest-emission consumer converges to the table (Delta readChangeFeed/ignoreChanges semantics)")
+
+  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl, opt, del, rst, vac, dvq, dvtt, occ, occContended, logLifecycle, logMaintenance, logChangeFeed)
 }

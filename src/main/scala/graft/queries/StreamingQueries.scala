@@ -2469,7 +2469,74 @@ object StreamingQueries {
     TextQueries.d49.oracle, // streamed refresh ≡ from-scratch d49 over the union
     "streaming incremental curation: overlapping micro-batch deliveries + partial-store refresh == from-scratch d49, re-delivery no-op (LLM-pipeline op)")
 
+  /** LOG-TABLE STREAMING SOURCE end-to-end (s38) — the medallion pattern
+    * over commit-log tables, driven through the REGISTERED source
+    * (`spark.readStream.format("graft-logtable")`,
+    * [[graft.sources.LogTableSource]]): bronze is a [[graft.merge.LogTable]]
+    * fed by three append waves, silver is a second log table built by a
+    * checkpointed availableNow drain per wave — version offsets resume at
+    * the exact commit boundary, `maxVersionsPerTrigger = 1` makes each
+    * bronze commit its own micro-batch, a bronze OPTIMIZE between waves is
+    * INVISIBLE to the feed (`dataChange = false`), the quality gate rides
+    * the stream, and the sink is the idempotent insert-only merge (M1).
+    * `require`s pin the protocol: exactly one silver commit per wave
+    * (compaction contributes none), and a fourth drain from the same
+    * checkpoint commits NOTHING — exactly-once by version offsets, no
+    * files-seen map. The oracle is the batch restatement: gated events,
+    * grouped. */
+  val s38 = QueryDef(
+    "s38_logtable_stream_source",
+    (spark, dir) => {
+      val ev = graft.sources.Tables.eventsUs(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts_us"))
+      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+      val c0 = maxId / 3; val c1 = 2 * maxId / 3
+      val root = FixtureDirs.create("s38-log-")
+      val bronzeRoot = root.resolve("bronze").toString
+      val bronze = new graft.merge.LogTable(spark, bronzeRoot, ev.schema)
+      val silver = new graft.merge.LogTable(spark, root.resolve("silver").toString, ev.schema)
+      val ckpt = newCkptDir()
+      def drainToSilver(): Unit = withStreamConf(spark) {
+        val q = spark.readStream.format("graft-logtable").schema(ev.schema)
+          .option("maxVersionsPerTrigger", "1")
+          .load(bronzeRoot)
+          .filter(col("value") >= 0.5)
+          .writeStream.option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            if (!b.isEmpty)
+              silver.merge(b)((cur, x) =>
+                graft.merge.Merge.insertOnly(cur, x, Seq("event_id")))
+            ()
+          }.start()
+        q.awaitTermination()
+      }
+      bronze.append(ev.filter(col("event_id") <= c0))                     // bronze v1
+      drainToSilver()
+      bronze.append(ev.filter(col("event_id") > c0 && col("event_id") <= c1)) // v2
+      require(bronze.compact() > 0, "bronze compaction expected")         // v3, no data change
+      drainToSilver()
+      bronze.append(ev.filter(col("event_id") > c1))                      // v4
+      drainToSilver()
+      require(silver.currentVersion == 3L,
+        s"one silver commit per wave (compaction invisible), got ${silver.currentVersion}")
+      drainToSilver() // same checkpoint, nothing new
+      require(silver.currentVersion == 3L,
+        "re-drain must commit nothing (exactly-once by version offsets)")
+      silver.read().groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("users"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""WITH $evCte
+            |SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS users,
+            |       round(sum(value), 2) AS sum_value
+            |FROM ev WHERE value >= 0.5
+            |GROUP BY event_type ORDER BY event_type""".stripMargin),
+    "medallion over commit-log tables through the registered streaming source: version-offset checkpoints, per-commit micro-batches, OPTIMIZE invisible to the feed, idempotent M1 sink (Delta streaming-source protocol end-to-end)")
+
   def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
     s10, s10b, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23,
-    s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37)
+    s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38)
 }

@@ -1,0 +1,154 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, GraftStreamingBridge, SQLContext}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsTriggerAvailableNow, Offset => OffsetV2}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.merge.LogTable
+
+/** STREAMING SOURCE over a [[graft.merge.LogTable]] — the commit log read
+  * as an exactly-once micro-batch stream, the way Delta's own streaming
+  * source reads its transaction log:
+  *
+  *   - OFFSETS ARE VERSIONS. `getOffset` reports the newest committed
+  *     version; the engine checkpoints it WITH the batch, so restart/replay
+  *     resumes at the exact commit boundary — no files-seen map (the file
+  *     stream's bookkeeping), no dedup state: the log's total order IS the
+  *     offset line.
+  *   - `getBatch(start, end]` = [[LogTable.changesBetween]]: the adds of the
+  *     dataChange commits in the span. Compaction commits
+  *     (`dataChange = false`) are TRANSPARENT — an OPTIMIZE never re-feeds
+  *     the pipeline. Update/delete commits fail the stream loudly unless
+  *     `.option("ignoreChanges", true)`, which re-emits rewritten files in
+  *     full (at-least-once; downstream must be keyed-idempotent — Delta's
+  *     `ignoreChanges` contract, verbatim).
+  *   - Exactly-once end-to-end: version offsets in the sink checkpoint +
+  *     an idempotent sink (foreachBatch merge / append-by-batchId) — the
+  *     same composition the engine's file streams get, but with commit
+  *     semantics instead of directory listings.
+  *
+  *   - `.option("withCommitVersion", true)` appends `_commit_version`
+  *     (Delta CDF) — the column that makes `ignoreChanges` replays
+  *     RESOLVABLE: a span covering a rewrite delivers both the stale and
+  *     the new copy of a key, and the version column lets a keyed-recency
+  *     merge pick the right one deterministically.
+  *   - ADMISSION CONTROL: `.option("maxVersionsPerTrigger", n)` caps how
+  *     many commits one micro-batch admits (the file source's
+  *     maxFilesPerTrigger, at commit granularity), and the source
+  *     implements `SupportsTriggerAvailableNow` — an availableNow drain
+  *     pins its target version at start, so it terminates at a consistent
+  *     snapshot even while writers keep committing.
+  *
+  * Registered as `graft-logtable` (META-INF DataSourceRegister), so
+  * `spark.readStream.format("graft-logtable").schema(s).load(path)` works;
+  * the schema must be supplied explicitly (the log stores data files, not a
+  * contract — same stance as the file sources).
+  *
+  * Scale: getOffset is one directory listing (O(1) with the checkpoint
+  * hint); getBatch plans a parquet scan of exactly the span's files —
+  * per-trigger work is proportional to what was committed, never to table
+  * size. Vacuumed-away spans fail loudly (restart from a snapshot), they
+  * never silently skip.
+  */
+final class LogTableSourceProvider extends StreamSourceProvider with DataSourceRegister {
+  import LogTableSourceProvider._
+
+  override def shortName(): String = "graft-logtable"
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    val data = schema.getOrElse(throw new IllegalArgumentException(
+      "graft-logtable requires an explicit .schema(...)"))
+    (shortName(), if (flag(parameters, "withCommitVersion"))
+      data.add(LogTable.CommitVersionCol, org.apache.spark.sql.types.LongType)
+    else data)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source = {
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-logtable requires a path (.load(rootDir))"))
+    val maxVersions = parameters.get("maxVersionsPerTrigger")
+      .orElse(parameters.get("maxversionspertrigger")).map(_.toLong)
+    require(maxVersions.forall(_ >= 1), "maxVersionsPerTrigger must be >= 1")
+    new LogTableSource(sqlContext, path, schema.getOrElse(
+      throw new IllegalArgumentException("graft-logtable requires an explicit .schema(...)")),
+      flag(parameters, "ignoreChanges"), maxVersions,
+      flag(parameters, "withCommitVersion"))
+  }
+}
+
+object LogTableSourceProvider {
+  private def flag(parameters: Map[String, String], name: String): Boolean =
+    parameters.get(name).orElse(parameters.get(name.toLowerCase)).exists(_.toBoolean)
+}
+
+private[sources] final class LogTableSource(sqlContext: SQLContext, path: String,
+                                            dataSchema: StructType,
+                                            ignoreChanges: Boolean,
+                                            maxVersionsPerTrigger: Option[Long],
+                                            withCommitVersion: Boolean)
+    extends Source with SupportsTriggerAvailableNow {
+
+  override val schema: StructType =
+    if (withCommitVersion)
+      dataSchema.add(LogTable.CommitVersionCol, org.apache.spark.sql.types.LongType)
+    else dataSchema
+
+  private val table =
+    new LogTable(sqlContext.sparkSession, path, dataSchema)
+
+  private def versionOf(o: OffsetV2): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => LongOffset(s).offset
+    case other => other.json().trim.toLong
+  }
+
+  // ── admission control (the rate-limit + availableNow protocol) ──────────
+  // The engine drives a SupportsAdmissionControl source through
+  // latestOffset(start, limit) instead of getOffset — same split as the
+  // built-in file source: maxVersionsPerTrigger caps how many commits one
+  // micro-batch admits, and Trigger.AvailableNow pins a target version at
+  // start so the drain terminates at a consistent snapshot even while
+  // writers keep committing.
+
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(table.currentVersion)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val start = Option(startOffset).map(versionOf).getOrElse(0L)
+    val cap = availableNowCap.fold(table.currentVersion)(
+      c => math.min(c, table.currentVersion))
+    val end = maxVersionsPerTrigger.fold(cap)(m => math.min(start + m, cap))
+    if (end <= 0L) null else LongOffset(math.max(start, end))
+  }
+
+  override def reportLatestOffset(): OffsetV2 = {
+    val v = table.currentVersion
+    if (v == 0L) null else LongOffset(v)
+  }
+
+  override def getOffset: Option[Offset] = throw new UnsupportedOperationException(
+    "latestOffset(Offset, ReadLimit) should be called instead (admission control)")
+
+  /** The span's adds, re-tagged isStreaming (the engine asserts the flag on
+    * every DSv1 batch). `start = None` is the from-scratch replay of a
+    * first batch whose commit never landed. */
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame =
+    GraftStreamingBridge.asStreaming(
+      table.changesBetween(start.map(versionOf).getOrElse(0L), versionOf(end),
+        ignoreChanges, withCommitVersion))
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"LogTableSource[$path]"
+}

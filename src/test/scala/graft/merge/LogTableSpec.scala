@@ -112,6 +112,79 @@ class LogTableSpec extends SparkSpec {
   private def rows2(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, Long)] =
     df.orderBy("k").as[(Long, String, Long)].collect().toSeq
 
+  test("delta log + checkpoints: every version reconstructs through the " +
+      "newest checkpoint <= v; hint is advisory (listing fallback)") {
+    val root = tmp("log-cp-")
+    val t = new LogTable(spark, root, s2, checkpointInterval = 3)
+    (1 to 7).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    assert(t.checkpointVersions() == Seq(3L, 6L),
+      s"interval-3 checkpoints expected at 3,6: ${t.checkpointVersions()}")
+    // every version folds correctly (checkpoint-exact, checkpoint+replay,
+    // and the pre-checkpoint pure-delta prefix)
+    (1 to 7).foreach { v =>
+      assert(rows(t.readVersion(v.toLong)) ==
+        (1L to v.toLong).map(i => (i, s"v$i")), s"version $v wrong")
+    }
+    // the hint is advisory: delete it, reads still work via listing
+    Files.delete(java.nio.file.Paths.get(root, "_log", "_last_checkpoint"))
+    assert(rows(t.read()) == (1L to 7L).map(i => (i, s"v$i")))
+    // a commit's log entry is a DELTA: version 7's manifest names only the
+    // files it added, not all 7 (O(change), not O(table))
+    val m7 = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_log", f"${7L}%020d.json")))
+    assert(t.liveFileNames().count(m7.contains) < t.liveFileNames().size,
+      "delta manifest lists every live file — that's a full manifest, not a delta")
+  }
+
+  test("compact: coalesces small files and MATERIALIZES deletion vectors " +
+      "(dataChange=false), content and history both preserved") {
+    val t = new LogTable(spark, tmp("log-opt-"), s2)
+    (1 to 5).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("k", "v")))  // v1..v5
+    assert(t.deleteWhere(col("k") === 2L) == 1L)                             // v6 (DV)
+    val before = rows(t.read())
+    val filesBefore = t.liveFileNames().size
+    val removed = t.compact()                                                // v7
+    assert(removed == filesBefore, "compact must replace every data file")
+    assert(t.liveFileNames().size == 1, "unbucketed compact → one file")
+    assert(rows(t.read()) == before, "compact changed the content")
+    assert(t.history() == (1L to 7L), "compact must be a NAMED version")
+    // DVs are materialized: the compacted version carries no sidecar, and a
+    // fresh delete after compaction starts a new DV generation cleanly
+    assert(rows(t.readVersion(6)) == before, "pre-compact version drifted")
+    assert(t.compact() == 0, "second compact must be a no-op (no version cut)")
+    assert(t.history() == (1L to 7L))
+  }
+
+  test("changesSince: append-only feed, compaction transparently skipped, " +
+      "update commits throw unless ignoreChanges (at-least-once re-emit)") {
+    val t = new LogTable(spark, tmp("log-cdc-"), s2)
+    t.append(Seq((1L, "a"), (2L, "a")).toDF("k", "v"))                       // v1
+    val (c1, f1) = t.changesSince(0L)
+    assert(c1 == 1L && rows(f1) == Seq((1L, "a"), (2L, "a")))
+    t.append(Seq((3L, "b")).toDF("k", "v"))                                  // v2
+    assert(t.compact() > 0)                                                  // v3 (no data change)
+    val (c2, f2) = t.changesSince(c1)
+    assert(c2 == 3L, "cursor must advance past the compaction commit")
+    assert(rows(f2) == Seq((3L, "b")), "compaction rewrite leaked into the feed")
+    // no new commits → empty feed, cursor unchanged
+    val (c3, f3) = t.changesSince(c2)
+    assert(c3 == c2 && f3.isEmpty)
+    // an UPDATE commit (merge rewrites files) poisons the span...
+    t.merge(Seq((1L, "UPD")).toDF("k", "v"))((cur, b) => Merge.scd1(cur, b, Seq("k")))
+    intercept[IllegalArgumentException](t.changesSince(c2))
+    // ...unless ignoreChanges: the rewrite re-emits IN FULL (at-least-once);
+    // an idempotent keyed consumer converges to the table state
+    val (c4, f4) = t.changesSince(c2, ignoreChanges = true)
+    assert(c4 == 4L)
+    assert(rows(f4) == Seq((1L, "UPD"), (2L, "a"), (3L, "b")))
+    // ...and a DV delete is likewise update-class
+    assert(t.deleteWhere(col("k") === 3L) == 1L)
+    intercept[IllegalArgumentException](t.changesSince(c4))
+    // vacuumed span fails loudly (restart-from-snapshot contract)
+    t.vacuum(retainLast = 1)
+    intercept[IllegalArgumentException](t.changesSince(c2, ignoreChanges = true))
+  }
+
   test("vacuum drops old versions' manifests and unreferenced files; " +
       "retained versions intact; crashed-write leftovers collected") {
     val root = tmp("log-vac-")

@@ -1,0 +1,119 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+import graft.merge.{LogTable, Merge}
+
+/** [[LogTableSource]] — the commit log as an exactly-once streaming source:
+  * version offsets checkpoint with the batch, compaction commits are
+  * invisible, update commits fail loudly unless ignoreChanges, a re-drain
+  * from the same checkpoint is a no-op, and maxVersionsPerTrigger admits
+  * one bounded span per micro-batch. (Sinks here are foreachBatch — the
+  * memory sink refuses checkpoint recovery.) */
+class LogTableSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val s2 = StructType(Seq(
+    StructField("k", LongType), StructField("v", StringType)))
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** AvailableNow drain into a foreachBatch collector; returns the rows this
+    * drain emitted plus the number of non-empty micro-batches it ran. */
+  private def drainOnce(path: String, ckpt: String,
+                        ignoreChanges: Boolean = false,
+                        maxVersions: Option[Int] = None)
+      : (Seq[(Long, String)], Int) = {
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    var rdr = spark.readStream.format("graft-logtable").schema(s2)
+      .option("ignoreChanges", ignoreChanges.toString)
+    maxVersions.foreach(m => rdr = rdr.option("maxVersionsPerTrigger", m.toString))
+    val q = rdr.load(path).writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.orderBy("k").as[(Long, String)].collect()
+        if (rows.nonEmpty) batches.incrementAndGet()
+        rows.foreach(buf.add)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    (buf.iterator().asScala.toSeq.sortBy(_._1), batches.get())
+  }
+
+  test("version offsets: first drain reads everything, second drain from the " +
+      "same checkpoint reads ONLY new commits, third drain is a no-op; " +
+      "compaction commits are invisible") {
+    val root = tmp("lts-basic-")
+    val t = new LogTable(spark, root, s2)
+    t.append(Seq((1L, "a"), (2L, "a")).toDF("k", "v"))                  // v1
+    t.append(Seq((3L, "a")).toDF("k", "v"))                             // v2
+    val ckpt = tmp("lts-ckpt-")
+    val (d1, _) = drainOnce(root, ckpt)
+    assert(d1 == Seq((1L, "a"), (2L, "a"), (3L, "a")))
+    // new append + an OPTIMIZE between polls
+    t.append(Seq((4L, "b")).toDF("k", "v"))                             // v3
+    assert(t.compact() > 0)                                             // v4, dataChange=false
+    val (d2, _) = drainOnce(root, ckpt)
+    assert(d2 == Seq((4L, "b")), s"compaction rewrite leaked into the feed: $d2")
+    // nothing new: the drain emits zero rows
+    assert(drainOnce(root, ckpt)._1.isEmpty)
+  }
+
+  test("maxVersionsPerTrigger: an availableNow drain admits one bounded " +
+      "commit span per micro-batch instead of one giant batch") {
+    val root = tmp("lts-rate-")
+    val t = new LogTable(spark, root, s2)
+    (1 to 4).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    val (rows, batches) = drainOnce(root, tmp("lts-ckpt-rate-"), maxVersions = Some(1))
+    assert(rows == (1L to 4L).map(i => (i, s"v$i")))
+    assert(batches == 4, s"expected 4 single-version micro-batches, got $batches")
+  }
+
+  test("update commit fails the stream loudly; ignoreChanges re-emits in " +
+      "full and a keyed-idempotent sink converges") {
+    val root = tmp("lts-upd-")
+    val t = new LogTable(spark, root, s2)
+    t.append(Seq((1L, "a"), (2L, "a")).toDF("k", "v"))                  // v1
+    val ckpt = tmp("lts-ckpt2-")
+    assert(drainOnce(root, ckpt)._1.size == 2)
+    t.merge(Seq((1L, "UPD")).toDF("k", "v"))(                           // v2: rewrite
+      (cur, b) => Merge.scd1(cur, b, Seq("k")))
+    val ex = intercept[StreamingQueryException](drainOnce(root, ckpt))
+    def mentions(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("ignoreChanges")) || mentions(t.getCause))
+    assert(mentions(ex), s"unexpected failure: ${ex.getMessage}")
+    // opt in: the rewrite re-emits IN FULL — one batch carries BOTH copies
+    // of k=1, so the consumer needs _commit_version (withCommitVersion) and
+    // a keyed-recency merge to converge deterministically
+    val vcol = graft.merge.LogTable.CommitVersionCol
+    val sink = new LogTable(spark, tmp("lts-silver-") + "/t",
+      s2.add(vcol, LongType))
+    val q = spark.readStream.format("graft-logtable").schema(s2)
+      .option("ignoreChanges", "true").option("withCommitVersion", "true")
+      .load(root)
+      .writeStream.option("checkpointLocation", tmp("lts-ckpt3-"))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // latest emission per key within the batch, then recency-upsert —
+        // the standard idempotent-consumer pair for at-least-once feeds
+        val latest = graft.ops.Relational.dedupKeyed(
+          batch, Seq("k"), Seq(col(vcol).desc))
+        sink.merge(latest)((cur, b) => Merge.cdcUpsert(cur, b, Seq("k"), vcol))
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(sink.read().orderBy("k").select("k", "v").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "UPD"), (2L, "a")))
+  }
+
+  test("missing schema fails fast at stream construction") {
+    intercept[IllegalArgumentException](
+      spark.readStream.format("graft-logtable").load(tmp("lts-noschema-"))
+        .writeStream.format("noop").start())
+  }
+}
