@@ -96,13 +96,19 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     * per-column (min, max) stats as strings (None = no stats / all null). */
   private[merge] case class FileEntry(name: String, bucket: Int,
                                       stats: Map[String, (String, String)])
-  /** One commit's log entry — the Delta add/remove action set. */
+  /** One commit's log entry — the Delta add/remove action set, plus an
+    * optional schema action (Delta's metaData: present only on the commits
+    * that CHANGE the schema). */
   private[merge] case class Delta(version: Long, dataChange: Boolean,
                                   add: Seq[FileEntry], remove: Seq[String],
-                                  dvAdd: Seq[String], dvRemove: Seq[String])
-  /** Folded state as of a version. */
+                                  dvAdd: Seq[String], dvRemove: Seq[String],
+                                  schemaJson: Option[String])
+  /** Folded state as of a version — files, DVs, and the schema AS OF that
+    * version (schema lives in the log, so time travel serves each version
+    * with the schema it had — the composition a table-level schema field
+    * cannot express). */
   private[merge] case class Snapshot(version: Long, files: Seq[FileEntry],
-                                     dv: Seq[String])
+                                     dv: Seq[String], schema: StructType)
 
   // ── log primitives ──────────────────────────────────────────────────────
 
@@ -149,7 +155,8 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     val n = mapper.readTree(Files.readAllBytes(p))
     Delta(n.get("version").asLong(), n.get("dataChange").asBoolean(),
       fileEntriesFrom(n.get("add")), texts(n.get("remove")),
-      texts(n.get("dvAdd")), texts(n.get("dvRemove")))
+      texts(n.get("dvAdd")), texts(n.get("dvRemove")),
+      Option(n.get("schema")).map(_.asText()))
   }
 
   private def writeFileEntries(fa: ArrayNode, files: Seq[FileEntry]): Unit =
@@ -180,7 +187,8 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     * landed first (caller discards orphan files and re-derives). On
     * success, cuts a checkpoint when the version hits the interval. */
   private def tryCommit(prev: Option[Snapshot], newFiles: Seq[FileEntry],
-                        newDv: Seq[String], dataChange: Boolean): Boolean = {
+                        newDv: Seq[String], dataChange: Boolean,
+                        newSchema: Option[StructType] = None): Boolean = {
     val expected = prev.map(_.version).getOrElse(0L)
     val v = expected + 1
     val prevFiles = prev.map(_.files).getOrElse(Seq.empty)
@@ -190,6 +198,7 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     val node: ObjectNode = mapper.createObjectNode()
     node.put("version", v)
     node.put("dataChange", dataChange)
+    newSchema.foreach(s => node.put("schema", s.json))
     writeFileEntries(node.putArray("add"),
       newFiles.filterNot(e => prevNames.contains(e.name)))
     val rm: ArrayNode = node.putArray("remove")
@@ -200,7 +209,8 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     prevDv.filterNot(newDv.contains).foreach(dr.add)
     val won = createExclusive(manifestPath(v), mapper.writeValueAsBytes(node))
     if (won && v % checkpointInterval == 0)
-      writeCheckpoint(Snapshot(v, newFiles, newDv))
+      writeCheckpoint(Snapshot(v, newFiles, newDv,
+        newSchema.orElse(prev.map(_.schema)).getOrElse(schema)))
     won
   }
 
@@ -211,6 +221,7 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
   private def writeCheckpoint(s: Snapshot): Unit = {
     val node: ObjectNode = mapper.createObjectNode()
     node.put("version", s.version)
+    node.put("schema", s.schema.json)
     writeFileEntries(node.putArray("files"), s.files)
     val da: ArrayNode = node.putArray("dv")
     s.dv.foreach(da.add)
@@ -224,7 +235,10 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
   private def readCheckpoint(v: Long): Snapshot = {
     val n = mapper.readTree(Files.readAllBytes(checkpointPath(v)))
     Snapshot(n.get("version").asLong(), fileEntriesFrom(n.get("files")),
-      texts(n.get("dv")))
+      texts(n.get("dv")),
+      Option(n.get("schema")).map(s =>
+        org.apache.spark.sql.types.DataType.fromJson(s.asText())
+          .asInstanceOf[StructType]).getOrElse(schema))
   }
 
   /** Newest checkpoint version ≤ `v`, via the hint when it qualifies (the
@@ -242,7 +256,9 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     val rm = d.remove.toSet; val dvRm = d.dvRemove.toSet
     Snapshot(d.version,
       s.files.filterNot(e => rm.contains(e.name)) ++ d.add,
-      s.dv.filterNot(dvRm.contains) ++ d.dvAdd)
+      s.dv.filterNot(dvRm.contains) ++ d.dvAdd,
+      d.schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[StructType]).getOrElse(s.schema))
   }
 
   /** Fold the log to the state as of version `v`: newest checkpoint ≤ v,
@@ -262,9 +278,16 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
       case None =>
         require(avail.headOption.contains(1L),
           s"version $v not reconstructible: no checkpoint and the log prefix was vacuumed")
-        (1L to v).foldLeft(Snapshot(0L, Seq.empty, Seq.empty))(
+        (1L to v).foldLeft(Snapshot(0L, Seq.empty, Seq.empty, schema))(
           (s, x) => applyDelta(s, readDelta(x)))
     }
+  }
+
+  /** Schema AS OF the live version (the log's metaData fold — equals the
+    * construction schema until [[evolve]] commits a wider one). */
+  def currentSchema: StructType = {
+    val v = currentVersion
+    if (v == 0) schema else snapshotAt(v).schema
   }
 
   // ── data-file writes ────────────────────────────────────────────────────
@@ -273,13 +296,26 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     * returns the new entries (bucket tag from the hive partition dir,
     * per-file stats from one grouped aggregate over the staged write).
     * `coalesceTo` (unbucketed only) bounds the file count — the
-    * compaction knob. */
-  private def writeFiles(df: DataFrame, coalesceTo: Option[Int] = None)
-      : Seq[FileEntry] = {
+    * compaction knob. `clusterBy` (unbucketed only) range-partitions and
+    * sorts the rewrite on those keys, so each output file covers a tight
+    * key range and the manifest stats become selective — the clustering
+    * knob. */
+  private def writeFiles(df: DataFrame, coalesceTo: Option[Int] = None,
+                         clusterBy: Seq[String] = Nil): Seq[FileEntry] = {
     val tmp = Files.createTempDirectory(rootPath, ".write-")
     bucketBy match {
       case None =>
-        val out = coalesceTo.map(n => df.repartition(n)).getOrElse(df)
+        val cs = clusterBy.map(col)
+        val out = (coalesceTo, clusterBy) match {
+          // range exchange with sampled bounds — no global single-reducer
+          // sort — then a per-file sort for row-group stats
+          case (Some(n), c) if c.nonEmpty =>
+            df.repartitionByRange(n, cs: _*).sortWithinPartitions(cs: _*)
+          case (None, c) if c.nonEmpty =>
+            df.repartitionByRange(cs: _*).sortWithinPartitions(cs: _*)
+          case (Some(n), _) => df.repartition(n)
+          case _ => df
+        }
         out.write.mode("overwrite").parquet(tmp.toString)
       case Some((keys, _)) =>
         // one file per touched bucket, rows sorted on the keys for
@@ -305,7 +341,7 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
         val aggs = statsBy.flatMap(c => Seq(
           min(col(c)).cast("string").as(s"__lo_$c"),
           max(col(c)).cast("string").as(s"__hi_$c")))
-        spark.read.schema(schema).parquet(staged.map(_._1.toString): _*)
+        spark.read.schema(df.schema).parquet(staged.map(_._1.toString): _*)
           .groupBy(input_file_name().as("__f"))
           .agg(aggs.head, aggs.tail: _*)
           .collect().map { r =>
@@ -334,15 +370,21 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
 
   // ── reads ───────────────────────────────────────────────────────────────
 
-  private def emptyDf: DataFrame = spark.createDataFrame(
-    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  private def emptyDf: DataFrame = emptyDf(schema)
+  private def emptyDf(s: StructType): DataFrame = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
 
   private val DvName = "__dv_name"
   private val DvPos = "__dv_pos"
 
-  private def readData(entries: Seq[FileEntry], dv: Seq[String]): DataFrame = {
-    if (entries.isEmpty) return emptyDf
-    val raw = spark.read.schema(schema)
+  /** Read `entries` with `as` as the read schema — files written before an
+    * [[evolve]] lack the newer columns and come back null-filled (the
+    * mergeSchema read, served from the log's schema instead of a footer
+    * scan). */
+  private def readData(entries: Seq[FileEntry], dv: Seq[String],
+                       as: StructType): DataFrame = {
+    if (entries.isEmpty) return emptyDf(as)
+    val raw = spark.read.schema(as)
       .parquet(entries.map(e => filesDir.resolve(e.name).toString): _*)
     val out = if (dv.isEmpty) raw
     else {
@@ -354,21 +396,22 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
         .join(dvDf, Seq(DvName, DvPos), "left_anti")
         .drop(DvName, DvPos)
     }
-    out.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    out.select(as.fieldNames.map(col).toIndexedSeq: _*)
   }
 
   /** Live table (empty frame before the first commit). */
   def read(): DataFrame = {
     val v = currentVersion
     if (v == 0) emptyDf
-    else { val s = snapshotAt(v); readData(s.files, s.dv) }
+    else { val s = snapshotAt(v); readData(s.files, s.dv, s.schema) }
   }
 
   /** The table as of version `v` — INCLUDING that version's deletion
-    * vectors (DV-aware history: every commit is a named version here). */
+    * vectors AND its schema (DV-aware, schema-aware history: every commit
+    * is a named version here, served with the schema it had). */
   def readVersion(v: Long): DataFrame = {
     val s = snapshotAt(v)
-    readData(s.files, s.dv)
+    readData(s.files, s.dv, s.schema)
   }
 
   /** Manifest-stats file skipping: read only files whose [lo, hi] for `c`
@@ -382,7 +425,7 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     val v = currentVersion
     if (v == 0) return emptyDf.filter(col(c) >= lo && col(c) <= hi)
     val m = snapshotAt(v)
-    val dt = schema(c).dataType
+    val dt = m.schema(c).dataType
     // one overlap evaluation for ALL stats-carrying files (Spark's own
     // cast/ordering semantics); stat-less files are kept unconditionally
     val (withStats, noStats) = m.files.partition(_.stats.contains(c))
@@ -398,7 +441,7 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
           .select("__name").collect().map(_.getString(0)).toSet
         noStats ++ withStats.filter(e => surviving.contains(e.name))
       }
-    readData(kept, m.dv).filter(col(c) >= lo && col(c) <= hi)
+    readData(kept, m.dv, m.schema).filter(col(c) >= lo && col(c) <= hi)
   }
 
   /** Number of files the live version references (spec hook). */
@@ -458,7 +501,7 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
   def merge(batch: DataFrame)(f: (DataFrame, DataFrame) => DataFrame): Unit =
     bucketBy match {
       case None => commitLoop(5) { snap =>
-        val cur = snap.map(m => readData(m.files, m.dv)).getOrElse(emptyDf)
+        val cur = snap.map(m => readData(m.files, m.dv, m.schema)).getOrElse(emptyDf)
         val fresh = writeFiles(f(cur, batch))
         Some((fresh, Seq.empty, fresh))
       }
@@ -468,7 +511,8 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
         val (hit, kept) = snap.map(_.files).getOrElse(Seq.empty)
           .partition(e => touched.contains(e.bucket))
         val dv = snap.map(_.dv).getOrElse(Seq.empty)
-        val cur = if (hit.isEmpty) emptyDf else readData(hit, dv)
+        val as = snap.map(_.schema).getOrElse(schema)
+        val cur = if (hit.isEmpty) emptyDf(as) else readData(hit, dv, as)
         val fresh = writeFiles(f(cur, batch))
         Some((kept ++ fresh, dv, fresh))
       }
@@ -505,7 +549,7 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
   }
 
   private def readDataWithPos(m: Snapshot): DataFrame = {
-    val raw = spark.read.schema(schema)
+    val raw = spark.read.schema(m.schema)
       .parquet(m.files.map(e => filesDir.resolve(e.name).toString): _*)
       .withColumn(DvName, regexp_extract(col("_metadata.file_path"), "([^/]+)$", 1))
       .withColumn(DvPos, col("_metadata.row_index"))
@@ -521,7 +565,7 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
   def occMerge(batch: DataFrame, maxAttempts: Int = 5)
               (f: (DataFrame, DataFrame) => DataFrame): Int =
     commitLoop(maxAttempts) { snap =>
-      val cur = snap.map(m => readData(m.files, m.dv)).getOrElse(emptyDf)
+      val cur = snap.map(m => readData(m.files, m.dv, m.schema)).getOrElse(emptyDf)
       val fresh = writeFiles(f(cur, batch))
       Some((fresh, Seq.empty, fresh))
     }
@@ -534,8 +578,18 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     * `dataChange = false`: the logical content is unchanged, so
     * [[changesSince]] consumers skip the commit entirely (Delta's
     * OPTIMIZE/streaming contract). Returns the number of data files
-    * removed (0 ⇒ nothing worth compacting, no version cut). */
-  def compact(targetFileBytes: Long = 128L << 20): Int = {
+    * removed (0 ⇒ nothing worth compacting, no version cut).
+    *
+    * `clusterBy` (unbucketed only) is the `OPTIMIZE … ZORDER BY` /
+    * liquid-clustering analog: the rewrite is range-partitioned and sorted
+    * on those keys, so each output file covers a tight key range and
+    * [[readRange]]'s manifest-stats pruning becomes selective on data that
+    * arrived in key-random appends. An explicit clusterBy always rewrites
+    * (re-layout is the point, even at the target file count). */
+  def compact(targetFileBytes: Long = 128L << 20,
+              clusterBy: Seq[String] = Nil): Int = {
+    require(clusterBy.isEmpty || bucketBy.isEmpty,
+      "clusterBy applies to unbucketed tables (bucketed layout is fixed by the bucket keys)")
     var removed = 0
     commitLoop(5, dataChange = false) { snap =>
       snap match {
@@ -544,15 +598,16 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
           val bytes = m.files.map(e =>
             Files.size(filesDir.resolve(e.name))).sum
           val want = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-          val worthIt = m.dv.nonEmpty ||
+          val worthIt = m.files.nonEmpty && (m.dv.nonEmpty || clusterBy.nonEmpty ||
             (bucketBy match {
               case Some((_, n)) => m.files.size > n
               case None => m.files.size > want
-            })
+            }))
           if (!worthIt) { removed = 0; None }
           else {
-            val fresh = writeFiles(readData(m.files, m.dv),
-              coalesceTo = if (bucketBy.isEmpty) Some(want) else None)
+            val fresh = writeFiles(readData(m.files, m.dv, m.schema),
+              coalesceTo = if (bucketBy.isEmpty) Some(want) else None,
+              clusterBy = clusterBy)
             removed = m.files.size
             Some((fresh, Seq.empty, fresh))
           }
@@ -608,18 +663,62 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
         (v, d.add)
       }
     }
-    if (!withCommitVersion) readData(perVersion.flatMap(_._2), Seq.empty)
+    // the feed is served in the END version's schema (earlier files
+    // null-fill) — a mid-span evolve never forks the batch schema
+    val as = snapshotAt(toVersion).schema
+    if (!withCommitVersion) readData(perVersion.flatMap(_._2), Seq.empty, as)
     else {
       val parts = perVersion.collect { case (v, adds) if adds.nonEmpty =>
-        readData(adds, Seq.empty).withColumn(LogTable.CommitVersionCol, lit(v))
+        readData(adds, Seq.empty, as).withColumn(LogTable.CommitVersionCol, lit(v))
       }
-      if (parts.isEmpty) emptyDf.withColumn(LogTable.CommitVersionCol, lit(0L))
+      if (parts.isEmpty) emptyDf(as).withColumn(LogTable.CommitVersionCol, lit(0L))
       else parts.reduce(_ union _)
     }
   }
 
-  /** Roll FORWARD to the content of version `v` (history preserved). */
-  def restore(v: Long): Unit = overwrite(readVersion(v))
+  /** SCHEMA EVOLUTION as a LOG ACTION (Delta's metaData commit): widen the
+    * schema additive-only — existing columns keep name and type, new ones
+    * append. The schema travels IN the log, so `readVersion` serves every
+    * version with the schema it had (pre-evolution versions come back
+    * narrow — the composition a table-level schema field cannot express),
+    * and post-evolution reads null-fill the old files (the mergeSchema
+    * read, resolved from the log instead of a footer scan). Committed
+    * `dataChange = false`: no rows changed, so change-feed consumers skip
+    * it. No data file is touched or rewritten. No-op (no version cut) when
+    * the schema is already `wider`. */
+  def evolve(wider: StructType): Unit = {
+    var attempts = 0
+    while (attempts < 5) {
+      attempts += 1
+      val v = currentVersion
+      val snap = if (v == 0) None else Some(snapshotAt(v))
+      val cur = snap.map(_.schema).getOrElse(schema)
+      cur.fields.foreach { f =>
+        val nf = wider.fields.find(_.name == f.name).getOrElse(
+          throw new IllegalArgumentException(
+            s"schema evolution is additive-only: existing column '${f.name}' missing " +
+              "from the evolved schema (drops/renames need a rewrite)"))
+        require(nf.dataType == f.dataType,
+          s"schema evolution cannot change types: '${f.name}' ${f.dataType.simpleString} " +
+            s"-> ${nf.dataType.simpleString} (type changes need a rewrite)")
+      }
+      if (cur == wider) return // already there: no version cut
+      if (tryCommit(snap, snap.map(_.files).getOrElse(Seq.empty),
+          snap.map(_.dv).getOrElse(Seq.empty), dataChange = false,
+          newSchema = Some(wider))) return
+    }
+    throw new IllegalStateException(
+      "schema-evolution commit lost the race 5 times — writer storm")
+  }
+
+  /** Roll FORWARD to the content of version `v` (history preserved).
+    * Content only — the LIVE schema stays (a restore is not a schema
+    * downgrade; the rewrite re-serves old rows null-filled if the schema
+    * widened since `v`). */
+  def restore(v: Long): Unit = {
+    val s = snapshotAt(v)
+    overwrite(readData(s.files, s.dv, currentSchema))
+  }
 
   /** Retention GC: keep the newest `retainLast` versions; cut a checkpoint
     * AT the oldest retained version first (so it stays reconstructible

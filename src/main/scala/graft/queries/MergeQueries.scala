@@ -23,13 +23,13 @@ object MergeQueries {
     (spark, dir) => {
       val o = Tables.orders(spark, dir)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
-      val target = o.filter(col("o_orderdate") < lit("1995-01-01").cast("timestamp"))
+      val target = o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       val batch = o.filter(col("o_totalprice") > 150000)
       Merge.insertOnly(target, batch, Seq("o_orderkey"))
         .orderBy(col("o_orderkey"))
     },
     Some("""WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders),
-           |target AS (SELECT * FROM o WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'),
+           |target AS (SELECT * FROM o WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
            |batch AS (SELECT * FROM o WHERE o_totalprice > 150000)
            |SELECT * FROM target
            |UNION ALL
@@ -193,7 +193,7 @@ object MergeQueries {
       val root = FixtureDirs.create("q49-tt-").toString
       val t = new graft.merge.ParquetTable(spark, s"$root/orders_v", o.schema,
         keepVersions = 4)
-      val target = o.filter(col("o_orderdate") < lit("1995-01-01").cast("timestamp"))
+      val target = o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       val batch1 = o.filter(col("o_totalprice") > 150000)
       val batch2 = o.filter(col("o_orderstatus") === "F")
         .withColumn("o_totalprice", round(col("o_totalprice") + 1000, 2))
@@ -209,7 +209,7 @@ object MergeQueries {
       }.reduce(_.union(_)).orderBy(col("version"))
     },
     Some("""WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders),
-           |v1 AS (SELECT * FROM o WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'),
+           |v1 AS (SELECT * FROM o WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
            |b1 AS (SELECT * FROM o WHERE o_totalprice > 150000),
            |v2 AS (SELECT * FROM v1
            |  UNION ALL
@@ -255,7 +255,7 @@ object MergeQueries {
     val root = FixtureDirs.create(prefix).toString
     val t = new graft.merge.ParquetTable(spark, s"$root/orders_v", o.schema,
       keepVersions = 5)
-    val target = o.filter(col("o_orderdate") < lit("1995-01-01").cast("timestamp"))
+    val target = o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
     val batch1 = o.filter(col("o_totalprice") > 150000)
     val batch2 = o.filter(col("o_orderstatus") === "F")
       .withColumn("o_totalprice", round(col("o_totalprice") + 1000, 2))
@@ -278,7 +278,7 @@ object MergeQueries {
         .orderBy(col("_commit_version"), col("_change_type"), col("o_orderkey"))
     },
     Some("""WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders),
-           |v1 AS (SELECT * FROM o WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'),
+           |v1 AS (SELECT * FROM o WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
            |b1 AS (SELECT * FROM o WHERE o_totalprice > 150000),
            |v2 AS (SELECT * FROM v1
            |  UNION ALL
@@ -376,7 +376,7 @@ object MergeQueries {
         .orderBy(col("o_orderstatus"))
     },
     Some("""WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders),
-           |v1 AS (SELECT * FROM o WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'),
+           |v1 AS (SELECT * FROM o WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
            |b1 AS (SELECT * FROM o WHERE o_totalprice > 150000),
            |v2 AS (SELECT * FROM v1
            |  UNION ALL
@@ -451,7 +451,7 @@ object MergeQueries {
     "q53_schema_evolution",
     (spark, dir) => {
       val full = Tables.orders(spark, dir)
-      val cut = lit("1995-01-01").cast("timestamp")
+      val cut = lit("1998-01-01").cast("timestamp")
       val narrow = full.select(col("o_orderkey"), col("o_orderstatus"),
         col("o_totalprice"), col("o_orderdate"))
       val root = FixtureDirs.create("q53-evo-").resolve("orders_e").toString
@@ -467,7 +467,7 @@ object MergeQueries {
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
         .orderBy(col("prio"))
     },
-    Some("""SELECT CASE WHEN o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+    Some("""SELECT CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
            |            THEN 'PRE-EVOLUTION' ELSE o_orderpriority END AS prio,
            |       count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
            |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin),
@@ -489,7 +489,7 @@ object MergeQueries {
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
       val root = FixtureDirs.create("q54-clone-")
       val t = new graft.merge.ParquetTable(spark, root.resolve("src").toString, o.schema)
-      t.overwrite(o.filter(col("o_orderdate") < lit("1995-01-01").cast("timestamp")))
+      t.overwrite(o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")))
       val c = t.cloneTo(root.resolve("dup").toString)
       val batch = o.filter(col("o_orderstatus") === "F")
         .withColumn("o_totalprice", round(col("o_totalprice") + 1000, 2))
@@ -502,7 +502,7 @@ object MergeQueries {
         .orderBy(col("side"))
     },
     Some("""WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders),
-           |v1 AS (SELECT * FROM o WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'),
+           |v1 AS (SELECT * FROM o WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
            |b AS (SELECT o_orderkey, 'R' AS o_orderstatus,
            |             round(o_totalprice + 1000, 2) AS o_totalprice, o_orderdate
            |      FROM o WHERE o_orderstatus = 'F'),
@@ -573,7 +573,7 @@ object MergeQueries {
       t.overwrite(o)
       val requests = o.filter(pmod(col("o_custkey"), lit(7)) === 3)
         .select(col("o_orderkey"))
-      val cut = lit("1995-01-01").cast("timestamp")
+      val cut = lit("1998-01-01").cast("timestamp")
       t.merge(requests)((cur, b) =>
         Merge.deleteMatched(cur, b, Seq("o_orderkey"),
           Some((tc, _) => tc("o_orderdate") < cut)))
@@ -584,7 +584,7 @@ object MergeQueries {
     Some("""WITH req AS (SELECT o_orderkey FROM orders WHERE o_custkey % 7 = 3),
            |kept AS (SELECT * FROM orders o WHERE NOT EXISTS (
            |  SELECT 1 FROM req r WHERE r.o_orderkey = o.o_orderkey
-           |    AND o.o_orderdate < TIMESTAMP '1995-01-01 00:00:00'))
+           |    AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'))
            |SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
            |FROM kept GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
     "MERGE delete-matched: guarded GDPR-style erasure, bucket-scoped rewrite (Delta WHEN MATCHED THEN DELETE analog)")
@@ -604,7 +604,7 @@ object MergeQueries {
       val root = FixtureDirs.create("q57-rst-").toString
       val t = new graft.merge.ParquetTable(spark, s"$root/orders_r", o.schema,
         keepVersions = 4)
-      val target = o.filter(col("o_orderdate") < lit("1995-01-01").cast("timestamp"))
+      val target = o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       val batch1 = o.filter(col("o_totalprice") > 150000)
       val batch2 = o.filter(col("o_orderstatus") === "F")
         .withColumn("o_totalprice", round(col("o_totalprice") + 1000, 2))
@@ -621,7 +621,7 @@ object MergeQueries {
       }.reduce(_.union(_)).orderBy(col("version"))
     },
     Some("""WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders),
-           |v1 AS (SELECT * FROM o WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'),
+           |v1 AS (SELECT * FROM o WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
            |b1 AS (SELECT * FROM o WHERE o_totalprice > 150000),
            |v2 AS (SELECT * FROM v1
            |  UNION ALL
@@ -667,7 +667,7 @@ object MergeQueries {
       val root = FixtureDirs.create("q62-vac-").toString
       val t = new graft.merge.ParquetTable(spark, s"$root/orders_g", o.schema,
         keepVersions = 4)
-      val target = o.filter(col("o_orderdate") < lit("1995-01-01").cast("timestamp"))
+      val target = o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       val batch1 = o.filter(col("o_totalprice") > 150000)
       val batch2 = o.filter(col("o_orderstatus") === "F")
         .withColumn("o_totalprice", round(col("o_totalprice") + 1000, 2))
@@ -686,7 +686,7 @@ object MergeQueries {
       }.reduce(_.union(_)).orderBy(col("version"))
     },
     Some("""WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders),
-           |v1 AS (SELECT * FROM o WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'),
+           |v1 AS (SELECT * FROM o WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
            |b1 AS (SELECT * FROM o WHERE o_totalprice > 150000),
            |v2 AS (SELECT * FROM v1
            |  UNION ALL
@@ -885,7 +885,7 @@ object MergeQueries {
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
       val root = FixtureDirs.create("q66-occ-").resolve("orders_occ").toString
       val t = new graft.merge.ParquetTable(spark, root, o.schema)
-      t.overwrite(o.filter(col("o_orderdate") < lit("1995-01-01").cast("timestamp")))
+      t.overwrite(o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")))
       val batchA = o.filter(col("o_orderstatus") === "F")
         .withColumn("o_totalprice", round(col("o_totalprice") + 1000, 2))
         .withColumn("o_orderstatus", lit("R"))
@@ -906,7 +906,7 @@ object MergeQueries {
         .orderBy(col("o_orderstatus"))
     },
     Some("""WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders),
-           |v1 AS (SELECT * FROM o WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'),
+           |v1 AS (SELECT * FROM o WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
            |ba AS (SELECT o_orderkey, 'R' AS o_orderstatus,
            |              round(o_totalprice + 1000, 2) AS o_totalprice, o_orderdate
            |       FROM o WHERE o_orderstatus = 'F'),
@@ -1014,7 +1014,7 @@ object MergeQueries {
       val root = FixtureDirs.create("q67-log-").resolve("orders_log").toString
       val t = new graft.merge.LogTable(spark, root, o.schema,
         bucketBy = Some((Seq("o_orderkey"), 8)), statsBy = Seq("o_orderdate"))
-      t.overwrite(o.filter(col("o_orderdate") < lit("1995-01-01").cast("timestamp")))  // v1
+      t.overwrite(o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")))  // v1
       t.merge(o.filter(col("o_totalprice") > 150000))(                                  // v2
         (cur, b) => Merge.insertOnly(cur, b, Seq("o_orderkey")))
       // (a corpus-wide batch touches every bucket, so no file sharing to
@@ -1044,7 +1044,7 @@ object MergeQueries {
         df.agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
           .select(lit(name).as("phase"), col("n"), col("sum_price"))
       val range = t.readRange("o_orderdate",
-        lit("1994-01-01").cast("timestamp"), lit("1994-06-30").cast("timestamp"))
+        lit("1996-01-01").cast("timestamp"), lit("1996-06-30").cast("timestamp"))
       (1L to 5L).map(v => phase(s"v$v", t.readVersion(v)))
         .reduce(_ union _)
         .union(Seq(("deleted", n3, 0.0)).toDF("phase", "n", "sum_price"))
@@ -1052,7 +1052,7 @@ object MergeQueries {
         .orderBy(col("phase"))
     },
     Some("""WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate FROM orders),
-           |v1 AS (SELECT * FROM o WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'),
+           |v1 AS (SELECT * FROM o WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
            |b2 AS (SELECT * FROM o WHERE o_totalprice > 150000),
            |v2 AS (SELECT * FROM v1
            |  UNION ALL SELECT * FROM b2 b
@@ -1077,8 +1077,8 @@ object MergeQueries {
            |  UNION ALL SELECT 'deleted',
            |    (SELECT count(*) FROM v2 WHERE o_custkey % 7 = 3), CAST(0 AS DOUBLE)
            |  UNION ALL SELECT 'range', count(*), round(sum(o_totalprice), 2) FROM v5
-           |    WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-           |      AND o_orderdate <= TIMESTAMP '1994-06-30 00:00:00')
+           |    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           |      AND o_orderdate <= TIMESTAMP '1996-06-30 00:00:00')
            |SELECT phase, n, sum_price FROM s ORDER BY phase""".stripMargin),
     "commit-log table lifecycle: bucketed x time travel x file stats x DV-as-named-version x contended OCC, one manifest log (Delta protocol from first principles)")
 
@@ -1229,5 +1229,116 @@ object MergeQueries {
             |ORDER BY phase, event_type""".stripMargin),
     "change-feed protocol: append feeds, compaction transparently skipped, update commit poisons the span until ignoreChanges re-emits in full, idempotent latest-emission consumer converges to the table (Delta readChangeFeed/ignoreChanges semantics)")
 
-  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl, opt, del, rst, vac, dvq, dvtt, occ, occContended, logLifecycle, logMaintenance, logChangeFeed)
+  /** CLUSTERED COMPACT (q70) — `OPTIMIZE … ZORDER BY` / liquid-clustering
+    * re-layout on the log table: four key-random appends (each slice spans
+    * the FULL date range, so per-file min/max stats are vacuous —
+    * `require`d: the range read prunes NOTHING before), then
+    * `compact(clusterBy = o_orderdate)` range-partitions + sorts the
+    * rewrite so each output file covers a tight date band, and the SAME
+    * [[graft.merge.LogTable.readRange]] now opens strictly fewer files
+    * (`require`d after). Content is pinned by the oracle — clustering is a
+    * pure layout move. The 100 TB shape: the rewrite is one
+    * `repartitionByRange` (sampled bounds, no single-reducer sort) + a
+    * per-file sort, and the pruning it buys compounds with the
+    * stats-in-manifest read path at any scale. */
+  val logClustered = QueryDef(
+    "q70_logtable_clustered",
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"))
+      val root = FixtureDirs.create("q70-log-").resolve("orders_clu").toString
+      val t = new graft.merge.LogTable(spark, root, o.schema,
+        statsBy = Seq("o_orderdate"))
+      (0 to 3).foreach(c =>                                                 // v1..v4
+        t.append(o.filter(pmod(col("o_orderkey"), lit(4)) === c)))
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1996-06-30").cast("timestamp")
+      val preFiles = t.liveFileNames().size
+      val prePruned = t.readRange("o_orderdate", lo, hi).inputFiles.length
+      require(prePruned == preFiles,
+        s"key-random appends must not be prunable ($prePruned of $preFiles)")
+      require(t.compact(targetFileBytes = 64L << 10,                       // v5
+        clusterBy = Seq("o_orderdate")) == preFiles)
+      val files = t.liveFileNames().size
+      val range = t.readRange("o_orderdate", lo, hi)
+      require(files > 1 && range.inputFiles.length < files,
+        s"clustering must make stats selective (${range.inputFiles.length} of $files)")
+      def phase(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+          .select(lit(name).as("phase"), col("n"), col("sum_price"))
+      phase("all", t.read()).union(phase("range", range)).orderBy(col("phase"))
+    },
+    Some("""WITH o AS (SELECT o_totalprice, o_orderdate FROM orders),
+           |s AS (
+           |  SELECT 'all' AS phase, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price FROM o
+           |  UNION ALL SELECT 'range', count(*), round(sum(o_totalprice), 2) FROM o
+           |    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           |      AND o_orderdate <= TIMESTAMP '1996-06-30 00:00:00')
+           |SELECT phase, n, sum_price FROM s ORDER BY phase""".stripMargin),
+    "clustered compact (OPTIMIZE ZORDER / liquid-clustering analog): range-partitioned rewrite turns vacuous per-file stats into selective ones — readRange prunes files it could not before, content bit-identical")
+
+  /** SCHEMA IN THE LOG (q71) — Delta's metaData action on the commit-log
+    * table, the composition q53's table-level evolve cannot express: the
+    * schema is itself versioned, so (1) `readVersion(pre-evolution)` comes
+    * back NARROW (`require`d: 4 columns), (2) the live read serves old
+    * files null-filled under the evolved schema (the mergeSchema read,
+    * resolved from the log — no footer scans), (3) the evolve commit is
+    * `dataChange = false`, so the change feed SKIPS it and serves the
+    * post-evolution append in the end-version schema, and (4) no data file
+    * is touched by the evolve (`require`d). The oracle restates all of it
+    * relationally with the q53 CASE. */
+  val logEvolve = QueryDef(
+    "q71_logtable_schema_evolution",
+    (spark, dir) => {
+      val full = Tables.orders(spark, dir)
+      val cut = lit("1998-01-01").cast("timestamp")
+      val narrow = full.select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"))
+      val root = FixtureDirs.create("q71-evo-").resolve("orders_evo").toString
+      val t = new graft.merge.LogTable(spark, root, narrow.schema)
+      t.overwrite(narrow.filter(col("o_orderdate") < cut))                 // v1
+      val files1 = t.liveFileNames()
+      t.evolve(narrow.schema.add("o_orderpriority",                        // v2: metaData only
+        org.apache.spark.sql.types.StringType))
+      require(t.liveFileNames() == files1, "evolve must touch no data file")
+      require(t.readVersion(1).schema.fieldNames.length == 4,
+        "pre-evolution version must come back narrow")
+      require(t.currentSchema.fieldNames.length == 5,
+        "live schema must be the evolved one")
+      t.append(full.select(col("o_orderkey"), col("o_orderstatus"),        // v3
+          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+        .filter(col("o_orderdate") >= cut))
+      // the change feed skips the evolve commit and serves the append in
+      // the evolved schema
+      val feed = t.changesBetween(1L, 3L)
+      require(feed.schema.fieldNames.length == 5,
+        "feed must serve the end-version schema")
+      def row(phase: String, prio: org.apache.spark.sql.Column,
+              df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(prio.as("prio"))
+          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+          .select(lit(phase).as("phase"), col("prio"), col("n"), col("sum_price"))
+      row("v1", lit("*"), t.readVersion(1))
+        .union(row("live", coalesce(col("o_orderpriority"), lit("PRE-EVOLUTION")), t.read()))
+        .union(row("feed", lit("*"), feed))
+        .orderBy(col("phase"), col("prio"))
+    },
+    Some("""WITH o AS (SELECT o_totalprice, o_orderdate, o_orderpriority FROM orders),
+           |s AS (
+           |  SELECT 'v1' AS phase, '*' AS prio, count(*) AS n,
+           |         round(sum(o_totalprice), 2) AS sum_price
+           |  FROM o WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+           |  UNION ALL
+           |  SELECT 'live', CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+           |                      THEN 'PRE-EVOLUTION' ELSE o_orderpriority END,
+           |         count(*), round(sum(o_totalprice), 2)
+           |  FROM o GROUP BY 2
+           |  UNION ALL
+           |  SELECT 'feed', '*', count(*), round(sum(o_totalprice), 2)
+           |  FROM o WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+           |SELECT phase, prio, n, sum_price FROM s ORDER BY phase, prio""".stripMargin),
+    "schema evolution as a log action (Delta metaData): versioned schema, narrow time travel, null-filled mergeSchema reads, change feed skips the metaData commit")
+
+  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl, opt, del, rst, vac, dvq, dvtt, occ, occContended, logLifecycle, logMaintenance, logChangeFeed, logClustered, logEvolve)
 }

@@ -22,21 +22,30 @@ object VectorQueries {
        |         * sqrt(list_sum(list_transform($b, x -> x*x)))) END)""".stripMargin
       .replace("\n", " ")
 
-  /** Embedding near-dup: same-label blocking + exact cosine ≥ 0.8. */
+  /** Embedding near-dup: same-label blocking + exact cosine ≥ 0.4. The
+    * threshold is DATA-derived, not aspirational: the synthetic embeddings'
+    * within-label cosine tops out ≈ 0.51 (sf0.1) / 0.47 (sf0.01), so the
+    * conventional 0.8 gate selects NOTHING at any SF — the d49
+    * green-and-vacuous failure, caught by the r10 vacuity sweep. 0.4 keeps
+    * the gate live at both SFs (5 / 86 pairs) and the require makes a dead
+    * gate fail the row instead of passing it. */
   val v01 = QueryDef(
     "v01_embedding_neardup",
     (spark, dir) => {
       VectorFunctions.register(spark)
-      Dedup.embeddingNearDup(Tables.embeddings(spark, dir), "vec_id", "embedding",
-          "label", VectorFunctions.cosineSim, minCos = 0.8)
-        .orderBy(col("id_a"), col("id_b"))
+      val out = Dedup.embeddingNearDup(Tables.embeddings(spark, dir), "vec_id",
+          "embedding", "label", VectorFunctions.cosineSim, minCos = 0.4)
+        .localCheckpoint(true) // tiny (flagged pairs only); one pass feeds both uses
+      require(!out.isEmpty,
+        "v01 near-dup gate selected nothing — threshold dead (d49 lesson)")
+      out.orderBy(col("id_a"), col("id_b"))
     },
     Some {
       val cos = cosSql("a.emb", "b.emb")
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cos, 6) AS cos
          |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE round($cos, 6) >= 0.8
+         |WHERE round($cos, 6) >= 0.4
          |ORDER BY id_a, id_b""".stripMargin
     },
     "embedding cosine near-dup with label blocking (LLM-pipeline op)")

@@ -155,6 +155,32 @@ class LogTableSpec extends SparkSpec {
     assert(t.history() == (1L to 7L))
   }
 
+  test("clustered compact: key-random appends leave manifest stats useless; " +
+      "compact(clusterBy) re-layouts so readRange prunes files; content intact") {
+    val t = new LogTable(spark, tmp("log-clu-"), s2.add("d", LongType)
+      .asInstanceOf[StructType], statsBy = Seq("d"))
+    // 4 appends, ONE file each, every file spanning the FULL d-range
+    // (coalesce(1) — a local ordered Seq would otherwise split into
+    // range-contiguous slices and be accidentally pre-clustered)
+    (0 until 4).foreach { g =>
+      t.append((0L until 100L).filter(_ % 4 == g)
+        .map(i => (i, s"v$i", i * 10L)).toDF("k", "v", "d").coalesce(1))
+    }
+    val all = t.read()
+    val before = t.readRange("d", lit(0L), lit(199L))
+    assert(before.inputFiles.length == all.inputFiles.length,
+      "interleaved appends should not be prunable — fixture broken")
+    val expect = rows2(all.filter(col("d") <= 199L))
+    // tiny target → several output files, range-clustered on d
+    assert(t.compact(targetFileBytes = 2048L, clusterBy = Seq("d")) >= 4)
+    assert(rows2(t.read()) == rows2(all), "clustered compact changed content")
+    val after = t.readRange("d", lit(0L), lit(199L))
+    assert(rows2(after) == expect)
+    assert(after.inputFiles.length < t.liveFileNames().size,
+      s"clustering did not make stats selective: ${after.inputFiles.length} of " +
+        s"${t.liveFileNames().size} files read")
+  }
+
   test("changesSince: append-only feed, compaction transparently skipped, " +
       "update commits throw unless ignoreChanges (at-least-once re-emit)") {
     val t = new LogTable(spark, tmp("log-cdc-"), s2)
@@ -183,6 +209,44 @@ class LogTableSpec extends SparkSpec {
     // vacuumed span fails loudly (restart-from-snapshot contract)
     t.vacuum(retainLast = 1)
     intercept[IllegalArgumentException](t.changesSince(c2, ignoreChanges = true))
+  }
+
+  test("schema lives in the log: evolve is a metaData commit (no files " +
+      "touched), time travel serves each version with ITS schema, old " +
+      "files null-fill, the change feed skips the evolve commit") {
+    val t = new LogTable(spark, tmp("log-evo-"), s2, checkpointInterval = 2)
+    t.append(Seq((1L, "a")).toDF("k", "v"))                              // v1
+    val files1 = t.liveFileNames()
+    val wider = s2.add("d", LongType)
+    t.evolve(wider)                                                      // v2: metaData only
+    assert(t.liveFileNames() == files1, "evolve touched data files")
+    assert(t.currentSchema == wider)
+    // time travel: v1 comes back NARROW, live comes back wide + null-filled
+    assert(t.readVersion(1).schema.fieldNames.toSeq == Seq("k", "v"))
+    assert(t.read().schema.fieldNames.toSeq == Seq("k", "v", "d"))
+    assert(t.read().select("k", "d").as[(Long, Option[Long])].collect().toSeq ==
+      Seq((1L, None)))
+    t.append(Seq((2L, "b", 20L)).toDF("k", "v", "d"))                    // v3
+    assert(t.read().orderBy("k").as[(Long, String, Option[Long])].collect().toSeq ==
+      Seq((1L, "a", None), (2L, "b", Some(20L))))
+    // idempotent + additive-only
+    t.evolve(wider)
+    assert(t.history() == Seq(1L, 2L, 3L), "re-evolve must cut no version")
+    intercept[IllegalArgumentException](t.evolve(
+      StructType(Seq(StructField("k", LongType))))) // drop
+    intercept[IllegalArgumentException](t.evolve(
+      StructType(Seq(StructField("k", StringType), StructField("v", StringType))))) // type change
+    // feed: the evolve commit is invisible; adds serve in the END schema
+    val (cur, feed) = t.changesSince(1L)
+    assert(cur == 3L)
+    assert(feed.schema.fieldNames.toSeq == Seq("k", "v", "d"))
+    assert(feed.as[(Long, String, Option[Long])].collect().toSeq ==
+      Seq((2L, "b", Some(20L))))
+    // checkpoint at v2 carries the evolved schema; vacuum keeps it readable
+    assert(t.checkpointVersions().contains(2L))
+    t.vacuum(retainLast = 2)
+    assert(t.readVersion(2).schema.fieldNames.toSeq == Seq("k", "v", "d"))
+    assert(rows(t.readVersion(2).select("k", "v")) == Seq((1L, "a")))
   }
 
   test("vacuum drops old versions' manifests and unreferenced files; " +
