@@ -102,13 +102,16 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
   private[merge] case class Delta(version: Long, dataChange: Boolean,
                                   add: Seq[FileEntry], remove: Seq[String],
                                   dvAdd: Seq[String], dvRemove: Seq[String],
-                                  schemaJson: Option[String])
-  /** Folded state as of a version — files, DVs, and the schema AS OF that
+                                  schemaJson: Option[String],
+                                  txn: Option[(String, Long)])
+  /** Folded state as of a version — files, DVs, the schema AS OF that
     * version (schema lives in the log, so time travel serves each version
     * with the schema it had — the composition a table-level schema field
-    * cannot express). */
+    * cannot express), and the per-writer transaction watermarks (Delta's
+    * `txn` action: appId → newest committed batchId). */
   private[merge] case class Snapshot(version: Long, files: Seq[FileEntry],
-                                     dv: Seq[String], schema: StructType)
+                                     dv: Seq[String], schema: StructType,
+                                     txns: Map[String, Long])
 
   // ── log primitives ──────────────────────────────────────────────────────
 
@@ -156,7 +159,9 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     Delta(n.get("version").asLong(), n.get("dataChange").asBoolean(),
       fileEntriesFrom(n.get("add")), texts(n.get("remove")),
       texts(n.get("dvAdd")), texts(n.get("dvRemove")),
-      Option(n.get("schema")).map(_.asText()))
+      Option(n.get("schema")).map(_.asText()),
+      Option(n.get("txn")).map(t =>
+        (t.get("app").asText(), t.get("batch").asLong())))
   }
 
   private def writeFileEntries(fa: ArrayNode, files: Seq[FileEntry]): Unit =
@@ -188,7 +193,8 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     * success, cuts a checkpoint when the version hits the interval. */
   private def tryCommit(prev: Option[Snapshot], newFiles: Seq[FileEntry],
                         newDv: Seq[String], dataChange: Boolean,
-                        newSchema: Option[StructType] = None): Boolean = {
+                        newSchema: Option[StructType] = None,
+                        txn: Option[(String, Long)] = None): Boolean = {
     val expected = prev.map(_.version).getOrElse(0L)
     val v = expected + 1
     val prevFiles = prev.map(_.files).getOrElse(Seq.empty)
@@ -199,6 +205,9 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     node.put("version", v)
     node.put("dataChange", dataChange)
     newSchema.foreach(s => node.put("schema", s.json))
+    txn.foreach { case (app, batch) =>
+      val t = node.putObject("txn"); t.put("app", app); t.put("batch", batch)
+    }
     writeFileEntries(node.putArray("add"),
       newFiles.filterNot(e => prevNames.contains(e.name)))
     val rm: ArrayNode = node.putArray("remove")
@@ -210,7 +219,8 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     val won = createExclusive(manifestPath(v), mapper.writeValueAsBytes(node))
     if (won && v % checkpointInterval == 0)
       writeCheckpoint(Snapshot(v, newFiles, newDv,
-        newSchema.orElse(prev.map(_.schema)).getOrElse(schema)))
+        newSchema.orElse(prev.map(_.schema)).getOrElse(schema),
+        prev.map(_.txns).getOrElse(Map.empty) ++ txn))
     won
   }
 
@@ -222,6 +232,8 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     val node: ObjectNode = mapper.createObjectNode()
     node.put("version", s.version)
     node.put("schema", s.schema.json)
+    val tn = node.putObject("txns")
+    s.txns.foreach { case (app, batch) => tn.put(app, batch) }
     writeFileEntries(node.putArray("files"), s.files)
     val da: ArrayNode = node.putArray("dv")
     s.dv.foreach(da.add)
@@ -238,7 +250,10 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
       texts(n.get("dv")),
       Option(n.get("schema")).map(s =>
         org.apache.spark.sql.types.DataType.fromJson(s.asText())
-          .asInstanceOf[StructType]).getOrElse(schema))
+          .asInstanceOf[StructType]).getOrElse(schema),
+      Option(n.get("txns")).map(t => t.properties().asScala.map(e =>
+        e.getKey -> e.getValue.asLong()).toMap)
+        .getOrElse(Map.empty[String, Long]))
   }
 
   /** Newest checkpoint version ≤ `v`, via the hint when it qualifies (the
@@ -258,7 +273,8 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
       s.files.filterNot(e => rm.contains(e.name)) ++ d.add,
       s.dv.filterNot(dvRm.contains) ++ d.dvAdd,
       d.schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
-        .asInstanceOf[StructType]).getOrElse(s.schema))
+        .asInstanceOf[StructType]).getOrElse(s.schema),
+      s.txns ++ d.txn)
   }
 
   /** Fold the log to the state as of version `v`: newest checkpoint ≤ v,
@@ -278,7 +294,7 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
       case None =>
         require(avail.headOption.contains(1L),
           s"version $v not reconstructible: no checkpoint and the log prefix was vacuumed")
-        (1L to v).foldLeft(Snapshot(0L, Seq.empty, Seq.empty, schema))(
+        (1L to v).foldLeft(Snapshot(0L, Seq.empty, Seq.empty, schema, Map.empty))(
           (s, x) => applyDelta(s, readDelta(x)))
     }
   }
@@ -456,7 +472,8 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     * snapshot, CAS the delta in; on a lost race discard the orphan files
     * and re-derive against the new snapshot. `derive` returning None means
     * "nothing to commit" (no version is cut). Returns attempts. */
-  private def commitLoop(maxAttempts: Int, dataChange: Boolean = true)
+  private def commitLoop(maxAttempts: Int, dataChange: Boolean = true,
+                         txn: Option[(String, Long)] = None)
                         (derive: Option[Snapshot] => Option[(Seq[FileEntry], Seq[String], Seq[FileEntry])])
       : Int = {
     var attempts = 0
@@ -467,7 +484,7 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
       derive(snap) match {
         case None => return attempts
         case Some((files, dv, fresh)) =>
-          if (tryCommit(snap, files, dv, dataChange)) return attempts
+          if (tryCommit(snap, files, dv, dataChange, txn = txn)) return attempts
           dropFiles(fresh)
       }
     }
@@ -489,6 +506,37 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
       Some((snap.map(_.files).getOrElse(Seq.empty) ++ fresh,
         snap.map(_.dv).getOrElse(Seq.empty), fresh))
     }
+
+  /** Newest batchId `appId` has committed, -1 = none (Delta's `txn`
+    * watermark read — the idempotent-sink handshake). */
+  def lastTxn(appId: String): Long = {
+    val v = currentVersion
+    if (v == 0) -1L else snapshotAt(v).txns.getOrElse(appId, -1L)
+  }
+
+  /** IDEMPOTENT APPEND (Delta's `txn` action — the exactly-once streaming
+    * SINK protocol): commit `df` tagged (appId, batchId); a batchId at or
+    * below `appId`'s committed watermark is a NO-OP (returns false, no
+    * version cut). The duplicate check runs INSIDE the commit loop, so a
+    * race between redundant deliveries resolves through the CAS: the loser
+    * re-derives, sees the watermark advanced, and drops out. This is what
+    * makes a foreachBatch APPEND sink exactly-once — O(batch) per commit,
+    * where an idempotent MERGE sink pays O(table) per batch for the same
+    * guarantee. */
+  def appendOnce(df: DataFrame, appId: String, batchId: Long): Boolean = {
+    var committed = false
+    commitLoop(5, txn = Some((appId, batchId))) { snap =>
+      if (snap.exists(_.txns.getOrElse(appId, -1L) >= batchId)) {
+        committed = false; None // already delivered: no version cut
+      } else {
+        val fresh = writeFiles(df)
+        committed = true
+        Some((snap.map(_.files).getOrElse(Seq.empty) ++ fresh,
+          snap.map(_.dv).getOrElse(Seq.empty), fresh))
+      }
+    }
+    committed
+  }
 
   /** MERGE: unbucketed = full rewrite of `f(live, batch)`; bucketed = the
     * partition-scoped form — only buckets whose keys appear in the batch

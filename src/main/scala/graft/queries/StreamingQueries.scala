@@ -2504,10 +2504,11 @@ object StreamingQueries {
           .filter(col("value") >= 0.5)
           .writeStream.option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow())
-          .foreachBatch { (b: DataFrame, _: Long) =>
-            if (!b.isEmpty)
-              silver.merge(b)((cur, x) =>
-                graft.merge.Merge.insertOnly(cur, x, Seq("event_id")))
+          .foreachBatch { (b: DataFrame, batchId: Long) =>
+            // Delta txn-action sink: O(batch) idempotent append — an
+            // insert-only MERGE would buy the same guarantee at O(table)
+            // per micro-batch
+            if (!b.isEmpty) silver.appendOnce(b, "s38-silver", batchId)
             ()
           }.start()
         q.awaitTermination()

@@ -249,6 +249,29 @@ class LogTableSpec extends SparkSpec {
     assert(rows(t.readVersion(2).select("k", "v")) == Seq((1L, "a")))
   }
 
+  test("txn actions: appendOnce is exactly-once per (appId, batchId) — " +
+      "duplicates and stale batchIds no-op, watermarks are per-app and " +
+      "survive checkpoints + vacuum") {
+    val t = new LogTable(spark, tmp("log-txn-"), s2, checkpointInterval = 2)
+    assert(t.lastTxn("sink") == -1L)
+    assert(t.appendOnce(Seq((1L, "a")).toDF("k", "v"), "sink", 0L))     // v1
+    assert(t.appendOnce(Seq((2L, "b")).toDF("k", "v"), "sink", 1L))     // v2 (+checkpoint)
+    // re-delivery of batch 1 and a stale batch 0: both no-ops, no version
+    assert(!t.appendOnce(Seq((99L, "dup")).toDF("k", "v"), "sink", 1L))
+    assert(!t.appendOnce(Seq((98L, "old")).toDF("k", "v"), "sink", 0L))
+    assert(t.history() == Seq(1L, 2L))
+    assert(t.lastTxn("sink") == 1L)
+    // a DIFFERENT app has its own watermark
+    assert(t.appendOnce(Seq((3L, "c")).toDF("k", "v"), "other", 0L))    // v3
+    assert(t.lastTxn("other") == 0L && t.lastTxn("sink") == 1L)
+    assert(rows(t.read()) == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // watermarks ride the checkpoint: vacuum away the delta prefix, the
+    // fold through checkpoint(2) + delta(3) still knows both apps
+    t.vacuum(retainLast = 1)
+    assert(t.lastTxn("sink") == 1L && t.lastTxn("other") == 0L)
+    assert(!t.appendOnce(Seq((97L, "dup")).toDF("k", "v"), "sink", 1L))
+  }
+
   test("vacuum drops old versions' manifests and unreferenced files; " +
       "retained versions intact; crashed-write leftovers collected") {
     val root = tmp("log-vac-")
