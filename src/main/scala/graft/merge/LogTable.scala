@@ -60,13 +60,27 @@ import org.apache.spark.sql.types.StructType
   *     with `dataChange = false`, so [[changesSince]] (the streaming-source
   *     read) transparently skips it — Delta's OPTIMIZE/stream contract.
   *
+  *   - **schema in the log**: [[evolve]] is a metaData commit, so every
+  *     version time-travels with the schema it had and reads null-fill
+  *     old files from the log (no footer scans).
+  *   - **exactly-once sinks**: [[appendOnce]] folds Delta's `txn` action —
+  *     per-writer (appId, batchId) watermarks make redelivered
+  *     micro-batches no-ops at O(batch) cost.
+  *   - **a change feed + streaming source**: [[changesBetween]] serves
+  *     `(from, to]` spans (compaction invisible, `ignoreChanges` +
+  *     `_commit_version` for update replays);
+  *     [[graft.sources.LogTableSource]] turns it into a registered
+  *     `readStream` source with version offsets.
+  *
   * At 100 TB the same protocol runs on any store with atomic
   * create-if-absent (HDFS rename, object-store conditional PUT); deltas
   * are O(#changed files) metadata, checkpoints bound replay, and the log
-  * is pruned by [[vacuum]] retention. LogTableSpec pins every composition
-  * above; q67 verifies the full lifecycle against a relational oracle,
-  * q68 the checkpoint × compaction × vacuum composition, q69 the
-  * change-feed consumption protocol.
+  * is pruned by [[vacuum]] retention (directory listings are O(retained),
+  * not O(all commits ever)). LogTableSpec pins every composition above;
+  * q67 verifies the full lifecycle against a relational oracle, q68 the
+  * checkpoint × compaction × vacuum composition, q69 the change-feed
+  * consumption protocol, q70 clustered OPTIMIZE, q71 schema-in-the-log,
+  * s38 the streaming source end-to-end.
   */
 object LogTable {
   /** Column name [[LogTable.changesBetween]] tags rows with under
@@ -409,7 +423,7 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
         .withColumn(DvName,
           regexp_extract(col("_metadata.file_path"), "([^/]+)$", 1))
         .withColumn(DvPos, col("_metadata.row_index"))
-        .join(dvDf, Seq(DvName, DvPos), "left_anti")
+        .join(broadcast(dvDf), Seq(DvName, DvPos), "left_anti")
         .drop(DvName, DvPos)
     }
     out.select(as.fieldNames.map(col).toIndexedSeq: _*)
@@ -603,7 +617,7 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
       .withColumn(DvPos, col("_metadata.row_index"))
     if (m.dv.isEmpty) raw
     else raw.join(
-      spark.read.parquet(m.dv.map(d => filesDir.resolve(d).toString): _*),
+      broadcast(spark.read.parquet(m.dv.map(d => filesDir.resolve(d).toString): _*)),
       Seq(DvName, DvPos), "left_anti")
   }
 
