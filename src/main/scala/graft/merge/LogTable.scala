@@ -86,6 +86,34 @@ object LogTable {
   /** Column name [[LogTable.changesBetween]] tags rows with under
     * `withCommitVersion` (Delta CDF's `_commit_version`). */
   val CommitVersionCol = "_commit_version"
+
+  /** Resolve a log table's LIVE schema from its log alone (newest
+    * checkpoint's schema, else the fold of schema actions — the first
+    * commit always embeds one). None = never written. This is what lets
+    * SQL/batch readers open a log table without declaring a schema. */
+  def readSchema(path: String): Option[StructType] = {
+    import scala.jdk.CollectionConverters._
+    val logDir = Paths.get(path, "_log")
+    if (!Files.exists(logDir)) return None
+    val mapper = new ObjectMapper()
+    val names = Files.list(logDir).iterator().asScala
+      .map(_.getFileName.toString).toSeq
+    val V = """(\d{20})\.json""".r
+    val Cp = """(\d{20})\.checkpoint\.json""".r
+    val versions = names.collect { case V(d) => d.toLong }.sorted
+    if (versions.isEmpty) return None
+    val cp = names.collect { case Cp(d) => d.toLong }.sorted.lastOption
+    def schemaIn(p: Path): Option[StructType] = {
+      val n = mapper.readTree(Files.readAllBytes(p))
+      Option(n.get("schema")).map(s =>
+        org.apache.spark.sql.types.DataType.fromJson(s.asText())
+          .asInstanceOf[StructType])
+    }
+    val base = cp.flatMap(v => schemaIn(logDir.resolve(f"$v%020d.checkpoint.json")))
+    versions.filter(v => cp.forall(_ < v))
+      .flatMap(v => schemaIn(logDir.resolve(f"$v%020d.json")))
+      .lastOption.orElse(base)
+  }
 }
 
 final class LogTable(spark: SparkSession, root: String, schema: StructType,
@@ -218,7 +246,11 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     val node: ObjectNode = mapper.createObjectNode()
     node.put("version", v)
     node.put("dataChange", dataChange)
-    newSchema.foreach(s => node.put("schema", s.json))
+    // the FIRST commit always embeds the schema (Delta writes metaData in
+    // commit 0) — the log is self-describing, so SQL/batch readers can
+    // resolve the schema without the constructor contract
+    newSchema.orElse(if (prev.isEmpty) Some(schema) else None)
+      .foreach(s => node.put("schema", s.json))
     txn.foreach { case (app, batch) =>
       val t = node.putObject("txn"); t.put("app", app); t.put("batch", batch)
     }
@@ -449,9 +481,20 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     * pure superset optimization); residual filter stays on the scan.
     * Works on BUCKETED tables — the composition the directory-swap
     * design's root-manifest could not serve. */
+  /** Columns with per-file stats available for pruning: the writer's
+    * statsBy, else whatever the live manifest carries (batch readers open
+    * a table without knowing the writer's configuration — the stats are IN
+    * the log, not in the constructor). */
+  def statsColumns: Seq[String] =
+    if (statsBy.nonEmpty) statsBy
+    else {
+      val v = currentVersion
+      if (v == 0) Nil else snapshotAt(v).files.flatMap(_.stats.keys).distinct
+    }
+
   def readRange(c: String, lo: Column, hi: Column): DataFrame = {
-    require(statsBy.contains(c),
-      s"no file stats for column '$c' (statsBy = ${statsBy.mkString(",")})")
+    require(statsColumns.contains(c),
+      s"no file stats for column '$c' (stats present: ${statsColumns.mkString(",")})")
     val v = currentVersion
     if (v == 0) return emptyDf.filter(col(c) >= lo && col(c) <= hi)
     val m = snapshotAt(v)

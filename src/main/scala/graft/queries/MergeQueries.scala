@@ -1340,5 +1340,61 @@ object MergeQueries {
            |SELECT phase, prio, n, sum_price FROM s ORDER BY phase, prio""".stripMargin),
     "schema evolution as a log action (Delta metaData): versioned schema, narrow time travel, null-filled mergeSchema reads, change feed skips the metaData commit")
 
-  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl, opt, del, rst, vac, dvq, dvtt, occ, occContended, logLifecycle, logMaintenance, logChangeFeed, logClustered, logEvolve)
+  /** SQL SURFACE over the log table (q72) — the batch relation
+    * ([[graft.sources.LogTableRelation]]) driven the way a SQL user would:
+    * `df.write.format("graft-logtable")` creates the table (first commit
+    * embeds the schema — the log is self-describing, the later reads pass
+    * NO schema), `CREATE TABLE … USING` + `INSERT INTO … SELECT` append
+    * through the same CAS protocol, the range SELECT's filters reach the
+    * relation scan (`PushedFilters` `require`d in the plan — manifest-stats
+    * pruning with Spark re-evaluating, superset-safe), and
+    * `versionAsOf` time-travels to the pre-INSERT version. One oracle pins
+    * the whole DDL/DML/scan/time-travel loop. */
+  val logSql = QueryDef(
+    "q72_logtable_sql",
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"))
+      val cut = lit("1998-01-01").cast("timestamp")
+      val root = FixtureDirs.create("q72-sql-").resolve("orders_sql").toString
+      o.filter(col("o_orderdate") < cut).write.format("graft-logtable")
+        .option("statsBy", "o_orderdate").save(root)                     // v1
+      val tbl = "q72_orders_log"
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"CREATE TABLE $tbl USING `graft-logtable` OPTIONS (path '$root')")
+      try {
+        o.filter(col("o_orderdate") >= cut).createOrReplaceTempView("q72_batch")
+        spark.sql(s"INSERT INTO $tbl SELECT * FROM q72_batch")           // v2
+        val range = spark.sql(
+          s"""SELECT count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+             |FROM $tbl
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND o_orderdate <= TIMESTAMP '1996-06-30 00:00:00'""".stripMargin)
+        require(range.queryExecution.executedPlan.toString.contains("PushedFilters"),
+          "range filters did not reach the relation scan")
+        val v1 = spark.read.format("graft-logtable") // no .schema: self-describing
+          .option("versionAsOf", "1").load(root)
+        def phase(name: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+            .select(lit(name).as("phase"), col("n"), col("sum_price"))
+        phase("v1", v1)
+          .union(phase("live", spark.table(tbl)))
+          .union(range.select(lit("range").as("phase"), col("n"), col("sum_price")))
+          .orderBy(col("phase"))
+          .localCheckpoint(true) // materialize BEFORE the table is dropped
+      } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    },
+    Some("""WITH o AS (SELECT o_totalprice, o_orderdate FROM orders),
+           |s AS (
+           |  SELECT 'v1' AS phase, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+           |  FROM o WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+           |  UNION ALL SELECT 'live', count(*), round(sum(o_totalprice), 2) FROM o
+           |  UNION ALL SELECT 'range', count(*), round(sum(o_totalprice), 2) FROM o
+           |    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           |      AND o_orderdate <= TIMESTAMP '1996-06-30 00:00:00')
+           |SELECT phase, n, sum_price FROM s ORDER BY phase""".stripMargin),
+    "SQL surface over the commit log: CREATE TABLE USING / INSERT INTO SELECT / pushed-filter SELECT / versionAsOf — the DSv1 relation face with self-describing schema and manifest pushdown")
+
+  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl, opt, del, rst, vac, dvq, dvtt, occ, occContended, logLifecycle, logMaintenance, logChangeFeed, logClustered, logEvolve, logSql)
 }

@@ -1,10 +1,11 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, GraftStreamingBridge, SQLContext}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftStreamingBridge, Row, SaveMode, SQLContext}
 import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, InsertableRelation, LessThan, LessThanOrEqual, PrunedFilteredScan, RelationProvider, SchemaRelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 import graft.merge.LogTable
@@ -53,10 +54,54 @@ import graft.merge.LogTable
   * size. Vacuumed-away spans fail loudly (restart from a snapshot), they
   * never silently skip.
   */
-final class LogTableSourceProvider extends StreamSourceProvider with DataSourceRegister {
+final class LogTableSourceProvider extends StreamSourceProvider
+    with RelationProvider with SchemaRelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
   import LogTableSourceProvider._
 
   override def shortName(): String = "graft-logtable"
+
+  // ── batch read (spark.read / SQL `CREATE TABLE … USING graft-logtable`) ──
+  // The log is self-describing (the first commit embeds the schema), so no
+  // .schema(...) is needed for batch reads; `versionAsOf` serves time
+  // travel through the same relation.
+
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]): BaseRelation = {
+    val path = pathOf(parameters)
+    val s = LogTable.readSchema(path).getOrElse(throw new IllegalArgumentException(
+      s"graft-logtable at $path has no commits yet — pass an explicit .schema(...)"))
+    new LogTableRelation(sqlContext, path, s, versionOf(parameters))
+  }
+
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String],
+                              schema: StructType): BaseRelation =
+    new LogTableRelation(sqlContext, pathOf(parameters), schema,
+      versionOf(parameters))
+
+  // ── batch write (df.write.format("graft-logtable").mode(…).save(path)) ──
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    val path = pathOf(parameters)
+    val statsBy = parameters.get("statsBy").orElse(parameters.get("statsby"))
+      .map(_.split(',').map(_.trim).toSeq).getOrElse(Nil)
+    val t = new LogTable(sqlContext.sparkSession, path, data.schema,
+      statsBy = statsBy)
+    val empty = t.currentVersion == 0L
+    mode match {
+      case SaveMode.Overwrite => t.overwrite(data)
+      case SaveMode.Append => t.append(data)
+      case SaveMode.ErrorIfExists if !empty =>
+        throw new IllegalStateException(s"graft-logtable at $path already has commits")
+      case SaveMode.Ignore if !empty => () // leave as-is
+      case _ => t.overwrite(data) // ErrorIfExists/Ignore on an empty table
+    }
+    new LogTableRelation(sqlContext, path,
+      LogTable.readSchema(path).getOrElse(data.schema), None)
+  }
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
                             providerName: String,
@@ -86,6 +131,78 @@ final class LogTableSourceProvider extends StreamSourceProvider with DataSourceR
 object LogTableSourceProvider {
   private def flag(parameters: Map[String, String], name: String): Boolean =
     parameters.get(name).orElse(parameters.get(name.toLowerCase)).exists(_.toBoolean)
+
+  private def pathOf(parameters: Map[String, String]): String = {
+    val raw = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-logtable requires a path (.load(rootDir) / OPTIONS (path '…'))"))
+    // SQL DDL hands the option back as a file: URI; LogTable wants an
+    // OS path (local-fs engine — a cluster deployment would route all
+    // log/file IO through the Hadoop FileSystem API instead)
+    if (raw.startsWith("file:")) java.net.URI.create(raw).getPath else raw
+  }
+
+  private def versionOf(parameters: Map[String, String]): Option[Long] =
+    parameters.get("versionAsOf").orElse(parameters.get("versionasof")).map(_.toLong)
+}
+
+/** Batch relation over a [[graft.merge.LogTable]] — the DSv1 face that
+  * makes log tables first-class to `spark.read`, `df.write`, and SQL DDL
+  * (`CREATE TABLE t USING \`graft-logtable\` OPTIONS (path '…')`,
+  * `INSERT INTO t …`):
+  *
+  *   - **scan with manifest pushdown** ([[PrunedFilteredScan]]): range
+  *     filters on statsBy columns prune the FILE LIST from the log's
+  *     per-file min/max stats before the scan is planned — the pruning is
+  *     a superset move, so every filter is also left to Spark to
+  *     re-evaluate (correctness never depends on the stats).
+  *   - **time travel**: `.option("versionAsOf", v)` serves version v —
+  *     with v's deletion vectors and v's schema, from the same relation.
+  *   - **INSERT INTO** ([[InsertableRelation]]): append or overwrite
+  *     commit through the same CAS protocol as every other writer.
+  */
+private[sources] final class LogTableRelation(
+    override val sqlContext: SQLContext, path: String,
+    override val schema: StructType, versionAsOf: Option[Long])
+    extends BaseRelation with PrunedFilteredScan with InsertableRelation {
+
+  private def table = new LogTable(sqlContext.sparkSession, path, schema)
+
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[Filter]): RDD[Row] = {
+    val t = table
+    // manifest-stats pruning: intersect every pushable range filter on one
+    // column into [lo, hi] bounds and let readRange skip files; multiple
+    // filtered columns fall back to the widest single-column prune
+    val byCol = filters.collect {
+      case EqualTo(c, v)            => (c, Some(v), Some(v))
+      case GreaterThan(c, v)        => (c, Some(v), None)
+      case GreaterThanOrEqual(c, v) => (c, Some(v), None)
+      case LessThan(c, v)           => (c, None, Some(v))
+      case LessThanOrEqual(c, v)    => (c, None, Some(v))
+    }.groupBy(_._1)
+    val prunable = byCol.collectFirst {
+      case (c, bs) if t.statsColumns.contains(c) &&
+          bs.exists(_._2.isDefined) && bs.exists(_._3.isDefined) =>
+        (c, bs.flatMap(_._2).head, bs.flatMap(_._3).head)
+    }
+    val base = versionAsOf.map(t.readVersion).getOrElse {
+      prunable match {
+        case Some((c, lo, hi)) =>
+          t.readRange(c, org.apache.spark.sql.functions.lit(lo),
+            org.apache.spark.sql.functions.lit(hi))
+        case None => t.read()
+      }
+    }
+    base.selectExpr(requiredColumns.toIndexedSeq: _*).rdd
+  }
+
+  // every filter is re-evaluated by Spark (pruning is a superset move)
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
+
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    require(versionAsOf.isEmpty, "cannot INSERT into a versionAsOf read")
+    if (overwrite) table.overwrite(data) else table.append(data)
+  }
 }
 
 private[sources] final class LogTableSource(sqlContext: SQLContext, path: String,
