@@ -2495,22 +2495,23 @@ object StreamingQueries {
       val root = FixtureDirs.create("s38-log-")
       val bronzeRoot = root.resolve("bronze").toString
       val bronze = new graft.merge.LogTable(spark, bronzeRoot, ev.schema)
-      val silver = new graft.merge.LogTable(spark, root.resolve("silver").toString, ev.schema)
+      val silverRoot = root.resolve("silver").toString
+      val silver = new graft.merge.LogTable(spark, silverRoot, ev.schema)
       val ckpt = newCkptDir()
       def drainToSilver(): Unit = withStreamConf(spark) {
         val q = spark.readStream.format("graft-logtable").schema(ev.schema)
           .option("maxVersionsPerTrigger", "1")
           .load(bronzeRoot)
           .filter(col("value") >= 0.5)
-          .writeStream.option("checkpointLocation", ckpt)
+          // Delta txn-action sink, as the REGISTERED format: each micro-
+          // batch is one appendOnce commit keyed (appId, batchId) — O(batch)
+          // idempotent, where an insert-only MERGE would buy the same
+          // guarantee at O(table) per micro-batch
+          .writeStream.format("graft-logtable")
+          .option("path", silverRoot).option("appId", "s38-silver")
+          .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow())
-          .foreachBatch { (b: DataFrame, batchId: Long) =>
-            // Delta txn-action sink: O(batch) idempotent append — an
-            // insert-only MERGE would buy the same guarantee at O(table)
-            // per micro-batch
-            if (!b.isEmpty) silver.appendOnce(b, "s38-silver", batchId)
-            ()
-          }.start()
+          .start()
         q.awaitTermination()
       }
       bronze.append(ev.filter(col("event_id") <= c0))                     // bronze v1

@@ -3,9 +3,10 @@ package graft.sources
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftStreamingBridge, Row, SaveMode, SQLContext}
 import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsTriggerAvailableNow, Offset => OffsetV2}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, InsertableRelation, LessThan, LessThanOrEqual, PrunedFilteredScan, RelationProvider, SchemaRelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, InsertableRelation, LessThan, LessThanOrEqual, PrunedFilteredScan, RelationProvider, SchemaRelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 import graft.merge.LogTable
@@ -55,7 +56,7 @@ import graft.merge.LogTable
   * never silently skip.
   */
 final class LogTableSourceProvider extends StreamSourceProvider
-    with RelationProvider with SchemaRelationProvider
+    with StreamSinkProvider with RelationProvider with SchemaRelationProvider
     with CreatableRelationProvider with DataSourceRegister {
   import LogTableSourceProvider._
 
@@ -79,6 +80,26 @@ final class LogTableSourceProvider extends StreamSourceProvider
                               schema: StructType): BaseRelation =
     new LogTableRelation(sqlContext, pathOf(parameters), schema,
       versionOf(parameters))
+
+  // ── streaming sink (writeStream.format("graft-logtable")) ───────────────
+  // Exactly-once by construction: every micro-batch is an [[LogTable
+  // .appendOnce]] txn commit keyed (appId, batchId), so a batch replayed
+  // after a crash (sink committed, offsets didn't) is a NO-OP — the Delta
+  // sink's txn-action protocol, with no files-seen state outside the log.
+
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"graft-logtable sink is append-only (got $outputMode) — route update/" +
+        "complete modes through foreachBatch with a keyed merge")
+    require(partitionColumns.isEmpty,
+      "graft-logtable lays out files by its own bucketing, not partitionBy")
+    new LogTableSink(sqlContext, pathOf(parameters),
+      parameters.getOrElse("appId", parameters.getOrElse("appid",
+        "graft-logtable-sink")))
+  }
 
   // ── batch write (df.write.format("graft-logtable").mode(…).save(path)) ──
 
@@ -143,6 +164,21 @@ object LogTableSourceProvider {
 
   private def versionOf(parameters: Map[String, String]): Option[Long] =
     parameters.get("versionAsOf").orElse(parameters.get("versionasof")).map(_.toLong)
+}
+
+/** Streaming sink over a [[graft.merge.LogTable]]: each micro-batch is one
+  * [[LogTable.appendOnce]] txn commit — replays no-op, so the sink is
+  * exactly-once without any state beside the log itself. */
+private[sources] final class LogTableSink(sqlContext: SQLContext, path: String,
+                                          appId: String) extends Sink {
+  override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
+    val batch = GraftStreamingBridge.asBatch(data)
+    if (batch.isEmpty) return // no empty commits; a later batch advances the watermark
+    val t = new LogTable(sqlContext.sparkSession, path, data.schema)
+    t.appendOnce(batch, appId, batchId)
+    ()
+  }
+  override def toString: String = s"LogTableSink[$path]"
 }
 
 /** Batch relation over a [[graft.merge.LogTable]] — the DSv1 face that

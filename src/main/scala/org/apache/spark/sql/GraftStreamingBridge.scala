@@ -16,4 +16,13 @@ object GraftStreamingBridge {
     ds.sparkSession.internalCreateDataFrame(
       ds.queryExecution.toRdd, ds.schema, isStreaming = true)
   }
+
+  /** The inverse: a micro-batch frame handed to `Sink.addBatch` carries the
+    * streaming tag, which batch writers refuse — re-tag it batch (same
+    * rows, same lazy RDD) so the sink can run a normal write. */
+  def asBatch(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = false)
+  }
 }

@@ -111,6 +111,46 @@ class LogTableSourceSpec extends SparkSpec {
       .collect().toSeq == Seq((1L, "UPD"), (2L, "a")))
   }
 
+  test("format sink: stream-to-stream log pipeline (readStream -> " +
+      "writeStream.format) with txn exactly-once; update mode refused") {
+    val base = tmp("lts-sink-")
+    val bronzeRoot = base + "/bronze"; val silverRoot = base + "/silver"
+    val bronze = new LogTable(spark, bronzeRoot, s2)
+    bronze.append(Seq((1L, "keep"), (2L, "drop")).toDF("k", "v"))       // v1
+    bronze.append(Seq((3L, "keep")).toDF("k", "v"))                     // v2
+    val ckpt = tmp("lts-sink-ckpt-")
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-logtable").schema(s2)
+        .option("maxVersionsPerTrigger", "1").load(bronzeRoot)
+        .filter(col("v") === "keep")
+        .writeStream.format("graft-logtable")
+        .option("path", silverRoot).option("appId", "sink-spec")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    val silver = new LogTable(spark, silverRoot, s2)
+    assert(silver.read().orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "keep"), (3L, "keep")))
+    assert(silver.lastTxn("sink-spec") >= 0L, "sink must record txn watermarks")
+    // a replayed micro-batch (same appId+batchId) is a no-op
+    val before = silver.currentVersion
+    assert(!silver.appendOnce(Seq((99L, "dup")).toDF("k", "v"), "sink-spec", 0L))
+    assert(silver.currentVersion == before)
+    // new bronze commit: the next drain appends exactly it
+    bronze.append(Seq((4L, "keep")).toDF("k", "v"))                     // v3
+    drain()
+    assert(silver.read().count() == 3L)
+    // append-only: update mode is refused at sink construction
+    intercept[Exception] {
+      spark.readStream.format("graft-logtable").schema(s2).load(bronzeRoot)
+        .writeStream.format("graft-logtable").option("path", tmp("lts-x-"))
+        .option("checkpointLocation", tmp("lts-x-ckpt-"))
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    }
+  }
+
   test("missing schema fails fast at stream construction") {
     intercept[IllegalArgumentException](
       spark.readStream.format("graft-logtable").load(tmp("lts-noschema-"))
