@@ -248,4 +248,29 @@ object Relational {
     }
     out
   }
+
+  /** k-ANONYMITY ROLLUP — privacy-preserving grouped aggregates: groups
+    * identified by `keys` whose DISTINCT-`idCol` population is below `k`
+    * are folded into one `*`-masked bucket, so no output row describes
+    * fewer than k individuals while the totals still reconcile (the
+    * suppressed mass is reported, not dropped — the standard suppression
+    * form of k-anonymity for release-ready aggregates).
+    *
+    * Shape at 100 TB: group sizes are one grouped count-distinct
+    * (map-side partial), and the size relation has #groups rows — tiny
+    * relative to the corpus — so the tag join is an explicit broadcast;
+    * the corpus is shuffled once, on the masked keys, for the final
+    * aggregate. Masked key columns come back as strings (`*` is not a
+    * member of most key domains). */
+  def kAnonRollup(df: DataFrame, keys: Seq[String], idCol: String, k: Long,
+                  aggs: Seq[Column]): DataFrame = {
+    require(keys.nonEmpty && k >= 1, "need grouping keys and k >= 1")
+    val sizes = df.groupBy(keys.map(col).toIndexedSeq: _*)
+      .agg(countDistinct(col(idCol)).as("__grp_n"))
+    val tagged = df.join(broadcast(sizes), keys)
+    val masked = keys.foldLeft(tagged)((d, key) =>
+      d.withColumn(key,
+        when(col("__grp_n") < k, lit("*")).otherwise(col(key).cast("string"))))
+    masked.groupBy(keys.map(col).toIndexedSeq: _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

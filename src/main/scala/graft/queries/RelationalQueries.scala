@@ -1559,8 +1559,58 @@ object RelationalQueries {
            |ORDER BY expectation""".stripMargin),
     "data-quality expectations: declarative WARN/DROP constraint gate with quarantine accounting, one pass (DLT expectations analog)")
 
+  /** k-ANONYMITY ROLLUP (q73) — [[Relational.kAnonRollup]]: release-ready
+    * grouped aggregates where any (event_type, day) cell describing fewer
+    * than k distinct users is folded into one `*`-masked bucket; totals
+    * reconcile because the suppressed mass is reported, not dropped. The
+    * synthetic corpus's group sizes are near-uniform, so k is set at the
+    * MIDPOINT of the observed size range — data-derived like v17b's nlist,
+    * guaranteeing both the kept and the suppressed branch are non-empty at
+    * every SF (`require`d; a policy deployment sets k by regulation
+    * instead). Day is the epoch-aligned µs day index (exact both engines,
+    * CLAUDE.md rule 1). */
+  val q73 = QueryDef(
+    "q73_kanon_rollup",
+    (spark, dir) => {
+      val ev = Tables.eventsUs(spark, dir)
+        .select(col("user_id"), col("event_type"), col("value"),
+          expr("ts_us div 86400000000").as("day"))
+      val keys = Seq("event_type", "day")
+      val sizes = ev.groupBy(keys.map(col): _*)
+        .agg(countDistinct(col("user_id")).as("n"))
+        .agg(min(col("n")).as("lo"), max(col("n")).as("hi")).head()
+      val k = sizes.getLong(0) + (sizes.getLong(1) - sizes.getLong(0)) / 2
+      val out = Relational.kAnonRollup(ev, keys, "user_id", k, Seq(
+          countDistinct(col("user_id")).as("users"),
+          count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_value")))
+        .localCheckpoint(true) // tiny (#groups rows); one pass feeds the guards
+      require(out.filter(col("event_type") === "*").count() > 0,
+        "k-anon gate suppressed nothing — midpoint k broken (d49 lesson)")
+      require(out.filter(col("event_type") =!= "*").count() > 0,
+        "k-anon gate suppressed everything — midpoint k broken")
+      out.orderBy(col("event_type"), col("day"))
+    },
+    Some(s"""WITH $evCte,
+            |e AS (SELECT user_id, event_type, value,
+            |             ts_us // 86400000000 AS day FROM ev),
+            |g AS (SELECT event_type, day, count(DISTINCT user_id) AS grp_n
+            |      FROM e GROUP BY 1, 2),
+            |kv AS (SELECT min(grp_n) + (max(grp_n) - min(grp_n)) // 2 AS k FROM g),
+            |m AS (SELECT CASE WHEN grp_n < (SELECT k FROM kv) THEN '*'
+            |                  ELSE CAST(e.event_type AS VARCHAR) END AS event_type,
+            |             CASE WHEN grp_n < (SELECT k FROM kv) THEN '*'
+            |                  ELSE CAST(e.day AS VARCHAR) END AS day,
+            |             user_id, value
+            |      FROM e JOIN g ON e.event_type = g.event_type AND e.day = g.day)
+            |SELECT event_type, day, count(DISTINCT user_id) AS users,
+            |       count(*) AS n, round(sum(value), 2) AS sum_value
+            |FROM m GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin),
+    "k-anonymity rollup: cells under k distinct users fold into a *-masked bucket, totals reconcile — broadcast size-tag join, one corpus shuffle on the masked keys")
+
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q12, q13, q14, q15, q16, q17, q18, q19, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41, q42, q43, q44, q45, q46, q47, q48, q58, q59, q60, q61, q63, q65)
+    q41, q42, q43, q44, q45, q46, q47, q48, q58, q59, q60, q61, q63, q65,
+    q73)
 }
