@@ -580,9 +580,10 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     * makes a foreachBatch APPEND sink exactly-once — O(batch) per commit,
     * where an idempotent MERGE sink pays O(table) per batch for the same
     * guarantee. */
-  def appendOnce(df: DataFrame, appId: String, batchId: Long): Boolean = {
+  def appendOnce(df: DataFrame, appId: String, batchId: Long,
+                 maxAttempts: Int = 5): Boolean = {
     var committed = false
-    commitLoop(5, txn = Some((appId, batchId))) { snap =>
+    commitLoop(maxAttempts, txn = Some((appId, batchId))) { snap =>
       if (snap.exists(_.txns.getOrElse(appId, -1L) >= batchId)) {
         committed = false; None // already delivered: no version cut
       } else {
