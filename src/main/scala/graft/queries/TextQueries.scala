@@ -4082,10 +4082,75 @@ object TextQueries {
            |FROM r ORDER BY position""".stripMargin),
     "training curriculum order: easy-to-hard by fluency, rank-exact quartile buckets, sources interleaved within each bucket (LLM-pipeline op)")
 
+  /** TOKEN PROVENANCE / loss-spike forensics (d60) — the training-ops
+    * inverse of d16's packing: a loss spike at training step S names a
+    * token interval in the packed stream, and the on-call question is
+    * "WHICH DOCUMENTS fed those tokens". The packed-stream index is d16's
+    * per-source cumulative layout (doc spans `[doc_end − n_tokens,
+    * doc_end)` in (source, doc_id) order); probes are three hash-derived
+    * 512-token windows per source (deterministic md5 offsets — exact
+    * int64 both engines via the established `'0x'||hex` mirror); the
+    * answer is the interval join probe × span with the per-doc overlap
+    * width.
+    *
+    * Shape at 100 TB: probes are O(#sources) rows — broadcast; the corpus
+    * index is computed with ONE window pass per source (d16's shuffle) and
+    * never re-shuffled for the lookup. A standing deployment materializes
+    * the span index once per packing run and serves every spike lookup
+    * from it. */
+  val d60 = QueryDef(
+    "d60_token_provenance",
+    (spark, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val idx = Tables.documents(spark, dir)
+        .select(col("source"), col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .withColumn("doc_end", sum(col("n_tokens")).over(w))
+        .withColumn("doc_start", col("doc_end") - col("n_tokens"))
+      val probes = idx.groupBy(col("source")).agg(max(col("doc_end")).as("total"))
+        .select(col("source").as("p_source"), col("total"),
+          explode(array(lit(0), lit(1), lit(2))).as("probe_id"))
+        .withColumn("probe_start", expr(
+          "cast(conv(substring(md5(concat(p_source, ':', probe_id)), 1, 8), 16, 10) as bigint) % total"))
+        .withColumn("probe_end", least(col("probe_start") + 512, col("total")))
+        .select(col("p_source"), col("probe_id"), col("probe_start"), col("probe_end"))
+      idx.join(broadcast(probes),
+          col("source") === col("p_source") &&
+          col("doc_start") < col("probe_end") && col("doc_end") > col("probe_start"))
+        .select(col("source"), col("probe_id"), col("probe_start"), col("doc_id"),
+          (least(col("doc_end"), col("probe_end")) -
+            greatest(col("doc_start"), col("probe_start"))).as("overlap_tokens"))
+        .orderBy(col("source"), col("probe_id"), col("doc_id"))
+    },
+    Some(s"""WITH $tokCte,
+            |t AS (SELECT doc_id, CAST(length(w) AS BIGINT) AS n_tokens FROM toks),
+            |idx AS (SELECT d.source, d.doc_id, t.n_tokens,
+            |  sum(t.n_tokens) OVER (PARTITION BY d.source ORDER BY d.doc_id
+            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS doc_end
+            |  FROM documents d JOIN t USING (doc_id)),
+            |idx2 AS (SELECT *, doc_end - n_tokens AS doc_start FROM idx),
+            |tot AS (SELECT source, max(doc_end) AS total FROM idx GROUP BY source),
+            |pr AS (SELECT source, probe_id,
+            |    CAST('0x' || substr(md5(source || ':' || CAST(probe_id AS VARCHAR)), 1, 8) AS BIGINT)
+            |      % total AS probe_start, total
+            |  FROM tot, (SELECT unnest([0, 1, 2]) AS probe_id)),
+            |pr2 AS (SELECT source, probe_id, probe_start,
+            |    least(probe_start + 512, total) AS probe_end FROM pr)
+            |SELECT i.source, p.probe_id, p.probe_start, i.doc_id,
+            |  least(i.doc_end, p.probe_end) - greatest(i.doc_start, p.probe_start)
+            |    AS overlap_tokens
+            |FROM idx2 i JOIN pr2 p ON i.source = p.source
+            |  AND i.doc_start < p.probe_end AND i.doc_end > p.probe_start
+            |ORDER BY i.source, p.probe_id, i.doc_id""".stripMargin),
+    "token provenance (loss-spike forensics): hash-derived probe windows over the packed stream interval-joined back to source documents — broadcast probes, one window pass, no corpus re-shuffle")
+
   def defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
       d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43, d44,
       d45, d46, d47, d48, d49, d50, d50b, d51, d52, d53, d54, d55, d56, d57, d58, d59,
+      d60,
       m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14, m15, m16)
 }

@@ -637,6 +637,34 @@ class PlanAuditSpec extends SparkSpec {
       s"DV application shuffles the data side:\n$p")
   }
 
+  test("kAnonRollup (q73's operator): group-size tags ride a broadcast; " +
+      "the corpus never joins shuffle-to-shuffle for the mask") {
+    // audit the operator plan directly — the query's result is
+    // localCheckpointed (its requires force one pass), which flattens the
+    // registered plan to an RDD scan
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.eventsUs(spark, sf001)
+      .select(col("user_id"), col("event_type"))
+    val out = graft.ops.Relational.kAnonRollup(ev, Seq("event_type"),
+      "user_id", 5, Seq(count(lit(1)).as("n")))
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"size-tag join is not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"k-anon mask shuffled the corpus into a join:\n$p")
+  }
+
+  test("d60: probes are broadcast into the interval join; no cartesian") {
+    val p = planOf("d60_token_provenance")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probe join is not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"probe join went cartesian:\n$p")
+    // the span index is ONE window pass: exactly one exchange hashes on
+    // source below the window, and no second corpus-wide exchange exists
+    // (the probe side's group-by reuses the same partitioning)
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus re-shuffled for the probe lookup:\n$p")
+  }
+
   test("hot paths stay inside whole-stage codegen") {
     // codegen wrappers only appear in the FINAL adaptive plan → execute first
     for (q <- Seq("q01_pricing_summary", "d02_token_count", "d11_quality_score")) {
