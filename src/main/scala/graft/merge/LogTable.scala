@@ -145,7 +145,9 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
                                   add: Seq[FileEntry], remove: Seq[String],
                                   dvAdd: Seq[String], dvRemove: Seq[String],
                                   schemaJson: Option[String],
-                                  txn: Option[(String, Long)])
+                                  txn: Option[(String, Long)],
+                                  constraintAdd: Option[(String, String)],
+                                  constraintDrop: Option[String])
   /** Folded state as of a version — files, DVs, the schema AS OF that
     * version (schema lives in the log, so time travel serves each version
     * with the schema it had — the composition a table-level schema field
@@ -153,7 +155,8 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     * `txn` action: appId → newest committed batchId). */
   private[merge] case class Snapshot(version: Long, files: Seq[FileEntry],
                                      dv: Seq[String], schema: StructType,
-                                     txns: Map[String, Long])
+                                     txns: Map[String, Long],
+                                     constraints: Map[String, String])
 
   // ── log primitives ──────────────────────────────────────────────────────
 
@@ -203,7 +206,10 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
       texts(n.get("dvAdd")), texts(n.get("dvRemove")),
       Option(n.get("schema")).map(_.asText()),
       Option(n.get("txn")).map(t =>
-        (t.get("app").asText(), t.get("batch").asLong())))
+        (t.get("app").asText(), t.get("batch").asLong())),
+      Option(n.get("constraintAdd")).map(c =>
+        (c.get("name").asText(), c.get("expr").asText())),
+      Option(n.get("constraintDrop")).map(_.asText()))
   }
 
   private def writeFileEntries(fa: ArrayNode, files: Seq[FileEntry]): Unit =
@@ -236,7 +242,9 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
   private def tryCommit(prev: Option[Snapshot], newFiles: Seq[FileEntry],
                         newDv: Seq[String], dataChange: Boolean,
                         newSchema: Option[StructType] = None,
-                        txn: Option[(String, Long)] = None): Boolean = {
+                        txn: Option[(String, Long)] = None,
+                        constraintAdd: Option[(String, String)] = None,
+                        constraintDrop: Option[String] = None): Boolean = {
     val expected = prev.map(_.version).getOrElse(0L)
     val v = expected + 1
     val prevFiles = prev.map(_.files).getOrElse(Seq.empty)
@@ -254,6 +262,10 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     txn.foreach { case (app, batch) =>
       val t = node.putObject("txn"); t.put("app", app); t.put("batch", batch)
     }
+    constraintAdd.foreach { case (cn, ce) =>
+      val c = node.putObject("constraintAdd"); c.put("name", cn); c.put("expr", ce)
+    }
+    constraintDrop.foreach(node.put("constraintDrop", _))
     writeFileEntries(node.putArray("add"),
       newFiles.filterNot(e => prevNames.contains(e.name)))
     val rm: ArrayNode = node.putArray("remove")
@@ -266,7 +278,9 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     if (won && v % checkpointInterval == 0)
       writeCheckpoint(Snapshot(v, newFiles, newDv,
         newSchema.orElse(prev.map(_.schema)).getOrElse(schema),
-        prev.map(_.txns).getOrElse(Map.empty) ++ txn))
+        prev.map(_.txns).getOrElse(Map.empty) ++ txn,
+        (prev.map(_.constraints).getOrElse(Map.empty) ++ constraintAdd)
+          -- constraintDrop.toSeq))
     won
   }
 
@@ -280,6 +294,8 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     node.put("schema", s.schema.json)
     val tn = node.putObject("txns")
     s.txns.foreach { case (app, batch) => tn.put(app, batch) }
+    val cn = node.putObject("constraints")
+    s.constraints.foreach { case (k2, v2) => cn.put(k2, v2) }
     writeFileEntries(node.putArray("files"), s.files)
     val da: ArrayNode = node.putArray("dv")
     s.dv.foreach(da.add)
@@ -299,7 +315,10 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
           .asInstanceOf[StructType]).getOrElse(schema),
       Option(n.get("txns")).map(t => t.properties().asScala.map(e =>
         e.getKey -> e.getValue.asLong()).toMap)
-        .getOrElse(Map.empty[String, Long]))
+        .getOrElse(Map.empty[String, Long]),
+      Option(n.get("constraints")).map(t => t.properties().asScala.map(e =>
+        e.getKey -> e.getValue.asText()).toMap)
+        .getOrElse(Map.empty[String, String]))
   }
 
   /** Newest checkpoint version ≤ `v`, via the hint when it qualifies (the
@@ -320,7 +339,8 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
       s.dv.filterNot(dvRm.contains) ++ d.dvAdd,
       d.schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[StructType]).getOrElse(s.schema),
-      s.txns ++ d.txn)
+      s.txns ++ d.txn,
+      (s.constraints ++ d.constraintAdd) -- d.constraintDrop.toSeq)
   }
 
   /** Fold the log to the state as of version `v`: newest checkpoint ≤ v,
@@ -340,7 +360,8 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
       case None =>
         require(avail.headOption.contains(1L),
           s"version $v not reconstructible: no checkpoint and the log prefix was vacuumed")
-        (1L to v).foldLeft(Snapshot(0L, Seq.empty, Seq.empty, schema, Map.empty))(
+        (1L to v).foldLeft(
+            Snapshot(0L, Seq.empty, Seq.empty, schema, Map.empty, Map.empty))(
           (s, x) => applyDelta(s, readDelta(x)))
     }
   }
@@ -365,6 +386,12 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
   private def writeFiles(df: DataFrame, coalesceTo: Option[Int] = None,
                          clusterBy: Seq[String] = Nil): Seq[FileEntry] = {
     val tmp = Files.createTempDirectory(rootPath, ".write-")
+    try writeFilesInto(df, tmp, coalesceTo, clusterBy)
+    catch { case e: Throwable => deleteRec(tmp); throw e }
+  }
+
+  private def writeFilesInto(df: DataFrame, tmp: Path, coalesceTo: Option[Int],
+                             clusterBy: Seq[String]): Seq[FileEntry] = {
     bucketBy match {
       case None =>
         val cs = clusterBy.map(col)
@@ -551,15 +578,15 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
 
   /** Replace the table content (cuts a new version). */
   def overwrite(df: DataFrame): Unit =
-    commitLoop(5) { _ =>
-      val fresh = writeFiles(df)
+    commitLoop(5) { snap =>
+      val fresh = writeFiles(withChecks(df, snap))
       Some((fresh, Seq.empty, fresh))
     }
 
   /** Append-only write: prior files + the new ones, DVs carried forward. */
   def append(df: DataFrame): Unit =
     commitLoop(5) { snap =>
-      val fresh = writeFiles(df)
+      val fresh = writeFiles(withChecks(df, snap))
       Some((snap.map(_.files).getOrElse(Seq.empty) ++ fresh,
         snap.map(_.dv).getOrElse(Seq.empty), fresh))
     }
@@ -587,7 +614,7 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
       if (snap.exists(_.txns.getOrElse(appId, -1L) >= batchId)) {
         committed = false; None // already delivered: no version cut
       } else {
-        val fresh = writeFiles(df)
+        val fresh = writeFiles(withChecks(df, snap))
         committed = true
         Some((snap.map(_.files).getOrElse(Seq.empty) ++ fresh,
           snap.map(_.dv).getOrElse(Seq.empty), fresh))
@@ -608,7 +635,7 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     bucketBy match {
       case None => commitLoop(5) { snap =>
         val cur = snap.map(m => readData(m.files, m.dv, m.schema)).getOrElse(emptyDf)
-        val fresh = writeFiles(f(cur, batch))
+        val fresh = writeFiles(withChecks(f(cur, batch), snap))
         Some((fresh, Seq.empty, fresh))
       }
       case Some(_) => commitLoop(5) { snap =>
@@ -619,7 +646,7 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
         val dv = snap.map(_.dv).getOrElse(Seq.empty)
         val as = snap.map(_.schema).getOrElse(schema)
         val cur = if (hit.isEmpty) emptyDf(as) else readData(hit, dv, as)
-        val fresh = writeFiles(f(cur, batch))
+        val fresh = writeFiles(withChecks(f(cur, batch), snap))
         Some((kept ++ fresh, dv, fresh))
       }
     }
@@ -672,7 +699,7 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
               (f: (DataFrame, DataFrame) => DataFrame): Int =
     commitLoop(maxAttempts) { snap =>
       val cur = snap.map(m => readData(m.files, m.dv, m.schema)).getOrElse(emptyDf)
-      val fresh = writeFiles(f(cur, batch))
+      val fresh = writeFiles(withChecks(f(cur, batch), snap))
       Some((fresh, Seq.empty, fresh))
     }
 
@@ -780,6 +807,74 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
       if (parts.isEmpty) emptyDf(as).withColumn(LogTable.CommitVersionCol, lit(0L))
       else parts.reduce(_ union _)
     }
+  }
+
+  // ── CHECK constraints (Delta table constraints, in the log) ─────────────
+
+  /** Active CHECK constraints (name → SQL condition) as of the live
+    * version. */
+  def constraints: Map[String, String] = {
+    val v = currentVersion
+    if (v == 0) Map.empty else snapshotAt(v).constraints
+  }
+
+  /** Enforce `cs` on every row of `df` IN the write pass itself: each
+    * constraint becomes a filter whose condition is
+    * `coalesce(assert_true(cond), true)` — always true for conforming rows,
+    * throws (failing the write before any commit) on the first violating
+    * row. Single pass, no pre-count scan; NULL conditions count as
+    * violations (a constraint must hold, not merely not-fail — Delta's
+    * CHECK semantics). */
+  private def withChecks(df: DataFrame, snap: Option[Snapshot]): DataFrame = {
+    val cs = snap.map(_.constraints).getOrElse(Map.empty)
+    cs.foldLeft(df) { case (d, (cn, ce)) =>
+      d.filter(coalesce(
+        assert_true(coalesce(expr(ce), lit(false)),
+          lit(s"CHECK constraint '$cn' ($ce) violated")),
+        lit(true)))
+    }
+  }
+
+  /** ADD CONSTRAINT as a metadata commit (`dataChange = false`): validates
+    * the EXISTING content first (Delta's ALTER TABLE ADD CONSTRAINT scans
+    * the table — a constraint that does not hold now is rejected, not
+    * recorded), then folds (name → cond) into the log. Subsequent writes
+    * through ANY verb enforce it in their write pass. */
+  def addConstraint(name: String, cond: String): Unit = {
+    var attempts = 0
+    while (attempts < 5) {
+      attempts += 1
+      val v = currentVersion
+      val snap = if (v == 0) None else Some(snapshotAt(v))
+      require(!snap.exists(_.constraints.contains(name)),
+        s"constraint '$name' already exists")
+      snap.foreach { m =>
+        val bad = readData(m.files, m.dv, m.schema)
+          .filter(not(coalesce(expr(cond), lit(false)))).count()
+        require(bad == 0,
+          s"cannot add CHECK constraint '$name' ($cond): $bad existing row(s) violate it")
+      }
+      if (tryCommit(snap, snap.map(_.files).getOrElse(Seq.empty),
+          snap.map(_.dv).getOrElse(Seq.empty), dataChange = false,
+          constraintAdd = Some((name, cond)))) return
+    }
+    throw new IllegalStateException("constraint commit lost the race 5 times")
+  }
+
+  /** DROP CONSTRAINT (metadata commit; no-op error if absent). */
+  def dropConstraint(name: String): Unit = {
+    var attempts = 0
+    while (attempts < 5) {
+      attempts += 1
+      val v = currentVersion
+      val snap = if (v == 0) None else Some(snapshotAt(v))
+      require(snap.exists(_.constraints.contains(name)),
+        s"no such constraint '$name'")
+      if (tryCommit(snap, snap.map(_.files).getOrElse(Seq.empty),
+          snap.map(_.dv).getOrElse(Seq.empty), dataChange = false,
+          constraintDrop = Some(name))) return
+    }
+    throw new IllegalStateException("constraint commit lost the race 5 times")
   }
 
   /** SCHEMA EVOLUTION as a LOG ACTION (Delta's metaData commit): widen the

@@ -1396,5 +1396,79 @@ object MergeQueries {
            |SELECT phase, n, sum_price FROM s ORDER BY phase""".stripMargin),
     "SQL surface over the commit log: CREATE TABLE USING / INSERT INTO SELECT / pushed-filter SELECT / versionAsOf — the DSv1 relation face with self-describing schema and manifest pushdown")
 
-  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl, opt, del, rst, vac, dvq, dvtt, occ, occContended, logLifecycle, logMaintenance, logChangeFeed, logClustered, logEvolve, logSql)
+  /** CHECK CONSTRAINTS in the log (q74) — Delta table constraints as
+    * versioned metadata: `addConstraint` first scans the EXISTING content
+    * (a constraint that does not already hold is rejected, `require`d
+    * below with a deliberately-false candidate), every subsequent write
+    * verb enforces it IN the write pass (`assert_true` in a filter — one
+    * pass, no pre-scan; the poisoned append is `require`d to fail and to
+    * commit NOTHING — content and version count pinned unchanged), and
+    * `dropConstraint` re-opens the gate so the same poisoned batch lands.
+    * Metadata commits are `dataChange = false`. The oracle restates the
+    * surviving schedule: clean slice + the poisoned slice with its
+    * negations, because the constraint was dropped before it landed. */
+  val logConstraints = QueryDef(
+    "q74_logtable_constraints",
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"))
+      val cut = lit("1998-01-01").cast("timestamp")
+      val part1 = o.filter(col("o_orderdate") < cut)
+      val poisoned = o.filter(col("o_orderdate") >= cut)
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(97)) === 0, -col("o_totalprice"))
+            .otherwise(col("o_totalprice")))
+      val root = FixtureDirs.create("q74-chk-").resolve("orders_chk").toString
+      val t = new graft.merge.LogTable(spark, root, o.schema)
+      t.append(part1)                                                     // v1
+      t.addConstraint("price_positive", "o_totalprice > 0")               // v2 (meta)
+      val rejected =
+        try { t.append(poisoned); false }
+        catch { case e: Throwable =>
+          def m(x: Throwable): Boolean = x != null &&
+            (Option(x.getMessage).exists(_.contains("CHECK constraint 'price_positive'")) ||
+              m(x.getCause))
+          m(e)
+        }
+      require(rejected, "poisoned append must fail on the constraint")
+      require(t.history() == Seq(1L, 2L),
+        s"failed write must cut no version: ${t.history().mkString(",")}")
+      // a threshold just above the observed minimum is violated by
+      // construction at every SF (a fixed literal could silently hold —
+      // the d49 lesson, again)
+      val minP = part1.agg(min(col("o_totalprice"))).head().getDouble(0)
+      val addRejected =
+        try { t.addConstraint("price_large", s"o_totalprice > ${minP + 1}"); false }
+        catch { case _: IllegalArgumentException => true }
+      require(addRejected,
+        "a constraint the existing data violates must be rejected, not recorded")
+      t.dropConstraint("price_positive")                                  // v3 (meta)
+      t.append(poisoned)                                                  // v4
+      require(t.history() == Seq(1L, 2L, 3L, 4L))
+      def phase(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+          .select(lit(name).as("phase"), col("n"), col("sum_price"))
+      phase("blocked", poisoned.filter(col("o_totalprice") <= 0))
+        .union(phase("live", t.read()))
+        .union(phase("v1", t.readVersion(1)))
+        .orderBy(col("phase"))
+    },
+    Some("""WITH o AS (SELECT o_orderkey, o_totalprice, o_orderdate FROM orders),
+           |pz AS (SELECT CASE WHEN o_orderkey % 97 = 0 THEN -o_totalprice
+           |                   ELSE o_totalprice END AS o_totalprice
+           |       FROM o WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'),
+           |p1 AS (SELECT o_totalprice FROM o
+           |       WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+           |live AS (SELECT o_totalprice FROM p1 UNION ALL SELECT o_totalprice FROM pz),
+           |s AS (
+           |  SELECT 'blocked' AS phase, count(*) AS n,
+           |         round(sum(o_totalprice), 2) AS sum_price
+           |  FROM pz WHERE o_totalprice <= 0
+           |  UNION ALL SELECT 'live', count(*), round(sum(o_totalprice), 2) FROM live
+           |  UNION ALL SELECT 'v1', count(*), round(sum(o_totalprice), 2) FROM p1)
+           |SELECT phase, n, sum_price FROM s ORDER BY phase""".stripMargin),
+    "CHECK constraints as versioned log metadata: add validates existing data, writes enforce in one pass and fail atomically, drop re-opens — Delta ALTER TABLE ADD/DROP CONSTRAINT semantics")
+
+  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl, opt, del, rst, vac, dvq, dvtt, occ, occContended, logLifecycle, logMaintenance, logChangeFeed, logClustered, logEvolve, logSql, logConstraints)
 }

@@ -128,6 +128,13 @@ class LogTableSpec extends SparkSpec {
     // the hint is advisory: delete it, reads still work via listing
     Files.delete(java.nio.file.Paths.get(root, "_log", "_last_checkpoint"))
     assert(rows(t.read()) == (1L to 7L).map(i => (i, s"v$i")))
+    // checkpoints are DERIVED: lose the newest one (crash between CAS and
+    // checkpoint write) and every read folds through the older one
+    Files.delete(java.nio.file.Paths.get(root, "_log",
+      f"${6L}%020d.checkpoint.json"))
+    assert(t.checkpointVersions() == Seq(3L))
+    assert(rows(t.read()) == (1L to 7L).map(i => (i, s"v$i")))
+    assert(rows(t.readVersion(5)) == (1L to 5L).map(i => (i, s"v$i")))
     // a commit's log entry is a DELTA: version 7's manifest names only the
     // files it added, not all 7 (O(change), not O(table))
     val m7 = new String(Files.readAllBytes(
@@ -247,6 +254,41 @@ class LogTableSpec extends SparkSpec {
     t.vacuum(retainLast = 2)
     assert(t.readVersion(2).schema.fieldNames.toSeq == Seq("k", "v", "d"))
     assert(rows(t.readVersion(2).select("k", "v")) == Seq((1L, "a")))
+  }
+
+  test("CHECK constraints live in the log: add validates existing data, " +
+      "every write verb enforces in-pass, failed writes commit nothing, " +
+      "drop restores, metadata commits are invisible to the feed") {
+    val t = new LogTable(spark, tmp("log-chk-"), s2)
+    t.append(Seq((1L, "a")).toDF("k", "v"))                              // v1
+    t.addConstraint("k_positive", "k > 0")                               // v2 (meta)
+    assert(t.constraints == Map("k_positive" -> "k > 0"))
+    t.append(Seq((2L, "b")).toDF("k", "v"))                              // v3
+    def violates(body: => Unit): Unit = {
+      val ex = intercept[Throwable](body)
+      def mentions(e: Throwable): Boolean = e != null &&
+        (Option(e.getMessage).exists(_.contains("CHECK constraint 'k_positive'")) ||
+          mentions(e.getCause))
+      assert(mentions(ex), s"wrong failure: $ex")
+    }
+    violates(t.append(Seq((-5L, "bad")).toDF("k", "v")))
+    violates(t.overwrite(Seq((-1L, "bad")).toDF("k", "v")))
+    violates(t.merge(Seq((0L, "zero")).toDF("k", "v"))(
+      (cur, b) => Merge.scd1(cur, b, Seq("k"))))
+    violates(t.appendOnce(Seq((-2L, "bad")).toDF("k", "v"), "chk", 0L))
+    // NULL conditions are violations, not passes
+    t.append(Seq((3L, null.asInstanceOf[String])).toDF("k", "v"))        // v4 (k fine)
+    intercept[IllegalArgumentException](
+      t.addConstraint("v_short", "length(v) < 2")) // existing NULL row violates
+    assert(rows(t.read()).map(_._1) == Seq(1L, 2L, 3L),
+      "a failed write committed something")
+    assert(t.history() == Seq(1L, 2L, 3L, 4L), "a failed write cut a version")
+    t.dropConstraint("k_positive")                                       // v5 (meta)
+    t.append(Seq((-5L, "ok-now")).toDF("k", "v"))                        // v6
+    assert(rows(t.read()).map(_._1) == Seq(-5L, 1L, 2L, 3L))
+    // the feed sees only the data commits, never the metadata ones
+    val (_, feed) = t.changesSince(4L) // span: v5 meta + v6 append
+    assert(rows(feed) == Seq((-5L, "ok-now")))
   }
 
   test("txn actions: appendOnce is exactly-once per (appId, batchId) — " +
