@@ -119,7 +119,8 @@ object LogTable {
 final class LogTable(spark: SparkSession, root: String, schema: StructType,
                      bucketBy: Option[(Seq[String], Int)] = None,
                      statsBy: Seq[String] = Nil,
-                     checkpointInterval: Int = 10) {
+                     checkpointInterval: Int = 10,
+                     clock: () => Long = () => System.currentTimeMillis()) {
   require(checkpointInterval >= 1, "checkpointInterval must be >= 1")
   private val rootPath: Path = Paths.get(root)
   private val filesDir: Path = rootPath.resolve("files")
@@ -140,14 +141,19 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
                                       stats: Map[String, (String, String)])
   /** One commit's log entry — the Delta add/remove action set, plus an
     * optional schema action (Delta's metaData: present only on the commits
-    * that CHANGE the schema). */
+    * that CHANGE the schema) and the commit's IN-COMMIT TIMESTAMP (Delta's
+    * `inCommitTimestamp`: written INSIDE the committed manifest, so it is
+    * immune to file-mtime drift across copies/clones and is forced strictly
+    * monotone — `max(prev + 1, clock())` — which makes `TIMESTAMP AS OF`
+    * well-defined even under bursty commits or a stepped-back clock). */
   private[merge] case class Delta(version: Long, dataChange: Boolean,
                                   add: Seq[FileEntry], remove: Seq[String],
                                   dvAdd: Seq[String], dvRemove: Seq[String],
                                   schemaJson: Option[String],
                                   txn: Option[(String, Long)],
                                   constraintAdd: Option[(String, String)],
-                                  constraintDrop: Option[String])
+                                  constraintDrop: Option[String],
+                                  tsMs: Long)
   /** Folded state as of a version — files, DVs, the schema AS OF that
     * version (schema lives in the log, so time travel serves each version
     * with the schema it had — the composition a table-level schema field
@@ -156,7 +162,8 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
   private[merge] case class Snapshot(version: Long, files: Seq[FileEntry],
                                      dv: Seq[String], schema: StructType,
                                      txns: Map[String, Long],
-                                     constraints: Map[String, String])
+                                     constraints: Map[String, String],
+                                     tsMs: Long)
 
   // ── log primitives ──────────────────────────────────────────────────────
 
@@ -209,7 +216,8 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
         (t.get("app").asText(), t.get("batch").asLong())),
       Option(n.get("constraintAdd")).map(c =>
         (c.get("name").asText(), c.get("expr").asText())),
-      Option(n.get("constraintDrop")).map(_.asText()))
+      Option(n.get("constraintDrop")).map(_.asText()),
+      Option(n.get("ts")).map(_.asLong()).getOrElse(0L))
   }
 
   private def writeFileEntries(fa: ArrayNode, files: Seq[FileEntry]): Unit =
@@ -251,9 +259,13 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     val prevDv = prev.map(_.dv).getOrElse(Seq.empty)
     val prevNames = prevFiles.map(_.name).toSet
     val newNames = newFiles.map(_.name).toSet
+    // in-commit timestamp: strictly monotone even when the wall clock is
+    // coarse or steps backwards (Delta's inCommitTimestamp clamp)
+    val ts = math.max(prev.map(_.tsMs).getOrElse(0L) + 1, clock())
     val node: ObjectNode = mapper.createObjectNode()
     node.put("version", v)
     node.put("dataChange", dataChange)
+    node.put("ts", ts)
     // the FIRST commit always embeds the schema (Delta writes metaData in
     // commit 0) — the log is self-describing, so SQL/batch readers can
     // resolve the schema without the constructor contract
@@ -280,7 +292,8 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
         newSchema.orElse(prev.map(_.schema)).getOrElse(schema),
         prev.map(_.txns).getOrElse(Map.empty) ++ txn,
         (prev.map(_.constraints).getOrElse(Map.empty) ++ constraintAdd)
-          -- constraintDrop.toSeq))
+          -- constraintDrop.toSeq,
+        ts))
     won
   }
 
@@ -291,6 +304,7 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
   private def writeCheckpoint(s: Snapshot): Unit = {
     val node: ObjectNode = mapper.createObjectNode()
     node.put("version", s.version)
+    node.put("ts", s.tsMs)
     node.put("schema", s.schema.json)
     val tn = node.putObject("txns")
     s.txns.foreach { case (app, batch) => tn.put(app, batch) }
@@ -318,7 +332,8 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
         .getOrElse(Map.empty[String, Long]),
       Option(n.get("constraints")).map(t => t.properties().asScala.map(e =>
         e.getKey -> e.getValue.asText()).toMap)
-        .getOrElse(Map.empty[String, String]))
+        .getOrElse(Map.empty[String, String]),
+      Option(n.get("ts")).map(_.asLong()).getOrElse(0L))
   }
 
   /** Newest checkpoint version ≤ `v`, via the hint when it qualifies (the
@@ -340,7 +355,8 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
       d.schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[StructType]).getOrElse(s.schema),
       s.txns ++ d.txn,
-      (s.constraints ++ d.constraintAdd) -- d.constraintDrop.toSeq)
+      (s.constraints ++ d.constraintAdd) -- d.constraintDrop.toSeq,
+      d.tsMs)
   }
 
   /** Fold the log to the state as of version `v`: newest checkpoint ≤ v,
@@ -361,7 +377,7 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
         require(avail.headOption.contains(1L),
           s"version $v not reconstructible: no checkpoint and the log prefix was vacuumed")
         (1L to v).foldLeft(
-            Snapshot(0L, Seq.empty, Seq.empty, schema, Map.empty, Map.empty))(
+            Snapshot(0L, Seq.empty, Seq.empty, schema, Map.empty, Map.empty, 0L))(
           (s, x) => applyDelta(s, readDelta(x)))
     }
   }
@@ -502,6 +518,32 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     val s = snapshotAt(v)
     readData(s.files, s.dv, s.schema)
   }
+
+  /** The in-commit timestamp of version `v` (ms; strictly increasing across
+    * versions by construction — see [[Delta]]). */
+  def commitTimestamp(v: Long): Long = {
+    require(history().contains(v),
+      s"version $v not available; readable versions: ${history().mkString(", ")}")
+    readDelta(v).tsMs
+  }
+
+  /** `TIMESTAMP AS OF` resolution (Delta semantics): the NEWEST version
+    * whose in-commit timestamp is ≤ `tsMs`. Timestamps are strictly
+    * monotone in the log, so the answer is unique. Throws when `tsMs`
+    * predates the oldest retained commit (nothing existed / vacuumed). */
+  def versionAtTimestamp(tsMs: Long): Long = {
+    val hs = history()
+    require(hs.nonEmpty, "table has no commits")
+    val stamped = hs.map(v => (v, readDelta(v).tsMs))
+    require(tsMs >= stamped.head._2,
+      s"timestamp $tsMs predates the oldest retained commit (${stamped.head._2})")
+    stamped.takeWhile(_._2 <= tsMs).last._1
+  }
+
+  /** The table `TIMESTAMP AS OF tsMs` — resolved to a version, then served
+    * with that version's files, DVs, and schema. */
+  def readTimestamp(tsMs: Long): DataFrame =
+    readVersion(versionAtTimestamp(tsMs))
 
   /** Manifest-stats file skipping: read only files whose [lo, hi] for `c`
     * intersects the bound (files without stats are kept — pruning is a

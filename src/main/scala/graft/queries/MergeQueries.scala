@@ -1470,5 +1470,58 @@ object MergeQueries {
            |SELECT phase, n, sum_price FROM s ORDER BY phase""".stripMargin),
     "CHECK constraints as versioned log metadata: add validates existing data, writes enforce in one pass and fail atomically, drop re-opens — Delta ALTER TABLE ADD/DROP CONSTRAINT semantics")
 
-  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl, opt, del, rst, vac, dvq, dvtt, occ, occContended, logLifecycle, logMaintenance, logChangeFeed, logClustered, logEvolve, logSql, logConstraints)
+  /** IN-COMMIT TIMESTAMPS + `TIMESTAMP AS OF` (q75) — Delta's
+    * inCommitTimestamp feature: every commit stamps a strictly-monotone
+    * timestamp INSIDE its manifest (`max(prev+1, clock)` — immune to
+    * file-mtime drift and to a wall clock that steps backwards), and
+    * `TIMESTAMP AS OF t` resolves to the newest version stamped ≤ t. The
+    * schedule below forces the clamp (v2 commits under a stepped-BACK
+    * clock and must stamp 1001, `require`d) and composes the resolution
+    * with a DV delete (the probe after v3 serves the deleted state —
+    * timestamp travel reads the exact DV state of the resolved version).
+    * The resolved version numbers ride IN the result, so the hash pins the
+    * resolution rule itself, not just the served content. */
+  val logTimestamps = QueryDef(
+    "q75_logtable_timestamp_travel",
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+      val cut = lit("1998-01-01").cast("timestamp")
+      val root = FixtureDirs.create("q75-ts-").resolve("orders_ts").toString
+      var now = 1000L
+      val t = new graft.merge.LogTable(spark, root, o.schema,
+        clock = () => now)
+      t.append(o.filter(col("o_orderdate") < cut))                      // v1 @1000
+      now = 900L // wall clock steps BACK — the commit must clamp forward
+      t.append(o.filter(col("o_orderdate") >= cut))                     // v2 @1001
+      now = 5000L
+      val deleted = t.deleteWhere(pmod(col("o_orderkey"), lit(7)) === 0) // v3 @5000
+      require(deleted > 0, "delete predicate must match rows at every SF")
+      require(t.commitTimestamp(2) == 1001L,
+        s"stepped-back clock must clamp to prev+1, got ${t.commitTimestamp(2)}")
+      def phase(name: String, probeTs: Long) = {
+        val ver = t.versionAtTimestamp(probeTs)
+        t.readTimestamp(probeTs)
+          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+          .select(lit(name).as("phase"), lit(ver).as("ver"), col("n"), col("sum_price"))
+      }
+      phase("t1_v1", 1000L)
+        .union(phase("t2_clamped_v2", 1001L))
+        .union(phase("t3_gap_v2", 4999L))
+        .union(phase("t4_v3_dv", 999999L))
+        .orderBy(col("phase"))
+    },
+    Some("""WITH o AS (SELECT o_orderkey, o_totalprice, o_orderdate FROM orders),
+           |p1 AS (SELECT * FROM o WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+           |lv AS (SELECT * FROM o WHERE o_orderkey % 7 <> 0),
+           |s AS (
+           |  SELECT 't1_v1' AS phase, CAST(1 AS BIGINT) AS ver, count(*) AS n,
+           |         round(sum(o_totalprice), 2) AS sum_price FROM p1
+           |  UNION ALL SELECT 't2_clamped_v2', 2, count(*), round(sum(o_totalprice), 2) FROM o
+           |  UNION ALL SELECT 't3_gap_v2', 2, count(*), round(sum(o_totalprice), 2) FROM o
+           |  UNION ALL SELECT 't4_v3_dv', 3, count(*), round(sum(o_totalprice), 2) FROM lv)
+           |SELECT phase, ver, n, sum_price FROM s ORDER BY phase""".stripMargin),
+    "In-commit timestamps: strictly-monotone commit stamps in the manifest (clock-step immune), TIMESTAMP AS OF resolves newest-at-or-before and composes with DV deletes — Delta inCommitTimestamp semantics")
+
+  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl, opt, del, rst, vac, dvq, dvtt, occ, occContended, logLifecycle, logMaintenance, logChangeFeed, logClustered, logEvolve, logSql, logConstraints, logTimestamps)
 }

@@ -337,4 +337,30 @@ class LogTableSpec extends SparkSpec {
       .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
     assert(onDisk == referenced, s"orphan files survive vacuum: ${onDisk -- referenced}")
   }
+
+  test("in-commit timestamps: strictly monotone under a stepped-back clock; " +
+      "TIMESTAMP AS OF resolves to the newest version at-or-before") {
+    var now = 1000L
+    val t = new LogTable(spark, tmp("log-ts-"), s2, clock = () => now)
+    t.overwrite(Seq((1L, "a")).toDF("k", "v"))                           // v1 @1000
+    now = 900L // wall clock steps BACK (ntp, vm migration)
+    t.append(Seq((2L, "b")).toDF("k", "v"))                              // v2 @1001 (clamped)
+    now = 5000L
+    t.append(Seq((3L, "c")).toDF("k", "v"))                              // v3 @5000
+    assert(t.commitTimestamp(1) == 1000L)
+    assert(t.commitTimestamp(2) == 1001L, "stepped-back clock must clamp to prev+1")
+    assert(t.commitTimestamp(3) == 5000L)
+    // AS OF: newest version with ts <= probe
+    assert(t.versionAtTimestamp(1000L) == 1L)
+    assert(t.versionAtTimestamp(1001L) == 2L)
+    assert(t.versionAtTimestamp(4999L) == 2L)
+    assert(t.versionAtTimestamp(Long.MaxValue) == 3L)
+    assert(rows(t.readTimestamp(4999L)) == Seq((1L, "a"), (2L, "b")))
+    // probes before the first commit fail loudly
+    intercept[IllegalArgumentException](t.versionAtTimestamp(999L))
+    // vacuum moves the floor: a probe into the dropped prefix fails
+    t.vacuum(retainLast = 2)
+    intercept[IllegalArgumentException](t.versionAtTimestamp(1000L))
+    assert(t.versionAtTimestamp(1001L) == 2L)
+  }
 }
