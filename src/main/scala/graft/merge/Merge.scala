@@ -114,6 +114,65 @@ object Merge {
         target.join(b, cond && g(tc, bc), "left_anti")
     }
 
+  /** M7 — SCD Type-2 history-tracking merge (`WHEN MATCHED AND <attrs
+    * changed> THEN close current row; WHEN NOT MATCHED THEN INSERT` — the
+    * Delta-lake dimension-history pattern, beyond the reference's five
+    * flavors). The target carries, per natural key, a chain of versions:
+    * `fromCol` (inclusive validity start), `toCol` (exclusive end, null while
+    * open) and `currentCol`. The batch carries `keys ++ trackedCols ++
+    * fromCol` — one candidate version per key, stamped with its change time.
+    *
+    * Semantics per batch row: matched current row with any tracked attribute
+    * differing (null-safe) AND a strictly newer `fromCol` → the current row
+    * is CLOSED (`toCol := batch.fromCol`, `currentCol := false`) and a fresh
+    * open version is inserted; matched with identical attributes (or not
+    * newer) → no-op, which makes re-application of the same batch a no-op
+    * (idempotent, the M1 property); unmatched key → fresh open version.
+    * Historical (non-current) target rows pass through untouched.
+    *
+    * Plan shape: the current slice full-outer-joins the batch on `keys`
+    * (one shuffle, broadcast when the batch is small), each joined row emits
+    * up to two output rows via an exploded 2-struct array — the join is
+    * never recomputed. Chained applications stack plans; callers applying
+    * many batches should materialize between (the ParquetTable/LogTable
+    * merge path does this by construction).
+    */
+  def scd2(target: DataFrame, batch: DataFrame, keys: Seq[String],
+           trackedCols: Seq[String], fromCol: String = "eff_from",
+           toCol: String = "eff_to", currentCol: String = "is_current"): DataFrame = {
+    require(batch.columns.toSet == (keys ++ trackedCols :+ fromCol).toSet,
+      s"scd2 batch must carry exactly keys ++ trackedCols ++ $fromCol")
+    require(target.columns.toSet == (batch.columns.toSet + toCol + currentCol),
+      s"scd2 target must be the batch schema plus $toCol/$currentCol")
+    val toType = target.schema(toCol).dataType
+    val hist = target.filter(!col(currentCol))
+    val cur = target.filter(col(currentCol))
+    val b = batch.select(batch.columns.map(c => col(c).as("__b_" + c)).toIndexedSeq: _*)
+    val cond = keys.map(k => cur(k) <=> b("__b_" + k)).reduce(_ && _)
+    val joined = cur.join(b, cond, "full_outer")
+    val matched = cur(keys.head).isNotNull && b("__b_" + keys.head).isNotNull
+    val differs = trackedCols.map(c => !(cur(c) <=> b("__b_" + c))).reduce(_ || _)
+    val changed = matched && b("__b_" + fromCol) > cur(fromCol) && differs
+    val outCols = target.columns.toIndexedSeq
+    val keptOrClosed = struct(outCols.map {
+      case c if c == toCol => when(changed, b("__b_" + fromCol)).otherwise(cur(toCol)).as(c)
+      case c if c == currentCol => (cur(currentCol) && !changed).as(c)
+      case c => cur(c).as(c)
+    }: _*)
+    val fresh = struct(outCols.map {
+      case c if c == toCol => lit(null).cast(toType).as(c)
+      case c if c == currentCol => lit(true).as(c)
+      case c => b("__b_" + c).as(c)
+    }: _*)
+    val emitted = joined
+      .select(explode(array(
+        when(cur(keys.head).isNotNull, keptOrClosed),
+        when(changed || cur(keys.head).isNull, fresh))).as("__r"))
+      .filter(col("__r").isNotNull)
+      .select(outCols.map(c => col("__r." + c).as(c)): _*)
+    hist.unionByName(emitted)
+  }
+
   /** M5 — explicit-column-list upsert (gold summary,
     * `Gold/06-gold.py:31-80`): same plan shape as M4 but only `updateCols`
     * change on match; other target columns are preserved.

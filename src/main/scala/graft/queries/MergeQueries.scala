@@ -1523,5 +1523,85 @@ object MergeQueries {
            |SELECT phase, ver, n, sum_price FROM s ORDER BY phase""".stripMargin),
     "In-commit timestamps: strictly-monotone commit stamps in the manifest (clock-step immune), TIMESTAMP AS OF resolves newest-at-or-before and composes with DV deletes — Delta inCommitTimestamp semantics")
 
-  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl, opt, del, rst, vac, dvq, dvtt, occ, occContended, logLifecycle, logMaintenance, logChangeFeed, logClustered, logEvolve, logSql, logConstraints, logTimestamps)
+  /** M7 — SCD Type-2 history merge (the Delta dimension-history pattern;
+    * beyond the reference's five flavors). A customer dimension goes through
+    * two change batches: t=100 recovers negative balances (segment →
+    * RECOVERED, +1000), t=200 promotes every 5th key to VIP, re-delivers
+    * unchanged attributes for keys ≡1 (mod 5) — the NO-OP branch — and
+    * introduces brand-new negative keys — the INSERT branch. Keys hit by
+    * both batches accumulate a 3-version chain; the t=200 batch is applied
+    * TWICE, so the final hash also proves re-application is a no-op (the M1
+    * idempotency property, at the query level).
+    *
+    * The oracle builds the same history in closed form: the per-key version
+    * list (v0 ∪ changed-vs-current v1 ∪ changed-vs-current v2), then chains
+    * validity with `lead(eff_from)` — open interval ⇔ current. A hash match
+    * proves closing times, pass-through of historical rows, the no-op
+    * branch, and the insert path all agree.
+    *
+    * Scale: each application is ONE full-outer join of the current slice
+    * with the batch (broadcast when the batch is small) emitting ≤2 rows per
+    * match — history rows are never joined, so cost is O(current + batch)
+    * per batch regardless of how deep the history grows. */
+  val scd2q = QueryDef(
+    "q76_merge_scd2",
+    (spark, dir) => {
+      val c = Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val dim0 = c.withColumn("eff_from", lit(0L))
+        .withColumn("eff_to", lit(null).cast("bigint"))
+        .withColumn("is_current", lit(true))
+      val b1 = c.filter(col("c_acctbal") < 0)
+        .withColumn("c_mktsegment", lit("RECOVERED"))
+        .withColumn("c_acctbal", col("c_acctbal") + 1000)
+        .withColumn("eff_from", lit(100L))
+      val b2 = c.filter(col("c_custkey") % 5 <= 1)
+        .withColumn("c_mktsegment",
+          when(col("c_custkey") % 5 === 0, lit("VIP")).otherwise(col("c_mktsegment")))
+        .withColumn("eff_from", lit(200L))
+        .unionByName(c.filter(col("c_custkey") % 5 === 2)
+          .withColumn("c_custkey", -col("c_custkey"))
+          .withColumn("eff_from", lit(200L)))
+      val keys = Seq("c_custkey")
+      val tracked = Seq("c_mktsegment", "c_acctbal")
+      val s1 = Merge.scd2(dim0, b1, keys, tracked).localCheckpoint(true)
+      val s2 = Merge.scd2(s1, b2, keys, tracked).localCheckpoint(true)
+      Merge.scd2(s2, b2, keys, tracked) // re-application: provably a no-op
+        .orderBy(col("c_custkey"), col("eff_from"))
+    },
+    Some("""WITH c AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+           |v0 AS (SELECT c_custkey, c_mktsegment, c_acctbal, CAST(0 AS BIGINT) AS eff_from FROM c),
+           |b1 AS (SELECT c_custkey, 'RECOVERED' AS c_mktsegment,
+           |              c_acctbal + CAST(1000 AS DOUBLE) AS c_acctbal,
+           |              CAST(100 AS BIGINT) AS eff_from FROM c WHERE c_acctbal < 0),
+           |v1 AS (SELECT b.c_custkey, b.c_mktsegment, b.c_acctbal, b.eff_from
+           |       FROM b1 b JOIN v0 t ON b.c_custkey = t.c_custkey
+           |       WHERE b.c_mktsegment IS DISTINCT FROM t.c_mktsegment
+           |          OR b.c_acctbal IS DISTINCT FROM t.c_acctbal),
+           |cur1 AS (SELECT t.c_custkey,
+           |                coalesce(v.c_mktsegment, t.c_mktsegment) AS c_mktsegment,
+           |                coalesce(v.c_acctbal, t.c_acctbal) AS c_acctbal
+           |         FROM v0 t LEFT JOIN v1 v ON t.c_custkey = v.c_custkey),
+           |b2 AS (SELECT c_custkey,
+           |              CASE WHEN c_custkey % 5 = 0 THEN 'VIP' ELSE c_mktsegment END AS c_mktsegment,
+           |              c_acctbal, CAST(200 AS BIGINT) AS eff_from
+           |       FROM c WHERE c_custkey % 5 <= 1
+           |       UNION ALL
+           |       SELECT -c_custkey, c_mktsegment, c_acctbal, CAST(200 AS BIGINT)
+           |       FROM c WHERE c_custkey % 5 = 2),
+           |v2 AS (SELECT b.c_custkey, b.c_mktsegment, b.c_acctbal, b.eff_from
+           |       FROM b2 b LEFT JOIN cur1 t ON b.c_custkey = t.c_custkey
+           |       WHERE t.c_custkey IS NULL
+           |          OR b.c_mktsegment IS DISTINCT FROM t.c_mktsegment
+           |          OR b.c_acctbal IS DISTINCT FROM t.c_acctbal),
+           |allv AS (SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+           |SELECT c_custkey, c_mktsegment, c_acctbal, eff_from,
+           |       lead(eff_from) OVER w AS eff_to,
+           |       lead(eff_from) OVER w IS NULL AS is_current
+           |FROM allv
+           |WINDOW w AS (PARTITION BY c_custkey ORDER BY eff_from)
+           |ORDER BY c_custkey, eff_from""".stripMargin),
+    "M7 SCD Type-2 history merge: close-and-insert on attribute change, no-op on identical re-delivery, insert on new key; t=200 batch applied twice so the hash pins idempotency")
+
+  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl, opt, del, rst, vac, dvq, dvtt, occ, occContended, logLifecycle, logMaintenance, logChangeFeed, logClustered, logEvolve, logSql, logConstraints, logTimestamps, scd2q)
 }

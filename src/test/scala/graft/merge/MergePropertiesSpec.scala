@@ -145,6 +145,85 @@ class MergePropertiesSpec extends SparkSpec {
       Files.getLastModifiedTime(p).toMillis).toMap == snapshot)
   }
 
+  /** SCD2 model: per key an append-only version list; a batch row appends
+    * iff it is strictly newer than the open version AND any tracked
+    * attribute differs. (to, current) are derived by chaining — exactly what
+    * [[Merge.scd2]] must produce. */
+  private def scd2Model(st: Map[Int, List[(String, Int)]],
+                        batch: List[(Int, String, Int)]): Map[Int, List[(String, Int)]] =
+    batch.foldLeft(st) { case (m, (k, v, f)) =>
+      m.get(k) match {
+        case None => m + (k -> List((v, f)))
+        case Some(vs) =>
+          val (cv, cf) = vs.last
+          if (f > cf && v != cv) m + (k -> (vs :+ (v, f))) else m
+      }
+    }
+
+  private def scd2Expected(st: Map[Int, List[(String, Int)]]): Set[(Int, String, Int, Option[Int], Boolean)] =
+    st.flatMap { case (k, vs) =>
+      vs.zipWithIndex.map { case ((v, f), i) =>
+        val to = if (i + 1 < vs.size) Some(vs(i + 1)._2) else None
+        (k, v, f, to, to.isEmpty)
+      }
+    }.toSet
+
+  private def emptyDim = {
+    Seq.empty[(Int, String, Int)].toDF("k", "v", "eff_from")
+      .withColumn("eff_to", org.apache.spark.sql.functions.lit(null).cast("int"))
+      .withColumn("is_current", org.apache.spark.sql.functions.lit(true))
+  }
+
+  test("property: scd2 equals the version-chain model and re-application is a no-op") {
+    (0 until 6).foreach { i =>
+      val batches = (0 until 3).map(j => dedupByKey(sample(i * 10L + j))).toList
+      var model = Map.empty[Int, List[(String, Int)]]
+      var dim = emptyDim
+      batches.foreach { b =>
+        // generator emits (k, ord, v); scd2 batch is (k, v=attr, eff_from=ord)
+        val bdf = b.map { case (k, ord, v) => (k, v, ord) }.toDF("k", "v", "eff_from")
+        dim = Merge.scd2(dim, bdf, Seq("k"), Seq("v")).localCheckpoint(true)
+        model = scd2Model(model, b.map { case (k, ord, v) => (k, v, ord) })
+        val got = dim.as[(Int, String, Int, Option[Int], Boolean)].collect().toSet
+        assert(got == scd2Expected(model))
+      }
+      // idempotency: the last batch again — byte-identical state
+      val last = batches.last.map { case (k, ord, v) => (k, v, ord) }.toDF("k", "v", "eff_from")
+      val again = Merge.scd2(dim, last, Seq("k"), Seq("v"))
+        .as[(Int, String, Int, Option[Int], Boolean)].collect().toSet
+      assert(again == scd2Expected(model))
+    }
+  }
+
+  test("scd2 chains validity: one open version per key, intervals contiguous") {
+    val b1 = List((1, "a", 10), (2, "a", 10), (3, "a", 10))
+    val b2 = List((1, "b", 20), (2, "a", 20)) // key 2: identical attrs → no-op
+    val b3 = List((1, "c", 30), (4, "x", 30)) // key 4: insert path
+    var dim = emptyDim
+    List(b1, b2, b3).foreach { b =>
+      dim = Merge.scd2(dim, b.toDF("k", "v", "eff_from"), Seq("k"), Seq("v"))
+        .localCheckpoint(true)
+    }
+    val rows = dim.as[(Int, String, Int, Option[Int], Boolean)].collect().toList
+    // key 1 has a 3-version chain 10→20→30; keys 2,3 one open version; key 4 inserted
+    assert(rows.count(_._1 == 1) == 3)
+    rows.groupBy(_._1).foreach { case (_, vs) =>
+      assert(vs.count(_._5) == 1, "exactly one current version per key")
+      val sorted = vs.sortBy(_._3)
+      sorted.sliding(2).foreach {
+        case List(prev, next) => assert(prev._4.contains(next._3), "contiguous intervals")
+        case _ => ()
+      }
+      assert(sorted.last._4.isEmpty && sorted.last._5)
+    }
+    assert(rows.filter(_._1 == 2).map(r => (r._2, r._3)) == List(("a", 10)))
+    assert(rows.filter(_._1 == 4).map(r => (r._2, r._3)) == List(("x", 30)))
+    // out-of-order late batch (older eff_from, different attrs) is a no-op
+    val late = Merge.scd2(dim, List((1, "z", 5)).toDF("k", "v", "eff_from"), Seq("k"), Seq("v"))
+      .as[(Int, String, Int, Option[Int], Boolean)].collect().toSet
+    assert(late == rows.toSet)
+  }
+
   test("bucketed merge rejects a merge function that leaks across buckets") {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType),
