@@ -8,7 +8,7 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
 
 /** COMMIT-LOG TABLE — the transactional form of [[ParquetTable]], i.e. the
   * "commit log / Delta-Iceberg metadata design" every scoped-out composition
@@ -134,6 +134,42 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     val (keys, n) = bucketBy.get
     pmod(xxhash64(keys.map(col).toIndexedSeq: _*), lit(n)).cast("int")
   }
+
+  // ── COLUMN MAPPING (Delta's columnMapping.mode=name, in the log) ────────
+  // Each schema field may carry its PHYSICAL column name in field metadata
+  // (`graft.physical`) — the name actually stored in parquet footers. The
+  // logical name is the user-facing one. Identity (no metadata) is the
+  // default, so pre-mapping tables read and write unchanged. Because the
+  // mapping rides INSIDE the schema JSON the log already versions,
+  // checkpoints, and folds, rename/drop are plain metaData commits: every
+  // version time-travels with the mapping it had, and no data file is ever
+  // rewritten. [[renameColumn]] / [[dropColumn]] activate the mapping
+  // (pinning every field's physical name) on first use — Delta's upgrade
+  // flow — after which [[evolve]]-added columns get FRESH physical names so
+  // a re-added logical name can never resurrect a dropped column's bytes.
+
+  private val PhysKey = "graft.physical"
+  private def physicalOf(f: StructField): String =
+    if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey) else f.name
+  private def physOf(s: StructType, c: String): String = physicalOf(s(c))
+  private def mappingActive(s: StructType): Boolean =
+    s.fields.exists(_.metadata.contains(PhysKey))
+  /** The schema as stored in parquet: logical field names swapped for
+    * physical ones (types/nullability kept; metadata stripped — footers
+    * don't need it). */
+  private def physicalSchema(s: StructType): StructType =
+    StructType(s.fields.map(f => StructField(physicalOf(f), f.dataType, f.nullable)))
+  private def withPhysical(f: StructField, p: String): StructField =
+    f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+      .putString(PhysKey, p).build())
+  /** Pin every field's physical name explicitly (the mapping-activation
+    * upgrade: current physical = current name for identity fields). */
+  private def activateMapping(s: StructType): StructType =
+    StructType(s.fields.map(f => withPhysical(f, physicalOf(f))))
+  /** Project a logical-named frame to physical names for a file write. */
+  private def toPhysical(df: DataFrame, as: StructType): DataFrame =
+    if (!mappingActive(as)) df
+    else df.select(as.fields.map(f => col(f.name).as(physicalOf(f))).toIndexedSeq: _*)
 
   /** One data file: manifest-relative name, bucket (-1 = unbucketed), and
     * per-column (min, max) stats as strings (None = no stats / all null). */
@@ -399,35 +435,44 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     * sorts the rewrite on those keys, so each output file covers a tight
     * key range and the manifest stats become selective — the clustering
     * knob. */
-  private def writeFiles(df: DataFrame, coalesceTo: Option[Int] = None,
+  private def writeFiles(df: DataFrame, as: StructType,
+                         coalesceTo: Option[Int] = None,
                          clusterBy: Seq[String] = Nil): Seq[FileEntry] = {
     val tmp = Files.createTempDirectory(rootPath, ".write-")
-    try writeFilesInto(df, tmp, coalesceTo, clusterBy)
+    try writeFilesInto(df, as, tmp, coalesceTo, clusterBy)
     catch { case e: Throwable => deleteRec(tmp); throw e }
   }
 
-  private def writeFilesInto(df: DataFrame, tmp: Path, coalesceTo: Option[Int],
+  private def writeFilesInto(df: DataFrame, as: StructType, tmp: Path,
+                             coalesceTo: Option[Int],
                              clusterBy: Seq[String]): Seq[FileEntry] = {
+    // files store PHYSICAL column names (stable across renames); `as` is the
+    // logical schema governing this write (the commit snapshot's)
+    val pdf = toPhysical(df, as)
+    val statsByPhys = statsBy.filter(c => as.fieldNames.contains(c))
+      .map(c => physOf(as, c))
     bucketBy match {
       case None =>
-        val cs = clusterBy.map(col)
+        val cs = clusterBy.map(c => col(physOf(as, c)))
         val out = (coalesceTo, clusterBy) match {
           // range exchange with sampled bounds — no global single-reducer
           // sort — then a per-file sort for row-group stats
           case (Some(n), c) if c.nonEmpty =>
-            df.repartitionByRange(n, cs: _*).sortWithinPartitions(cs: _*)
+            pdf.repartitionByRange(n, cs: _*).sortWithinPartitions(cs: _*)
           case (None, c) if c.nonEmpty =>
-            df.repartitionByRange(cs: _*).sortWithinPartitions(cs: _*)
-          case (Some(n), _) => df.repartition(n)
-          case _ => df
+            pdf.repartitionByRange(cs: _*).sortWithinPartitions(cs: _*)
+          case (Some(n), _) => pdf.repartition(n)
+          case _ => pdf
         }
         out.write.mode("overwrite").parquet(tmp.toString)
-      case Some((keys, _)) =>
+      case Some((keys, n)) =>
         // one file per touched bucket, rows sorted on the keys for
         // row-group stats — the ParquetTable write discipline
-        df.withColumn(BucketCol, bucketExpr)
+        val pKeys = keys.map(k => physOf(as, k))
+        val pBucket = pmod(xxhash64(pKeys.map(col).toIndexedSeq: _*), lit(n)).cast("int")
+        pdf.withColumn(BucketCol, pBucket)
           .repartition(col(BucketCol))
-          .sortWithinPartitions((BucketCol +: keys).map(col).toIndexedSeq: _*)
+          .sortWithinPartitions((BucketCol +: pKeys).map(col).toIndexedSeq: _*)
           .write.mode("overwrite").partitionBy(BucketCol).parquet(tmp.toString)
     }
     val staged: Seq[(Path, Int)] = Files.walk(tmp).iterator().asScala
@@ -439,20 +484,22 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
         }
         (p, b)
       }.toSeq
-    // per-file stats BEFORE the move (one aggregate grouped by file)
+    // per-file stats BEFORE the move (one aggregate grouped by file),
+    // keyed by PHYSICAL name — stable across renames, so stats on files
+    // written before a rename keep pruning after it
     val statsOf: Map[String, Map[String, (String, String)]] =
-      if (statsBy.isEmpty || staged.isEmpty) Map.empty
+      if (statsByPhys.isEmpty || staged.isEmpty) Map.empty
       else {
-        val aggs = statsBy.flatMap(c => Seq(
+        val aggs = statsByPhys.flatMap(c => Seq(
           min(col(c)).cast("string").as(s"__lo_$c"),
           max(col(c)).cast("string").as(s"__hi_$c")))
-        spark.read.schema(df.schema).parquet(staged.map(_._1.toString): _*)
+        spark.read.schema(pdf.schema).parquet(staged.map(_._1.toString): _*)
           .groupBy(input_file_name().as("__f"))
           .agg(aggs.head, aggs.tail: _*)
           .collect().map { r =>
             val f = r.getAs[String]("__f")
             val name = f.substring(f.lastIndexOf('/') + 1)
-            name -> statsBy.flatMap { c =>
+            name -> statsByPhys.flatMap { c =>
               val lo = r.getAs[String](s"__lo_$c"); val hi = r.getAs[String](s"__hi_$c")
               if (lo == null || hi == null) None else Some(c -> (lo, hi))
             }.toMap
@@ -489,7 +536,9 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
   private def readData(entries: Seq[FileEntry], dv: Seq[String],
                        as: StructType): DataFrame = {
     if (entries.isEmpty) return emptyDf(as)
-    val raw = spark.read.schema(as)
+    // files hold PHYSICAL names; read physical (older files null-fill
+    // missing physical columns), project back to the logical names of `as`
+    val raw = spark.read.schema(physicalSchema(as))
       .parquet(entries.map(e => filesDir.resolve(e.name).toString): _*)
     val out = if (dv.isEmpty) raw
     else {
@@ -501,7 +550,7 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
         .join(broadcast(dvDf), Seq(DvName, DvPos), "left_anti")
         .drop(DvName, DvPos)
     }
-    out.select(as.fieldNames.map(col).toIndexedSeq: _*)
+    out.select(as.fields.map(f => col(physicalOf(f)).as(f.name)).toIndexedSeq: _*)
   }
 
   /** Live table (empty frame before the first commit). */
@@ -554,12 +603,17 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     * statsBy, else whatever the live manifest carries (batch readers open
     * a table without knowing the writer's configuration — the stats are IN
     * the log, not in the constructor). */
-  def statsColumns: Seq[String] =
-    if (statsBy.nonEmpty) statsBy
-    else {
-      val v = currentVersion
-      if (v == 0) Nil else snapshotAt(v).files.flatMap(_.stats.keys).distinct
-    }
+  def statsColumns: Seq[String] = {
+    val v = currentVersion
+    val live = if (v == 0) schema else snapshotAt(v).schema
+    // manifests key stats by PHYSICAL name; surface them under the LIVE
+    // logical names (stats survive a rename; dropped columns vanish)
+    val reverse = live.fields.map(f => physicalOf(f) -> f.name).toMap
+    val discovered =
+      if (v == 0) Nil
+      else snapshotAt(v).files.flatMap(_.stats.keys).distinct.flatMap(reverse.get)
+    (statsBy.filter(c => live.fieldNames.contains(c)) ++ discovered).distinct
+  }
 
   def readRange(c: String, lo: Column, hi: Column): DataFrame = {
     require(statsColumns.contains(c),
@@ -568,15 +622,16 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     if (v == 0) return emptyDf.filter(col(c) >= lo && col(c) <= hi)
     val m = snapshotAt(v)
     val dt = m.schema(c).dataType
+    val pc = physOf(m.schema, c) // stats are keyed by physical name
     // one overlap evaluation for ALL stats-carrying files (Spark's own
     // cast/ordering semantics); stat-less files are kept unconditionally
-    val (withStats, noStats) = m.files.partition(_.stats.contains(c))
+    val (withStats, noStats) = m.files.partition(_.stats.contains(pc))
     val kept =
       if (withStats.isEmpty) m.files
       else {
         import spark.implicits._
         val statRows = withStats.map { e =>
-          val (fLo, fHi) = e.stats(c); (e.name, fLo, fHi)
+          val (fLo, fHi) = e.stats(pc); (e.name, fLo, fHi)
         }.toDF("__name", "__lo", "__hi")
         val surviving = statRows.filter(
             col("__hi").cast(dt) >= lo.cast(dt) && col("__lo").cast(dt) <= hi.cast(dt))
@@ -621,14 +676,14 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
   /** Replace the table content (cuts a new version). */
   def overwrite(df: DataFrame): Unit =
     commitLoop(5) { snap =>
-      val fresh = writeFiles(withChecks(df, snap))
+      val fresh = writeFiles(withChecks(df, snap), snap.map(_.schema).getOrElse(schema))
       Some((fresh, Seq.empty, fresh))
     }
 
   /** Append-only write: prior files + the new ones, DVs carried forward. */
   def append(df: DataFrame): Unit =
     commitLoop(5) { snap =>
-      val fresh = writeFiles(withChecks(df, snap))
+      val fresh = writeFiles(withChecks(df, snap), snap.map(_.schema).getOrElse(schema))
       Some((snap.map(_.files).getOrElse(Seq.empty) ++ fresh,
         snap.map(_.dv).getOrElse(Seq.empty), fresh))
     }
@@ -656,7 +711,7 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
       if (snap.exists(_.txns.getOrElse(appId, -1L) >= batchId)) {
         committed = false; None // already delivered: no version cut
       } else {
-        val fresh = writeFiles(withChecks(df, snap))
+        val fresh = writeFiles(withChecks(df, snap), snap.map(_.schema).getOrElse(schema))
         committed = true
         Some((snap.map(_.files).getOrElse(Seq.empty) ++ fresh,
           snap.map(_.dv).getOrElse(Seq.empty), fresh))
@@ -677,7 +732,8 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     bucketBy match {
       case None => commitLoop(5) { snap =>
         val cur = snap.map(m => readData(m.files, m.dv, m.schema)).getOrElse(emptyDf)
-        val fresh = writeFiles(withChecks(f(cur, batch), snap))
+        val fresh = writeFiles(withChecks(f(cur, batch), snap),
+          snap.map(_.schema).getOrElse(schema))
         Some((fresh, Seq.empty, fresh))
       }
       case Some(_) => commitLoop(5) { snap =>
@@ -688,7 +744,7 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
         val dv = snap.map(_.dv).getOrElse(Seq.empty)
         val as = snap.map(_.schema).getOrElse(schema)
         val cur = if (hit.isEmpty) emptyDf(as) else readData(hit, dv, as)
-        val fresh = writeFiles(withChecks(f(cur, batch), snap))
+        val fresh = writeFiles(withChecks(f(cur, batch), snap), as)
         Some((kept ++ fresh, dv, fresh))
       }
     }
@@ -724,14 +780,16 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
   }
 
   private def readDataWithPos(m: Snapshot): DataFrame = {
-    val raw = spark.read.schema(m.schema)
+    val raw = spark.read.schema(physicalSchema(m.schema))
       .parquet(m.files.map(e => filesDir.resolve(e.name).toString): _*)
       .withColumn(DvName, regexp_extract(col("_metadata.file_path"), "([^/]+)$", 1))
       .withColumn(DvPos, col("_metadata.row_index"))
-    if (m.dv.isEmpty) raw
+    val undeleted = if (m.dv.isEmpty) raw
     else raw.join(
       broadcast(spark.read.parquet(m.dv.map(d => filesDir.resolve(d).toString): _*)),
       Seq(DvName, DvPos), "left_anti")
+    undeleted.select((m.schema.fields.map(f => col(physicalOf(f)).as(f.name))
+      :+ col(DvName) :+ col(DvPos)).toIndexedSeq: _*)
   }
 
   /** OCC merge: the commit loop IS the protocol — staging runs lock-free
@@ -741,7 +799,8 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
               (f: (DataFrame, DataFrame) => DataFrame): Int =
     commitLoop(maxAttempts) { snap =>
       val cur = snap.map(m => readData(m.files, m.dv, m.schema)).getOrElse(emptyDf)
-      val fresh = writeFiles(withChecks(f(cur, batch), snap))
+      val fresh = writeFiles(withChecks(f(cur, batch), snap),
+        snap.map(_.schema).getOrElse(schema))
       Some((fresh, Seq.empty, fresh))
     }
 
@@ -780,7 +839,7 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
             }))
           if (!worthIt) { removed = 0; None }
           else {
-            val fresh = writeFiles(readData(m.files, m.dv, m.schema),
+            val fresh = writeFiles(readData(m.files, m.dv, m.schema), m.schema,
               coalesceTo = if (bucketBy.isEmpty) Some(want) else None,
               clusterBy = clusterBy)
             removed = m.files.size
@@ -945,13 +1004,94 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
           s"schema evolution cannot change types: '${f.name}' ${f.dataType.simpleString} " +
             s"-> ${nf.dataType.simpleString} (type changes need a rewrite)")
       }
-      if (cur == wider) return // already there: no version cut
+      if (cur.fields.map(f => (f.name, f.dataType)).toSeq ==
+          wider.fields.map(f => (f.name, f.dataType)).toSeq)
+        return // already there: no version cut
+      // existing fields keep their metadata (physical names survive the
+      // evolve); added fields get FRESH physical names once the mapping is
+      // active, so a re-added logical name can never read a dropped
+      // column's bytes (Delta's columnMapping id discipline)
+      val merged = StructType(wider.fields.map { nf =>
+        cur.fields.find(_.name == nf.name).getOrElse(
+          if (mappingActive(cur)) withPhysical(nf, s"${nf.name}#${v + 1}") else nf)
+      })
       if (tryCommit(snap, snap.map(_.files).getOrElse(Seq.empty),
           snap.map(_.dv).getOrElse(Seq.empty), dataChange = false,
-          newSchema = Some(wider))) return
+          newSchema = Some(merged))) return
     }
     throw new IllegalStateException(
       "schema-evolution commit lost the race 5 times — writer storm")
+  }
+
+  /** Constraint names whose stored SQL references column `c` (conservative
+    * word-boundary match — renames/drops of referenced columns are rejected
+    * rather than silently breaking the stored expr). */
+  private def referencingConstraints(snap: Option[Snapshot], c: String): Seq[String] =
+    snap.map(_.constraints).getOrElse(Map.empty).collect {
+      case (n, e) if ("\\b" + java.util.regex.Pattern.quote(c) + "\\b").r
+        .findFirstIn(e).isDefined => n
+    }.toSeq
+
+  /** RENAME COLUMN as a METADATA COMMIT (Delta `columnMapping.mode = name`):
+    * the field keeps its PHYSICAL parquet name — only the logical name in
+    * the log's schema changes — so NO data file is touched, stats keep
+    * pruning (they are keyed by physical name), and every pre-rename
+    * version time-travels under the name it had (the mapping rides in the
+    * versioned schema). First use activates the mapping: every field's
+    * physical name is pinned explicitly. `dataChange = false` — the change
+    * feed never sees it. Rejected for bucket keys (the constructor's
+    * bucketBy contract is logical) and for columns an active CHECK
+    * constraint references (the stored expr would dangle). */
+  def renameColumn(oldName: String, newName: String): Unit = {
+    require(oldName != newName, "rename to the same name is a no-op")
+    require(!bucketBy.exists(_._1.contains(oldName)),
+      s"cannot rename bucket key '$oldName' (bucketBy is a logical-name contract)")
+    var attempts = 0
+    while (attempts < 5) {
+      attempts += 1
+      val v = currentVersion
+      val snap = if (v == 0) None else Some(snapshotAt(v))
+      val cur = snap.map(_.schema).getOrElse(schema)
+      require(cur.fieldNames.contains(oldName), s"no such column '$oldName'")
+      require(!cur.fieldNames.contains(newName), s"column '$newName' already exists")
+      val refs = referencingConstraints(snap, oldName)
+      require(refs.isEmpty, s"cannot rename '$oldName': CHECK constraint(s) " +
+        s"${refs.mkString(", ")} reference it — drop them first")
+      val renamed = StructType(activateMapping(cur).fields.map(f =>
+        if (f.name == oldName) f.copy(name = newName) else f))
+      if (tryCommit(snap, snap.map(_.files).getOrElse(Seq.empty),
+          snap.map(_.dv).getOrElse(Seq.empty), dataChange = false,
+          newSchema = Some(renamed))) return
+    }
+    throw new IllegalStateException("rename commit lost the race 5 times")
+  }
+
+  /** DROP COLUMN as a METADATA COMMIT (Delta column-mapping drop): the
+    * field leaves the logical schema; its physical column stays in the old
+    * files, unreferenced and invisible to every read path — no rewrite.
+    * The physical name is RETIRED: a later [[evolve]] re-adding the same
+    * logical name allocates a fresh physical, so the dropped bytes never
+    * resurrect (spec-pinned). Pre-drop versions still serve the column
+    * (schema-in-the-log). Same rejections as rename. */
+  def dropColumn(name: String): Unit = {
+    require(!bucketBy.exists(_._1.contains(name)), s"cannot drop bucket key '$name'")
+    var attempts = 0
+    while (attempts < 5) {
+      attempts += 1
+      val v = currentVersion
+      val snap = if (v == 0) None else Some(snapshotAt(v))
+      val cur = snap.map(_.schema).getOrElse(schema)
+      require(cur.fieldNames.contains(name), s"no such column '$name'")
+      require(cur.fields.length > 1, "cannot drop the only column")
+      val refs = referencingConstraints(snap, name)
+      require(refs.isEmpty, s"cannot drop '$name': CHECK constraint(s) " +
+        s"${refs.mkString(", ")} reference it — drop them first")
+      val dropped = StructType(activateMapping(cur).fields.filterNot(_.name == name))
+      if (tryCommit(snap, snap.map(_.files).getOrElse(Seq.empty),
+          snap.map(_.dv).getOrElse(Seq.empty), dataChange = false,
+          newSchema = Some(dropped))) return
+    }
+    throw new IllegalStateException("drop-column commit lost the race 5 times")
   }
 
   /** Roll FORWARD to the content of version `v` (history preserved).

@@ -1523,6 +1523,67 @@ object MergeQueries {
            |SELECT phase, ver, n, sum_price FROM s ORDER BY phase""".stripMargin),
     "In-commit timestamps: strictly-monotone commit stamps in the manifest (clock-step immune), TIMESTAMP AS OF resolves newest-at-or-before and composes with DV deletes — Delta inCommitTimestamp semantics")
 
+  /** COLUMN MAPPING on the log table (q77 — Delta `columnMapping.mode=name`):
+    * rename and drop are METADATA commits. The physical parquet name rides
+    * in the versioned schema's field metadata, so a rename touches no data
+    * file (`require`d on the live file list), history serves each version
+    * under the names it had, and a drop RETIRES the physical name — the
+    * later evolve re-adding the same logical name allocates a fresh
+    * physical, so the dropped bytes stay buried (the hash pins
+    * `n_null_dates = n` on the live read and the feed). The feed phase also
+    * proves rename/drop/evolve commits are invisible to change-feed
+    * consumers (`dataChange = false`) while the one data commit in the span
+    * is served in the END version's mapped schema. */
+  val logColumnMapping = QueryDef(
+    "q77_logtable_column_mapping",
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+      val cut = lit("1998-01-01").cast("timestamp")
+      val root = FixtureDirs.create("q77-cm-").resolve("orders_cm").toString
+      val t = new graft.merge.LogTable(spark, root, o.schema)
+      t.overwrite(o.filter(col("o_orderdate") < cut))                    // v1
+      val files1 = t.liveFileNames()
+      t.renameColumn("o_totalprice", "price")                            // v2: metadata only
+      require(t.liveFileNames() == files1, "rename must touch no data file")
+      require(t.readVersion(1).columns.contains("o_totalprice"),
+        "pre-rename version must serve the old name")
+      t.append(o.filter(col("o_orderdate") >= cut)                       // v3
+        .withColumnRenamed("o_totalprice", "price"))
+      val files3 = t.liveFileNames()
+      t.dropColumn("o_orderdate")                                        // v4: metadata only
+      require(t.liveFileNames() == files3, "drop must touch no data file")
+      t.evolve(org.apache.spark.sql.types.StructType(Seq(                // v5: re-add same
+        org.apache.spark.sql.types.StructField("o_orderkey",             // logical name —
+          org.apache.spark.sql.types.LongType),                          // FRESH physical
+        org.apache.spark.sql.types.StructField("price",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("o_orderdate",
+          org.apache.spark.sql.types.TimestampType))))
+      def row(phase: String, df: org.apache.spark.sql.DataFrame, priceCol: String) =
+        df.agg(count(lit(1)).as("n"),
+            round(sum(col(priceCol)), 2).as("sum_price"),
+            count(when(col("o_orderdate").isNull, 1)).as("n_null_dates"))
+          .select(lit(phase).as("phase"), col("n"), col("sum_price"), col("n_null_dates"))
+      row("v1_oldname", t.readVersion(1), "o_totalprice")
+        .union(row("v3_renamed", t.readVersion(3), "price"))
+        .union(row("live_readded", t.read(), "price"))
+        .union(row("feed", t.changesBetween(1L, 5L), "price"))
+        .orderBy(col("phase"))
+    },
+    Some("""WITH o AS (SELECT o_orderkey, o_totalprice, o_orderdate FROM orders),
+           |pre AS (SELECT * FROM o WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+           |post AS (SELECT * FROM o WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'),
+           |s AS (
+           |  SELECT 'v1_oldname' AS phase, count(*) AS n,
+           |         round(sum(o_totalprice), 2) AS sum_price,
+           |         CAST(0 AS BIGINT) AS n_null_dates FROM pre
+           |  UNION ALL SELECT 'v3_renamed', count(*), round(sum(o_totalprice), 2), 0 FROM o
+           |  UNION ALL SELECT 'live_readded', count(*), round(sum(o_totalprice), 2), count(*) FROM o
+           |  UNION ALL SELECT 'feed', count(*), round(sum(o_totalprice), 2), count(*) FROM post)
+           |SELECT phase, n, sum_price, n_null_dates FROM s ORDER BY phase""".stripMargin),
+    "Column mapping in the log: rename/drop as metadata commits (no file rewrite), physical names stable across renames, dropped bytes never resurrect under a re-added name, feed invisible to mapping commits")
+
   /** M7 — SCD Type-2 history merge (the Delta dimension-history pattern;
     * beyond the reference's five flavors). A customer dimension goes through
     * two change batches: t=100 recovers negative balances (segment →
@@ -1603,5 +1664,5 @@ object MergeQueries {
            |ORDER BY c_custkey, eff_from""".stripMargin),
     "M7 SCD Type-2 history merge: close-and-insert on attribute change, no-op on identical re-delivery, insert on new key; t=200 batch applied twice so the hash pins idempotency")
 
-  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl, opt, del, rst, vac, dvq, dvtt, occ, occContended, logLifecycle, logMaintenance, logChangeFeed, logClustered, logEvolve, logSql, logConstraints, logTimestamps, scd2q)
+  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl, opt, del, rst, vac, dvq, dvtt, occ, occContended, logLifecycle, logMaintenance, logChangeFeed, logClustered, logEvolve, logSql, logConstraints, logTimestamps, scd2q, logColumnMapping)
 }
