@@ -2538,7 +2538,138 @@ object StreamingQueries {
             |GROUP BY event_type ORDER BY event_type""".stripMargin),
     "medallion over commit-log tables through the registered streaming source: version-offset checkpoints, per-commit micro-batches, OPTIMIZE invisible to the feed, idempotent M1 sink (Delta streaming-source protocol end-to-end)")
 
+  /** STREAMING SCD2 DIMENSION HISTORY (s39) — q76's Type-2 merge under a
+    * checkpointed availableNow drain into a [[graft.merge.LogTable]]: each
+    * micro-batch collapses to its latest change per user and
+    * [[graft.merge.Merge.scd2]]-merges into the dimension — current rows
+    * CLOSE when tracked attributes change, identical or out-of-order
+    * re-deliveries no-op BY SEMANTICS (the strict-newer + attrs-differ
+    * guard), so at-least-once delivery needs NO batch marker (contrast
+    * s38's txn watermarks — there the sink is append-only and needs one).
+    * The final history IS batch-cut-dependent (a user changing twice
+    * within one batch keeps only the latest), so the batches are cut
+    * deterministically at event_id thirds (the s35 recipe, scalar
+    * subqueries in the oracle) and file order is mtime-pinned. The oracle
+    * replays the three applications in closed form (q76's chain-by-lead
+    * construction, parameterized by the batch cuts).
+    *
+    * Scale: each application joins ONLY the current slice with the batch's
+    * per-user latest — history rows never enter the join; the unbucketed
+    * demo rewrites the table per commit, a bucketed deployment scopes that
+    * rewrite to touched buckets (LogTable.merge's partition-scoped form). */
+  val s39 = QueryDef(
+    "s39_stream_scd2_history",
+    (spark, dir) => {
+      import graft.ops.Relational
+      val ev = graft.sources.Tables.eventsUs(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts_us"))
+      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+      val c0 = maxId / 3; val c1 = 2 * maxId / 3
+      val latest = (df: DataFrame) => Relational.dedupKeyed(
+          df, Seq("user_id"), Seq(col("ts_us").desc, col("event_id").desc))
+        .select(col("user_id"), col("event_type"), col("value"),
+          col("ts_us").as("eff_from"))
+      val srcDir = FixtureDirs.cachedDir("s39-dim-", dir) { d =>
+        val parts = Seq(
+          ev.filter(col("event_id") <= c0),
+          ev.filter(col("event_id") > c0 && col("event_id") <= c1),
+          ev.filter(col("event_id") > c1))
+        val mtimeBase = System.currentTimeMillis()
+        parts.zipWithIndex.foreach { case (p, i) =>
+          val part = FixtureDirs.create(s"s39-part$i-")
+          p.coalesce(1).write.mode("overwrite").parquet(part.toString)
+          val f = java.nio.file.Files.list(part)
+            .filter(x => x.toString.endsWith(".parquet")).findFirst().get()
+          val dst = d.resolve(s"batch$i.parquet")
+          java.nio.file.Files.move(f, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(mtimeBase + i * 1000L))
+        }
+      }
+      val dimSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("eff_from",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("eff_to",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("is_current",
+          org.apache.spark.sql.types.BooleanType)))
+      val root = FixtureDirs.create("s39-scd2-").resolve("dim_users").toString
+      val t = new graft.merge.LogTable(spark, root, dimSchema)
+      val ddl = "event_id bigint, user_id bigint, event_type string, " +
+        "value double, ts_us bigint"
+      withStreamConf(spark) {
+        spark.readStream
+          .schema(ddl).option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+          .writeStream
+          .queryName("scd2_history")
+          .option("checkpointLocation", newCkptDir())
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            t.merge(latest(b))((cur, cand) => graft.merge.Merge.scd2(
+              cur, cand, Seq("user_id"), Seq("event_type", "value")))
+            ()
+          }
+          .start().awaitTermination()
+      }
+      require(t.currentVersion == 3L,
+        s"expected 3 micro-batch commits, got ${t.currentVersion}")
+      // at-least-once safety with NO marker: re-applying the FIRST batch
+      // (stale: every candidate at-or-before the open version) must leave
+      // the history bit-identical — the strict-newer guard is the dedup
+      val replay = graft.merge.Merge.scd2(t.read(),
+        latest(ev.filter(col("event_id") <= c0)),
+        Seq("user_id"), Seq("event_type", "value"))
+      require(replay.exceptAll(t.read()).isEmpty && t.read().exceptAll(replay).isEmpty,
+        "re-delivered first batch must no-op (SCD2 idempotency)")
+      t.read().orderBy(col("user_id"), col("eff_from"))
+    },
+    Some(s"""WITH $evCte,
+            |cuts AS (SELECT max(event_id) // 3 AS c0, 2 * max(event_id) // 3 AS c1 FROM ev),
+            |w AS (SELECT user_id, event_type, value, ts_us, event_id,
+            |    CASE WHEN event_id <= c0 THEN 0 WHEN event_id <= c1 THEN 1 ELSE 2 END AS b
+            |  FROM ev, cuts),
+            |cand AS (SELECT b, user_id, event_type, value, ts_us FROM w
+            |  QUALIFY row_number() OVER (PARTITION BY b, user_id
+            |    ORDER BY ts_us DESC, event_id DESC) = 1),
+            |v0 AS (SELECT user_id, event_type, value, ts_us AS eff_from
+            |       FROM cand WHERE b = 0),
+            |v1 AS (SELECT c.user_id, c.event_type, c.value, c.ts_us AS eff_from
+            |       FROM (SELECT * FROM cand WHERE b = 1) c
+            |       LEFT JOIN v0 t ON c.user_id = t.user_id
+            |       WHERE t.user_id IS NULL
+            |          OR (c.ts_us > t.eff_from
+            |              AND (c.event_type IS DISTINCT FROM t.event_type
+            |                   OR c.value IS DISTINCT FROM t.value))),
+            |cur1 AS (SELECT user_id, event_type, value, eff_from
+            |         FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1)
+            |         QUALIFY row_number() OVER (PARTITION BY user_id
+            |           ORDER BY eff_from DESC) = 1),
+            |v2 AS (SELECT c.user_id, c.event_type, c.value, c.ts_us AS eff_from
+            |       FROM (SELECT * FROM cand WHERE b = 2) c
+            |       LEFT JOIN cur1 t ON c.user_id = t.user_id
+            |       WHERE t.user_id IS NULL
+            |          OR (c.ts_us > t.eff_from
+            |              AND (c.event_type IS DISTINCT FROM t.event_type
+            |                   OR c.value IS DISTINCT FROM t.value))),
+            |allv AS (SELECT * FROM v0 UNION ALL SELECT * FROM v1
+            |         UNION ALL SELECT * FROM v2)
+            |SELECT user_id, event_type, value, eff_from,
+            |       lead(eff_from) OVER win AS eff_to,
+            |       lead(eff_from) OVER win IS NULL AS is_current
+            |FROM allv
+            |WINDOW win AS (PARTITION BY user_id ORDER BY eff_from)
+            |ORDER BY user_id, eff_from""".stripMargin),
+    "streaming SCD2: micro-batches close-and-insert dimension versions in a log table; re-delivery no-ops by the strict-newer guard (no txn marker needed); oracle replays the batch-cut chain in closed form")
+
   def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
     s10, s10b, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23,
-    s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38)
+    s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38,
+    s39)
 }
