@@ -1772,7 +1772,133 @@ object VectorQueries {
     },
     "semantic decontamination: per-eval-item top-k training neighbors + cosine gate, planted paraphrase leakage required caught (LLM-pipeline op)")
 
+  /** HYBRID RETRIEVAL with RECIPROCAL-RANK FUSION (v34) — the serving
+    * pattern every RAG stack runs in production: a LEXICAL ranker (d20's
+    * log-free rational-idf BM25, query = the query doc's own term set) and
+    * a VECTOR ranker (v02's brute cosine) each produce a top-20 list per
+    * query, fused by RRF `1/(60+rank)` — rank-based fusion needs no score
+    * normalization across the two incomparable scales, which is exactly why
+    * RRF is the standard. Float discipline: per-(query, doc) BM25 terms are
+    * summed by an ORDERED fold (sort_array + aggregate ≡ DuckDB
+    * `list_sum(list(… ORDER BY term))` — CLAUDE.md float rule 9), ranks
+    * break ties on doc_id, and the fused score is a two-term sum of exact
+    * divisions — every float op bit-identical across engines, no rounding
+    * of order-dependent sums anywhere.
+    *
+    * 100 TB shape: the corpus is touched twice, each time map-friendly —
+    * (doc, term) tf rows join a BROADCAST of the queries' terms (one
+    * keyed aggregation per (query, doc)), and the cosine pass broadcasts
+    * the query vectors (v02's scan; the scale path swaps in v04/v32's IVF
+    * probe without changing the fusion). Fusion itself runs on
+    * O(queries × 2k) rank rows — driver-free, shuffle on (query, doc). */
+  val v34 = QueryDef(
+    "v34_hybrid_rrf",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      VectorFunctions.register(spark)
+      val k1 = 1.2; val b = 0.75; val kList = 20; val kOut = 10
+      val docs = Tables.documents(spark, dir)
+      val emb = Tables.embeddings(spark, dir)
+      val toks = docs.select(col("doc_id"),
+        filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "").as("toks"))
+      val dl = toks.select(col("doc_id"), size(col("toks")).as("dl"))
+      val stats = dl.agg(sum(col("dl")).as("sum_dl"), count(lit(1)).as("n_docs"))
+      val tf = toks.select(col("doc_id"), explode(col("toks")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val bm = tf.join(broadcast(dfc), "term").join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("bm25",
+          ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+            (col("tf") * lit(k1 + 1)) /
+            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") /
+              (col("sum_dl") / col("n_docs")))))
+        .select(col("doc_id"), col("term"), col("bm25"))
+      val qterms = toks.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"), explode(col("toks")).as("term"))
+        .distinct()
+      val lex = bm.join(broadcast(qterms), Seq("term"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(aggregate(
+          sort_array(collect_list(struct(col("term"), col("bm25")))),
+          lit(0.0), (acc, x) => acc + x.getField("bm25")).as("lex"))
+      val lexr = lex
+        .withColumn("lex_rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("lex").desc, col("doc_id"))))
+        .filter(col("lex_rank") <= kList)
+        .select(col("query_id"), col("doc_id"), col("lex_rank"))
+      val vecr = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb,
+          VectorFunctions.cosineSim, k = kList)
+        .select(col("query_id"), col("vec_id").as("doc_id"),
+          col("rank").as("vec_rank"))
+      val fused = lexr.join(vecr, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("rrf").desc, col("doc_id"))))
+        .filter(col("rank") <= kOut)
+      // vacuity guard (d49 lesson): BOTH rankers must contribute to every
+      // query's fused list. (List OVERLAP is data-dependent — the synthetic
+      // embeddings are uncorrelated with the text, so at sf0.1 the two
+      // top-20s are disjoint and fusion interleaves; at sf0.01 they
+      // intersect. Either way both modalities must be live.)
+      val alive = fused.groupBy(col("query_id")).agg(
+        count(col("lex_rank")).as("nl"), count(col("vec_rank")).as("nv"))
+      require(alive.filter(col("nl") === 0 || col("nv") === 0).isEmpty,
+        "v34 fusion is vacuous — a ranker contributed nothing for some query")
+      fused.select(col("query_id"), col("rank"), col("doc_id"), col("rrf"),
+          col("lex_rank"), col("vec_rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some {
+      val cos = cosSql("q.emb", "c.emb")
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+         |  FROM documents),
+         |dl AS (SELECT doc_id, CAST(length(toks) AS INTEGER) AS dl FROM toks),
+         |stats AS (SELECT sum(dl) AS sum_dl, count(*) AS n_docs FROM dl),
+         |tf AS (SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS term FROM toks) GROUP BY 1, 2),
+         |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |bm AS (SELECT tf.doc_id, tf.term,
+         |    ((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+         |      * (tf * CAST(2.2 AS DOUBLE))
+         |      / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+         |         + CAST(0.75 AS DOUBLE) * dl / (sum_dl / n_docs))) AS bm25
+         |  FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+         |qt AS (SELECT DISTINCT doc_id AS query_id, unnest(toks) AS term
+         |  FROM toks WHERE doc_id < 10),
+         |lex AS (SELECT q.query_id, b.doc_id,
+         |    list_sum(list(b.bm25 ORDER BY b.term)) AS lex
+         |  FROM bm b JOIN qt q USING (term) WHERE b.doc_id <> q.query_id
+         |  GROUP BY 1, 2),
+         |lexr AS (SELECT query_id, doc_id, CAST(rn AS INTEGER) AS lex_rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY lex DESC, doc_id) AS rn FROM lex) WHERE rn <= 20),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |vs AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id, round($cos, 6) AS cos
+         |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |vecr AS (SELECT query_id, doc_id, CAST(rn AS INTEGER) AS vec_rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, doc_id) AS rn FROM vs) WHERE rn <= 20),
+         |fused AS (SELECT coalesce(l.query_id, v.query_id) AS query_id,
+         |    coalesce(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+         |    coalesce(CAST(1.0 AS DOUBLE) / (60 + l.lex_rank), CAST(0 AS DOUBLE))
+         |      + coalesce(CAST(1.0 AS DOUBLE) / (60 + v.vec_rank), CAST(0 AS DOUBLE)) AS rrf
+         |  FROM lexr l FULL OUTER JOIN vecr v
+         |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
+         |SELECT query_id, CAST(rn AS INTEGER) AS rank, doc_id, rrf, lex_rank, vec_rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf DESC, doc_id) AS rn FROM fused) WHERE rn <= 10
+         |ORDER BY query_id, rank""".stripMargin
+    },
+    "hybrid retrieval: BM25 + vector top-k fused by reciprocal-rank fusion, ordered-fold float discipline (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
     v10, v11, v12, v13, v14, v15, v16, v17, v17b, v18, v19, v20, v21, v22, v23,
-    v24, v25, v26, v27, v28, v29, v30, v31, v32, v32b, v33)
+    v24, v25, v26, v27, v28, v29, v30, v31, v32, v32b, v33, v34)
 }
