@@ -87,6 +87,20 @@ object LogTable {
     * `withCommitVersion` (Delta CDF's `_commit_version`). */
   val CommitVersionCol = "_commit_version"
 
+  private[merge] val GenKey = "graft.generatedAs"
+
+  /** A schema field declared `GENERATED ALWAYS AS (exprSql)` (Delta
+    * generated columns — CREATE-time only, like Delta). Writers that OMIT
+    * the column get it computed in the write pass; writers that SUPPLY it
+    * have every row validated against the expression (mismatch fails the
+    * write before any commit). Combine with `statsBy` on the generated
+    * column for derived-value file skipping — the classic
+    * date-from-timestamp partition-pruning pattern. */
+  def generated(name: String, dataType: org.apache.spark.sql.types.DataType,
+                exprSql: String): StructField =
+    StructField(name, dataType, nullable = true,
+      new MetadataBuilder().putString(GenKey, exprSql).build())
+
   /** Resolve a log table's LIVE schema from its log alone (newest
     * checkpoint's schema, else the fold of schema actions — the first
     * commit always embeds one). None = never written. This is what lets
@@ -926,9 +940,26 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     * row. Single pass, no pre-count scan; NULL conditions count as
     * violations (a constraint must hold, not merely not-fail — Delta's
     * CHECK semantics). */
+  /** GENERATED COLUMNS in the write pass (Delta `GENERATED ALWAYS AS`):
+    * for each schema field carrying a generation expression, a frame that
+    * OMITS the column gets it computed; a frame that SUPPLIES it gets every
+    * row validated (null-safe equality) via the same assert_true-in-filter
+    * shape as CHECK constraints — one pass, throws before any commit. */
+  private def withGenerated(df: DataFrame, snap: Option[Snapshot]): DataFrame = {
+    val s = snap.map(_.schema).getOrElse(schema)
+    s.fields.filter(_.metadata.contains(LogTable.GenKey)).foldLeft(df) { (d, f) =>
+      val gen = expr(f.metadata.getString(LogTable.GenKey)).cast(f.dataType)
+      if (!d.columns.contains(f.name)) d.withColumn(f.name, gen)
+      else d.filter(coalesce(
+        assert_true(col(f.name) <=> gen,
+          lit(s"GENERATED column '${f.name}' does not match its expression")),
+        lit(true)))
+    }
+  }
+
   private def withChecks(df: DataFrame, snap: Option[Snapshot]): DataFrame = {
     val cs = snap.map(_.constraints).getOrElse(Map.empty)
-    cs.foldLeft(df) { case (d, (cn, ce)) =>
+    cs.foldLeft(withGenerated(df, snap)) { case (d, (cn, ce)) =>
       d.filter(coalesce(
         assert_true(coalesce(expr(ce), lit(false)),
           lit(s"CHECK constraint '$cn' ($ce) violated")),
@@ -1007,6 +1038,11 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
       if (cur.fields.map(f => (f.name, f.dataType)).toSeq ==
           wider.fields.map(f => (f.name, f.dataType)).toSeq)
         return // already there: no version cut
+      wider.fields.foreach(nf => require(
+        cur.fieldNames.contains(nf.name) || !nf.metadata.contains(LogTable.GenKey),
+        s"generated column '${nf.name}' must be declared at table creation " +
+          "(adding one later would leave pre-addition rows null, not generated — " +
+          "Delta semantics)"))
       // existing fields keep their metadata (physical names survive the
       // evolve); added fields get FRESH physical names once the mapping is
       // active, so a re-added logical name can never read a dropped
@@ -1026,11 +1062,21 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
   /** Constraint names whose stored SQL references column `c` (conservative
     * word-boundary match — renames/drops of referenced columns are rejected
     * rather than silently breaking the stored expr). */
-  private def referencingConstraints(snap: Option[Snapshot], c: String): Seq[String] =
-    snap.map(_.constraints).getOrElse(Map.empty).collect {
-      case (n, e) if ("\\b" + java.util.regex.Pattern.quote(c) + "\\b").r
-        .findFirstIn(e).isDefined => n
+  private def referencingConstraints(snap: Option[Snapshot], c: String): Seq[String] = {
+    val word = ("\\b" + java.util.regex.Pattern.quote(c) + "\\b").r
+    val fromChecks = snap.map(_.constraints).getOrElse(Map.empty).collect {
+      case (n, e) if word.findFirstIn(e).isDefined => n
     }.toSeq
+    // generation expressions reference columns by logical name too — a
+    // rename/drop of a referenced column would silently break them
+    val s = snap.map(_.schema).getOrElse(schema)
+    val fromGenerated = s.fields.collect {
+      case f if f.metadata.contains(LogTable.GenKey) && f.name != c &&
+        word.findFirstIn(f.metadata.getString(LogTable.GenKey)).isDefined =>
+        s"generated:${f.name}"
+    }.toSeq
+    fromChecks ++ fromGenerated
+  }
 
   /** RENAME COLUMN as a METADATA COMMIT (Delta `columnMapping.mode = name`):
     * the field keeps its PHYSICAL parquet name — only the logical name in

@@ -1584,6 +1584,78 @@ object MergeQueries {
            |SELECT phase, n, sum_price, n_null_dates FROM s ORDER BY phase""".stripMargin),
     "Column mapping in the log: rename/drop as metadata commits (no file rewrite), physical names stable across renames, dropped bytes never resurrect under a re-added name, feed invisible to mapping commits")
 
+  /** GENERATED COLUMNS on the log table (q78 — Delta `GENERATED ALWAYS
+    * AS`): `o_year` is declared at creation as `year(o_orderdate)` with
+    * file stats on it. Yearly append waves alternate OMITTING the column
+    * (computed in the write pass) and SUPPLYING it (validated per row);
+    * a poisoned wave carrying a wrong value is `require`d rejected with no
+    * version cut. The payoff is DERIVED-VALUE FILE SKIPPING: the 1996
+    * range read must touch fewer files than the full scan (`require`d) —
+    * the date-partition-pruning pattern without materializing partitions
+    * by hand. The hash pins the generated values (the `table` phase groups
+    * BY the generated column) and the pruned read's content.
+    *
+    * Scale: generation + validation ride the write pass (no extra scan —
+    * the q74 assert_true-in-filter shape); pruning is manifest-stats only
+    * (no file listing, no footer reads). The years driving the waves are
+    * DERIVED from the data, so no wave can silently go empty after a
+    * testdata regeneration (the r10 date-floor lesson). */
+  val generatedCols = QueryDef(
+    "q78_logtable_generated_columns",
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+      val root = FixtureDirs.create("q78-gen-").resolve("orders_gen").toString
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_totalprice",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("o_orderdate",
+          org.apache.spark.sql.types.TimestampType),
+        graft.merge.LogTable.generated("o_year",
+          org.apache.spark.sql.types.IntegerType, "year(o_orderdate)")))
+      val t = new graft.merge.LogTable(spark, root, schema,
+        statsBy = Seq("o_year"))
+      val years = o.select(year(col("o_orderdate")).as("y")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      years.zipWithIndex.foreach { case (y, i) =>
+        val wave = o.filter(year(col("o_orderdate")) === y)
+        if (i % 2 == 0) t.append(wave)                    // omitted → computed
+        else t.append(wave.withColumn("o_year", year(col("o_orderdate"))))
+      }
+      val vBefore = t.currentVersion
+      val poisoned = scala.util.Try(
+        t.append(o.limit(5).withColumn("o_year", lit(1900))))
+      require(poisoned.isFailure && t.currentVersion == vBefore,
+        "poisoned generated value must be rejected with no version cut")
+      val probe = years(years.length / 2)
+      val pruned = t.readRange("o_year", lit(probe), lit(probe))
+      require(pruned.inputFiles.length < t.read().inputFiles.length,
+        "generated-column stats must skip files")
+      t.read().groupBy(col("o_year"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .select(lit("table").as("src"), col("o_year"), col("n"), col("sum_price"))
+        .unionByName(pruned
+          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+          .select(lit("pruned").as("src"), lit(probe).as("o_year"), col("n"),
+            col("sum_price")))
+        .orderBy(col("src"), col("o_year"))
+    },
+    Some("""WITH o AS (SELECT o_totalprice, CAST(year(o_orderdate) AS INTEGER) AS o_year FROM orders),
+           |mid AS (SELECT y AS probe FROM (
+           |  SELECT CAST(row_number() OVER (ORDER BY o_year) - 1 AS INTEGER) AS i, o_year AS y,
+           |         count(*) OVER () AS ny
+           |  FROM (SELECT DISTINCT o_year FROM o)) WHERE i = ny // 2),
+           |s AS (
+           |  SELECT 'table' AS src, o_year, count(*) AS n,
+           |         round(sum(o_totalprice), 2) AS sum_price FROM o GROUP BY o_year
+           |  UNION ALL
+           |  SELECT 'pruned', probe, count(*), round(sum(o_totalprice), 2)
+           |  FROM o, mid WHERE o_year = probe GROUP BY probe)
+           |SELECT src, o_year, n, sum_price FROM s ORDER BY src, o_year""".stripMargin),
+    "Generated columns in the log: compute-or-validate in the write pass, poisoned write rejected pre-commit, derived-value file skipping via manifest stats (Delta GENERATED ALWAYS AS)")
+
   /** M7 — SCD Type-2 history merge (the Delta dimension-history pattern;
     * beyond the reference's five flavors). A customer dimension goes through
     * two change batches: t=100 recovers negative balances (segment →
@@ -1664,5 +1736,5 @@ object MergeQueries {
            |ORDER BY c_custkey, eff_from""".stripMargin),
     "M7 SCD Type-2 history merge: close-and-insert on attribute change, no-op on identical re-delivery, insert on new key; t=200 batch applied twice so the hash pins idempotency")
 
-  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl, opt, del, rst, vac, dvq, dvtt, occ, occContended, logLifecycle, logMaintenance, logChangeFeed, logClustered, logEvolve, logSql, logConstraints, logTimestamps, scd2q, logColumnMapping)
+  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl, opt, del, rst, vac, dvq, dvtt, occ, occContended, logLifecycle, logMaintenance, logChangeFeed, logClustered, logEvolve, logSql, logConstraints, logTimestamps, scd2q, logColumnMapping, generatedCols)
 }
