@@ -2668,8 +2668,132 @@ object StreamingQueries {
             |ORDER BY user_id, eff_from""".stripMargin),
     "streaming SCD2: micro-batches close-and-insert dimension versions in a log table; re-delivery no-ops by the strict-newer guard (no txn marker needed); oracle replays the batch-cut chain in closed form")
 
+  /** CDF → SCD2 DOWNSTREAM (s40) — the composition Delta's change feed
+    * exists for: an UPSERT-maintained source table (SCD1 merges — each
+    * commit a full rewrite, so the feed is UPDATE-shaped) is consumed
+    * through the registered streaming source with `ignoreChanges` (full
+    * re-emission, at-least-once) + `_commit_version`, and the consumer
+    * maintains a TYPE-2 HISTORY of the source downstream. Why it works:
+    * `maxVersionsPerTrigger = 1` makes each source commit its own
+    * micro-batch (batch cuts = commit boundaries — deterministic however
+    * the stream schedules), `_commit_version` is the SCD2 `eff_from`, and
+    * [[graft.merge.Merge.scd2]]'s strict-newer + attrs-differ guard
+    * ABSORBS the re-emitted unchanged rows that `ignoreChanges` floods the
+    * consumer with — the re-emission that poisons a naive append consumer
+    * is exactly a no-op here. The oracle computes the three source states
+    * in closed form (seed, then two batch-wins folds) and chains the
+    * changed ones by `lead` (q76's construction).
+    *
+    * Scale: the consumer never reads the source table — only the feed's
+    * per-commit adds; each SCD2 application joins the dim's current slice
+    * with one commit's rows. Version offsets checkpoint with the batch, so
+    * a restart resumes at the exact commit boundary. */
+  val s40 = QueryDef(
+    "s40_stream_cdf_scd2",
+    (spark, dir) => {
+      import graft.ops.Relational
+      val ev = graft.sources.Tables.eventsUs(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts_us"))
+      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+      val c0 = maxId / 3; val c1 = 2 * maxId / 3
+      val seed = Relational.dedupKeyed(ev, Seq("user_id"),
+          Seq(col("ts_us"), col("event_id")))
+        .select(col("user_id"), col("event_type"), col("value"))
+      def wave(lo: Long, hi: Long) = Relational.dedupKeyed(
+          ev.filter(col("event_id") > lo && col("event_id") <= hi),
+          Seq("user_id"), Seq(col("ts_us").desc, col("event_id").desc))
+        .select(col("user_id"), col("event_type"), col("value"))
+      val root = FixtureDirs.create("s40-cdf-")
+      val src = new graft.merge.LogTable(spark, root.resolve("src").toString,
+        seed.schema)
+      src.overwrite(seed)                                                  // v1
+      src.merge(wave(c0, c1))((cur, b) =>
+        graft.merge.Merge.scd1(cur, b, Seq("user_id")))                    // v2
+      src.merge(wave(c1, maxId))((cur, b) =>
+        graft.merge.Merge.scd1(cur, b, Seq("user_id")))                    // v3
+      val dimSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("eff_from",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("eff_to",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("is_current",
+          org.apache.spark.sql.types.BooleanType)))
+      val dim = new graft.merge.LogTable(spark, root.resolve("dim").toString,
+        dimSchema)
+      withStreamConf(spark) {
+        spark.readStream.format("graft-logtable").schema(seed.schema)
+          .option("ignoreChanges", "true")
+          .option("withCommitVersion", "true")
+          .option("maxVersionsPerTrigger", "1")
+          .load(root.resolve("src").toString)
+          .writeStream
+          .queryName("cdf_scd2")
+          .option("checkpointLocation", newCkptDir())
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            // one commit per micro-batch; a full-rewrite commit's adds are
+            // the complete post-commit state, key-unique by construction
+            val cand = b.select(col("user_id"), col("event_type"), col("value"),
+              col(graft.merge.LogTable.CommitVersionCol).as("eff_from"))
+            dim.merge(cand)((cur, c) => graft.merge.Merge.scd2(
+              cur, c, Seq("user_id"), Seq("event_type", "value")))
+            ()
+          }
+          .start().awaitTermination()
+      }
+      require(dim.currentVersion == 3L,
+        s"expected one dim commit per source commit, got ${dim.currentVersion}")
+      dim.read().orderBy(col("user_id"), col("eff_from"))
+    },
+    Some(s"""WITH $evCte,
+            |cuts AS (SELECT max(event_id) // 3 AS c0, 2 * max(event_id) // 3 AS c1 FROM ev),
+            |s1 AS (SELECT user_id, event_type, value FROM ev
+            |  QUALIFY row_number() OVER (PARTITION BY user_id
+            |    ORDER BY ts_us, event_id) = 1),
+            |w1 AS (SELECT user_id, event_type, value FROM ev, cuts
+            |  WHERE event_id > c0 AND event_id <= c1
+            |  QUALIFY row_number() OVER (PARTITION BY user_id
+            |    ORDER BY ts_us DESC, event_id DESC) = 1),
+            |w2 AS (SELECT user_id, event_type, value FROM ev, cuts
+            |  WHERE event_id > c1
+            |  QUALIFY row_number() OVER (PARTITION BY user_id
+            |    ORDER BY ts_us DESC, event_id DESC) = 1),
+            |s2 AS (SELECT s1.user_id,
+            |    CASE WHEN w1.user_id IS NULL THEN s1.event_type ELSE w1.event_type END AS event_type,
+            |    CASE WHEN w1.user_id IS NULL THEN s1.value ELSE w1.value END AS value
+            |  FROM s1 LEFT JOIN w1 ON s1.user_id = w1.user_id),
+            |s3 AS (SELECT s2.user_id,
+            |    CASE WHEN w2.user_id IS NULL THEN s2.event_type ELSE w2.event_type END AS event_type,
+            |    CASE WHEN w2.user_id IS NULL THEN s2.value ELSE w2.value END AS value
+            |  FROM s2 LEFT JOIN w2 ON s2.user_id = w2.user_id),
+            |v1 AS (SELECT user_id, event_type, value, CAST(1 AS BIGINT) AS eff_from FROM s1),
+            |v2 AS (SELECT a.user_id, a.event_type, a.value, CAST(2 AS BIGINT)
+            |  FROM s2 a JOIN s1 b ON a.user_id = b.user_id
+            |  WHERE a.event_type IS DISTINCT FROM b.event_type
+            |     OR a.value IS DISTINCT FROM b.value),
+            |v3 AS (SELECT a.user_id, a.event_type, a.value, CAST(3 AS BIGINT)
+            |  FROM s3 a JOIN s2 b ON a.user_id = b.user_id
+            |  WHERE a.event_type IS DISTINCT FROM b.event_type
+            |     OR a.value IS DISTINCT FROM b.value),
+            |allv AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2
+            |         UNION ALL SELECT * FROM v3)
+            |SELECT user_id, event_type, value, eff_from,
+            |       lead(eff_from) OVER win AS eff_to,
+            |       lead(eff_from) OVER win IS NULL AS is_current
+            |FROM allv
+            |WINDOW win AS (PARTITION BY user_id ORDER BY eff_from)
+            |ORDER BY user_id, eff_from""".stripMargin),
+    "change feed consumed into a downstream SCD2 history: ignoreChanges re-emission absorbed by the strict-newer guard, _commit_version as eff_from, per-commit micro-batches (the Delta CDF composition)")
+
   def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
     s10, s10b, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23,
     s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38,
-    s39)
+    s39, s40)
 }
