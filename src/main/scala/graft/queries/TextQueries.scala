@@ -4146,11 +4146,85 @@ object TextQueries {
             |ORDER BY i.source, p.probe_id, i.doc_id""".stripMargin),
     "token provenance (loss-spike forensics): hash-derived probe windows over the packed stream interval-joined back to source documents — broadcast probes, one window pass, no corpus re-shuffle")
 
+  /** TOKEN-BUDGET MIXTURE PLANNING (d61) — the data-recipe computation a
+    * training run starts from (the LLaMA/Pile pattern): given per-source
+    * TOKEN counts, temperature weights (√tokens — sqrt is IEEE-exact, so no
+    * libm pow divergence), and a total token budget, derive each source's
+    * target tokens, its EPOCH factor (how many passes over the source the
+    * target implies), cap over-sampled sources at an epoch ceiling, and
+    * redistribute the capped shortfall to the uncapped sources in one pass.
+    * The epoch cap is DATA-derived (midpoint of the observed epoch range)
+    * so both the capped and uncapped branches are `require`d non-empty at
+    * every SF (the d49 lesson, again). d26 plans a DOC-count quota by
+    * temperature; this is the token-denominated successor with the epoch
+    * semantics real data recipes publish.
+    *
+    * Float discipline: every cross-source total is a SOURCE-ORDERED driver
+    * fold over the bounded per-source stats (the d26 mirrorable class) ≡
+    * DuckDB `list_sum(list(x ORDER BY source))`; the SQL folds a 0.0 for
+    * capped sources where Scala folds the filtered subset — `+0.0` is the
+    * IEEE identity, so the partials coincide. Per-source arithmetic stays
+    * unrounded (rule 3). Scale: one corpus aggregation (token counts per
+    * source); the plan itself is O(#sources) driver rows. */
+  val d61 = QueryDef(
+    "d61_token_budget_mix",
+    (spark, dir) => {
+      val perSource = Tables.documents(spark, dir)
+        .groupBy(col("source"))
+        .agg(sum(TextFunctions.tokenCount(col("text"))).as("tokens"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      val budget = perSource.foldLeft(0L)(_ + _._2) * 3L / 2L
+      val w = perSource.map { case (s, t) => (s, t, math.sqrt(t.toDouble)) }
+      val bigW = w.foldLeft(0.0)(_ + _._3)
+      val tgt = w.map { case (s, t, wt) => (s, t, wt, budget * wt / bigW) }
+      val epochs = tgt.map { case (_, t, _, tk) => tk / t }
+      val eMax = (epochs.min + epochs.max) / 2.0
+      require(epochs.exists(_ > eMax) && epochs.exists(_ <= eMax),
+        "d61 epoch cap must split the sources — both branches live (d49 lesson)")
+      val capped = tgt.map { case (s, t, wt, tk) =>
+        val e = tk / t
+        val isCapped = e > eMax
+        (s, t, wt, e, isCapped, if (isCapped) eMax * t else tk)
+      }
+      val spent = capped.foldLeft(0.0)(_ + _._6)
+      val leftover = budget - spent
+      val wUncapped = capped.filter(!_._5).foldLeft(0.0)(_ + _._3)
+      val rows = capped.map { case (s, t, wt, e, isCapped, fin) =>
+        val fin2 = if (isCapped) fin else fin + leftover * wt / wUncapped
+        (s, t, e, isCapped, math.floor(fin2).toLong)
+      }
+      import spark.implicits._
+      rows.toSeq.toDF("source", "tokens", "epochs", "capped", "final_tokens")
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH $tokCte,
+            |c AS (SELECT d.source, CAST(sum(length(t.w)) AS BIGINT) AS tokens
+            |      FROM toks t JOIN documents d USING (doc_id) GROUP BY d.source),
+            |b AS (SELECT (SELECT sum(tokens) FROM c) * 3 // 2 AS bud),
+            |w AS (SELECT source, tokens, sqrt(CAST(tokens AS DOUBLE)) AS wt FROM c),
+            |tot AS (SELECT list_sum(list(wt ORDER BY source)) AS bw FROM w),
+            |e AS (SELECT source, tokens, wt, bud * wt / bw AS tk,
+            |             (bud * wt / bw) / tokens AS epochs
+            |      FROM w, tot, b),
+            |cap AS (SELECT (min(epochs) + max(epochs)) / 2 AS emax FROM e),
+            |c2 AS (SELECT e.*, epochs > emax AS capped,
+            |         CASE WHEN epochs > emax THEN emax * tokens ELSE tk END AS fin
+            |       FROM e, cap),
+            |agg AS (SELECT list_sum(list(fin ORDER BY source)) AS spent,
+            |          list_sum(list(CASE WHEN capped THEN CAST(0 AS DOUBLE) ELSE wt END
+            |            ORDER BY source)) AS wu
+            |        FROM c2)
+            |SELECT source, tokens, epochs, capped,
+            |  CAST(floor(CASE WHEN capped THEN fin
+            |             ELSE fin + (bud - spent) * wt / wu END) AS BIGINT) AS final_tokens
+            |FROM c2, agg, b ORDER BY source""".stripMargin),
+    "token-budget mixture planning: temperature weights, epoch caps, one-pass shortfall redistribution (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
       d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43, d44,
       d45, d46, d47, d48, d49, d50, d50b, d51, d52, d53, d54, d55, d56, d57, d58, d59,
-      d60,
+      d60, d61,
       m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14, m15, m16)
 }
