@@ -87,6 +87,21 @@ object LogTable {
     * `withCommitVersion` (Delta CDF's `_commit_version`). */
   val CommitVersionCol = "_commit_version"
 
+  /** Stable row-id column exposed by [[LogTable.readWithRowIds]] when the
+    * table was created with `rowTracking = true` (Delta row tracking's
+    * `_metadata.row_id`). */
+  val RowIdCol = "_row_id"
+
+  /** Change-type column emitted by [[LogTable.readChangeFeed]] (Delta CDF's
+    * `_change_type`): 'insert' | 'delete'. */
+  val ChangeTypeCol = "_change_type"
+
+  /** PHYSICAL column name row ids are materialized under when a
+    * `dataChange = false` rewrite (OPTIMIZE) rewrites tracked files — the
+    * Delta `row_id` materialized-column pattern. Invisible to plain reads
+    * (explicit read schemas ignore extra footer columns). */
+  private[merge] val MatRowIdCol = "_gr_row_id"
+
   private[merge] val GenKey = "graft.generatedAs"
 
   /** A schema field declared `GENERATED ALWAYS AS (exprSql)` (Delta
@@ -134,7 +149,8 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
                      bucketBy: Option[(Seq[String], Int)] = None,
                      statsBy: Seq[String] = Nil,
                      checkpointInterval: Int = 10,
-                     clock: () => Long = () => System.currentTimeMillis()) {
+                     clock: () => Long = () => System.currentTimeMillis(),
+                     rowTracking: Boolean = false) {
   require(checkpointInterval >= 1, "checkpointInterval must be >= 1")
   private val rootPath: Path = Paths.get(root)
   private val filesDir: Path = rootPath.resolve("files")
@@ -186,9 +202,15 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     else df.select(as.fields.map(f => col(f.name).as(physicalOf(f))).toIndexedSeq: _*)
 
   /** One data file: manifest-relative name, bucket (-1 = unbucketed), and
-    * per-column (min, max) stats as strings (None = no stats / all null). */
+    * per-column (min, max) stats as strings (None = no stats / all null).
+    * Under row tracking, `rows` (the file's row count, -1 = unknown) marks a
+    * freshly-written file awaiting base-id allocation at commit time, and
+    * `baseRowId` (-1 = none) is the allocated base: row id = base +
+    * row_index in the file (Delta's add-action `baseRowId`). Files rewritten
+    * by OPTIMIZE carry NEITHER — their ids are MATERIALIZED in the data. */
   private[merge] case class FileEntry(name: String, bucket: Int,
-                                      stats: Map[String, (String, String)])
+                                      stats: Map[String, (String, String)],
+                                      rows: Long = -1L, baseRowId: Long = -1L)
   /** One commit's log entry — the Delta add/remove action set, plus an
     * optional schema action (Delta's metaData: present only on the commits
     * that CHANGE the schema) and the commit's IN-COMMIT TIMESTAMP (Delta's
@@ -203,7 +225,8 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
                                   txn: Option[(String, Long)],
                                   constraintAdd: Option[(String, String)],
                                   constraintDrop: Option[String],
-                                  tsMs: Long)
+                                  tsMs: Long,
+                                  rowIdHwm: Long = 0L)
   /** Folded state as of a version — files, DVs, the schema AS OF that
     * version (schema lives in the log, so time travel serves each version
     * with the schema it had — the composition a table-level schema field
@@ -213,7 +236,8 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
                                      dv: Seq[String], schema: StructType,
                                      txns: Map[String, Long],
                                      constraints: Map[String, String],
-                                     tsMs: Long)
+                                     tsMs: Long,
+                                     rowIdHwm: Long = 0L)
 
   // ── log primitives ──────────────────────────────────────────────────────
 
@@ -247,7 +271,9 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
           e.getKey -> (e.getValue.get(0).asText(), e.getValue.get(1).asText())
         }.toMap
       }.getOrElse(Map.empty[String, (String, String)])
-      FileEntry(f.get("name").asText(), f.get("bucket").asInt(), stats)
+      FileEntry(f.get("name").asText(), f.get("bucket").asInt(), stats,
+        Option(f.get("rows")).map(_.asLong()).getOrElse(-1L),
+        Option(f.get("base")).map(_.asLong()).getOrElse(-1L))
     }.toSeq
 
   private def texts(arr: com.fasterxml.jackson.databind.JsonNode): Seq[String] =
@@ -267,13 +293,16 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
       Option(n.get("constraintAdd")).map(c =>
         (c.get("name").asText(), c.get("expr").asText())),
       Option(n.get("constraintDrop")).map(_.asText()),
-      Option(n.get("ts")).map(_.asLong()).getOrElse(0L))
+      Option(n.get("ts")).map(_.asLong()).getOrElse(0L),
+      Option(n.get("rowIdHwm")).map(_.asLong()).getOrElse(0L))
   }
 
   private def writeFileEntries(fa: ArrayNode, files: Seq[FileEntry]): Unit =
     files.foreach { f =>
       val fn = fa.addObject()
       fn.put("name", f.name); fn.put("bucket", f.bucket)
+      if (f.rows >= 0) fn.put("rows", f.rows)
+      if (f.baseRowId >= 0) fn.put("base", f.baseRowId)
       if (f.stats.nonEmpty) {
         val sn = fn.putObject("stats")
         f.stats.foreach { case (c, (lo, hi)) =>
@@ -297,17 +326,44 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     * from `prev` to the new (files, dv) state. False = another commit
     * landed first (caller discards orphan files and re-derives). On
     * success, cuts a checkpoint when the version hits the interval. */
-  private def tryCommit(prev: Option[Snapshot], newFiles: Seq[FileEntry],
+  private val PartIdx = """part-(\d+)""".r
+
+  private def tryCommit(prev: Option[Snapshot], newFiles0: Seq[FileEntry],
                         newDv: Seq[String], dataChange: Boolean,
                         newSchema: Option[StructType] = None,
                         txn: Option[(String, Long)] = None,
                         constraintAdd: Option[(String, String)] = None,
-                        constraintDrop: Option[String] = None): Boolean = {
+                        constraintDrop: Option[String] = None,
+                        rowIdHwmFloor: Long = 0L): Boolean = {
     val expected = prev.map(_.version).getOrElse(0L)
     val v = expected + 1
     val prevFiles = prev.map(_.files).getOrElse(Seq.empty)
     val prevDv = prev.map(_.dv).getOrElse(Seq.empty)
     val prevNames = prevFiles.map(_.name).toSet
+    // ROW TRACKING: allocate contiguous base row ids to this commit's fresh
+    // files (those staged with a known row count) from the previous high-water
+    // mark, in (bucket, staged-part-index) order — the within-file sort is the
+    // write discipline's, so when the caller's batch is range-partitioned and
+    // sorted on a unique key the id assignment is fully deterministic. Files
+    // without a count (OPTIMIZE rewrites) carry MATERIALIZED ids instead and
+    // are skipped. Allocation happens INSIDE the commit attempt, against the
+    // snapshot being CAS'd on, so an OCC retry re-allocates correctly.
+    val prevHwm = math.max(prev.map(_.rowIdHwm).getOrElse(0L), rowIdHwmFloor)
+    val newFiles: Seq[FileEntry] =
+      if (!rowTracking) newFiles0
+      else {
+        var next = prevHwm
+        val assigned = newFiles0
+          .filter(e => !prevNames.contains(e.name) && e.rows >= 0 && e.baseRowId < 0)
+          .sortBy(e => (e.bucket,
+            PartIdx.findFirstMatchIn(e.name).map(_.group(1).toInt).getOrElse(0),
+            e.name))
+          .map { e => val b = next + 1; next += e.rows; e.name -> e.copy(baseRowId = b) }
+          .toMap
+        newFiles0.map(e => assigned.getOrElse(e.name, e))
+      }
+    val newHwm = prevHwm +
+      newFiles.filter(e => !prevNames.contains(e.name) && e.rows >= 0).map(_.rows).sum
     val newNames = newFiles.map(_.name).toSet
     // in-commit timestamp: strictly monotone even when the wall clock is
     // coarse or steps backwards (Delta's inCommitTimestamp clamp)
@@ -316,6 +372,7 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     node.put("version", v)
     node.put("dataChange", dataChange)
     node.put("ts", ts)
+    if (rowTracking) node.put("rowIdHwm", newHwm)
     // the FIRST commit always embeds the schema (Delta writes metaData in
     // commit 0) — the log is self-describing, so SQL/batch readers can
     // resolve the schema without the constructor contract
@@ -343,7 +400,7 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
         prev.map(_.txns).getOrElse(Map.empty) ++ txn,
         (prev.map(_.constraints).getOrElse(Map.empty) ++ constraintAdd)
           -- constraintDrop.toSeq,
-        ts))
+        ts, newHwm))
     won
   }
 
@@ -355,6 +412,7 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     val node: ObjectNode = mapper.createObjectNode()
     node.put("version", s.version)
     node.put("ts", s.tsMs)
+    if (s.rowIdHwm > 0) node.put("rowIdHwm", s.rowIdHwm)
     node.put("schema", s.schema.json)
     val tn = node.putObject("txns")
     s.txns.foreach { case (app, batch) => tn.put(app, batch) }
@@ -383,7 +441,8 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
       Option(n.get("constraints")).map(t => t.properties().asScala.map(e =>
         e.getKey -> e.getValue.asText()).toMap)
         .getOrElse(Map.empty[String, String]),
-      Option(n.get("ts")).map(_.asLong()).getOrElse(0L))
+      Option(n.get("ts")).map(_.asLong()).getOrElse(0L),
+      Option(n.get("rowIdHwm")).map(_.asLong()).getOrElse(0L))
   }
 
   /** Newest checkpoint version ≤ `v`, via the hint when it qualifies (the
@@ -406,7 +465,8 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
         .asInstanceOf[StructType]).getOrElse(s.schema),
       s.txns ++ d.txn,
       (s.constraints ++ d.constraintAdd) -- d.constraintDrop.toSeq,
-      d.tsMs)
+      d.tsMs,
+      math.max(s.rowIdHwm, d.rowIdHwm))
   }
 
   /** Fold the log to the state as of version `v`: newest checkpoint ≤ v,
@@ -461,8 +521,15 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
                              coalesceTo: Option[Int],
                              clusterBy: Seq[String]): Seq[FileEntry] = {
     // files store PHYSICAL column names (stable across renames); `as` is the
-    // logical schema governing this write (the commit snapshot's)
-    val pdf = toPhysical(df, as)
+    // logical schema governing this write (the commit snapshot's). A
+    // materialized row-id column (OPTIMIZE rewrite under row tracking) rides
+    // along outside the logical schema.
+    val hasMat = df.columns.contains(LogTable.MatRowIdCol)
+    val pdf =
+      if (!hasMat) toPhysical(df, as)
+      else if (!mappingActive(as)) df
+      else df.select((as.fields.map(f => col(f.name).as(physicalOf(f)))
+        :+ col(LogTable.MatRowIdCol)).toIndexedSeq: _*)
     val statsByPhys = statsBy.filter(c => as.fieldNames.contains(c))
       .map(c => physOf(as, c))
     bucketBy match {
@@ -498,6 +565,13 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
         }
         (p, b)
       }.toSeq
+    // staged-file key for the per-file aggregates below: the BASENAME ALONE
+    // is ambiguous under bucketing (one task writing two buckets emits the
+    // same part-NNNNN name in both bucket dirs), so key by dir/name
+    def stagedKey(fullPath: String): String = {
+      val parts = fullPath.split('/')
+      parts.takeRight(2).mkString("/")
+    }
     // per-file stats BEFORE the move (one aggregate grouped by file),
     // keyed by PHYSICAL name — stable across renames, so stats on files
     // written before a rename keep pruning after it
@@ -511,18 +585,29 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
           .groupBy(input_file_name().as("__f"))
           .agg(aggs.head, aggs.tail: _*)
           .collect().map { r =>
-            val f = r.getAs[String]("__f")
-            val name = f.substring(f.lastIndexOf('/') + 1)
-            name -> statsByPhys.flatMap { c =>
+            stagedKey(r.getAs[String]("__f")) -> statsByPhys.flatMap { c =>
               val lo = r.getAs[String](s"__lo_$c"); val hi = r.getAs[String](s"__hi_$c")
               if (lo == null || hi == null) None else Some(c -> (lo, hi))
             }.toMap
           }.toMap
       }
+    // per-file row counts: only needed to allocate base row ids, so only for
+    // tracked tables writing FRESH rows (a rewrite carrying materialized ids
+    // allocates nothing)
+    val rowsOf: Map[String, Long] =
+      if (!rowTracking || hasMat || staged.isEmpty) Map.empty
+      else spark.read.schema(pdf.schema)
+        .parquet(staged.map(_._1.toString): _*)
+        .groupBy(input_file_name().as("__f")).agg(count(lit(1)).as("__n"))
+        .collect().map { r =>
+          stagedKey(r.getAs[String]("__f")) -> r.getAs[Long]("__n")
+        }.toMap
     val entries = staged.map { case (p, b) =>
+      val key = stagedKey(p.toString)
       val name = s"${java.util.UUID.randomUUID().toString.take(12)}-${p.getFileName}"
       Files.move(p, filesDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
-      FileEntry(name, b, statsOf.getOrElse(p.getFileName.toString, Map.empty))
+      FileEntry(name, b, statsOf.getOrElse(key, Map.empty),
+        rows = rowsOf.getOrElse(key, -1L))
     }
     deleteRec(tmp)
     entries
@@ -565,6 +650,62 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
         .drop(DvName, DvPos)
     }
     out.select(as.fields.map(f => col(physicalOf(f)).as(f.name)).toIndexedSeq: _*)
+  }
+
+  /** [[readData]] + the stable `_row_id` column (row-tracking read): id =
+    * the file's allocated base + the row's index within the file, or the
+    * MATERIALIZED id column for files rewritten by OPTIMIZE. Base lookup is
+    * a broadcast join on file name (O(#files) rows); ids are computed
+    * BEFORE the DV anti-join, so surviving rows keep their ids across
+    * deletes. */
+  private def readDataWithIds(entries: Seq[FileEntry], dv: Seq[String],
+                              as: StructType): DataFrame = {
+    import spark.implicits._
+    val withId = StructType(as.fields :+
+      StructField(LogTable.RowIdCol, org.apache.spark.sql.types.LongType))
+    if (entries.isEmpty) return emptyDf(withId)
+    val readSchema = StructType(physicalSchema(as).fields :+
+      StructField(LogTable.MatRowIdCol, org.apache.spark.sql.types.LongType))
+    val bases = entries.filter(_.baseRowId >= 0)
+      .map(e => (e.name, e.baseRowId)).toDF(DvName, "__base")
+    val raw = spark.read.schema(readSchema)
+      .parquet(entries.map(e => filesDir.resolve(e.name).toString): _*)
+      .withColumn(DvName,
+        regexp_extract(col("_metadata.file_path"), "([^/]+)$", 1))
+      .withColumn(DvPos, col("_metadata.row_index"))
+      .join(broadcast(bases), Seq(DvName), "left")
+      .withColumn(LogTable.RowIdCol,
+        coalesce(col(LogTable.MatRowIdCol), col("__base") + col(DvPos)))
+    val out = if (dv.isEmpty) raw
+    else raw.join(
+      broadcast(spark.read.parquet(dv.map(d => filesDir.resolve(d).toString): _*)),
+      Seq(DvName, DvPos), "left_anti")
+    out.select((as.fields.map(f => col(physicalOf(f)).as(f.name))
+      :+ col(LogTable.RowIdCol)).toIndexedSeq: _*)
+  }
+
+  /** Live table with the stable `_row_id` column (requires
+    * `rowTracking = true` at creation). Ids are unique across the table's
+    * lifetime, contiguous per commit ([hwm+1, hwm+n] in (bucket,
+    * staged-part, row) order), stable across OPTIMIZE (materialized into
+    * the rewrite) and DV deletes (a deleted id is never reused), and fresh
+    * for files written by full-rewrite commits (overwrite/merge) — the
+    * Delta row-tracking contract. */
+  def readWithRowIds(): DataFrame = {
+    require(rowTracking, "table was not created with rowTracking = true")
+    val v = currentVersion
+    if (v == 0) emptyDf(StructType(schema.fields :+
+      StructField(LogTable.RowIdCol, org.apache.spark.sql.types.LongType)))
+    else { val s = snapshotAt(v); readDataWithIds(s.files, s.dv, s.schema) }
+  }
+
+  /** Version `v` with row ids — time travel composes with row tracking
+    * (ids are versioned state: the log holds each version's bases, the
+    * files their materialized ids). */
+  def readVersionWithRowIds(v: Long): DataFrame = {
+    require(rowTracking, "table was not created with rowTracking = true")
+    val s = snapshotAt(v)
+    readDataWithIds(s.files, s.dv, s.schema)
   }
 
   /** Live table (empty frame before the first commit). */
@@ -853,7 +994,15 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
             }))
           if (!worthIt) { removed = 0; None }
           else {
-            val fresh = writeFiles(readData(m.files, m.dv, m.schema), m.schema,
+            // row tracking: the rewrite MATERIALIZES each row's id into the
+            // new files (Delta's materialized row-id column), so ids survive
+            // the re-layout — the rewritten entries carry no base/rows and
+            // allocate nothing
+            val src =
+              if (rowTracking) readDataWithIds(m.files, m.dv, m.schema)
+                .withColumnRenamed(LogTable.RowIdCol, LogTable.MatRowIdCol)
+              else readData(m.files, m.dv, m.schema)
+            val fresh = writeFiles(src, m.schema,
               coalesceTo = if (bucketBy.isEmpty) Some(want) else None,
               clusterBy = clusterBy)
             removed = m.files.size
@@ -922,6 +1071,119 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
       if (parts.isEmpty) emptyDf(as).withColumn(LogTable.CommitVersionCol, lit(0L))
       else parts.reduce(_ union _)
     }
+  }
+
+  /** Scan `entries` under logical schema `as`, keeping the (file, pos)
+    * plumbing columns and — when `withIds` — the stable `_row_id`
+    * (allocated base + pos, or the materialized column). Feed-internal. */
+  private def feedScan(entries: Seq[FileEntry], as: StructType,
+                       withIds: Boolean): DataFrame = {
+    import spark.implicits._
+    val readSchema =
+      if (!withIds) physicalSchema(as)
+      else StructType(physicalSchema(as).fields :+
+        StructField(LogTable.MatRowIdCol, org.apache.spark.sql.types.LongType))
+    val raw = spark.read.schema(readSchema)
+      .parquet(entries.map(e => filesDir.resolve(e.name).toString): _*)
+      .withColumn(DvName,
+        regexp_extract(col("_metadata.file_path"), "([^/]+)$", 1))
+      .withColumn(DvPos, col("_metadata.row_index"))
+    val logical = as.fields.map(f => col(physicalOf(f)).as(f.name)).toSeq
+    if (!withIds) raw.select((logical :+ col(DvName) :+ col(DvPos)): _*)
+    else {
+      val bases = entries.filter(_.baseRowId >= 0)
+        .map(e => (e.name, e.baseRowId)).toDF(DvName, "__base")
+      raw.join(broadcast(bases), Seq(DvName), "left")
+        .withColumn(LogTable.RowIdCol,
+          coalesce(col(LogTable.MatRowIdCol), col("__base") + col(DvPos)))
+        .select((logical :+ col(DvName) :+ col(DvPos)
+          :+ col(LogTable.RowIdCol)): _*)
+    }
+  }
+
+  /** CHANGE DATA FEED proper (Delta `table_changes` / `readChangeFeed`):
+    * every row-level change in `(fromVersion, toVersion]`, typed —
+    * `_change_type` ('insert' | 'delete'), `_commit_version`, and (when
+    * the table is row-tracked and `withRowIds`) the stable `_row_id`.
+    * Unlike [[changesBetween]] (the streaming-source contract: adds only,
+    * rewrites need `ignoreChanges`), this serves DELETES as first-class
+    * change rows: a DV-delete commit's sidecar holds exactly the (file,
+    * pos) pairs it deleted, so the feed reads those rows back from the
+    * pre-commit state; a rewrite commit (overwrite / merge) decomposes
+    * into delete(old live rows of removed files) + insert(new files) — the
+    * exact multiset delta, which is what Delta's CDC files record for
+    * merges. An update therefore appears as delete+insert in the same
+    * commit (pre/post image pairing is the consumer's join — on `_row_id`
+    * when tracked, on the logical key otherwise). OPTIMIZE commits
+    * (`dataChange = false`) emit nothing. Served in `toVersion`'s schema
+    * (earlier files null-fill; physical names make renames transparent).
+    *
+    * Scale: per version, inserts scan only that commit's added files;
+    * DV deletes scan only the files the sidecar names (collected from the
+    * sidecar — O(deleted files), not O(table)); rewrite deletes scan the
+    * removed files. Nothing scans the full table. The snapshot walk folds
+    * incrementally (one log pass for the whole span). */
+  def readChangeFeed(fromVersion: Long, toVersion: Long,
+                     withRowIds: Boolean = false): DataFrame = {
+    import spark.implicits._
+    require(!withRowIds || rowTracking,
+      "withRowIds requires a rowTracking = true table")
+    val as = if (toVersion == 0) schema else snapshotAt(toVersion).schema
+    val plumb = Seq(DvName, DvPos)
+    def out(df: DataFrame, tpe: String, v: Long): DataFrame =
+      df.drop(plumb: _*)
+        .withColumn(LogTable.ChangeTypeCol, lit(tpe))
+        .withColumn(LogTable.CommitVersionCol, lit(v))
+    val empty = {
+      val base = emptyDf(as)
+      val withId = if (withRowIds) base.withColumn(LogTable.RowIdCol,
+        lit(null).cast("long")) else base
+      out(withId, "insert", 0L).limit(0)
+    }
+    if (toVersion <= fromVersion) return empty
+    val avail = history()
+    val span = (fromVersion + 1) to toVersion
+    require(span.forall(avail.contains),
+      s"versions ${span.filterNot(avail.contains).mkString(",")} were vacuumed; " +
+        "cannot serve changes — restart the consumer from a full snapshot")
+    var prev: Option[Snapshot] =
+      if (fromVersion == 0) None else Some(snapshotAt(fromVersion))
+    val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    span.foreach { v =>
+      val d = readDelta(v)
+      if (d.dataChange) {
+        val prevFiles = prev.map(_.files).getOrElse(Seq.empty)
+        val prevDv = prev.map(_.dv).getOrElse(Seq.empty)
+        if (d.add.nonEmpty)
+          parts += out(feedScan(d.add, as, withRowIds), "insert", v)
+        if (d.dvAdd.nonEmpty) {
+          // the sidecar holds exactly this commit's deletions
+          val dvDf = spark.read.parquet(
+            d.dvAdd.map(n => filesDir.resolve(n).toString): _*)
+          val touched = dvDf.select(DvName).distinct()
+            .as[String].collect().toSet
+          val scanned = feedScan(prevFiles.filter(e => touched(e.name)),
+            as, withRowIds)
+          parts += out(scanned.join(broadcast(dvDf), plumb, "left_semi"),
+            "delete", v)
+        }
+        if (d.remove.nonEmpty) {
+          // rewrite: removed files' LIVE rows (pre-commit DV applied)
+          val rm = d.remove.toSet
+          val scanned = feedScan(prevFiles.filter(e => rm(e.name)),
+            as, withRowIds)
+          val live = if (prevDv.isEmpty) scanned
+          else scanned.join(broadcast(spark.read.parquet(
+              prevDv.map(n => filesDir.resolve(n).toString): _*)),
+            plumb, "left_anti")
+          parts += out(live, "delete", v)
+        }
+      }
+      prev = Some(applyDelta(prev.getOrElse(
+        Snapshot(0L, Seq.empty, Seq.empty, schema, Map.empty, Map.empty, 0L)),
+        d))
+    }
+    if (parts.isEmpty) empty else parts.reduce(_ unionByName _)
   }
 
   // ── CHECK constraints (Delta table constraints, in the log) ─────────────
@@ -1059,6 +1321,69 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
       "schema-evolution commit lost the race 5 times — writer storm")
   }
 
+  /** TYPE WIDENING as a METADATA COMMIT (Delta's `typeWidening` feature):
+    * change a column's type along a LOSSLESS widening chain without
+    * touching any data file — the parquet reader up-casts old files to the
+    * live read schema at scan time (Spark 4's widening promotions), so
+    * post-widen reads mix narrow and wide files transparently. The type
+    * travels IN the versioned schema: pre-widen versions time-travel back
+    * NARROW, stats stay valid (stored as strings, compared under the live
+    * type's ordering in [[readRange]]), and the physical name is
+    * unchanged so column mapping composes. `dataChange = false` — no rows
+    * changed, change-feed consumers skip it.
+    *
+    * Allowed (the Delta set restricted to what the parquet reader
+    * promotes losslessly): byte→short→int→long, float→double,
+    * byte/short/int→double (long→double is LOSSY past 2^53 — rejected;
+    * decimal rescale needs a rewrite — the reader cannot rescale
+    * FIXED_LEN_BYTE_ARRAY at scan time). Rejected
+    * for bucket keys (xxhash64(int) ≠ xxhash64(long) — placement would
+    * silently break) and for columns a CHECK constraint or generation
+    * expression references (the stored expr's result type could shift). */
+  def widenColumn(name: String, to: org.apache.spark.sql.types.DataType): Unit = {
+    import org.apache.spark.sql.types._
+    def widens(from: DataType, t: DataType): Boolean = (from, t) match {
+      case (a, b) if a == b => false
+      case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+      case (ShortType, IntegerType | LongType | DoubleType) => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType) => true
+      // decimal(p,s)→decimal(p',s') is NOT here: parquet stores decimals as
+      // FIXED_LEN_BYTE_ARRAY and the reader cannot rescale them at scan
+      // time (verified: PARQUET_COLUMN_DATA_TYPE_MISMATCH) — that change
+      // needs a rewrite
+      case _ => false
+    }
+    require(!bucketBy.exists(_._1.contains(name)),
+      s"cannot widen bucket key '$name' (the bucket hash is type-sensitive)")
+    var attempts = 0
+    while (attempts < 5) {
+      attempts += 1
+      val v = currentVersion
+      val snap = if (v == 0) None else Some(snapshotAt(v))
+      val cur = snap.map(_.schema).getOrElse(schema)
+      require(cur.fieldNames.contains(name), s"no such column '$name'")
+      val f = cur(name)
+      if (f.dataType == to) return // already there: no version cut
+      require(widens(f.dataType, to),
+        s"'$name' ${f.dataType.simpleString} -> ${to.simpleString} is not a " +
+          "lossless widening (lossy/narrowing changes need a rewrite)")
+      require(!f.metadata.contains(LogTable.GenKey),
+        s"cannot widen generated column '$name' (its type is the declared " +
+          "contract of the generation expression)")
+      val refs = referencingConstraints(snap, name)
+      require(refs.isEmpty,
+        s"cannot widen '$name': referenced by ${refs.mkString(", ")}")
+      val widened = StructType(cur.fields.map(g =>
+        if (g.name == name) g.copy(dataType = to) else g))
+      if (tryCommit(snap, snap.map(_.files).getOrElse(Seq.empty),
+          snap.map(_.dv).getOrElse(Seq.empty), dataChange = false,
+          newSchema = Some(widened))) return
+    }
+    throw new IllegalStateException(
+      "type-widening commit lost the race 5 times — writer storm")
+  }
+
   /** Constraint names whose stored SQL references column `c` (conservative
     * word-boundary match — renames/drops of referenced columns are rejected
     * rather than silently breaking the stored expr). */
@@ -1147,6 +1472,41 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
   def restore(v: Long): Unit = {
     val s = snapshotAt(v)
     overwrite(readData(s.files, s.dv, currentSchema))
+  }
+
+  /** SHALLOW CLONE (Delta `CREATE TABLE … SHALLOW CLONE`): a NEW log table
+    * whose first commit references this table's live content — data and DV
+    * files are HARDLINKED (zero bytes copied, O(#files) metadata), so the
+    * clone is immediately readable, diverges copy-on-write (its commits
+    * write fresh uuid files), and — unlike Delta's path-sharing shallow
+    * clone, which breaks when the source VACUUMs — survives a source
+    * vacuum: the links keep the inodes alive (spec-pinned). The live
+    * schema (with its column-mapping metadata) and active CHECK
+    * constraints carry over as metadata commits; per-writer txn watermarks
+    * deliberately do NOT (a clone is a new sink — Delta resets them too).
+    * The clone starts a fresh history: version 1 is the clone point
+    * (Delta clones don't inherit source history either). */
+  def cloneTo(dest: String): LogTable = {
+    val v = currentVersion
+    require(v > 0, "cannot clone an empty table (no commits)")
+    val s = snapshotAt(v)
+    val c = new LogTable(spark, dest, s.schema, bucketBy, statsBy,
+      checkpointInterval, clock, rowTracking)
+    (s.files.map(_.name) ++ s.dv).foreach { n =>
+      val target = c.filesDir.resolve(n)
+      if (!Files.exists(target)) Files.createLink(target, filesDir.resolve(n))
+    }
+    // row tracking carries over: bases ride the entries verbatim (rows is
+    // dropped so the clone's first commit re-allocates nothing) and the
+    // clone's high-water mark is seeded from the source, so post-clone
+    // appends on either side never reuse a shared id
+    val entries = s.files.map(f =>
+      c.FileEntry(f.name, f.bucket, f.stats, -1L, f.baseRowId))
+    require(c.tryCommit(None, entries, s.dv, dataChange = true,
+      newSchema = Some(s.schema), rowIdHwmFloor = s.rowIdHwm),
+      "clone target is not empty")
+    s.constraints.foreach { case (n, e) => c.addConstraint(n, e) }
+    c
   }
 
   /** Retention GC: keep the newest `retainLast` versions; cut a checkpoint

@@ -1736,5 +1736,257 @@ object MergeQueries {
            |ORDER BY c_custkey, eff_from""".stripMargin),
     "M7 SCD Type-2 history merge: close-and-insert on attribute change, no-op on identical re-delivery, insert on new key; t=200 batch applied twice so the hash pins idempotency")
 
-  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl, opt, del, rst, vac, dvq, dvtt, occ, occContended, logLifecycle, logMaintenance, logChangeFeed, logClustered, logEvolve, logSql, logConstraints, logTimestamps, scd2q, logColumnMapping, generatedCols)
+  /** SHALLOW CLONE of the log table (q79 — Delta `CREATE TABLE … SHALLOW
+    * CLONE`): the clone's first commit REFERENCES the source's live files
+    * (hardlinks — zero bytes copied, O(#files) metadata), then both sides
+    * diverge copy-on-write. The query drives the full lifecycle: source
+    * builds v1 (pre-cut), renames a column (mapping active in the cloned
+    * schema), DV-deletes every 7th key; clone is cut at that point; the
+    * clone appends the post-cut slice while the source OVERWRITES itself
+    * with different content and VACUUMS — retiring every file the clone
+    * shares. All three phases read AFTER the vacuum, so the hash itself
+    * pins that the clone (and its version-1 clone point) survives source
+    * GC — the failure mode Delta's path-sharing shallow clone documents.
+    *
+    * Scale: clone cost is O(#live files) driver-side metadata + one
+    * manifest commit — no data job at all; divergent writes are ordinary
+    * commits on either side. */
+  val logClone = QueryDef(
+    "q79_logtable_shallow_clone",
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+      val cut = lit("1998-01-01").cast("timestamp")
+      val base = FixtureDirs.create("q79-clone-")
+      val t = new graft.merge.LogTable(spark, base.resolve("src").toString, o.schema)
+      t.overwrite(o.filter(col("o_orderdate") < cut))                     // v1
+      t.renameColumn("o_totalprice", "price")                             // v2 (metadata)
+      val del = t.deleteWhere(pmod(col("o_orderkey"), lit(7)) === 0)      // v3 (DV)
+      require(del > 0, "delete predicate must match rows at every SF")
+      val c = t.cloneTo(base.resolve("dup").toString)
+      val post = o.filter(col("o_orderdate") >= cut)
+        .withColumnRenamed("o_totalprice", "price")
+      c.append(post)                                       // clone diverges
+      t.overwrite(post.withColumn("price", -col("price"))) // source diverges…
+      t.vacuum(retainLast = 1)                             // …and retires every shared file
+      def row(phase: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n"), round(sum(col("price")), 2).as("sum_price"))
+          .select(lit(phase).as("phase"), col("n"), col("sum_price"))
+      row("clone_v1", c.readVersion(1))
+        .union(row("clone_live", c.read()))
+        .union(row("src_live", t.read()))
+        .orderBy(col("phase"))
+    },
+    Some("""WITH o AS (SELECT o_orderkey, o_totalprice AS price, o_orderdate FROM orders),
+           |pre AS (SELECT * FROM o WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+           |        AND o_orderkey % 7 <> 0),
+           |post AS (SELECT * FROM o WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'),
+           |s AS (
+           |  SELECT 'clone_v1' AS phase, count(*) AS n,
+           |         round(sum(price), 2) AS sum_price FROM pre
+           |  UNION ALL SELECT 'clone_live', count(*), round(sum(price), 2)
+           |  FROM (SELECT price FROM pre UNION ALL SELECT price FROM post)
+           |  UNION ALL SELECT 'src_live', count(*), round(sum(-price), 2) FROM post)
+           |SELECT phase, n, sum_price FROM s ORDER BY phase""".stripMargin),
+    "Shallow clone: zero-copy hardlinked clone point, copy-on-write divergence both sides, clone + its version-1 survive a source overwrite + vacuum that retires every shared file")
+
+  /** ROW TRACKING on the log table (q80 — Delta `enableRowTracking`): every
+    * commit allocates its fresh files contiguous base row ids from a
+    * high-water mark kept IN the log; a row's stable id = its file's base +
+    * its index in the file. The query drives the full id lifecycle: two
+    * appends (each range-partitioned + sorted on the unique key, so the
+    * allocation order — bucket, staged part, row — IS the key order and the
+    * ids are closed-form: hwm + rank(key) within the commit), a DV delete
+    * (survivors keep ids, freed ids never reused), an OPTIMIZE (ids
+    * MATERIALIZED into the rewrite — the stability `require` pins the
+    * per-key map unchanged), and a post-compaction append (allocation
+    * resumes from the log's high-water mark, not from max-live-id). The
+    * final hash pins every surviving row's exact id.
+    *
+    * Scale: allocation is O(#new files) driver arithmetic at commit time
+    * plus one count pass over the staged write; the id read is a broadcast
+    * join on file name (O(#files) rows); materialization rides the
+    * OPTIMIZE rewrite it already pays for. */
+  val logRowTracking = QueryDef(
+    "q80_logtable_row_tracking",
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+      val cut = lit("1998-01-01").cast("timestamp")
+      val root = FixtureDirs.create("q80-rt-").resolve("orders_rt").toString
+      val t = new graft.merge.LogTable(spark, root, o.schema, rowTracking = true)
+      def shaped(df: org.apache.spark.sql.DataFrame) = df
+        .repartitionByRange(4, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+      val pre = o.filter(col("o_orderdate") < cut)
+      val post = o.filter(col("o_orderdate") >= cut)
+      t.append(shaped(pre))                                          // v1
+      t.append(shaped(post))                                         // v2
+      val before = t.readWithRowIds()
+        .select(col("o_orderkey"), col(graft.merge.LogTable.RowIdCol).as("rid0"))
+        .localCheckpoint(true)
+      val del = t.deleteWhere(pmod(col("o_orderkey"), lit(7)) === 0) // v3 (DV)
+      require(del > 0, "delete predicate must match rows at every SF")
+      require(t.compact(targetFileBytes = 1L << 20) > 0,             // v4 OPTIMIZE
+        "compaction must rewrite (materializing ids + DVs)")
+      val mid = t.readWithRowIds()
+      require(mid.join(before, "o_orderkey")
+        .filter(col(graft.merge.LogTable.RowIdCol) =!= col("rid0")).isEmpty,
+        "OPTIMIZE must preserve every surviving row's id")
+      t.append(shaped(pre.filter(pmod(col("o_orderkey"), lit(7)) === 0) // v5
+        .withColumn("o_orderkey", -col("o_orderkey"))))
+      t.readWithRowIds()
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
+          col(graft.merge.LogTable.RowIdCol).as("row_id"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""WITH o AS (SELECT o_orderkey, o_totalprice, o_orderdate FROM orders),
+           |pre AS (SELECT o_orderkey, o_totalprice FROM o
+           |        WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+           |post AS (SELECT o_orderkey, o_totalprice FROM o
+           |         WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'),
+           |v1 AS (SELECT o_orderkey, o_totalprice,
+           |              rank() OVER (ORDER BY o_orderkey) AS row_id FROM pre),
+           |v2 AS (SELECT o_orderkey, o_totalprice,
+           |              (SELECT count(*) FROM pre) + rank() OVER (ORDER BY o_orderkey)
+           |       FROM post),
+           |v5 AS (SELECT -o_orderkey AS o_orderkey, o_totalprice,
+           |              (SELECT count(*) FROM pre) + (SELECT count(*) FROM post)
+           |              + rank() OVER (ORDER BY -o_orderkey)
+           |       FROM pre WHERE o_orderkey % 7 = 0),
+           |live AS (
+           |  SELECT * FROM v1 WHERE o_orderkey % 7 <> 0
+           |  UNION ALL SELECT * FROM v2 WHERE o_orderkey % 7 <> 0
+           |  UNION ALL SELECT * FROM v5)
+           |SELECT o_orderkey, round(o_totalprice, 2) AS price, row_id
+           |FROM live ORDER BY o_orderkey""".stripMargin),
+    "Row tracking in the log: contiguous per-commit base-id allocation from a logged high-water mark, ids stable across DV delete + OPTIMIZE (materialized rewrite), freed ids never reused, post-compaction allocation resumes at the watermark")
+
+  /** TYPE WIDENING on the log table (q81 — Delta `typeWidening`): change a
+    * column's type along a lossless widening chain as a METADATA commit —
+    * no file rewrite (`require`d on the live file list); the parquet reader
+    * up-casts narrow-era files to the live schema at scan time, so
+    * post-widen reads mix narrow and wide files transparently. The query
+    * drives the full lifecycle: v1 appends the pre-cut slice NARROW
+    * (orderkey as INT, price as FLOAT), the two widen commits land
+    * (int→long, float→double), then the post-cut slice appends WIDE with
+    * values unrepresentable in the narrow types (orderkey + 4B beyond
+    * int32, price at full double precision). Phase `v1_narrow` reads
+    * version 1 AFTER the widening — time travel serves the narrow-era
+    * types, so the float-degraded prices are IN the hash (cast
+    * double→float→double is bit-deterministic IEEE both engines);
+    * phase `live` reads the mixed table under the wide schema. Per-row
+    * output, no float sums (rule 3).
+    *
+    * Scale: each widen is one manifest commit — zero data jobs however
+    * large the table; the up-cast rides the scan it already pays for. */
+  val logWidening = QueryDef(
+    "q81_logtable_type_widening",
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+      require(o.agg(max(col("o_orderkey"))).head().getLong(0) < Int.MaxValue,
+        "narrow phase requires int-range orderkeys at this SF")
+      val cut = lit("1998-01-01").cast("timestamp")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("price",
+          org.apache.spark.sql.types.FloatType)))
+      val root = FixtureDirs.create("q81-wd-").resolve("orders_wd").toString
+      val t = new graft.merge.LogTable(spark, root, schema, statsBy = Seq("k"))
+      t.append(o.filter(col("o_orderdate") < cut)                        // v1
+        .select(col("o_orderkey").cast("int").as("k"),
+          col("o_totalprice").cast("float").as("price")))
+      val before = t.liveFileNames()
+      t.widenColumn("k", org.apache.spark.sql.types.LongType)            // v2
+      t.widenColumn("price", org.apache.spark.sql.types.DoubleType)      // v3
+      require(t.liveFileNames() == before, "widening must touch no data file")
+      t.append(o.filter(col("o_orderdate") >= cut)                       // v4
+        .select((col("o_orderkey") + 4000000000L).as("k"),
+          col("o_totalprice").as("price")))
+      def row(phase: String, df: org.apache.spark.sql.DataFrame) = df
+        .select(lit(phase).as("phase"), col("k").cast("long").as("k"),
+          col("price").cast("double").as("price"))
+      row("v1_narrow", t.readVersion(1))
+        .union(row("live", t.read()))
+        .orderBy(col("phase"), col("k"))
+    },
+    Some("""WITH o AS (SELECT o_orderkey, o_totalprice, o_orderdate FROM orders),
+           |pre AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+           |          CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS price
+           |        FROM o WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+           |post AS (SELECT o_orderkey + 4000000000 AS k, o_totalprice AS price
+           |         FROM o WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'),
+           |u AS (
+           |  SELECT 'v1_narrow' AS phase, k, price FROM pre
+           |  UNION ALL SELECT 'live', k, price FROM pre
+           |  UNION ALL SELECT 'live', k, price FROM post)
+           |SELECT phase, k, price FROM u ORDER BY phase, k""".stripMargin),
+    "Type widening in the log: int→long + float→double as metadata commits, mixed narrow/wide files up-cast at scan time, pre-widen version time-travels back narrow (float-degraded prices in the hash)")
+
+  /** TYPED CHANGE DATA FEED (q82 — Delta `table_changes`): row-level
+    * changes with `_change_type` — unlike the streaming-source feed (adds
+    * only, `ignoreChanges` for rewrites), DELETES are first-class rows. A
+    * DV-delete commit's sidecar holds exactly the (file, pos) pairs it
+    * deleted, so the feed reads those rows back from the pre-commit state
+    * scanning ONLY the touched files; an overwrite decomposes into
+    * delete(pre-commit live rows) + insert(new files) — the exact multiset
+    * delta. Row tracking composes: every change row carries the stable
+    * `_row_id` (deletes keep the id the row had; the overwrite's inserts
+    * re-id above the logged watermark). The query drives append →
+    * DV-delete → overwrite on a row-tracked table with shaped writes, so
+    * every change row INCLUDING its id is closed-form, and the hash pins
+    * the full typed feed.
+    *
+    * Scale: per version the feed scans only that commit's added, removed,
+    * or sidecar-named files — never the full table; the snapshot walk is
+    * one incremental log fold for the whole span. */
+  val logCdfTyped = QueryDef(
+    "q82_logtable_cdf_typed",
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+      val cut = lit("1998-01-01").cast("timestamp")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("price",
+          org.apache.spark.sql.types.DoubleType)))
+      val root = FixtureDirs.create("q82-cdf-").resolve("orders_cdf").toString
+      val t = new graft.merge.LogTable(spark, root, schema, rowTracking = true)
+      def shaped(df: org.apache.spark.sql.DataFrame) = df
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      val pre = o.filter(col("o_orderdate") < cut)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+      val post = o.filter(col("o_orderdate") >= cut)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+      t.append(shaped(pre))                                           // v1
+      require(t.deleteWhere(pmod(col("k"), lit(7)) === 0) > 0,        // v2
+        "delete predicate must match rows at every SF")
+      t.overwrite(shaped(post))                                       // v3
+      t.readChangeFeed(0, 3, withRowIds = true)
+        .select(col(graft.merge.LogTable.ChangeTypeCol).as("change_type"),
+          col(graft.merge.LogTable.CommitVersionCol).as("commit_version"),
+          col("k"), round(col("price"), 2).as("price"),
+          col(graft.merge.LogTable.RowIdCol).as("row_id"))
+        .orderBy(col("commit_version"), col("change_type"), col("k"))
+    },
+    Some("""WITH o AS (SELECT o_orderkey AS k, o_totalprice AS price, o_orderdate FROM orders),
+           |pre AS (SELECT k, price, rank() OVER (ORDER BY k) AS row_id
+           |        FROM o WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+           |post AS (SELECT k, price,
+           |           (SELECT count(*) FROM pre) + rank() OVER (ORDER BY k) AS row_id
+           |         FROM o WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'),
+           |f AS (
+           |  SELECT 'insert' AS change_type, 1 AS commit_version, k, price, row_id FROM pre
+           |  UNION ALL SELECT 'delete', 2, k, price, row_id FROM pre WHERE k % 7 = 0
+           |  UNION ALL SELECT 'delete', 3, k, price, row_id FROM pre WHERE k % 7 <> 0
+           |  UNION ALL SELECT 'insert', 3, k, price, row_id FROM post)
+           |SELECT change_type, CAST(commit_version AS BIGINT) AS commit_version,
+           |       k, round(price, 2) AS price, row_id
+           |FROM f ORDER BY commit_version, change_type, k""".stripMargin),
+    "Typed change feed (Delta table_changes): DV-delete rows served from the sidecar's exact (file,pos) set, overwrite as delete+insert multiset delta, stable row ids on every change row — all closed-form in the hash")
+
+  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl, opt, del, rst, vac, dvq, dvtt, occ, occContended, logLifecycle, logMaintenance, logChangeFeed, logClustered, logEvolve, logSql, logConstraints, logTimestamps, scd2q, logColumnMapping, generatedCols, logClone, logRowTracking, logWidening, logCdfTyped)
 }

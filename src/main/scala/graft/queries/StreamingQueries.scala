@@ -2792,8 +2792,104 @@ object StreamingQueries {
             |ORDER BY user_id, eff_from""".stripMargin),
     "change feed consumed into a downstream SCD2 history: ignoreChanges re-emission absorbed by the strict-newer guard, _commit_version as eff_from, per-commit micro-batches (the Delta CDF composition)")
 
+  /** STREAMING ROW-TRACKED INGEST (s41) — q80's row tracking composed with
+    * the exactly-once streaming sink: three deterministic micro-batches
+    * (event_id thirds, mtime-pinned file order) land in a
+    * `rowTracking = true` [[graft.merge.LogTable]] via `appendOnce`, each
+    * batch shaped (range-partitioned + sorted on (user_id, event_id)) so
+    * its contiguous id block is CLOSED-FORM: id = offset of earlier
+    * batches + rank by (user_id, event_id) WITHIN the batch — the batch
+    * cuts are visible in the id order, which is exactly what the oracle
+    * pins. After the drain: a RE-DELIVERED batch is `require`d a no-op
+    * (txn watermark — ids can't double-allocate under at-least-once
+    * delivery), then a DV delete + OPTIMIZE, so the final hash reads ids
+    * from the MATERIALIZED rewrite of a streaming-built table (survivors
+    * keep their pre-delete ranks — stability is IN the hash, not just a
+    * require).
+    *
+    * Scale: per batch one append commit + O(#new files) driver allocation;
+    * everything else is q80's machinery unchanged under the drain. */
+  val s41 = QueryDef(
+    "s41_stream_row_tracking",
+    (spark, dir) => {
+      val ev = graft.sources.Tables.eventsUs(spark, dir)
+        .select(col("event_id"), col("user_id"), col("value"))
+      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+      val c0 = maxId / 3; val c1 = 2 * maxId / 3
+      val srcDir = FixtureDirs.cachedDir("s41-src-", dir) { d =>
+        val parts = Seq(
+          ev.filter(col("event_id") <= c0),
+          ev.filter(col("event_id") > c0 && col("event_id") <= c1),
+          ev.filter(col("event_id") > c1))
+        val mtimeBase = System.currentTimeMillis()
+        parts.zipWithIndex.foreach { case (p, i) =>
+          val part = FixtureDirs.create(s"s41-part$i-")
+          p.coalesce(1).write.mode("overwrite").parquet(part.toString)
+          val f = java.nio.file.Files.list(part)
+            .filter(x => x.toString.endsWith(".parquet")).findFirst().get()
+          val dst = d.resolve(s"batch$i.parquet")
+          java.nio.file.Files.move(f, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(mtimeBase + i * 1000L))
+        }
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      val root = FixtureDirs.create("s41-rt-").resolve("events_rt").toString
+      val t = new graft.merge.LogTable(spark, root, schema, rowTracking = true)
+      def shaped(b: DataFrame) = b
+        .repartitionByRange(4, col("user_id"), col("event_id"))
+        .sortWithinPartitions("user_id", "event_id")
+      withStreamConf(spark) {
+        spark.readStream
+          .schema("event_id bigint, user_id bigint, value double")
+          .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+          .writeStream
+          .queryName("row_tracked_ingest")
+          .option("checkpointLocation", newCkptDir())
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            t.appendOnce(shaped(b), "s41", id); ()
+          }
+          .start().awaitTermination()
+      }
+      require(t.currentVersion == 3L,
+        s"expected 3 micro-batch commits, got ${t.currentVersion}")
+      require(!t.appendOnce(shaped(ev.filter(col("event_id") <= c0)), "s41", 0L),
+        "re-delivered batch must be a txn no-op — no double id allocation")
+      require(t.deleteWhere(pmod(col("event_id"), lit(7)) === 0) > 0,
+        "delete predicate must match rows at every SF")
+      require(t.compact(targetFileBytes = 1L << 20) > 0,
+        "compaction must rewrite (materializing ids)")
+      t.readWithRowIds()
+        .select(col("event_id"), col("user_id"),
+          col(graft.merge.LogTable.RowIdCol).as("row_id"))
+        .orderBy(col("event_id"))
+    },
+    Some(s"""WITH $evCte,
+            |cuts AS (SELECT max(event_id) // 3 AS c0, 2 * max(event_id) // 3 AS c1 FROM ev),
+            |w AS (SELECT event_id, user_id,
+            |    CASE WHEN event_id <= c0 THEN 0 WHEN event_id <= c1 THEN 1 ELSE 2 END AS b
+            |  FROM ev, cuts),
+            |off AS (SELECT b, count(*) AS n FROM w GROUP BY b),
+            |off2 AS (SELECT b, CAST(coalesce(sum(n) OVER (ORDER BY b
+            |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS base
+            |  FROM off),
+            |ids AS (SELECT w.event_id, w.user_id,
+            |    o.base + rank() OVER (PARTITION BY w.b ORDER BY w.user_id, w.event_id) AS row_id
+            |  FROM w JOIN off2 o USING (b))
+            |SELECT event_id, user_id, row_id FROM ids
+            |WHERE event_id % 7 <> 0
+            |ORDER BY event_id""".stripMargin),
+    "streaming ingest into a row-tracked log table: per-batch contiguous id blocks in closed form, re-delivered batch a txn no-op (no double allocation), ids stable through DV delete + OPTIMIZE materialization")
+
   def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
     s10, s10b, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23,
     s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38,
-    s39, s40)
+    s39, s40, s41)
 }

@@ -4166,65 +4166,144 @@ object TextQueries {
     * IEEE identity, so the partials coincide. Per-source arithmetic stays
     * unrounded (rule 3). Scale: one corpus aggregation (token counts per
     * source); the plan itself is O(#sources) driver rows. */
+  /** d61's plan restated in DuckDB, shared by d61/d62's oracles: ends in
+    * `plan(source, tokens, epochs, capped, final_tokens)`. */
+  private val d61PlanCte =
+    s"""$tokCte,
+       |c AS (SELECT d.source, CAST(sum(length(t.w)) AS BIGINT) AS tokens
+       |      FROM toks t JOIN documents d USING (doc_id) GROUP BY d.source),
+       |b AS (SELECT (SELECT sum(tokens) FROM c) * 3 // 2 AS bud),
+       |w AS (SELECT source, tokens, sqrt(CAST(tokens AS DOUBLE)) AS wt FROM c),
+       |tot AS (SELECT list_sum(list(wt ORDER BY source)) AS bw FROM w),
+       |e AS (SELECT source, tokens, wt, bud * wt / bw AS tk,
+       |             (bud * wt / bw) / tokens AS epochs
+       |      FROM w, tot, b),
+       |cap AS (SELECT (min(epochs) + max(epochs)) / 2 AS emax FROM e),
+       |c2 AS (SELECT e.*, epochs > emax AS capped,
+       |         CASE WHEN epochs > emax THEN emax * tokens ELSE tk END AS fin
+       |       FROM e, cap),
+       |agg AS (SELECT list_sum(list(fin ORDER BY source)) AS spent,
+       |          list_sum(list(CASE WHEN capped THEN CAST(0 AS DOUBLE) ELSE wt END
+       |            ORDER BY source)) AS wu
+       |        FROM c2),
+       |plan AS (SELECT source, tokens, epochs, capped,
+       |  CAST(floor(CASE WHEN capped THEN fin
+       |             ELSE fin + (bud - spent) * wt / wu END) AS BIGINT) AS final_tokens
+       |FROM c2, agg, b)""".stripMargin
+
+  /** d61's plan fold, shared with d62's executor: per source —
+    * (source, tokens, epochs, capped, final_tokens). Driver-side over
+    * |sources| bounded stats; every cross-source total folds in sorted
+    * source order (the d26 mirrorable class). */
+  private def tokenBudgetPlan(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): Seq[(String, Long, Double, Boolean, Long)] = {
+    val perSource = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(sum(TextFunctions.tokenCount(col("text"))).as("tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val budget = perSource.foldLeft(0L)(_ + _._2) * 3L / 2L
+    val w = perSource.map { case (s, t) => (s, t, math.sqrt(t.toDouble)) }
+    val bigW = w.foldLeft(0.0)(_ + _._3)
+    val tgt = w.map { case (s, t, wt) => (s, t, wt, budget * wt / bigW) }
+    val epochs = tgt.map { case (_, t, _, tk) => tk / t }
+    val eMax = (epochs.min + epochs.max) / 2.0
+    require(epochs.exists(_ > eMax) && epochs.exists(_ <= eMax),
+      "d61 epoch cap must split the sources — both branches live (d49 lesson)")
+    val capped = tgt.map { case (s, t, wt, tk) =>
+      val e = tk / t
+      val isCapped = e > eMax
+      (s, t, wt, e, isCapped, if (isCapped) eMax * t else tk)
+    }
+    val spent = capped.foldLeft(0.0)(_ + _._6)
+    val leftover = budget - spent
+    val wUncapped = capped.filter(!_._5).foldLeft(0.0)(_ + _._3)
+    capped.map { case (s, t, wt, e, isCapped, fin) =>
+      val fin2 = if (isCapped) fin else fin + leftover * wt / wUncapped
+      (s, t, e, isCapped, math.floor(fin2).toLong)
+    }.toSeq
+  }
+
   val d61 = QueryDef(
     "d61_token_budget_mix",
     (spark, dir) => {
-      val perSource = Tables.documents(spark, dir)
-        .groupBy(col("source"))
-        .agg(sum(TextFunctions.tokenCount(col("text"))).as("tokens"))
-        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
-      val budget = perSource.foldLeft(0L)(_ + _._2) * 3L / 2L
-      val w = perSource.map { case (s, t) => (s, t, math.sqrt(t.toDouble)) }
-      val bigW = w.foldLeft(0.0)(_ + _._3)
-      val tgt = w.map { case (s, t, wt) => (s, t, wt, budget * wt / bigW) }
-      val epochs = tgt.map { case (_, t, _, tk) => tk / t }
-      val eMax = (epochs.min + epochs.max) / 2.0
-      require(epochs.exists(_ > eMax) && epochs.exists(_ <= eMax),
-        "d61 epoch cap must split the sources — both branches live (d49 lesson)")
-      val capped = tgt.map { case (s, t, wt, tk) =>
-        val e = tk / t
-        val isCapped = e > eMax
-        (s, t, wt, e, isCapped, if (isCapped) eMax * t else tk)
-      }
-      val spent = capped.foldLeft(0.0)(_ + _._6)
-      val leftover = budget - spent
-      val wUncapped = capped.filter(!_._5).foldLeft(0.0)(_ + _._3)
-      val rows = capped.map { case (s, t, wt, e, isCapped, fin) =>
-        val fin2 = if (isCapped) fin else fin + leftover * wt / wUncapped
-        (s, t, e, isCapped, math.floor(fin2).toLong)
-      }
       import spark.implicits._
-      rows.toSeq.toDF("source", "tokens", "epochs", "capped", "final_tokens")
+      tokenBudgetPlan(spark, dir)
+        .toDF("source", "tokens", "epochs", "capped", "final_tokens")
         .orderBy(col("source"))
     },
-    Some(s"""WITH $tokCte,
-            |c AS (SELECT d.source, CAST(sum(length(t.w)) AS BIGINT) AS tokens
-            |      FROM toks t JOIN documents d USING (doc_id) GROUP BY d.source),
-            |b AS (SELECT (SELECT sum(tokens) FROM c) * 3 // 2 AS bud),
-            |w AS (SELECT source, tokens, sqrt(CAST(tokens AS DOUBLE)) AS wt FROM c),
-            |tot AS (SELECT list_sum(list(wt ORDER BY source)) AS bw FROM w),
-            |e AS (SELECT source, tokens, wt, bud * wt / bw AS tk,
-            |             (bud * wt / bw) / tokens AS epochs
-            |      FROM w, tot, b),
-            |cap AS (SELECT (min(epochs) + max(epochs)) / 2 AS emax FROM e),
-            |c2 AS (SELECT e.*, epochs > emax AS capped,
-            |         CASE WHEN epochs > emax THEN emax * tokens ELSE tk END AS fin
-            |       FROM e, cap),
-            |agg AS (SELECT list_sum(list(fin ORDER BY source)) AS spent,
-            |          list_sum(list(CASE WHEN capped THEN CAST(0 AS DOUBLE) ELSE wt END
-            |            ORDER BY source)) AS wu
-            |        FROM c2)
-            |SELECT source, tokens, epochs, capped,
-            |  CAST(floor(CASE WHEN capped THEN fin
-            |             ELSE fin + (bud - spent) * wt / wu END) AS BIGINT) AS final_tokens
-            |FROM c2, agg, b ORDER BY source""".stripMargin),
+    Some(s"""WITH $d61PlanCte
+            |SELECT source, tokens, epochs, capped, final_tokens
+            |FROM plan ORDER BY source""".stripMargin),
     "token-budget mixture planning: temperature weights, epoch caps, one-pass shortfall redistribution (LLM-pipeline op)")
+
+  /** MIXTURE-PLAN EXECUTION (d62) — materialize d61's token budgets into
+    * the actual sampling manifest a data loader consumes: per source, the
+    * budget buys `n_full = budget // tokens` FULL epochs plus a PARTIAL
+    * epoch of `rem = budget - n_full·tokens` tokens, filled greedily in a
+    * deterministic md5 order (epoch-varying-free — the d39/d10
+    * engine-portable draw): a doc joins the partial pass iff the cumulative
+    * token count BEFORE it is still under `rem`. Emits one manifest row per
+    * sampled doc with its copy count — the executable form of the recipe
+    * (n_copies = epochs seen in training). All arithmetic after the plan's
+    * floor is exact int64 (budgets, cumsums, comparisons), so the manifest
+    * is bit-reproducible across engines.
+    *
+    * Scale: one broadcast of the O(#sources) plan, one corpus-wide window
+    * (per-source ordered prefix sum — range-partition + offset at 100 TB,
+    * the d16 packing shape); no shuffle carries text. */
+  val d62 = QueryDef(
+    "d62_mixture_execute",
+    (spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val plan = tokenBudgetPlan(spark, dir)
+      val planDf = plan.map { case (s, t, _, _, fin) => (s, t, fin) }
+        .toDF("source", "src_tokens", "budget")
+      val docs = Tables.documents(spark, dir)
+        .select(col("source"), col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("tok"),
+          md5(concat(col("doc_id").cast("string"), lit(":d62"))).as("h"))
+      val cumBefore = sum(col("tok")).over(
+        Window.partitionBy(col("source")).orderBy(col("h"))
+          .rowsBetween(Window.unboundedPreceding, -1))
+      val manifest = docs.join(broadcast(planDf), "source")
+        .withColumn("n_full", expr("budget div src_tokens"))
+        .withColumn("rem", col("budget") - col("n_full") * col("src_tokens"))
+        .withColumn("cum_before", coalesce(cumBefore, lit(0L)))
+        .withColumn("n_copies",
+          col("n_full") + when(col("cum_before") < col("rem"), 1L).otherwise(0L))
+        .filter(col("n_copies") > 0)
+        .select(col("source"), col("doc_id"), col("n_copies"))
+      // vacuity guards: full epochs AND a live partial pass must both occur
+      require(plan.exists { case (_, t, _, _, fin) => fin / t >= 1 },
+        "d62: no source affords a full epoch — manifest degenerates")
+      require(plan.exists { case (_, t, _, _, fin) => fin % t > 0 },
+        "d62: every budget is an exact epoch multiple — partial pass dead")
+      manifest.orderBy(col("source"), col("doc_id"))
+    },
+    Some(s"""WITH $d61PlanCte,
+            |doc AS (SELECT d.source, d.doc_id, length(t.w) AS tok,
+            |               md5(CAST(d.doc_id AS VARCHAR) || ':d62') AS h
+            |        FROM toks t JOIN documents d USING (doc_id)),
+            |j AS (SELECT doc.*, plan.final_tokens // plan.tokens AS n_full,
+            |             plan.final_tokens - (plan.final_tokens // plan.tokens)
+            |               * plan.tokens AS rem
+            |      FROM doc JOIN plan USING (source)),
+            |pre AS (SELECT *, coalesce(sum(tok) OVER (PARTITION BY source ORDER BY h
+            |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+            |        FROM j)
+            |SELECT source, doc_id,
+            |       n_full + CASE WHEN cumb < rem THEN 1 ELSE 0 END AS n_copies
+            |FROM pre
+            |WHERE n_full + CASE WHEN cumb < rem THEN 1 ELSE 0 END > 0
+            |ORDER BY source, doc_id""".stripMargin),
+    "mixture-plan execution: per-source full epochs + md5-ordered greedy partial pass to the exact token budget, one manifest row per sampled doc (LLM-pipeline op)")
 
   def defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
       d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43, d44,
       d45, d46, d47, d48, d49, d50, d50b, d51, d52, d53, d54, d55, d56, d57, d58, d59,
-      d60, d61,
+      d60, d61, d62,
       m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14, m15, m16)
 }

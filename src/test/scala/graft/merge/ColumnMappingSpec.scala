@@ -109,6 +109,40 @@ class ColumnMappingSpec extends SparkSpec {
     assert(t.read().columns.toSeq == Seq("k", "label", "d"))
   }
 
+  test("shallow clone: zero-copy hardlinks, COW divergence, survives source " +
+      "vacuum, carries schema mapping + constraints, resets txn watermarks") {
+    val root = Files.createTempDirectory("cm-clone-")
+    val t = new LogTable(spark, root.resolve("src").toString, s3)
+    t.appendOnce((1L to 10L).map(i => (i, s"v$i", i)).toDF("k", "v", "d"),
+      appId = "w", batchId = 7L)
+    t.renameColumn("v", "label") // mapping active in the cloned schema
+    t.addConstraint("d_pos", "d > 0")
+    assert(t.deleteWhere(col("k") === 10L) == 1)
+    val c = t.cloneTo(root.resolve("dup").toString)
+    // zero-copy: every cloned data file is a hardlink (nlink >= 2)
+    val dupFiles = Files.list(root.resolve("dup").resolve("files")).iterator()
+    dupFiles.forEachRemaining { p =>
+      assert(Files.getAttribute(p, "unix:nlink").asInstanceOf[Int] >= 2,
+        s"$p is a copy, not a link")
+    }
+    assert(c.read().count() == 9 && c.read().columns.contains("label"))
+    assert(c.constraints.keySet == Set("d_pos"))
+    assert(c.lastTxn("w") == -1L, "txn watermarks must reset on clone")
+    // COW divergence: clone writes don't touch the source and vice versa
+    c.append(Seq((11L, "c-only", 11L)).toDF("k", "label", "d"))
+    t.append(Seq((12L, "t-only", 12L)).toDF("k", "label", "d"))
+    assert(c.read().filter(col("label") === "t-only").count() == 0)
+    assert(t.read().filter(col("label") === "c-only").count() == 0)
+    // constraint carried over is ENFORCED on the clone
+    intercept[Exception](c.append(Seq((13L, "bad", -1L)).toDF("k", "label", "d")))
+    // source vacuum after divergence: the clone keeps reading (hardlinks
+    // keep the shared inodes alive even when the source GC unlinks them)
+    t.overwrite(Seq((99L, "rewritten", 99L)).toDF("k", "label", "d"))
+    t.vacuum(retainLast = 1)
+    assert(c.read().count() == 10)
+    assert(c.read().filter(col("label") === "v3").count() == 1)
+  }
+
   test("guards: duplicate/ missing names, bucket keys, constraint references") {
     val t = new LogTable(spark, tmp("cm-guards-"),
       s3, bucketBy = Some((Seq("k"), 4)))
