@@ -2888,8 +2888,104 @@ object StreamingQueries {
             |ORDER BY event_id""".stripMargin),
     "streaming ingest into a row-tracked log table: per-batch contiguous id blocks in closed form, re-delivered batch a txn no-op (no double allocation), ids stable through DV delete + OPTIMIZE materialization")
 
+  /** KEY-FREE STREAMING REPLICATION (s42) — the typed change feed (q82)
+    * consumed through the registered source: `.option("changeFeed", true)`
+    * + `withRowIds` streams every row-level change as
+    * (`_change_type`, `_row_id`, data), one commit per micro-batch, and
+    * the consumer maintains a DOWNSTREAM MIRROR of the source keyed ONLY
+    * by `_row_id` — it never learns the logical key. Apply rule per batch:
+    * drop every id the batch touches (deletes AND inserts), then add the
+    * inserts — idempotent under at-least-once re-delivery by construction
+    * (re-applying a span reaches the same state), delete-aware without
+    * `ignoreChanges`. Source lifecycle: two shaped appends with a DV
+    * delete in between, then a final DV delete spanning both eras — so
+    * the feed interleaves inserts and deletes across four commits and the
+    * mirror must converge to the source's live rows WITH their ids
+    * (`require`d via except() both ways, and pinned in the hash: ids are
+    * closed-form per q80's construction).
+    *
+    * Scale: per micro-batch the source scans only the commit's added or
+    * sidecar-named files; the mirror apply is one anti-join on the batch's
+    * ids + a union — O(mirror + batch) per commit, no full-table diff. */
+  val s42 = QueryDef(
+    "s42_stream_cdf_replication",
+    (spark, dir) => {
+      val ev = graft.sources.Tables.eventsUs(spark, dir)
+        .select(col("event_id"), col("user_id"), col("value"))
+      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+      val c0 = maxId / 3
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      val root = FixtureDirs.create("s42-repl-")
+      val src = new graft.merge.LogTable(spark, root.resolve("src").toString,
+        schema, rowTracking = true)
+      def shaped(b: DataFrame) = b
+        .repartitionByRange(4, col("user_id"), col("event_id"))
+        .sortWithinPartitions("user_id", "event_id")
+      src.append(shaped(ev.filter(col("event_id") <= c0)))              // v1
+      require(src.deleteWhere(pmod(col("event_id"), lit(5)) === 0) > 0) // v2
+      src.append(shaped(ev.filter(col("event_id") > c0)))               // v3
+      require(src.deleteWhere(pmod(col("event_id"), lit(7)) === 0) > 0) // v4
+      val mirrorSchema = org.apache.spark.sql.types.StructType(
+        schema.fields :+ org.apache.spark.sql.types.StructField("rid",
+          org.apache.spark.sql.types.LongType))
+      val mirror = new graft.merge.LogTable(spark,
+        root.resolve("mirror").toString, mirrorSchema)
+      withStreamConf(spark) {
+        spark.readStream.format("graft-logtable").schema(schema)
+          .option("changeFeed", "true").option("withRowIds", "true")
+          .option("maxVersionsPerTrigger", "1")
+          .load(root.resolve("src").toString)
+          .writeStream
+          .queryName("cdf_replication")
+          .option("checkpointLocation", newCkptDir())
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            val ins = b
+              .filter(col(graft.merge.LogTable.ChangeTypeCol) === "insert")
+              .select(col("event_id"), col("user_id"), col("value"),
+                col(graft.merge.LogTable.RowIdCol).as("rid"))
+            val touched = b
+              .select(col(graft.merge.LogTable.RowIdCol).as("rid")).distinct()
+            mirror.merge(ins.localCheckpoint(true)) { (cur, i) =>
+              cur.join(broadcast(touched), Seq("rid"), "left_anti")
+                .unionByName(i)
+            }
+            ()
+          }
+          .start().awaitTermination()
+      }
+      require(mirror.currentVersion == 4L,
+        s"expected one mirror commit per source commit, got ${mirror.currentVersion}")
+      val live = src.readWithRowIds()
+        .withColumnRenamed(graft.merge.LogTable.RowIdCol, "rid")
+      val got = mirror.read()
+      require(got.except(live).isEmpty && live.except(got).isEmpty,
+        "mirror must converge to the source's live rows with their ids")
+      got.orderBy(col("event_id"))
+    },
+    Some(s"""WITH $evCte,
+            |cut AS (SELECT max(event_id) // 3 AS c0 FROM ev),
+            |w AS (SELECT event_id, user_id, value,
+            |    CASE WHEN event_id <= c0 THEN 0 ELSE 1 END AS b FROM ev, cut),
+            |n1 AS (SELECT count(*) AS n FROM w WHERE b = 0),
+            |ids AS (SELECT w.event_id, w.user_id, w.value,
+            |    CASE WHEN w.b = 0 THEN 0 ELSE (SELECT n FROM n1) END
+            |      + rank() OVER (PARTITION BY w.b ORDER BY w.user_id, w.event_id) AS rid
+            |  FROM w)
+            |SELECT event_id, user_id, value, rid FROM ids
+            |WHERE NOT (event_id % 5 = 0 AND event_id <= (SELECT c0 FROM cut))
+            |  AND event_id % 7 <> 0
+            |ORDER BY event_id""".stripMargin),
+    "key-free streaming replication from the typed change feed: downstream mirror maintained purely by _row_id (deletes and inserts applied with no logical key), one commit per micro-batch, converges to the source's live rows + ids")
+
   def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
     s10, s10b, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23,
     s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38,
-    s39, s40, s41)
+    s39, s40, s41, s42)
 }

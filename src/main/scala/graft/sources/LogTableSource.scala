@@ -37,6 +37,15 @@ import graft.merge.LogTable
   *     RESOLVABLE: a span covering a rewrite delivers both the stale and
   *     the new copy of a key, and the version column lets a keyed-recency
   *     merge pick the right one deterministically.
+  *   - `.option("changeFeed", true)` streams the TYPED feed
+  *     ([[LogTable.readChangeFeed]]) instead of bare adds: every row
+  *     carries `_change_type` ('insert' | 'delete') + `_commit_version`,
+  *     deletes served from the DV sidecars and rewrite-removed files —
+  *     update/delete commits need no `ignoreChanges` escape hatch.
+  *     `.option("withRowIds", true)` additionally carries the stable
+  *     `_row_id` (requires a row-tracked log) — a downstream consumer can
+  *     then replicate the table KEY-FREE: apply deletes/inserts by row id
+  *     with no knowledge of the logical key.
   *   - ADMISSION CONTROL: `.option("maxVersionsPerTrigger", n)` caps how
   *     many commits one micro-batch admits (the file source's
   *     maxFilesPerTrigger, at commit granularity), and the source
@@ -129,9 +138,7 @@ final class LogTableSourceProvider extends StreamSourceProvider
                             parameters: Map[String, String]): (String, StructType) = {
     val data = schema.getOrElse(throw new IllegalArgumentException(
       "graft-logtable requires an explicit .schema(...)"))
-    (shortName(), if (flag(parameters, "withCommitVersion"))
-      data.add(LogTable.CommitVersionCol, org.apache.spark.sql.types.LongType)
-    else data)
+    (shortName(), LogTableSourceProvider.sourceSchemaFor(data, parameters))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -142,16 +149,35 @@ final class LogTableSourceProvider extends StreamSourceProvider
     val maxVersions = parameters.get("maxVersionsPerTrigger")
       .orElse(parameters.get("maxversionspertrigger")).map(_.toLong)
     require(maxVersions.forall(_ >= 1), "maxVersionsPerTrigger must be >= 1")
+    require(!flag(parameters, "withRowIds") || flag(parameters, "changeFeed"),
+      "withRowIds is a changeFeed option (set .option(\"changeFeed\", true))")
     new LogTableSource(sqlContext, path, schema.getOrElse(
       throw new IllegalArgumentException("graft-logtable requires an explicit .schema(...)")),
       flag(parameters, "ignoreChanges"), maxVersions,
-      flag(parameters, "withCommitVersion"))
+      flag(parameters, "withCommitVersion"),
+      flag(parameters, "changeFeed"), flag(parameters, "withRowIds"))
   }
 }
 
 object LogTableSourceProvider {
   private def flag(parameters: Map[String, String], name: String): Boolean =
     parameters.get(name).orElse(parameters.get(name.toLowerCase)).exists(_.toBoolean)
+
+  /** The streamed schema for a given data schema + option set: changeFeed
+    * appends `_row_id` (when requested) then `_change_type` +
+    * `_commit_version` — [[LogTable.readChangeFeed]]'s column order;
+    * otherwise `withCommitVersion` optionally appends `_commit_version`. */
+  private[sources] def sourceSchemaFor(data: StructType,
+                                       parameters: Map[String, String]): StructType =
+    if (flag(parameters, "changeFeed")) {
+      val base = if (flag(parameters, "withRowIds"))
+        data.add(LogTable.RowIdCol, org.apache.spark.sql.types.LongType)
+      else data
+      base.add(LogTable.ChangeTypeCol, org.apache.spark.sql.types.StringType)
+        .add(LogTable.CommitVersionCol, org.apache.spark.sql.types.LongType)
+    } else if (flag(parameters, "withCommitVersion"))
+      data.add(LogTable.CommitVersionCol, org.apache.spark.sql.types.LongType)
+    else data
 
   private def pathOf(parameters: Map[String, String]): String = {
     val raw = parameters.getOrElse("path", throw new IllegalArgumentException(
@@ -245,16 +271,28 @@ private[sources] final class LogTableSource(sqlContext: SQLContext, path: String
                                             dataSchema: StructType,
                                             ignoreChanges: Boolean,
                                             maxVersionsPerTrigger: Option[Long],
-                                            withCommitVersion: Boolean)
+                                            withCommitVersion: Boolean,
+                                            changeFeed: Boolean = false,
+                                            withRowIds: Boolean = false)
     extends Source with SupportsTriggerAvailableNow {
 
   override val schema: StructType =
-    if (withCommitVersion)
+    if (changeFeed) {
+      val base = if (withRowIds)
+        dataSchema.add(LogTable.RowIdCol, org.apache.spark.sql.types.LongType)
+      else dataSchema
+      base.add(LogTable.ChangeTypeCol, org.apache.spark.sql.types.StringType)
+        .add(LogTable.CommitVersionCol, org.apache.spark.sql.types.LongType)
+    } else if (withCommitVersion)
       dataSchema.add(LogTable.CommitVersionCol, org.apache.spark.sql.types.LongType)
     else dataSchema
 
+  // withRowIds asserts the log was WRITTEN row-tracked (ids come from the
+  // manifests' base allocations / the materialized column) — same trust
+  // stance as the declared data schema itself
   private val table =
-    new LogTable(sqlContext.sparkSession, path, dataSchema)
+    new LogTable(sqlContext.sparkSession, path, dataSchema,
+      rowTracking = withRowIds)
 
   private def versionOf(o: OffsetV2): Long = o match {
     case l: LongOffset => l.offset
@@ -296,10 +334,13 @@ private[sources] final class LogTableSource(sqlContext: SQLContext, path: String
   /** The span's adds, re-tagged isStreaming (the engine asserts the flag on
     * every DSv1 batch). `start = None` is the from-scratch replay of a
     * first batch whose commit never landed. */
-  override def getBatch(start: Option[Offset], end: Offset): DataFrame =
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(versionOf).getOrElse(0L)
+    val to = versionOf(end)
     GraftStreamingBridge.asStreaming(
-      table.changesBetween(start.map(versionOf).getOrElse(0L), versionOf(end),
-        ignoreChanges, withCommitVersion))
+      if (changeFeed) table.readChangeFeed(from, to, withRowIds)
+      else table.changesBetween(from, to, ignoreChanges, withCommitVersion))
+  }
 
   override def stop(): Unit = ()
 

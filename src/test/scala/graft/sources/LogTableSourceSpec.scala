@@ -151,6 +151,49 @@ class LogTableSourceSpec extends SparkSpec {
     }
   }
 
+  test("changeFeed mode streams typed deletes (no ignoreChanges needed); " +
+      "withRowIds carries the stable id; checkpoint resume slices spans") {
+    val root = tmp("lts-cdf-")
+    val t = new LogTable(spark, root, s2, rowTracking = true)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1)) // v1: ids 1,2
+    t.deleteWhere(col("k") === 1L)                                 // v2
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long, Long)]()
+    def drain(ckpt: String): Unit = {
+      val q = spark.readStream.format("graft-logtable").schema(s2)
+        .option("changeFeed", "true").option("withRowIds", "true")
+        .load(root).writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select(col(LogTable.ChangeTypeCol), col(LogTable.CommitVersionCol),
+              col("k"), col(LogTable.RowIdCol))
+            .as[(String, Long, Long, Long)].collect().foreach(buf.add)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val ckpt = tmp("lts-cdf-ckpt-")
+    drain(ckpt)
+    import scala.jdk.CollectionConverters._
+    val first = buf.iterator().asScala.toSet
+    assert(first == Set(("insert", 1L, 1L, 1L), ("insert", 1L, 2L, 2L),
+      ("delete", 2L, 1L, 1L)))
+    // resume: only the new overwrite's delete+insert arrive
+    buf.clear()
+    t.overwrite(Seq((9L, "z")).toDF("k", "v"))                      // v3
+    drain(ckpt)
+    val second = buf.iterator().asScala.toSet
+    assert(second == Set(("delete", 3L, 2L, 2L), ("insert", 3L, 9L, 3L)))
+    // withRowIds without changeFeed is rejected at construction
+    intercept[Exception] {
+      spark.readStream.format("graft-logtable").schema(s2)
+        .option("withRowIds", "true").load(root).writeStream
+        .option("checkpointLocation", tmp("lts-cdf-bad-"))
+        .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ())
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+  }
+
   test("missing schema fails fast at stream construction") {
     intercept[IllegalArgumentException](
       spark.readStream.format("graft-logtable").load(tmp("lts-noschema-"))
