@@ -4299,11 +4299,80 @@ object TextQueries {
             |ORDER BY source, doc_id""".stripMargin),
     "mixture-plan execution: per-source full epochs + md5-ordered greedy partial pass to the exact token budget, one manifest row per sampled doc (LLM-pipeline op)")
 
+  /** COUNT-MIN SKETCH heavy-hitter frequencies (d63) — the streaming-
+    * frequency sketch the sketch family lacked (q30 KMV = distincts, q39
+    * HLL = cardinality; this = per-item counts): D=4 md5-derived hash rows
+    * × W=16 counters (sized to the corpus vocabulary so collisions are
+    * live — probed at both SFs: 16 tokens overestimate, 15 are exact), estimate(token) = min over rows of its counter.
+    * The sketch is built from the RAW token stream — `groupBy(i, bucket)`
+    * over the exploded hashes collapses map-side to ≤ D·W = 64 cells
+    * per partition, so the shuffle carries the SKETCH, never the vocab:
+    * exactly why CMS exists at 100 TB, where the exact per-token
+    * aggregation below (kept here as the oracle's ground truth and error
+    * column) is unboundable. All counters exact int64, both engines
+    * agree bit-for-bit. The CMS one-sided guarantee (estimate ≥ truth,
+    * never under) is `require`d row-by-row, and the W/D choice was
+    * checked against BOTH SFs' vocab before freezing (the d49 lesson):
+    * overestimates AND exact estimates both occur at both scales, so the
+    * hash pins real collision behavior, not a vacuous layout. */
+  val d63 = QueryDef(
+    "d63_heavy_hitters_cms",
+    (spark, dir) => {
+      val D = 4; val W = 16
+      val toks = Tables.documents(spark, dir)
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+      def bucket(i: Column, tok: Column): Column =
+        conv(substring(md5(concat(i.cast("string"), lit(":"), tok)), 1, 8),
+          16, 10).cast("long") % W
+      val is = explode(array((0 until D).map(i => lit(i)): _*)).as("i")
+      // the sketch: stream -> (row, bucket) cells, map-side combinable
+      val cells = toks.select(col("tok"), is)
+        .withColumn("b", bucket(col("i"), col("tok")))
+        .groupBy("i", "b").agg(count(lit(1)).as("c"))
+      // ground truth (vocab-bounded HERE; at open vocab only the sketch
+      // above survives — truth exists for the oracle's error column)
+      val tc = toks.groupBy("tok").agg(count(lit(1)).as("true_cnt"))
+        .localCheckpoint(true)
+      val est = tc.select(col("tok"), is)
+        .withColumn("b", bucket(col("i"), col("tok")))
+        .join(cells, Seq("i", "b"))
+        .groupBy("tok").agg(min(col("c")).as("est_cnt"))
+      val out = tc.join(est, "tok")
+        .select(col("tok").as("token"), col("true_cnt"), col("est_cnt"),
+          (col("est_cnt") - col("true_cnt")).as("overcount"))
+        .localCheckpoint(true)
+      require(out.filter(col("overcount") < 0).isEmpty,
+        "CMS one-sided bound violated: an estimate fell below the truth")
+      require(!out.filter(col("overcount") > 0).isEmpty &&
+          !out.filter(col("overcount") === 0).isEmpty,
+        "CMS layout vacuous: need both collided and exact estimates live")
+      out.orderBy(col("token"))
+    },
+    Some(s"""WITH $tokCte,
+            |ex AS (SELECT unnest(w) AS tok FROM toks),
+            |ex2 AS (SELECT tok FROM ex WHERE length(tok) > 0),
+            |hij AS (SELECT tok, i,
+            |    CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || tok), 1, 8) AS BIGINT) % 16 AS b
+            |  FROM ex2 CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) _i),
+            |cells AS (SELECT i, b, CAST(count(*) AS BIGINT) AS c FROM hij GROUP BY i, b),
+            |tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS true_cnt FROM ex2 GROUP BY tok),
+            |th AS (SELECT tok, true_cnt, i,
+            |    CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || tok), 1, 8) AS BIGINT) % 16 AS b
+            |  FROM tc CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) _i),
+            |est AS (SELECT th.tok, CAST(min(cells.c) AS BIGINT) AS est_cnt
+            |        FROM th JOIN cells USING (i, b) GROUP BY th.tok)
+            |SELECT t.tok AS token, t.true_cnt, e.est_cnt,
+            |       e.est_cnt - t.true_cnt AS overcount
+            |FROM tc t JOIN est e ON t.tok = e.tok
+            |ORDER BY token""".stripMargin),
+    "count-min sketch token frequencies: 4x16 md5-derived counters built map-side from the raw stream, min-over-rows estimates, one-sided bound required row-by-row (LLM-pipeline sketch op)")
+
   def defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
       d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43, d44,
       d45, d46, d47, d48, d49, d50, d50b, d51, d52, d53, d54, d55, d56, d57, d58, d59,
-      d60, d61, d62,
+      d60, d61, d62, d63,
       m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14, m15, m16)
 }
