@@ -2984,8 +2984,81 @@ object StreamingQueries {
             |ORDER BY event_id""".stripMargin),
     "key-free streaming replication from the typed change feed: downstream mirror maintained purely by _row_id (deletes and inserts applied with no logical key), one commit per micro-batch, converges to the source's live rows + ids")
 
+  /** STREAMING CMS MAINTENANCE (s43) — d63's count-min sketch kept live
+    * under a drain: each micro-batch computes its OWN cells (map-side,
+    * ≤ D·W rows however large the batch) and `appendOnce`s them into a
+    * partials log table — exactly-once by txn marker, so a re-delivered
+    * batch cannot double-count (`require`d post-drain). The served sketch
+    * is `sum(c) GROUP BY (i, b)` over the partials — CMS cells are
+    * ADDITIVE, so the drain is schedule-free BY ALGEBRA: any batch
+    * order, any batch sizing, even batches coalesced by the engine sum
+    * to the identical sketch, which is why the oracle is d63's batch
+    * SQL VERBATIM (streaming ≡ batch pinned in the hash, no replay CTEs
+    * needed — the s05/s06 emission mirroring is unnecessary for an
+    * additive aggregate).
+    *
+    * Scale: per batch O(batch) scan + ≤ D·W shuffled rows + one commit;
+    * the partials table grows one ≤ D·W-row commit per batch and
+    * compacts like any log table; serving cost is O(#partials · D·W),
+    * independent of corpus size. */
+  val s43 = QueryDef(
+    "s43_stream_cms_maintenance",
+    (spark, dir) => {
+      val docs = graft.sources.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+      val srcDir = FixtureDirs.cachedDir("s43-docs-", dir) { d =>
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val cuts = Seq(maxId / 3, 2 * maxId / 3)
+        val parts = Seq(
+          docs.filter(col("doc_id") <= cuts.head),
+          docs.filter(col("doc_id") > cuts.head && col("doc_id") <= cuts(1)),
+          docs.filter(col("doc_id") > cuts(1)))
+        parts.zipWithIndex.foreach { case (p, i) =>
+          val tmp = FixtureDirs.create(s"s43-part$i-")
+          p.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val f = java.nio.file.Files.list(tmp)
+            .filter(_.toString.endsWith(".parquet")).findFirst().get()
+          java.nio.file.Files.move(f, d.resolve(s"batch$i.parquet"))
+        }
+      }
+      val cellSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "i int, b bigint, c bigint")
+      val partials = new graft.merge.LogTable(spark,
+        FixtureDirs.create("s43-cms-").resolve("partials").toString, cellSchema)
+      def batchCells(b: DataFrame): DataFrame =
+        TextQueries.cmsCells(TextQueries.tokenStream(b))
+          .select(col("i"), col("b"), col("c"))
+      withStreamConf(spark) {
+        spark.readStream
+          .schema("doc_id bigint, text string")
+          .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+          .writeStream
+          .queryName("cms_maintenance")
+          .option("checkpointLocation", newCkptDir())
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            partials.appendOnce(batchCells(b), "s43", id); ()
+          }
+          .start().awaitTermination()
+      }
+      require(partials.currentVersion == 3L,
+        s"expected 3 partial commits, got ${partials.currentVersion}")
+      val replay = docs.filter(col("doc_id") <=
+        docs.agg(max(col("doc_id"))).head().getLong(0) / 3)
+      require(!partials.appendOnce(batchCells(replay), "s43", 0L),
+        "re-delivered batch must be a txn no-op — no double counting")
+      val sketch = partials.read()
+        .groupBy("i", "b").agg(sum(col("c")).as("c"))
+      val tc = TextQueries.tokenStream(docs)
+        .groupBy("tok").agg(count(lit(1)).as("true_cnt"))
+        .localCheckpoint(true)
+      TextQueries.cmsEstimates(tc, sketch)
+    },
+    Some(TextQueries.cmsOracleSql),
+    "streaming count-min maintenance: per-batch cells appendOnce'd into a partials log (txn exactly-once), served sketch = summed partials; additivity makes drain ≡ batch schedule-free — d63's oracle verbatim")
+
   def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
     s10, s10b, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23,
     s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38,
-    s39, s40, s41, s42)
+    s39, s40, s41, s42, s43)
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.operators.Dedup
@@ -4315,57 +4315,85 @@ object TextQueries {
     * checked against BOTH SFs' vocab before freezing (the d49 lesson):
     * overestimates AND exact estimates both occur at both scales, so the
     * hash pins real collision behavior, not a vacuous layout. */
+  /** CMS geometry shared by d63 (batch) and s43 (streaming maintenance). */
+  private[queries] val CmsDepth = 4
+  private[queries] val CmsWidth = 16
+
+  /** Hash-row bucket of `tok` under row `i` — md5-derived so DuckDB
+    * mirrors it exactly (rule 4). */
+  private[queries] def cmsBucket(i: Column, tok: Column): Column =
+    conv(substring(md5(concat(i.cast("string"), lit(":"), tok)), 1, 8),
+      16, 10).cast("long") % CmsWidth
+
+  /** The exploded hash-row index 0..D-1. */
+  private[queries] def cmsRows: Column =
+    explode(array((0 until CmsDepth).map(i => lit(i)): _*)).as("i")
+
+  /** Raw token stream of `docs` (non-empty tokens). */
+  private[queries] def tokenStream(docs: DataFrame): DataFrame = docs
+    .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+    .filter(length(col("tok")) > 0)
+
+  /** CMS cells (i, b, c) of a token stream — map-side combinable to
+    * ≤ D·W rows per partition. */
+  private[queries] def cmsCells(toks: DataFrame): DataFrame =
+    toks.select(col("tok"), cmsRows)
+      .withColumn("b", cmsBucket(col("i"), col("tok")))
+      .groupBy("i", "b").agg(count(lit(1)).as("c"))
+
+  /** (token, true_cnt, est_cnt, overcount) from a cell relation + ground
+    * truth, with the CMS invariants `require`d (one-sided bound; both
+    * collided and exact estimates live — probed at both SFs). */
+  private[queries] def cmsEstimates(tc: DataFrame, cells: DataFrame): DataFrame = {
+    val est = tc.select(col("tok"), cmsRows)
+      .withColumn("b", cmsBucket(col("i"), col("tok")))
+      .join(cells, Seq("i", "b"))
+      .groupBy("tok").agg(min(col("c")).as("est_cnt"))
+    val out = tc.join(est, "tok")
+      .select(col("tok").as("token"), col("true_cnt"), col("est_cnt"),
+        (col("est_cnt") - col("true_cnt")).as("overcount"))
+      .localCheckpoint(true)
+    require(out.filter(col("overcount") < 0).isEmpty,
+      "CMS one-sided bound violated: an estimate fell below the truth")
+    require(!out.filter(col("overcount") > 0).isEmpty &&
+        !out.filter(col("overcount") === 0).isEmpty,
+      "CMS layout vacuous: need both collided and exact estimates live")
+    out.orderBy(col("token"))
+  }
+
+  /** The full CMS computation restated in DuckDB — shared verbatim by d63
+    * and s43 (the streaming drain is pinned EQUAL to the batch sketch:
+    * CMS cells are additive, so per-batch partials summed ≡ one pass). */
+  private[queries] val cmsOracleSql: String =
+    s"""WITH $tokCte,
+       |ex AS (SELECT unnest(w) AS tok FROM toks),
+       |ex2 AS (SELECT tok FROM ex WHERE length(tok) > 0),
+       |hij AS (SELECT tok, i,
+       |    CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || tok), 1, 8) AS BIGINT) % 16 AS b
+       |  FROM ex2 CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) _i),
+       |cells AS (SELECT i, b, CAST(count(*) AS BIGINT) AS c FROM hij GROUP BY i, b),
+       |tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS true_cnt FROM ex2 GROUP BY tok),
+       |th AS (SELECT tok, true_cnt, i,
+       |    CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || tok), 1, 8) AS BIGINT) % 16 AS b
+       |  FROM tc CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) _i),
+       |est AS (SELECT th.tok, CAST(min(cells.c) AS BIGINT) AS est_cnt
+       |        FROM th JOIN cells USING (i, b) GROUP BY th.tok)
+       |SELECT t.tok AS token, t.true_cnt, e.est_cnt,
+       |       e.est_cnt - t.true_cnt AS overcount
+       |FROM tc t JOIN est e ON t.tok = e.tok
+       |ORDER BY token""".stripMargin
+
   val d63 = QueryDef(
     "d63_heavy_hitters_cms",
     (spark, dir) => {
-      val D = 4; val W = 16
-      val toks = Tables.documents(spark, dir)
-        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
-        .filter(length(col("tok")) > 0)
-      def bucket(i: Column, tok: Column): Column =
-        conv(substring(md5(concat(i.cast("string"), lit(":"), tok)), 1, 8),
-          16, 10).cast("long") % W
-      val is = explode(array((0 until D).map(i => lit(i)): _*)).as("i")
-      // the sketch: stream -> (row, bucket) cells, map-side combinable
-      val cells = toks.select(col("tok"), is)
-        .withColumn("b", bucket(col("i"), col("tok")))
-        .groupBy("i", "b").agg(count(lit(1)).as("c"))
+      val toks = tokenStream(Tables.documents(spark, dir))
       // ground truth (vocab-bounded HERE; at open vocab only the sketch
-      // above survives — truth exists for the oracle's error column)
+      // survives — truth exists for the oracle's error column)
       val tc = toks.groupBy("tok").agg(count(lit(1)).as("true_cnt"))
         .localCheckpoint(true)
-      val est = tc.select(col("tok"), is)
-        .withColumn("b", bucket(col("i"), col("tok")))
-        .join(cells, Seq("i", "b"))
-        .groupBy("tok").agg(min(col("c")).as("est_cnt"))
-      val out = tc.join(est, "tok")
-        .select(col("tok").as("token"), col("true_cnt"), col("est_cnt"),
-          (col("est_cnt") - col("true_cnt")).as("overcount"))
-        .localCheckpoint(true)
-      require(out.filter(col("overcount") < 0).isEmpty,
-        "CMS one-sided bound violated: an estimate fell below the truth")
-      require(!out.filter(col("overcount") > 0).isEmpty &&
-          !out.filter(col("overcount") === 0).isEmpty,
-        "CMS layout vacuous: need both collided and exact estimates live")
-      out.orderBy(col("token"))
+      cmsEstimates(tc, cmsCells(toks))
     },
-    Some(s"""WITH $tokCte,
-            |ex AS (SELECT unnest(w) AS tok FROM toks),
-            |ex2 AS (SELECT tok FROM ex WHERE length(tok) > 0),
-            |hij AS (SELECT tok, i,
-            |    CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || tok), 1, 8) AS BIGINT) % 16 AS b
-            |  FROM ex2 CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) _i),
-            |cells AS (SELECT i, b, CAST(count(*) AS BIGINT) AS c FROM hij GROUP BY i, b),
-            |tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS true_cnt FROM ex2 GROUP BY tok),
-            |th AS (SELECT tok, true_cnt, i,
-            |    CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || tok), 1, 8) AS BIGINT) % 16 AS b
-            |  FROM tc CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) _i),
-            |est AS (SELECT th.tok, CAST(min(cells.c) AS BIGINT) AS est_cnt
-            |        FROM th JOIN cells USING (i, b) GROUP BY th.tok)
-            |SELECT t.tok AS token, t.true_cnt, e.est_cnt,
-            |       e.est_cnt - t.true_cnt AS overcount
-            |FROM tc t JOIN est e ON t.tok = e.tok
-            |ORDER BY token""".stripMargin),
+    Some(cmsOracleSql),
     "count-min sketch token frequencies: 4x16 md5-derived counters built map-side from the raw stream, min-over-rows estimates, one-sided bound required row-by-row (LLM-pipeline sketch op)")
 
   def defs: Seq[QueryDef] =
