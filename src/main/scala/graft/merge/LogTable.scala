@@ -843,6 +843,46 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
         snap.map(_.dv).getOrElse(Seq.empty), fresh))
     }
 
+  /** PREDICATE-SCOPED ATOMIC OVERWRITE (Delta's `replaceWhere`): in ONE
+    * commit, drop every live row matching `cond` and insert `df` — the
+    * partition-overwrite verb, generalized to arbitrary predicates the way
+    * Delta 2.0 generalizes it. Every batch row is VALIDATED against `cond`
+    * in the write pass (assert_true-in-filter — a row outside the predicate
+    * fails the write before any commit, Delta's constraint semantics).
+    * File-level surgery: files with NO matching live row are kept verbatim
+    * (byte-identical, ids intact under row tracking); files with matches
+    * are removed and their NON-matching live remainder is rewritten with
+    * the batch (previously DV-deleted rows do not resurrect — the
+    * remainder read applies the sidecars). Detection is one predicate scan
+    * (what Delta pays for an arbitrary replaceWhere); rewrite work is
+    * proportional to the files actually touched. Under row tracking the
+    * rewritten remainder + batch re-id above the watermark (the documented
+    * full-rewrite rule); kept files keep their ids. */
+  def replaceWhere(cond: Column, df: DataFrame): Unit =
+    commitLoop(5) { snap =>
+      val validated = withChecks(df, snap).filter(coalesce(
+        assert_true(cond,
+          lit("replaceWhere: batch row does not satisfy the predicate")),
+        lit(true)))
+      snap match {
+        case None =>
+          val fresh = writeFiles(validated, schema)
+          Some((fresh, Seq.empty, fresh))
+        case Some(m) =>
+          // one predicate scan to find the touched files (live rows only —
+          // a file whose sole matches are DV-deleted is kept verbatim)
+          val matched = readDataWithPos(m).filter(cond)
+            .select(col(DvName)).distinct()
+            .collect().map(_.getString(0)).toSet
+          val (rewrite, keep) = m.files.partition(e => matched(e.name))
+          val remainder = readData(rewrite, m.dv, m.schema).filter(!cond)
+          val fresh = writeFiles(remainder.unionByName(validated), m.schema)
+          // stale DV rows for removed files are inert (fresh files get new
+          // uuid names) and purge on the next compact — deleteWhere's rule
+          Some((keep ++ fresh, m.dv, fresh))
+      }
+    }
+
   /** Newest batchId `appId` has committed, -1 = none (Delta's `txn`
     * watermark read — the idempotent-sink handshake). */
   def lastTxn(appId: String): Long = {

@@ -1988,5 +1988,44 @@ object MergeQueries {
            |FROM f ORDER BY commit_version, change_type, k""".stripMargin),
     "Typed change feed (Delta table_changes): DV-delete rows served from the sidecar's exact (file,pos) set, overwrite as delete+insert multiset delta, stable row ids on every change row — all closed-form in the hash")
 
-  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl, opt, del, rst, vac, dvq, dvtt, occ, occContended, logLifecycle, logMaintenance, logChangeFeed, logClustered, logEvolve, logSql, logConstraints, logTimestamps, scd2q, logColumnMapping, generatedCols, logClone, logRowTracking, logWidening, logCdfTyped)
+  /** REPLACE WHERE (q83 — Delta's predicate-scoped atomic overwrite):
+    * drop every live row matching the predicate and insert the batch in
+    * ONE commit. The table is written range-partitioned on the date, so
+    * the 1998-H1 window touches a few files and the rest are kept
+    * VERBATIM — `require`d via liveFileNames intersection, the file-level
+    * surgery that makes the verb cheap at scale (rewrite ∝ touched files;
+    * detection is one predicate scan, same as Delta's arbitrary
+    * replaceWhere). Batch rows are validated against the predicate in the
+    * write pass. The corrected slice re-signs the window's prices
+    * (negation — bit-exact both engines), so the final per-row read pins
+    * the swap, the untouched remainder, AND atomicity (version count). */
+  val logReplaceWhere = QueryDef(
+    "q83_logtable_replace_where",
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+          col("o_orderdate").as("d"))
+      val lo = lit("1998-01-01").cast("timestamp")
+      val hi = lit("1998-07-01").cast("timestamp")
+      val root = FixtureDirs.create("q83-rw-").resolve("orders_rw").toString
+      val t = new graft.merge.LogTable(spark, root, o.schema)
+      t.append(o.repartitionByRange(8, col("d")))                     // v1
+      val before = t.liveFileNames().toSet
+      val corrected = o.filter(col("d") >= lo && col("d") < hi)
+        .withColumn("price", -col("price"))
+      t.replaceWhere(col("d") >= lo && col("d") < hi, corrected)      // v2
+      require(t.currentVersion == 2L, "replaceWhere must be ONE commit")
+      require((before & t.liveFileNames().toSet).nonEmpty,
+        "files outside the window must be kept verbatim")
+      t.read().select(col("k"), col("price"))
+        .orderBy(col("k"))
+    },
+    Some("""SELECT o_orderkey AS k,
+           |  CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+           |        AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+           |       THEN -o_totalprice ELSE o_totalprice END AS price
+           |FROM orders ORDER BY k""".stripMargin),
+    "replaceWhere: predicate-scoped atomic overwrite — matching rows swapped and batch validated in one commit, untouched files kept verbatim (rewrite proportional to touched files)")
+
+  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl, opt, del, rst, vac, dvq, dvtt, occ, occContended, logLifecycle, logMaintenance, logChangeFeed, logClustered, logEvolve, logSql, logConstraints, logTimestamps, scd2q, logColumnMapping, generatedCols, logClone, logRowTracking, logWidening, logCdfTyped, logReplaceWhere)
 }
