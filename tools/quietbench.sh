@@ -19,9 +19,18 @@ fi
 echo "quietbench: load $load1 <= $MAX_LOAD, running bench on $SF_DIR" >&2
 
 # graft.Bench writes the raw JSON line to bench_out.json itself
-# (SPARK_GRAFT_BENCH_OUT); stdout is only for progress
+# (SPARK_GRAFT_BENCH_OUT); stdout is only for progress.
+# Launch via java DIRECTLY, not sbt: sbt's own startup pushes the 1-min
+# load past 1 by the time Bench samples it, even on an idle machine (an
+# r10 run pre-checked 0.09 and recorded 1.12 — self-load, discarded).
+# Requires a prior `sbt -batch compile`; fail loudly if classes are stale.
+[ -f target/scala-2.13/classes/graft/Bench.class ] || {
+  echo "quietbench: no compiled classes — run 'sbt -batch compile' first" >&2
+  exit 1
+}
 SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
-  sbt -batch "runMain graft.Bench" >/dev/null 2>&1
+  java -cp "target/scala-2.13/classes:/opt/spark/jars/*" graft.Bench \
+  >/dev/null 2>&1
 
 start=$(python3 -c "import json;print(json.load(open('bench_out.json'))['load_avg_start'])")
 if awk -v l="$start" -v m="$MAX_LOAD" 'BEGIN{exit !(l > m)}'; then
