@@ -779,6 +779,34 @@ object VectorQueries {
     * in the same order), so keeping the left side's `cos` is exact. At
     * 100 TB: probe fan-out is nprobe per vector, the mutual join shuffles
     * only (id, id, cos) triples. */
+  /** Directed IVF-kNN edge CTEs — v17's frozen small-SF geometry (k=5,
+    * nlist=16, nprobe=4), shared by v17's mutuality join and v35's beam
+    * search so the two rows cannot drift. Yields `e(vec_id, emb)` and
+    * `knn(query_id, vec_id, cos)`. */
+  private val knnEdgeCtes: String = {
+    val nlist = 16; val nprobe = 4
+    val affCos = cosSql("e.emb", "cent.cemb")
+    val cos = cosSql("q.emb", "t.emb")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, emb AS cemb
+       |  FROM e WHERE vec_id % greatest(1, (SELECT count(*) FROM e) // $nlist) = 0
+       |  ORDER BY vec_id LIMIT $nlist),
+       |aff AS (SELECT e.vec_id, cent.cell, $affCos AS a FROM e, cent),
+       |assign AS (SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell DESC) AS rn
+       |    FROM aff) WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell DESC) AS rn
+       |    FROM aff) WHERE rn <= $nprobe),
+       |scored AS (SELECT p.query_id, s.vec_id, round($cos, 6) AS cos
+       |  FROM probes p JOIN assign s ON s.cell = p.cell
+       |  JOIN e q ON q.vec_id = p.query_id JOIN e t ON t.vec_id = s.vec_id
+       |  WHERE s.vec_id <> p.query_id),
+       |knn AS (SELECT query_id, vec_id, cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored) WHERE rank <= 5)""".stripMargin
+  }
+
   val v17 = QueryDef(
     "v17_knn_graph",
     (spark, dir) => {
@@ -795,27 +823,7 @@ object VectorQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
     Some {
-      val nlist = 16; val nprobe = 4
-      val affCos = cosSql("e.emb", "cent.cemb")
-      val cos = cosSql("q.emb", "t.emb")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-         |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, emb AS cemb
-         |  FROM e WHERE vec_id % greatest(1, (SELECT count(*) FROM e) // $nlist) = 0
-         |  ORDER BY vec_id LIMIT $nlist),
-         |aff AS (SELECT e.vec_id, cent.cell, $affCos AS a FROM e, cent),
-         |assign AS (SELECT vec_id, cell FROM (
-         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell DESC) AS rn
-         |    FROM aff) WHERE rn = 1),
-         |probes AS (SELECT vec_id AS query_id, cell FROM (
-         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell DESC) AS rn
-         |    FROM aff) WHERE rn <= $nprobe),
-         |scored AS (SELECT p.query_id, s.vec_id, round($cos, 6) AS cos
-         |  FROM probes p JOIN assign s ON s.cell = p.cell
-         |  JOIN e q ON q.vec_id = p.query_id JOIN e t ON t.vec_id = s.vec_id
-         |  WHERE s.vec_id <> p.query_id),
-         |knn AS (SELECT query_id, vec_id, cos FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
-         |  FROM scored) WHERE rank <= 5)
+      s"""WITH $knnEdgeCtes
          |SELECT f.query_id AS id_a, f.vec_id AS id_b, f.cos
          |FROM knn f JOIN knn r ON r.query_id = f.vec_id AND r.vec_id = f.query_id
          |WHERE f.query_id < f.vec_id
@@ -1898,7 +1906,119 @@ object VectorQueries {
     },
     "hybrid retrieval: BM25 + vector top-k fused by reciprocal-rank fusion, ordered-fold float discipline (LLM-pipeline op)")
 
+  /** GRAPH-ANN BEAM SEARCH (v35) — the navigable-graph search primitive of
+    * the HNSW/NSG family, over v17's directed IVF-kNN graph (k=5 out-edges
+    * per node, shared CTE so graph and search cannot drift): from one
+    * global entry point (min vec_id), R=3 rounds of best-first expansion —
+    * expand the beam's out-neighbors, score cos(query, node) rounded to
+    * 6 dp (the family's ordering discipline), keep the top-B=4 of
+    * EVERYTHING visited — then emit the top-K=3 visited per query with a
+    * `hit` flag against the exact brute-force top-K. Every step is a pure
+    * deterministic function of (graph, entry, rounded cos, vec_id
+    * tie-break), so the whole search REPLAYS in SQL as R unrolled
+    * CTE rounds — no recursion, plain UNION dedups because both engines
+    * compute bit-identical doubles. The hash therefore pins the search
+    * PATH (what was visited and kept), not just the result.
+    *
+    * Scale: per round one join of |beam|·Q rows against the edge table
+    * (equi-keyed on the node id) + one bounded top-B — never a corpus
+    * scan; the graph itself is v17's banded construction. Visited stays
+    * ≤ 1 + R·B·k rows per query. The recall flag needs the brute-force
+    * truth only for the Q bench queries (Q·n, not n²). */
+  val v35 = QueryDef(
+    "v35_graph_ann_beam",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      VectorFunctions.register(spark)
+      val B = 4; val R = 3; val K = 3
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      val edges = Similarity.ivfTopK(emb, emb, VectorFunctions.cosineSim,
+          k = 5, nlist = 16, nprobe = 4)
+        .select(col("query_id").as("src"), col("vec_id").as("dst"))
+        .localCheckpoint(true)
+      val queries = emb.filter(pmod(col("vec_id"), lit(53)) === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+        .localCheckpoint(true)
+      val entry = emb.agg(min(col("vec_id"))).head().getLong(0)
+      def score(cand: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = cand // (query_id, vec_id)
+        .join(emb, "vec_id").join(queries.hint("broadcast"), "query_id")
+        .select(col("query_id"), col("vec_id"),
+          round(VectorFunctions.cosineSim(col("q_vec"), col("embedding")), 6)
+            .as("cos"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      var visited = score(queries.select(col("query_id"),
+        lit(entry).as("vec_id"))).localCheckpoint(true)
+      var beam = visited
+      (1 to R).foreach { _ =>
+        val expand = beam.join(edges.hint("broadcast"),
+            beam("vec_id") === edges("src"))
+          .select(col("query_id"), col("dst").as("vec_id")).distinct()
+        visited = visited.unionByName(score(expand))
+          .dropDuplicates("query_id", "vec_id").localCheckpoint(true)
+        beam = visited.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= B).drop("rn")
+      }
+      val truth = Similarity.bruteForceTopK(
+          emb.filter(pmod(col("vec_id"), lit(53)) === 0), emb,
+          VectorFunctions.cosineSim, k = K)
+        .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+      val found = visited.filter(col("vec_id") =!= col("query_id"))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= K)
+      val out = found.join(truth, Seq("query_id", "vec_id"), "left")
+        .select(col("query_id"), col("rank").cast("int").as("rank"),
+          col("vec_id"), col("cos"), coalesce(col("hit"), lit(0)).as("hit"))
+        .orderBy(col("query_id"), col("rank"))
+        .localCheckpoint(true)
+      val q = queries.count()
+      require(out.count() == q * K, "every query must emit exactly K rows")
+      val hits = out.agg(sum(col("hit"))).head().getLong(0)
+      require(hits > 0 && hits < q * K,
+        "hit flag vacuous: need found AND missed true neighbors live " +
+          "(measured 4/30 at sf0.01, 8/114 at sf0.1 — a flat kNN graph " +
+          "without HNSW's long-range layers is weakly navigable from one " +
+          "entry, which is the honest physics this row pins)")
+      out
+    },
+    Some {
+      val cosQ = cosSql("q.q_vec", "t.emb")
+      val rounds = (1 to 3).map { r =>
+        s"""x$r AS (SELECT DISTINCT b.query_id, ed.dst AS vec_id
+           |  FROM b${r - 1} b JOIN edges ed ON ed.src = b.vec_id),
+           |sx$r AS (SELECT x.query_id, x.vec_id, round($cosQ, 6) AS cos
+           |  FROM x$r x JOIN e t ON t.vec_id = x.vec_id
+           |  JOIN qs q ON q.query_id = x.query_id),
+           |v$r AS (SELECT * FROM v${r - 1} UNION SELECT * FROM sx$r),
+           |b$r AS (SELECT query_id, vec_id, cos FROM v$r
+           |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) <= 4)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH $knnEdgeCtes,
+         |edges AS (SELECT query_id AS src, vec_id AS dst FROM knn),
+         |qs AS (SELECT vec_id AS query_id, emb AS q_vec FROM e WHERE vec_id % 53 = 0),
+         |entry AS (SELECT min(vec_id) AS ev FROM e),
+         |v0 AS (SELECT q.query_id, t.vec_id, round($cosQ, 6) AS cos
+         |  FROM qs q, e t, entry WHERE t.vec_id = entry.ev),
+         |b0 AS (SELECT * FROM v0),
+         |$rounds,
+         |found AS (SELECT query_id, vec_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+         |  FROM v3 WHERE vec_id <> query_id
+         |  QUALIFY rank <= 3),
+         |truth AS (SELECT query_id, vec_id FROM (
+         |    SELECT q.query_id, t.vec_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY round($cosQ, 6) DESC, t.vec_id) AS rn
+         |    FROM qs q JOIN e t ON t.vec_id <> q.query_id) WHERE rn <= 3)
+         |SELECT f.query_id, f.rank, f.vec_id, f.cos,
+         |       CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |FROM found f LEFT JOIN truth t USING (query_id, vec_id)
+         |ORDER BY query_id, rank""".stripMargin
+    },
+    "graph-ANN beam search (HNSW-family primitive): best-first expansion over the shared IVF-kNN graph from a global entry point, deterministic 6dp ordering — the hash pins the search path; hit flag vs exact top-K")
+
   def defs: Seq[QueryDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
     v10, v11, v12, v13, v14, v15, v16, v17, v17b, v18, v19, v20, v21, v22, v23,
-    v24, v25, v26, v27, v28, v29, v30, v31, v32, v32b, v33, v34)
+    v24, v25, v26, v27, v28, v29, v30, v31, v32, v32b, v33, v34, v35)
 }
