@@ -807,6 +807,35 @@ object VectorQueries {
        |  FROM scored) WHERE rank <= 5)""".stripMargin
   }
 
+  /** [[knnEdgeCtes]] at the SCALED-nlist configuration (`max(16, n/50)`
+    * via scalar subqueries — the v17b/v12b lesson: parameters derived from
+    * the data keep one oracle text honest at every SF). Shared by v17b's
+    * mutuality join and v35's beam search. */
+  private val knnEdgeCtesScaled: String = {
+    val nprobe = 4
+    val affCos = cosSql("e.emb", "cent.cemb")
+    val cos = cosSql("q.emb", "t.emb")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |nlv AS (SELECT greatest(16, count(*) // 50) AS nl FROM e),
+       |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, emb AS cemb
+       |  FROM e WHERE vec_id % greatest(1, (SELECT count(*) FROM e) // (SELECT nl FROM nlv)) = 0
+       |  QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT nl FROM nlv)),
+       |aff AS (SELECT e.vec_id, cent.cell, $affCos AS a FROM e, cent),
+       |assign AS (SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell DESC) AS rn
+       |    FROM aff) WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell DESC) AS rn
+       |    FROM aff) WHERE rn <= $nprobe),
+       |scored AS (SELECT p.query_id, s.vec_id, round($cos, 6) AS cos
+       |  FROM probes p JOIN assign s ON s.cell = p.cell
+       |  JOIN e q ON q.vec_id = p.query_id JOIN e t ON t.vec_id = s.vec_id
+       |  WHERE s.vec_id <> p.query_id),
+       |knn AS (SELECT query_id, vec_id, cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored) WHERE rank <= 5)""".stripMargin
+  }
+
   val v17 = QueryDef(
     "v17_knn_graph",
     (spark, dir) => {
@@ -859,28 +888,7 @@ object VectorQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
     Some {
-      val nprobe = 4
-      val affCos = cosSql("e.emb", "cent.cemb")
-      val cos = cosSql("q.emb", "t.emb")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-         |nlv AS (SELECT greatest(16, count(*) // 50) AS nl FROM e),
-         |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, emb AS cemb
-         |  FROM e WHERE vec_id % greatest(1, (SELECT count(*) FROM e) // (SELECT nl FROM nlv)) = 0
-         |  QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT nl FROM nlv)),
-         |aff AS (SELECT e.vec_id, cent.cell, $affCos AS a FROM e, cent),
-         |assign AS (SELECT vec_id, cell FROM (
-         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell DESC) AS rn
-         |    FROM aff) WHERE rn = 1),
-         |probes AS (SELECT vec_id AS query_id, cell FROM (
-         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell DESC) AS rn
-         |    FROM aff) WHERE rn <= $nprobe),
-         |scored AS (SELECT p.query_id, s.vec_id, round($cos, 6) AS cos
-         |  FROM probes p JOIN assign s ON s.cell = p.cell
-         |  JOIN e q ON q.vec_id = p.query_id JOIN e t ON t.vec_id = s.vec_id
-         |  WHERE s.vec_id <> p.query_id),
-         |knn AS (SELECT query_id, vec_id, cos FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
-         |  FROM scored) WHERE rank <= 5)
+      s"""WITH $knnEdgeCtesScaled
          |SELECT f.query_id AS id_a, f.vec_id AS id_b, f.cos
          |FROM knn f JOIN knn r ON r.query_id = f.vec_id AND r.vec_id = f.query_id
          |WHERE f.query_id < f.vec_id
@@ -1907,8 +1915,10 @@ object VectorQueries {
     "hybrid retrieval: BM25 + vector top-k fused by reciprocal-rank fusion, ordered-fold float discipline (LLM-pipeline op)")
 
   /** GRAPH-ANN BEAM SEARCH (v35) — the navigable-graph search primitive of
-    * the HNSW/NSG family, over v17's directed IVF-kNN graph (k=5 out-edges
-    * per node, shared CTE so graph and search cannot drift): from one
+    * the HNSW/NSG family, over the directed IVF-kNN graph at the SCALED
+    * nlist geometry (v17b's `max(16, n/50)` — the frozen-16 edge build
+    * measured 48x at 10x data; scaled it is 6x, and the shared CTE keeps
+    * graph and search drift-free; k=5 out-edges per node): from one
     * global entry point (min vec_id), R=3 rounds of best-first expansion —
     * expand the beam's out-neighbors, score cos(query, node) rounded to
     * 6 dp (the family's ordering discipline), keep the top-B=4 of
@@ -1933,11 +1943,21 @@ object VectorQueries {
       val B = 4; val R = 3; val K = 3
       val emb = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      // scaled nlist (v17b): per-cell membership stays ~50, so the edge
+      // build is linear at every SF — the frozen-16 geometry reads 48x at
+      // 10x the data (measured), exactly the r7 frozen-parameter caveat
+      val nlist = math.max(16L, graft.sources.ParquetMeta.rowCount(
+        Tables.embeddings(spark, dir)) / 50).toInt
       val edges = Similarity.ivfTopK(emb, emb, VectorFunctions.cosineSim,
-          k = 5, nlist = 16, nprobe = 4)
+          k = 5, nlist = nlist, nprobe = 4)
         .select(col("query_id").as("src"), col("vec_id").as("dst"))
         .localCheckpoint(true)
-      val queries = emb.filter(pmod(col("vec_id"), lit(53)) === 0)
+      // bench queries CAPPED at <= 41 ids at every SF: the truth column
+      // (recall ground truth) costs Q x n — a Q that grows with n would
+      // make the EVAL quadratic even though the search itself is bounded
+      val qPred = pmod(col("vec_id"), lit(53)) === 0 &&
+        col("vec_id") <= lit(53L * 40)
+      val queries = emb.filter(qPred)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
         .localCheckpoint(true)
       val entry = emb.agg(min(col("vec_id"))).head().getLong(0)
@@ -1961,7 +1981,7 @@ object VectorQueries {
           .filter(col("rn") <= B).drop("rn")
       }
       val truth = Similarity.bruteForceTopK(
-          emb.filter(pmod(col("vec_id"), lit(53)) === 0), emb,
+          emb.filter(qPred), emb,
           VectorFunctions.cosineSim, k = K)
         .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
       val found = visited.filter(col("vec_id") =!= col("query_id"))
@@ -1976,7 +1996,7 @@ object VectorQueries {
       val hits = out.agg(sum(col("hit"))).head().getLong(0)
       require(hits > 0 && hits < q * K,
         "hit flag vacuous: need found AND missed true neighbors live " +
-          "(measured 4/30 at sf0.01, 8/114 at sf0.1 — a flat kNN graph " +
+          "(measured 4/30 at sf0.01, 6/114 at sf0.1 — a flat kNN graph " +
           "without HNSW's long-range layers is weakly navigable from one " +
           "entry, which is the honest physics this row pins)")
       out
@@ -1994,9 +2014,10 @@ object VectorQueries {
            |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) <= 4)"""
           .stripMargin
       }.mkString(",\n")
-      s"""WITH $knnEdgeCtes,
+      s"""WITH $knnEdgeCtesScaled,
          |edges AS (SELECT query_id AS src, vec_id AS dst FROM knn),
-         |qs AS (SELECT vec_id AS query_id, emb AS q_vec FROM e WHERE vec_id % 53 = 0),
+         |qs AS (SELECT vec_id AS query_id, emb AS q_vec FROM e
+         |       WHERE vec_id % 53 = 0 AND vec_id <= 53 * 40),
          |entry AS (SELECT min(vec_id) AS ev FROM e),
          |v0 AS (SELECT q.query_id, t.vec_id, round($cosQ, 6) AS cos
          |  FROM qs q, e t, entry WHERE t.vec_id = entry.ev),
