@@ -207,10 +207,14 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     * freshly-written file awaiting base-id allocation at commit time, and
     * `baseRowId` (-1 = none) is the allocated base: row id = base +
     * row_index in the file (Delta's add-action `baseRowId`). Files rewritten
-    * by OPTIMIZE carry NEITHER — their ids are MATERIALIZED in the data. */
+    * by OPTIMIZE carry NEITHER — their ids are MATERIALIZED in the data.
+    * `clustered` marks files written by a clusterBy rewrite — the
+    * incremental-clustering bookkeeping ([[compactIncremental]] skips
+    * them). */
   private[merge] case class FileEntry(name: String, bucket: Int,
                                       stats: Map[String, (String, String)],
-                                      rows: Long = -1L, baseRowId: Long = -1L)
+                                      rows: Long = -1L, baseRowId: Long = -1L,
+                                      clustered: Boolean = false)
   /** One commit's log entry — the Delta add/remove action set, plus an
     * optional schema action (Delta's metaData: present only on the commits
     * that CHANGE the schema) and the commit's IN-COMMIT TIMESTAMP (Delta's
@@ -273,7 +277,8 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
       }.getOrElse(Map.empty[String, (String, String)])
       FileEntry(f.get("name").asText(), f.get("bucket").asInt(), stats,
         Option(f.get("rows")).map(_.asLong()).getOrElse(-1L),
-        Option(f.get("base")).map(_.asLong()).getOrElse(-1L))
+        Option(f.get("base")).map(_.asLong()).getOrElse(-1L),
+        Option(f.get("cl")).exists(_.asBoolean()))
     }.toSeq
 
   private def texts(arr: com.fasterxml.jackson.databind.JsonNode): Seq[String] =
@@ -303,6 +308,7 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
       fn.put("name", f.name); fn.put("bucket", f.bucket)
       if (f.rows >= 0) fn.put("rows", f.rows)
       if (f.baseRowId >= 0) fn.put("base", f.baseRowId)
+      if (f.clustered) fn.put("cl", true)
       if (f.stats.nonEmpty) {
         val sn = fn.putObject("stats")
         f.stats.foreach { case (c, (lo, hi)) =>
@@ -1045,12 +1051,54 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
             val fresh = writeFiles(src, m.schema,
               coalesceTo = if (bucketBy.isEmpty) Some(want) else None,
               clusterBy = clusterBy)
+              .map(e => if (clusterBy.nonEmpty) e.copy(clustered = true) else e)
             removed = m.files.size
             Some((fresh, Seq.empty, fresh))
           }
       }
     }
     removed
+  }
+
+  /** INCREMENTAL CLUSTERING (Delta liquid clustering's OPTIMIZE contract):
+    * rewrite ONLY the files no clusterBy rewrite has produced yet —
+    * already-clustered files are kept byte-identical, so repeated calls on
+    * a growing table each pay O(new data), and a second call with nothing
+    * new is a NO-OP (returns 0, no version cut). The tradeoff vs a full
+    * [[compact]]: clustered generations may OVERLAP in key range, so
+    * [[readRange]] pruning is a little looser than one global re-sort —
+    * exactly liquid clustering's bargain. DVs on rewritten files are
+    * materialized; DV rows for kept files stay live (inert entries purge
+    * on the next full compact). Row-tracked ids materialize into the
+    * rewrite as in [[compact]]. Returns the number of files rewritten. */
+  def compactIncremental(clusterBy: Seq[String],
+                         targetFileBytes: Long = 128L << 20): Int = {
+    require(clusterBy.nonEmpty, "compactIncremental needs clusterBy keys")
+    require(bucketBy.isEmpty,
+      "clusterBy applies to unbucketed tables (bucketed layout is fixed by the bucket keys)")
+    var rewritten = 0
+    commitLoop(5, dataChange = false) { snap =>
+      snap match {
+        case None => rewritten = 0; None
+        case Some(m) =>
+          val (keep, todo) = m.files.partition(_.clustered)
+          if (todo.isEmpty) { rewritten = 0; None }
+          else {
+            val bytes = todo.map(e => Files.size(filesDir.resolve(e.name))).sum
+            val want = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+            val src =
+              if (rowTracking) readDataWithIds(todo, m.dv, m.schema)
+                .withColumnRenamed(LogTable.RowIdCol, LogTable.MatRowIdCol)
+              else readData(todo, m.dv, m.schema)
+            val fresh = writeFiles(src, m.schema, coalesceTo = Some(want),
+              clusterBy = clusterBy).map(_.copy(clustered = true))
+            rewritten = todo.size
+            // kept files' DV rows must survive: pass the sidecars through
+            Some((keep ++ fresh, m.dv, fresh))
+          }
+      }
+    }
+    rewritten
   }
 
   /** The CHANGE FEED / streaming-source read: rows ADDED by dataChange
@@ -1541,7 +1589,7 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     // clone's high-water mark is seeded from the source, so post-clone
     // appends on either side never reuse a shared id
     val entries = s.files.map(f =>
-      c.FileEntry(f.name, f.bucket, f.stats, -1L, f.baseRowId))
+      c.FileEntry(f.name, f.bucket, f.stats, -1L, f.baseRowId, f.clustered))
     require(c.tryCommit(None, entries, s.dv, dataChange = true,
       newSchema = Some(s.schema), rowIdHwmFloor = s.rowIdHwm),
       "clone target is not empty")

@@ -2027,5 +2027,57 @@ object MergeQueries {
            |FROM orders ORDER BY k""".stripMargin),
     "replaceWhere: predicate-scoped atomic overwrite — matching rows swapped and batch validated in one commit, untouched files kept verbatim (rewrite proportional to touched files)")
 
-  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl, opt, del, rst, vac, dvq, dvtt, occ, occContended, logLifecycle, logMaintenance, logChangeFeed, logClustered, logEvolve, logSql, logConstraints, logTimestamps, scd2q, logColumnMapping, generatedCols, logClone, logRowTracking, logWidening, logCdfTyped, logReplaceWhere)
+  /** INCREMENTAL CLUSTERING (q84 — Delta liquid clustering's OPTIMIZE):
+    * unlike q70's full clusterBy rewrite, `compactIncremental` rewrites
+    * ONLY the files no clustering pass has produced yet — the first pass
+    * clusters the backlog, each later pass pays O(new data), already-
+    * clustered files are `require`d kept byte-identical, and a pass with
+    * nothing new is `require`d a version-free no-op (the idempotency that
+    * makes scheduled OPTIMIZE cheap at 100 TB). A DV delete between
+    * passes materializes into the rewritten files while staying live on
+    * the kept ones. The range read after the passes `require`s fewer
+    * input files than the table holds (stats pruning works across the
+    * clustered generations), and the final per-row hash pins content
+    * through the whole lifecycle. */
+  val logLiquid = QueryDef(
+    "q84_logtable_incremental_clustering",
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+      val maxK = o.agg(max(col("k"))).head().getLong(0)
+      val root = FixtureDirs.create("q84-lc-").resolve("orders_lc").toString
+      val t = new graft.merge.LogTable(spark, root, o.schema, statsBy = Seq("k"))
+      // key-random arrival: hash-sliced halves, multiple files each; a
+      // small file target makes each pass emit several TIGHT-range files,
+      // so pruning is demonstrable across clustered generations
+      val h = pmod(conv(substring(md5(col("k").cast("string")), 1, 2), 16, 10)
+        .cast("int"), lit(2))
+      val target = 64L << 10
+      t.append(o.filter(h === 0).repartition(3))                       // v1
+      require(t.compactIncremental(Seq("k"), target) == 3,             // v2
+        "first pass must rewrite the whole backlog")
+      val gen1 = t.liveFileNames().toSet
+      t.append(o.filter(h =!= 0).repartition(2))                       // v3
+      require(t.compactIncremental(Seq("k"), target) == 2,             // v4
+        "second pass must rewrite only the new files")
+      require(gen1.subsetOf(t.liveFileNames().toSet),
+        "already-clustered files must be kept byte-identical")
+      require(t.deleteWhere(pmod(col("k"), lit(7)) === 0) > 0)          // v5
+      require(t.compactIncremental(Seq("k"), target) == 0,
+        "nothing new: must be a version-free no-op")
+      val live = t.liveFileNames().size
+      val hit = t.readRange("k", lit(0L), lit(maxK / 4))
+      require(hit.inputFiles.length < live,
+        "clustered stats must prune the range read below the full file list")
+      t.read().filter(col("k") <= maxK / 4)
+        .select(col("k"), col("price"))
+        .orderBy(col("k"))
+    },
+    Some("""SELECT o_orderkey AS k, o_totalprice AS price FROM orders
+           |WHERE o_orderkey % 7 <> 0
+           |  AND o_orderkey <= (SELECT max(o_orderkey) FROM orders) // 4
+           |ORDER BY k""".stripMargin),
+    "incremental (liquid) clustering: first pass clusters the backlog, later passes rewrite only new files, clustered files kept verbatim, no-op when nothing new, stats pruning across clustered generations")
+
+  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl, opt, del, rst, vac, dvq, dvtt, occ, occContended, logLifecycle, logMaintenance, logChangeFeed, logClustered, logEvolve, logSql, logConstraints, logTimestamps, scd2q, logColumnMapping, generatedCols, logClone, logRowTracking, logWidening, logCdfTyped, logReplaceWhere, logLiquid)
 }

@@ -1,0 +1,74 @@
+package graft.merge
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+/** [[LogTable.compactIncremental]] — liquid clustering's OPTIMIZE contract:
+  * rewrite only never-clustered files, keep clustered ones byte-identical,
+  * no-op when nothing is new; composes with DVs, row tracking, and clone. */
+class LiquidClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val s2 = StructType(Seq(
+    StructField("k", LongType), StructField("v", StringType)))
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("first call clusters everything; immediate second call is a no-op " +
+      "(no version cut); post-append call rewrites ONLY the new files") {
+    val t = new LogTable(spark, tmp("lc-basic-"), s2, statsBy = Seq("k"))
+    t.append(Seq((5L, "e"), (1L, "a")).toDF("k", "v").coalesce(1))
+    t.append(Seq((9L, "i"), (3L, "c")).toDF("k", "v").coalesce(1))
+    assert(t.compactIncremental(Seq("k")) == 2)
+    val v = t.currentVersion
+    val clusteredFiles = t.liveFileNames().toSet
+    assert(t.compactIncremental(Seq("k")) == 0, "nothing new: no-op")
+    assert(t.currentVersion == v, "no-op must not cut a version")
+    t.append(Seq((7L, "g"), (2L, "b")).toDF("k", "v").coalesce(1))
+    assert(t.compactIncremental(Seq("k")) == 1, "only the new file rewrites")
+    assert(clusteredFiles.subsetOf(t.liveFileNames().toSet),
+      "already-clustered files must be kept byte-identical")
+    assert(t.read().as[(Long, String)].collect().toSet ==
+      Set((5L, "e"), (1L, "a"), (9L, "i"), (3L, "c"), (7L, "g"), (2L, "b")))
+  }
+
+  test("DV composition: deletes on rewritten files materialize; deletes on " +
+      "kept clustered files keep applying through the passed-through sidecar") {
+    val t = new LogTable(spark, tmp("lc-dv-"), s2)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1))
+    assert(t.compactIncremental(Seq("k")) == 1)
+    t.append(Seq((10L, "x"), (11L, "y")).toDF("k", "v").coalesce(1))
+    // one DV delete hitting BOTH a clustered file and an unclustered one
+    assert(t.deleteWhere(col("k").isin(1L, 10L)) == 2)
+    assert(t.compactIncremental(Seq("k")) == 1)
+    assert(t.read().as[(Long, String)].collect().toSet ==
+      Set((2L, "b"), (11L, "y")),
+      "kept file's DV row must keep applying; rewritten file's delete materialized")
+  }
+
+  test("row tracking: ids survive the incremental rewrite; clone carries " +
+      "the clustered flags so the clone's next incremental pass is a no-op") {
+    val root = Files.createTempDirectory("lc-rt-")
+    val t = new LogTable(spark, root.resolve("src").toString, s2,
+      rowTracking = true)
+    t.append(Seq((3L, "c"), (1L, "a")).toDF("k", "v").coalesce(1))
+    val ids = t.readWithRowIds().select("k", LogTable.RowIdCol)
+      .as[(Long, Long)].collect().toMap
+    assert(t.compactIncremental(Seq("k")) == 1)
+    assert(t.readWithRowIds().select("k", LogTable.RowIdCol)
+      .as[(Long, Long)].collect().toMap == ids)
+    val c = t.cloneTo(root.resolve("dup").toString)
+    assert(c.compactIncremental(Seq("k")) == 0,
+      "clone must inherit the clustered bookkeeping")
+  }
+
+  test("guards: empty keys and bucketed tables rejected") {
+    val t = new LogTable(spark, tmp("lc-guard-"), s2,
+      bucketBy = Some((Seq("k"), 2)))
+    intercept[IllegalArgumentException](t.compactIncremental(Seq.empty))
+    intercept[IllegalArgumentException](t.compactIncremental(Seq("k")))
+  }
+}
