@@ -2905,8 +2905,9 @@ object StreamingQueries {
     * closed-form per q80's construction).
     *
     * Scale: per micro-batch the source scans only the commit's added or
-    * sidecar-named files; the mirror apply is one anti-join on the batch's
-    * ids + a union — O(mirror + batch) per commit, no full-table diff. */
+    * sidecar-named files; the mirror is BUCKETED BY rid, so the merge's
+    * partition-scoped form rewrites only the buckets holding the batch's
+    * ids — O(touched buckets + batch) per commit, not O(mirror). */
   val s42 = QueryDef(
     "s42_stream_cdf_replication",
     (spark, dir) => {
@@ -2934,8 +2935,13 @@ object StreamingQueries {
       val mirrorSchema = org.apache.spark.sql.types.StructType(
         schema.fields :+ org.apache.spark.sql.types.StructField("rid",
           org.apache.spark.sql.types.LongType))
+      // the mirror is BUCKETED BY rid: LogTable.merge's partition-scoped
+      // form then rewrites only the buckets holding this batch's ids —
+      // per-batch cost O(touched buckets), not O(mirror) (rid is the merge
+      // key, so rows never migrate buckets — the bucketed-merge contract)
       val mirror = new graft.merge.LogTable(spark,
-        root.resolve("mirror").toString, mirrorSchema)
+        root.resolve("mirror").toString, mirrorSchema,
+        bucketBy = Some((Seq("rid"), 8)))
       withStreamConf(spark) {
         spark.readStream.format("graft-logtable").schema(schema)
           .option("changeFeed", "true").option("withRowIds", "true")
@@ -2946,15 +2952,18 @@ object StreamingQueries {
           .option("checkpointLocation", newCkptDir())
           .trigger(Trigger.AvailableNow())
           .foreachBatch { (b: DataFrame, _: Long) =>
-            val ins = b
-              .filter(col(graft.merge.LogTable.ChangeTypeCol) === "insert")
-              .select(col("event_id"), col("user_id"), col("value"),
-                col(graft.merge.LogTable.RowIdCol).as("rid"))
-            val touched = b
-              .select(col(graft.merge.LogTable.RowIdCol).as("rid")).distinct()
-            mirror.merge(ins.localCheckpoint(true)) { (cur, i) =>
-              cur.join(broadcast(touched), Seq("rid"), "left_anti")
-                .unionByName(i)
+            // one payload carrying EVERY change row (deletes included) —
+            // the bucketed merge detects touched buckets from the batch's
+            // rid hashes, so a delete-only batch still routes to its buckets
+            val payload = b.select(col("event_id"), col("user_id"),
+                col("value"), col(graft.merge.LogTable.RowIdCol).as("rid"),
+                (col(graft.merge.LogTable.ChangeTypeCol) === "insert")
+                  .as("__ins"))
+              .localCheckpoint(true)
+            mirror.merge(payload) { (cur, p) =>
+              cur.join(broadcast(p.select(col("rid")).distinct()),
+                  Seq("rid"), "left_anti")
+                .unionByName(p.filter(col("__ins")).drop("__ins"))
             }
             ()
           }
