@@ -42,20 +42,32 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt.max(1)
-    // STRUCTURAL load guard (r10): two rounds in a row closed on
-    // loaded-machine records that manufactured phantom regressions, so the
-    // artifact itself now refuses to lie — a run starting at 1-min load > 1
-    // aborts before any work unless SPARK_GRAFT_ALLOW_LOAD=1 explicitly
-    // overrides (the override run still records its load fields)
-    val loadGate =
+    // STRUCTURAL load guard, r11 form: the r10 hard-refusal left the
+    // official round artifact EMPTY (BENCH_r10.json rc=1, parsed=null —
+    // the driver's sbt launch alone pushes 1-min load past 1). The
+    // artifact must always carry a labeled number, not an absence: poll
+    // for load < 1 with a bounded wait (default 10 × 30 s), then run
+    // REGARDLESS and record the measured load + seconds waited, exit 0.
+    // Round-close strictness lives in tools/quietbench.sh, which
+    // pre-checks load in bash and post-checks the recorded
+    // load_avg_start. SPARK_GRAFT_ALLOW_LOAD=1 skips the wait entirely.
+    def loadNow: Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
-    if (loadGate > 1.0 && !sys.env.get("SPARK_GRAFT_ALLOW_LOAD").contains("1")) {
-      System.err.println(
-        f"[bench] REFUSED: 1-min load average $loadGate%.2f > 1 — numbers " +
-          "recorded now would mix load noise into the round record; wait " +
-          "for a quiet machine or set SPARK_GRAFT_ALLOW_LOAD=1 to override")
-      sys.exit(2)
+    val waitPolls = sys.env.getOrElse("SPARK_GRAFT_LOAD_POLLS", "10").toInt
+    var loadWaitedSec = 0
+    if (!sys.env.get("SPARK_GRAFT_ALLOW_LOAD").contains("1")) {
+      var polls = 0
+      while (loadNow > 1.0 && polls < waitPolls) {
+        System.err.println(
+          f"[bench] 1-min load ${loadNow}%.2f > 1 — waiting 30 s for a " +
+            s"quiet machine (poll ${polls + 1}/$waitPolls)")
+        Thread.sleep(30000); polls += 1; loadWaitedSec += 30
+      }
+      if (loadNow > 1.0)
+        System.err.println(
+          f"[bench] load still ${loadNow}%.2f after ${loadWaitedSec}s — " +
+            "running anyway; numbers carry the honest load fields")
     }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -65,9 +77,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def loadAvg: Double =
-      java.lang.management.ManagementFactory.getOperatingSystemMXBean
-        .getSystemLoadAverage
+    def loadAvg: Double = loadNow
     val loadStart = loadAvg
     // warm-up: session init, codegen paths, parquet footer reads
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -91,6 +101,7 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,""" +
         s""""repeats":$repeats,"load_avg_start":$loadStart,"load_avg_end":$loadAvg,""" +
+        s""""load_wait_sec":$loadWaitedSec,""" +
         s""""queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // stdout arrives wrapped in sbt's "[info] " prefix — also drop the raw

@@ -88,8 +88,9 @@ object LogTable {
   val CommitVersionCol = "_commit_version"
 
   /** Stable row-id column exposed by [[LogTable.readWithRowIds]] when the
-    * table was created with `rowTracking = true` (Delta row tracking's
-    * `_metadata.row_id`). */
+    * table carries the logged `rowTracking` feature (set at creation via
+    * the constructor flag, then binding on EVERY handle — Delta row
+    * tracking's `_metadata.row_id`). */
   val RowIdCol = "_row_id"
 
   /** Change-type column emitted by [[LogTable.readChangeFeed]] (Delta CDF's
@@ -159,6 +160,23 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
   Files.createDirectories(logDir)
 
   private val mapper = new ObjectMapper()
+
+  // ROW TRACKING is LOGGED TABLE METADATA (Delta records it as a table
+  // feature), not just a per-handle constructor flag: a second handle
+  // opened WITHOUT rowTracking=true on a tracked table must still count
+  // rows and allocate base ids, or readWithRowIds would serve NULL
+  // _row_id for its files. The flag is monotone (never disabled), so a
+  // single log probe memoizes; commits write it into every manifest and
+  // checkpoint, and the snapshot fold ORs it up.
+  @volatile private var trackedKnown: Boolean = rowTracking
+  private def trackingEnabled: Boolean = {
+    if (!trackedKnown) {
+      val v = currentVersion
+      if (v > 0 && snapshotAt(v).rowTracking) trackedKnown = true
+    }
+    trackedKnown
+  }
+
   private val BucketCol = "__bucket"
   private def bucketExpr: Column = {
     val (keys, n) = bucketBy.get
@@ -230,7 +248,8 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
                                   constraintAdd: Option[(String, String)],
                                   constraintDrop: Option[String],
                                   tsMs: Long,
-                                  rowIdHwm: Long = 0L)
+                                  rowIdHwm: Long = 0L,
+                                  rowTracking: Boolean = false)
   /** Folded state as of a version — files, DVs, the schema AS OF that
     * version (schema lives in the log, so time travel serves each version
     * with the schema it had — the composition a table-level schema field
@@ -241,7 +260,8 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
                                      txns: Map[String, Long],
                                      constraints: Map[String, String],
                                      tsMs: Long,
-                                     rowIdHwm: Long = 0L)
+                                     rowIdHwm: Long = 0L,
+                                     rowTracking: Boolean = false)
 
   // ── log primitives ──────────────────────────────────────────────────────
 
@@ -299,7 +319,8 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
         (c.get("name").asText(), c.get("expr").asText())),
       Option(n.get("constraintDrop")).map(_.asText()),
       Option(n.get("ts")).map(_.asLong()).getOrElse(0L),
-      Option(n.get("rowIdHwm")).map(_.asLong()).getOrElse(0L))
+      Option(n.get("rowIdHwm")).map(_.asLong()).getOrElse(0L),
+      Option(n.get("rowTracking")).exists(_.asBoolean()))
   }
 
   private def writeFileEntries(fa: ArrayNode, files: Seq[FileEntry]): Unit =
@@ -355,8 +376,11 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     // are skipped. Allocation happens INSIDE the commit attempt, against the
     // snapshot being CAS'd on, so an OCC retry re-allocates correctly.
     val prevHwm = math.max(prev.map(_.rowIdHwm).getOrElse(0L), rowIdHwmFloor)
+    // effective tracking: this handle's flag OR the logged table feature
+    val tracked = rowTracking || prev.exists(_.rowTracking)
+    if (tracked) trackedKnown = true
     val newFiles: Seq[FileEntry] =
-      if (!rowTracking) newFiles0
+      if (!tracked) newFiles0
       else {
         var next = prevHwm
         val assigned = newFiles0
@@ -378,7 +402,7 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     node.put("version", v)
     node.put("dataChange", dataChange)
     node.put("ts", ts)
-    if (rowTracking) node.put("rowIdHwm", newHwm)
+    if (tracked) { node.put("rowIdHwm", newHwm); node.put("rowTracking", true) }
     // the FIRST commit always embeds the schema (Delta writes metaData in
     // commit 0) — the log is self-describing, so SQL/batch readers can
     // resolve the schema without the constructor contract
@@ -406,7 +430,7 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
         prev.map(_.txns).getOrElse(Map.empty) ++ txn,
         (prev.map(_.constraints).getOrElse(Map.empty) ++ constraintAdd)
           -- constraintDrop.toSeq,
-        ts, newHwm))
+        ts, newHwm, tracked))
     won
   }
 
@@ -419,6 +443,7 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     node.put("version", s.version)
     node.put("ts", s.tsMs)
     if (s.rowIdHwm > 0) node.put("rowIdHwm", s.rowIdHwm)
+    if (s.rowTracking) node.put("rowTracking", true)
     node.put("schema", s.schema.json)
     val tn = node.putObject("txns")
     s.txns.foreach { case (app, batch) => tn.put(app, batch) }
@@ -448,7 +473,8 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
         e.getKey -> e.getValue.asText()).toMap)
         .getOrElse(Map.empty[String, String]),
       Option(n.get("ts")).map(_.asLong()).getOrElse(0L),
-      Option(n.get("rowIdHwm")).map(_.asLong()).getOrElse(0L))
+      Option(n.get("rowIdHwm")).map(_.asLong()).getOrElse(0L),
+      Option(n.get("rowTracking")).exists(_.asBoolean()))
   }
 
   /** Newest checkpoint version ≤ `v`, via the hint when it qualifies (the
@@ -472,7 +498,8 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
       s.txns ++ d.txn,
       (s.constraints ++ d.constraintAdd) -- d.constraintDrop.toSeq,
       d.tsMs,
-      math.max(s.rowIdHwm, d.rowIdHwm))
+      math.max(s.rowIdHwm, d.rowIdHwm),
+      s.rowTracking || d.rowTracking)
   }
 
   /** Fold the log to the state as of version `v`: newest checkpoint ≤ v,
@@ -601,7 +628,7 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     // tracked tables writing FRESH rows (a rewrite carrying materialized ids
     // allocates nothing)
     val rowsOf: Map[String, Long] =
-      if (!rowTracking || hasMat || staged.isEmpty) Map.empty
+      if (!trackingEnabled || hasMat || staged.isEmpty) Map.empty
       else spark.read.schema(pdf.schema)
         .parquet(staged.map(_._1.toString): _*)
         .groupBy(input_file_name().as("__f")).agg(count(lit(1)).as("__n"))
@@ -698,7 +725,7 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     * for files written by full-rewrite commits (overwrite/merge) — the
     * Delta row-tracking contract. */
   def readWithRowIds(): DataFrame = {
-    require(rowTracking, "table was not created with rowTracking = true")
+    require(trackingEnabled, "table was not created with rowTracking = true")
     val v = currentVersion
     if (v == 0) emptyDf(StructType(schema.fields :+
       StructField(LogTable.RowIdCol, org.apache.spark.sql.types.LongType)))
@@ -709,7 +736,7 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     * (ids are versioned state: the log holds each version's bases, the
     * files their materialized ids). */
   def readVersionWithRowIds(v: Long): DataFrame = {
-    require(rowTracking, "table was not created with rowTracking = true")
+    require(trackingEnabled, "table was not created with rowTracking = true")
     val s = snapshotAt(v)
     readDataWithIds(s.files, s.dv, s.schema)
   }
@@ -794,8 +821,23 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
         val statRows = withStats.map { e =>
           val (fLo, fHi) = e.stats(pc); (e.name, fLo, fHi)
         }.toDF("__name", "__lo", "__hi")
+        // float→double widening hazard: a stat string written in the
+        // FLOAT era is the float's shortest repr ("0.1" = (double)0.1f ≈
+        // 0.100000001), so parsing it as double ("0.1" = 0.1d) can falsely
+        // prune files whose true values sit between the two parses. File
+        // eras aren't tracked, but pruning is a superset optimization —
+        // compare against the UNION interval of both interpretations
+        // (double parse ∪ float-roundtrip parse): exact for whichever era
+        // wrote the stat, superset-safe for the other. Integer widenings
+        // parse exactly under the wide type (int/long/int→double ≤ 2^53),
+        // so only DoubleType needs this.
+        val (statLo, statHi) =
+          if (dt == org.apache.spark.sql.types.DoubleType)
+            (least(col("__lo").cast(dt), col("__lo").cast("float").cast(dt)),
+             greatest(col("__hi").cast(dt), col("__hi").cast("float").cast(dt)))
+          else (col("__lo").cast(dt), col("__hi").cast(dt))
         val surviving = statRows.filter(
-            col("__hi").cast(dt) >= lo.cast(dt) && col("__lo").cast(dt) <= hi.cast(dt))
+            statHi >= lo.cast(dt) && statLo <= hi.cast(dt))
           .select("__name").collect().map(_.getString(0)).toSet
         noStats ++ withStats.filter(e => surviving.contains(e.name))
       }
@@ -881,7 +923,11 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
             .select(col(DvName)).distinct()
             .collect().map(_.getString(0)).toSet
           val (rewrite, keep) = m.files.partition(e => matched(e.name))
-          val remainder = readData(rewrite, m.dv, m.schema).filter(!cond)
+          // keep rows where the predicate is NOT SATISFIED — `!cond` alone
+          // drops NULL-valued rows (neither matched nor kept, silent data
+          // loss); coalesce to false mirrors SQL DELETE / deleteWhere
+          val remainder = readData(rewrite, m.dv, m.schema)
+            .filter(!coalesce(cond, lit(false)))
           val fresh = writeFiles(remainder.unionByName(validated), m.schema)
           // stale DV rows for removed files are inert (fresh files get new
           // uuid names) and purge on the next compact — deleteWhere's rule
@@ -1045,7 +1091,7 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
             // the re-layout — the rewritten entries carry no base/rows and
             // allocate nothing
             val src =
-              if (rowTracking) readDataWithIds(m.files, m.dv, m.schema)
+              if (trackingEnabled) readDataWithIds(m.files, m.dv, m.schema)
                 .withColumnRenamed(LogTable.RowIdCol, LogTable.MatRowIdCol)
               else readData(m.files, m.dv, m.schema)
             val fresh = writeFiles(src, m.schema,
@@ -1087,7 +1133,7 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
             val bytes = todo.map(e => Files.size(filesDir.resolve(e.name))).sum
             val want = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
             val src =
-              if (rowTracking) readDataWithIds(todo, m.dv, m.schema)
+              if (trackingEnabled) readDataWithIds(todo, m.dv, m.schema)
                 .withColumnRenamed(LogTable.RowIdCol, LogTable.MatRowIdCol)
               else readData(todo, m.dv, m.schema)
             val fresh = writeFiles(src, m.schema, coalesceTo = Some(want),
@@ -1214,7 +1260,7 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
   def readChangeFeed(fromVersion: Long, toVersion: Long,
                      withRowIds: Boolean = false): DataFrame = {
     import spark.implicits._
-    require(!withRowIds || rowTracking,
+    require(!withRowIds || trackingEnabled,
       "withRowIds requires a rowTracking = true table")
     val as = if (toVersion == 0) schema else snapshotAt(toVersion).schema
     val plumb = Seq(DvName, DvPos)
@@ -1415,8 +1461,11 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     * live read schema at scan time (Spark 4's widening promotions), so
     * post-widen reads mix narrow and wide files transparently. The type
     * travels IN the versioned schema: pre-widen versions time-travel back
-    * NARROW, stats stay valid (stored as strings, compared under the live
-    * type's ordering in [[readRange]]), and the physical name is
+    * NARROW, stats stay valid — integer-chain stats parse exactly under
+    * the wide type, and float-era stats under a double read are compared
+    * against the union of both parse interpretations in [[readRange]]
+    * (superset-safe without per-file era tracking) — and the physical
+    * name is
     * unchanged so column mapping composes. `dataChange = false` — no rows
     * changed, change-feed consumers skip it.
     *
@@ -1579,7 +1628,7 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     require(v > 0, "cannot clone an empty table (no commits)")
     val s = snapshotAt(v)
     val c = new LogTable(spark, dest, s.schema, bucketBy, statsBy,
-      checkpointInterval, clock, rowTracking)
+      checkpointInterval, clock, trackingEnabled)
     (s.files.map(_.name) ++ s.dv).foreach { n =>
       val target = c.filesDir.resolve(n)
       if (!Files.exists(target)) Files.createLink(target, filesDir.resolve(n))

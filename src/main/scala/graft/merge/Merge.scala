@@ -144,13 +144,24 @@ object Merge {
       s"scd2 batch must carry exactly keys ++ trackedCols ++ $fromCol")
     require(target.columns.toSet == (batch.columns.toSet + toCol + currentCol),
       s"scd2 target must be the batch schema plus $toCol/$currentCol")
+    // the batch must be key-unique: a duplicate key would fan the
+    // full-outer join out and emit duplicate closed rows (one bounded
+    // action over the batch — scd2 batches are per-key candidate sets)
+    require(batch.groupBy(keys.map(col).toIndexedSeq: _*).count()
+        .filter(col("count") > 1).limit(1).isEmpty,
+      "scd2 batch must carry at most one row per key")
     val toType = target.schema(toCol).dataType
     val hist = target.filter(!col(currentCol))
-    val cur = target.filter(col(currentCol))
-    val b = batch.select(batch.columns.map(c => col(c).as("__b_" + c)).toIndexedSeq: _*)
+    val cur0 = target.filter(col(currentCol))
+    // explicit row-exists markers: the join is null-safe (<=>), so a NULL
+    // key column is a legal join value — keys.head.isNotNull as the
+    // sentinel would silently drop current rows with a NULL first key
+    val cur = cur0.withColumn("__t_exists", lit(true))
+    val b = batch.select((batch.columns.map(c => col(c).as("__b_" + c))
+      .toIndexedSeq :+ lit(true).as("__b_exists")): _*)
     val cond = keys.map(k => cur(k) <=> b("__b_" + k)).reduce(_ && _)
     val joined = cur.join(b, cond, "full_outer")
-    val matched = cur(keys.head).isNotNull && b("__b_" + keys.head).isNotNull
+    val matched = cur("__t_exists").isNotNull && b("__b_exists").isNotNull
     val differs = trackedCols.map(c => !(cur(c) <=> b("__b_" + c))).reduce(_ || _)
     val changed = matched && b("__b_" + fromCol) > cur(fromCol) && differs
     val outCols = target.columns.toIndexedSeq
@@ -166,8 +177,8 @@ object Merge {
     }: _*)
     val emitted = joined
       .select(explode(array(
-        when(cur(keys.head).isNotNull, keptOrClosed),
-        when(changed || cur(keys.head).isNull, fresh))).as("__r"))
+        when(cur("__t_exists").isNotNull, keptOrClosed),
+        when(changed || cur("__t_exists").isNull, fresh))).as("__r"))
       .filter(col("__r").isNotNull)
       .select(outCols.map(c => col("__r." + c).as(c)): _*)
     hist.unionByName(emitted)

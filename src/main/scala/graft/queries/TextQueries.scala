@@ -4089,7 +4089,9 @@ object TextQueries {
     * per-source cumulative layout (doc spans `[doc_end − n_tokens,
     * doc_end)` in (source, doc_id) order); probes are three hash-derived
     * 512-token windows per source (deterministic md5 offsets — exact
-    * int64 both engines via the established `'0x'||hex` mirror); the
+    * int64 both engines via the strpos nibble-decode mirror, which
+    * avoids the `'0x'||hex` string cast that proved DuckDB-version
+    * sensitive in the r10 driver run); the
     * answer is the interval join probe × span with the per-doc overlap
     * width.
     *
@@ -4132,10 +4134,19 @@ object TextQueries {
             |  FROM documents d JOIN t USING (doc_id)),
             |idx2 AS (SELECT *, doc_end - n_tokens AS doc_start FROM idx),
             |tot AS (SELECT source, max(doc_end) AS total FROM idx GROUP BY source),
-            |pr AS (SELECT source, probe_id,
-            |    CAST('0x' || substr(md5(source || ':' || CAST(probe_id AS VARCHAR)), 1, 8) AS BIGINT)
-            |      % total AS probe_start, total
+            |ph AS (SELECT source, probe_id, total,
+            |    md5(source || ':' || CAST(probe_id AS VARCHAR)) AS h
             |  FROM tot, (SELECT unnest([0, 1, 2]) AS probe_id)),
+            |pr AS (SELECT source, probe_id, total,
+            |    ( (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 268435456
+            |    + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216
+            |    + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576
+            |    + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536
+            |    + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096
+            |    + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 256
+            |    + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16
+            |    + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1) ) % total AS probe_start
+            |  FROM ph),
             |pr2 AS (SELECT source, probe_id, probe_start,
             |    least(probe_start + 512, total) AS probe_end FROM pr)
             |SELECT i.source, p.probe_id, p.probe_start, i.doc_id,

@@ -174,6 +174,26 @@ class MergePropertiesSpec extends SparkSpec {
       .withColumn("is_current", org.apache.spark.sql.functions.lit(true))
   }
 
+  test("scd2: NULL key rows survive (explicit exists markers, not " +
+      "keys.head.isNotNull); duplicate-key batches rejected") {
+    // a current row with a NULL key is a legal <=> join participant —
+    // the old isNotNull sentinel silently dropped it from the output
+    val dim = Seq((Option.empty[Int], "n", 1), (Some(1), "a", 1))
+      .toDF("k", "v", "eff_from")
+      .withColumn("eff_to", org.apache.spark.sql.functions.lit(null).cast("int"))
+      .withColumn("is_current", org.apache.spark.sql.functions.lit(true))
+    val batch = Seq((Option.empty[Int], "n2", 2)).toDF("k", "v", "eff_from")
+    val out = Merge.scd2(dim, batch, Seq("k"), Seq("v"))
+      .as[(Option[Int], String, Int, Option[Int], Boolean)].collect().toSet
+    assert(out == Set(
+      (None, "n", 1, Some(2), false),    // NULL-key row closed, not dropped
+      (None, "n2", 2, None, true),
+      (Some(1), "a", 1, None, true)))
+    // key-duplicate batch: join fan-out would emit duplicate closes
+    val dup = Seq((Some(1), "x", 3), (Some(1), "y", 3)).toDF("k", "v", "eff_from")
+    intercept[IllegalArgumentException](Merge.scd2(dim, dup, Seq("k"), Seq("v")))
+  }
+
   test("property: scd2 equals the version-chain model and re-application is a no-op") {
     (0 until 6).foreach { i =>
       val batches = (0 until 3).map(j => dedupByKey(sample(i * 10L + j))).toList

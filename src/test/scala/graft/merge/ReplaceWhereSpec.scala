@@ -66,6 +66,20 @@ class ReplaceWhereSpec extends SparkSpec {
       Set((1L, "a"), (12L, "new")))
   }
 
+  test("NULL predicate column: rows where cond is NULL are KEPT, not " +
+      "silently dropped (SQL DELETE semantics — only cond=true rows go)") {
+    val t = new LogTable(spark, tmp("rw-null-"), s2)
+    // one file mixing a matching row, a non-matching row, and a NULL-key
+    // row: `!cond` alone is NULL for the last one (neither kept nor
+    // matched) — the remainder filter must coalesce it to kept
+    t.append(Seq((Some(10L), "in"), (Some(1L), "out"), (None, "nullk"))
+      .toDF("k", "v").coalesce(1))
+    t.replaceWhere(col("k") >= 10L, Seq((12L, "new")).toDF("k", "v"))
+    assert(t.read().as[(Option[Long], String)].collect().toSet ==
+      Set((Some(1L), "out"), (None, "nullk"), (Some(12L), "new")),
+      "the NULL-predicate row must survive the rewrite")
+  }
+
   test("row tracking: kept files keep ids; rewritten remainder + batch " +
       "re-id above the watermark; typed feed shows the delete+insert") {
     val t = new LogTable(spark, tmp("rw-rt-"), s2, rowTracking = true)

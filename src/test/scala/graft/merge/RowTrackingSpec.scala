@@ -39,6 +39,21 @@ class RowTrackingSpec extends SparkSpec {
     assert((1L to 10L).map(m).max < (11L to 15L).map(m).min)
   }
 
+  test("rowTracking is LOGGED table metadata: a second handle opened " +
+      "WITHOUT the flag still allocates bases and can serve row ids") {
+    val root = tmp("rt-feature-")
+    tracked(root).append((1L to 5L).map(i => (i, s"a$i")).toDF("k", "v"))
+    // plain handle — the flag must come from the log, not the constructor
+    val plain = new LogTable(spark, root, s2)
+    plain.append((6L to 8L).map(i => (i, s"b$i")).toDF("k", "v"))
+    val ids = plain.readWithRowIds().select("k", LogTable.RowIdCol)
+      .as[(Long, Long)].collect().toMap
+    assert(ids.values.toSeq.sorted == (1L to 8L),
+      s"the untracked handle's files must get real bases, got $ids")
+    assert((6L to 8L).forall(k => ids(k) > 5L),
+      "second-handle rows allocate above the watermark")
+  }
+
   test("DV delete keeps survivor ids; freed ids are never reused") {
     val t = tracked(tmp("rt-del-"))
     t.append((1L to 10L).map(i => (i, s"v$i")).toDF("k", "v"))

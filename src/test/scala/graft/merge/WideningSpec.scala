@@ -72,6 +72,26 @@ class WideningSpec extends SparkSpec {
     assert(hit.inputFiles.length == 1, "narrow-era stats must still prune")
   }
 
+  test("float-era stats under a double read: non-dyadic float stats must " +
+      "not falsely prune (union-interval comparison)") {
+    val t = new LogTable(spark, tmp("wd-fstats-"), sIF, statsBy = Seq("x"))
+    // float era: stat strings are float shortest-repr ("0.1"); the stored
+    // value promotes at scan to (double)0.1f ≈ 0.100000001 > 0.1d
+    t.append(Seq((1, 0.1f), (2, 0.05f)).toDF("k", "x").coalesce(1))
+    t.append(Seq((3, 5.0f), (4, 9.0f)).toDF("k", "x").coalesce(1))
+    t.widenColumn("x", DoubleType)
+    // lo sits strictly between the double parse of "0.1" (0.1d) and the
+    // file's true max ((double)0.1f): a naive double-parse comparison
+    // prunes the file and silently misses row k=1
+    val lo = 0.1f.toDouble
+    val hit = t.readRange("x", lit(lo), lit(1.0))
+    assert(hit.as[(Int, Double)].collect().map(_._1).toSeq == Seq(1),
+      "the float-era row at (double)0.1f must survive pruning")
+    // pruning still prunes: a range hitting only the second file opens one
+    val far = t.readRange("x", lit(4.0), lit(10.0))
+    assert(far.inputFiles.length == 1 && far.count() == 2)
+  }
+
   test("decimal rescale is rejected (parquet FIXED_LEN_BYTE_ARRAY cannot " +
       "rescale at scan time — needs a rewrite)") {
     val s = StructType(Seq(StructField("k", LongType),
