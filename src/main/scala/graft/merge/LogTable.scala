@@ -568,9 +568,36 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     bucketBy match {
       case None =>
         val cs = clusterBy.map(c => col(physOf(as, c)))
+        // MULTI-DIMENSIONAL clustering (Delta liquid clustering's
+        // multi-key form): two keys cluster on the MORTON INTERLEAVE of
+        // their equi-depth bucket ids (q43's z-order — one GK-quantile
+        // pass per key for the boundaries, then a codegen'd comparison
+        // chain + the native interleave_bits expression), so every output
+        // file covers a tight RECTANGLE of the 2-D key space and manifest
+        // stats prune on EITHER column. A lexicographic 2-key range sort
+        // would prune only on the leading key. Keys must be numeric
+        // (quantile-sketchable); >2 keys stay lexicographic (z-bits per
+        // dimension thin out — Delta caps liquid keys similarly).
+        val zc: Option[Column] =
+          if (clusterBy.size != 2) None
+          else {
+            graft.ops.ZOrder.register(pdf.sparkSession)
+            val ids = clusterBy.map { c =>
+              val pc = physOf(as, c)
+              graft.ops.ZOrder.bucketExpr(col(pc),
+                graft.ops.ZOrder.quantileBounds(pdf, pc, buckets = 64))
+            }
+            Some(graft.ops.ZOrder.zkey(ids.head, ids(1)))
+          }
         val out = (coalesceTo, clusterBy) match {
           // range exchange with sampled bounds — no global single-reducer
           // sort — then a per-file sort for row-group stats
+          case (Some(n), c) if c.size == 2 =>
+            pdf.repartitionByRange(n, zc.get)
+              .sortWithinPartitions(zc.get +: cs: _*)
+          case (None, c) if c.size == 2 =>
+            pdf.repartitionByRange(zc.get)
+              .sortWithinPartitions(zc.get +: cs: _*)
           case (Some(n), c) if c.nonEmpty =>
             pdf.repartitionByRange(n, cs: _*).sortWithinPartitions(cs: _*)
           case (None, c) if c.nonEmpty =>
@@ -1116,7 +1143,10 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     * exactly liquid clustering's bargain. DVs on rewritten files are
     * materialized; DV rows for kept files stay live (inert entries purge
     * on the next full compact). Row-tracked ids materialize into the
-    * rewrite as in [[compact]]. Returns the number of files rewritten. */
+    * rewrite as in [[compact]]. TWO keys cluster on the Morton interleave
+    * of their equi-depth bucket ids (multi-column liquid clustering —
+    * stats prune on either key; see writeFilesInto). Returns the number
+    * of files rewritten. */
   def compactIncremental(clusterBy: Seq[String],
                          targetFileBytes: Long = 128L << 20): Int = {
     require(clusterBy.nonEmpty, "compactIncremental needs clusterBy keys")

@@ -728,10 +728,172 @@ object Similarity {
     * v22 dim-explode discipline: partial sums collapse map-side, the
     * shuffle carries (vec_id, lo, hi) — never embeddings (plan-audited).
     * At 100 TB the Hamming stage runs over the two-long fingerprint
-    * column only; bucket by fingerprint chunks (the m04 pigeonhole) to
-    * avoid the panel×corpus scan when the query set is large. All
+    * column only; when the task is radius-bounded (near-dup, dedup), use
+    * [[binaryHammingRadius]] — the pigeonhole-banded form that replaces
+    * the panel×corpus scan with an equi-join. All
     * arithmetic is exact integers + one rounded cosine — fully
     * oracle-mirrorable. */
+  /** Sign-bit fingerprint shared by the binary-Hamming family: one bit per
+    * component, packed into two longs holding bits 0..31 (`lo`) and 32..95
+    * (`hi`) — split so every partial sum stays positive (no int64 sign-bit
+    * edge). Packing follows the v22 dim-explode discipline: partial sums
+    * collapse map-side, the shuffle carries (vec_id, lo, hi), never the
+    * embeddings. */
+  private[graft] def signBits(df: DataFrame): DataFrame =
+    df.select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+      .groupBy(col("vec_id")).agg(
+        sum(when(col("dim") < 32 && col("v") > 0,
+          expr("shiftleft(1L, CAST(dim AS INT))")).otherwise(lit(0L))).as("lo"),
+        sum(when(col("dim") >= 32 && col("v") > 0,
+          expr("shiftleft(1L, CAST(dim AS INT) - 32)")).otherwise(lit(0L))).as("hi"))
+
+  /** PIGEONHOLE-BANDED bounded-radius Hamming search — the scale form of
+    * the binary-fingerprint family (the upgrade [[binaryHammingTopK]]'s
+    * scaladoc promises): all corpus pairs within Hamming distance
+    * `maxHamming`, found WITHOUT any panel×corpus or all-pairs scan.
+    * The 64-bit fingerprint splits into `bands` equal chunks; a pair at
+    * distance ≤ maxHamming < bands must agree EXACTLY on at least one
+    * chunk (pigeonhole), so candidate generation is an equi-join on
+    * (band_idx, band_value) — [[Dedup.simhashNearDup]]'s scheme lifted to
+    * the two-word embedding fingerprint — followed by an exact integer
+    * Hamming verify. Recall within the radius is EXACT, not probabilistic.
+    *
+    * This is deliberately the NEAR-DUP regime: random 64-bit codes sit at
+    * distance ~27 (measured: organic pairs ≥ 14 at both SFs), where a
+    * radius bound prunes almost everything; a top-k shortlist at distance
+    * ~27 is the regime where banding cannot prune (28 bands of 2 bits
+    * match almost every pair) and [[binaryHammingTopK]]'s scan-and-rank is
+    * the honest plan. At 100 TB: fingerprints are 16 bytes/row; each row
+    * emits `bands` index entries; the join shuffles on the band key (never
+    * all-pairs), and skewed band values (all-zero codes) salt like any
+    * hot key. */
+  def binaryHammingRadius(corpus: DataFrame, maxHamming: Int,
+                          bands: Int = 8): DataFrame = {
+    require(maxHamming < bands,
+      s"maxHamming ($maxHamming) must be < bands ($bands) for pigeonhole recall")
+    require(64 % bands == 0 && (64 / bands) <= 32 && 32 % (64 / bands) == 0,
+      s"bands ($bands) must split the 64-bit fingerprint into lo/hi-aligned chunks")
+    val bandBits = 64 / bands
+    val mask = (1L << bandBits) - 1
+    val fp = signBits(corpus)
+    val banded = fp.select(col("vec_id"), col("lo"), col("hi"),
+        explode(array((0 until bands).map { b =>
+          val word = if (b * bandBits < 32) col("lo") else col("hi")
+          val off = (b * bandBits) % 32
+          struct(lit(b).as("band_idx"),
+            shiftright(word, off).bitwiseAND(mask).as("band"))
+        }: _*)).as("bv"))
+      .select(col("vec_id"), col("lo"), col("hi"),
+        col("bv.band_idx"), col("bv.band"))
+    val pairs = banded.select(col("vec_id").as("doc_a"), col("lo").as("lo_a"),
+        col("hi").as("hi_a"), col("band_idx"), col("band"))
+      .join(banded.select(col("vec_id").as("doc_b"), col("lo").as("lo_b"),
+        col("hi").as("hi_b"), col("band_idx"), col("band")),
+        Seq("band_idx", "band"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("lo_a"), col("hi_a"),
+        col("lo_b"), col("hi_b")).distinct()
+    pairs
+      .withColumn("hamming",
+        (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+          bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Greedy best-first graph search (the HNSW/NSG search primitive, shared
+    * by v35/v35b/v36): per round, take the top-B UNEXPANDED visited
+    * candidates per query (re-expanding the beam stalls after one wave),
+    * mark them expanded, score their out-neighbors into the visited set.
+    * `corpus` holds the scorable nodes (vec_id, embedding); `edges` is the
+    * directed graph (src, dst); `seed` the initial (query_id, vec_id)
+    * frontier. Returns visited (query_id, vec_id, cos) — cos rounded to
+    * 6 dp, so the whole search is a deterministic function of (graph,
+    * seeds) and replays exactly in SQL. Edges are broadcast (bounded graphs
+    * here); at 100 TB the per-round expansion becomes a shuffle equi-join
+    * on src — the loop shape is unchanged. */
+  private[graft] def beamSearchVisited(corpus: DataFrame, edges: DataFrame,
+                                       queries: DataFrame, seed: DataFrame,
+                                       b: Int, r: Int): DataFrame = {
+    def score(cand: DataFrame) = cand // (query_id, vec_id)
+      .join(corpus, "vec_id").join(queries.hint("broadcast"), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        round(VectorFunctions.cosineSim(col("q_vec"), col("embedding")), 6)
+          .as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    var visited = score(seed).localCheckpoint(true)
+    var expanded = visited.select(col("query_id"), col("vec_id")).limit(0)
+      .localCheckpoint(true)
+    (1 to r).foreach { _ =>
+      val frontier = visited
+        .join(expanded, Seq("query_id", "vec_id"), "left_anti")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= b)
+        .drop("rn").localCheckpoint(true)
+      expanded = expanded
+        .unionByName(frontier.select(col("query_id"), col("vec_id")))
+        .localCheckpoint(true)
+      val ex = frontier.join(edges.hint("broadcast"),
+          frontier("vec_id") === edges("src"))
+        .select(col("query_id"), col("dst").as("vec_id")).distinct()
+      visited = visited.unionByName(score(ex))
+        .dropDuplicates("query_id", "vec_id").localCheckpoint(true)
+    }
+    visited
+  }
+
+  /** INCREMENTAL GRAPH-ANN INSERT — the HNSW insert step as a batch
+    * operator: each batch vector beam-searches the EXISTING graph from
+    * `entries` (the routing points), connects to its top-`m` visited
+    * nodes (forward edges), and registers the reciprocal back-edges with
+    * the touched nodes' out-degree re-pruned to `outDegree` by (priority,
+    * cos desc, dst) — the HNSW neighbor-shrink heuristic made deterministic,
+    * with the insert's NEAREST connection's back-edge holding a priority
+    * seat so the insert stays reachable through the shrink. Batch
+    * vectors whose id is already a graph node are DROPPED first, so a
+    * re-delivered batch is a set-exact no-op (insert idempotency — the M1
+    * discipline applied to the index; GraphInsertSpec pins it). Batch
+    * semantics: inserts see only the pre-batch graph (no intra-batch
+    * edges) — deterministic, order-free, and the right shape for a
+    * streaming ingest where each micro-batch is small against the corpus.
+    *
+    * Cost: one beam search per batch vector (bounded rounds × beam ×
+    * out-degree — never a corpus scan), one bounded re-prune of the
+    * touched srcs. Composes with the persisted-index lifecycle
+    * (v13/v15/v19): append frozen between retrains, rebuild from scratch
+    * on drift. Returns the grown edge set (src, dst, cos). */
+  def graphInsert(corpus: DataFrame, edges: DataFrame, batch: DataFrame,
+                  entries: DataFrame, beam: Int = 8, rounds: Int = 3,
+                  m: Int = 5, outDegree: Int = 5): DataFrame = {
+    val fresh = batch
+      .join(corpus.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    val newQ = fresh.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_vec"))
+    val visited = beamSearchVisited(corpus, edges.select(col("src"), col("dst")),
+      newQ, newQ.select(col("query_id")).crossJoin(entries), beam, rounds)
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val conn = visited.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= m).localCheckpoint(true)
+    val fwd = conn.select(col("query_id").as("src"), col("vec_id").as("dst"),
+      col("cos"))
+    // the NEAREST connection's back-edge takes a PRIORITY SEAT through the
+    // shrink (pri 0): without it, an insert whose cos sits below all its
+    // neighbors' existing edges loses every back-edge and becomes
+    // unreachable (measured: 4 of 56 orphaned on the sf0.001 fixture).
+    // Reachability now fails only if > outDegree inserts elect the same
+    // nearest neighbor.
+    val rev = conn.select(col("vec_id").as("src"), col("query_id").as("dst"),
+      col("cos"), when(col("rn") === 1, lit(0)).otherwise(lit(1)).as("pri"))
+    val ws = Window.partitionBy(col("src"))
+      .orderBy(col("pri"), col("cos").desc, col("dst"))
+    edges.withColumn("pri", lit(1)).unionByName(rev)
+      .withColumn("rn", row_number().over(ws))
+      .filter(col("rn") <= outDegree).drop("rn", "pri")
+      .unionByName(fwd)
+  }
+
   def binaryHammingTopK(queries: DataFrame, corpus: DataFrame,
                         cos: (Column, Column) => Column, k: Int,
                         shortlist: Int): DataFrame = {
@@ -742,16 +904,8 @@ object Similarity {
     require(dims <= 96,
       s"binaryHammingTopK packs sign bits into two 64-bit words (dims <= 96); " +
         s"got dims=$dims — widen the packing before using wider embeddings")
-    def bitsOf(df: DataFrame): DataFrame =
-      df.select(col("vec_id"),
-          posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
-        .groupBy(col("vec_id")).agg(
-          sum(when(col("dim") < 32 && col("v") > 0,
-            expr("shiftleft(1L, CAST(dim AS INT))")).otherwise(lit(0L))).as("lo"),
-          sum(when(col("dim") >= 32 && col("v") > 0,
-            expr("shiftleft(1L, CAST(dim AS INT) - 32)")).otherwise(lit(0L))).as("hi"))
-    val cb = bitsOf(corpus)
-    val qb = bitsOf(queries).select(col("vec_id").as("query_id"),
+    val cb = signBits(corpus)
+    val qb = signBits(queries).select(col("vec_id").as("query_id"),
       col("lo").as("qlo"), col("hi").as("qhi"))
     val ham = qb.crossJoin(cb)
       .filter(col("query_id") =!= col("vec_id"))

@@ -23,10 +23,14 @@ import graft.functions.VectorFunctions
   * At 100 TB: the index is ~3 TB of codes (the PQ 128× lever) laid out in
   * nlist partitions; a query batch opens nprobe·|queries| partitions'
   * worth of files, streams codes through codegen'd ADC, and fetches only
-  * shortlisted vectors. Rebuild = re-run [[build]] (rewrite-and-swap via a
-  * fresh root); incremental maintenance appends new codes to their cell
-  * partitions (parquet append per partition — the [[graft.merge.ParquetTable]]
-  * bucketed-append shape).
+  * shortlisted vectors. Rebuild/[[retrain]] cut a fresh GENERATION
+  * directory and atomically flip the `_gen` pointer — in-flight readers
+  * finish on the generation they opened (snapshot isolation,
+  * ServeDuringRetrainSpec); incremental maintenance appends new codes to
+  * the live generation's cell partitions (parquet append per partition —
+  * the [[graft.merge.ParquetTable]] bucketed-append shape). [[vacuum]] is
+  * the one IN-PLACE verb (per-cell swap inside the live generation) —
+  * schedule it like any maintenance window, or retrain instead.
   *
   * Determinism: centroids and codebook follow the v04/v09 stride rules, so
   * query results are bit-identical to [[Similarity.ivfPqTopK]] on the same
@@ -37,17 +41,56 @@ final class VectorIndex(spark: SparkSession, root: String,
                         dims: Int = 64) {
   require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
   private val dsub = dims / m
-  private val indexDir = s"$root/index"
-  private val metaDir = s"$root/meta"
-  private val tombDir = s"$root/tombstones"
+
+  // ── GENERATIONS (serve-while-retraining) ────────────────────────────────
+  // Every generation is a directory `.v-<N>` that is never mutated once a
+  // later generation goes live; the pointer file `_gen` names the LIVE one
+  // (atomic temp-write + move — the LogTable manifest principle applied to
+  // the index layout). Readers resolve the pointer once per call and then
+  // touch only that generation's immutable files, so a [[retrain]] (which
+  // writes `.v-<N+1>` COMPLETELY and only then flips the pointer) never
+  // disturbs an in-flight query: the reader finishes on the snapshot it
+  // opened — exactly one committed version, never a mix
+  // (ServeDuringRetrainSpec forces the interleaving). A root without a
+  // pointer file is read as the legacy/retired single-generation layout
+  // (meta/index/tombstones directly under it) — which is precisely how
+  // [[version]] handles keep working on retired dirs.
+  private def genPointer = java.nio.file.Paths.get(root, "_gen")
+  private[graft] def currentGen: Long =
+    if (!java.nio.file.Files.exists(genPointer)) 0L
+    else new String(java.nio.file.Files.readAllBytes(genPointer)).trim.toLong
+  private def genDir(g: Long): java.nio.file.Path =
+    java.nio.file.Paths.get(root, s".v-$g")
+  /** The live generation's directory (spec hook; legacy roots serve
+    * themselves). */
+  private[graft] def liveRoot: java.nio.file.Path =
+    if (java.nio.file.Files.exists(genPointer)) genDir(currentGen)
+    else java.nio.file.Paths.get(root)
+  private def setGen(g: Long): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    Files.createDirectories(Paths.get(root))
+    val tmp = Files.createTempFile(Paths.get(root), "._gen-", ".tmp")
+    Files.write(tmp, g.toString.getBytes)
+    Files.move(tmp, genPointer, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+  private def indexDir = liveRoot.resolve("index").toString
+  private def metaDir = liveRoot.resolve("meta").toString
+  private def tombDir = liveRoot.resolve("tombstones").toString
 
   /** Build the index from `corpus` (vec_id, embedding): stride-sampled
     * centroids + codebook (v04/v09 rules), cell assignment via the native
     * [[graft.functions.NearestCellsExpr]], PQ codes via
     * [[graft.functions.PqEncodeExpr]], layout partitioned by cell. */
   def build(corpus: DataFrame): Unit = {
-    buildMeta(corpus)
-    writeCodesTo(corpus, loadMeta(), indexDir, mode = "overwrite")
+    // a (re)build cuts a FRESH generation and flips the pointer only once
+    // the codes are fully written — a concurrent reader never sees a
+    // half-built index
+    val g = currentGen + 1
+    writeMetaTo(corpus, genDir(g).resolve("meta").toString)
+    writeCodesTo(corpus, loadMetaFrom(genDir(g).resolve("meta").toString),
+      genDir(g).resolve("index").toString, mode = "overwrite")
+    setGen(g)
   }
 
   private def writeCodesTo(corpus: DataFrame,
@@ -69,7 +112,11 @@ final class VectorIndex(spark: SparkSession, root: String,
     * streams the corpus itself through foreachBatch appends; because codes
     * are a pure function of (vector, frozen meta), the resulting index is
     * bit-identical to a one-shot [[build]] regardless of batch split. */
-  def buildMeta(corpus: DataFrame): Unit = writeMetaTo(corpus, metaDir)
+  def buildMeta(corpus: DataFrame): Unit = {
+    val g = currentGen + 1
+    writeMetaTo(corpus, genDir(g).resolve("meta").toString)
+    setGen(g) // meta-only generation: [[append]] then fills its index
+  }
 
   private def writeMetaTo(corpus: DataFrame, dest: String): Unit = {
     VectorFunctions.register(spark)
@@ -171,34 +218,17 @@ final class VectorIndex(spark: SparkSession, root: String,
     * assumes — concurrent queries during a cutover should read a pinned
     * [[version]]. */
   def retrain(corpus: DataFrame): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
     val live = tombstones.fold(corpus)(ts =>
       corpus.join(broadcast(ts), Seq("vec_id"), "left_anti"))
-    val staging = Paths.get(root, ".retrain-staging")
-    deleteRec(staging)
-    writeMetaTo(live, staging.resolve("meta").toString)
-    val metaRows = spark.read.parquet(staging.resolve("meta").toString).collect()
-    val cents = metaRows.filter(_.getString(0) == "centroid")
-      .map(r => (r.getInt(1), r.getSeq[Double](2))).sortBy(_._1)
-    val cb = metaRows.find(_.getString(0) == "codebook").get.getSeq[Double](2)
-    writeCodesTo(live, (cents, cb), staging.resolve("index").toString,
-      mode = "overwrite")
-    // cutover: retire the live generation (rename-only), then move the new
-    // one in — old version remains readable at .v-<gen>
-    val gen = versions.foldLeft(0L)(math.max) + 1
-    val retired = Paths.get(root, s".v-$gen")
-    Files.createDirectories(retired)
-    Seq("meta" -> metaDir, "index" -> indexDir, "tombstones" -> tombDir)
-      .foreach { case (name, dir) =>
-        val p = Paths.get(dir)
-        if (Files.exists(p))
-          Files.move(p, retired.resolve(name), StandardCopyOption.ATOMIC_MOVE)
-      }
-    Files.move(staging.resolve("meta"), Paths.get(metaDir),
-      StandardCopyOption.ATOMIC_MOVE)
-    Files.move(staging.resolve("index"), Paths.get(indexDir),
-      StandardCopyOption.ATOMIC_MOVE)
-    deleteRec(staging)
+    // write the ENTIRE next generation beside the live one, then flip the
+    // pointer: the previous generation's directory is never touched, so a
+    // reader mid-query keeps its snapshot and [[version]] serves the
+    // retired generation (with its own tombstone set) forever after
+    val g = currentGen + 1
+    writeMetaTo(live, genDir(g).resolve("meta").toString)
+    writeCodesTo(live, loadMetaFrom(genDir(g).resolve("meta").toString),
+      genDir(g).resolve("index").toString, mode = "overwrite")
+    setGen(g) // tombstones folded in: the new generation starts clean
   }
 
   /** v26's occupancy signal read off the PERSISTED layout: the maximum
@@ -216,27 +246,33 @@ final class VectorIndex(spark: SparkSession, root: String,
     if (total == 0) 0.0 else counts.max * nlist / total
   }
 
-  /** Retired generations, ascending (empty before the first [[retrain]]). */
+  /** Retired generations, ascending (every generation below the live one —
+    * empty before the first [[retrain]]/rebuild). */
   def versions: Seq[Long] = {
     import scala.jdk.CollectionConverters._
     val p = java.nio.file.Paths.get(root)
     val VDir = """\.v-(\d+)""".r
+    val cur = currentGen
     if (!java.nio.file.Files.exists(p)) Seq.empty
     else java.nio.file.Files.list(p).iterator().asScala
       .map(_.getFileName.toString).collect { case VDir(n) => n.toLong }
-      .toSeq.sorted
+      .filter(_ != cur).toSeq.sorted
   }
 
   /** A read handle on retired generation `v` — same query surface, its own
-    * meta/index/tombstones, untouched by later retrains. */
+    * meta/index/tombstones, untouched by later retrains (the gen dir has
+    * no pointer file, so the handle serves it as a legacy root). */
   def version(v: Long): VectorIndex = {
     require(versions.contains(v),
       s"index generation $v not retained; available: ${versions.mkString(", ")}")
-    new VectorIndex(spark, s"$root/.v-$v", nlist, m, ksub, dims)
+    new VectorIndex(spark, genDir(v).toString, nlist, m, ksub, dims)
   }
 
-  private def loadMeta(): (Array[(Int, Seq[Double])], Seq[Double]) = {
-    val rows = spark.read.parquet(metaDir).collect()
+  private def loadMeta(): (Array[(Int, Seq[Double])], Seq[Double]) =
+    loadMetaFrom(metaDir)
+
+  private def loadMetaFrom(dir: String): (Array[(Int, Seq[Double])], Seq[Double]) = {
+    val rows = spark.read.parquet(dir).collect()
     val cents = rows.filter(_.getString(0) == "centroid")
       .map(r => (r.getInt(1), r.getSeq[Double](2))).sortBy(_._1)
     val cb = rows.find(_.getString(0) == "codebook").get.getSeq[Double](2)

@@ -57,14 +57,24 @@ object ZOrder {
     * heavily duplicated boundary values collapse (fewer, fatter buckets) —
     * inherent to any equi-depth scheme on skewed data. */
   def rangeBucketed(df: DataFrame, c: String, buckets: Int, as: String,
-                    relErr: Double = 0.001): DataFrame = {
-    require(buckets >= 2, "rangeBucketed: need at least 2 buckets")
+                    relErr: Double = 0.001): DataFrame =
+    df.withColumn(as, bucketExpr(col(c), quantileBounds(df, c, buckets, relErr)))
+
+  /** Equi-depth boundary values for [[bucketExpr]] — one GK-sketch pass. */
+  def quantileBounds(df: DataFrame, c: String, buckets: Int,
+                     relErr: Double = 0.001): Array[Double] = {
+    require(buckets >= 2, "quantileBounds: need at least 2 buckets")
     val probes = (1 until buckets).map(_.toDouble / buckets).toArray
-    val bounds = df.stat.approxQuantile(c, probes, relErr).distinct.sorted
-    val id = bounds.map(b => when(col(c) > lit(b), 1).otherwise(0))
-      .reduce[Column](_ + _)
-    df.withColumn(as, id.cast("int"))
+    df.stat.approxQuantile(c, probes, relErr).distinct.sorted
   }
+
+  /** Codegen'd bucket id of `c` against precomputed `bounds` (broadcast
+    * literals — a comparison chain, no shuffle, no window). Empty bounds
+    * (constant column) collapse to bucket 0. */
+  def bucketExpr(c: Column, bounds: Array[Double]): Column =
+    if (bounds.isEmpty) lit(0)
+    else bounds.map(b => when(c > lit(b), 1).otherwise(0))
+      .reduce[Column](_ + _).cast("int")
 
   /** Write `df` clustered by the z-order of two int columns: range-partition
     * on the z-code (sampled bounds, parallel), sort within partitions, write

@@ -2079,5 +2079,118 @@ object MergeQueries {
            |ORDER BY k""".stripMargin),
     "incremental (liquid) clustering: first pass clusters the backlog, later passes rewrite only new files, clustered files kept verbatim, no-op when nothing new, stats pruning across clustered generations")
 
-  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl, opt, del, rst, vac, dvq, dvtt, occ, occContended, logLifecycle, logMaintenance, logChangeFeed, logClustered, logEvolve, logSql, logConstraints, logTimestamps, scd2q, logColumnMapping, generatedCols, logClone, logRowTracking, logWidening, logCdfTyped, logReplaceWhere, logLiquid)
+  /** MULTI-COLUMN LIQUID CLUSTERING (q85) — q84's incremental contract
+    * with TWO cluster keys: `compactIncremental(Seq(k, price))` clusters
+    * each pass on the MORTON INTERLEAVE of the keys' equi-depth bucket ids
+    * (q43's z-order composed into the log table's OPTIMIZE), so every
+    * rewritten file covers a tight RECTANGLE of the 2-D key space and the
+    * manifest stats prune range reads on EITHER column — the property a
+    * lexicographic 2-key sort cannot give the trailing key. The row
+    * `require`s, ACROSS the two clustered generations: (a) incremental
+    * semantics (first pass = backlog, second = only new files, gen-1 files
+    * kept byte-identical, third pass a no-op), and (b) pruning on BOTH
+    * columns (each readRange opens fewer files than live — and the
+    * price-side prune is the one q84's single-key layout cannot do).
+    * Bounds are data-derived (min+50k ≈ 10% of the price domain, 375/3812
+    * rows at sf0.01/sf0.1 — probed non-vacuous, the d49 rule). */
+  val logLiquidMulti = QueryDef(
+    "q85_logtable_liquid_multikey",
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+      val maxK = o.agg(max(col("k"))).head().getLong(0)
+      val minP = o.agg(min(col("price"))).head().getDouble(0)
+      val root = FixtureDirs.create("q85-lcm-").resolve("orders_lcm").toString
+      val t = new graft.merge.LogTable(spark, root, o.schema,
+        statsBy = Seq("k", "price"))
+      val h = pmod(conv(substring(md5(col("k").cast("string")), 1, 2), 16, 10)
+        .cast("int"), lit(2))
+      val target = 16L << 10 // small files: enough rectangles to prune
+      t.append(o.filter(h === 0).repartition(3))                        // v1
+      require(t.compactIncremental(Seq("k", "price"), target) == 3,     // v2
+        "first pass must rewrite the whole backlog")
+      val gen1 = t.liveFileNames().toSet
+      t.append(o.filter(h =!= 0).repartition(2))                        // v3
+      require(t.compactIncremental(Seq("k", "price"), target) == 2,     // v4
+        "second pass must rewrite only the new files")
+      require(gen1.subsetOf(t.liveFileNames().toSet),
+        "already-clustered files must be kept byte-identical")
+      require(t.compactIncremental(Seq("k", "price"), target) == 0,
+        "nothing new: must be a version-free no-op")
+      val live = t.liveFileNames().size
+      val hitK = t.readRange("k", lit(0L), lit(maxK / 4))
+      require(hitK.inputFiles.length < live,
+        s"k-range read must prune below the $live live files " +
+          s"(opened ${hitK.inputFiles.length})")
+      val hitP = t.readRange("price", lit(minP), lit(minP + 20000.0))
+      require(hitP.inputFiles.length < live,
+        s"price-range read must prune below the $live live files " +
+          s"(opened ${hitP.inputFiles.length}) — the trailing-key prune " +
+          "a lexicographic layout cannot do")
+      t.read().filter(col("k") <= maxK / 4 &&
+          col("price") <= lit(minP) + lit(50000.0))
+        .select(col("k"), col("price"))
+        .orderBy(col("k"))
+    },
+    Some("""SELECT o_orderkey AS k, o_totalprice AS price FROM orders
+           |WHERE o_orderkey <= (SELECT max(o_orderkey) FROM orders) // 4
+           |  AND o_totalprice <= (SELECT min(o_totalprice) FROM orders)
+           |      + CAST(50000 AS DOUBLE)
+           |ORDER BY k""".stripMargin),
+    "multi-column liquid clustering: incremental passes cluster on the Morton interleave of two keys' equi-depth buckets — manifest stats prune range reads on either column across generations")
+
+  /** SNAPSHOT ISOLATION FOR READERS (q86) — the serve-while-maintaining
+    * contract as a verified row: a reader that resolved its manifest at
+    * version v serves EXACTLY v's content no matter what commits after —
+    * a DV delete (v2) and a full occMerge rewrite (v3) land between each
+    * pinned reader's open and its execution, and each phase `require`s /
+    * emits the version it opened, never a mix. This falls out of the
+    * manifest design (immutable uuid data files, commits never delete
+    * files), and the forced MID-SCAN interleave (gate-UDF latches, the
+    * q66b discipline on the read side) is SnapshotIsolationSpec's pin;
+    * this row keeps the end-to-end semantics on the correctness gate.
+    * ServeDuringRetrainSpec proves the same contract for the persisted
+    * vector index's generation-pointer cutover. */
+  val logSnapshotIso = QueryDef(
+    "q86_logtable_snapshot_isolation",
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+      val root = FixtureDirs.create("q86-si-").resolve("orders_si").toString
+      val t = new graft.merge.LogTable(spark, root, o.schema)
+      t.append(o)                                    // v1
+      val pinnedV1 = t.read()                        // manifest resolved at v1
+      require(t.deleteWhere(pmod(col("k"), lit(7)) === 0) > 0) // v2 (DV)
+      val pinnedV2 = t.read()                        // resolved at v2
+      // batch touches only LIVE keys (a %21 key would otherwise re-insert
+      // a v2-deleted row and diverge from the oracle's live CTE)
+      t.occMerge(o.filter(pmod(col("k"), lit(3)) === 0 &&
+            pmod(col("k"), lit(7)) =!= 0)
+          .select(col("k"), (col("price") + lit(1.0)).as("price"))) {
+        (cur, b) => graft.merge.Merge.scd1(cur, b, Seq("k"))
+      }                                              // v3 (full rewrite)
+      val live = t.read()
+      // the v1 reader must serve the pre-delete row count exactly
+      require(pinnedV1.count() == o.count(),
+        "v1 reader lost rows to a later commit")
+      pinnedV1.withColumn("phase", lit("a_v1"))
+        .unionByName(pinnedV2.withColumn("phase", lit("b_v2")))
+        .unionByName(live.withColumn("phase", lit("c_live")))
+        .select(col("phase"), col("k"), col("price"))
+        .orderBy(col("phase"), col("k"))
+    },
+    Some("""WITH v1 AS (SELECT 'a_v1' AS phase, o_orderkey AS k, o_totalprice AS price
+           |  FROM orders),
+           |v2 AS (SELECT 'b_v2' AS phase, o_orderkey AS k, o_totalprice AS price
+           |  FROM orders WHERE o_orderkey % 7 <> 0),
+           |live AS (SELECT 'c_live' AS phase, o_orderkey AS k,
+           |    CASE WHEN o_orderkey % 3 = 0
+           |         THEN o_totalprice + CAST(1 AS DOUBLE)
+           |         ELSE o_totalprice END AS price
+           |  FROM orders WHERE o_orderkey % 7 <> 0)
+           |SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM live
+           |ORDER BY phase, k""".stripMargin),
+    "snapshot isolation for readers: manifests pinned at open serve exactly their version across a later DV delete and a full rewrite — never a mix (forced mid-scan interleave spec-pinned)")
+
+  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl, opt, del, rst, vac, dvq, dvtt, occ, occContended, logLifecycle, logMaintenance, logChangeFeed, logClustered, logEvolve, logSql, logConstraints, logTimestamps, scd2q, logColumnMapping, generatedCols, logClone, logRowTracking, logWidening, logCdfTyped, logReplaceWhere, logLiquid, logLiquidMulti, logSnapshotIso)
 }

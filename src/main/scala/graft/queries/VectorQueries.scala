@@ -836,6 +836,35 @@ object VectorQueries {
        |  FROM scored) WHERE rank <= 5)""".stripMargin
   }
 
+  /** [[knnEdgeCtesScaled]]'s build stages over an ARBITRARY node relation
+    * `$rel(vec_id, emb)` (which the caller defines) — the scaled-nlist IVF
+    * edge build exactly as [[Similarity.ivfTopK]] computes it, yielding
+    * `nlv(nl)` and `knn(query_id, vec_id, cos)`. v36 uses it to build the
+    * BASE graph over a filtered corpus. */
+  private def knnEdgeStagesFor(rel: String): String = {
+    val nprobe = 4
+    val affCos = cosSql("b.emb", "cent.cemb")
+    val cos = cosSql("q.emb", "t.emb")
+    s"""nlv AS (SELECT greatest(16, count(*) // 50) AS nl FROM $rel),
+       |cent AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, emb AS cemb
+       |  FROM $rel WHERE vec_id % greatest(1, (SELECT count(*) FROM $rel) // (SELECT nl FROM nlv)) = 0
+       |  QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT nl FROM nlv)),
+       |aff AS MATERIALIZED (SELECT b.vec_id, cent.cell, $affCos AS a FROM $rel b, cent),
+       |assign AS (SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell DESC) AS rn
+       |    FROM aff) WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell DESC) AS rn
+       |    FROM aff) WHERE rn <= $nprobe),
+       |scored AS (SELECT p.query_id, s.vec_id, round($cos, 6) AS cos
+       |  FROM probes p JOIN assign s ON s.cell = p.cell
+       |  JOIN $rel q ON q.vec_id = p.query_id JOIN $rel t ON t.vec_id = s.vec_id
+       |  WHERE s.vec_id <> p.query_id),
+       |knn AS MATERIALIZED (SELECT query_id, vec_id, cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored) WHERE rank <= 5)""".stripMargin
+  }
+
   val v17 = QueryDef(
     "v17_knn_graph",
     (spark, dir) => {
@@ -1569,6 +1598,17 @@ object VectorQueries {
     },
     "residual IVF-PQ ANN: FAISS-style residual codes, per-probe ADC tables, exact re-rank (LLM-pipeline op)")
 
+  /** Shared sign-fingerprint CTE (v30/v30b): packs each 64-dim double
+    * vector's sign bits into two BIGINT words over a relation named `e` —
+    * the SQL mirror of [[Similarity.signBits]]. */
+  private val signBitsCte =
+    s"""bits AS (SELECT vec_id,
+       |    CAST(list_sum([CASE WHEN emb[i+1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END
+       |      for i in range(0, 32)]) AS BIGINT) AS lo,
+       |    CAST(list_sum([CASE WHEN emb[i+33] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END
+       |      for i in range(0, 32)]) AS BIGINT) AS hi
+       |  FROM e)""".stripMargin
+
   /** BINARY SIGN QUANTIZATION + HAMMING SEARCH —
     * [[Similarity.binaryHammingTopK]]: 1 bit/dim fingerprints, integer
     * Hamming shortlist, exact re-rank. The oracle packs the same sign
@@ -1587,12 +1627,7 @@ object VectorQueries {
       val shortlist = 50
       val cos = cosSql("q.emb", "t.emb")
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-         |bits AS (SELECT vec_id,
-         |    CAST(list_sum([CASE WHEN emb[i+1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END
-         |      for i in range(0, 32)]) AS BIGINT) AS lo,
-         |    CAST(list_sum([CASE WHEN emb[i+33] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END
-         |      for i in range(0, 32)]) AS BIGINT) AS hi
-         |  FROM e),
+         |$signBitsCte,
          |ham AS (SELECT q.vec_id AS query_id, c.vec_id,
          |    CAST(bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi)) AS INTEGER) AS hamming
          |  FROM bits q JOIN bits c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
@@ -1607,6 +1642,64 @@ object VectorQueries {
          |ORDER BY query_id, rank""".stripMargin
     },
     "binary sign quantization + Hamming shortlist + exact re-rank: the 1-bit/dim ANN memory lever (LLM-pipeline op)")
+
+  /** PIGEONHOLE-BANDED HAMMING NEAR-DUP (v30b) —
+    * [[Similarity.binaryHammingRadius]], the scale upgrade v30's scaladoc
+    * promised: radius-bounded fingerprint pairs via an equi-join on
+    * 8-bit bands (no panel×corpus or all-pairs scan anywhere in the plan —
+    * PlanAuditSpec pins it). Near-dups are PLANTED (the v33 fixture
+    * discipline): every 10th vector gets a rendition `x·1.02 + 0.005`
+    * (in double), measured at Hamming 0–4 from its source at both SFs,
+    * while the closest ORGANIC pair sits at 14 — so radius 7 with 8 bands
+    * separates perfectly and the row `require`s exactly the planted pairs
+    * found (a dead band join or a missed plant turns the row red).
+    * The oracle shares v30's bits CTE and mirrors the banding with
+    * integer shifts — all-integer, hash-exact. */
+  val v30b = QueryDef(
+    "v30b_hamming_pigeonhole",
+    (spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val base = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val rend = base.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"),
+            x => x * lit(1.02) + lit(0.005)).as("embedding"))
+      val out = Similarity.binaryHammingRadius(base.unionByName(rend),
+          maxHamming = 7, bands = 8)
+        .localCheckpoint(true) // consumed twice: the teeth count + result
+      val nPlants = base.filter(col("vec_id") % 10 === 0).count()
+      val found = out.count()
+      val planted =
+        out.filter(col("doc_b") === col("doc_a") + 1000000L).count()
+      require(found == nPlants && planted == nPlants,
+        s"pigeonhole near-dup off: $found found / $planted planted-pairs " +
+          s"vs $nPlants plants (band join dead or a plant missed)")
+      out.orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some {
+      s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |rend AS (SELECT vec_id + 1000000 AS vec_id,
+         |    [x * CAST(1.02 AS DOUBLE) + CAST(0.005 AS DOUBLE) for x in emb] AS emb
+         |  FROM e0 WHERE vec_id % 10 = 0),
+         |e AS (SELECT * FROM e0 UNION ALL SELECT * FROM rend),
+         |$signBitsCte,
+         |banded AS (SELECT vec_id, lo, hi, b AS band_idx,
+         |    CASE WHEN b < 4 THEN (lo >> (b * 8)) & 255
+         |         ELSE (hi >> ((b - 4) * 8)) & 255 END AS band
+         |  FROM bits, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS b)),
+         |cand AS (SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         |    a.lo AS lo_a, a.hi AS hi_a, b.lo AS lo_b, b.hi AS hi_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band_idx = b.band_idx AND a.band = b.band
+         |    AND a.vec_id < b.vec_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) AS INTEGER) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= 7
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "pigeonhole-banded binary-Hamming near-dup: radius-bounded fingerprint pairs via 8-bit band equi-join, planted renditions required caught — no all-pairs scan (LLM-pipeline op)")
 
   /** RAG SERVING STACK (v31) — the full retrieval path a serving layer
     * runs per query, composed as ONE plan: IVF retrieval (v04's cell
@@ -1836,6 +1929,13 @@ object VectorQueries {
       val lex = bm.join(broadcast(qterms), Seq("term"))
         .filter(col("doc_id") =!= col("query_id"))
         .groupBy(col("query_id"), col("doc_id"))
+        // INTERPRETED HOF, deliberately: the ordered fold is the float
+        // contract (term-ascending sum ≡ DuckDB list_sum ORDER BY), and
+        // the array is bounded by |query terms| per group AFTER the
+        // broadcast join — O(few) elements. DO NOT copy this shape into a
+        // per-row hot path or a single-partition micro-batch (the d33/s21
+        // trap): there, replace it with a native codegen'd expression
+        // (TopBigramFracExpr / CosineSimilarity pattern).
         .agg(aggregate(
           sort_array(collect_list(struct(col("term"), col("bm25")))),
           lit(0.0), (acc, x) => acc + x.getField("bm25")).as("lex"))
@@ -1914,64 +2014,41 @@ object VectorQueries {
     },
     "hybrid retrieval: BM25 + vector top-k fused by reciprocal-rank fusion, ordered-fold float discipline (LLM-pipeline op)")
 
-  /** Greedy best-first graph search shared by v35/v35b: per round, take
-    * the top-B UNEXPANDED visited candidates per query (re-expanding the
-    * beam stalls after one wave — the first cut did exactly that and read
-    * chance-level recall), mark them expanded, score their out-neighbors
-    * into the visited set. Returns visited (query_id, vec_id, cos). */
+  /** Greedy best-first graph search shared by v35/v35b/v36 — moved to
+    * [[Similarity.beamSearchVisited]] so [[Similarity.graphInsert]] can
+    * reuse it; kept as a local alias for the QueryDefs below. */
   private def beamSearchVisited(emb: org.apache.spark.sql.DataFrame,
                                 edges: org.apache.spark.sql.DataFrame,
                                 queries: org.apache.spark.sql.DataFrame,
                                 seed: org.apache.spark.sql.DataFrame,
-                                b: Int, r: Int): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    def score(cand: org.apache.spark.sql.DataFrame) = cand // (query_id, vec_id)
-      .join(emb, "vec_id").join(queries.hint("broadcast"), "query_id")
-      .select(col("query_id"), col("vec_id"),
-        round(VectorFunctions.cosineSim(col("q_vec"), col("embedding")), 6)
-          .as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    var visited = score(seed).localCheckpoint(true)
-    var expanded = visited.select(col("query_id"), col("vec_id")).limit(0)
-      .localCheckpoint(true)
-    (1 to r).foreach { _ =>
-      val frontier = visited
-        .join(expanded, Seq("query_id", "vec_id"), "left_anti")
-        .withColumn("rn", row_number().over(w)).filter(col("rn") <= b)
-        .drop("rn").localCheckpoint(true)
-      expanded = expanded
-        .unionByName(frontier.select(col("query_id"), col("vec_id")))
-        .localCheckpoint(true)
-      val ex = frontier.join(edges.hint("broadcast"),
-          frontier("vec_id") === edges("src"))
-        .select(col("query_id"), col("dst").as("vec_id")).distinct()
-      visited = visited.unionByName(score(ex))
-        .dropDuplicates("query_id", "vec_id").localCheckpoint(true)
-    }
-    visited
-  }
+                                b: Int, r: Int): org.apache.spark.sql.DataFrame =
+    Similarity.beamSearchVisited(emb, edges, queries, seed, b, r)
 
-  /** DuckDB replay of [[beamSearchVisited]]'s rounds, assuming CTEs
-    * `v0(query_id, vec_id, cos)`, `edges(src, dst)`, `qs(query_id, q_vec)`,
-    * `e(vec_id, emb)` are in scope; yields `v$rounds` as the final visited
-    * set. Frontier = top-B not-yet-expanded (ANTI JOIN vs the expanded
-    * accumulator), exactly the Spark loop. */
-  private def beamRoundsSql(rounds: Int, b: Int): String = {
+  /** DuckDB replay of [[Similarity.beamSearchVisited]]'s rounds, assuming
+    * CTEs `${p}v0(query_id, vec_id, cos)`, `$edges(src, dst)`,
+    * `$qs(query_id, q_vec)`, `$corpus(vec_id, emb)` are in scope; yields
+    * `${p}v$rounds` as the final visited set. Frontier = top-B
+    * not-yet-expanded (ANTI JOIN vs the expanded accumulator), exactly the
+    * Spark loop. The `p` prefix keeps two searches in one WITH clause
+    * collision-free (v36 runs the insert search and the eval search in one
+    * oracle). */
+  private def beamRoundsSql(rounds: Int, b: Int, p: String = "",
+                            edges: String = "edges", corpus: String = "e",
+                            qs: String = "qs"): String = {
     val cosQ = cosSql("q.q_vec", "t.emb")
     (1 to rounds).map { r =>
       val frontierSrc =
-        if (r == 1) "v0"
-        else s"(SELECT v.* FROM v${r - 1} v ANTI JOIN e${r - 1} USING (query_id, vec_id))"
-      s"""f$r AS (SELECT query_id, vec_id, cos FROM $frontierSrc
+        if (r == 1) s"${p}v0"
+        else s"(SELECT v.* FROM ${p}v${r - 1} v ANTI JOIN ${p}e${r - 1} USING (query_id, vec_id))"
+      s"""${p}f$r AS MATERIALIZED (SELECT query_id, vec_id, cos FROM $frontierSrc
          |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) <= $b),
-         |e$r AS (${if (r == 1) "" else s"SELECT query_id, vec_id FROM e${r - 1} UNION "}SELECT query_id, vec_id FROM f$r),
-         |x$r AS (SELECT DISTINCT f.query_id, ed.dst AS vec_id
-         |  FROM f$r f JOIN edges ed ON ed.src = f.vec_id),
-         |sx$r AS (SELECT x.query_id, x.vec_id, round($cosQ, 6) AS cos
-         |  FROM x$r x JOIN e t ON t.vec_id = x.vec_id
-         |  JOIN qs q ON q.query_id = x.query_id),
-         |v$r AS (SELECT * FROM v${r - 1} UNION SELECT * FROM sx$r)""".stripMargin
+         |${p}e$r AS MATERIALIZED (${if (r == 1) "" else s"SELECT query_id, vec_id FROM ${p}e${r - 1} UNION "}SELECT query_id, vec_id FROM ${p}f$r),
+         |${p}x$r AS (SELECT DISTINCT f.query_id, ed.dst AS vec_id
+         |  FROM ${p}f$r f JOIN $edges ed ON ed.src = f.vec_id),
+         |${p}sx$r AS (SELECT x.query_id, x.vec_id, round($cosQ, 6) AS cos
+         |  FROM ${p}x$r x JOIN $corpus t ON t.vec_id = x.vec_id
+         |  JOIN $qs q ON q.query_id = x.query_id),
+         |${p}v$r AS MATERIALIZED (SELECT * FROM ${p}v${r - 1} UNION SELECT * FROM ${p}sx$r)""".stripMargin
     }.mkString(",\n")
   }
 
@@ -2157,9 +2234,136 @@ object VectorQueries {
          |FROM found f LEFT JOIN truth t USING (query_id, vec_id)
          |ORDER BY query_id, rank""".stripMargin
     },
-    "multi-entry graph-ANN beam search: one entry per IVF cell (routing points double as graph entries — the DiskANN hybrid idea), recall required above 1/2 where single-entry v35 sits near 1/8")
+    "multi-entry graph-ANN beam search: one entry per IVF cell (routing points double as graph entries — the DiskANN hybrid idea), recall required above 1/3 where single-entry v35 sits near 1/8")
+
+  /** INCREMENTAL GRAPH-ANN INSERT (v36) — [[Similarity.graphInsert]], the
+    * lifecycle verb v35/v35b lack: the corpus splits into a BASE
+    * (vec_id % 9 ≠ 4, the pre-existing index) and a BATCH (vec_id % 9 = 4,
+    * ~11% arriving later); the base graph is the v17b scaled-nlist IVF
+    * build over the base alone, and each batch vector is inserted by
+    * beam-searching the base graph from its routing points, connecting to
+    * its top-M=5 visited nodes, and re-pruning the touched base nodes'
+    * out-degree to 5 with the nearest connection's back-edge holding a
+    * priority seat (the HNSW insert + neighbor-shrink, batch form —
+    * without the seat 4 of 56 inserts orphaned on the spec fixture). The
+    * row then runs the v35b eval over the GROWN graph against the UNION
+    * corpus: top-K=3 per panel query, hit flag vs exact brute truth.
+    * Requires pin (a) exactly K rows per query, (b) the recall band
+    * measured at both SFs (grown-graph recall within the from-scratch
+    * band — GraphInsertSpec additionally compares against the actual
+    * from-scratch build), and (c) at least one INSERTED node retrieved
+    * (the inserts are genuinely reachable — back-edges work; a
+    * forward-only insert fails this).
+    *
+    * Every stage is deterministic (rounded cos + id tie-breaks), so base
+    * build, batch insert, and eval search all REPLAY in one DuckDB WITH
+    * clause — two beam searches distinguished by CTE prefix. Scale: the
+    * insert is per-batch-vector bounded work (rounds × beam × out-degree,
+    * never a corpus scan); at 100 TB batches stream in while the base
+    * graph stays frozen between retrains (the v13/v15/v19 discipline). */
+  val v36 = QueryDef(
+    "v36_graph_ann_insert",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      VectorFunctions.register(spark)
+      val B = 8; val R = 4; val K = 3 // eval budget (v35b's)
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      val isNew = pmod(col("vec_id"), lit(9)) === 4
+      val base = emb.filter(!isNew).localCheckpoint(true)
+      val nbase = base.count()
+      val nlist = math.max(16L, nbase / 50).toInt
+      val stride = math.max(1L, nbase / nlist)
+      val baseEdges = Similarity.ivfTopK(base, base,
+          VectorFunctions.cosineSim, k = 5, nlist = nlist, nprobe = 4)
+        .select(col("query_id").as("src"), col("vec_id").as("dst"),
+          col("cos"))
+        .localCheckpoint(true)
+      val entries = base.filter(pmod(col("vec_id"), lit(stride)) === 0)
+        .orderBy(col("vec_id")).limit(nlist).select(col("vec_id"))
+        .localCheckpoint(true)
+      val grown = Similarity.graphInsert(base, baseEdges, emb.filter(isNew),
+          entries, beam = 8, rounds = 3, m = 5, outDegree = 5)
+        .select(col("src"), col("dst")).localCheckpoint(true)
+      val qPred = pmod(col("vec_id"), lit(53)) === 0 &&
+        col("vec_id") <= lit(53L * 40)
+      val queries = emb.filter(qPred)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+        .localCheckpoint(true)
+      val visited = beamSearchVisited(emb, grown, queries,
+        queries.select(col("query_id")).crossJoin(entries), B, R)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val truth = Similarity.bruteForceTopK(emb.filter(qPred), emb,
+          VectorFunctions.cosineSim, k = K)
+        .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+      val found = visited.filter(col("vec_id") =!= col("query_id"))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= K)
+      val out = found.join(truth, Seq("query_id", "vec_id"), "left")
+        .select(col("query_id"), col("rank").cast("int").as("rank"),
+          col("vec_id"), col("cos"), coalesce(col("hit"), lit(0)).as("hit"))
+        .orderBy(col("query_id"), col("rank"))
+        .localCheckpoint(true)
+      val q = queries.count()
+      require(out.count() == q * K, "every query must emit exactly K rows")
+      val hits = out.agg(sum(col("hit"))).head().getLong(0)
+      require(hits * 3 > q * K && hits < q * K,
+        s"grown-graph recall out of the pinned band (got $hits of ${q * K})")
+      val newFound = out.filter(pmod(col("vec_id"), lit(9)) === 4).count()
+      require(newFound > 0,
+        "no inserted node was ever retrieved — inserts unreachable " +
+          "(back-edges missing or insert search dead)")
+      out
+    },
+    Some {
+      val cosQ = cosSql("q.q_vec", "t.emb")
+      val cosI = cosSql("q.q_vec", "t.emb")
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |base AS MATERIALIZED (SELECT * FROM e WHERE vec_id % 9 <> 4),
+         |${knnEdgeStagesFor("base")},
+         |bedges AS MATERIALIZED (SELECT query_id AS src, vec_id AS dst, cos FROM knn),
+         |iedges AS MATERIALIZED (SELECT src, dst FROM bedges),
+         |ent AS MATERIALIZED (SELECT vec_id FROM base
+         |  WHERE vec_id % greatest(1, (SELECT count(*) FROM base) // (SELECT nl FROM nlv)) = 0
+         |  QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT nl FROM nlv)),
+         |nq AS (SELECT vec_id AS query_id, emb AS q_vec FROM e WHERE vec_id % 9 = 4),
+         |iv0 AS (SELECT q.query_id, t.vec_id, round($cosI, 6) AS cos
+         |  FROM nq q CROSS JOIN ent JOIN base t ON t.vec_id = ent.vec_id),
+         |${beamRoundsSql(3, 8, p = "i", edges = "iedges", corpus = "base", qs = "nq")},
+         |conn AS MATERIALIZED (SELECT query_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+         |  FROM iv3 QUALIFY rn <= 5),
+         |rev AS (SELECT vec_id AS src, query_id AS dst, cos,
+         |    CASE WHEN rn = 1 THEN 0 ELSE 1 END AS pri FROM conn),
+         |grownb AS MATERIALIZED (SELECT src, dst FROM (
+         |    SELECT src, dst, cos, 1 AS pri FROM bedges
+         |    UNION ALL SELECT src, dst, cos, pri FROM rev)
+         |  QUALIFY row_number() OVER (PARTITION BY src ORDER BY pri, cos DESC, dst) <= 5),
+         |edges AS MATERIALIZED (SELECT src, dst FROM grownb
+         |  UNION ALL SELECT query_id AS src, vec_id AS dst FROM conn),
+         |qs AS (SELECT vec_id AS query_id, emb AS q_vec FROM e
+         |       WHERE vec_id % 53 = 0 AND vec_id <= 53 * 40),
+         |v0 AS (SELECT q.query_id, t.vec_id, round($cosQ, 6) AS cos
+         |  FROM qs q CROSS JOIN ent JOIN e t ON t.vec_id = ent.vec_id),
+         |${beamRoundsSql(4, 8)},
+         |found AS (SELECT query_id, vec_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+         |  FROM v4 WHERE vec_id <> query_id
+         |  QUALIFY rank <= 3),
+         |truth AS (SELECT query_id, vec_id FROM (
+         |    SELECT q.query_id, t.vec_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY round($cosQ, 6) DESC, t.vec_id) AS rn
+         |    FROM qs q JOIN e t ON t.vec_id <> q.query_id) WHERE rn <= 3)
+         |SELECT f.query_id, f.rank, f.vec_id, f.cos,
+         |       CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |FROM found f LEFT JOIN truth t USING (query_id, vec_id)
+         |ORDER BY query_id, rank""".stripMargin
+    },
+    "incremental graph-ANN insert (HNSW insert, batch form): beam-search the base graph, connect top-M reciprocal edges with neighbor-shrink, eval over the union corpus — inserted nodes required reachable")
 
   def defs: Seq[QueryDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
     v10, v11, v12, v13, v14, v15, v16, v17, v17b, v18, v19, v20, v21, v22, v23,
-    v24, v25, v26, v27, v28, v29, v30, v31, v32, v32b, v33, v34, v35, v35b)
+    v24, v25, v26, v27, v28, v29, v30, v30b, v31, v32, v32b, v33, v34, v35,
+    v35b, v36)
 }

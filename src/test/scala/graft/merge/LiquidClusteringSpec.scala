@@ -35,6 +35,37 @@ class LiquidClusteringSpec extends SparkSpec {
       Set((5L, "e"), (1L, "a"), (9L, "i"), (3L, "c"), (7L, "g"), (2L, "b")))
   }
 
+  test("two-key (Morton) clustering: incremental contract holds, content " +
+      "intact, and range reads prune on BOTH keys — including the trailing " +
+      "one a lexicographic sort cannot serve") {
+    val s = StructType(Seq(
+      StructField("a", LongType), StructField("b", LongType)))
+    val t = new LogTable(spark, tmp("lc-2k-"), s, statsBy = Seq("a", "b"))
+    // a 64x64 grid arriving key-random in two batches: z-clustered files
+    // must become rectangles, so narrow slices in EITHER dim prune
+    val grid = for (a <- 0L until 64L; b <- 0L until 64L) yield (a, b)
+    val (g1, g2) = grid.partition { case (a, b) => (a * 31 + b * 17) % 2 == 0 }
+    t.append(g1.toDF("a", "b").repartition(2))
+    assert(t.compactIncremental(Seq("a", "b"), targetFileBytes = 2048L) == 2)
+    val gen1 = t.liveFileNames().toSet
+    t.append(g2.toDF("a", "b").repartition(2))
+    assert(t.compactIncremental(Seq("a", "b"), targetFileBytes = 2048L) == 2)
+    assert(gen1.subsetOf(t.liveFileNames().toSet),
+      "gen-1 files must be kept byte-identical")
+    assert(t.compactIncremental(Seq("a", "b"), targetFileBytes = 2048L) == 0)
+    val live = t.liveFileNames().size
+    assert(live >= 6, s"fixture too coarse to show pruning ($live files)")
+    val hitA = t.readRange("a", lit(0L), lit(7L))
+    val hitB = t.readRange("b", lit(0L), lit(7L))
+    assert(hitA.inputFiles.length < live,
+      s"leading-key slice must prune (${hitA.inputFiles.length} of $live)")
+    assert(hitB.inputFiles.length < live,
+      s"trailing-key slice must prune (${hitB.inputFiles.length} of $live)")
+    assert(hitA.count() == 8 * 64 && hitB.count() == 8 * 64,
+      "range reads must stay exact through the pruning")
+    assert(t.read().as[(Long, Long)].collect().toSet == grid.toSet)
+  }
+
   test("DV composition: deletes on rewritten files materialize; deletes on " +
       "kept clustered files keep applying through the passed-through sidecar") {
     val t = new LogTable(spark, tmp("lc-dv-"), s2)

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.VectorFunctions
+import graft.sources.Tables
+
+/** [[Similarity.graphInsert]] — the HNSW-style incremental insert:
+  * idempotent under batch redelivery, back-edges make inserts reachable,
+  * and beam recall over the incrementally-grown graph holds a floor
+  * against the from-scratch build over the union corpus (exact graph
+  * equality is NOT guaranteed — the insert sees only the base graph — so
+  * the contract is recall, the property a serving layer actually needs). */
+class GraphInsertSpec extends SparkSpec {
+
+  private def edgeSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select(col("src"), col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private lazy val fixture = {
+    VectorFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    val isNew = pmod(col("vec_id"), lit(9)) === 4
+    val base = emb.filter(!isNew).localCheckpoint(true)
+    val batch = emb.filter(isNew).localCheckpoint(true)
+    val nbase = base.count()
+    val nlist = math.max(16L, nbase / 50).toInt
+    val stride = math.max(1L, nbase / nlist)
+    val baseEdges = Similarity.ivfTopK(base, base, VectorFunctions.cosineSim,
+        k = 5, nlist = nlist, nprobe = 4)
+      .select(col("query_id").as("src"), col("vec_id").as("dst"), col("cos"))
+      .localCheckpoint(true)
+    val entries = base.filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .orderBy(col("vec_id")).limit(nlist).select(col("vec_id"))
+      .localCheckpoint(true)
+    (emb, base, batch, baseEdges, entries)
+  }
+
+  test("insert is idempotent: re-delivering the batch over the grown graph " +
+      "is a set-exact no-op") {
+    val (emb, base, batch, baseEdges, entries) = fixture
+    val grown = Similarity.graphInsert(base, baseEdges, batch, entries)
+      .localCheckpoint(true)
+    // second delivery: the union corpus already contains every batch id,
+    // so the insert must anti-join them away and return the same edge set
+    val again = Similarity.graphInsert(emb, grown, batch, entries)
+    assert(edgeSet(again) == edgeSet(grown),
+      "re-inserting an already-present batch changed the graph")
+  }
+
+  test("back-edges land: every inserted node is reachable (has in-edges) " +
+      "and has out-edges; base out-degree stays <= 5") {
+    val (_, _, batch, baseEdges, entries) = fixture
+    val (emb, base, _, _, _) = fixture
+    val grown = Similarity.graphInsert(base, baseEdges, batch, entries)
+      .localCheckpoint(true)
+    val newIds = batch.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val inDeg = grown.filter(col("dst").isin(newIds.toSeq: _*))
+      .select(col("dst")).distinct().count()
+    val outDeg = grown.filter(col("src").isin(newIds.toSeq: _*))
+      .select(col("src")).distinct().count()
+    assert(inDeg == newIds.size, s"only $inDeg of ${newIds.size} inserts have in-edges")
+    assert(outDeg == newIds.size, s"only $outDeg of ${newIds.size} inserts have out-edges")
+    val maxOut = grown.groupBy(col("src")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(maxOut <= 5L, s"neighbor-shrink failed: out-degree $maxOut > 5")
+  }
+
+  test("recall contract: beam recall over the grown graph meets the floor " +
+      "vs the from-scratch graph over the union corpus") {
+    val (emb, base, batch, baseEdges, entries) = fixture
+    val B = 8; val R = 4; val K = 3
+    val grown = Similarity.graphInsert(base, baseEdges, batch, entries)
+      .select(col("src"), col("dst")).localCheckpoint(true)
+    // from-scratch: the same scaled-nlist build over the UNION corpus
+    val n = emb.count()
+    val nlist = math.max(16L, n / 50).toInt
+    val scratch = Similarity.ivfTopK(emb, emb, VectorFunctions.cosineSim,
+        k = 5, nlist = nlist, nprobe = 4)
+      .select(col("query_id").as("src"), col("vec_id").as("dst"))
+      .localCheckpoint(true)
+    val qPred = pmod(col("vec_id"), lit(53)) === 0 &&
+      col("vec_id") <= lit(53L * 40)
+    val queries = emb.filter(qPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+      .localCheckpoint(true)
+    val truth = Similarity.bruteForceTopK(emb.filter(qPred), emb,
+        VectorFunctions.cosineSim, k = K)
+      .select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(edges: org.apache.spark.sql.DataFrame): Long = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      Similarity.beamSearchVisited(emb, edges, queries,
+          queries.select(col("query_id")).crossJoin(entries), B, R)
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= K)
+        .select(col("query_id"), col("vec_id")).collect()
+        .count(r => truth.contains((r.getLong(0), r.getLong(1))))
+    }
+    val grownHits = recall(grown)
+    val scratchHits = recall(scratch)
+    assert(grownHits * 2 >= scratchHits,
+      s"grown-graph recall collapsed: $grownHits hits vs from-scratch $scratchHits")
+    assert(grownHits > 0, "grown-graph beam found no true neighbors at all")
+  }
+}

@@ -64,12 +64,13 @@ class RetrainSpec extends SparkSpec {
       Files.exists(root.resolve(".v-1/tombstones")))
     // new generation folded the tombstones in: no tombstone dir, and the
     // deleted ids are PHYSICALLY absent from the re-encoded index
-    assert(!Files.exists(root.resolve("tombstones")))
-    val reencoded = spark.read.parquet(root.resolve("index").toString)
+    assert(!Files.exists(idx.liveRoot.resolve("tombstones")))
+    val reencoded = spark.read.parquet(idx.liveRoot.resolve("index").toString)
     assert(reencoded.filter(col("vec_id") % 11 === 0).count() == 0)
-    // staging fully cleaned
-    assert(!Files.exists(root.resolve(".retrain-staging")))
+    // the live generation is a fresh dir, not the old one mutated
+    assert(idx.liveRoot == root.resolve(".v-2"))
     intercept[IllegalArgumentException](idx.version(99))
+    intercept[IllegalArgumentException](idx.version(2)) // live, not retired
   }
 
   test("occupancy-skew trigger fires exactly once on s32's append sequence") {

@@ -44,7 +44,7 @@ class VectorIndexSpec extends SparkSpec {
     idx.build(half1)
     // fingerprint every cell partition before the append
     def cellFiles(): Map[String, Seq[(String, Long)]] = {
-      val index = root.resolve("index")
+      val index = idx.liveRoot.resolve("index")
       import scala.jdk.CollectionConverters._
       Files.list(index).iterator().asScala
         .filter(p => p.getFileName.toString.startsWith("cell="))
@@ -95,7 +95,7 @@ class VectorIndexSpec extends SparkSpec {
       "tombstoned id surfaced in results")
     // untouched cells must survive vacuum byte-identical
     def cellFiles(): Map[String, Seq[(String, Long)]] = {
-      val index = root.resolve("index")
+      val index = idx.liveRoot.resolve("index")
       import scala.jdk.CollectionConverters._
       Files.list(index).iterator().asScala
         .filter(p => p.getFileName.toString.startsWith("cell="))
@@ -110,11 +110,11 @@ class VectorIndexSpec extends SparkSpec {
     idx.vacuum()
     // tombstone dir is gone, results unchanged: vacuum moved the masking
     // cost from query time to storage, not the answer
-    assert(!Files.exists(root.resolve("tombstones")))
+    assert(!Files.exists(idx.liveRoot.resolve("tombstones")))
     assert(run() == masked)
     // cells that held no deleted ids kept their exact files
     val after2 = cellFiles()
-    val leftover = spark.read.parquet(root.resolve("index").toString)
+    val leftover = spark.read.parquet(idx.liveRoot.resolve("index").toString)
       .filter(col("vec_id").isin(dead.toSeq: _*)).count()
     assert(leftover == 0, "vacuum left deleted codes behind")
     val unchanged = before2.keySet.intersect(after2.keySet)
@@ -128,13 +128,13 @@ class VectorIndexSpec extends SparkSpec {
     val idx = new VectorIndex(spark, root.toString)
     idx.build(emb)
     // delete EVERY vector of one populated cell
-    val assigned = spark.read.parquet(root.resolve("index").toString)
+    val assigned = spark.read.parquet(idx.liveRoot.resolve("index").toString)
     val someCell = assigned.groupBy(col("cell")).count()
       .orderBy(col("count"), col("cell")).select(col("cell"))
       .first().getInt(0)
     idx.delete(assigned.filter(col("cell") === someCell).select(col("vec_id")))
     idx.vacuum()
-    assert(!Files.exists(root.resolve("index").resolve(s"cell=$someCell")),
+    assert(!Files.exists(idx.liveRoot.resolve("index").resolve(s"cell=$someCell")),
       "emptied cell partition dir not removed")
   }
 }

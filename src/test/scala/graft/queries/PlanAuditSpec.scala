@@ -72,6 +72,20 @@ class PlanAuditSpec extends SparkSpec {
       s"topic/event filter not at the scan:\n$p")
   }
 
+  test("v30b operator: the pigeonhole band join replaces v30's panel×corpus " +
+      "scan — no cartesian/nested-loop join anywhere in the plan") {
+    import org.apache.spark.sql.functions.col
+    // audit the OPERATOR plan directly: the registered query checkpoints
+    // its result for the teeth counts, which would hide the join shape
+    val emb = graft.sources.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val p = graft.operators.Similarity.binaryHammingRadius(emb, maxHamming = 7)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"v30b has a cartesian product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"v30b has a nested-loop join:\n$p")
+    assert(p.contains("Join"), s"unexpected plan shape (no join at all):\n$p")
+  }
+
   test("dedup ladder plans contain no cartesian/nested-loop joins") {
     for (q <- Seq("d01_dedup_exact", "d05_ngram_jaccard", "d06_minhash_lsh",
         "d07_simhash", "d12_simhash_neardup", "v01_embedding_neardup",
