@@ -1068,14 +1068,29 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
 
   /** OCC merge: the commit loop IS the protocol — staging runs lock-free
     * against an immutable snapshot (which cannot vanish mid-stage, unlike
-    * the rename design), the manifest CAS serializes. Returns attempts. */
-  def occMerge(batch: DataFrame, maxAttempts: Int = 5)
+    * the rename design), the manifest CAS serializes. Returns attempts.
+    *
+    * With `txn = Some((appId, batchId))` the merge is an EXACTLY-ONCE
+    * STREAMING SINK (the [[appendOnce]] handshake generalized to arbitrary
+    * merges): the content rewrite and the txn watermark land in ONE
+    * commit, so a re-delivered foreachBatch id is a no-op (returns 0
+    * attempts-with-commit — the duplicate check runs inside the loop, so
+    * racing redundant deliveries resolve through the CAS). This is what a
+    * maintained-state sink (the s44 graph ingest) needs: append-only
+    * `appendOnce` cannot express a state REWRITE per batch. */
+  def occMerge(batch: DataFrame, maxAttempts: Int = 5,
+               txn: Option[(String, Long)] = None)
               (f: (DataFrame, DataFrame) => DataFrame): Int =
-    commitLoop(maxAttempts) { snap =>
-      val cur = snap.map(m => readData(m.files, m.dv, m.schema)).getOrElse(emptyDf)
-      val fresh = writeFiles(withChecks(f(cur, batch), snap),
-        snap.map(_.schema).getOrElse(schema))
-      Some((fresh, Seq.empty, fresh))
+    commitLoop(maxAttempts, txn = txn) { snap =>
+      if (txn.exists { case (app, b) =>
+          snap.exists(_.txns.getOrElse(app, -1L) >= b) })
+        None // already delivered: no version cut
+      else {
+        val cur = snap.map(m => readData(m.files, m.dv, m.schema)).getOrElse(emptyDf)
+        val fresh = writeFiles(withChecks(f(cur, batch), snap),
+          snap.map(_.schema).getOrElse(schema))
+        Some((fresh, Seq.empty, fresh))
+      }
     }
 
   /** OPTIMIZE: rewrite the live content into few large files — bucketed:

@@ -259,6 +259,19 @@ final class VectorIndex(spark: SparkSession, root: String,
       .filter(_ != cur).toSeq.sorted
   }
 
+  /** RETENTION: physically drop retired generations, keeping the newest
+    * `keep` of them (the live one is never touched) — the VACUUM of the
+    * generational layout, with LogTable-vacuum's contract: a reader still
+    * pinned to a dropped generation breaks, so the retention window is an
+    * operational promise, not a correctness lever. Returns the dropped
+    * generation numbers. */
+  def vacuumVersions(keep: Int = 1): Seq[Long] = {
+    require(keep >= 0, "keep must be >= 0")
+    val drop = versions.dropRight(keep)
+    drop.foreach(g => deleteRec(genDir(g)))
+    drop
+  }
+
   /** A read handle on retired generation `v` — same query surface, its own
     * meta/index/tombstones, untouched by later retrains (the gen dir has
     * no pointer file, so the handle serves it as a legacy root). */

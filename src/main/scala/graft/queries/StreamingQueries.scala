@@ -3066,8 +3066,150 @@ object StreamingQueries {
     Some(TextQueries.cmsOracleSql),
     "streaming count-min maintenance: per-batch cells appendOnce'd into a partials log (txn exactly-once), served sketch = summed partials; additivity makes drain ≡ batch schedule-free — d63's oracle verbatim")
 
+  /** STREAMING GRAPH-ANN INGEST (s44) — [[graft.operators.Similarity.graphInsert]]
+    * (v36's HNSW-style insert) as a MAINTAINED streaming state: the graph's
+    * edge set lives in a LogTable, new vectors arrive as micro-batches, and
+    * each batch's insert lands through the new TRANSACTIONAL occMerge —
+    * content rewrite + txn watermark in ONE commit, so a re-delivered batch
+    * id is a no-op by the CAS (the appendOnce handshake generalized to
+    * state REWRITES, which an append-only sink cannot express; the insert
+    * itself is ALSO idempotent by the node anti-join — belt and braces).
+    * Later batches genuinely see earlier inserts: batch-2 vectors can beam
+    * through batch-1 nodes (the corpus grows with the graph).
+    *
+    * Deterministic end-to-end: batches are fixed id slices delivered
+    * oldest-first (explicit mtimes), every stage is the 6dp-rounded
+    * deterministic machinery, so the final edge set REPLAYS in DuckDB as
+    * two sequential insert rounds (three prefix-parameterized beam
+    * searches never collide; chained CTEs MATERIALIZED — the v36 lesson).
+    * The hash pins the maintained STATE itself, not a projection of it.
+    *
+    * 100 TB shape: per batch one bounded beam search per vector + a
+    * re-prune of the touched srcs; the edge table rewrite is the
+    * simplification here — a production sink would bucket the edge table
+    * by src and rewrite only touched buckets (the s42 replication shape);
+    * the txn contract is identical. */
+  val s44 = QueryDef(
+    "s44_stream_graph_insert",
+    (spark, dir) => {
+      import graft.functions.VectorFunctions
+      import graft.operators.Similarity
+      VectorFunctions.register(spark)
+      val emb = graft.sources.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      val isNew = pmod(col("vec_id"), lit(9)) === 4
+      val base = emb.filter(!isNew).localCheckpoint(true)
+      val nbase = base.count()
+      val nlist = math.max(16L, nbase / 50).toInt
+      val stride = math.max(1L, nbase / nlist)
+      val baseEdges = Similarity.ivfTopK(base, base,
+          VectorFunctions.cosineSim, k = 5, nlist = nlist, nprobe = 4)
+        .select(col("query_id").as("src"), col("vec_id").as("dst"),
+          col("cos"))
+        .localCheckpoint(true)
+      val entries = base.filter(pmod(col("vec_id"), lit(stride)) === 0)
+        .orderBy(col("vec_id")).limit(nlist).select(col("vec_id"))
+        .localCheckpoint(true)
+      // two deliveries: the v36 batch split in arrival order (explicit
+      // ascending mtimes — the file source processes oldest-first)
+      val srcDir = FixtureDirs.create("s44-emb-")
+      Seq(4L, 13L).zipWithIndex.foreach { case (r, i) =>
+        val tmp = FixtureDirs.create(s"s44-part$i-")
+        emb.filter(pmod(col("vec_id"), lit(18)) === r).coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val f = java.nio.file.Files.list(tmp)
+          .filter(_.toString.endsWith(".parquet")).findFirst().get()
+        val dst = srcDir.resolve(s"batch$i.parquet")
+        java.nio.file.Files.move(f, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+      val t = new graft.merge.LogTable(spark,
+        FixtureDirs.create("s44-graph-").resolve("edges").toString,
+        baseEdges.schema)
+      t.append(baseEdges) // v1: the base graph
+      val stream = spark.readStream
+        .schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      withStreamConf(spark) {
+        val q = stream.writeStream
+          .option("checkpointLocation", newCkptDir())
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            if (t.lastTxn("s44") < id) {
+              val edges = t.read().localCheckpoint(true)
+              // nodes already in the graph: base + previously inserted
+              // (every inserted node has forward edges, so srcs cover them)
+              val insertedIds = edges.select(col("src").as("vec_id")).distinct()
+                .join(base.select(col("vec_id")), Seq("vec_id"), "left_anti")
+              val corpus = base.unionByName(
+                emb.join(insertedIds, Seq("vec_id")))
+              val grown = Similarity.graphInsert(corpus, edges, b, entries)
+                .localCheckpoint(true)
+              t.occMerge(grown, txn = Some(("s44", id)))((_, g) => g)
+            }
+            ()
+          }.start()
+        q.awaitTermination()
+      }
+      require(t.lastTxn("s44") == 1L,
+        s"both batches must commit exactly once (watermark ${t.lastTxn("s44")})")
+      val out = t.read().localCheckpoint(true)
+      val newSrcs = out.select(col("src").as("vec_id")).distinct()
+        .join(base.select(col("vec_id")), Seq("vec_id"), "left_anti").count()
+      require(newSrcs == emb.filter(isNew).count(),
+        s"every streamed vector must be inserted ($newSrcs srcs)")
+      out.orderBy(col("src"), col("dst"))
+    },
+    Some {
+      val cosE = VectorQueries.cosSql("q.q_vec", "t.emb")
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |base AS MATERIALIZED (SELECT * FROM e WHERE vec_id % 9 <> 4),
+         |${VectorQueries.knnEdgeStagesFor("base")},
+         |bedges AS MATERIALIZED (SELECT query_id AS src, vec_id AS dst, cos FROM knn),
+         |ent AS MATERIALIZED (SELECT vec_id FROM base
+         |  WHERE vec_id % greatest(1, (SELECT count(*) FROM base) // (SELECT nl FROM nlv)) = 0
+         |  QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT nl FROM nlv)),
+         |nq1 AS (SELECT vec_id AS query_id, emb AS q_vec FROM e WHERE vec_id % 18 = 4),
+         |i1edges AS MATERIALIZED (SELECT src, dst FROM bedges),
+         |i1v0 AS (SELECT q.query_id, t.vec_id, round($cosE, 6) AS cos
+         |  FROM nq1 q CROSS JOIN ent JOIN base t ON t.vec_id = ent.vec_id),
+         |${VectorQueries.beamRoundsSql(3, 8, p = "i1", edges = "i1edges", corpus = "base", qs = "nq1")},
+         |c1 AS MATERIALIZED (SELECT query_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+         |  FROM i1v3 QUALIFY rn <= 5),
+         |r1 AS (SELECT vec_id AS src, query_id AS dst, cos,
+         |    CASE WHEN rn = 1 THEN 0 ELSE 1 END AS pri FROM c1),
+         |g1 AS MATERIALIZED (
+         |  SELECT src, dst, cos FROM (
+         |    SELECT src, dst, cos, 1 AS pri FROM bedges
+         |    UNION ALL SELECT src, dst, cos, pri FROM r1)
+         |  QUALIFY row_number() OVER (PARTITION BY src ORDER BY pri, cos DESC, dst) <= 5
+         |  UNION ALL SELECT query_id AS src, vec_id AS dst, cos FROM c1),
+         |c2corp AS MATERIALIZED (SELECT * FROM base
+         |  UNION ALL SELECT vec_id, emb FROM e WHERE vec_id % 18 = 4),
+         |nq2 AS (SELECT vec_id AS query_id, emb AS q_vec FROM e WHERE vec_id % 18 = 13),
+         |i2edges AS MATERIALIZED (SELECT src, dst FROM g1),
+         |i2v0 AS (SELECT q.query_id, t.vec_id, round($cosE, 6) AS cos
+         |  FROM nq2 q CROSS JOIN ent JOIN c2corp t ON t.vec_id = ent.vec_id),
+         |${VectorQueries.beamRoundsSql(3, 8, p = "i2", edges = "i2edges", corpus = "c2corp", qs = "nq2")},
+         |c2 AS MATERIALIZED (SELECT query_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+         |  FROM i2v3 QUALIFY rn <= 5),
+         |r2 AS (SELECT vec_id AS src, query_id AS dst, cos,
+         |    CASE WHEN rn = 1 THEN 0 ELSE 1 END AS pri FROM c2),
+         |g2 AS (
+         |  SELECT src, dst, cos FROM (
+         |    SELECT src, dst, cos, 1 AS pri FROM g1
+         |    UNION ALL SELECT src, dst, cos, pri FROM r2)
+         |  QUALIFY row_number() OVER (PARTITION BY src ORDER BY pri, cos DESC, dst) <= 5
+         |  UNION ALL SELECT query_id AS src, vec_id AS dst, cos FROM c2)
+         |SELECT src, dst, cos FROM g2 ORDER BY src, dst""".stripMargin
+    },
+    "streaming graph-ANN ingest: per-batch HNSW inserts through a transactional occMerge (content + txn watermark in one commit); later batches beam through earlier inserts; final edge state replays as sequential rounds (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
     s10, s10b, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23,
     s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38,
-    s39, s40, s41, s42, s43)
+    s39, s40, s41, s42, s43, s44)
 }

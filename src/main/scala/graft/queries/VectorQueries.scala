@@ -14,7 +14,7 @@ import graft.sources.Tables
 object VectorQueries {
 
   /** DuckDB cosine over double lists, same sequential fold. */
-  private val cosSql = (a: String, b: String) =>
+  private[queries] val cosSql = (a: String, b: String) =>
     s"""(CASE WHEN list_sum(list_transform($a, x -> x*x)) = 0
        |      OR list_sum(list_transform($b, x -> x*x)) = 0 THEN 0.0
        | ELSE list_sum([$a[i] * $b[i] for i in generate_series(1, length($a))])
@@ -841,7 +841,7 @@ object VectorQueries {
     * edge build exactly as [[Similarity.ivfTopK]] computes it, yielding
     * `nlv(nl)` and `knn(query_id, vec_id, cos)`. v36 uses it to build the
     * BASE graph over a filtered corpus. */
-  private def knnEdgeStagesFor(rel: String): String = {
+  private[queries] def knnEdgeStagesFor(rel: String): String = {
     val nprobe = 4
     val affCos = cosSql("b.emb", "cent.cemb")
     val cos = cosSql("q.emb", "t.emb")
@@ -2032,7 +2032,7 @@ object VectorQueries {
     * Spark loop. The `p` prefix keeps two searches in one WITH clause
     * collision-free (v36 runs the insert search and the eval search in one
     * oracle). */
-  private def beamRoundsSql(rounds: Int, b: Int, p: String = "",
+  private[queries] def beamRoundsSql(rounds: Int, b: Int, p: String = "",
                             edges: String = "edges", corpus: String = "e",
                             qs: String = "qs"): String = {
     val cosQ = cosSql("q.q_vec", "t.emb")

@@ -138,6 +138,29 @@ class OccSpec extends SparkSpec {
     assert(gotContended == expected && gotSerial == expected)
   }
 
+  test("transactional occMerge (LogTable): content rewrite + txn watermark " +
+      "land in ONE commit; a re-delivered batch id is a no-op") {
+    val t = new LogTable(spark, tmp("occ-txn-"), s2)
+    t.append(Seq((1L, "base")).toDF("k", "v"))
+    t.occMerge(Seq((1L, "b0")).toDF("k", "v"), txn = Some(("app", 0L))) {
+      (cur, b) => Merge.scd1(cur, b, Seq("k"))
+    }
+    val vAfter = t.currentVersion
+    assert(t.lastTxn("app") == 0L)
+    // redelivery: same batch id, DIFFERENT (poisoned) content — must not land
+    t.occMerge(Seq((1L, "poison")).toDF("k", "v"), txn = Some(("app", 0L))) {
+      (cur, b) => Merge.scd1(cur, b, Seq("k"))
+    }
+    assert(t.currentVersion == vAfter, "redelivered id cut a version")
+    assert(t.read().as[(Long, String)].collect().toSeq == Seq((1L, "b0")))
+    // the next id advances normally
+    t.occMerge(Seq((1L, "b1")).toDF("k", "v"), txn = Some(("app", 1L))) {
+      (cur, b) => Merge.scd1(cur, b, Seq("k"))
+    }
+    assert(t.lastTxn("app") == 1L &&
+      t.read().as[(Long, String)].collect().toSeq == Seq((1L, "b1")))
+  }
+
   test("bucketed tables reject OCC staging loudly") {
     val root = tmp("occ-bucketed-")
     val t = new ParquetTable(spark, root, s2, bucketBy = Some((Seq("k"), 4)))

@@ -62,4 +62,22 @@ class ServeDuringRetrainSpec extends SparkSpec {
     assert(rows(pinned) == expected)
     assert(idx.versions == Seq(1L, 2L))
   }
+
+  test("vacuumVersions drops old generations, keeps the newest `keep` " +
+      "retired ones, never touches the live one") {
+    VectorFunctions.register(spark)
+    val root = Files.createTempDirectory("vidx-gc-")
+    val idx = new VectorIndex(spark, root.toString)
+    idx.build(emb.filter(col("vec_id") % 3 === 0))
+    idx.retrain(emb.filter(col("vec_id") % 2 === 0))
+    idx.retrain(emb)
+    val liveBefore = rows(queryDf(idx))
+    assert(idx.vacuumVersions(keep = 1) == Seq(1L))
+    assert(idx.versions == Seq(2L), "newest retired generation must survive")
+    assert(rows(queryDf(idx)) == liveBefore, "live generation untouched")
+    assert(rows(idx.version(2).query(emb.filter(col("vec_id") < 10), emb,
+      VectorFunctions.cosineSim, k = 5, nprobe = 4, shortlist = 50)).nonEmpty)
+    intercept[IllegalArgumentException](idx.version(1)) // dropped
+    assert(idx.vacuumVersions(keep = 0) == Seq(2L) && idx.versions.isEmpty)
+  }
 }
