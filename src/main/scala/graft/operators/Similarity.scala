@@ -894,6 +894,56 @@ object Similarity {
       .unionByName(fwd)
   }
 
+  /** GRAPH-ANN DELETE with CONSOLIDATION (the Vamana/DiskANN delete —
+    * completes the lifecycle: v17b build → [[graphInsert]] → delete):
+    * tombstoned nodes are removed from the graph ENTIRELY (no edges in or
+    * out — they can neither be returned nor routed through), and every
+    * live node that pointed AT a deleted node inherits that node's live
+    * out-neighbors as reconnect candidates (the "donate your neighbors"
+    * repair), scored by real cosine and re-pruned with the survivors to
+    * `outDegree` by (cos desc, dst) — without the repair, deleting a hub
+    * node shatters the paths that ran through it and recall collapses.
+    * Deterministic (6dp cos + id tie-breaks) and fully SQL-mirrorable —
+    * no beam search needed for the delete itself.
+    *
+    * Cost: O(|deleted| × degree²) candidate rows + a bounded re-prune of
+    * the touched srcs — never a corpus scan; embeddings are fetched only
+    * for the candidate pairs. Returns the repaired edge set
+    * (src, dst, cos). */
+  def graphDelete(corpus: DataFrame, edges: DataFrame, tombstones: DataFrame,
+                  cos: (Column, Column) => Column,
+                  outDegree: Int = 5): DataFrame = {
+    val dead = tombstones.select(col("vec_id")).distinct().localCheckpoint(true)
+    val deadSrc = dead.withColumnRenamed("vec_id", "src")
+    val deadDst = dead.withColumnRenamed("vec_id", "dst")
+    // out-edges of deleted nodes: the donor lists
+    val donorOut = edges.join(deadSrc.hint("broadcast"), Seq("src"))
+      .select(col("src").as("d"), col("dst").as("x"))
+    val liveSrc = edges.join(deadSrc.hint("broadcast"), Seq("src"), "left_anti")
+    // u -> d (live node pointing at a deleted one) inherits out(d)
+    val intoDead = liveSrc.join(deadDst.hint("broadcast"), Seq("dst"))
+      .select(col("src").as("u"), col("dst").as("d"))
+    val donated = intoDead.join(donorOut, Seq("d"))
+      .filter(col("x") =!= col("u"))
+      .join(dead.withColumnRenamed("vec_id", "x").hint("broadcast"),
+        Seq("x"), "left_anti") // donor target must itself be live
+      .select(col("u").as("src"), col("x").as("dst")).distinct()
+    val scored = donated
+      .join(corpus.select(col("vec_id").as("src"),
+        col("embedding").as("u_vec")), Seq("src"))
+      .join(corpus.select(col("vec_id").as("dst"),
+        col("embedding").as("x_vec")), Seq("dst"))
+      .select(col("src"), col("dst"),
+        round(cos(col("u_vec"), col("x_vec")), 6).as("cos"))
+    val kept = liveSrc.join(deadDst.hint("broadcast"), Seq("dst"), "left_anti")
+      .select(col("src"), col("dst"), col("cos"))
+    val ws = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+    kept.unionByName(scored)
+      .select(col("src"), col("dst"), col("cos")).distinct()
+      .withColumn("rn", row_number().over(ws))
+      .filter(col("rn") <= outDegree).drop("rn")
+  }
+
   def binaryHammingTopK(queries: DataFrame, corpus: DataFrame,
                         cos: (Column, Column) => Column, k: Int,
                         shortlist: Int): DataFrame = {

@@ -2014,6 +2014,133 @@ object VectorQueries {
     },
     "hybrid retrieval: BM25 + vector top-k fused by reciprocal-rank fusion, ordered-fold float discipline (LLM-pipeline op)")
 
+  /** HYBRID RRF AT THE SCALE CONFIGURATION (v34b) — the swap v34's
+    * scaladoc names, made a verified row: the vector leg is the IVF PROBE
+    * (v04's cell blocking at the scaled nlist ≈ n/50) instead of the brute
+    * panel×corpus cosine, and the FUSION IS UNCHANGED — candidates per
+    * query stay ~nprobe·(n/nlist) ≈ 200 at every corpus size, which is
+    * what makes the hybrid stack linear at 100 TB. Approximate like every
+    * IVF retrieval (a neighbor assigned to an unprobed cell is missed),
+    * but the RRF contract — rank-based, no score normalization — absorbs
+    * that: the lexical leg is identical to v34's. Same vacuity guard. */
+  val v34b = QueryDef(
+    "v34b_hybrid_rrf_ivf",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      VectorFunctions.register(spark)
+      val k1 = 1.2; val b = 0.75; val kList = 20; val kOut = 10
+      val docs = Tables.documents(spark, dir)
+      val emb = Tables.embeddings(spark, dir)
+      val toks = docs.select(col("doc_id"),
+        filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "").as("toks"))
+      val dl = toks.select(col("doc_id"), size(col("toks")).as("dl"))
+      val stats = dl.agg(sum(col("dl")).as("sum_dl"), count(lit(1)).as("n_docs"))
+      val tf = toks.select(col("doc_id"), explode(col("toks")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val bm = tf.join(broadcast(dfc), "term").join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("bm25",
+          ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+            (col("tf") * lit(k1 + 1)) /
+            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") /
+              (col("sum_dl") / col("n_docs")))))
+        .select(col("doc_id"), col("term"), col("bm25"))
+      val qterms = toks.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"), explode(col("toks")).as("term"))
+        .distinct()
+      val lex = bm.join(broadcast(qterms), Seq("term"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(aggregate(
+          sort_array(collect_list(struct(col("term"), col("bm25")))),
+          lit(0.0), (acc, x) => acc + x.getField("bm25")).as("lex"))
+      val lexr = lex
+        .withColumn("lex_rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("lex").desc, col("doc_id"))))
+        .filter(col("lex_rank") <= kList)
+        .select(col("query_id"), col("doc_id"), col("lex_rank"))
+      // THE SWAP: IVF probe at the scaled geometry, fusion untouched
+      val nlist = math.max(16L, graft.sources.ParquetMeta.rowCount(emb) / 50).toInt
+      val vecr = Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb,
+          VectorFunctions.cosineSim, k = kList, nlist = nlist, nprobe = 4)
+        .select(col("query_id"), col("vec_id").as("doc_id"),
+          col("rank").as("vec_rank"))
+      val fused = lexr.join(vecr, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("rrf").desc, col("doc_id"))))
+        .filter(col("rank") <= kOut)
+      val alive = fused.groupBy(col("query_id")).agg(
+        count(col("lex_rank")).as("nl"), count(col("vec_rank")).as("nv"))
+      require(alive.filter(col("nl") === 0 || col("nv") === 0).isEmpty,
+        "v34b fusion is vacuous — a ranker contributed nothing for some query")
+      fused.select(col("query_id"), col("rank"), col("doc_id"), col("rrf"),
+          col("lex_rank"), col("vec_rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some {
+      val affCos = cosSql("b.emb", "cent.cemb")
+      val icos = cosSql("q.emb", "t.emb")
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+         |  FROM documents),
+         |dl AS (SELECT doc_id, CAST(length(toks) AS INTEGER) AS dl FROM toks),
+         |stats AS (SELECT sum(dl) AS sum_dl, count(*) AS n_docs FROM dl),
+         |tf AS (SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS term FROM toks) GROUP BY 1, 2),
+         |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |bm AS (SELECT tf.doc_id, tf.term,
+         |    ((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+         |      * (tf * CAST(2.2 AS DOUBLE))
+         |      / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+         |         + CAST(0.75 AS DOUBLE) * dl / (sum_dl / n_docs))) AS bm25
+         |  FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+         |qt AS (SELECT DISTINCT doc_id AS query_id, unnest(toks) AS term
+         |  FROM toks WHERE doc_id < 10),
+         |lex AS (SELECT q.query_id, b.doc_id,
+         |    list_sum(list(b.bm25 ORDER BY b.term)) AS lex
+         |  FROM bm b JOIN qt q USING (term) WHERE b.doc_id <> q.query_id
+         |  GROUP BY 1, 2),
+         |lexr AS (SELECT query_id, doc_id, CAST(rn AS INTEGER) AS lex_rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY lex DESC, doc_id) AS rn FROM lex) WHERE rn <= 20),
+         |e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |nlv AS (SELECT greatest(16, count(*) // 50) AS nl FROM e),
+         |cent AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, emb AS cemb
+         |  FROM e WHERE vec_id % greatest(1, (SELECT count(*) FROM e) // (SELECT nl FROM nlv)) = 0
+         |  QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT nl FROM nlv)),
+         |aff AS MATERIALIZED (SELECT b.vec_id, cent.cell, $affCos AS a FROM e b, cent),
+         |assign AS (SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell DESC) AS rn
+         |    FROM aff) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell DESC) AS rn
+         |    FROM aff WHERE vec_id < 10) WHERE rn <= 4),
+         |iscored AS (SELECT p.query_id, s.vec_id AS doc_id, round($icos, 6) AS cos
+         |  FROM probes p JOIN assign s ON s.cell = p.cell
+         |  JOIN e q ON q.vec_id = p.query_id JOIN e t ON t.vec_id = s.vec_id
+         |  WHERE s.vec_id <> p.query_id),
+         |vecr AS (SELECT query_id, doc_id, CAST(rn AS INTEGER) AS vec_rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, doc_id) AS rn FROM iscored) WHERE rn <= 20),
+         |fused AS (SELECT coalesce(l.query_id, v.query_id) AS query_id,
+         |    coalesce(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+         |    coalesce(CAST(1.0 AS DOUBLE) / (60 + l.lex_rank), CAST(0 AS DOUBLE))
+         |      + coalesce(CAST(1.0 AS DOUBLE) / (60 + v.vec_rank), CAST(0 AS DOUBLE)) AS rrf
+         |  FROM lexr l FULL OUTER JOIN vecr v
+         |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
+         |SELECT query_id, CAST(rn AS INTEGER) AS rank, doc_id, rrf, lex_rank, vec_rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf DESC, doc_id) AS rn FROM fused) WHERE rn <= 10
+         |ORDER BY query_id, rank""".stripMargin
+    },
+    "hybrid RRF at the scale configuration: the vector leg served by the scaled-nlist IVF probe (candidates/query ~constant at any corpus size), fusion unchanged — the swap v34's scaladoc names (LLM-pipeline op)")
+
   /** Greedy best-first graph search shared by v35/v35b/v36 — moved to
     * [[Similarity.beamSearchVisited]] so [[Similarity.graphInsert]] can
     * reuse it; kept as a local alias for the QueryDefs below. */
@@ -2362,8 +2489,134 @@ object VectorQueries {
     },
     "incremental graph-ANN insert (HNSW insert, batch form): beam-search the base graph, connect top-M reciprocal edges with neighbor-shrink, eval over the union corpus — inserted nodes required reachable")
 
+  /** GRAPH-ANN DELETE + CONSOLIDATION (v37) — [[Similarity.graphDelete]],
+    * the lifecycle verb completing build (v17b) → insert (v36) → delete:
+    * every 11th node tombstones out of the scaled kNN graph, nodes that
+    * pointed at a deleted one inherit its live out-neighbors (the
+    * Vamana/DiskANN "donate your neighbors" repair — without it a deleted
+    * hub shatters the paths through it), candidates score by real cosine
+    * and re-prune with survivors to out-degree 5. The row then runs the
+    * v35b-style eval over the repaired graph (live entries, live truth)
+    * and `require`s: zero edges touch a deleted node, the repair actually
+    * donated edges (teeth), K rows per live query, and the recall band.
+    * The delete is pure relational algebra — the oracle mirrors it
+    * directly, no insert-search unroll needed. */
+  val v37 = QueryDef(
+    "v37_graph_ann_delete",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      VectorFunctions.register(spark)
+      val B = 8; val R = 4; val K = 3
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      val n = graft.sources.ParquetMeta.rowCount(Tables.embeddings(spark, dir))
+      val nlist = math.max(16L, n / 50).toInt
+      val step = math.max(1L, n / nlist)
+      val edges = Similarity.ivfTopK(emb, emb, VectorFunctions.cosineSim,
+          k = 5, nlist = nlist, nprobe = 4)
+        .select(col("query_id").as("src"), col("vec_id").as("dst"),
+          col("cos"))
+        .localCheckpoint(true)
+      val isDead = pmod(col("vec_id"), lit(11)) === 3
+      val dead = emb.filter(isDead).select(col("vec_id"))
+      val repaired = Similarity.graphDelete(emb, edges, dead,
+          VectorFunctions.cosineSim).localCheckpoint(true)
+      // teeth: nothing touches a deleted node; the repair donated edges
+      require(repaired.join(dead.withColumnRenamed("vec_id", "src")
+          .hint("broadcast"), Seq("src")).count() == 0 &&
+        repaired.join(dead.withColumnRenamed("vec_id", "dst")
+          .hint("broadcast"), Seq("dst")).count() == 0,
+        "an edge still touches a deleted node")
+      val preKept = edges
+        .join(dead.withColumnRenamed("vec_id", "src"), Seq("src"), "left_anti")
+        .join(dead.withColumnRenamed("vec_id", "dst"), Seq("dst"), "left_anti")
+      require(repaired.count() > preKept.count(),
+        "consolidation donated nothing — the repair path is dead")
+      // eval over the repaired graph: live entries, live panel, live truth
+      val live = emb.filter(!isDead).localCheckpoint(true)
+      val qPred = pmod(col("vec_id"), lit(53)) === 0 &&
+        col("vec_id") <= lit(53L * 40) && !isDead
+      val queries = live.filter(qPred)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+        .localCheckpoint(true)
+      val entries = emb.filter(pmod(col("vec_id"), lit(step)) === 0)
+        .orderBy(col("vec_id")).limit(nlist)
+        .filter(!isDead).select(col("vec_id"))
+      val visited = beamSearchVisited(live,
+        repaired.select(col("src"), col("dst")), queries,
+        queries.select(col("query_id")).crossJoin(entries), B, R)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val truth = Similarity.bruteForceTopK(live.filter(qPred), live,
+          VectorFunctions.cosineSim, k = K)
+        .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+      val found = visited.filter(col("vec_id") =!= col("query_id"))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= K)
+      val out = found.join(truth, Seq("query_id", "vec_id"), "left")
+        .select(col("query_id"), col("rank").cast("int").as("rank"),
+          col("vec_id"), col("cos"), coalesce(col("hit"), lit(0)).as("hit"))
+        .orderBy(col("query_id"), col("rank"))
+        .localCheckpoint(true)
+      val q = queries.count()
+      require(out.count() == q * K, "every live query must emit exactly K rows")
+      val hits = out.agg(sum(col("hit"))).head().getLong(0)
+      require(hits * 3 > q * K && hits < q * K,
+        s"post-delete recall out of the pinned band (got $hits of ${q * K})")
+      out
+    },
+    Some {
+      val cosQ = cosSql("q.q_vec", "t.emb")
+      val cosP = cosSql("u.emb", "x.emb")
+      s"""WITH $knnEdgeCtesScaled,
+         |edges AS MATERIALIZED (SELECT query_id AS src, vec_id AS dst, cos FROM knn),
+         |dead AS (SELECT vec_id FROM e WHERE vec_id % 11 = 3),
+         |donor AS (SELECT src AS d, dst AS x FROM edges
+         |  WHERE src IN (SELECT vec_id FROM dead)),
+         |livesrc AS (SELECT * FROM edges
+         |  WHERE src NOT IN (SELECT vec_id FROM dead)),
+         |intodead AS (SELECT src AS u, dst AS d FROM livesrc
+         |  WHERE dst IN (SELECT vec_id FROM dead)),
+         |donated AS (SELECT DISTINCT i.u AS src, dn.x AS dst
+         |  FROM intodead i JOIN donor dn ON dn.d = i.d
+         |  WHERE dn.x <> i.u AND dn.x NOT IN (SELECT vec_id FROM dead)),
+         |dscored AS (SELECT dn.src, dn.dst, round($cosP, 6) AS cos
+         |  FROM donated dn JOIN e u ON u.vec_id = dn.src
+         |  JOIN e x ON x.vec_id = dn.dst),
+         |kept AS (SELECT src, dst, cos FROM livesrc
+         |  WHERE dst NOT IN (SELECT vec_id FROM dead)),
+         |g AS MATERIALIZED (SELECT src, dst, cos FROM (
+         |    SELECT DISTINCT * FROM (
+         |      SELECT * FROM kept UNION ALL SELECT * FROM dscored))
+         |  QUALIFY row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) <= 5),
+         |lv AS MATERIALIZED (SELECT * FROM e WHERE vec_id % 11 <> 3),
+         |qs AS (SELECT vec_id AS query_id, emb AS q_vec FROM lv
+         |       WHERE vec_id % 53 = 0 AND vec_id <= 53 * 40),
+         |ent AS (SELECT vec_id FROM (SELECT vec_id FROM e
+         |    WHERE vec_id % greatest(1, (SELECT count(*) FROM e) // (SELECT nl FROM nlv)) = 0
+         |    QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT nl FROM nlv))
+         |  WHERE vec_id % 11 <> 3),
+         |gedges AS (SELECT src, dst FROM g),
+         |v0 AS (SELECT q.query_id, t.vec_id, round($cosQ, 6) AS cos
+         |  FROM qs q CROSS JOIN ent JOIN lv t ON t.vec_id = ent.vec_id),
+         |${beamRoundsSql(4, 8, edges = "gedges", corpus = "lv")},
+         |found AS (SELECT query_id, vec_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+         |  FROM v4 WHERE vec_id <> query_id
+         |  QUALIFY rank <= 3),
+         |truth AS (SELECT query_id, vec_id FROM (
+         |    SELECT q.query_id, t.vec_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY round($cosQ, 6) DESC, t.vec_id) AS rn
+         |    FROM qs q JOIN lv t ON t.vec_id <> q.query_id) WHERE rn <= 3)
+         |SELECT f.query_id, f.rank, f.vec_id, f.cos,
+         |       CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |FROM found f LEFT JOIN truth t USING (query_id, vec_id)
+         |ORDER BY query_id, rank""".stripMargin
+    },
+    "graph-ANN delete with Vamana-style consolidation: tombstoned nodes fully unlinked, their live out-neighbors donated to pointing nodes and re-pruned — repair required to donate, recall band pinned over the repaired graph")
+
   def defs: Seq[QueryDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
     v10, v11, v12, v13, v14, v15, v16, v17, v17b, v18, v19, v20, v21, v22, v23,
-    v24, v25, v26, v27, v28, v29, v30, v30b, v31, v32, v32b, v33, v34, v35,
-    v35b, v36)
+    v24, v25, v26, v27, v28, v29, v30, v30b, v31, v32, v32b, v33, v34, v34b,
+    v35, v35b, v36, v37)
 }

@@ -67,6 +67,33 @@ class GraphInsertSpec extends SparkSpec {
     assert(maxOut <= 5L, s"neighbor-shrink failed: out-degree $maxOut > 5")
   }
 
+  test("delete composes with insert: removing the inserted batch unlinks " +
+      "it completely, repairs donate, degrees stay bounded, deterministic") {
+    val (emb, base, batch, baseEdges, entries) = fixture
+    val grown = Similarity.graphInsert(base, baseEdges, batch, entries)
+      .localCheckpoint(true)
+    val dead = batch.select(col("vec_id"))
+    def del() = Similarity.graphDelete(emb, grown, dead,
+      graft.functions.VectorFunctions.cosineSim)
+    val repaired = del().localCheckpoint(true)
+    val deadIds = dead.collect().map(_.getLong(0)).toSet
+    val touching = repaired.filter(col("src").isin(deadIds.toSeq: _*) ||
+      col("dst").isin(deadIds.toSeq: _*)).count()
+    assert(touching == 0, s"$touching edges still touch deleted nodes")
+    val maxOut = repaired.groupBy(col("src")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(maxOut <= 5L, s"out-degree $maxOut > 5 after repair")
+    // the repair must donate: srcs that pointed at deleted nodes keep
+    // full fan-out where donors exist
+    val prunedOnly = grown
+      .filter(!col("src").isin(deadIds.toSeq: _*) &&
+        !col("dst").isin(deadIds.toSeq: _*))
+    assert(repaired.count() > prunedOnly.count(),
+      "consolidation donated nothing")
+    // pure function: a second run is set-identical
+    assert(edgeSet(del()) == edgeSet(repaired))
+  }
+
   test("recall contract: beam recall over the grown graph meets the floor " +
       "vs the from-scratch graph over the union corpus") {
     val (emb, base, batch, baseEdges, entries) = fixture
