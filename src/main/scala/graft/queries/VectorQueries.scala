@@ -2615,8 +2615,126 @@ object VectorQueries {
     },
     "graph-ANN delete with Vamana-style consolidation: tombstoned nodes fully unlinked, their live out-neighbors donated to pointing nodes and re-pruned — repair required to donate, recall band pinned over the repaired graph")
 
+  /** FILTERED GRAPH-ANN SEARCH (v38) — the filtered-serving pattern every
+    * production vector store names (tenant/metadata predicates on HNSW):
+    * top-K SAME-LABEL neighbors per panel query, served by the v35b-style
+    * beam over the scaled kNN graph with the traversal UNFILTERED (the
+    * graph routes through non-matching nodes — hard-filtering the
+    * traversal disconnects it under selective predicates) and the
+    * predicate applied to the VISITED set before the top-K, with the
+    * BUDGET EXPANDED to B=12/R=5 where the unfiltered rows run 8/4 —
+    * the ef-boost every filtered-HNSW implementation applies, because the
+    * ~10%-selective predicate discards ~90% of the visited set (at 8/4
+    * the band failed at sf0.1: 28/114). The row `require`s every query
+    * emits exactly K matching rows and pins the recall band vs the exact
+    * same-label truth. Under far more selective predicates the honest
+    * move is a label-partitioned index (v16's filtered IVF). */
+  val v38 = QueryDef(
+    "v38_graph_ann_filtered",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      VectorFunctions.register(spark)
+      val B = 12; val R = 5; val K = 3 // ef-boosted budget (see scaladoc)
+      val embL = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"), col("label"))
+        .localCheckpoint(true)
+      val emb = embL.select(col("vec_id"), col("embedding"))
+      val n = graft.sources.ParquetMeta.rowCount(Tables.embeddings(spark, dir))
+      val nlist = math.max(16L, n / 50).toInt
+      val step = math.max(1L, n / nlist)
+      val edges = Similarity.ivfTopK(emb, emb, VectorFunctions.cosineSim,
+          k = 5, nlist = nlist, nprobe = 4)
+        .select(col("query_id").as("src"), col("vec_id").as("dst"))
+        .localCheckpoint(true)
+      val qPred = pmod(col("vec_id"), lit(53)) === 0 &&
+        col("vec_id") <= lit(53L * 40)
+      val queries = embL.filter(qPred)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"),
+          col("label").as("q_label"))
+        .localCheckpoint(true)
+      val entries = emb.filter(pmod(col("vec_id"), lit(step)) === 0)
+        .orderBy(col("vec_id")).limit(nlist).select(col("vec_id"))
+      val visited = beamSearchVisited(emb, edges,
+        queries.select(col("query_id"), col("q_vec")),
+        queries.select(col("query_id")).crossJoin(entries), B, R)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      // predicate on the RESULTS, not the traversal
+      val matching = visited
+        .join(broadcast(queries.select(col("query_id"), col("q_label"))),
+          Seq("query_id"))
+        .join(embL.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .filter(col("label") === col("q_label") &&
+          col("vec_id") =!= col("query_id"))
+      val found = matching
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= K)
+      // exact same-label truth (label-blocked — Q x |label|, never n^2)
+      val truth = queries.select(col("query_id"), col("q_vec"), col("q_label"))
+        .join(embL.select(col("vec_id"), col("embedding").as("c_vec"),
+          col("label").as("q_label")), Seq("q_label"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(VectorFunctions.cosineSim(col("q_vec"), col("c_vec")), 6)
+            .as("tcos"))
+        .withColumn("trn", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("tcos").desc, col("vec_id"))))
+        .filter(col("trn") <= K)
+        .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+      val out = found.join(truth, Seq("query_id", "vec_id"), "left")
+        .select(col("query_id"), col("rank").cast("int").as("rank"),
+          col("vec_id"), col("label"), col("cos"),
+          coalesce(col("hit"), lit(0)).as("hit"))
+        .orderBy(col("query_id"), col("rank"))
+        .localCheckpoint(true)
+      val q = queries.count()
+      require(out.count() == q * K,
+        "every query must emit exactly K same-label rows " +
+          "(budget too small for the filter selectivity)")
+      val hits = out.agg(sum(col("hit"))).head().getLong(0)
+      require(hits * 3 > q * K && hits < q * K,
+        s"filtered recall out of the pinned band (got $hits of ${q * K})")
+      out
+    },
+    Some {
+      val cosQ = cosSql("q.q_vec", "t.emb")
+      val cosT = cosSql("q.q_vec", "c.emb")
+      s"""WITH $knnEdgeCtesScaled,
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |edges AS MATERIALIZED (SELECT query_id AS src, vec_id AS dst FROM knn),
+         |qs AS (SELECT e.vec_id AS query_id, e.emb AS q_vec, lab.label AS q_label
+         |       FROM e JOIN lab ON lab.vec_id = e.vec_id
+         |       WHERE e.vec_id % 53 = 0 AND e.vec_id <= 53 * 40),
+         |ent AS (SELECT vec_id FROM e
+         |  WHERE vec_id % greatest(1, (SELECT count(*) FROM e) // (SELECT nl FROM nlv)) = 0
+         |  QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT nl FROM nlv)),
+         |v0 AS (SELECT q.query_id, t.vec_id, round($cosQ, 6) AS cos
+         |  FROM qs q CROSS JOIN ent JOIN e t ON t.vec_id = ent.vec_id),
+         |${beamRoundsSql(5, 12)},
+         |found AS (SELECT v.query_id, v.vec_id, l.label, v.cos,
+         |    CAST(row_number() OVER (PARTITION BY v.query_id
+         |      ORDER BY v.cos DESC, v.vec_id) AS INTEGER) AS rank
+         |  FROM v5 v JOIN qs q ON q.query_id = v.query_id
+         |  JOIN lab l ON l.vec_id = v.vec_id
+         |  WHERE l.label = q.q_label AND v.vec_id <> v.query_id
+         |  QUALIFY rank <= 3),
+         |truth AS (SELECT query_id, vec_id FROM (
+         |    SELECT q.query_id, c.vec_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY round($cosT, 6) DESC, c.vec_id) AS rn
+         |    FROM qs q
+         |    JOIN lab cl ON cl.label = q.q_label
+         |    JOIN e c ON c.vec_id = cl.vec_id AND c.vec_id <> q.query_id)
+         |  WHERE rn <= 3)
+         |SELECT f.query_id, f.rank, f.vec_id, f.label, f.cos,
+         |       CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |FROM found f LEFT JOIN truth t USING (query_id, vec_id)
+         |ORDER BY query_id, rank""".stripMargin
+    },
+    "filtered graph-ANN search: same-label top-K served by the unfiltered beam traversal + predicate on the visited set — exactly-K matching rows and recall band required at ~10% selectivity (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
     v10, v11, v12, v13, v14, v15, v16, v17, v17b, v18, v19, v20, v21, v22, v23,
     v24, v25, v26, v27, v28, v29, v30, v30b, v31, v32, v32b, v33, v34, v34b,
-    v35, v35b, v36, v37)
+    v35, v35b, v36, v37, v38)
 }
