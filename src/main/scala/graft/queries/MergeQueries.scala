@@ -2105,7 +2105,10 @@ object MergeQueries {
         statsBy = Seq("k", "price"))
       val h = pmod(conv(substring(md5(col("k").cast("string")), 1, 2), 16, 10)
         .cast("int"), lit(2))
-      val target = 16L << 10 // small files: enough rectangles to prune
+      // fixture-scaled knob: small files make enough 2-D rectangles to
+      // DEMONSTRATE pruning at test SFs; production uses the 128 MB
+      // default — file count, not file size, is what the prune needs
+      val target = 16L << 10
       t.append(o.filter(h === 0).repartition(3))                        // v1
       require(t.compactIncremental(Seq("k", "price"), target) == 3,     // v2
         "first pass must rewrite the whole backlog")

@@ -1661,8 +1661,13 @@ object VectorQueries {
       val emb = Tables.embeddings(spark, dir)
       val base = emb.select(col("vec_id"),
         col("embedding").cast("array<double>").as("embedding"))
+      // rendition ids sit just past the corpus's own id range — DATA-
+      // derived (max+1 scaled by the plant stride), not a frozen literal:
+      // a fixed 1e6 offset collided with the sf1 replica id shift and
+      // made every "plant" a sign-flipped replica vector (rule 12)
+      val off = base.agg(max(col("vec_id"))).head().getLong(0) + 1L
       val rend = base.filter(col("vec_id") % 10 === 0)
-        .select((col("vec_id") + 1000000L).as("vec_id"),
+        .select((col("vec_id") + lit(off)).as("vec_id"),
           transform(col("embedding"),
             x => x * lit(1.02) + lit(0.005)).as("embedding"))
       val out = Similarity.binaryHammingRadius(base.unionByName(rend),
@@ -1671,7 +1676,7 @@ object VectorQueries {
       val nPlants = base.filter(col("vec_id") % 10 === 0).count()
       val found = out.count()
       val planted =
-        out.filter(col("doc_b") === col("doc_a") + 1000000L).count()
+        out.filter(col("doc_b") === col("doc_a") + lit(off)).count()
       require(found == nPlants && planted == nPlants,
         s"pigeonhole near-dup off: $found found / $planted planted-pairs " +
           s"vs $nPlants plants (band join dead or a plant missed)")
@@ -1679,7 +1684,7 @@ object VectorQueries {
     },
     Some {
       s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-         |rend AS (SELECT vec_id + 1000000 AS vec_id,
+         |rend AS (SELECT vec_id + (SELECT max(vec_id) + 1 FROM e0) AS vec_id,
          |    [x * CAST(1.02 AS DOUBLE) + CAST(0.005 AS DOUBLE) for x in emb] AS emb
          |  FROM e0 WHERE vec_id % 10 = 0),
          |e AS (SELECT * FROM e0 UNION ALL SELECT * FROM rend),
