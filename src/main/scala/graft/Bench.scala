@@ -104,11 +104,20 @@ object Bench {
         s""""load_wait_sec":$loadWaitedSec,""" +
         s""""queries":$qs,"sf":"$sfDir"}"""
     println(json)
+    // The full per-query line above is ~10 KB and overflows any bounded
+    // tail capture (BENCH_r11.json: rc=0 but parsed=null — the captured
+    // tail began mid-string). Print a second, SHORT summary line LAST so
+    // a bounded tail always ends with one complete JSON object.
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","rows":${results.size},""" +
+        s""""failed":$failed,"repeats":$repeats,"load_avg_start":$loadStart,""" +
+        s""""load_wait_sec":$loadWaitedSec,"sf":"$sfDir"}"""
+    println(summary)
     // stdout arrives wrapped in sbt's "[info] " prefix — also drop the raw
-    // JSON line in a file so round-over-round diffs stay machine-readable
+    // JSON lines in a file so round-over-round diffs stay machine-readable
     java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
-      (json + "\n").getBytes("UTF-8"))
+      (json + "\n" + summary + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

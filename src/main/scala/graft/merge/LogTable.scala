@@ -575,37 +575,41 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
         // chain + the native interleave_bits expression), so every output
         // file covers a tight RECTANGLE of the 2-D key space and manifest
         // stats prune on EITHER column. A lexicographic 2-key range sort
-        // would prune only on the leading key. Keys must be numeric
-        // (quantile-sketchable); >2 keys stay lexicographic (z-bits per
+        // would prune only on the leading key. The Morton path needs
+        // quantile-sketchable keys: a non-numeric pair falls back to the
+        // lexicographic branch (ADVICE r11 — it used to throw in
+        // approxQuantile); >2 keys stay lexicographic (z-bits per
         // dimension thin out — Delta caps liquid keys similarly).
-        val zc: Option[Column] =
-          if (clusterBy.size != 2) None
-          else {
-            graft.ops.ZOrder.register(pdf.sparkSession)
-            val ids = clusterBy.map { c =>
-              val pc = physOf(as, c)
-              graft.ops.ZOrder.bucketExpr(col(pc),
-                graft.ops.ZOrder.quantileBounds(pdf, pc, buckets = 64))
-            }
-            Some(graft.ops.ZOrder.zkey(ids.head, ids(1)))
-          }
-        val out = (coalesceTo, clusterBy) match {
+        val mortonKeys =
+          if (clusterBy.size == 2 && clusterBy.forall(c => pdf.schema(physOf(as, c))
+              .dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]))
+            Some(clusterBy.map(c => physOf(as, c)))
+          else None
+        // the two GK-quantile passes + the write would otherwise evaluate
+        // the full input plan three times (ADVICE r11) — persist across them
+        mortonKeys.foreach(_ => pdf.persist())
+        val zc: Option[Column] = mortonKeys.map { pcs =>
+          graft.ops.ZOrder.register(pdf.sparkSession)
+          val ids = pcs.map(pc => graft.ops.ZOrder.bucketExpr(col(pc),
+            graft.ops.ZOrder.quantileBounds(pdf, pc, buckets = 64)))
+          graft.ops.ZOrder.zkey(ids.head, ids(1))
+        }
+        val out = (coalesceTo, zc) match {
           // range exchange with sampled bounds — no global single-reducer
           // sort — then a per-file sort for row-group stats
-          case (Some(n), c) if c.size == 2 =>
-            pdf.repartitionByRange(n, zc.get)
-              .sortWithinPartitions(zc.get +: cs: _*)
-          case (None, c) if c.size == 2 =>
-            pdf.repartitionByRange(zc.get)
-              .sortWithinPartitions(zc.get +: cs: _*)
-          case (Some(n), c) if c.nonEmpty =>
+          case (Some(n), Some(z)) =>
+            pdf.repartitionByRange(n, z).sortWithinPartitions(z +: cs: _*)
+          case (None, Some(z)) =>
+            pdf.repartitionByRange(z).sortWithinPartitions(z +: cs: _*)
+          case (Some(n), _) if cs.nonEmpty =>
             pdf.repartitionByRange(n, cs: _*).sortWithinPartitions(cs: _*)
-          case (None, c) if c.nonEmpty =>
+          case (None, _) if cs.nonEmpty =>
             pdf.repartitionByRange(cs: _*).sortWithinPartitions(cs: _*)
           case (Some(n), _) => pdf.repartition(n)
           case _ => pdf
         }
-        out.write.mode("overwrite").parquet(tmp.toString)
+        try out.write.mode("overwrite").parquet(tmp.toString)
+        finally mortonKeys.foreach(_ => pdf.unpersist())
       case Some((keys, n)) =>
         // one file per touched bucket, rows sorted on the keys for
         // row-group stats — the ParquetTable write discipline
@@ -1077,7 +1081,15 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     * attempts-with-commit — the duplicate check runs inside the loop, so
     * racing redundant deliveries resolve through the CAS). This is what a
     * maintained-state sink (the s44 graph ingest) needs: append-only
-    * `appendOnce` cannot express a state REWRITE per batch. */
+    * `appendOnce` cannot express a state REWRITE per batch.
+    *
+    * BUCKETED tables get the partition-scoped form ([[merge]]'s): only
+    * buckets whose keys appear in `batch` are handed to `f` and replaced
+    * in the manifest; untouched buckets keep their files byte-identical.
+    * That makes a per-micro-batch maintained-state commit O(touched
+    * buckets + batch), not O(table) — the r11 s44 scale flag. `f` must be
+    * keyed (rows never migrate buckets — the [[ParquetTable.merge]]
+    * contract). */
   def occMerge(batch: DataFrame, maxAttempts: Int = 5,
                txn: Option[(String, Long)] = None)
               (f: (DataFrame, DataFrame) => DataFrame): Int =
@@ -1085,11 +1097,22 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
       if (txn.exists { case (app, b) =>
           snap.exists(_.txns.getOrElse(app, -1L) >= b) })
         None // already delivered: no version cut
-      else {
-        val cur = snap.map(m => readData(m.files, m.dv, m.schema)).getOrElse(emptyDf)
-        val fresh = writeFiles(withChecks(f(cur, batch), snap),
-          snap.map(_.schema).getOrElse(schema))
-        Some((fresh, Seq.empty, fresh))
+      else bucketBy match {
+        case None =>
+          val cur = snap.map(m => readData(m.files, m.dv, m.schema)).getOrElse(emptyDf)
+          val fresh = writeFiles(withChecks(f(cur, batch), snap),
+            snap.map(_.schema).getOrElse(schema))
+          Some((fresh, Seq.empty, fresh))
+        case Some(_) =>
+          val touched = batch.select(bucketExpr.as(BucketCol))
+            .distinct().collect().map(_.getInt(0)).toSet
+          val (hit, kept) = snap.map(_.files).getOrElse(Seq.empty)
+            .partition(e => touched.contains(e.bucket))
+          val dv = snap.map(_.dv).getOrElse(Seq.empty)
+          val as = snap.map(_.schema).getOrElse(schema)
+          val cur = if (hit.isEmpty) emptyDf(as) else readData(hit, dv, as)
+          val fresh = writeFiles(withChecks(f(cur, batch), snap), as)
+          Some((kept ++ fresh, dv, fresh))
       }
     }
 

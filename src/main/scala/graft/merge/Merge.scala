@@ -145,11 +145,20 @@ object Merge {
     require(target.columns.toSet == (batch.columns.toSet + toCol + currentCol),
       s"scd2 target must be the batch schema plus $toCol/$currentCol")
     // the batch must be key-unique: a duplicate key would fan the
-    // full-outer join out and emit duplicate closed rows (one bounded
-    // action over the batch — scd2 batches are per-key candidate sets)
-    require(batch.groupBy(keys.map(col).toIndexedSeq: _*).count()
-        .filter(col("count") > 1).limit(1).isEmpty,
-      "scd2 batch must carry at most one row per key")
+    // full-outer join out and emit duplicate closed rows. The guard is a
+    // WRITE-TIME filter, not an eager action (ADVICE r11: the old
+    // groupBy/count ran one extra Spark job per call — once per OCC retry
+    // when scd2 runs inside occMerge): a count window over the keys +
+    // `coalesce(assert_true(...), true)` in a FILTER (projections get
+    // pruned; filters always evaluate — the LogTable.withChecks shape)
+    // throws on the first duplicate during the pass that consumes the plan.
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col).toIndexedSeq: _*)
+    val batchG = batch
+      .withColumn("__k_cnt", count(lit(1)).over(wk))
+      .filter(coalesce(assert_true(col("__k_cnt") <= 1,
+        lit("scd2 batch must carry at most one row per key")), lit(true)))
+      .drop("__k_cnt")
     val toType = target.schema(toCol).dataType
     val hist = target.filter(!col(currentCol))
     val cur0 = target.filter(col(currentCol))
@@ -157,7 +166,7 @@ object Merge {
     // key column is a legal join value — keys.head.isNotNull as the
     // sentinel would silently drop current rows with a NULL first key
     val cur = cur0.withColumn("__t_exists", lit(true))
-    val b = batch.select((batch.columns.map(c => col(c).as("__b_" + c))
+    val b = batchG.select((batchG.columns.map(c => col(c).as("__b_" + c))
       .toIndexedSeq :+ lit(true).as("__b_exists")): _*)
     val cond = keys.map(k => cur(k) <=> b("__b_" + k)).reduce(_ && _)
     val joined = cur.join(b, cond, "full_outer")

@@ -866,6 +866,23 @@ object Similarity {
   def graphInsert(corpus: DataFrame, edges: DataFrame, batch: DataFrame,
                   entries: DataFrame, beam: Int = 8, rounds: Int = 3,
                   m: Int = 5, outDegree: Int = 5): DataFrame = {
+    val (fwd, rev) = insertEdges(corpus, edges, batch, entries, beam, rounds, m)
+    val ws = Window.partitionBy(col("src"))
+      .orderBy(col("pri"), col("cos").desc, col("dst"))
+    edges.withColumn("pri", lit(1)).unionByName(rev)
+      .withColumn("rn", row_number().over(ws))
+      .filter(col("rn") <= outDegree).drop("rn", "pri")
+      .unionByName(fwd)
+  }
+
+  /** [[graphInsert]]'s shared core: `fwd` = each insert's forward edges
+    * (src = new node), `rev` = the reciprocal back-edge CANDIDATES with
+    * the rank-1 connection's priority seat (pri 0) — the deterministic
+    * HNSW neighbor-shrink input. */
+  private def insertEdges(corpus: DataFrame, edges: DataFrame,
+                          batch: DataFrame, entries: DataFrame,
+                          beam: Int, rounds: Int,
+                          m: Int): (DataFrame, DataFrame) = {
     val fresh = batch
       .join(corpus.select(col("vec_id")), Seq("vec_id"), "left_anti")
     val newQ = fresh.select(col("vec_id").as("query_id"),
@@ -886,9 +903,34 @@ object Similarity {
     // nearest neighbor.
     val rev = conn.select(col("vec_id").as("src"), col("query_id").as("dst"),
       col("cos"), when(col("rn") === 1, lit(0)).otherwise(lit(1)).as("pri"))
+    (fwd, rev)
+  }
+
+  /** [[graphInsert]] in DELTA form — the maintained-state shape a
+    * partition-scoped sink needs (the s44 flag): returns ONLY the edge
+    * rows for TOUCHED srcs (each insert's forward edges + the re-pruned
+    * out-edge sets of back-edge targets), so the state commit rewrites
+    * O(touched srcs), never O(graph). The consumer replaces touched srcs'
+    * rows wholesale: `state \ {src ∈ delta.src} ∪ delta` — with a
+    * src-bucketed [[graft.merge.LogTable]] and [[graft.merge.LogTable.occMerge]]
+    * that is a touched-buckets-only rewrite.
+    *
+    * Equivalence to [[graphInsert]]: under the lifecycle's out-degree
+    * invariant (build k = m, insert/delete re-prune every src they touch
+    * to `outDegree`), the full form's global re-prune is the identity on
+    * untouched srcs, so `untouched ∪ delta` equals the full output row
+    * for row (GraphInsertSpec pins it). */
+  def graphInsertDelta(corpus: DataFrame, edges: DataFrame, batch: DataFrame,
+                       entries: DataFrame, beam: Int = 8, rounds: Int = 3,
+                       m: Int = 5, outDegree: Int = 5): DataFrame = {
+    val (fwd, rev) = insertEdges(corpus, edges, batch, entries, beam, rounds, m)
+    val touched = rev.select(col("src")).distinct()
+    // existing out-edges of touched srcs only — a keyed semi-join against
+    // the edge relation (src-pruned under a bucketed layout), not a scan
+    val existing = edges.join(touched.hint("broadcast"), Seq("src"))
     val ws = Window.partitionBy(col("src"))
       .orderBy(col("pri"), col("cos").desc, col("dst"))
-    edges.withColumn("pri", lit(1)).unionByName(rev)
+    existing.withColumn("pri", lit(1)).unionByName(rev)
       .withColumn("rn", row_number().over(ws))
       .filter(col("rn") <= outDegree).drop("rn", "pri")
       .unionByName(fwd)

@@ -78,6 +78,46 @@ final class VectorIndex(spark: SparkSession, root: String,
   private def metaDir = liveRoot.resolve("meta").toString
   private def tombDir = liveRoot.resolve("tombstones").toString
 
+  // STAGED generation ([[buildMeta]]): meta written, index not yet — the
+  // pointer must NOT flip until codes exist, or a concurrent reader of the
+  // previously-live generation is switched onto a generation with no index
+  // directory (ADVICE r11). The staged marker names the pending generation;
+  // the first [[append]] fills its index and performs the flip.
+  private def stagedPointer = java.nio.file.Paths.get(root, "_gen_staged")
+  private def stagedGen: Option[Long] =
+    if (!java.nio.file.Files.exists(stagedPointer)) None
+    else Some(new String(
+      java.nio.file.Files.readAllBytes(stagedPointer)).trim.toLong)
+  private def setStaged(g: Long): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    Files.createDirectories(Paths.get(root))
+    val tmp = Files.createTempFile(Paths.get(root), "._gen-", ".tmp")
+    Files.write(tmp, g.toString.getBytes)
+    Files.move(tmp, stagedPointer, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+  private def clearStaged(): Unit =
+    java.nio.file.Files.deleteIfExists(stagedPointer)
+
+  /** Next generation number: one past the max of the live pointer AND every
+    * `.v-<N>` directory on disk. On a legacy root (no `_gen` pointer but
+    * old-layout retired generations present) `currentGen` alone reads 0 and
+    * a build would clobber `.v-1` — inheriting its stale tombstones as the
+    * new live generation's (ADVICE r11). Any pre-existing target dir (a
+    * crashed prior attempt) is deleted before the caller writes into it. */
+  private def nextGen(): Long = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(root)
+    val VDir = """\.v-(\d+)""".r
+    val onDisk =
+      if (!java.nio.file.Files.exists(p)) Seq.empty[Long]
+      else java.nio.file.Files.list(p).iterator().asScala
+        .map(_.getFileName.toString).collect { case VDir(n) => n.toLong }.toSeq
+    val g = (currentGen +: onDisk).max + 1
+    deleteRec(genDir(g))
+    g
+  }
+
   /** Build the index from `corpus` (vec_id, embedding): stride-sampled
     * centroids + codebook (v04/v09 rules), cell assignment via the native
     * [[graft.functions.NearestCellsExpr]], PQ codes via
@@ -86,11 +126,12 @@ final class VectorIndex(spark: SparkSession, root: String,
     // a (re)build cuts a FRESH generation and flips the pointer only once
     // the codes are fully written — a concurrent reader never sees a
     // half-built index
-    val g = currentGen + 1
+    val g = nextGen()
     writeMetaTo(corpus, genDir(g).resolve("meta").toString)
     writeCodesTo(corpus, loadMetaFrom(genDir(g).resolve("meta").toString),
       genDir(g).resolve("index").toString, mode = "overwrite")
     setGen(g)
+    clearStaged() // any pending meta-only generation is abandoned
   }
 
   private def writeCodesTo(corpus: DataFrame,
@@ -113,9 +154,14 @@ final class VectorIndex(spark: SparkSession, root: String,
     * are a pure function of (vector, frozen meta), the resulting index is
     * bit-identical to a one-shot [[build]] regardless of batch split. */
   def buildMeta(corpus: DataFrame): Unit = {
-    val g = currentGen + 1
+    val g = nextGen()
     writeMetaTo(corpus, genDir(g).resolve("meta").toString)
-    setGen(g) // meta-only generation: [[append]] then fills its index
+    // STAGE, don't flip: a concurrent reader of the live generation must
+    // keep serving it until the new generation has an index — the first
+    // [[append]] fills the staged index and performs the pointer flip
+    // (ADVICE r11: an immediate flip broke serve-while-retraining for the
+    // streaming-build path with a path-not-found until the first batch).
+    setStaged(g)
   }
 
   private def writeMetaTo(corpus: DataFrame, dest: String): Unit = {
@@ -141,8 +187,18 @@ final class VectorIndex(spark: SparkSession, root: String,
     * rebuild, exactly like FAISS index training). New codes land ONLY in
     * their own cell partitions; untouched cell directories are not
     * rewritten (VectorIndexSpec pins byte-identity). */
-  def append(newVectors: DataFrame): Unit =
-    writeCodesTo(newVectors, loadMeta(), indexDir, mode = "append")
+  def append(newVectors: DataFrame): Unit = stagedGen match {
+    case Some(g) =>
+      // first append into a staged ([[buildMeta]]) generation: write its
+      // first codes, THEN flip — readers switch only once an index exists
+      writeCodesTo(newVectors,
+        loadMetaFrom(genDir(g).resolve("meta").toString),
+        genDir(g).resolve("index").toString, mode = "append")
+      setGen(g)
+      clearStaged()
+    case None =>
+      writeCodesTo(newVectors, loadMeta(), indexDir, mode = "append")
+  }
 
   /** Logical delete — the Delta deletion-vector / FAISS `IDSelector`
     * analog: ids are appended to a tombstone side-table and [[query]] masks
@@ -224,11 +280,12 @@ final class VectorIndex(spark: SparkSession, root: String,
     // pointer: the previous generation's directory is never touched, so a
     // reader mid-query keeps its snapshot and [[version]] serves the
     // retired generation (with its own tombstone set) forever after
-    val g = currentGen + 1
+    val g = nextGen()
     writeMetaTo(live, genDir(g).resolve("meta").toString)
     writeCodesTo(live, loadMetaFrom(genDir(g).resolve("meta").toString),
       genDir(g).resolve("index").toString, mode = "overwrite")
     setGen(g) // tombstones folded in: the new generation starts clean
+    clearStaged() // any pending meta-only generation is abandoned
   }
 
   /** v26's occupancy signal read off the PERSISTED layout: the maximum
@@ -253,10 +310,11 @@ final class VectorIndex(spark: SparkSession, root: String,
     val p = java.nio.file.Paths.get(root)
     val VDir = """\.v-(\d+)""".r
     val cur = currentGen
+    val staged = stagedGen // meta-only, not yet live: neither retired nor live
     if (!java.nio.file.Files.exists(p)) Seq.empty
     else java.nio.file.Files.list(p).iterator().asScala
       .map(_.getFileName.toString).collect { case VDir(n) => n.toLong }
-      .filter(_ != cur).toSeq.sorted
+      .filter(g => g != cur && !staged.contains(g)).toSeq.sorted
   }
 
   /** RETENTION: physically drop retired generations, keeping the newest

@@ -356,7 +356,8 @@ object RelationalQueries {
       val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       ev.select(
           col("user_id"), col("event_id"), col("ts_us"),
-          row_number().over(w).as("rn"),
+          // cast to match DuckDB's BIGINT row_number (rule-2 width parity)
+          row_number().over(w).cast("long").as("rn"),
           round(sum(col("value")).over(wf), 2).as("run_sum"),
           lag(col("value"), 1).over(w).as("prev_value"))
         .orderBy(col("user_id"), col("ts_us"), col("event_id"))

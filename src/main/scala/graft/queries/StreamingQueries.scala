@@ -3085,10 +3085,14 @@ object StreamingQueries {
     * The hash pins the maintained STATE itself, not a projection of it.
     *
     * 100 TB shape: per batch one bounded beam search per vector + a
-    * re-prune of the touched srcs; the edge table rewrite is the
-    * simplification here — a production sink would bucket the edge table
-    * by src and rewrite only touched buckets (the s42 replication shape);
-    * the txn contract is identical. */
+    * re-prune of the touched srcs, and the state commit is
+    * PARTITION-SCOPED (the r12 fix for the r11 scale flag): the edge
+    * table is BUCKETED by src, the insert produces its DELTA form
+    * ([[graft.operators.Similarity.graphInsertDelta]] — rows for touched
+    * srcs only), and the transactional occMerge rewrites only the buckets
+    * holding touched srcs (the s42 replication shape) — per-batch write
+    * bytes ∝ touched srcs, never O(graph). GraphStateScopedSpec pins
+    * untouched buckets surviving byte-identical across batches. */
   val s44 = QueryDef(
     "s44_stream_graph_insert",
     (spark, dir) => {
@@ -3126,7 +3130,7 @@ object StreamingQueries {
       }
       val t = new graft.merge.LogTable(spark,
         FixtureDirs.create("s44-graph-").resolve("edges").toString,
-        baseEdges.schema)
+        baseEdges.schema, bucketBy = Some((Seq("src"), 16)))
       t.append(baseEdges) // v1: the base graph
       val stream = spark.readStream
         .schema("vec_id bigint, embedding array<float>")
@@ -3144,9 +3148,15 @@ object StreamingQueries {
                 .join(base.select(col("vec_id")), Seq("vec_id"), "left_anti")
               val corpus = base.unionByName(
                 emb.join(insertedIds, Seq("vec_id")))
-              val grown = Similarity.graphInsert(corpus, edges, b, entries)
+              // DELTA form: rows for touched srcs only — the bucketed
+              // occMerge then rewrites only the buckets holding them
+              val delta = Similarity.graphInsertDelta(corpus, edges, b, entries)
                 .localCheckpoint(true)
-              t.occMerge(grown, txn = Some(("s44", id)))((_, g) => g)
+              t.occMerge(delta, txn = Some(("s44", id))) { (cur, d) =>
+                cur.join(d.select(col("src")).distinct(),
+                    Seq("src"), "left_anti")
+                  .unionByName(d)
+              }
             }
             ()
           }.start()

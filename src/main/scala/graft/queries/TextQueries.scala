@@ -4129,11 +4129,12 @@ object TextQueries {
     Some(s"""WITH $tokCte,
             |t AS (SELECT doc_id, CAST(length(w) AS BIGINT) AS n_tokens FROM toks),
             |idx AS (SELECT d.source, d.doc_id, t.n_tokens,
-            |  sum(t.n_tokens) OVER (PARTITION BY d.source ORDER BY d.doc_id
-            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS doc_end
+            |  CAST(sum(t.n_tokens) OVER (PARTITION BY d.source ORDER BY d.doc_id
+            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS doc_end
             |  FROM documents d JOIN t USING (doc_id)),
             |idx2 AS (SELECT *, doc_end - n_tokens AS doc_start FROM idx),
-            |tot AS (SELECT source, max(doc_end) AS total FROM idx GROUP BY source),
+            |tot AS (SELECT source, CAST(max(doc_end) AS BIGINT) AS total
+            |  FROM idx GROUP BY source),
             |ph AS (SELECT source, probe_id, total,
             |    md5(source || ':' || CAST(probe_id AS VARCHAR)) AS h
             |  FROM tot, (SELECT unnest([0, 1, 2]) AS probe_id)),
@@ -4145,13 +4146,18 @@ object TextQueries {
             |    + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096
             |    + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 256
             |    + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16
-            |    + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1) ) % total AS probe_start
+            |    + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1) ) % total
+            |      AS probe_start
             |  FROM ph),
+            |-- DuckDB promotes integer sum()/window-sum (and anything derived
+            |-- from it) to HUGEINT -> Arrow decimal128(38,0); Spark emits int64.
+            |-- CAST every sum-derived column back to BIGINT (oracle rule 2).
             |pr2 AS (SELECT source, probe_id, probe_start,
             |    least(probe_start + 512, total) AS probe_end FROM pr)
-            |SELECT i.source, p.probe_id, p.probe_start, i.doc_id,
-            |  least(i.doc_end, p.probe_end) - greatest(i.doc_start, p.probe_start)
-            |    AS overlap_tokens
+            |SELECT i.source, p.probe_id,
+            |  CAST(p.probe_start AS BIGINT) AS probe_start, i.doc_id,
+            |  CAST(least(i.doc_end, p.probe_end) - greatest(i.doc_start, p.probe_start)
+            |    AS BIGINT) AS overlap_tokens
             |FROM idx2 i JOIN pr2 p ON i.source = p.source
             |  AND i.doc_start < p.probe_end AND i.doc_end > p.probe_start
             |ORDER BY i.source, p.probe_id, i.doc_id""".stripMargin),

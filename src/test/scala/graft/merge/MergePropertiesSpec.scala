@@ -189,9 +189,16 @@ class MergePropertiesSpec extends SparkSpec {
       (None, "n", 1, Some(2), false),    // NULL-key row closed, not dropped
       (None, "n2", 2, None, true),
       (Some(1), "a", 1, None, true)))
-    // key-duplicate batch: join fan-out would emit duplicate closes
+    // key-duplicate batch: join fan-out would emit duplicate closes. The
+    // guard is write-time (assert_true in a filter — no eager per-call job,
+    // ADVICE r11), so it fires when the plan EXECUTES, not at call time.
     val dup = Seq((Some(1), "x", 3), (Some(1), "y", 3)).toDF("k", "v", "eff_from")
-    intercept[IllegalArgumentException](Merge.scd2(dim, dup, Seq("k"), Seq("v")))
+    val lazyOut = Merge.scd2(dim, dup, Seq("k"), Seq("v")) // no job yet
+    val err = intercept[Exception](lazyOut.collect())
+    val messages = Iterator.iterate[Throwable](err)(_.getCause)
+      .takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(messages.exists(_.contains("at most one row per key")),
+      s"expected the duplicate-key guard message, got: ${messages.mkString(" | ")}")
   }
 
   test("property: scd2 equals the version-chain model and re-application is a no-op") {

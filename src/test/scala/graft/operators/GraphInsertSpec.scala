@@ -133,4 +133,62 @@ class GraphInsertSpec extends SparkSpec {
       s"grown-graph recall collapsed: $grownHits hits vs from-scratch $scratchHits")
     assert(grownHits > 0, "grown-graph beam found no true neighbors at all")
   }
+
+  /** ADVERSARIAL degree-cap collision (the documented failure bound,
+    * `Similarity.insertEdges`' comment): when MORE than `outDegree` inserts
+    * elect the same nearest neighbor, the priority seat can protect only
+    * `outDegree` of them — the overflow may orphan if every other
+    * back-edge also loses its shrink. This test constructs exactly that
+    * worst case (a dense base cluster whose internal cos beats any insert
+    * back-edge, one isolated hub all inserts elect) and pins the bound:
+    * orphans == clustered − outDegree there, and zero when the cluster
+    * fits under the cap. */
+  test("adversarial: > outDegree inserts electing one nearest neighbor " +
+      "orphan exactly the overflow; <= outDegree orphan none") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    def vec(parts: (Int, Double)*): Seq[Float] = {
+      val a = Array.fill(8)(0.0f)
+      parts.foreach { case (i, v) => a(i) = v.toFloat }
+      a.toSeq
+    }
+    // dense cluster 0..7: mutual cos ≈ 1 (their edges always win a shrink);
+    // hub 100 orthogonal to the cluster
+    val dense = (0 until 8).map(i => (i.toLong, vec(0 -> 1.0, 1 -> 0.01 * (i + 1))))
+    val hub = Seq((100L, vec(7 -> 1.0)))
+    val base = (dense ++ hub).toDF("vec_id", "embedding").localCheckpoint(true)
+    val baseEdges = Similarity.bruteForceTopK(base, base,
+        VectorFunctions.cosineSim, k = 5)
+      .select(col("query_id").as("src"), col("vec_id").as("dst"), col("cos"))
+      .localCheckpoint(true)
+    val entries = base.select(col("vec_id")).localCheckpoint(true)
+    // 7 inserts, ALL nearest to the hub (distinct margins → deterministic
+    // shrink order: smaller perturbation = higher cos = earlier seat)
+    val inserts = (0 until 7).map(j =>
+      (200L + j, vec(7 -> 1.0, 1 -> 0.05 * (j + 1))))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    val grown = Similarity.graphInsert(base, baseEdges, inserts, entries)
+      .localCheckpoint(true)
+    val maxOut = grown.groupBy(col("src")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(maxOut <= 5L, s"degree cap broken under collision: $maxOut")
+    // the hub's seats go to the 5 closest inserts, in cos order
+    val hubOut = grown.filter(col("src") === 100L)
+      .select(col("dst")).collect().map(_.getLong(0)).toSet
+    assert(hubOut == Set(200L, 201L, 202L, 203L, 204L),
+      s"hub out-list should hold the 5 closest inserts, got $hubOut")
+    // orphans are EXACTLY the overflow (205, 206): every other back-edge
+    // lost to the dense cluster's internal edges
+    val withIn = grown.filter(col("dst") >= 200L)
+      .select(col("dst")).distinct().collect().map(_.getLong(0)).toSet
+    assert((Set(200L, 201L, 202L, 203L, 204L, 205L, 206L) -- withIn) ==
+      Set(205L, 206L),
+      s"expected overflow {205,206} orphaned, in-linked: $withIn")
+    // under the cap: same fixture, 5 inserts — nobody orphans
+    val few = inserts.filter(col("vec_id") <= 204L)
+    val grownFew = Similarity.graphInsert(base, baseEdges, few, entries)
+    val inFew = grownFew.filter(col("dst") >= 200L)
+      .select(col("dst")).distinct().count()
+    assert(inFew == 5L, s"under-cap insert orphaned: only $inFew in-linked")
+  }
 }

@@ -32,14 +32,16 @@ SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
   java -cp "target/scala-2.13/classes:/opt/spark/jars/*" graft.Bench \
   >/dev/null 2>&1
 
-start=$(python3 -c "import json;print(json.load(open('bench_out.json'))['load_avg_start'])")
+# bench_out.json is JSONL since r12: line 1 = full per-query record,
+# line 2 = short summary (for the driver's bounded tail capture).
+start=$(python3 -c "import json;print(json.loads(open('bench_out.json').readline())['load_avg_start'])")
 if awk -v l="$start" -v m="$MAX_LOAD" 'BEGIN{exit !(l > m)}'; then
   echo "quietbench: recorded load_avg_start=$start > $MAX_LOAD — discard this run" >&2
   exit 1
 fi
 python3 - <<'EOF'
 import json
-d = json.load(open('bench_out.json'))
+d = json.loads(open('bench_out.json').readline())
 print(f"quietbench: total {d['value']:.1f}s / {len(d['queries'])} queries, "
       f"load {d['load_avg_start']:.2f} -> {d['load_avg_end']:.2f}")
 EOF
