@@ -20,8 +20,12 @@ import graft.functions._
   * identical `Expression` nodes, so plans and results are the same.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // SQL DML statement surface (MERGE INTO / UPDATE / DELETE FROM) over
+    // graft-logtable catalog tables — see [[graft.sql.GraftSqlParser]]
+    ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
+  }
 }
 
 object GraftExtensions {

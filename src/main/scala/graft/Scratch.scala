@@ -46,6 +46,71 @@ object Scratch {
           timed(s"$name run$i (forced)") { Bench.forceAll(fn(spark, sfDir)) }
         }
       }
+    } else if (args.headOption.contains("graphdiag")) {
+      // Dissect the v36 sf1 recall collapse (VERDICT r12 ask 6): at the
+      // replica sfdir, measure panel recall of (a) the base kNN edges
+      // themselves, (b) beam over the BASE graph (no inserts), (c) beam
+      // over the GROWN graph — isolating base-build quality vs beam budget
+      // vs insert back-edge hijack as the collapsing stage.
+      import graft.functions.VectorFunctions
+      import graft.operators.Similarity
+      import org.apache.spark.sql.expressions.Window
+      VectorFunctions.register(spark)
+      val B = 8; val R = 4; val K = 3
+      val emb = graft.sources.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      val isNew = pmod(col("vec_id"), lit(9)) === 4
+      val base = emb.filter(!isNew).localCheckpoint(true)
+      val nbase = base.count()
+      val nlist = math.max(16L, nbase / 50).toInt
+      val stride = math.max(1L, nbase / nlist)
+      println(s"[graphdiag] nbase=$nbase nlist=$nlist stride=$stride")
+      val baseEdges = Similarity.ivfTopK(base, base,
+          VectorFunctions.cosineSim, k = 5, nlist = nlist, nprobe = 4)
+        .select(col("query_id").as("src"), col("vec_id").as("dst"), col("cos"))
+        .localCheckpoint(true)
+      val entries = base.filter(pmod(col("vec_id"), lit(stride)) === 0)
+        .orderBy(col("vec_id")).limit(nlist).select(col("vec_id"))
+        .localCheckpoint(true)
+      println(s"[graphdiag] entries=${entries.count()} " +
+        s"replicas=${entries.select((col("vec_id") / 1000000L).cast("long")).distinct().count()}")
+      val qPred = pmod(col("vec_id"), lit(53)) === 0 &&
+        col("vec_id") <= lit(53L * 40)
+      val queries = emb.filter(qPred)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+        .localCheckpoint(true)
+      val truth = Similarity.bruteForceTopK(emb.filter(qPred), emb,
+          VectorFunctions.cosineSim, k = K)
+        .select(col("query_id"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val q = queries.count()
+      println(s"[graphdiag] panel=$q truth=${truth.size}")
+      // (a) base-edge recall: are the true neighbors even IN the kNN edges?
+      val edgeHits = baseEdges.select(col("src"), col("dst")).collect()
+        .count(r => truth.contains((r.getLong(0), r.getLong(1))))
+      println(s"[graphdiag] (a) truth pairs present in base kNN edges: $edgeHits / ${truth.size}")
+      def beamRecall(tag: String, edges: org.apache.spark.sql.DataFrame): Unit = {
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        val hits = Similarity.beamSearchVisited(emb,
+            edges.select(col("src"), col("dst")), queries,
+            queries.select(col("query_id")).crossJoin(entries), B, R)
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("rank", row_number().over(w)).filter(col("rank") <= K)
+          .select(col("query_id"), col("vec_id")).collect()
+          .count(r => truth.contains((r.getLong(0), r.getLong(1))))
+        println(s"[graphdiag] $tag beam recall: $hits / ${q * K}")
+      }
+      beamRecall("(b) base graph", baseEdges)
+      val grown = Similarity.graphInsert(base, baseEdges, emb.filter(isNew),
+        entries, beam = 8, rounds = 3, m = 5, outDegree = 5)
+        .localCheckpoint(true)
+      beamRecall("(c) grown graph", grown)
+      // hijack evidence: how many replica-0 srcs lost edges to
+      // cross-replica back-edges?
+      val hijacked = grown.filter(col("src") < 1000000L && col("dst") >= 1000000L)
+        .count()
+      println(s"[graphdiag] replica-0 -> other-replica edges in grown: $hijacked")
     } else if (args.headOption.contains("s10bflat")) {
       // Batch-proportionality evidence for the CAPPED incremental-clustering
       // path (the r10 rework): drive processBatch directly over N equal

@@ -966,6 +966,51 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
       }
     }
 
+  /** UPDATE … SET … WHERE — Delta's UPDATE, file-scoped like
+    * [[replaceWhere]]: one predicate scan finds the files holding matching
+    * LIVE rows, ONLY those files are rewritten (matching rows get the
+    * assignments applied, non-matching neighbors are carried verbatim,
+    * DV-deleted rows are materialized out — fresh files get fresh names so
+    * stale sidecar entries go inert), untouched files keep their bytes and
+    * stay shared across versions. Returns rows updated (0 ⇒ no commit
+    * cut). Bucket keys cannot be assigned (rows never migrate buckets —
+    * the bucketed-layout contract). Backs the SQL `UPDATE` statement
+    * ([[graft.sql.GraftUpdateCommand]]). */
+  def updateWhere(cond: Column, set: Map[String, Column]): Long = {
+    require(set.nonEmpty, "updateWhere needs at least one assignment")
+    require(!bucketBy.exists(_._1.exists(set.contains)),
+      "cannot UPDATE a bucket key (rows never migrate buckets)")
+    var updated = 0L
+    commitLoop(5) { snap =>
+      snap match {
+        case None => updated = 0L; None // empty table: nothing to commit
+        case Some(m) =>
+          set.keys.foreach(k => require(m.schema.fieldNames.contains(k),
+            s"updateWhere: unknown column '$k'"))
+          // one scan: touched files AND the matched-row count together
+          val perFile = readDataWithPos(m).filter(cond)
+            .groupBy(col(DvName)).agg(count(lit(1)).as("n"))
+            .collect().map(r => r.getString(0) -> r.getLong(1))
+          updated = perFile.map(_._2).sum
+          if (perFile.isEmpty) None
+          else {
+            val matched = perFile.map(_._1).toSet
+            val (rewrite, keep) = m.files.partition(e => matched(e.name))
+            val c = coalesce(cond, lit(false)) // NULL predicate = not matched
+            val upd = readData(rewrite, m.dv, m.schema)
+              .select(m.schema.fields.map { f =>
+                set.get(f.name)
+                  .map(v => when(c, v.cast(f.dataType)).otherwise(col(f.name)))
+                  .getOrElse(col(f.name)).as(f.name)
+              }.toIndexedSeq: _*)
+            val fresh = writeFiles(withChecks(upd, snap), m.schema)
+            Some((keep ++ fresh, m.dv, fresh))
+          }
+      }
+    }
+    updated
+  }
+
   /** Newest batchId `appId` has committed, -1 = none (Delta's `txn`
     * watermark read — the idempotent-sink handshake). */
   def lastTxn(appId: String): Long = {

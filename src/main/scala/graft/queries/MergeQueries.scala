@@ -2195,5 +2195,83 @@ object MergeQueries {
            |ORDER BY phase, k""".stripMargin),
     "snapshot isolation for readers: manifests pinned at open serve exactly their version across a later DV delete and a full rewrite — never a mix (forced mid-scan interleave spec-pinned)")
 
-  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl, opt, del, rst, vac, dvq, dvtt, occ, occContended, logLifecycle, logMaintenance, logChangeFeed, logClustered, logEvolve, logSql, logConstraints, logTimestamps, scd2q, logColumnMapping, generatedCols, logClone, logRowTracking, logWidening, logCdfTyped, logReplaceWhere, logLiquid, logLiquidMulti, logSnapshotIso)
+  /** SQL DML STATEMENTS over the log table (q87) — the reference's actual
+    * merge INTERFACE: its five merges execute as SQL text inside
+    * foreachBatch (`Silver/05-silver.py:11-13` — `spark.sql("MERGE INTO
+    * silver t USING batch s ON … WHEN MATCHED AND s.ts > t.ts THEN UPDATE
+    * SET * WHEN NOT MATCHED THEN INSERT *")`). This row executes that M3
+    * statement VERBATIM (recency-guarded upsert) against a graft-logtable
+    * catalog table through [[graft.sql.GraftSqlParser]] (injected via
+    * `spark.sql.extensions=graft.GraftExtensions`), then `UPDATE` (lowered
+    * onto the file-scoped [[graft.merge.LogTable.updateWhere]]) and
+    * `DELETE FROM` (the DV commit) — the full DML loop as statements, one
+    * OCC version each. The oracle replays the three statements as three
+    * CTEs. SqlDmlSpec pins the statement-level semantics (clause order,
+    * conditions, file scoping, provider gate). */
+  val logSqlDml = QueryDef(
+    "q87_logtable_sql_dml",
+    (spark, dir) => {
+      val sqlSpark = graft.sql.SqlDml.session(spark)
+      val o = Tables.orders(sqlSpark, dir)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").as("price"),
+          (col("o_orderkey") % 100).as("ver"))
+      val maxK = o.agg(max(col("k"))).head().getLong(0)
+      val root = FixtureDirs.create("q87-dml-").resolve("orders_dml").toString
+      val t = new graft.merge.LogTable(sqlSpark, root, o.schema)
+      t.append(o)                                                      // v1
+      val tbl = "q87_orders_dml"
+      sqlSpark.sql(s"DROP TABLE IF EXISTS $tbl")
+      sqlSpark.sql(s"CREATE TABLE $tbl USING `graft-logtable` OPTIONS (path '$root')")
+      try {
+        // CDC-style batch: updates half newer / half older (the recency
+        // guard must hold the older half), plus shifted-key inserts
+        val bat = o.filter(col("k") % 3 === 0)
+          .select(col("k"), (col("price") + lit(10.0)).as("price"),
+            (col("ver") + when(col("k") % 6 === 0, lit(5)).otherwise(lit(-5)))
+              .as("ver"))
+        // shift past max+1: orderkeys are dense FROM 0, so k+max would
+        // collide key 0's insert with the max key (found the hard way)
+        val ins = o.filter(col("k") % 5 === 0)
+          .select((col("k") + lit(maxK) + lit(1L)).as("k"),
+            col("price"), col("ver"))
+        bat.unionByName(ins).createOrReplaceTempView("q87_src")
+        sqlSpark.sql(
+          s"""MERGE INTO $tbl t USING q87_src s ON t.k = s.k
+             |WHEN MATCHED AND s.ver > t.ver THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)        // v2
+        sqlSpark.sql(s"UPDATE $tbl SET price = price * 2 WHERE k % 10 = 0") // v3
+        sqlSpark.sql(s"DELETE FROM $tbl WHERE k % 7 = 0")           // v4
+        require(t.history() == Seq(1L, 2L, 3L, 4L),
+          s"each statement must cut exactly one version: ${t.history()}")
+        // read through the BASE session (file-level interop — the result
+        // must not depend on the extension session surviving)
+        new graft.merge.LogTable(spark, root, o.schema).read()
+          .orderBy(col("k"))
+      } finally sqlSpark.sql(s"DROP TABLE IF EXISTS $tbl")
+    },
+    Some("""WITH base AS (SELECT o_orderkey AS k, o_totalprice AS price,
+           |    o_orderkey % 100 AS ver FROM orders),
+           |bat AS (SELECT k, price + CAST(10 AS DOUBLE) AS price,
+           |    ver + CASE WHEN k % 6 = 0 THEN 5 ELSE -5 END AS ver
+           |  FROM base WHERE k % 3 = 0),
+           |ins AS (SELECT k + (SELECT max(k) + 1 FROM base) AS k, price, ver
+           |  FROM base WHERE k % 5 = 0),
+           |src AS (SELECT * FROM bat UNION ALL SELECT * FROM ins),
+           |merged AS (
+           |  SELECT t.k,
+           |    CASE WHEN s.k IS NOT NULL AND s.ver > t.ver THEN s.price
+           |         ELSE t.price END AS price,
+           |    CASE WHEN s.k IS NOT NULL AND s.ver > t.ver THEN s.ver
+           |         ELSE t.ver END AS ver
+           |  FROM base t LEFT JOIN src s ON t.k = s.k
+           |  UNION ALL SELECT k, price, ver FROM ins),
+           |updated AS (SELECT k,
+           |    CASE WHEN k % 10 = 0 THEN price * 2 ELSE price END AS price,
+           |    ver FROM merged)
+           |SELECT k, price, ver FROM updated WHERE k % 7 <> 0
+           |ORDER BY k""".stripMargin),
+    "SQL DML statement surface: the reference's M3 MERGE INTO statement verbatim (recency-guarded UPDATE SET * / INSERT *) + UPDATE (file-scoped rewrite) + DELETE (DV commit) over a graft-logtable catalog table via the injected parser")
+
+  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl, opt, del, rst, vac, dvq, dvtt, occ, occContended, logLifecycle, logMaintenance, logChangeFeed, logClustered, logEvolve, logSql, logConstraints, logTimestamps, scd2q, logColumnMapping, generatedCols, logClone, logRowTracking, logWidening, logCdfTyped, logReplaceWhere, logLiquid, logLiquidMulti, logSnapshotIso, logSqlDml)
 }

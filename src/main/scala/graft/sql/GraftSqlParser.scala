@@ -1,0 +1,49 @@
+package graft.sql
+
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.types.StructType
+
+/** SQL DML surface for the log table (VERDICT r11 ask 5): the reference
+  * executes its merges as SQL text inside foreachBatch
+  * (`Silver/05-silver.py:11-13` — `spark.sql("MERGE INTO ...")`); this
+  * parser extension gives the engine that statement surface, lowering
+  * `MERGE INTO` / `UPDATE` / `DELETE FROM` onto the LogTable verbs that
+  * already implement the semantics (the M1–M6 family, deleteWhere,
+  * updateWhere).
+  *
+  * Mechanics: Spark's own parser already understands all three statements
+  * (it produces [[MergeIntoTable]]/[[UpdateTable]]/[[DeleteFromTable]]
+  * nodes) but its ANALYZER rejects them for v1 relations ("not supported
+  * temporarily"). So we delegate the parse and intercept the parsed node,
+  * wrapping it in a runnable command ([[GraftMergeCommand]] et al.) that
+  * resolves the target through the session catalog at execution time and
+  * runs the statement through the LogTable commit protocol. Installed via
+  * `spark.sql.extensions=graft.GraftExtensions` (injectParser) or
+  * [[graft.sql.SqlDml.session]] on an existing session.
+  */
+final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    delegate.parsePlan(sqlText) match {
+      case m: MergeIntoTable   => GraftMergeCommand(m)
+      case u: UpdateTable      => GraftUpdateCommand(u)
+      case d: DeleteFromTable  => GraftDeleteCommand(d)
+      case p                   => p
+    }
+
+  override def parseExpression(sqlText: String) = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String) = delegate.parseDataType(sqlText)
+}

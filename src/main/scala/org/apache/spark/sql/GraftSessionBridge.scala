@@ -1,30 +1,50 @@
 package org.apache.spark.sql
 
-/** Bridge into the `private[sql]` classic.SparkSession constructor — the
-  * only way to obtain a session with EXTRA `SparkSessionExtensions` next to
-  * an already-running one (extensions are applied at session construction;
-  * `newSession()` inherits the parent's extensions object, and
-  * `builder.getOrCreate()` returns the existing session unchanged). The
-  * shared state (catalog, warehouse) is reused, so tables created in either
-  * session are visible to both; runtime SQL confs are copied so plans
-  * (shuffle widths, session timezone) match the parent. Same pattern as
+/** Session/plan bridges for the SQL DML surface. Extensions (parser
+  * injection) are applied at session CONSTRUCTION: `newSession()` inherits
+  * the parent's extensions object and `builder.getOrCreate()` returns the
+  * already-active session unchanged — so obtaining an extension-bearing
+  * session next to a running one needs the builder with the active/default
+  * session temporarily cleared. Deployments skip all of this with
+  * `--conf spark.sql.extensions=graft.GraftExtensions` (every session gets
+  * the parser at birth); the bridge exists for tests and programmatic use
+  * on an already-built session. Same pattern family as
   * [[GraftStreamingBridge]] / [[GraftUdafBridge]].
   */
 object GraftSessionBridge {
 
   def withExtensions(base: SparkSession,
-                     f: SparkSessionExtensions => Unit): SparkSession = {
-    val b = base.asInstanceOf[classic.SparkSession]
-    val ext = new SparkSessionExtensions
-    f(ext)
-    val s = new classic.SparkSession(
-      b.sparkContext, Some(b.sharedState), None, ext,
-      Map.empty[String, String], Map.empty[String, String])
-    // mirror the parent's runtime SQL conf (timezone, shuffle partitions,
-    // AQE flags) — a fresh SessionState starts from defaults otherwise
-    b.conf.getAll.foreach { case (k, v) =>
-      try s.conf.set(k, v) catch { case _: Exception => () } // static confs
+                     f: SparkSessionExtensions => Unit): SparkSession =
+    synchronized {
+      val b = base.asInstanceOf[classic.SparkSession]
+      val prevDefault = classic.SparkSession.getDefaultSession
+      val prevActive = classic.SparkSession.getActiveSession
+      classic.SparkSession.clearDefaultSession()
+      classic.SparkSession.clearActiveSession()
+      val s =
+        try classic.SparkSession.builder().withExtensions(f).getOrCreate()
+        finally {
+          prevDefault.foreach(classic.SparkSession.setDefaultSession)
+          prevActive.foreach(classic.SparkSession.setActiveSession)
+        }
+      // mirror the parent's runtime SQL conf (timezone, shuffle widths,
+      // AQE flags) — the fresh SessionState starts from defaults otherwise.
+      // NOTE: the new session has its own SharedState/catalog; create the
+      // tables the DML statements target from THIS session.
+      b.conf.getAll.foreach { case (k, v) =>
+        try s.conf.set(k, v) catch { case _: Exception => () } // static confs
+      }
+      s
     }
-    s
-  }
+
+  /** `private[sql] Dataset.ofRows` — analyze + wrap an arbitrary logical
+    * plan (the SQL DML commands hand their parsed source subtree here). */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Wrap a catalyst Expression (possibly unresolved — DataFrame ops
+    * resolve it against their children) as a user-level Column. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
 }
