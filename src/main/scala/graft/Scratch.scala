@@ -56,7 +56,10 @@ object Scratch {
       import graft.operators.Similarity
       import org.apache.spark.sql.expressions.Window
       VectorFunctions.register(spark)
-      val B = 8; val R = 4; val K = 3
+      val B = args.lift(1).map(_.toInt).getOrElse(8)
+      val R = args.lift(2).map(_.toInt).getOrElse(4)
+      val K = 3
+      println(s"[graphdiag] B=$B R=$R")
       val emb = graft.sources.Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("embedding")).localCheckpoint(true)
       val isNew = pmod(col("vec_id"), lit(9)) === 4
@@ -111,6 +114,26 @@ object Scratch {
       val hijacked = grown.filter(col("src") < 1000000L && col("dst") >= 1000000L)
         .count()
       println(s"[graphdiag] replica-0 -> other-replica edges in grown: $hijacked")
+      // HYPOTHESIS: the collapse is the FROZEN nprobe=4 against a 10x
+      // nlist (probe fraction 11% -> 1.1%). Rebuild with nprobe scaled to
+      // keep the fraction (nlist/9, floor 4 — identity at sf0.1 and below).
+      val nprobe2 = math.max(4, nlist / 9)
+      println(s"[graphdiag] scaled nprobe=$nprobe2")
+      val baseEdges2 = Similarity.ivfTopK(base, base,
+          VectorFunctions.cosineSim, k = 5, nlist = nlist, nprobe = nprobe2)
+        .select(col("query_id").as("src"), col("vec_id").as("dst"), col("cos"))
+        .localCheckpoint(true)
+      val edgeHits2 = baseEdges2.select(col("src"), col("dst")).collect()
+        .count(r => truth.contains((r.getLong(0), r.getLong(1))))
+      println(s"[graphdiag] (a2) truth pairs in scaled-nprobe edges: $edgeHits2 / ${truth.size}")
+      beamRecall("(b2) base graph scaled-nprobe", baseEdges2)
+      val grown2 = Similarity.graphInsert(base, baseEdges2, emb.filter(isNew),
+        entries, beam = B, rounds = 3, m = 5, outDegree = 5)
+        .localCheckpoint(true)
+      beamRecall("(c2) grown graph scaled-nprobe", grown2)
+      val hijacked2 = grown2.filter(col("src") < 1000000L && col("dst") >= 1000000L)
+        .count()
+      println(s"[graphdiag] (scaled) replica-0 -> other-replica edges: $hijacked2")
     } else if (args.headOption.contains("s10bflat")) {
       // Batch-proportionality evidence for the CAPPED incremental-clustering
       // path (the r10 rework): drive processBatch directly over N equal
@@ -202,8 +225,18 @@ object Scratch {
       }.reduce(_ unionByName _), "documents")
       val embBase = graft.sources.Tables.embeddings(spark, sfDir)
       writeOne((0 until n).map { k =>
+        // Per-(dim, replica) PSEUDO-RANDOM sign mask. The first construction
+        // (flip dims where (i + 7k) % 10 < 5) left replica pairs at mask
+        // offset ±1 with cross-replica twin cosine ≈ +0.6 — ABOVE the
+        // organic neighbor range, so every vector's sf1 top-3 truth was its
+        // deterministic replica twins and graph-ANN recall collapsed by
+        // fixture construction (r12 graphdiag: truth-in-edges 17/114 with
+        // 9198 cross-replica edges). A murmur-hash mask makes twin cosine a
+        // ±x_i² random sum: 0 ± ~0.17 at D=64, below the organic floor.
+        // Replica 0 stays verbatim so sf0.1 results carry over.
         val flip = transform(col("embedding"),
-          (x, i) => when(pmod(i + lit(k * 7), lit(10)) < 5, x).otherwise(-x))
+          (x, i) => if (k == 0) x
+                    else when(pmod(hash(i, lit(k)), lit(2)) === 0, x).otherwise(-x))
         embBase.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
           flip.as("embedding"),
           // labels are v01's blocking dimension — shift per replica so

@@ -288,6 +288,59 @@ final class VectorIndex(spark: SparkSession, root: String,
     clearStaged() // any pending meta-only generation is abandoned
   }
 
+  /** SEGMENT MERGE (v39) — the Lucene/FAISS index-merge verb: fold
+    * `other`'s cell files into a fresh generation of THIS index by FILE
+    * COPY alone — no re-encode, no corpus scan, O(files) metadata work.
+    * Sound ONLY because codes are a pure function of (vector, frozen
+    * meta): under the [[buildMeta]] calibration discipline (train once,
+    * encode shards independently) the merged index is bit-identical to a
+    * one-shot [[build]] over the union corpus. Meta inequality is
+    * REJECTED — merging codes across codebooks would silently corrupt
+    * every distance. Tombstones union along. Crash-safe the generational
+    * way: the union is staged into `.v-<next>` and the pointer flips
+    * last, so pinned readers of either input keep serving their
+    * snapshots (the q86/ServeDuringRetrain discipline). 100 TB: shard
+    * builds run where the data lives; the merge moves bytes once,
+    * shuffle-free. */
+  def merge(other: VectorIndex): Unit = {
+    val (myC, myCb) = loadMeta()
+    val (otC, otCb) = other.loadMeta()
+    require(myC.toSeq == otC.toSeq && myCb == otCb,
+      "meta mismatch: indexes were not calibrated together — merging " +
+        "codes across codebooks corrupts distances; retrain instead")
+    val g = nextGen()
+    copyTree(liveRoot.resolve("meta"), genDir(g).resolve("meta"))
+    copyTree(liveRoot.resolve("index"), genDir(g).resolve("index"))
+    copyTree(other.liveRoot.resolve("index"), genDir(g).resolve("index"))
+    copyTree(liveRoot.resolve("tombstones"), genDir(g).resolve("tombstones"))
+    copyTree(other.liveRoot.resolve("tombstones"),
+      genDir(g).resolve("tombstones"))
+    setGen(g)
+    clearStaged()
+  }
+
+  /** Copy every data file under `src` into the same relative place under
+    * `dst` (cell partition dirs preserved). Spark part-file names are
+    * UUID-unique so two trees never collide; underscore/dot marker files
+    * (_SUCCESS, .crc) are skipped. Missing `src` is a no-op. */
+  private def copyTree(src: java.nio.file.Path,
+                       dst: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(src)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(src).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .filter { p =>
+          val n = p.getFileName.toString
+          !n.startsWith("_") && !n.startsWith(".")
+        }
+        .foreach { p =>
+          val to = dst.resolve(src.relativize(p))
+          java.nio.file.Files.createDirectories(to.getParent)
+          java.nio.file.Files.copy(p, to,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+    }
+
   /** v26's occupancy signal read off the PERSISTED layout: the maximum
     * cell's share of the index, relative to uniform (1.0 = perfectly
     * balanced, nlist = everything in one cell). This is the retrain

@@ -3107,7 +3107,8 @@ object StreamingQueries {
       val nlist = math.max(16L, nbase / 50).toInt
       val stride = math.max(1L, nbase / nlist)
       val baseEdges = Similarity.ivfTopK(base, base,
-          VectorFunctions.cosineSim, k = 5, nlist = nlist, nprobe = 4)
+          VectorFunctions.cosineSim, k = 5, nlist = nlist,
+          nprobe = VectorQueries.scaledNprobe(nlist))
         .select(col("query_id").as("src"), col("vec_id").as("dst"),
           col("cos"))
         .localCheckpoint(true)
@@ -3150,7 +3151,8 @@ object StreamingQueries {
                 emb.join(insertedIds, Seq("vec_id")))
               // DELTA form: rows for touched srcs only — the bucketed
               // occMerge then rewrites only the buckets holding them
-              val delta = Similarity.graphInsertDelta(corpus, edges, b, entries)
+              val delta = Similarity.graphInsertDelta(corpus, edges, b,
+                  entries, beam = VectorQueries.scaledBeam(nlist))
                 .localCheckpoint(true)
               t.occMerge(delta, txn = Some(("s44", id))) { (cur, d) =>
                 cur.join(d.select(col("src")).distinct(),
@@ -3184,7 +3186,7 @@ object StreamingQueries {
          |i1edges AS MATERIALIZED (SELECT src, dst FROM bedges),
          |i1v0 AS (SELECT q.query_id, t.vec_id, round($cosE, 6) AS cos
          |  FROM nq1 q CROSS JOIN ent JOIN base t ON t.vec_id = ent.vec_id),
-         |${VectorQueries.beamRoundsSql(3, 8, p = "i1", edges = "i1edges", corpus = "base", qs = "nq1")},
+         |${VectorQueries.beamRoundsSql(3, VectorQueries.scaledBeamSql, p = "i1", edges = "i1edges", corpus = "base", qs = "nq1")},
          |c1 AS MATERIALIZED (SELECT query_id, vec_id, cos,
          |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
          |  FROM i1v3 QUALIFY rn <= 5),
@@ -3202,7 +3204,7 @@ object StreamingQueries {
          |i2edges AS MATERIALIZED (SELECT src, dst FROM g1),
          |i2v0 AS (SELECT q.query_id, t.vec_id, round($cosE, 6) AS cos
          |  FROM nq2 q CROSS JOIN ent JOIN c2corp t ON t.vec_id = ent.vec_id),
-         |${VectorQueries.beamRoundsSql(3, 8, p = "i2", edges = "i2edges", corpus = "c2corp", qs = "nq2")},
+         |${VectorQueries.beamRoundsSql(3, VectorQueries.scaledBeamSql, p = "i2", edges = "i2edges", corpus = "c2corp", qs = "nq2")},
          |c2 AS MATERIALIZED (SELECT query_id, vec_id, cos,
          |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
          |  FROM i2v3 QUALIFY rn <= 5),
@@ -3218,8 +3220,126 @@ object StreamingQueries {
     },
     "streaming graph-ANN ingest: per-batch HNSW inserts through a transactional occMerge (content + txn watermark in one commit); later batches beam through earlier inserts; final edge state replays as sequential rounds (LLM-pipeline op)")
 
+  /** STREAMING CUSUM DRIFT MONITOR (s45) — d64's per-source drift
+    * statistic maintained INCREMENTALLY: CUSUM is not commutative, but the
+    * per-segment summary (total, min-prefix, max-prefix, max-drawup,
+    * max-drawdown) is a MONOID under sequence concatenation (DriftSpec
+    * proves compose∘split == full fold at every split point), so each
+    * micro-batch computes its own 5-field segment with d64's two-window
+    * closed form and one keyed occMerge folds it into the state — state
+    * size O(sources), per-batch work O(batch), exactly the s43 "look for
+    * the algebra before writing replay CTEs" shape, extended from
+    * commutative monoids to associative ones (requires in-order batch
+    * delivery, which the ascending-mtime file source provides; the txn
+    * watermark makes re-delivery a no-op). The reference level k is
+    * calibrated once on the corpus (a monitor's configured baseline).
+    * Oracle = the batch CUSUM SQL verbatim, no emission replay. */
+  val s45 = QueryDef(
+    "s45_stream_cusum_monitor",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = graft.sources.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .localCheckpoint(true)
+      val kRow = docs.agg(sum(col("n_chars")), count(lit(1))).head()
+      val k = kRow.getLong(0) / kRow.getLong(1) // calibrated baseline
+      val ids = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val lo = ids.getLong(0); val hi = ids.getLong(1)
+      val span = (hi - lo + 1 + 2) / 3
+      // fixture: three ascending doc_id slices, oldest-first mtimes
+      val srcDir = FixtureDirs.create("s45-docs-")
+      (0 until 3).foreach { i =>
+        val tmp = FixtureDirs.create(s"s45-part$i-")
+        docs.filter(col("doc_id") >= lo + i * span &&
+            col("doc_id") < lo + (i + 1) * span)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val f = java.nio.file.Files.list(tmp)
+          .filter(_.toString.endsWith(".parquet")).findFirst().get()
+        val dst = srcDir.resolve(s"batch$i.parquet")
+        java.nio.file.Files.move(f, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+      val stateSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_docs",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("t",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("mn",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("mx",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("up",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("dn",
+          org.apache.spark.sql.types.LongType)))
+      val t = new graft.merge.LogTable(spark,
+        FixtureDirs.create("s45-state-").resolve("cusum").toString, stateSchema)
+      val stream = spark.readStream
+        .schema("doc_id bigint, source string, n_chars bigint")
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      withStreamConf(spark) {
+        val q = stream.writeStream
+          .option("checkpointLocation", newCkptDir())
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            if (t.lastTxn("s45") < id && !b.isEmpty) {
+              val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+              val seg = b
+                .withColumn("pp", sum(col("n_chars") - lit(k)).over(w))
+                .withColumn("su",
+                  col("pp") - least(lit(0L), min(col("pp")).over(w)))
+                .withColumn("sd",
+                  greatest(lit(0L), max(col("pp")).over(w)) - col("pp"))
+                .groupBy(col("source"))
+                .agg(count(lit(1)).as("n_docs"),
+                  sum(col("n_chars") - lit(k)).as("t"),
+                  least(lit(0L), min(col("pp"))).as("mn"),
+                  greatest(lit(0L), max(col("pp"))).as("mx"),
+                  max(col("su")).as("up"), max(col("sd")).as("dn"))
+              t.occMerge(seg, txn = Some(("s45", id))) { (cur, d) =>
+                // the Seg monoid (DriftSpec.Seg.compose), null = empty seg
+                def c(n: String) = coalesce(col(s"c.$n"), lit(0L))
+                def bb(n: String) = coalesce(col(s"b.$n"), lit(0L))
+                cur.alias("c").join(d.alias("b"), Seq("source"), "full_outer")
+                  .select(col("source"),
+                    (c("n_docs") + bb("n_docs")).as("n_docs"),
+                    (c("t") + bb("t")).as("t"),
+                    least(c("mn"), c("t") + bb("mn")).as("mn"),
+                    greatest(c("mx"), c("t") + bb("mx")).as("mx"),
+                    greatest(c("up"), bb("up"),
+                      c("t") + bb("mx") - c("mn")).as("up"),
+                    greatest(c("dn"), bb("dn"),
+                      c("mx") - (c("t") + bb("mn"))).as("dn"))
+              }
+            }
+            ()
+          }.start()
+        q.awaitTermination()
+      }
+      require(t.lastTxn("s45") == 2L,
+        s"all three batches must commit exactly once (${t.lastTxn("s45")})")
+      val st = t.read()
+        .withColumn("drift", greatest(col("up"), col("dn")))
+      val out = st
+        .crossJoin(broadcast(st.agg(max(col("drift")).as("gm"))))
+        .select(col("source"), col("n_docs"), col("up").as("cusum_up"),
+          col("dn").as("cusum_dn"), col("drift"),
+          (col("drift") * 5 >= col("gm") * 4).as("flagged"))
+        .orderBy(col("source"))
+        .localCheckpoint(true)
+      val nf = out.filter(col("flagged")).count()
+      require(nf >= 1 && nf < out.count(),
+        s"drift gate degenerate: $nf of ${out.count()} sources flagged")
+      out
+    },
+    Some(TextQueries.cusumOracleSql(withPeak = false)),
+    "streaming CUSUM drift monitor: per-batch segment summaries folded through the 5-field concatenation monoid in one transactional occMerge — state O(sources), batch work O(batch), final state == the batch statistic by algebra (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
     s10, s10b, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23,
     s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38,
-    s39, s40, s41, s42, s43, s44)
+    s39, s40, s41, s42, s43, s44, s45)
 }

@@ -4413,11 +4413,102 @@ object TextQueries {
     Some(cmsOracleSql),
     "count-min sketch token frequencies: 4x16 md5-derived counters built map-side from the raw stream, min-over-rows estimates, one-sided bound required row-by-row (LLM-pipeline sketch op)")
 
+  /** The full per-source CUSUM computation in DuckDB — shared by d64 and
+    * s45 (the streaming monitor's monoid state composes to EXACTLY the
+    * batch statistic, so the oracle is the batch SQL verbatim — the s43
+    * shape, for a non-commutative-but-associative monoid). All arithmetic
+    * is INTEGER (the reference level k is the floor global mean), so both
+    * engines agree bit-for-bit; the window `sum` is cast to BIGINT at the
+    * source (DuckDB promotes integer window sums to HUGEINT — the d60
+    * lesson, applied before it bites). */
+  private[queries] def cusumOracleSql(withPeak: Boolean): String = {
+    val peakCol =
+      if (withPeak) ",\n       |    CAST(min(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS peak_doc"
+      else ""
+    s"""WITH kv AS (SELECT sum(n_chars) // count(*) AS kk FROM documents),
+       |p AS (SELECT source, doc_id,
+       |    CAST(sum(n_chars - (SELECT kk FROM kv))
+       |      OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS pp
+       |  FROM documents),
+       |st AS (SELECT source, doc_id, pp,
+       |    pp - least(CAST(0 AS BIGINT),
+       |      min(pp) OVER (PARTITION BY source ORDER BY doc_id)) AS s_up,
+       |    greatest(CAST(0 AS BIGINT),
+       |      max(pp) OVER (PARTITION BY source ORDER BY doc_id)) - pp AS s_dn
+       |  FROM p),
+       |dr AS (SELECT source, doc_id, s_up, s_dn,
+       |    greatest(s_up, s_dn) AS drift,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY greatest(s_up, s_dn) DESC, doc_id) AS rn
+       |  FROM st),
+       |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(max(s_up) AS BIGINT) AS cusum_up,
+       |    CAST(max(s_dn) AS BIGINT) AS cusum_dn,
+       |    CAST(max(drift) AS BIGINT) AS drift$peakCol
+       |  FROM dr GROUP BY source),
+       |g AS (SELECT max(drift) AS gm FROM agg)
+       |SELECT a.*, 5 * a.drift >= 4 * (SELECT gm FROM g) AS flagged
+       |FROM agg a ORDER BY source""".stripMargin
+  }
+
+  /** SEQUENTIAL DRIFT DETECTION (CUSUM) over the per-source document-length
+    * series (d64) — the data-quality regression monitor a standing corpus
+    * ingest needs: a source whose documents drift long (boilerplate
+    * injection, template change) or short (truncation bug) shows a CUSUM
+    * excursion long before a windowed mean moves. Page's statistic has a
+    * CLOSED FORM over prefix sums — S⁺_i = P_i − min(0, min_{j≤i} P_j),
+    * S⁻_i = max(0, max_{j≤i} P_j) − P_i with P = Σ(n_chars − k) — so the
+    * whole monitor is two ordered-window scans, no iteration, and
+    * distributes as one shuffle on `source`. The reference level k is the
+    * floor global mean and every value is an integer, so the oracle is
+    * bit-exact by construction. Sources flag when their max excursion
+    * reaches 80% of the corpus-wide max (data-derived, the d49 lesson —
+    * a literal threshold can sit outside the whole score range);
+    * `require`s pin ≥1 flagged and ≥1 unflagged at every SF. 100 TB:
+    * linear scan + per-source sequential fold; the s45 twin maintains the
+    * same statistic incrementally as a 5-field monoid. */
+  val d64 = QueryDef(
+    "d64_cusum_drift",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val kRow = docs.agg(sum(col("n_chars")), count(lit(1))).head()
+      val k = kRow.getLong(0) / kRow.getLong(1) // floor mean (exact both engines)
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      val st = docs
+        .withColumn("pp", sum(col("n_chars") - lit(k)).over(w))
+        .withColumn("s_up", col("pp") - least(lit(0L), min(col("pp")).over(w)))
+        .withColumn("s_dn", greatest(lit(0L), max(col("pp")).over(w)) - col("pp"))
+        .withColumn("drift", greatest(col("s_up"), col("s_dn")))
+      val wPeak = Window.partitionBy(col("source"))
+        .orderBy(col("drift").desc, col("doc_id"))
+      val agg = st.withColumn("rn", row_number().over(wPeak))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("s_up")).as("cusum_up"),
+          max(col("s_dn")).as("cusum_dn"),
+          max(col("drift")).as("drift"),
+          min(when(col("rn") === 1, col("doc_id"))).as("peak_doc"))
+      val out = agg
+        .crossJoin(broadcast(agg.agg(max(col("drift")).as("gm"))))
+        .withColumn("flagged", col("drift") * 5 >= col("gm") * 4)
+        .drop("gm")
+        .orderBy(col("source"))
+        .localCheckpoint(true)
+      val nf = out.filter(col("flagged")).count()
+      require(nf >= 1 && nf < out.count(),
+        s"drift gate degenerate: $nf of ${out.count()} sources flagged")
+      out
+    },
+    Some(cusumOracleSql(withPeak = true)),
+    "per-source CUSUM drift monitor over document length: closed-form prefix-min/max windows (no iteration), integer-exact, data-derived 80%-of-max flag threshold (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
       d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43, d44,
       d45, d46, d47, d48, d49, d50, d50b, d51, d52, d53, d54, d55, d56, d57, d58, d59,
-      d60, d61, d62, d63,
+      d60, d61, d62, d63, d64,
       m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14, m15, m16)
 }

@@ -807,12 +807,33 @@ object VectorQueries {
        |  FROM scored) WHERE rank <= 5)""".stripMargin
   }
 
+  /** Data-derived IVF probe width: nprobe grows with the cell count so the
+    * probed fraction of the corpus stays ~constant as nlist scales
+    * (`max(16, n/50)`). Frozen nprobe=4 probes 11% of cells at sf0.1 but
+    * 1.1% at 10× the corpus — measured at sf1 (r12 graphdiag): truth
+    * coverage of the kNN edges fell 31/114 → 11/114 frozen, recovered to
+    * 49/114 scaled. Identity (4) at every driver-tested SF (nl ≤ 40). */
+  private[queries] def scaledNprobe(nlist: Int): Int = math.max(4, nlist / 9)
+  private[queries] val scaledNprobeSql = "greatest(4, (SELECT nl FROM nlv) // 9)"
+
+  /** Data-derived beam width for graph-ANN search: the frontier must keep
+    * pace with the entry fan-in (one entry per IVF cell), or at 10× the
+    * corpus the fixed-width frontier fills with plausible-but-wrong
+    * directions before the true neighborhood is reached (r12 graphdiag at
+    * sf1, scaled-nprobe edges: eval recall 17/114 at B=8, 27 at B=16,
+    * 41 at B=32 vs the sf0.1 band floor 38; with the INSERT beam scaled
+    * too the grown graph reads 42). Identity (8) at every driver-tested
+    * SF; both engines derive it from the same `nlv` scalar. */
+  private[queries] def scaledBeam(nlist: Int): Int = math.max(8, nlist / 11)
+  private[queries] val scaledBeamSql = "greatest(8, (SELECT nl FROM nlv) // 11)"
+
   /** [[knnEdgeCtes]] at the SCALED-nlist configuration (`max(16, n/50)`
     * via scalar subqueries — the v17b/v12b lesson: parameters derived from
     * the data keep one oracle text honest at every SF). Shared by v17b's
-    * mutuality join and v35's beam search. */
+    * mutuality join and v35's beam search. nprobe is data-derived too
+    * ([[scaledNprobeSql]]). */
   private val knnEdgeCtesScaled: String = {
-    val nprobe = 4
+    val nprobe = scaledNprobeSql
     val affCos = cosSql("e.emb", "cent.cemb")
     val cos = cosSql("q.emb", "t.emb")
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
@@ -840,9 +861,10 @@ object VectorQueries {
     * `$rel(vec_id, emb)` (which the caller defines) — the scaled-nlist IVF
     * edge build exactly as [[Similarity.ivfTopK]] computes it, yielding
     * `nlv(nl)` and `knn(query_id, vec_id, cos)`. v36 uses it to build the
-    * BASE graph over a filtered corpus. */
+    * BASE graph over a filtered corpus. nprobe is data-derived
+    * ([[scaledNprobeSql]]). */
   private[queries] def knnEdgeStagesFor(rel: String): String = {
-    val nprobe = 4
+    val nprobe = scaledNprobeSql
     val affCos = cosSql("b.emb", "cent.cemb")
     val cos = cosSql("q.emb", "t.emb")
     s"""nlv AS (SELECT greatest(16, count(*) // 50) AS nl FROM $rel),
@@ -907,7 +929,7 @@ object VectorQueries {
       val emb = Tables.embeddings(spark, dir)
       val nlist = math.max(16L, graft.sources.ParquetMeta.rowCount(emb) / 50).toInt
       val knn = Similarity.ivfTopK(emb, emb, VectorFunctions.cosineSim,
-        k = 5, nlist = nlist, nprobe = 4).localCheckpoint(true)
+        k = 5, nlist = nlist, nprobe = scaledNprobe(nlist)).localCheckpoint(true)
       val fwd = knn.select(col("query_id").as("id_a"), col("vec_id").as("id_b"),
         col("cos"))
       val rev = knn.select(col("query_id").as("id_b"), col("vec_id").as("id_a"))
@@ -2164,7 +2186,7 @@ object VectorQueries {
     * Spark loop. The `p` prefix keeps two searches in one WITH clause
     * collision-free (v36 runs the insert search and the eval search in one
     * oracle). */
-  private[queries] def beamRoundsSql(rounds: Int, b: Int, p: String = "",
+  private[queries] def beamRoundsSql(rounds: Int, b: String, p: String = "",
                             edges: String = "edges", corpus: String = "e",
                             qs: String = "qs"): String = {
     val cosQ = cosSql("q.q_vec", "t.emb")
@@ -2219,7 +2241,7 @@ object VectorQueries {
       val nlist = math.max(16L, graft.sources.ParquetMeta.rowCount(
         Tables.embeddings(spark, dir)) / 50).toInt
       val edges = Similarity.ivfTopK(emb, emb, VectorFunctions.cosineSim,
-          k = 5, nlist = nlist, nprobe = 4)
+          k = 5, nlist = nlist, nprobe = scaledNprobe(nlist))
         .select(col("query_id").as("src"), col("vec_id").as("dst"))
         .localCheckpoint(true)
       // bench queries CAPPED at <= 41 ids at every SF: the truth column
@@ -2265,7 +2287,7 @@ object VectorQueries {
          |entry AS (SELECT min(vec_id) AS ev FROM e),
          |v0 AS (SELECT q.query_id, t.vec_id, round($cosQ, 6) AS cos
          |  FROM qs q, e t, entry WHERE t.vec_id = entry.ev),
-         |${beamRoundsSql(3, 4)},
+         |${beamRoundsSql(3, "4")},
          |found AS (SELECT query_id, vec_id, cos,
          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
          |  FROM v3 WHERE vec_id <> query_id
@@ -2304,7 +2326,7 @@ object VectorQueries {
       val nlist = math.max(16L, n / 50).toInt
       val step = math.max(1L, n / nlist)
       val edges = Similarity.ivfTopK(emb, emb, VectorFunctions.cosineSim,
-          k = 5, nlist = nlist, nprobe = 4)
+          k = 5, nlist = nlist, nprobe = scaledNprobe(nlist))
         .select(col("query_id").as("src"), col("vec_id").as("dst"))
         .localCheckpoint(true)
       val qPred = pmod(col("vec_id"), lit(53)) === 0 &&
@@ -2351,7 +2373,7 @@ object VectorQueries {
          |  QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT nl FROM nlv)),
          |v0 AS (SELECT q.query_id, t.vec_id, round($cosQ, 6) AS cos
          |  FROM qs q CROSS JOIN ent JOIN e t ON t.vec_id = ent.vec_id),
-         |${beamRoundsSql(4, 8)},
+         |${beamRoundsSql(4, "8")},
          |found AS (SELECT query_id, vec_id, cos,
          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
          |  FROM v4 WHERE vec_id <> query_id
@@ -2398,16 +2420,17 @@ object VectorQueries {
     (spark, dir) => {
       import org.apache.spark.sql.expressions.Window
       VectorFunctions.register(spark)
-      val B = 8; val R = 4; val K = 3 // eval budget (v35b's)
+      val R = 4; val K = 3 // eval rounds (v35b's)
       val emb = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding")).localCheckpoint(true)
       val isNew = pmod(col("vec_id"), lit(9)) === 4
       val base = emb.filter(!isNew).localCheckpoint(true)
       val nbase = base.count()
       val nlist = math.max(16L, nbase / 50).toInt
+      val B = scaledBeam(nlist) // data-derived width (see scaledBeam)
       val stride = math.max(1L, nbase / nlist)
       val baseEdges = Similarity.ivfTopK(base, base,
-          VectorFunctions.cosineSim, k = 5, nlist = nlist, nprobe = 4)
+          VectorFunctions.cosineSim, k = 5, nlist = nlist, nprobe = scaledNprobe(nlist))
         .select(col("query_id").as("src"), col("vec_id").as("dst"),
           col("cos"))
         .localCheckpoint(true)
@@ -2415,7 +2438,7 @@ object VectorQueries {
         .orderBy(col("vec_id")).limit(nlist).select(col("vec_id"))
         .localCheckpoint(true)
       val grown = Similarity.graphInsert(base, baseEdges, emb.filter(isNew),
-          entries, beam = 8, rounds = 3, m = 5, outDegree = 5)
+          entries, beam = B, rounds = 3, m = 5, outDegree = 5)
         .select(col("src"), col("dst")).localCheckpoint(true)
       val qPred = pmod(col("vec_id"), lit(53)) === 0 &&
         col("vec_id") <= lit(53L * 40)
@@ -2461,7 +2484,7 @@ object VectorQueries {
          |nq AS (SELECT vec_id AS query_id, emb AS q_vec FROM e WHERE vec_id % 9 = 4),
          |iv0 AS (SELECT q.query_id, t.vec_id, round($cosI, 6) AS cos
          |  FROM nq q CROSS JOIN ent JOIN base t ON t.vec_id = ent.vec_id),
-         |${beamRoundsSql(3, 8, p = "i", edges = "iedges", corpus = "base", qs = "nq")},
+         |${beamRoundsSql(3, scaledBeamSql, p = "i", edges = "iedges", corpus = "base", qs = "nq")},
          |conn AS MATERIALIZED (SELECT query_id, vec_id, cos,
          |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
          |  FROM iv3 QUALIFY rn <= 5),
@@ -2477,7 +2500,7 @@ object VectorQueries {
          |       WHERE vec_id % 53 = 0 AND vec_id <= 53 * 40),
          |v0 AS (SELECT q.query_id, t.vec_id, round($cosQ, 6) AS cos
          |  FROM qs q CROSS JOIN ent JOIN e t ON t.vec_id = ent.vec_id),
-         |${beamRoundsSql(4, 8)},
+         |${beamRoundsSql(4, scaledBeamSql)},
          |found AS (SELECT query_id, vec_id, cos,
          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
          |  FROM v4 WHERE vec_id <> query_id
@@ -2511,14 +2534,15 @@ object VectorQueries {
     (spark, dir) => {
       import org.apache.spark.sql.expressions.Window
       VectorFunctions.register(spark)
-      val B = 8; val R = 4; val K = 3
+      val R = 4; val K = 3
       val emb = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding")).localCheckpoint(true)
       val n = graft.sources.ParquetMeta.rowCount(Tables.embeddings(spark, dir))
       val nlist = math.max(16L, n / 50).toInt
+      val B = scaledBeam(nlist) // data-derived width (see scaledBeam)
       val step = math.max(1L, n / nlist)
       val edges = Similarity.ivfTopK(emb, emb, VectorFunctions.cosineSim,
-          k = 5, nlist = nlist, nprobe = 4)
+          k = 5, nlist = nlist, nprobe = scaledNprobe(nlist))
         .select(col("query_id").as("src"), col("vec_id").as("dst"),
           col("cos"))
         .localCheckpoint(true)
@@ -2603,7 +2627,7 @@ object VectorQueries {
          |gedges AS (SELECT src, dst FROM g),
          |v0 AS (SELECT q.query_id, t.vec_id, round($cosQ, 6) AS cos
          |  FROM qs q CROSS JOIN ent JOIN lv t ON t.vec_id = ent.vec_id),
-         |${beamRoundsSql(4, 8, edges = "gedges", corpus = "lv")},
+         |${beamRoundsSql(4, scaledBeamSql, edges = "gedges", corpus = "lv")},
          |found AS (SELECT query_id, vec_id, cos,
          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
          |  FROM v4 WHERE vec_id <> query_id
@@ -2627,8 +2651,10 @@ object VectorQueries {
     * graph routes through non-matching nodes — hard-filtering the
     * traversal disconnects it under selective predicates) and the
     * predicate applied to the VISITED set before the top-K, with the
-    * BUDGET EXPANDED to B=12/R=5 where the unfiltered rows run 8/4 —
-    * the ef-boost every filtered-HNSW implementation applies, because the
+    * BUDGET EXPANDED to B=1.5×[[scaledBeam]] / R=5 where the unfiltered
+    * rows run [[scaledBeam]]/4 (12/5 vs 8/4 at driver-tested SFs, 48/5 at
+    * the 10× replica where +4 was measured insufficient) — the ef-boost
+    * every filtered-HNSW implementation applies, because the
     * ~10%-selective predicate discards ~90% of the visited set (at 8/4
     * the band failed at sf0.1: 28/114). The row `require`s every query
     * emits exactly K matching rows and pins the recall band vs the exact
@@ -2639,16 +2665,17 @@ object VectorQueries {
     (spark, dir) => {
       import org.apache.spark.sql.expressions.Window
       VectorFunctions.register(spark)
-      val B = 12; val R = 5; val K = 3 // ef-boosted budget (see scaladoc)
+      val R = 5; val K = 3
       val embL = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"), col("label"))
         .localCheckpoint(true)
       val emb = embL.select(col("vec_id"), col("embedding"))
       val n = graft.sources.ParquetMeta.rowCount(Tables.embeddings(spark, dir))
       val nlist = math.max(16L, n / 50).toInt
+      val B = math.max(scaledBeam(nlist) * 3 / 2, nlist / 4) // ef-boost: see scaladoc
       val step = math.max(1L, n / nlist)
       val edges = Similarity.ivfTopK(emb, emb, VectorFunctions.cosineSim,
-          k = 5, nlist = nlist, nprobe = 4)
+          k = 5, nlist = nlist, nprobe = scaledNprobe(nlist))
         .select(col("query_id").as("src"), col("vec_id").as("dst"))
         .localCheckpoint(true)
       val qPred = pmod(col("vec_id"), lit(53)) === 0 &&
@@ -2715,7 +2742,7 @@ object VectorQueries {
          |  QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT nl FROM nlv)),
          |v0 AS (SELECT q.query_id, t.vec_id, round($cosQ, 6) AS cos
          |  FROM qs q CROSS JOIN ent JOIN e t ON t.vec_id = ent.vec_id),
-         |${beamRoundsSql(5, 12)},
+         |${beamRoundsSql(5, s"greatest((3 * $scaledBeamSql) // 2, (SELECT nl FROM nlv) // 4)")},
          |found AS (SELECT v.query_id, v.vec_id, l.label, v.cos,
          |    CAST(row_number() OVER (PARTITION BY v.query_id
          |      ORDER BY v.cos DESC, v.vec_id) AS INTEGER) AS rank
@@ -2738,8 +2765,51 @@ object VectorQueries {
     },
     "filtered graph-ANN search: same-label top-K served by the unfiltered beam traversal + predicate on the visited set — exactly-K matching rows and recall band required at ~10% selectivity (LLM-pipeline op)")
 
+  /** INDEX SEGMENT MERGE (v39) — [[graft.operators.VectorIndex.merge]],
+    * the distributed-build verb the persisted-index lifecycle was missing:
+    * calibrate meta ONCE over the corpus sample ([[graft.operators.VectorIndex.buildMeta]]),
+    * encode two disjoint shards into two independent indexes (where the
+    * data lives — no cross-shard traffic), then MERGE by cell-partition
+    * file copy — no re-encode, no corpus scan (Lucene segment merge /
+    * FAISS `merge_from`). Because codes are a pure function of (vector,
+    * frozen meta), the merged index is bit-identical to v13's one-shot
+    * build over the union, so the oracle is v13's verbatim. `require`s
+    * pin the no-re-encode contract at the FILE level: every shard part
+    * file survives into the merged generation under the same name. */
+  val v39 = QueryDef(
+    "v39_index_merge",
+    (spark, dir) => {
+      VectorFunctions.register(spark)
+      val emb = Tables.embeddings(spark, dir)
+      val a = new graft.operators.VectorIndex(spark,
+        FixtureDirs.create("v39-a-").toString, nlist = 16)
+      val b = new graft.operators.VectorIndex(spark,
+        FixtureDirs.create("v39-b-").toString, nlist = 16)
+      // one calibration (deterministic stride sample of the SAME corpus),
+      // two shard encodes — the codes-are-pure-function discipline
+      a.buildMeta(emb); b.buildMeta(emb)
+      a.append(emb.filter(pmod(col("vec_id"), lit(2)) === 0))
+      b.append(emb.filter(pmod(col("vec_id"), lit(2)) === 1))
+      def partFiles(ix: graft.operators.VectorIndex): Set[String] = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ix.liveRoot.resolve("index"))
+          .iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".parquet")).toSet
+      }
+      val shardFiles = partFiles(a) ++ partFiles(b)
+      a.merge(b)
+      val mergedFiles = partFiles(a)
+      require(shardFiles.subsetOf(mergedFiles),
+        "merge re-encoded or dropped shard files — it must be a file union")
+      a.query(emb.filter(col("vec_id") < 10), emb,
+          VectorFunctions.cosineSim, k = 5, nprobe = 4, shortlist = 50)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(ivfPqOracle()),
+    "IVF-PQ index segment merge: shard indexes calibrated on one meta fold by cell-file copy (no re-encode, no corpus scan) — merged index bit-identical to the one-shot build, proven by v13's oracle verbatim (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
     v10, v11, v12, v13, v14, v15, v16, v17, v17b, v18, v19, v20, v21, v22, v23,
     v24, v25, v26, v27, v28, v29, v30, v30b, v31, v32, v32b, v33, v34, v34b,
-    v35, v35b, v36, v37, v38)
+    v35, v35b, v36, v37, v38, v39)
 }

@@ -137,4 +137,57 @@ class VectorIndexSpec extends SparkSpec {
     assert(!Files.exists(idx.liveRoot.resolve("index").resolve(s"cell=$someCell")),
       "emptied cell partition dir not removed")
   }
+
+  test("merge: shard indexes on one calibration == one-shot build; " +
+      "file union, no re-encode; meta mismatch rejected") {
+    VectorFunctions.register(spark)
+    import scala.jdk.CollectionConverters._
+    val a = new VectorIndex(spark, Files.createTempDirectory("vidx-ma-").toString)
+    val b = new VectorIndex(spark, Files.createTempDirectory("vidx-mb-").toString)
+    a.buildMeta(emb); b.buildMeta(emb)
+    a.append(emb.filter(pmod(col("vec_id"), lit(2)) === 0))
+    b.append(emb.filter(pmod(col("vec_id"), lit(2)) === 1))
+    def files(ix: VectorIndex): Set[String] =
+      Files.walk(ix.liveRoot.resolve("index")).iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+    val shardFiles = files(a) ++ files(b)
+    a.merge(b)
+    assert(shardFiles.subsetOf(files(a)), "merge must be a file union")
+    val oneShot = new VectorIndex(spark,
+      Files.createTempDirectory("vidx-os-").toString)
+    oneShot.build(emb)
+    val q = emb.filter(col("vec_id") < 10)
+    assert(rows(a.query(q, emb, VectorFunctions.cosineSim,
+        k = 5, nprobe = 4, shortlist = 50)) ==
+      rows(oneShot.query(q, emb, VectorFunctions.cosineSim,
+        k = 5, nprobe = 4, shortlist = 50)),
+      "merged index diverged from the one-shot build")
+    // a differently-calibrated index must be rejected
+    val alien = new VectorIndex(spark,
+      Files.createTempDirectory("vidx-alien-").toString)
+    alien.build(emb.filter(col("vec_id") % 3 === 0))
+    intercept[IllegalArgumentException] { a.merge(alien) }
+  }
+
+  test("merge cuts a generation: pre-merge shard state stays readable " +
+      "via version()") {
+    VectorFunctions.register(spark)
+    val a = new VectorIndex(spark, Files.createTempDirectory("vidx-mg-").toString)
+    val b = new VectorIndex(spark, Files.createTempDirectory("vidx-mh-").toString)
+    a.buildMeta(emb); b.buildMeta(emb)
+    val evens = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    a.append(evens); b.append(emb.filter(pmod(col("vec_id"), lit(2)) === 1))
+    val preGen = a.versions ++ Seq.empty // none retired yet
+    assert(preGen.isEmpty)
+    a.merge(b)
+    val retired = a.versions
+    assert(retired.nonEmpty, "merge must retire the shard generation")
+    val q = emb.filter(col("vec_id") < 6)
+    val old = a.version(retired.max)
+    // the retired generation still serves exactly the shard's content
+    val oldIds = old.query(q, emb, VectorFunctions.cosineSim,
+        k = 5, nprobe = 16, shortlist = 500)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(oldIds.forall(_ % 2 == 0), "retired shard generation leaked merged rows")
+  }
 }
