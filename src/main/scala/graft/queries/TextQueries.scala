@@ -4413,6 +4413,204 @@ object TextQueries {
     Some(cmsOracleSql),
     "count-min sketch token frequencies: 4x16 md5-derived counters built map-side from the raw stream, min-over-rows estimates, one-sided bound required row-by-row (LLM-pipeline sketch op)")
 
+  /** FUSED MULTIMODAL NEAR-DUP (m17) — cross-modal evidence voting, the
+    * fusion step video-platform dedup runs on top of per-modality
+    * fingerprints: a pair is a duplicate when ≥2 of 3 modalities agree
+    * (single-modality matches are noise: re-dubbed videos share frames but
+    * not audio; re-cut videos share audio but not frames). Fixture: m04's
+    * image groups verbatim (SHARED cache prefix — one encode serves both
+    * rows); audio is m06's with ids ≡ 1 (mod 3) carrying a FOREIGN group's
+    * soundtrack (gid + 10⁶ — the re-dub), video m07's with ids ≡ 2 (mod 3)
+    * re-cut the same way. Within a group of 4 the vote therefore spans all
+    * three outcomes: same-residue pairs vote 3, {0,1}/{0,2} pairs vote 2
+    * (kept), {1,2} pairs vote 1 (dropped) — `require`d non-vacuous both
+    * ways. All three candidate sets come from pigeonhole chunk joins
+    * (never all-pairs) and media bytes never cross a shuffle; the fusion
+    * itself joins (id, id) pairs only. Oracle: the three analytic
+    * fingerprint pipelines prefixed into one WITH clause + the same
+    * full-outer vote. */
+  val m17 = QueryDef(
+    "m17_fused_modal_neardup",
+    (spark, dir) => {
+      import spark.implicits._
+      val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      val img = ids.mapPartitions { it =>
+        it.map { id =>
+          val gid = id / 4
+          val w = (gid % 9 + 6).toInt; val h = (gid % 5 + 8).toInt
+          val bright = (id % 7).toInt
+          val spot = if (id % 5 == 0) 40 else 0
+          (id, graft.operators.BmpCodec.encode(w, h, (x, y) => {
+            val sp = if (x == 0 && y == 0) spot else 0
+            ((((gid + 3) * (x + 1) * (y + 2) + 5L * x * x) % 199 + bright + sp).toInt,
+             (((gid + 7) * (x + 2) * (y + 1) + 3L * y * y) % 199 + bright + sp).toInt,
+             (((2 * gid + 1) * (x.toLong * y + x + y)) % 199 + bright + sp).toInt)
+          }))
+        }
+      }.toDF("media_id", "media")
+      val aud = ids.mapPartitions { it =>
+        it.map { id =>
+          val gid0 = id / 4
+          val gid = if (id % 3 == 1) gid0 + 1000000L else gid0 // re-dub
+          val spf = (gid0 % 5 + 3).toInt
+          val n = 57 * spf
+          val gain = (id % 4 + 1).toInt
+          val spike = if (id % 5 == 0) 1000 else 0
+          val samples = Array.tabulate(n) { i =>
+            val base = (((gid + 5) * (i.toLong * i + 3 * i + 7) + (2 * gid + 1) * i) % 14001) - 7000
+            val sp = if (i == 0) spike else 0
+            (gain * (base + sp)).toShort
+          }
+          (id, graft.operators.WavCodec.encode(16000, 1, samples))
+        }
+      }.toDF("media_id", "media")
+      val vid = ids.mapPartitions { it =>
+        it.map { id =>
+          val gid0 = id / 4
+          val gid = if (id % 3 == 2) gid0 + 1000000L else gid0 // re-cut
+          val w = (gid0 % 9 + 6).toInt; val h = (gid0 % 5 + 8).toInt
+          val nF = 8 * (gid0 % 3 + 1).toInt
+          val bright = (id % 7).toInt
+          val spot = if (id % 5 == 0) 40 else 0
+          (id, graft.operators.AviCodec.encode(w, h, nF, 10, (f, x, y) => {
+            val sp = if (f == 0 && x == 0 && y == 0) spot else 0
+            ((((gid + 3) * (x + 1) * (y + 2) + 5L * x * x + 11L * f * (x + y + 1)) % 199 + bright + sp).toInt,
+             (((gid + 7) * (x + 2) * (y + 1) + 3L * y * y + 13L * f * (y + 1)) % 199 + bright + sp).toInt,
+             (((2 * gid + 1) * (x.toLong * y + x + y) + 17L * f * f) % 199 + bright + sp).toInt)
+          }))
+        }
+      }.toDF("media_id", "media")
+      val pi = Dedup.imageNearDup(
+          FixtureDirs.cachedRoundTrip(img, "m04-media-", dir), // m04's cache
+          "media_id", "media")
+        .withColumnRenamed("hamming", "img_ham")
+      val pa = Dedup.audioNearDup(
+          FixtureDirs.cachedRoundTrip(aud, "m17-aud-", dir), "media_id", "media")
+        .withColumnRenamed("hamming", "aud_ham")
+      val pv = Dedup.videoNearDup(
+          FixtureDirs.cachedRoundTrip(vid, "m17-vid-", dir), "media_id", "media")
+        .withColumnRenamed("hamming", "vid_ham")
+      val all = pi.join(pa, Seq("doc_a", "doc_b"), "full_outer")
+        .join(pv, Seq("doc_a", "doc_b"), "full_outer")
+        .withColumn("votes",
+          (when(col("img_ham").isNotNull, 1).otherwise(0) +
+           when(col("aud_ham").isNotNull, 1).otherwise(0) +
+           when(col("vid_ham").isNotNull, 1).otherwise(0)).cast("int"))
+        .localCheckpoint(true)
+      val out = all.filter(col("votes") >= 2)
+        .select(col("doc_a"), col("doc_b"),
+          coalesce(col("img_ham"), lit(-1)).cast("int").as("img_ham"),
+          coalesce(col("aud_ham"), lit(-1)).cast("int").as("aud_ham"),
+          coalesce(col("vid_ham"), lit(-1)).cast("int").as("vid_ham"),
+          col("votes"))
+        .orderBy(col("doc_a"), col("doc_b"))
+        .localCheckpoint(true)
+      val v2 = out.filter(col("votes") === 2).count()
+      val v3 = out.filter(col("votes") === 3).count()
+      val dropped = all.filter(col("votes") < 2).count()
+      require(v2 > 0 && v3 > 0 && dropped > 0,
+        s"fusion vote degenerate: v2=$v2 v3=$v3 dropped=$dropped — " +
+          "the modality twists are not discriminating")
+      out
+    },
+    Some("""WITH i_d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 7 AS bright,
+           |    CASE WHEN doc_id % 5 = 0 THEN 40 ELSE 0 END AS spot,
+           |    (doc_id // 4) % 9 + 6 AS w, (doc_id // 4) % 5 + 8 AS h
+           |  FROM documents),
+           |i_g AS (SELECT doc_id,
+           |    [[ ( ((gid + 3) * ((gx*w//8) + 1) * ((gy*h//8) + 2) + 5 * (gx*w//8) * (gx*w//8)) % 199
+           |       + ((gid + 7) * ((gx*w//8) + 2) * ((gy*h//8) + 1) + 3 * (gy*h//8) * (gy*h//8)) % 199
+           |       + ((2*gid + 1) * ((gx*w//8) * (gy*h//8) + (gx*w//8) + (gy*h//8))) % 199
+           |       + 3 * bright
+           |       + CASE WHEN gx*w//8 = 0 AND gy*h//8 = 0 THEN 3 * spot ELSE 0 END ) // 3
+           |      for gx in range(0, 8)] for gy in range(0, 8)] AS gg
+           |  FROM i_d),
+           |i_fp AS (SELECT doc_id, CAST(list_sum(flatten(
+           |    [[CASE WHEN gg[gy+1][gx+2] > gg[gy+1][gx+1]
+           |           THEN 1::BIGINT << (gy*7+gx) ELSE 0::BIGINT END
+           |      for gx in range(0, 7)] for gy in range(0, 8)])) AS BIGINT) AS fp
+           |  FROM i_g),
+           |i_chunks AS (SELECT doc_id, fp, c AS chunk_idx, (fp >> (c * 14)) & 16383 AS chunk
+           |  FROM i_fp, (SELECT unnest([0, 1, 2, 3]) AS c)),
+           |i_p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS img_ham
+           |  FROM i_chunks a JOIN i_chunks b
+           |    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+           |  WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+           |a_d AS (SELECT doc_id,
+           |    doc_id // 4 + CASE WHEN doc_id % 3 = 1 THEN 1000000 ELSE 0 END AS gid,
+           |    doc_id % 4 + 1 AS g,
+           |    CASE WHEN doc_id % 5 = 0 THEN 1000 ELSE 0 END AS spike,
+           |    (doc_id // 4) % 5 + 3 AS spf
+           |  FROM documents),
+           |a_e AS (SELECT doc_id,
+           |    [ list_sum([ abs(g * ((((gid + 5) * ((f*spf+j)*(f*spf+j) + 3*(f*spf+j) + 7)
+           |        + (2*gid + 1) * (f*spf+j)) % 14001) - 7000
+           |        + CASE WHEN f*spf + j = 0 THEN spike ELSE 0 END))
+           |      for j in range(0, spf)])
+           |      for f in range(0, 57)] AS en
+           |  FROM a_d),
+           |a_fp AS (SELECT doc_id, CAST(list_sum(
+           |    [CASE WHEN en[f+2] > en[f+1] THEN 1::BIGINT << f ELSE 0::BIGINT END
+           |     for f in range(0, 56)]) AS BIGINT) AS fp
+           |  FROM a_e),
+           |a_chunks AS (SELECT doc_id, fp, c AS chunk_idx, (fp >> (c * 14)) & 16383 AS chunk
+           |  FROM a_fp, (SELECT unnest([0, 1, 2, 3]) AS c)),
+           |a_p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS aud_ham
+           |  FROM a_chunks a JOIN a_chunks b
+           |    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+           |  WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+           |v_d AS (SELECT doc_id,
+           |    doc_id // 4 + CASE WHEN doc_id % 3 = 2 THEN 1000000 ELSE 0 END AS gid,
+           |    doc_id % 7 AS bright,
+           |    CASE WHEN doc_id % 5 = 0 THEN 40 ELSE 0 END AS spot,
+           |    (doc_id // 4) % 9 + 6 AS w, (doc_id // 4) % 5 + 8 AS h,
+           |    (doc_id // 4) % 3 + 1 AS m
+           |  FROM documents),
+           |v_k AS (SELECT v_d.*, kf FROM v_d, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS kf)),
+           |v_g AS (SELECT doc_id, kf,
+           |    [[ ( ((gid + 3) * ((gx*w//8) + 1) * ((gy*h//8) + 2) + 5 * (gx*w//8) * (gx*w//8)
+           |          + 11 * (kf*m) * ((gx*w//8) + (gy*h//8) + 1)) % 199
+           |       + ((gid + 7) * ((gx*w//8) + 2) * ((gy*h//8) + 1) + 3 * (gy*h//8) * (gy*h//8)
+           |          + 13 * (kf*m) * ((gy*h//8) + 1)) % 199
+           |       + ((2*gid + 1) * ((gx*w//8) * (gy*h//8) + (gx*w//8) + (gy*h//8))
+           |          + 17 * (kf*m) * (kf*m)) % 199
+           |       + 3 * bright
+           |       + CASE WHEN gx*w//8 = 0 AND gy*h//8 = 0 AND kf = 0 THEN 3 * spot ELSE 0 END ) // 3
+           |      for gx in range(0, 8)] for gy in range(0, 8)] AS gg
+           |  FROM v_k),
+           |v_dh AS (SELECT doc_id, kf, CAST(list_sum(flatten(
+           |    [[CASE WHEN gg[gy+1][gx+2] > gg[gy+1][gx+1]
+           |           THEN 1::BIGINT << (gy*7+gx) ELSE 0::BIGINT END
+           |      for gx in range(0, 7)] for gy in range(0, 8)])) AS BIGINT) AS dh
+           |  FROM v_g),
+           |v_fp AS (SELECT doc_id, CAST(bit_xor(
+           |      ((dh & ((1::BIGINT << (56 - 7*kf)) - 1)) << (7*kf)) | (dh >> (56 - 7*kf))
+           |    ) AS BIGINT) AS fp
+           |  FROM v_dh GROUP BY doc_id),
+           |v_chunks AS (SELECT doc_id, fp, c AS chunk_idx, (fp >> (c * 14)) & 16383 AS chunk
+           |  FROM v_fp, (SELECT unnest([0, 1, 2, 3]) AS c)),
+           |v_p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS vid_ham
+           |  FROM v_chunks a JOIN v_chunks b
+           |    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+           |  WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+           |fused AS (SELECT doc_a, doc_b, img_ham, aud_ham, vid_ham,
+           |    CAST((img_ham IS NOT NULL)::INTEGER + (aud_ham IS NOT NULL)::INTEGER
+           |         + (vid_ham IS NOT NULL)::INTEGER AS INTEGER) AS votes
+           |  FROM i_p
+           |  FULL JOIN a_p USING (doc_a, doc_b)
+           |  FULL JOIN v_p USING (doc_a, doc_b))
+           |SELECT doc_a, doc_b,
+           |  CAST(coalesce(img_ham, -1) AS INTEGER) AS img_ham,
+           |  CAST(coalesce(aud_ham, -1) AS INTEGER) AS aud_ham,
+           |  CAST(coalesce(vid_ham, -1) AS INTEGER) AS vid_ham,
+           |  votes
+           |FROM fused WHERE votes >= 2
+           |ORDER BY doc_a, doc_b""".stripMargin),
+    "fused multimodal near-dup: per-modality pigeonhole fingerprints (image dHash, audio energy hash, video keyframe fold) joined by 2-of-3 cross-modal vote — re-dubbed and re-cut renditions demote to 2, dual-twist pairs drop (LLM-pipeline op)")
+
   /** The full per-source CUSUM computation in DuckDB — shared by d64 and
     * s45 (the streaming monitor's monoid state composes to EXACTLY the
     * batch statistic, so the oracle is the batch SQL verbatim — the s43
@@ -4510,5 +4708,6 @@ object TextQueries {
       d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43, d44,
       d45, d46, d47, d48, d49, d50, d50b, d51, d52, d53, d54, d55, d56, d57, d58, d59,
       d60, d61, d62, d63, d64,
-      m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14, m15, m16)
+      m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14,
+      m15, m16, m17)
 }
