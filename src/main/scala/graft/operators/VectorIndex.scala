@@ -319,6 +319,18 @@ final class VectorIndex(spark: SparkSession, root: String,
     clearStaged()
   }
 
+  /** Adopt `from`'s LIVE meta as this (fresh) index's calibration — ships
+    * the centroids + codebook to a shard builder without retraining (the
+    * v39/s46 distributed-build discipline: train once, encode shards where
+    * the data lives, [[merge]] the segments). Staged like [[buildMeta]]:
+    * the pointer flips on the first [[append]], and [[merge]]'s
+    * meta-equality check passes by construction (file copy). */
+  def adoptMeta(from: VectorIndex): Unit = {
+    val g = nextGen()
+    copyTree(from.liveRoot.resolve("meta"), genDir(g).resolve("meta"))
+    setStaged(g)
+  }
+
   /** Copy every data file under `src` into the same relative place under
     * `dst` (cell partition dirs preserved). Spark part-file names are
     * UUID-unique so two trees never collide; underscore/dot marker files

@@ -3338,8 +3338,97 @@ object StreamingQueries {
     Some(TextQueries.cusumOracleSql(withPeak = false)),
     "streaming CUSUM drift monitor: per-batch segment summaries folded through the 5-field concatenation monoid in one transactional occMerge — state O(sources), batch work O(batch), final state == the batch statistic by algebra (LLM-pipeline op)")
 
+  /** STREAMING INDEX SEGMENT INGEST (s46) — v39's merge verb as the
+    * standing-ingest shape (the Lucene near-real-time pattern): the FIRST
+    * batch bootstraps the main index (train meta, encode, flip); every
+    * later batch is encoded into its own SHARD index that ADOPTS the
+    * main's meta by file copy ([[graft.operators.VectorIndex.adoptMeta]]
+    * — the codebook ships to where the data lands, no retrain) and then
+    * folds in via [[graft.operators.VectorIndex.merge]] — cell-file
+    * copies, O(batch) encode + O(files) merge per trigger, NEVER a
+    * corpus re-encode (contrast: s15's append rewrites nothing either,
+    * but merge additionally gives each batch its own independently-built
+    * segment — the shape that lets 1000 executors build shards in
+    * parallel at 100 TB). Codes are a pure function of (vector, frozen
+    * meta), so the final index is bit-identical to the one-shot v13
+    * build — the oracle is v13's verbatim; the file-union `require`
+    * pins the no-re-encode contract across every batch. */
+  val s46 = QueryDef(
+    "s46_stream_index_segment_merge",
+    (spark, dir) => {
+      import graft.functions.VectorFunctions
+      import graft.operators.VectorIndex
+      VectorFunctions.register(spark)
+      val emb = graft.sources.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      val ids = emb.agg(min(col("vec_id")), max(col("vec_id"))).head()
+      val lo = ids.getLong(0); val hi = ids.getLong(1)
+      val span = (hi - lo + 1 + 2) / 3
+      val srcDir = FixtureDirs.create("s46-emb-")
+      (0 until 3).foreach { i =>
+        val tmp = FixtureDirs.create(s"s46-part$i-")
+        emb.filter(col("vec_id") >= lo + i * span &&
+            col("vec_id") < lo + (i + 1) * span)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val f = java.nio.file.Files.list(tmp)
+          .filter(_.toString.endsWith(".parquet")).findFirst().get()
+        val dst = srcDir.resolve(s"batch$i.parquet")
+        java.nio.file.Files.move(f, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+      val main = new VectorIndex(spark,
+        FixtureDirs.create("s46-main-").toString, nlist = 16)
+      def partFiles(ix: VectorIndex): Set[String] = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ix.liveRoot.resolve("index"))
+          .iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".parquet")).toSet
+      }
+      val shardFiles = scala.collection.mutable.Set[String]()
+      val stream = spark.readStream
+        .schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      withStreamConf(spark) {
+        val q = stream.writeStream
+          .option("checkpointLocation", newCkptDir())
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            if (!b.isEmpty) {
+              if (id == 0L) {
+                // bootstrap: the first segment trains the calibration —
+                // meta is a pure function of the CALIBRATION corpus, so
+                // train on the static table sample (a monitor's one-time
+                // setup), encode only the batch
+                main.buildMeta(emb)
+                main.append(b)
+              } else {
+                val shard = new VectorIndex(spark,
+                  FixtureDirs.create(s"s46-shard$id-").toString, nlist = 16)
+                shard.adoptMeta(main)
+                shard.append(b)
+                shardFiles ++= partFiles(shard)
+                main.merge(shard)
+              }
+            }
+            ()
+          }.start()
+        q.awaitTermination()
+      }
+      require(shardFiles.toSet.subsetOf(partFiles(main)),
+        "a merge re-encoded or dropped shard files — segment ingest must " +
+          "be file union")
+      require(main.versions.nonEmpty,
+        "merges must cut generations (pre-merge segments stay readable)")
+      main.query(emb.filter(col("vec_id") < 10), emb,
+          VectorFunctions.cosineSim, k = 5, nprobe = 4, shortlist = 50)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(VectorQueries.ivfPqOracle()),
+    "streaming index segment ingest: first batch bootstraps the calibration, later batches build shard indexes on adopted meta and fold in by file-copy merge — O(batch) encode per trigger, final index bit-identical to the one-shot build (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
     s10, s10b, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23,
     s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38,
-    s39, s40, s41, s42, s43, s44, s45)
+    s39, s40, s41, s42, s43, s44, s45, s46)
 }
