@@ -3131,7 +3131,13 @@ object StreamingQueries {
       }
       val t = new graft.merge.LogTable(spark,
         FixtureDirs.create("s44-graph-").resolve("edges").toString,
-        baseEdges.schema, bucketBy = Some((Seq("src"), 16)))
+        // bucket count tracks the node count (~500 srcs/bucket): a FIXED
+        // 16 buckets cost 1.7x at sf0.1 (16 small files per commit where
+        // the table only has ~1.8k srcs — the r12 bench regression) while
+        // the scale win (rewrite ∝ touched buckets) only needs enough
+        // buckets that a batch touches a minority of them
+        baseEdges.schema,
+        bucketBy = Some((Seq("src"), math.max(4, (nbase / 500).toInt))))
       t.append(baseEdges) // v1: the base graph
       val stream = spark.readStream
         .schema("vec_id bigint, embedding array<float>")
