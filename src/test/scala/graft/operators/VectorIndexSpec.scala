@@ -190,4 +190,33 @@ class VectorIndexSpec extends SparkSpec {
       .select(col("vec_id")).collect().map(_.getLong(0)).toSet
     assert(oldIds.forall(_ % 2 == 0), "retired shard generation leaked merged rows")
   }
+
+  test("merge unions tombstones: a pre-merge delete in either input " +
+      "stays masked in the merged index") {
+    VectorFunctions.register(spark)
+    val a = new VectorIndex(spark, Files.createTempDirectory("vidx-ta-").toString)
+    val b = new VectorIndex(spark, Files.createTempDirectory("vidx-tb-").toString)
+    a.buildMeta(emb); b.buildMeta(emb)
+    val evens = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val odds = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    a.append(evens); b.append(odds)
+    // tombstone one id on each side before the merge
+    a.delete(evens.filter(col("vec_id") === 20L).select(col("vec_id")))
+    b.delete(odds.filter(col("vec_id") === 21L).select(col("vec_id")))
+    a.merge(b)
+    val q = emb.filter(col("vec_id") < 10)
+    val got = a.query(q, emb, VectorFunctions.cosineSim,
+        k = 5, nprobe = 16, shortlist = 500)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(!got.contains(20L) && !got.contains(21L),
+      "a tombstoned id from a merge input resurfaced in the merged index")
+    // and the mask matches a one-shot build over the live union
+    val oneShot = new VectorIndex(spark,
+      Files.createTempDirectory("vidx-tos-").toString)
+    oneShot.build(emb.filter(col("vec_id") =!= 20L && col("vec_id") =!= 21L))
+    val want = oneShot.query(q, emb, VectorFunctions.cosineSim,
+        k = 5, nprobe = 16, shortlist = 500)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(got == want, "merged+tombstoned diverged from the live-union build")
+  }
 }
