@@ -4702,12 +4702,121 @@ object TextQueries {
     Some(cusumOracleSql(withPeak = true)),
     "per-source CUSUM drift monitor over document length: closed-form prefix-min/max windows (no iteration), integer-exact, data-derived 80%-of-max flag threshold (LLM-pipeline op)")
 
+  /** MULTI-ALARM CUSUM (d65) — d64 with the RESET semantics a production
+    * monitor actually runs: when the excursion reaches h the alarm fires
+    * and the statistic restarts at zero, so one source can report several
+    * change points (Page's procedure proper, not just the max statistic).
+    * Resets break the single-pass closed form, but the series splits into
+    * EPISODES, and within each episode the d64 closed form still finds the
+    * first crossing — so the computation is a loop over ALARM ROUNDS
+    * (bounded by the max alarms per source, 2 on this corpus), not over
+    * rows: each round computes drawup-since-episode-start via two windows
+    * on the active suffixes and advances past the crossing. The oracle
+    * replays the same episode recursion in one `WITH RECURSIVE` whose
+    * per-round crossing is a pure list-comprehension argmin over the
+    * per-source prefix-sum list (rule 11's shape: recursion over
+    * EPISODES, list scan inside — never row-at-a-time). h is data-derived
+    * (40% of the d64 global max drawup — probed to yield sources with 0,
+    * 1 AND 2 alarms at both SFs); all arithmetic integer. `require`s pin
+    * a multi-alarm source and a quiet source. */
+  val d65 = QueryDef(
+    "d65_cusum_alarms",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val kRow = docs.agg(sum(col("n_chars")), count(lit(1))).head()
+      val k = kRow.getLong(0) / kRow.getLong(1)
+      val wd = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      val base = docs
+        .withColumn("rn", row_number().over(wd))
+        .withColumn("pg", sum(col("n_chars") - lit(k)).over(wd))
+        .select(col("source"), col("doc_id"), col("rn"), col("pg"))
+        .localCheckpoint(true)
+      val wr = Window.partitionBy(col("source")).orderBy(col("rn"))
+      val gm = base
+        .withColumn("su", col("pg") - least(lit(0L), min(col("pg")).over(wr)))
+        .agg(max(col("su"))).head().getLong(0)
+      val h = gm * 2 / 5
+      val nSrc = base.select(col("source")).distinct().count()
+      var active = base.groupBy(col("source"))
+        .agg(max(col("rn")).as("n"))
+        .select(col("source"), lit(1).as("s"), lit(0).as("alarm_no"), col("n"))
+        .localCheckpoint(true)
+      var alarms: Option[org.apache.spark.sql.DataFrame] = None
+      var rounds = 0
+      while (active.count() > 0 && rounds < 64) {
+        rounds += 1
+        // pg just before the episode start (0 for a series-start episode)
+        val withPrev = active
+          .join(base.select(col("source"), (col("rn") + 1).as("s"),
+            col("pg").as("pgPrev")), Seq("source", "s"), "left")
+        val suffix = base.join(broadcast(withPrev), Seq("source"))
+          .filter(col("rn") >= col("s"))
+        val scored = suffix.withColumn("su",
+          col("pg") - least(coalesce(col("pgPrev"), lit(0L)),
+            min(col("pg")).over(wr)))
+        val crossing = scored.filter(col("su") >= lit(h))
+          .groupBy(col("source"), col("alarm_no"), col("n"))
+          .agg(min(col("rn")).as("r"))
+          .localCheckpoint(true)
+        val fired = crossing
+          .join(base.select(col("source"), col("rn").as("r"),
+            col("doc_id").as("alarm_doc")), Seq("source", "r"))
+          .select(col("source"),
+            (col("alarm_no") + 1).cast("int").as("alarm_no"),
+            col("alarm_doc"))
+        alarms = Some(alarms.fold(fired)(_ unionByName fired))
+        active = crossing.filter(col("r") < col("n"))
+          .select(col("source"), (col("r") + 1).as("s"),
+            (col("alarm_no") + 1).as("alarm_no"), col("n"))
+          .localCheckpoint(true)
+      }
+      val out = alarms.get.orderBy(col("source"), col("alarm_no"))
+        .localCheckpoint(true)
+      val multi = out.filter(col("alarm_no") >= 2).count()
+      val quiet = nSrc - out.select(col("source")).distinct().count()
+      require(multi >= 1 && quiet >= 1,
+        s"alarm fixture degenerate: $multi multi-alarm, $quiet quiet sources")
+      out
+    },
+    Some(s"""WITH RECURSIVE kv AS (SELECT sum(n_chars) // count(*) AS kk FROM documents),
+       |b AS MATERIALIZED (SELECT source, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rn,
+       |    CAST(sum(n_chars - (SELECT kk FROM kv))
+       |      OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS pg
+       |  FROM documents),
+       |gmv AS (SELECT max(pg - least(CAST(0 AS BIGINT), mn)) AS gm FROM (
+       |    SELECT pg, min(pg) OVER (PARTITION BY source ORDER BY rn) AS mn FROM b)),
+       |hv AS (SELECT gm * 2 // 5 AS h FROM gmv),
+       |l AS MATERIALIZED (SELECT source, list(pg ORDER BY rn) AS pg,
+       |    list(doc_id ORDER BY rn) AS docs, CAST(count(*) AS BIGINT) AS n
+       |  FROM b GROUP BY source),
+       |eps AS (
+       |  SELECT source, CAST(1 AS BIGINT) AS s, 0 AS alarm_no,
+       |         CAST(NULL AS BIGINT) AS alarm_rn FROM l
+       |  UNION ALL
+       |  SELECT q.source, q.cr + 1 AS s, q.alarm_no + 1 AS alarm_no,
+       |         q.cr AS alarm_rn
+       |  FROM (SELECT e.source, e.alarm_no,
+       |          list_min([ i for i in range(e.s, ln.n + 1)
+       |            if ln.pg[i] - least(CASE WHEN e.s = 1 THEN CAST(0 AS BIGINT)
+       |                                     ELSE ln.pg[e.s - 1] END,
+       |                                list_min(ln.pg[e.s:i])) >= hv.h ]) AS cr
+       |        FROM eps e JOIN l ln USING (source), hv) q
+       |  WHERE q.cr IS NOT NULL)
+       |SELECT e.source, CAST(e.alarm_no AS INTEGER) AS alarm_no,
+       |       l.docs[e.alarm_rn] AS alarm_doc
+       |FROM eps e JOIN l USING (source) WHERE e.alarm_rn IS NOT NULL
+       |ORDER BY source, alarm_no""".stripMargin),
+    "multi-alarm CUSUM (Page's procedure with resets): episode loop over alarm rounds, each round the d64 closed form on active suffixes; oracle = WITH RECURSIVE over episodes with a list-comprehension crossing argmin; data-derived h yields 0/1/2-alarm sources (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
       d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43, d44,
       d45, d46, d47, d48, d49, d50, d50b, d51, d52, d53, d54, d55, d56, d57, d58, d59,
-      d60, d61, d62, d63, d64,
+      d60, d61, d62, d63, d64, d65,
       m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14,
       m15, m16, m17)
 }

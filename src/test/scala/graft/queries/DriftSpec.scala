@@ -70,4 +70,30 @@ class DriftSpec extends SparkSpec {
     val flagged = out.count(_.getBoolean(6))
     assert(flagged >= 1 && flagged < out.length)
   }
+
+  test("d65 episode loop == imperative reset recursion (Page's procedure)") {
+    val docs = graft.sources.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    val k = docs.map(_._3).sum / docs.length
+    // global max drawup, then h = 40% of it (the query's derivation)
+    val gm = docs.groupBy(_._1).values.map { rows =>
+      var s = 0L; var m = 0L
+      rows.sortBy(_._2).foreach { case (_, _, n) =>
+        s = math.max(0L, s + (n - k)); m = math.max(m, s)
+      }
+      m
+    }.max
+    val h = gm * 2 / 5
+    val expected = docs.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      var s = 0L; var no = 0
+      rows.sortBy(_._2).toSeq.flatMap { case (_, d, n) =>
+        s = math.max(0L, s + (n - k))
+        if (s >= h) { no += 1; s = 0L; Some((src, no, d)) } else None
+      }
+    }.toSet
+    val got = Registry.queries("d65_cusum_alarms")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == expected, s"episode loop diverged: got $got want $expected")
+  }
 }
