@@ -772,6 +772,13 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     readDataWithIds(s.files, s.dv, s.schema)
   }
 
+  /** Highest allocated row-tracking id (0 before any tracked write) — the
+    * logged high-water mark identity columns allocate from. */
+  private[merge] def rowIdHighWaterMark: Long = {
+    val v = currentVersion
+    if (v == 0) 0L else snapshotAt(v).rowIdHwm
+  }
+
   /** Live table (empty frame before the first commit). */
   def read(): DataFrame = {
     val v = currentVersion

@@ -463,10 +463,18 @@ final class ParquetTable(spark: SparkSession, root: String, schema: StructType,
         "writer storm; raise maxAttempts or serialize these writers")
   }
 
-  private def snapshotVanished(e: Throwable): Boolean = {
+  // Conflict classification must cover every face the vanished-snapshot race
+  // wears: FileNotFoundException (scan hits a retired file), Spark's
+  // FAILED_READ_FILE.FILE_NOT_EXIST wrapper, AND analysis-time PATH_NOT_FOUND
+  // — swapIn's two renames leave a window where `current` itself is absent,
+  // so a concurrent stager's read() can fail BEFORE any file is opened.
+  // (Observed: a racing-writers stream died un-retried on exactly that.)
+  private[merge] def snapshotVanished(e: Throwable): Boolean = {
     var c = e
     while (c != null) {
       if (c.isInstanceOf[java.io.FileNotFoundException]) return true
+      val m = Option(c.getMessage).getOrElse("")
+      if (m.contains("PATH_NOT_FOUND") || m.contains("FILE_NOT_EXIST")) return true
       c = c.getCause
     }
     false

@@ -2273,5 +2273,78 @@ object MergeQueries {
            |ORDER BY k""".stripMargin),
     "SQL DML statement surface: the reference's M3 MERGE INTO statement verbatim (recency-guarded UPDATE SET * / INSERT *) + UPDATE (file-scoped rewrite) + DELETE (DV commit) over a graft-logtable catalog table via the injected parser")
 
-  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl, opt, del, rst, vac, dvq, dvtt, occ, occContended, logLifecycle, logMaintenance, logChangeFeed, logClustered, logEvolve, logSql, logConstraints, logTimestamps, scd2q, logColumnMapping, generatedCols, logClone, logRowTracking, logWidening, logCdfTyped, logReplaceWhere, logLiquid, logLiquidMulti, logSnapshotIso, logSqlDml)
+  /** IDENTITY COLUMNS on the log table (q88 — Delta `identityColumns`,
+    * `GENERATED ALWAYS AS IDENTITY (START WITH 1000 INCREMENT BY 5)`): the
+    * surrogate-key surface. Generated values are the affine map of the
+    * row-tracking id (q80 machinery), so allocation is SHUFFLE-FREE at
+    * write — no global row-numbering job; Delta likewise reserves per-task
+    * blocks — and the identity contract (unique, monotone per commit, gaps
+    * allowed, freed values never reused, stable across DV delete +
+    * OPTIMIZE) is inherited from the proven row-id watermark. Lifecycle
+    * driven here: two shaped appends, a DV delete, OPTIMIZE (values
+    * `require`d unchanged), then a post-delete append whose values continue
+    * from the watermark. Shaped writes (repartitionByRange + key sort) make
+    * values the q80 closed form: sid = start + step·(prior-rows + rank − 1).
+    *
+    * Scale: the identity read is O(1) arithmetic per row on the row-id
+    * column the tracked scan already computes; the write path pays only the
+    * row-tracking bookkeeping (one logged watermark bump per commit). */
+  val logIdentity = QueryDef(
+    "q88_logtable_identity",
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+      val cut = lit("1998-01-01").cast("timestamp")
+      val root = FixtureDirs.create("q88-idc-").resolve("orders_idc").toString
+      val t = new graft.merge.IdentityTable(spark, root,
+        org.apache.spark.sql.types.StructType(o.schema.fields.take(2)),
+        "order_sid", start = 1000L, step = 5L)
+      def shaped(df: org.apache.spark.sql.DataFrame) = df
+        .repartitionByRange(4, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+      val pre = o.filter(col("o_orderdate") < cut).drop("o_orderdate")
+      val post = o.filter(col("o_orderdate") >= cut).drop("o_orderdate")
+      t.append(shaped(pre))                                          // v1
+      t.append(shaped(post))                                         // v2
+      val before = t.read()
+        .select(col("o_orderkey"), col("order_sid").as("sid0"))
+        .localCheckpoint(true)
+      val del = t.deleteWhere(pmod(col("o_orderkey"), lit(7)) === 0) // v3 (DV)
+      require(del > 0, "delete predicate must match rows at every SF")
+      require(t.compact(targetFileBytes = 1L << 20) > 0,             // v4 OPTIMIZE
+        "compaction must rewrite (materializing ids)")
+      require(t.read().join(before, "o_orderkey")
+        .filter(col("order_sid") =!= col("sid0")).isEmpty,
+        "OPTIMIZE must preserve every surviving row's identity value")
+      t.append(shaped(pre.filter(pmod(col("o_orderkey"), lit(7)) === 0) // v5
+        .withColumn("o_orderkey", -col("o_orderkey"))))
+      t.read()
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
+          col("order_sid"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""WITH o AS (SELECT o_orderkey, o_totalprice, o_orderdate FROM orders),
+           |pre AS (SELECT o_orderkey, o_totalprice FROM o
+           |        WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+           |post AS (SELECT o_orderkey, o_totalprice FROM o
+           |         WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'),
+           |v1 AS (SELECT o_orderkey, o_totalprice,
+           |              rank() OVER (ORDER BY o_orderkey) AS rid FROM pre),
+           |v2 AS (SELECT o_orderkey, o_totalprice,
+           |              (SELECT count(*) FROM pre) + rank() OVER (ORDER BY o_orderkey)
+           |       FROM post),
+           |v5 AS (SELECT -o_orderkey AS o_orderkey, o_totalprice,
+           |              (SELECT count(*) FROM pre) + (SELECT count(*) FROM post)
+           |              + rank() OVER (ORDER BY -o_orderkey)
+           |       FROM pre WHERE o_orderkey % 7 = 0),
+           |live AS (
+           |  SELECT * FROM v1 WHERE o_orderkey % 7 <> 0
+           |  UNION ALL SELECT * FROM v2 WHERE o_orderkey % 7 <> 0
+           |  UNION ALL SELECT * FROM v5)
+           |SELECT o_orderkey, round(o_totalprice, 2) AS price,
+           |       CAST(1000 + 5 * (rid - 1) AS BIGINT) AS order_sid
+           |FROM live ORDER BY o_orderkey""".stripMargin),
+    "Identity columns on the log table: GENERATED ALWAYS AS IDENTITY (START WITH 1000 INCREMENT BY 5) as a shuffle-free affine map of the row-tracking watermark — values unique, monotone per commit, never reused after delete, stable across OPTIMIZE")
+
+  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl, opt, del, rst, vac, dvq, dvtt, occ, occContended, logLifecycle, logMaintenance, logChangeFeed, logClustered, logEvolve, logSql, logConstraints, logTimestamps, scd2q, logColumnMapping, generatedCols, logClone, logRowTracking, logWidening, logCdfTyped, logReplaceWhere, logLiquid, logLiquidMulti, logSnapshotIso, logSqlDml, logIdentity)
 }

@@ -170,4 +170,25 @@ class OccSpec extends SparkSpec {
         (cur, b) => Merge.insertOnly(cur, b, Seq("k"))))
     assert(e.getMessage.contains("unbucketed"))
   }
+
+  test("snapshotVanished classifies every face of the vanished-snapshot race") {
+    val t = new ParquetTable(spark, tmp("occ-classify-"), s2)
+    // face 1: a scan task hits a retired file (FNF somewhere in the chain)
+    assert(t.snapshotVanished(new RuntimeException("wrap",
+      new java.io.FileNotFoundException("part-0000.parquet"))))
+    // face 2: Spark's FAILED_READ_FILE.FILE_NOT_EXIST wrapper (message-level;
+    // Spark does not always chain the FNF cause through the task failure)
+    assert(t.snapshotVanished(new org.apache.spark.SparkException(
+      "[FAILED_READ_FILE.FILE_NOT_EXIST] Encountered error while reading file " +
+        "file:///x/current/part-0.parquet. File does not exist.")))
+    // face 3: analysis-time PATH_NOT_FOUND — swapIn's two renames leave a
+    // window where `current` itself is absent, so a concurrent stager's
+    // read() fails before any file opens (the un-retried s35 failure mode)
+    assert(t.snapshotVanished(new RuntimeException("stream wrapper",
+      new org.apache.spark.sql.AnalysisException(
+        errorClass = "PATH_NOT_FOUND",
+        messageParameters = Map("path" -> "file:/x/events_occ/current")))))
+    // and a genuine error is NOT a conflict
+    assert(!t.snapshotVanished(new IllegalStateException("schema mismatch")))
+  }
 }
