@@ -3433,8 +3433,66 @@ object StreamingQueries {
     Some(VectorQueries.ivfPqOracle()),
     "streaming index segment ingest: first batch bootstraps the calibration, later batches build shard indexes on adopted meta and fold in by file-copy merge — O(batch) encode per trigger, final index bit-identical to the one-shot build (LLM-pipeline op)")
 
+  /** MULTI-SOURCE WATERMARK POLICY (s47): a union of two event-time
+    * branches advances the GLOBAL watermark at the pace of the SLOWEST one
+    * (`spark.sql.streaming.multipleWatermarkPolicy = min`, the default and
+    * the only safe choice) — the semantics every fan-in topology (union of
+    * a fresh feed and a lagging backfill, kafka topics with skewed lag)
+    * lives or dies by. Here the `signup` branch trails the rest of the
+    * stream (data-derived lag: 258 s at sf0.1, 28 min at sf0.01), so a
+    * 1-minute-window append drain must HOLD BACK the fast branch's last
+    * windows too: emission cutoff = least(max tsₘₐᵢₙ, max tsₗₐₜₑ) with the
+    * 0-second delay, which the oracle mirrors in exact µs. A `require`
+    * pins the holdback non-trivial (the branch maxes straddle a window
+    * boundary) so a testdata regeneration can't make the row vacuous.
+    *
+    * Scale: per-branch watermark tracking is O(1) state; the union is a
+    * plan-level concat (no shuffle before the windowed agg — same single
+    * exchange the one-branch agg pays). */
+  val s47 = QueryDef(
+    "s47_stream_union_min_watermark",
+    (spark, dir) => {
+      val evB = graft.sources.Tables.eventsUs(spark, dir)
+      val Array(maxMain, maxLate) = evB
+        .groupBy(when(col("event_type") === "signup", "late")
+          .otherwise("main").as("b"))
+        .agg(max(col("ts_us")).as("m"))
+        .orderBy(col("b")).collect()
+          .map(_.getLong(1)).reverse // main, late
+      require(maxMain / 60000000L > math.min(maxMain, maxLate) / 60000000L,
+        "branch maxes must straddle a 1-minute boundary, or the min-policy " +
+          "holdback is vacuous at this SF — re-derive the branch split")
+      drain(spark, dir, "append") { ev =>
+        val main = ev.filter(col("event_type") =!= "signup")
+          .withColumn("branch", lit("main"))
+          .withWatermark("ts_utc", "0 seconds")
+        val late = ev.filter(col("event_type") === "signup")
+          .withColumn("branch", lit("late"))
+          .withWatermark("ts_utc", "0 seconds")
+        main.unionByName(late)
+          .groupBy(window(col("ts_utc"), "1 minute"), col("branch"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+          .select(unix_micros(col("window.start")).as("win_start_us"),
+            col("branch"), col("n"), col("sum_value"))
+      }.orderBy(col("branch"), col("win_start_us"))
+    },
+    Some(s"""WITH $evCte,
+            |cut AS (SELECT least(
+            |    (SELECT max(ts_us) FROM ev WHERE event_type <> 'signup'),
+            |    (SELECT max(ts_us) FROM ev WHERE event_type = 'signup')) AS c),
+            |w AS (SELECT CASE WHEN event_type = 'signup' THEN 'late'
+            |             ELSE 'main' END AS branch,
+            |        (ts_us // 60000000) * 60000000 AS win_start_us, value
+            |      FROM ev)
+            |SELECT branch, win_start_us, count(*) AS n,
+            |       round(sum(value), 2) AS sum_value
+            |FROM w GROUP BY 1, 2
+            |HAVING win_start_us + 60000000 <= (SELECT c FROM cut)
+            |ORDER BY branch, win_start_us""".stripMargin),
+    "multi-source watermark policy: a unioned lagging branch holds the global watermark back (min policy), so the fast branch's trailing windows are withheld too — emission cutoff = least of the branch maxes, mirrored in exact µs")
+
   def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
     s10, s10b, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23,
     s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38,
-    s39, s40, s41, s42, s43, s44, s45, s46)
+    s39, s40, s41, s42, s43, s44, s45, s46, s47)
 }
