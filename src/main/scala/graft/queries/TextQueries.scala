@@ -4811,12 +4811,132 @@ object TextQueries {
        |ORDER BY source, alarm_no""".stripMargin),
     "multi-alarm CUSUM (Page's procedure with resets): episode loop over alarm rounds, each round the d64 closed form on active suffixes; oracle = WITH RECURSIVE over episodes with a list-comprehension crossing argmin; data-derived h yields 0/1/2-alarm sources (LLM-pipeline op)")
 
+  /** TWO-SAMPLE KOLMOGOROV–SMIRNOV DRIFT (d66): leave-one-out distribution
+    * comparison — each source's doc-length distribution against the rest of
+    * the corpus — the standard "did this feed's shape change" gate a
+    * training-data pipeline runs per source (complements d64/d65: CUSUM is
+    * TEMPORAL mean-shift, KS is DISTRIBUTIONAL shape-shift).
+    *
+    * Exactness discipline: the statistic runs on a shared equi-width
+    * histogram (width data-derived per rule 12: max(8, max_chars/32)), and
+    * the KS numerator is the CROSS-MULTIPLIED integer form
+    * `max_b |cum_s(b)·n_rest − cum_rest(b)·n_src|` — no division, so the
+    * output is exact int64 both engines. The significance gate
+    * D ≥ c·√((n₁+n₂)/(n₁n₂)) at α = 0.05 (c² = 1.844164) is likewise
+    * cross-multiplied: `10⁶·num² ≥ 1844164·(n₁+n₂)·n₁·n₂`, computed in
+    * decimal128 (Spark decimal(38,0) ≡ DuckDB HUGEINT — num² overflows
+    * int64 past ~55k docs/source, and intermediates never reach the output
+    * schema so the d60 type-width rule is safe). A PLANTED shift — src0's
+    * lengths halved, the v33 constructive-fixture lesson — is `require`d
+    * flagged, so a dead gate turns the row red rather than green-vacuous.
+    *
+    * Scale: one map-side-combinable groupBy builds the histogram (cells are
+    * an additive monoid — mergeable across shards/batches); everything
+    * after runs on the |sources|×|bins| grid, which is vocabulary-sized,
+    * not corpus-sized. */
+  val d66 = QueryDef(
+    "d66_ks_drift",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val doc = Tables.documents(spark, dir).select(col("source"), col("n_chars"))
+      val wBin = math.max(8L, doc.agg(max(col("n_chars"))).head().getLong(0) / 32L)
+      val nOrg = doc.count()
+      val plantName = "src0__shifted"
+      val plant = doc.filter(col("source") === "src0")
+        .select(lit(plantName).as("source"), expr("n_chars div 2").as("n_chars"))
+      val binned = doc.unionByName(plant)
+        .groupBy(col("source"), expr(s"n_chars div $wBin").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // consumed 5× below (grid, tot, ns, dims)
+      val isPlant = col("source") === plantName
+      val tot = binned.filter(col("source") =!= plantName)
+        .groupBy(col("b")).agg(sum(col("c")).as("tc"))
+      val ns = binned.groupBy(col("source")).agg(sum(col("c")).as("n_src"))
+      val grid = binned.select(col("source")).distinct()
+        .crossJoin(binned.select(col("b")).distinct()) // |sources|×|bins| — bounded
+        .join(binned, Seq("source", "b"), "left")
+        .join(tot, Seq("b"), "left")
+        .select(col("source"), col("b"), coalesce(col("c"), lit(0L)).as("c"),
+          (coalesce(col("tc"), lit(0L)) -
+            when(isPlant, lit(0L)).otherwise(coalesce(col("c"), lit(0L)))).as("rc"))
+      val cumW = Window.partitionBy(col("source")).orderBy(col("b"))
+      val stat = grid
+        .select(col("source"), col("b"),
+          sum(col("c")).over(cumW).as("cs"), sum(col("rc")).over(cumW).as("cr"))
+        .join(ns, "source")
+        .withColumn("n_rest",
+          when(isPlant, lit(nOrg)).otherwise(lit(nOrg) - col("n_src")))
+        .withColumn("dnum",
+          abs(col("cs") * col("n_rest") - col("cr") * col("n_src")))
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val best = stat
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("dnum").desc, col("b").asc)))
+        .filter(col("rn") === 1)
+        .select(col("source"), col("n_src"), col("n_rest"),
+          col("dnum").as("ks_num"), col("b").as("ks_bin"),
+          (dec(lit(1000000L)) * dec(col("dnum")) * dec(col("dnum")) >=
+            dec(lit(1844164L)) * dec(col("n_src") + col("n_rest")) *
+              dec(col("n_src")) * dec(col("n_rest"))).as("drifted"))
+        .localCheckpoint(true)
+      require(best.filter(isPlant && col("drifted")).count() == 1L,
+        "planted length shift must be KS-flagged at every SF (dead-gate guard)")
+      best.orderBy(col("source"))
+    },
+    Some("""WITH doc AS (SELECT source, n_chars FROM documents),
+           |wv AS (SELECT greatest(8, max(n_chars) // 32) AS w FROM doc),
+           |plant AS (SELECT 'src0__shifted' AS source, n_chars // 2 AS n_chars
+           |          FROM doc WHERE source = 'src0'),
+           |allr AS (SELECT * FROM doc UNION ALL SELECT * FROM plant),
+           |binned AS (SELECT source, n_chars // (SELECT w FROM wv) AS b,
+           |                  count(*) AS c
+           |           FROM allr GROUP BY 1, 2),
+           |tot AS (SELECT b, sum(c) AS tc FROM binned
+           |        WHERE source <> 'src0__shifted' GROUP BY 1),
+           |n_org AS (SELECT sum(c) AS n FROM binned WHERE source <> 'src0__shifted'),
+           |ns AS (SELECT source, sum(c) AS n_src FROM binned GROUP BY 1),
+           |grid AS (
+           |  SELECT s.source, bb.b, coalesce(x.c, 0) AS c,
+           |         coalesce(t.tc, 0) - CASE WHEN s.source = 'src0__shifted'
+           |           THEN 0 ELSE coalesce(x.c, 0) END AS rc
+           |  FROM (SELECT DISTINCT source FROM binned) s
+           |  CROSS JOIN (SELECT DISTINCT b FROM binned) bb
+           |  LEFT JOIN binned x ON x.source = s.source AND x.b = bb.b
+           |  LEFT JOIN tot t ON t.b = bb.b),
+           |cum AS (
+           |  SELECT source, b,
+           |         sum(c) OVER (PARTITION BY source ORDER BY b) AS cs,
+           |         sum(rc) OVER (PARTITION BY source ORDER BY b) AS cr
+           |  FROM grid),
+           |stat AS (
+           |  SELECT c.source, c.b, s.n_src,
+           |         CASE WHEN c.source = 'src0__shifted' THEN (SELECT n FROM n_org)
+           |              ELSE (SELECT n FROM n_org) - s.n_src END AS n_rest,
+           |         abs(c.cs * (CASE WHEN c.source = 'src0__shifted'
+           |               THEN (SELECT n FROM n_org)
+           |               ELSE (SELECT n FROM n_org) - s.n_src END)
+           |             - c.cr * s.n_src) AS dnum
+           |  FROM cum c JOIN ns s USING (source)),
+           |best AS (
+           |  SELECT source, n_src, n_rest, dnum, b
+           |  FROM stat
+           |  QUALIFY row_number() OVER (PARTITION BY source
+           |    ORDER BY dnum DESC, b ASC) = 1)
+           |SELECT source, CAST(n_src AS BIGINT) AS n_src,
+           |       CAST(n_rest AS BIGINT) AS n_rest,
+           |       CAST(dnum AS BIGINT) AS ks_num, CAST(b AS BIGINT) AS ks_bin,
+           |       (CAST(1000000 AS HUGEINT) * dnum * dnum
+           |          >= CAST(1844164 AS HUGEINT) * (n_src + n_rest) * n_src * n_rest)
+           |         AS drifted
+           |FROM best ORDER BY source""".stripMargin),
+    "two-sample KS drift per source vs corpus on a shared mergeable histogram: cross-multiplied integer statistic (exact int64), significance gate in decimal128, planted half-length shift required flagged (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
       d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43, d44,
       d45, d46, d47, d48, d49, d50, d50b, d51, d52, d53, d54, d55, d56, d57, d58, d59,
-      d60, d61, d62, d63, d64, d65,
+      d60, d61, d62, d63, d64, d65, d66,
       m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14,
       m15, m16, m17)
 }
