@@ -1772,6 +1772,31 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     * and every file no retained version references — including orphans
     * from crashed writes (staged files whose commit never landed). Reads
     * of vacuumed versions fail loudly. */
+  /** `DESCRIBE HISTORY` rows, version-ascending: (version, in-commit
+    * timestamp ms, operation, dataChange, files added, files removed).
+    * The operation is INFERRED from the commit's action shape (the log
+    * records actions, not statement names — Delta stores the latter as
+    * commitInfo, which is advisory there too): a `dataChange = false`
+    * rewrite is OPTIMIZE; a DV-only commit is DELETE; metadata-only
+    * commits name their metadata kind; add+remove is REPLACE (overwrite /
+    * merge / replaceWhere); add-only is WRITE. */
+  def describeHistory(): Seq[(Long, Long, String, Boolean, Int, Int)] =
+    history().map { v =>
+      val d = readDelta(v)
+      val op =
+        if (!d.dataChange) "OPTIMIZE"
+        else if (d.add.isEmpty && d.remove.isEmpty && d.dvAdd.nonEmpty) "DELETE"
+        else if (d.add.isEmpty && d.remove.isEmpty && d.dvAdd.isEmpty) {
+          if (d.constraintAdd.isDefined) "ADD CONSTRAINT"
+          else if (d.constraintDrop.isDefined) "DROP CONSTRAINT"
+          else if (d.schemaJson.isDefined) "SET SCHEMA"
+          else "COMMIT"
+        }
+        else if (d.remove.nonEmpty) "REPLACE"
+        else "WRITE"
+      (v, d.tsMs, op, d.dataChange, d.add.size, d.remove.size)
+    }
+
   def vacuum(retainLast: Int = 1): Seq[Long] = {
     require(retainLast >= 1, "must retain at least the live version")
     val hs = history()

@@ -2346,5 +2346,66 @@ object MergeQueries {
            |FROM live ORDER BY o_orderkey""".stripMargin),
     "Identity columns on the log table: GENERATED ALWAYS AS IDENTITY (START WITH 1000 INCREMENT BY 5) as a shuffle-free affine map of the row-tracking watermark — values unique, monotone per commit, never reused after delete, stable across OPTIMIZE")
 
-  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl, opt, del, rst, vac, dvq, dvtt, occ, occContended, logLifecycle, logMaintenance, logChangeFeed, logClustered, logEvolve, logSql, logConstraints, logTimestamps, scd2q, logColumnMapping, generatedCols, logClone, logRowTracking, logWidening, logCdfTyped, logReplaceWhere, logLiquid, logLiquidMulti, logSnapshotIso, logSqlDml, logIdentity)
+  /** MAINTENANCE SQL STATEMENTS (q89 — the Delta operational surface
+    * `OPTIMIZE` / `DESCRIBE HISTORY` / `VACUUM ... RETAIN n VERSIONS`,
+    * completing the statement surface q87 opened with DML): Spark has no
+    * grammar for these, so [[graft.sql.GraftSqlParser]] recognizes them at
+    * text level (Delta's own parser-extension move) and lowers onto
+    * `LogTable.compact` / `describeHistory` / `vacuum`. The row drives the
+    * full operational cycle through SQL text alone — seed write, INSERT
+    * INTO, DELETE (DV commit), OPTIMIZE (dataChange=false rewrite),
+    * DESCRIBE HISTORY (operations inferred from action shapes, newest
+    * first, in-commit timestamps monotone), VACUUM (history pruned to the
+    * live version, live content intact) — with every intermediate
+    * `require`d, and the final read through the BASE session (file-level
+    * interop, like q87).
+    *
+    * Scale: each statement is one log commit; OPTIMIZE is the only data
+    * rewrite and VACUUM's file scan is O(#files), both the price Delta
+    * pays for the same verbs. */
+  val logSqlMaintenance = QueryDef(
+    "q89_logtable_sql_maintenance",
+    (spark, dir) => {
+      val sqlSpark = graft.sql.SqlDml.session(spark)
+      val o = Tables.orders(sqlSpark, dir)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+          col("o_orderdate"))
+      val cut = lit("1998-01-01").cast("timestamp")
+      val root = FixtureDirs.create("q89-maint-").resolve("orders_maint").toString
+      o.filter(col("o_orderdate") < cut).drop("o_orderdate")
+        .write.format("graft-logtable").save(root)                    // v1 WRITE
+      val tbl = "q89_orders_maint"
+      sqlSpark.sql(s"DROP TABLE IF EXISTS $tbl")
+      sqlSpark.sql(s"CREATE TABLE $tbl USING `graft-logtable` OPTIONS (path '$root')")
+      try {
+        o.filter(col("o_orderdate") >= cut).drop("o_orderdate")
+          .createOrReplaceTempView("q89_batch")
+        sqlSpark.sql(s"INSERT INTO $tbl SELECT * FROM q89_batch")     // v2 WRITE
+        sqlSpark.sql(s"DELETE FROM $tbl WHERE k % 7 = 0")             // v3 DELETE
+        require(sqlSpark.sql(s"OPTIMIZE $tbl").head().getLong(0) > 0, // v4 OPTIMIZE
+          "OPTIMIZE must rewrite files (bin-pack + DV materialization)")
+        val hist = sqlSpark.sql(s"DESCRIBE HISTORY $tbl").collect()
+        require(hist.map(r => (r.getLong(0), r.getString(2))).toSeq ==
+          Seq((4L, "OPTIMIZE"), (3L, "DELETE"), (2L, "WRITE"), (1L, "WRITE")),
+          s"history must infer operations newest-first: ${hist.mkString(", ")}")
+        val ts = hist.sortBy(_.getLong(0)).map(_.getLong(1)).toSeq
+        require(ts == ts.sorted, "in-commit timestamps must ascend")
+        require(sqlSpark.sql(s"VACUUM $tbl RETAIN 1 VERSIONS")
+          .head().getLong(0) == 3L, "VACUUM must prune versions 1-3")
+        require(sqlSpark.sql(s"DESCRIBE HISTORY $tbl").count() == 1L,
+          "post-VACUUM history is the live version only")
+        // read through the BASE session: live content survives the vacuum
+        new graft.merge.LogTable(spark, root,
+          org.apache.spark.sql.types.StructType(o.schema.fields.take(2))).read()
+          .select(col("k"), round(col("price"), 2).as("price"))
+          .orderBy(col("k"))
+          .localCheckpoint(true)
+      } finally sqlSpark.sql(s"DROP TABLE IF EXISTS $tbl")
+    },
+    Some("""SELECT o_orderkey AS k, round(o_totalprice, 2) AS price
+           |FROM orders WHERE o_orderkey % 7 <> 0
+           |ORDER BY k""".stripMargin),
+    "maintenance SQL statements over the log table: OPTIMIZE (dataChange=false bin-pack), DESCRIBE HISTORY (operations inferred from action shapes, monotone in-commit timestamps), VACUUM RETAIN n VERSIONS (history pruned, live content intact) — text-level parser extension, the Delta operational surface")
+
+  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl, opt, del, rst, vac, dvq, dvtt, occ, occContended, logLifecycle, logMaintenance, logChangeFeed, logClustered, logEvolve, logSql, logConstraints, logTimestamps, scd2q, logColumnMapping, generatedCols, logClone, logRowTracking, logWidening, logCdfTyped, logReplaceWhere, logLiquid, logLiquidMulti, logSnapshotIso, logSqlDml, logIdentity, logSqlMaintenance)
 }

@@ -47,6 +47,13 @@ object SqlDml {
           "tableName" -> other.nodeName,
           "operation" -> "graft DML on a non-table target"))
     }
+    (resolveParts(spark, parts, "DML"), alias)
+  }
+
+  /** Catalog lookup + provider check + path extraction for a multipart
+    * table name — shared by the DML and maintenance statements. */
+  private[sql] def resolveParts(spark: SparkSession, parts: Seq[String],
+                                op: String): String = {
     val ident = TableIdentifier(parts.last,
       if (parts.size >= 2) Some(parts(parts.size - 2)) else None)
     val meta = spark.sessionState.catalog.getTableMetadata(ident)
@@ -55,15 +62,14 @@ object SqlDml {
         errorClass = "UNSUPPORTED_FEATURE.TABLE_OPERATION",
         messageParameters = Map(
           "tableName" -> parts.mkString("."),
-          "operation" -> s"DML (provider ${meta.provider.getOrElse("?")}; only graft-logtable tables are writable)"))
-    val path = meta.storage.properties.collectFirst {
+          "operation" -> s"$op (provider ${meta.provider.getOrElse("?")}; only graft-logtable tables are writable)"))
+    meta.storage.properties.collectFirst {
       case (k, v) if k.equalsIgnoreCase("path") => v
     }.orElse(meta.storage.locationUri.map(_.getPath)).getOrElse(
       throw new AnalysisException(
         errorClass = "UNSUPPORTED_FEATURE.TABLE_OPERATION",
         messageParameters = Map("tableName" -> parts.mkString("."),
-          "operation" -> "DML on a pathless table")))
-    (path, alias)
+          "operation" -> s"$op on a pathless table")))
   }
 
   /** SQL-visible alias of the MERGE source (for `INSERT *` / `UPDATE SET *`

@@ -25,13 +25,29 @@ import org.apache.spark.sql.types.StructType
   */
 final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
-  override def parsePlan(sqlText: String): LogicalPlan =
-    delegate.parsePlan(sqlText) match {
+  // Maintenance statements Spark has NO grammar for — recognized at text
+  // level (the move Delta's parser extension makes) and lowered onto the
+  // LogTable verbs. Identifier text is re-parsed through the delegate's
+  // parseMultipartIdentifier so quoting/qualification behave like any name.
+  private val OptimizeRe =
+    """(?is)\s*OPTIMIZE\s+([\w.`"]+)\s*;?\s*""".r
+  private val VacuumRe =
+    """(?is)\s*VACUUM\s+([\w.`"]+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+  private val HistoryRe =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`"]+)\s*;?\s*""".r
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case OptimizeRe(t) => GraftOptimizeCommand(parseMultipartIdentifier(t))
+    case VacuumRe(t, r) => GraftVacuumCommand(parseMultipartIdentifier(t),
+      Option(r).map(_.toInt).getOrElse(1))
+    case HistoryRe(t) => GraftDescribeHistoryCommand(parseMultipartIdentifier(t))
+    case _ => delegate.parsePlan(sqlText) match {
       case m: MergeIntoTable   => GraftMergeCommand(m)
       case u: UpdateTable      => GraftUpdateCommand(u)
       case d: DeleteFromTable  => GraftDeleteCommand(d)
       case p                   => p
     }
+  }
 
   override def parseExpression(sqlText: String) = delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =

@@ -113,4 +113,32 @@ class SqlDmlSpec extends SparkSpec {
       s"expected the writable-provider error, got: ${e.getMessage}")
     sqlSpark.sql("DROP TABLE dml_parquet")
   }
+
+  test("OPTIMIZE / DESCRIBE HISTORY / VACUUM statements lower onto the log verbs") {
+    val (t, tbl) = freshTable("dml_maint", Seq((1L, "a", 10L), (2L, "b", 20L)))
+    t.append(Seq((3L, "c", 30L)).toDF("k", "v", "ts"))          // v2 WRITE
+    sqlSpark.sql(s"DELETE FROM $tbl WHERE k = 1")               // v3 DELETE (DV)
+    val rewritten = sqlSpark.sql(s"OPTIMIZE $tbl")              // v4 OPTIMIZE
+      .collect().head.getLong(0)
+    assert(rewritten > 0, "OPTIMIZE must rewrite files")
+
+    val hist = sqlSpark.sql(s"DESCRIBE HISTORY $tbl").collect()
+    val byVersion = hist.map(r =>
+      (r.getLong(0), r.getString(2), r.getBoolean(3))).toSeq
+    assert(byVersion.map(_._1) == Seq(4L, 3L, 2L, 1L),
+      s"newest-first version order, got $byVersion")
+    assert(byVersion.map(_._2) == Seq("OPTIMIZE", "DELETE", "WRITE", "WRITE"),
+      s"operations inferred from action shapes, got $byVersion")
+    assert(!byVersion.head._3, "OPTIMIZE is a dataChange = false commit")
+    val ts = hist.sortBy(_.getLong(0)).map(_.getLong(1)).toSeq
+    assert(ts == ts.sorted, "in-commit timestamps must ascend with versions")
+
+    val removed = sqlSpark.sql(s"VACUUM $tbl RETAIN 1 VERSIONS")
+      .collect().head.getLong(0)
+    assert(removed == 3L, s"expected 3 versions pruned, got $removed")
+    assert(rows(t) == Set((2L, "b", 20L), (3L, "c", 30L)),
+      "live content must survive VACUUM")
+    assert(sqlSpark.sql(s"DESCRIBE HISTORY $tbl").count() == 1L)
+    sqlSpark.sql(s"DROP TABLE $tbl")
+  }
 }
