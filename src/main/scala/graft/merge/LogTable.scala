@@ -104,6 +104,19 @@ object LogTable {
   private[merge] val MatRowIdCol = "_gr_row_id"
 
   private[merge] val GenKey = "graft.generatedAs"
+  private[merge] val DefaultKey = "graft.defaultValue"
+
+  /** A schema field carrying a DEFAULT value (Delta `allowColumnDefaults`):
+    * writers that OMIT the column get `exprSql` computed in the write pass;
+    * writers that SUPPLY it — including an explicit NULL — win verbatim.
+    * Unlike generated columns the default is NEVER validated against
+    * supplied values, and unlike both it does NOT backfill: rows written
+    * before the default existed read back NULL (Delta's documented
+    * semantics — defaults apply to writes after the ALTER, not to history). */
+  def defaulted(name: String, dataType: org.apache.spark.sql.types.DataType,
+                exprSql: String): StructField =
+    StructField(name, dataType, nullable = true,
+      new MetadataBuilder().putString(DefaultKey, exprSql).build())
 
   /** A schema field declared `GENERATED ALWAYS AS (exprSql)` (Delta
     * generated columns — CREATE-time only, like Delta). Writers that OMIT
@@ -1473,9 +1486,54 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     }
   }
 
+  /** COLUMN DEFAULTS in the write pass (Delta `allowColumnDefaults`): a
+    * frame that OMITS a defaulted column gets the default computed; a
+    * frame that SUPPLIES it — explicit NULL included — wins verbatim (no
+    * validation, unlike generated columns). Runs BEFORE generated columns
+    * and CHECK constraints so both may reference defaulted columns. */
+  private def withDefaults(df: DataFrame, snap: Option[Snapshot]): DataFrame = {
+    val s = snap.map(_.schema).getOrElse(schema)
+    s.fields.filter(_.metadata.contains(LogTable.DefaultKey)).foldLeft(df) {
+      (d, f) =>
+        if (d.columns.contains(f.name)) d
+        else d.withColumn(f.name,
+          expr(f.metadata.getString(LogTable.DefaultKey)).cast(f.dataType))
+    }
+  }
+
+  /** `ALTER COLUMN ... SET DEFAULT` / `DROP DEFAULT` — a metadata commit
+    * (`dataChange = false`): the default travels IN the versioned schema,
+    * so each era's writes use the default that era declared and history
+    * reads back unchanged. */
+  def setDefault(name: String, exprSql: Option[String]): Unit = {
+    var attempts = 0
+    while (attempts < 5) {
+      attempts += 1
+      val v = currentVersion
+      val snap = if (v == 0) None else Some(snapshotAt(v))
+      val cur = snap.map(_.schema).getOrElse(schema)
+      require(cur.fieldNames.contains(name), s"no such column '$name'")
+      val updated = StructType(cur.fields.map { f =>
+        if (f.name != name) f
+        else {
+          require(!f.metadata.contains(LogTable.GenKey),
+            s"'$name' is a generated column — it cannot also carry a default")
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).remove(LogTable.DefaultKey)
+          exprSql.foreach(e => mb.putString(LogTable.DefaultKey, e))
+          f.copy(metadata = mb.build())
+        }
+      })
+      if (tryCommit(snap, snap.map(_.files).getOrElse(Seq.empty),
+          snap.map(_.dv).getOrElse(Seq.empty), dataChange = false,
+          newSchema = Some(updated))) return
+    }
+    throw new IllegalStateException("default commit lost the race 5 times")
+  }
+
   private def withChecks(df: DataFrame, snap: Option[Snapshot]): DataFrame = {
     val cs = snap.map(_.constraints).getOrElse(Map.empty)
-    cs.foldLeft(withGenerated(df, snap)) { case (d, (cn, ce)) =>
+    cs.foldLeft(withGenerated(withDefaults(df, snap), snap)) { case (d, (cn, ce)) =>
       d.filter(coalesce(
         assert_true(coalesce(expr(ce), lit(false)),
           lit(s"CHECK constraint '$cn' ($ce) violated")),

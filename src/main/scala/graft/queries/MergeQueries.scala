@@ -2407,5 +2407,63 @@ object MergeQueries {
            |ORDER BY k""".stripMargin),
     "maintenance SQL statements over the log table: OPTIMIZE (dataChange=false bin-pack), DESCRIBE HISTORY (operations inferred from action shapes, monotone in-commit timestamps), VACUUM RETAIN n VERSIONS (history pruned, live content intact) — text-level parser extension, the Delta operational surface")
 
-  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl, opt, del, rst, vac, dvq, dvtt, occ, occContended, logLifecycle, logMaintenance, logChangeFeed, logClustered, logEvolve, logSql, logConstraints, logTimestamps, scd2q, logColumnMapping, generatedCols, logClone, logRowTracking, logWidening, logCdfTyped, logReplaceWhere, logLiquid, logLiquidMulti, logSnapshotIso, logSqlDml, logIdentity, logSqlMaintenance)
+  /** COLUMN DEFAULT VALUES on the log table (q90 — Delta
+    * `allowColumnDefaults`): a defaulted column fills writes that OMIT it,
+    * supplied values (explicit NULL included) win verbatim, and — the
+    * semantics users trip on — history is NEVER backfilled: rows written
+    * before the default existed read back NULL (Delta's documented
+    * behavior; defaults apply to writes after the ALTER, not to history).
+    * The default is versioned schema metadata, so each era's writes use
+    * the default that era declared: the row ALTERs the default mid-stream
+    * (`'unassigned'` → `'bulk'`) and the output carries all four eras —
+    * pre-default NULLs, first-default fills, explicit values, and
+    * second-default fills.
+    *
+    * Scale: the fill is one projection in the write pass (no extra scan);
+    * SET DEFAULT is a metadata-only commit — zero data jobs however large
+    * the table. */
+  val logDefaults = QueryDef(
+    "q90_logtable_column_defaults",
+    (spark, dir) => {
+      import org.apache.spark.sql.types._
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+          col("o_orderdate"))
+      val cut = lit("1998-01-01").cast("timestamp")
+      val root = FixtureDirs.create("q90-def-").resolve("orders_def").toString
+      val base = StructType(Seq(StructField("k", LongType),
+        StructField("price", DoubleType)))
+      val t = new graft.merge.LogTable(spark, root, base)
+      val pre = o.filter(col("o_orderdate") < cut).drop("o_orderdate")
+      val post = o.filter(col("o_orderdate") >= cut).drop("o_orderdate")
+      t.append(pre)                                                   // v1: no default era
+      t.evolve(StructType(base.fields :+                              // v2: ADD COLUMN w/ DEFAULT
+        graft.merge.LogTable.defaulted("segment", StringType, "'unassigned'")))
+      t.append(post.filter(col("k") % 2 === 0))                       // v3: omitted -> filled
+      t.append(post.filter(col("k") % 2 === 1)                        // v4: supplied wins
+        .withColumn("segment", concat(lit("s"), (col("k") % 3).cast("string"))))
+      t.setDefault("segment", Some("'bulk'"))                         // v5: ALTER SET DEFAULT
+      t.append(pre.filter(col("k") % 7 === 0)                         // v6: new-era fill
+        .withColumn("k", -col("k")).select("k", "price"))
+      t.read()
+        .select(col("k"), round(col("price"), 2).as("price"), col("segment"))
+        .orderBy(col("k"))
+    },
+    Some("""WITH o AS (SELECT o_orderkey AS k, o_totalprice AS price,
+           |              o_orderdate FROM orders),
+           |pre AS (SELECT k, price FROM o
+           |        WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+           |post AS (SELECT k, price FROM o
+           |         WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'),
+           |live AS (
+           |  SELECT k, price, NULL AS segment FROM pre
+           |  UNION ALL SELECT k, price, 'unassigned' FROM post WHERE k % 2 = 0
+           |  UNION ALL SELECT k, price, 's' || CAST(k % 3 AS VARCHAR)
+           |    FROM post WHERE k % 2 = 1
+           |  UNION ALL SELECT -k, price, 'bulk' FROM pre WHERE k % 7 = 0)
+           |SELECT k, round(price, 2) AS price, segment
+           |FROM live ORDER BY k""".stripMargin),
+    "column DEFAULT values on the log table: write-pass fill for omitted columns, supplied values win (explicit NULL included), history never backfilled, SET DEFAULT is a versioned metadata commit — four eras in one table")
+
+  def defs: Seq[QueryDef] = Seq(m1, m4, m3, m2, m5, tt, cdf, ivm, skip, evo, cl, opt, del, rst, vac, dvq, dvtt, occ, occContended, logLifecycle, logMaintenance, logChangeFeed, logClustered, logEvolve, logSql, logConstraints, logTimestamps, scd2q, logColumnMapping, generatedCols, logClone, logRowTracking, logWidening, logCdfTyped, logReplaceWhere, logLiquid, logLiquidMulti, logSnapshotIso, logSqlDml, logIdentity, logSqlMaintenance, logDefaults)
 }
