@@ -4841,8 +4841,12 @@ object TextQueries {
       val doc = Tables.documents(spark, dir).select(col("source"), col("n_chars"))
       val wBin = math.max(8L, doc.agg(max(col("n_chars"))).head().getLong(0) / 32L)
       val nOrg = doc.count()
-      val plantName = "src0__shifted"
-      val plant = doc.filter(col("source") === "src0")
+      // the planted source is DATA-DERIVED (rule 12): a literal 'src0' is
+      // empty on the replica world's renamed sources — the dead-gate
+      // require caught exactly that at sf1, constructively
+      val plantSrc = doc.agg(min(col("source"))).head().getString(0)
+      val plantName = "__shifted__"
+      val plant = doc.filter(col("source") === plantSrc)
         .select(lit(plantName).as("source"), expr("n_chars div 2").as("n_chars"))
       val binned = doc.unionByName(plant)
         .groupBy(col("source"), expr(s"n_chars div $wBin").as("b"))
@@ -4885,19 +4889,19 @@ object TextQueries {
     },
     Some("""WITH doc AS (SELECT source, n_chars FROM documents),
            |wv AS (SELECT greatest(8, max(n_chars) // 32) AS w FROM doc),
-           |plant AS (SELECT 'src0__shifted' AS source, n_chars // 2 AS n_chars
-           |          FROM doc WHERE source = 'src0'),
+           |plant AS (SELECT '__shifted__' AS source, n_chars // 2 AS n_chars
+           |          FROM doc WHERE source = (SELECT min(source) FROM doc)),
            |allr AS (SELECT * FROM doc UNION ALL SELECT * FROM plant),
            |binned AS (SELECT source, n_chars // (SELECT w FROM wv) AS b,
            |                  count(*) AS c
            |           FROM allr GROUP BY 1, 2),
            |tot AS (SELECT b, sum(c) AS tc FROM binned
-           |        WHERE source <> 'src0__shifted' GROUP BY 1),
-           |n_org AS (SELECT sum(c) AS n FROM binned WHERE source <> 'src0__shifted'),
+           |        WHERE source <> '__shifted__' GROUP BY 1),
+           |n_org AS (SELECT sum(c) AS n FROM binned WHERE source <> '__shifted__'),
            |ns AS (SELECT source, sum(c) AS n_src FROM binned GROUP BY 1),
            |grid AS (
            |  SELECT s.source, bb.b, coalesce(x.c, 0) AS c,
-           |         coalesce(t.tc, 0) - CASE WHEN s.source = 'src0__shifted'
+           |         coalesce(t.tc, 0) - CASE WHEN s.source = '__shifted__'
            |           THEN 0 ELSE coalesce(x.c, 0) END AS rc
            |  FROM (SELECT DISTINCT source FROM binned) s
            |  CROSS JOIN (SELECT DISTINCT b FROM binned) bb
@@ -4910,9 +4914,9 @@ object TextQueries {
            |  FROM grid),
            |stat AS (
            |  SELECT c.source, c.b, s.n_src,
-           |         CASE WHEN c.source = 'src0__shifted' THEN (SELECT n FROM n_org)
+           |         CASE WHEN c.source = '__shifted__' THEN (SELECT n FROM n_org)
            |              ELSE (SELECT n FROM n_org) - s.n_src END AS n_rest,
-           |         abs(c.cs * (CASE WHEN c.source = 'src0__shifted'
+           |         abs(c.cs * (CASE WHEN c.source = '__shifted__'
            |               THEN (SELECT n FROM n_org)
            |               ELSE (SELECT n FROM n_org) - s.n_src END)
            |             - c.cr * s.n_src) AS dnum

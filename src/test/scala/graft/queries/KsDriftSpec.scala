@@ -37,15 +37,16 @@ class KsDriftSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     val w = math.max(8L, doc.map(_._2).max / 32L)
     val organic = doc.map { case (s, n) => (s, n / w) }
-    val plant = doc.filter(_._1 == "src0")
-      .map { case (_, n) => ("src0__shifted", (n / 2) / w) }
+    val plantSrc = doc.map(_._1).min
+    val plant = doc.filter(_._1 == plantSrc)
+      .map { case (_, n) => ("__shifted__", (n / 2) / w) }
 
     (organic ++ plant).map(_._1).distinct.foreach { s =>
       val own =
-        if (s == "src0__shifted") plant.map(_._2)
+        if (s == "__shifted__") plant.map(_._2)
         else organic.filter(_._1 == s).map(_._2)
       val rest =
-        if (s == "src0__shifted") organic.map(_._2)
+        if (s == "__shifted__") organic.map(_._2)
         else organic.filter(_._1 != s).map(_._2)
       val (num, bin) = textbook(own, rest)
       val (qNum, qBin, qN1, qN2) = out(s)
