@@ -106,6 +106,19 @@ object LogTable {
   private[merge] val GenKey = "graft.generatedAs"
   private[merge] val DefaultKey = "graft.defaultValue"
 
+  /** Protocol features THIS engine implements (the Delta reader/writer
+    * feature protocol): a table whose log requires a feature outside this
+    * set is REFUSED — reading would silently break the feature's contract
+    * (e.g. serving deleted rows to a reader that ignores DVs), so the only
+    * safe behavior is a loud upgrade demand. Features this engine writes
+    * implicitly (DVs, CDF, …) are listed even though legacy logs omit
+    * them; [[LogTable.addFeature]] records one explicitly. */
+  val SupportedFeatures: Set[String] = Set(
+    "deletionVectors", "changeDataFeed", "constraints", "generatedColumns",
+    "columnDefaults", "columnMapping", "typeWidening", "rowTracking",
+    "identityColumns", "liquidClustering", "inCommitTimestamps",
+    "txnWatermarks")
+
   /** A schema field carrying a DEFAULT value (Delta `allowColumnDefaults`):
     * writers that OMIT the column get `exprSql` computed in the write pass;
     * writers that SUPPLY it — including an explicit NULL — win verbatim.
@@ -262,7 +275,8 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
                                   constraintDrop: Option[String],
                                   tsMs: Long,
                                   rowIdHwm: Long = 0L,
-                                  rowTracking: Boolean = false)
+                                  rowTracking: Boolean = false,
+                                  featureAdd: Option[String] = None)
   /** Folded state as of a version — files, DVs, the schema AS OF that
     * version (schema lives in the log, so time travel serves each version
     * with the schema it had — the composition a table-level schema field
@@ -274,7 +288,8 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
                                      constraints: Map[String, String],
                                      tsMs: Long,
                                      rowIdHwm: Long = 0L,
-                                     rowTracking: Boolean = false)
+                                     rowTracking: Boolean = false,
+                                     features: Set[String] = Set.empty)
 
   // ── log primitives ──────────────────────────────────────────────────────
 
@@ -333,7 +348,8 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
       Option(n.get("constraintDrop")).map(_.asText()),
       Option(n.get("ts")).map(_.asLong()).getOrElse(0L),
       Option(n.get("rowIdHwm")).map(_.asLong()).getOrElse(0L),
-      Option(n.get("rowTracking")).exists(_.asBoolean()))
+      Option(n.get("rowTracking")).exists(_.asBoolean()),
+      Option(n.get("featureAdd")).map(_.asText()))
   }
 
   private def writeFileEntries(fa: ArrayNode, files: Seq[FileEntry]): Unit =
@@ -374,7 +390,8 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
                         txn: Option[(String, Long)] = None,
                         constraintAdd: Option[(String, String)] = None,
                         constraintDrop: Option[String] = None,
-                        rowIdHwmFloor: Long = 0L): Boolean = {
+                        rowIdHwmFloor: Long = 0L,
+                        featureAdd: Option[String] = None): Boolean = {
     val expected = prev.map(_.version).getOrElse(0L)
     val v = expected + 1
     val prevFiles = prev.map(_.files).getOrElse(Seq.empty)
@@ -416,6 +433,7 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     node.put("dataChange", dataChange)
     node.put("ts", ts)
     if (tracked) { node.put("rowIdHwm", newHwm); node.put("rowTracking", true) }
+    featureAdd.foreach(node.put("featureAdd", _))
     // the FIRST commit always embeds the schema (Delta writes metaData in
     // commit 0) — the log is self-describing, so SQL/batch readers can
     // resolve the schema without the constructor contract
@@ -443,7 +461,8 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
         prev.map(_.txns).getOrElse(Map.empty) ++ txn,
         (prev.map(_.constraints).getOrElse(Map.empty) ++ constraintAdd)
           -- constraintDrop.toSeq,
-        ts, newHwm, tracked))
+        ts, newHwm, tracked,
+        prev.map(_.features).getOrElse(Set.empty) ++ featureAdd))
     won
   }
 
@@ -465,6 +484,10 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     writeFileEntries(node.putArray("files"), s.files)
     val da: ArrayNode = node.putArray("dv")
     s.dv.foreach(da.add)
+    if (s.features.nonEmpty) {
+      val fa: ArrayNode = node.putArray("features")
+      s.features.toSeq.sorted.foreach(fa.add)
+    }
     createExclusive(checkpointPath(s.version), mapper.writeValueAsBytes(node))
     val tmp = Files.createTempFile(logDir, ".cp-", ".tmp")
     Files.write(tmp, s.version.toString.getBytes)
@@ -487,7 +510,8 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
         .getOrElse(Map.empty[String, String]),
       Option(n.get("ts")).map(_.asLong()).getOrElse(0L),
       Option(n.get("rowIdHwm")).map(_.asLong()).getOrElse(0L),
-      Option(n.get("rowTracking")).exists(_.asBoolean()))
+      Option(n.get("rowTracking")).exists(_.asBoolean()),
+      Option(n.get("features")).map(texts(_).toSet).getOrElse(Set.empty))
   }
 
   /** Newest checkpoint version ≤ `v`, via the hint when it qualifies (the
@@ -512,7 +536,8 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
       (s.constraints ++ d.constraintAdd) -- d.constraintDrop.toSeq,
       d.tsMs,
       math.max(s.rowIdHwm, d.rowIdHwm),
-      s.rowTracking || d.rowTracking)
+      s.rowTracking || d.rowTracking,
+      s.features ++ d.featureAdd)
   }
 
   /** Fold the log to the state as of version `v`: newest checkpoint ≤ v,
@@ -536,6 +561,58 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
             Snapshot(0L, Seq.empty, Seq.empty, schema, Map.empty, Map.empty, 0L))(
           (s, x) => applyDelta(s, readDelta(x)))
     }
+  } match { case s => checkFeatures(s) }
+
+  /** The protocol gate (Delta reader/writer features): EVERY snapshot
+    * resolution — reads, writes (they fold a snapshot to CAS on), time
+    * travel, maintenance — passes through here, so a log that requires a
+    * feature this engine lacks is refused loudly instead of being served
+    * with the feature's contract silently broken. The gate is TABLE-WIDE,
+    * not per version (Delta's protocol action semantics: an old version of
+    * a feature-gated table is still a version OF that table) — so a
+    * resolution of an OLDER version also folds the live tail's featureAdd
+    * actions (manifest reads only, no data) before serving. */
+  private def checkFeatures(s: Snapshot): Snapshot = {
+    def refuse(fs: Set[String]): Unit = {
+      val unknown = fs -- LogTable.SupportedFeatures
+      require(unknown.isEmpty,
+        s"table requires protocol feature(s) this engine does not support: " +
+          s"${unknown.toSeq.sorted.mkString(", ")} — upgrade the engine " +
+          s"(supported: ${LogTable.SupportedFeatures.toSeq.sorted.mkString(", ")})")
+    }
+    refuse(s.features)
+    val tail = history().filter(_ > s.version)
+    if (tail.nonEmpty)
+      refuse(tail.flatMap(v => readDelta(v).featureAdd).toSet)
+    s
+  }
+
+  /** Record a protocol feature requirement in the log (Delta's ALTER TABLE
+    * SET TBLPROPERTIES feature-enable form): a metadata commit; from then
+    * on every reader/writer must support `name` or be refused. Only
+    * features THIS engine supports can be added (adding an unknown one
+    * would brick this very handle). */
+  def addFeature(name: String): Unit = {
+    require(LogTable.SupportedFeatures.contains(name),
+      s"unknown protocol feature '$name' (supported: " +
+        s"${LogTable.SupportedFeatures.toSeq.sorted.mkString(", ")})")
+    var attempts = 0
+    while (attempts < 5) {
+      attempts += 1
+      val v = currentVersion
+      val snap = if (v == 0) None else Some(snapshotAt(v))
+      if (snap.exists(_.features.contains(name))) return // idempotent
+      if (tryCommit(snap, snap.map(_.files).getOrElse(Seq.empty),
+          snap.map(_.dv).getOrElse(Seq.empty), dataChange = false,
+          featureAdd = Some(name))) return
+    }
+    throw new IllegalStateException("feature commit lost the race 5 times")
+  }
+
+  /** Protocol features the live table requires. */
+  def features: Set[String] = {
+    val v = currentVersion
+    if (v == 0) Set.empty else snapshotAt(v).features
   }
 
   /** Schema AS OF the live version (the log's metaData fold — equals the
