@@ -3491,8 +3491,94 @@ object StreamingQueries {
             |ORDER BY branch, win_start_us""".stripMargin),
     "multi-source watermark policy: a unioned lagging branch holds the global watermark back (min policy), so the fast branch's trailing windows are withheld too — emission cutoff = least of the branch maxes, mirrored in exact µs")
 
+  /** STREAMING KS DRIFT MONITOR (s48) — d66's distributional statistic
+    * maintained incrementally, s45's shape one statistic over: histogram
+    * cells (source, bin) → count are a COMMUTATIVE ADDITIVE MONOID, so the
+    * maintained state is schedule-free by algebra (the s43 lesson — find
+    * the algebra before writing replay CTEs) and the oracle is the batch
+    * KS SQL verbatim (minus d66's planted fixture — a standing monitor
+    * watches real sources). Each micro-batch folds ONE grouped count into
+    * a LogTable state through the txn-guarded transactional occMerge
+    * (exactly-once under redelivery); the KS grid/argmax/gate run on the
+    * maintained cells AFTER the drain, sharing d66's [[TextQueries.ksStats]]
+    * so both rows verify the same statistic. Bin width is calibrated from
+    * the corpus baseline up front (the s45 `k` pattern) — a drift monitor's
+    * reference frame is fixed at calibration, not re-derived per batch.
+    *
+    * Scale: state is |sources|×|bins| cells (vocabulary-sized); per-batch
+    * work is one map-side-combinable groupBy over the batch + a cell-keyed
+    * merge — O(batch), never O(history). */
+  val s48 = QueryDef(
+    "s48_stream_ks_monitor",
+    (spark, dir) => {
+      val docs = graft.sources.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .localCheckpoint(true)
+      val wBin = math.max(8L,
+        docs.agg(max(col("n_chars"))).head().getLong(0) / 32L) // calibrated
+      val nOrg = docs.count()
+      val ids = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val lo = ids.getLong(0); val hi = ids.getLong(1)
+      val span = (hi - lo + 1 + 2) / 3
+      val srcDir = FixtureDirs.create("s48-docs-")
+      (0 until 3).foreach { i =>
+        val tmp = FixtureDirs.create(s"s48-part$i-")
+        docs.filter(col("doc_id") >= lo + i * span &&
+            col("doc_id") < lo + (i + 1) * span)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val f = java.nio.file.Files.list(tmp)
+          .filter(_.toString.endsWith(".parquet")).findFirst().get()
+        val dst = srcDir.resolve(s"batch$i.parquet")
+        java.nio.file.Files.move(f, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+      val stateSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("b",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("c",
+          org.apache.spark.sql.types.LongType)))
+      val t = new graft.merge.LogTable(spark,
+        FixtureDirs.create("s48-state-").resolve("hist").toString, stateSchema)
+      val stream = spark.readStream
+        .schema("doc_id bigint, source string, n_chars bigint")
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      withStreamConf(spark) {
+        val q = stream.writeStream
+          .option("checkpointLocation", newCkptDir())
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            if (t.lastTxn("s48") < id && !b.isEmpty) {
+              val cells = b
+                .groupBy(col("source"), expr(s"n_chars div $wBin").as("b"))
+                .agg(count(lit(1)).as("c"))
+              t.occMerge(cells, txn = Some(("s48", id))) { (cur, d) =>
+                cur.alias("x").join(d.alias("y"),
+                    Seq("source", "b"), "full_outer")
+                  .select(col("source"), col("b"),
+                    (coalesce(col("x.c"), lit(0L)) +
+                      coalesce(col("y.c"), lit(0L))).as("c"))
+              }
+            }
+            ()
+          }.start()
+        q.awaitTermination()
+      }
+      require(t.lastTxn("s48") == 2L,
+        s"all three batches must commit exactly once (${t.lastTxn("s48")})")
+      val cells = t.read().localCheckpoint(true)
+      require(cells.agg(sum(col("c"))).head().getLong(0) == nOrg,
+        "maintained cell mass must equal the corpus size")
+      graft.queries.TextQueries.ksStats(cells, nOrg, plantName = None)
+        .orderBy(col("source"))
+    },
+    Some(graft.queries.TextQueries.ksOracleSql(withPlant = false)),
+    "streaming KS drift monitor: per-batch histogram cells folded through the additive monoid in one transactional occMerge — state sources×bins, batch work O(batch), final statistic == the batch KS by algebra (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
     s10, s10b, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23,
     s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38,
-    s39, s40, s41, s42, s43, s44, s45, s46, s47)
+    s39, s40, s41, s42, s43, s44, s45, s46, s47, s48)
 }

@@ -4834,6 +4834,103 @@ object TextQueries {
     * an additive monoid — mergeable across shards/batches); everything
     * after runs on the |sources|×|bins| grid, which is vocabulary-sized,
     * not corpus-sized. */
+  /** d66's statistic from already-binned histogram cells (source, b, c) —
+    * shared with the streaming twin s48, which maintains the same cells
+    * incrementally (they are an additive monoid). `plantName`: treat that
+    * source as an EXTERNAL sample (its background = the full organic
+    * corpus); organic sources get leave-one-out. */
+  private[queries] def ksStats(binned: DataFrame, nOrg: Long,
+                               plantName: Option[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val isPlant = plantName.map(col("source") === _).getOrElse(lit(false))
+    val organic = plantName.map(col("source") =!= _).getOrElse(lit(true))
+    val tot = binned.filter(organic)
+      .groupBy(col("b")).agg(sum(col("c")).as("tc"))
+    val ns = binned.groupBy(col("source")).agg(sum(col("c")).as("n_src"))
+    val grid = binned.select(col("source")).distinct()
+      .crossJoin(binned.select(col("b")).distinct()) // |sources|×|bins| — bounded
+      .join(binned, Seq("source", "b"), "left")
+      .join(tot, Seq("b"), "left")
+      .select(col("source"), col("b"), coalesce(col("c"), lit(0L)).as("c"),
+        (coalesce(col("tc"), lit(0L)) -
+          when(isPlant, lit(0L)).otherwise(coalesce(col("c"), lit(0L)))).as("rc"))
+    val cumW = Window.partitionBy(col("source")).orderBy(col("b"))
+    val stat = grid
+      .select(col("source"), col("b"),
+        sum(col("c")).over(cumW).as("cs"), sum(col("rc")).over(cumW).as("cr"))
+      .join(ns, "source")
+      .withColumn("n_rest",
+        when(isPlant, lit(nOrg)).otherwise(lit(nOrg) - col("n_src")))
+      .withColumn("dnum",
+        abs(col("cs") * col("n_rest") - col("cr") * col("n_src")))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    stat
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("dnum").desc, col("b").asc)))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("n_src"), col("n_rest"),
+        col("dnum").as("ks_num"), col("b").as("ks_bin"),
+        (dec(lit(1000000L)) * dec(col("dnum")) * dec(col("dnum")) >=
+          dec(lit(1844164L)) * dec(col("n_src") + col("n_rest")) *
+            dec(col("n_src")) * dec(col("n_rest"))).as("drifted"))
+  }
+
+  /** The d66/s48 oracle: KS over the shared histogram in DuckDB, with or
+    * without the planted external sample. Kept one text (s-interpolated —
+    * rule 10) so both rows verify against the SAME statistic. */
+  private[queries] def ksOracleSql(withPlant: Boolean): String = {
+    val allr =
+      if (withPlant)
+        """plant AS (SELECT '__shifted__' AS source, n_chars // 2 AS n_chars
+          |          FROM doc WHERE source = (SELECT min(source) FROM doc)),
+          |allr AS (SELECT * FROM doc UNION ALL SELECT * FROM plant),""".stripMargin
+      else "allr AS (SELECT * FROM doc),"
+    s"""WITH doc AS (SELECT source, n_chars FROM documents),
+       |wv AS (SELECT greatest(8, max(n_chars) // 32) AS w FROM doc),
+       |$allr
+       |binned AS (SELECT source, n_chars // (SELECT w FROM wv) AS b,
+       |                  count(*) AS c
+       |           FROM allr GROUP BY 1, 2),
+       |tot AS (SELECT b, sum(c) AS tc FROM binned
+       |        WHERE source <> '__shifted__' GROUP BY 1),
+       |n_org AS (SELECT sum(c) AS n FROM binned WHERE source <> '__shifted__'),
+       |ns AS (SELECT source, sum(c) AS n_src FROM binned GROUP BY 1),
+       |grid AS (
+       |  SELECT s.source, bb.b, coalesce(x.c, 0) AS c,
+       |         coalesce(t.tc, 0) - CASE WHEN s.source = '__shifted__'
+       |           THEN 0 ELSE coalesce(x.c, 0) END AS rc
+       |  FROM (SELECT DISTINCT source FROM binned) s
+       |  CROSS JOIN (SELECT DISTINCT b FROM binned) bb
+       |  LEFT JOIN binned x ON x.source = s.source AND x.b = bb.b
+       |  LEFT JOIN tot t ON t.b = bb.b),
+       |cum AS (
+       |  SELECT source, b,
+       |         sum(c) OVER (PARTITION BY source ORDER BY b) AS cs,
+       |         sum(rc) OVER (PARTITION BY source ORDER BY b) AS cr
+       |  FROM grid),
+       |stat AS (
+       |  SELECT c.source, c.b, s.n_src,
+       |         CASE WHEN c.source = '__shifted__' THEN (SELECT n FROM n_org)
+       |              ELSE (SELECT n FROM n_org) - s.n_src END AS n_rest,
+       |         abs(c.cs * (CASE WHEN c.source = '__shifted__'
+       |               THEN (SELECT n FROM n_org)
+       |               ELSE (SELECT n FROM n_org) - s.n_src END)
+       |             - c.cr * s.n_src) AS dnum
+       |  FROM cum c JOIN ns s USING (source)),
+       |best AS (
+       |  SELECT source, n_src, n_rest, dnum, b
+       |  FROM stat
+       |  QUALIFY row_number() OVER (PARTITION BY source
+       |    ORDER BY dnum DESC, b ASC) = 1)
+       |SELECT source, CAST(n_src AS BIGINT) AS n_src,
+       |       CAST(n_rest AS BIGINT) AS n_rest,
+       |       CAST(dnum AS BIGINT) AS ks_num, CAST(b AS BIGINT) AS ks_bin,
+       |       (CAST(1000000 AS HUGEINT) * dnum * dnum
+       |          >= CAST(1844164 AS HUGEINT) * (n_src + n_rest) * n_src * n_rest)
+       |         AS drifted
+       |FROM best ORDER BY source""".stripMargin
+  }
+
   val d66 = QueryDef(
     "d66_ks_drift",
     (spark, dir) => {
@@ -4852,87 +4949,13 @@ object TextQueries {
         .groupBy(col("source"), expr(s"n_chars div $wBin").as("b"))
         .agg(count(lit(1)).as("c"))
         .localCheckpoint(true) // consumed 5× below (grid, tot, ns, dims)
-      val isPlant = col("source") === plantName
-      val tot = binned.filter(col("source") =!= plantName)
-        .groupBy(col("b")).agg(sum(col("c")).as("tc"))
-      val ns = binned.groupBy(col("source")).agg(sum(col("c")).as("n_src"))
-      val grid = binned.select(col("source")).distinct()
-        .crossJoin(binned.select(col("b")).distinct()) // |sources|×|bins| — bounded
-        .join(binned, Seq("source", "b"), "left")
-        .join(tot, Seq("b"), "left")
-        .select(col("source"), col("b"), coalesce(col("c"), lit(0L)).as("c"),
-          (coalesce(col("tc"), lit(0L)) -
-            when(isPlant, lit(0L)).otherwise(coalesce(col("c"), lit(0L)))).as("rc"))
-      val cumW = Window.partitionBy(col("source")).orderBy(col("b"))
-      val stat = grid
-        .select(col("source"), col("b"),
-          sum(col("c")).over(cumW).as("cs"), sum(col("rc")).over(cumW).as("cr"))
-        .join(ns, "source")
-        .withColumn("n_rest",
-          when(isPlant, lit(nOrg)).otherwise(lit(nOrg) - col("n_src")))
-        .withColumn("dnum",
-          abs(col("cs") * col("n_rest") - col("cr") * col("n_src")))
-      val dec = (c: Column) => c.cast("decimal(38,0)")
-      val best = stat
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("source")).orderBy(col("dnum").desc, col("b").asc)))
-        .filter(col("rn") === 1)
-        .select(col("source"), col("n_src"), col("n_rest"),
-          col("dnum").as("ks_num"), col("b").as("ks_bin"),
-          (dec(lit(1000000L)) * dec(col("dnum")) * dec(col("dnum")) >=
-            dec(lit(1844164L)) * dec(col("n_src") + col("n_rest")) *
-              dec(col("n_src")) * dec(col("n_rest"))).as("drifted"))
-        .localCheckpoint(true)
-      require(best.filter(isPlant && col("drifted")).count() == 1L,
+      val best = ksStats(binned, nOrg, Some(plantName)).localCheckpoint(true)
+      require(best.filter(col("source") === plantName && col("drifted"))
+        .count() == 1L,
         "planted length shift must be KS-flagged at every SF (dead-gate guard)")
       best.orderBy(col("source"))
     },
-    Some("""WITH doc AS (SELECT source, n_chars FROM documents),
-           |wv AS (SELECT greatest(8, max(n_chars) // 32) AS w FROM doc),
-           |plant AS (SELECT '__shifted__' AS source, n_chars // 2 AS n_chars
-           |          FROM doc WHERE source = (SELECT min(source) FROM doc)),
-           |allr AS (SELECT * FROM doc UNION ALL SELECT * FROM plant),
-           |binned AS (SELECT source, n_chars // (SELECT w FROM wv) AS b,
-           |                  count(*) AS c
-           |           FROM allr GROUP BY 1, 2),
-           |tot AS (SELECT b, sum(c) AS tc FROM binned
-           |        WHERE source <> '__shifted__' GROUP BY 1),
-           |n_org AS (SELECT sum(c) AS n FROM binned WHERE source <> '__shifted__'),
-           |ns AS (SELECT source, sum(c) AS n_src FROM binned GROUP BY 1),
-           |grid AS (
-           |  SELECT s.source, bb.b, coalesce(x.c, 0) AS c,
-           |         coalesce(t.tc, 0) - CASE WHEN s.source = '__shifted__'
-           |           THEN 0 ELSE coalesce(x.c, 0) END AS rc
-           |  FROM (SELECT DISTINCT source FROM binned) s
-           |  CROSS JOIN (SELECT DISTINCT b FROM binned) bb
-           |  LEFT JOIN binned x ON x.source = s.source AND x.b = bb.b
-           |  LEFT JOIN tot t ON t.b = bb.b),
-           |cum AS (
-           |  SELECT source, b,
-           |         sum(c) OVER (PARTITION BY source ORDER BY b) AS cs,
-           |         sum(rc) OVER (PARTITION BY source ORDER BY b) AS cr
-           |  FROM grid),
-           |stat AS (
-           |  SELECT c.source, c.b, s.n_src,
-           |         CASE WHEN c.source = '__shifted__' THEN (SELECT n FROM n_org)
-           |              ELSE (SELECT n FROM n_org) - s.n_src END AS n_rest,
-           |         abs(c.cs * (CASE WHEN c.source = '__shifted__'
-           |               THEN (SELECT n FROM n_org)
-           |               ELSE (SELECT n FROM n_org) - s.n_src END)
-           |             - c.cr * s.n_src) AS dnum
-           |  FROM cum c JOIN ns s USING (source)),
-           |best AS (
-           |  SELECT source, n_src, n_rest, dnum, b
-           |  FROM stat
-           |  QUALIFY row_number() OVER (PARTITION BY source
-           |    ORDER BY dnum DESC, b ASC) = 1)
-           |SELECT source, CAST(n_src AS BIGINT) AS n_src,
-           |       CAST(n_rest AS BIGINT) AS n_rest,
-           |       CAST(dnum AS BIGINT) AS ks_num, CAST(b AS BIGINT) AS ks_bin,
-           |       (CAST(1000000 AS HUGEINT) * dnum * dnum
-           |          >= CAST(1844164 AS HUGEINT) * (n_src + n_rest) * n_src * n_rest)
-           |         AS drifted
-           |FROM best ORDER BY source""".stripMargin),
+    Some(ksOracleSql(withPlant = true)),
     "two-sample KS drift per source vs corpus on a shared mergeable histogram: cross-multiplied integer statistic (exact int64), significance gate in decimal128, planted half-length shift required flagged (LLM-pipeline op)")
 
   def defs: Seq[QueryDef] =
