@@ -244,20 +244,27 @@ object Similarity {
     * score → per-query top-k, no shuffle of anything vector-sized.
     * Output `(query_id, vec_id, adist, rank)` — ascending approximate L2²;
     * ProductQuantizationSpec pins recall floors; Scratch `annrecall` records the curve. */
-  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-             m: Int = 8, ksub: Int = 16, dims: Int = 64): DataFrame = {
-    require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
+  /** The stride-sampled PQ codebook, flattened per PqEncodeExpr's layout:
+    * entry (sub, c) = the c-th sample's sub-vector (the v04/v09 design —
+    * engine-portable so a DuckDB oracle mirrors training exactly). */
+  private[graft] def pqCodebook(corpus: DataFrame, m: Int, ksub: Int,
+                                dims: Int): Seq[Double] = {
     val dsub = dims / m
-    VectorFunctions.register(corpus.sparkSession)
-    // codebook: ksub stride-sampled corpus vectors, entry (sub, c) = the
-    // c-th sample's sub-vector — flat layout per PqEncodeExpr
     val samples = strideCentroids(corpus, ksub)
-    val cb: Seq[Double] = (0 until m).flatMap { sub =>
+    (0 until m).flatMap { sub =>
       (0 until ksub).flatMap { c =>
         val row = samples(c)._2
         (0 until dsub).map(d => row(sub * dsub + d))
       }
     }
+  }
+
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             m: Int = 8, ksub: Int = 16, dims: Int = 64): DataFrame = {
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
+    val dsub = dims / m
+    VectorFunctions.register(corpus.sparkSession)
+    val cb = pqCodebook(corpus, m, ksub, dims)
     val codes = corpus.select(col("vec_id"),
       VectorFunctions.pqEncode(col("embedding"), cb, m, ksub, dsub).as("code"))
     val q = queries.select(col("vec_id").as("query_id"),
@@ -815,12 +822,38 @@ object Similarity {
     * on src — the loop shape is unchanged. */
   private[graft] def beamSearchVisited(corpus: DataFrame, edges: DataFrame,
                                        queries: DataFrame, seed: DataFrame,
-                                       b: Int, r: Int): DataFrame = {
-    def score(cand: DataFrame) = cand // (query_id, vec_id)
+                                       b: Int, r: Int): DataFrame =
+    beamLoop(edges, seed, b, r) { cand => cand // (query_id, vec_id)
       .join(corpus, "vec_id").join(queries.hint("broadcast"), "query_id")
       .select(col("query_id"), col("vec_id"),
         round(VectorFunctions.cosineSim(col("q_vec"), col("embedding")), 6)
           .as("cos"))
+    }
+
+  /** DiskANN-style PQ-compressed beam search: the traversal scores by
+    * NEGATED PQ-ADC — `m` table lookups against the query's broadcast
+    * distance table over the node's 32-bit code — so the search NEVER
+    * touches a corpus vector (the memory lever that serves billion-scale
+    * graphs from codes in RAM with full vectors on cold storage; the
+    * caller reranks the visited set exactly, fetching only |visited|
+    * vectors). Score = round(−adist, 6) keeps the shared best-first
+    * (desc, vec_id) ordering discipline — round is half-away-from-zero in
+    * both engines, so negate-then-round mirrors exactly. */
+  private[graft] def beamSearchPq(codes: DataFrame, edges: DataFrame,
+                                  qtabs: DataFrame, seed: DataFrame,
+                                  b: Int, r: Int, m: Int, ksub: Int): DataFrame =
+    beamLoop(edges, seed, b, r) { cand => cand
+      .join(codes, "vec_id").join(qtabs.hint("broadcast"), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        round(-VectorFunctions.pqAdc(col("dtab"), col("code"), m, ksub), 6)
+          .as("cos"))
+    }
+
+  /** The shared best-first expansion loop: top-`b` unexpanded visited per
+    * query → expand out-neighbors → score → fold into visited. `score`
+    * maps a (query_id, vec_id) candidate set to (query_id, vec_id, cos). */
+  private def beamLoop(edges: DataFrame, seed: DataFrame, b: Int, r: Int)
+                      (score: DataFrame => DataFrame): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     var visited = score(seed).localCheckpoint(true)

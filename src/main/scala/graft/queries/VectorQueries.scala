@@ -2188,20 +2188,26 @@ object VectorQueries {
     * oracle). */
   private[queries] def beamRoundsSql(rounds: Int, b: String, p: String = "",
                             edges: String = "edges", corpus: String = "e",
-                            qs: String = "qs"): String = {
+                            qs: String = "qs",
+                            sxOverride: Option[String => String] = None): String = {
     val cosQ = cosSql("q.q_vec", "t.emb")
     (1 to rounds).map { r =>
       val frontierSrc =
         if (r == 1) s"${p}v0"
         else s"(SELECT v.* FROM ${p}v${r - 1} v ANTI JOIN ${p}e${r - 1} USING (query_id, vec_id))"
+      // scoring body for this round's expansion set: exact cosine against
+      // the corpus by default; v40 overrides with the PQ-ADC join (the
+      // traversal must score from codes alone — the DiskANN discipline)
+      val sxBody = sxOverride.map(f => f(s"${p}x$r")).getOrElse(
+        s"""SELECT x.query_id, x.vec_id, round($cosQ, 6) AS cos
+           |  FROM ${p}x$r x JOIN $corpus t ON t.vec_id = x.vec_id
+           |  JOIN $qs q ON q.query_id = x.query_id""".stripMargin)
       s"""${p}f$r AS MATERIALIZED (SELECT query_id, vec_id, cos FROM $frontierSrc
          |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) <= $b),
          |${p}e$r AS MATERIALIZED (${if (r == 1) "" else s"SELECT query_id, vec_id FROM ${p}e${r - 1} UNION "}SELECT query_id, vec_id FROM ${p}f$r),
          |${p}x$r AS (SELECT DISTINCT f.query_id, ed.dst AS vec_id
          |  FROM ${p}f$r f JOIN $edges ed ON ed.src = f.vec_id),
-         |${p}sx$r AS (SELECT x.query_id, x.vec_id, round($cosQ, 6) AS cos
-         |  FROM ${p}x$r x JOIN $corpus t ON t.vec_id = x.vec_id
-         |  JOIN $qs q ON q.query_id = x.query_id),
+         |${p}sx$r AS ($sxBody),
          |${p}v$r AS MATERIALIZED (SELECT * FROM ${p}v${r - 1} UNION SELECT * FROM ${p}sx$r)""".stripMargin
     }.mkString(",\n")
   }
@@ -2808,8 +2814,147 @@ object VectorQueries {
     Some(ivfPqOracle()),
     "IVF-PQ index segment merge: shard indexes calibrated on one meta fold by cell-file copy (no re-encode, no corpus scan) — merged index bit-identical to the one-shot build, proven by v13's oracle verbatim (LLM-pipeline op)")
 
+  /** PQ-COMPRESSED GRAPH TRAVERSAL (v40) — the DiskANN serving shape, the
+    * missing composition between the graph family (v35–v38: exact-cosine
+    * traversal) and the PQ family (v09–v12: flat-scan ADC): beam search
+    * over the kNN graph where the TRAVERSAL scores by negated PQ-ADC —
+    * `m` lookups against the query's broadcast distance table over each
+    * node's 32-bit code — so the walk never touches a corpus vector; the
+    * visited set (≤ 1 + R·B·k per query) is then reranked by EXACT cosine,
+    * fetching only those vectors. At billion scale this is why the graph
+    * fits: codes in RAM (32 bits/vector — 128× smaller than the float64
+    * embedding), full vectors on cold storage, touched `|visited|` times
+    * per query instead of per hop. Same deterministic replay discipline
+    * as v35/v35b (round(−adist, 6) ordering, negate-then-round mirrors —
+    * round is half-away-from-zero in both engines); the hash pins the
+    * ADC-guided search path, and the `hit` flags measure what PQ
+    * quantization costs the walk vs v35b's exact-cosine traversal on the
+    * same graph, entries, and budget.
+    *
+    * Scale: per round |beam|·Q rows join the edge table and the code
+    * table (both equi-keyed); dist tables are m·ksub doubles per query,
+    * broadcast. The exact stage reads Q·|visited| vectors, not the
+    * corpus. */
+  val v40 = QueryDef(
+    "v40_graph_ann_pq",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      VectorFunctions.register(spark)
+      val K = 3; val R = 4; val M = 8; val KSUB = 16; val DIMS = 64
+      val dsub = DIMS / M
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      val n = graft.sources.ParquetMeta.rowCount(Tables.embeddings(spark, dir))
+      val nlist = math.max(16L, n / 50).toInt
+      val step = math.max(1L, n / nlist)
+      val B = scaledBeam(nlist)
+      val edges = Similarity.ivfTopK(emb, emb, VectorFunctions.cosineSim,
+          k = 5, nlist = nlist, nprobe = scaledNprobe(nlist))
+        .select(col("query_id").as("src"), col("vec_id").as("dst"))
+        .localCheckpoint(true)
+      val qPred = pmod(col("vec_id"), lit(53)) === 0 &&
+        col("vec_id") <= lit(53L * 40)
+      val cb = Similarity.pqCodebook(emb, M, KSUB, DIMS)
+      val codes = emb.select(col("vec_id"),
+          VectorFunctions.pqEncode(col("embedding"), cb, M, KSUB, dsub).as("code"))
+        .localCheckpoint(true)
+      val qtabs = emb.filter(qPred)
+        .select(col("vec_id").as("query_id"),
+          VectorFunctions.pqDistTable(col("embedding"), cb, M, KSUB, dsub).as("dtab"))
+        .localCheckpoint(true)
+      // one entry per IVF cell (v35b's finding: single-entry is weakly
+      // navigable on a flat graph), seeded for every query — bounded Q·nlist
+      val entries = emb.filter(pmod(col("vec_id"), lit(step)) === 0)
+        .orderBy(col("vec_id")).limit(nlist).select(col("vec_id"))
+      val seed = qtabs.select(col("query_id")).crossJoin(entries)
+      val visited = Similarity.beamSearchPq(codes, edges, qtabs, seed,
+        b = B, r = R, m = M, ksub = KSUB)
+      // exact second stage: fetch full vectors for the visited set only
+      val queries = emb.filter(qPred)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val found = visited.filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"))
+        .join(emb, "vec_id").join(queries.hint("broadcast"), "query_id")
+        .withColumn("cos",
+          round(VectorFunctions.cosineSim(col("q_vec"), col("embedding")), 6))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= K)
+      val truth = Similarity.bruteForceTopK(emb.filter(qPred), emb,
+          VectorFunctions.cosineSim, k = K)
+        .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+      val out = found.join(truth, Seq("query_id", "vec_id"), "left")
+        .select(col("query_id"), col("rank").cast("int").as("rank"),
+          col("vec_id"), col("cos"), coalesce(col("hit"), lit(0)).as("hit"))
+        .orderBy(col("query_id"), col("rank"))
+        .localCheckpoint(true)
+      val q = qtabs.count()
+      require(out.count() == q * K, "every query must emit exactly K rows")
+      val hits = out.agg(sum(col("hit"))).head().getLong(0)
+      require(hits > 0 && hits < q * K,
+        "hit flag vacuous: the PQ-guided walk must find AND miss true " +
+          "neighbors (quantization costs the traversal some recall vs " +
+          "v35b's exact-cosine walk — the honest price this row measures)")
+      out
+    },
+    Some {
+      val cosQ = cosSql("q.q_vec", "t.emb")
+      val ksub = 16; val dsub = 8
+      // traversal scoring from codes alone: enc(node) ⋈ qdist(query) on
+      // (sub, c), summed in sub order (rule 9) and negated before the
+      // 6dp round (round is half-away-from-zero in both engines)
+      val adcSx = (x: String) =>
+        s"""SELECT x.query_id, x.vec_id,
+           |    round(-list_sum(list(qd.d ORDER BY qd.sub)), 6) AS cos
+           |  FROM $x x JOIN enc t ON t.vec_id = x.vec_id
+           |  JOIN qdist qd ON qd.query_id = x.query_id
+           |    AND qd.sub = t.sub AND qd.c = t.c
+           |  GROUP BY x.query_id, x.vec_id""".stripMargin
+      s"""WITH $knnEdgeCtesScaled,
+         |edges AS (SELECT query_id AS src, vec_id AS dst FROM knn),
+         |qs AS (SELECT vec_id AS query_id, emb AS q_vec FROM e
+         |       WHERE vec_id % 53 = 0 AND vec_id <= 53 * 40),
+         |samp AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c, emb
+         |  FROM e WHERE vec_id % greatest(1, (SELECT count(*) FROM e) // $ksub) = 0
+         |  ORDER BY vec_id LIMIT $ksub),
+         |cbq AS (SELECT sub, c, list_slice(emb, sub*$dsub + 1, sub*$dsub + $dsub) AS w
+         |  FROM samp, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS sub)),
+         |pdist AS MATERIALIZED (SELECT e.vec_id, cbq.sub, cbq.c,
+         |    list_sum([(e.emb[cbq.sub*$dsub + i] - cbq.w[i]) * (e.emb[cbq.sub*$dsub + i] - cbq.w[i])
+         |              for i in generate_series(1, $dsub)]) AS d
+         |  FROM e, cbq),
+         |enc AS MATERIALIZED (SELECT vec_id, sub, c FROM (
+         |    SELECT vec_id, sub, c, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, c ASC) AS rn
+         |    FROM pdist) WHERE rn = 1),
+         |qdist AS MATERIALIZED (SELECT q.query_id, d.sub, d.c, d.d
+         |  FROM pdist d JOIN qs q ON d.vec_id = q.query_id),
+         |ent AS (SELECT vec_id FROM e
+         |  WHERE vec_id % greatest(1, (SELECT count(*) FROM e) // (SELECT nl FROM nlv)) = 0
+         |  QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT nl FROM nlv)),
+         |seed0 AS (SELECT q.query_id, ent.vec_id FROM qs q CROSS JOIN ent),
+         |v0 AS (${adcSx("seed0")}),
+         |${beamRoundsSql(4, scaledBeamSql, sxOverride = Some(adcSx))},
+         |found AS (SELECT query_id, vec_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+         |  FROM (SELECT v.query_id, v.vec_id, round($cosQ, 6) AS cos
+         |        FROM v4 v JOIN e t ON t.vec_id = v.vec_id
+         |        JOIN qs q ON q.query_id = v.query_id
+         |        WHERE v.vec_id <> v.query_id)
+         |  QUALIFY rank <= 3),
+         |truth AS (SELECT query_id, vec_id FROM (
+         |    SELECT q.query_id, t.vec_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY round($cosQ, 6) DESC, t.vec_id) AS rn
+         |    FROM qs q JOIN e t ON t.vec_id <> q.query_id) WHERE rn <= 3)
+         |SELECT f.query_id, f.rank, f.vec_id, f.cos,
+         |       CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |FROM found f LEFT JOIN truth t USING (query_id, vec_id)
+         |ORDER BY query_id, rank""".stripMargin
+    },
+    "PQ-compressed graph traversal (DiskANN shape): beam search scoring by negated ADC over 32-bit codes + broadcast distance tables — the walk never touches a corpus vector — then exact rerank of the visited set only; hash pins the quantization-guided path (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
     v10, v11, v12, v13, v14, v15, v16, v17, v17b, v18, v19, v20, v21, v22, v23,
     v24, v25, v26, v27, v28, v29, v30, v30b, v31, v32, v32b, v33, v34, v34b,
-    v35, v35b, v36, v37, v38, v39)
+    v35, v35b, v36, v37, v38, v39, v40)
 }
