@@ -67,6 +67,19 @@ class ColumnDefaultSpec extends SparkSpec {
       == Seq("first"))
   }
 
+  test("defaults compose with column mapping: a renamed defaulted column " +
+      "keeps filling under its new logical name") {
+    val t = new LogTable(spark, tmp("cd-map-"),
+      StructType(base.fields :+
+        LogTable.defaulted("segment", StringType, "'unassigned'")))
+    t.append(Seq((1L, "a")).toDF("k", "v"))
+    t.renameColumn("segment", "tier") // activates mapping; metadata rides along
+    t.append(Seq((2L, "b")).toDF("k", "v"))
+    val got = t.read().select("k", "tier").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(1L -> Some("unassigned"), 2L -> Some("unassigned")))
+  }
+
   test("a generated column cannot also carry a default") {
     val t = new LogTable(spark, tmp("cd-gen-"),
       StructType(base.fields :+

@@ -92,6 +92,25 @@ class IdentityTableSpec extends SparkSpec {
     assert(after(9L) > before.values.max, s"expected continuation, got $after")
   }
 
+  test("racing concurrent appends allocate disjoint identity ranges") {
+    val t = new IdentityTable(spark, tmp("idc-race-"), ds, "sid",
+      start = 1L, step = 1L)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val fa = Future(t.append(shaped((1L to 40L).map(i => (i, s"a$i")))))
+    val fb = Future(t.append(shaped((41L to 70L).map(i => (i, s"b$i")))))
+    Await.result(fa, 2.minutes); Await.result(fb, 2.minutes)
+    pool.shutdown()
+    val vs = values(t).values.toSeq.sorted
+    // the hwm CAS inside the commit loop makes the two allocations
+    // disjoint and jointly contiguous regardless of interleaving
+    assert(vs == (1L to 70L), s"expected 1..70 with no duplicates, got $vs")
+    assert(t.nextGenerated == 71L)
+  }
+
   test("time travel serves each version's identity values") {
     val t = new IdentityTable(spark, tmp("idc-tt-"), ds, "sid",
       start = 1L, step = 1L)

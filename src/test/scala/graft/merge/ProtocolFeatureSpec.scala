@@ -59,6 +59,19 @@ class ProtocolFeatureSpec extends SparkSpec {
     assert(e3.getMessage.contains("quantum-compression"))
   }
 
+  test("features survive VACUUM (the vacuum-cut checkpoint carries the set)") {
+    val root = tmp("feat-vac-")
+    val t = new LogTable(spark, root, s2)
+    t.append(Seq((1L, "a")).toDF("k", "v"))
+    t.addFeature("rowTracking")
+    (2L to 4L).foreach(i => t.append(Seq((i, s"b$i")).toDF("k", "v")))
+    assert(t.vacuum(retainLast = 1).nonEmpty, "vacuum must prune versions")
+    val fresh = new LogTable(spark, root, s2)
+    assert(fresh.features == Set("rowTracking"),
+      "the checkpoint vacuum cuts must carry the feature set")
+    assert(fresh.read().count() == 4L)
+  }
+
   test("adding a feature this engine does not support is rejected up front") {
     val t = new LogTable(spark, tmp("feat-self-"), s2)
     t.append(Seq((1L, "a")).toDF("k", "v"))
