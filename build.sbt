@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver tail-parses the LAST stdout line as JSON; sbt's own
+// "[success] Total time ..." trailer otherwise lands after Bench's summary
+// line and breaks the parse (BENCH parsed:null, three rounds running).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess // consumed by the command layer
+// ... and sbt's logger prefixes every forked-process stdout line with
+// "[info] ", which breaks the same parse — pass the output through raw.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

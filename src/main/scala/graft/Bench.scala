@@ -84,6 +84,16 @@ object Bench {
     graft.sources.Tables.names.foreach(n =>
       graft.sources.Tables(spark, sfDir, n).count())
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // streaming rows (s*) get ONE untimed warm-up drain first (r13): the
+      // drain/iterative class was the volatile one across quiet closes
+      // (s10b 16.7–25.8 s, same code) — state-store + checkpoint-dir setup
+      // and shuffle-file creation land in the first drain; median-of-3
+      // alone did not exclude it because the variance persists past run 1.
+      // The warm-up is untimed, so recorded medians stay comparable with
+      // earlier rounds (they measure the same warm path, sampled better).
+      if (name.startsWith("s"))
+        try forceAll(fn(spark, sfDir))
+        catch { case _: Throwable => () } // the timed runs will report it
       val times = (1 to repeats).flatMap { _ =>
         val t0 = System.nanoTime()
         try { forceAll(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }

@@ -46,6 +46,65 @@ object Scratch {
           timed(s"$name run$i (forced)") { Bench.forceAll(fn(spark, sfDir)) }
         }
       }
+    } else if (args.headOption.contains("q67pieces")) {
+      // Per-verb breakdown of the q67 lifecycle (r13 creep bisect): replays
+      // the query's commits with a timer around each LogTable verb.
+      import graft.merge.{LogTable, Merge}
+      import graft.sources.Tables
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val jobMs = new java.util.concurrent.atomic.AtomicLong(0)
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            jobs.incrementAndGet(); starts.put(j.jobId, j.time)
+          }
+          override def onJobEnd(
+              j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+            Option(starts.remove(j.jobId))
+              .foreach(t0 => jobMs.addAndGet(j.time - t0))
+        })
+      def timedJ(label: String)(f: => Any): Unit = {
+        val j0 = jobs.get(); val m0 = jobMs.get(); val t0 = System.nanoTime()
+        f
+        println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s" +
+          f" (${jobs.get() - j0} jobs, ${(jobMs.get() - m0) / 1e3}%.2f s in-job)")
+      }
+      val reps = args.lift(1).map(_.toInt).getOrElse(2)
+      (1 to reps).foreach { rep =>
+        val o = Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"), col("o_orderdate"))
+        val root = graft.queries.FixtureDirs.create("q67prof-")
+          .resolve("orders_log").toString
+        val t = new LogTable(spark, root, o.schema,
+          bucketBy = Some((Seq("o_orderkey"), 8)), statsBy = Seq("o_orderdate"))
+        timedJ(s"rep$rep overwrite")(t.overwrite(
+          o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))))
+        timedJ(s"rep$rep merge")(t.merge(o.filter(col("o_totalprice") > 150000))(
+          (cur, b) => Merge.insertOnly(cur, b, Seq("o_orderkey"))))
+        timedJ(s"rep$rep deleteWhere")(
+          t.deleteWhere(pmod(col("o_custkey"), lit(7)) === 3))
+        val batchA = o.filter(col("o_orderstatus") === "F")
+          .withColumn("o_totalprice", round(col("o_totalprice") + 1000, 2))
+          .withColumn("o_orderstatus", lit("R"))
+        val batchB = o.filter(col("o_custkey") % 5 === 1)
+        timedJ(s"rep$rep occMergeA")(t.occMerge(batchA)((c2, b2) =>
+          Merge.scd1(c2, b2, Seq("o_orderkey"))))
+        timedJ(s"rep$rep occMergeB")(t.occMerge(batchB)((cur, b) =>
+          Merge.insertOnly(cur, b, Seq("o_orderkey"))))
+        timedJ(s"rep$rep reads") {
+          val range = t.readRange("o_orderdate",
+            lit("1996-01-01").cast("timestamp"), lit("1996-06-30").cast("timestamp"))
+          def phase(name: String, df: org.apache.spark.sql.DataFrame) =
+            df.agg(count(lit(1)).as("n"),
+              round(sum(col("o_totalprice")), 2).as("sum_price"))
+              .select(lit(name).as("phase"), col("n"), col("sum_price"))
+          (1L to 5L).map(v => phase(s"v$v", t.readVersion(v)))
+            .reduce(_ union _).union(phase("range", range)).collect()
+        }
+      }
     } else if (args.headOption.contains("graphdiag")) {
       // Dissect the v36 sf1 recall collapse (VERDICT r12 ask 6): at the
       // replica sfdir, measure panel recall of (a) the base kNN edges

@@ -334,8 +334,13 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
 
   private def readDelta(v: Long): Delta = {
     val p = manifestPath(v)
+    // version manifests are immutable once committed — the existence check
+    // (one stat, not a read+parse) keeps vacuum error semantics exact while
+    // the cache serves the content
     require(Files.exists(p),
       s"version $v not available; readable versions: ${history().mkString(", ")}")
+    val cached = deltaCache.get(v)
+    if (cached != null) return cached
     val n = mapper.readTree(Files.readAllBytes(p))
     Delta(n.get("version").asLong(), n.get("dataChange").asBoolean(),
       fileEntriesFrom(n.get("add")), texts(n.get("remove")),
@@ -349,7 +354,9 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
       Option(n.get("ts")).map(_.asLong()).getOrElse(0L),
       Option(n.get("rowIdHwm")).map(_.asLong()).getOrElse(0L),
       Option(n.get("rowTracking")).exists(_.asBoolean()),
-      Option(n.get("featureAdd")).map(_.asText()))
+      Option(n.get("featureAdd")).map(_.asText())) match {
+      case d => deltaCache.put(v, d); d
+    }
   }
 
   private def writeFileEntries(fa: ArrayNode, files: Seq[FileEntry]): Unit =
@@ -455,14 +462,21 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     val dr: ArrayNode = node.putArray("dvRemove")
     prevDv.filterNot(newDv.contains).foreach(dr.add)
     val won = createExclusive(manifestPath(v), mapper.writeValueAsBytes(node))
-    if (won && v % checkpointInterval == 0)
-      writeCheckpoint(Snapshot(v, newFiles, newDv,
+    if (won) {
+      // the committed state IS the fold at v (this same construction backs
+      // the checkpoints that serve reads) — seed the snapshot cache so the
+      // next resolution skips the re-fold (r13)
+      val committed = Snapshot(v, newFiles, newDv,
         newSchema.orElse(prev.map(_.schema)).getOrElse(schema),
         prev.map(_.txns).getOrElse(Map.empty) ++ txn,
         (prev.map(_.constraints).getOrElse(Map.empty) ++ constraintAdd)
           -- constraintDrop.toSeq,
         ts, newHwm, tracked,
-        prev.map(_.features).getOrElse(Set.empty) ++ featureAdd))
+        prev.map(_.features).getOrElse(Set.empty) ++ featureAdd)
+      if (snapCache.size > 64) snapCache.clear()
+      snapCache.put(v, committed)
+      if (v % checkpointInterval == 0) writeCheckpoint(committed)
+    }
     won
   }
 
@@ -540,6 +554,20 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
       s.features ++ d.featureAdd)
   }
 
+  /** A version's manifest and the snapshot folded AT a version are
+    * IMMUTABLE once committed (createExclusive + atomic rename; nothing
+    * ever rewrites a version file) — so a handle may memoize them. The
+    * availability require and the feature gate still run on every
+    * resolution (both depend on the LIVE log: vacuum can retire versions,
+    * a concurrent writer can add featureAdd tail commits), so cached
+    * resolutions keep identical semantics while skipping the re-fold and
+    * the tail-manifest re-parse — O(1) manifest parses per resolution
+    * instead of O(commits), which is what matters when the log lives on
+    * object storage (r13). Bounded: the snapshot cache clears past 64
+    * entries (each holds a full file list); deltas are small. */
+  private val snapCache = new java.util.concurrent.ConcurrentHashMap[Long, Snapshot]()
+  private val deltaCache = new java.util.concurrent.ConcurrentHashMap[Long, Delta]()
+
   /** Fold the log to the state as of version `v`: newest checkpoint ≤ v,
     * then at most `checkpointInterval` delta replays. Throws (require) when
     * `v` was vacuumed away. */
@@ -547,21 +575,27 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     val avail = history()
     require(avail.contains(v) || checkpointVersions().contains(v),
       s"version $v not available; readable versions: ${avail.mkString(", ")}")
-    checkpointAtOrBefore(v) match {
-      case Some(cp) if cp == v => readCheckpoint(cp)
-      case Some(cp) =>
-        val replay = avail.filter(x => x > cp && x <= v)
-        require(replay == (cp + 1 to v),
-          s"log gap between checkpoint $cp and version $v (vacuumed?)")
-        replay.foldLeft(readCheckpoint(cp))((s, x) => applyDelta(s, readDelta(x)))
-      case None =>
-        require(avail.headOption.contains(1L),
-          s"version $v not reconstructible: no checkpoint and the log prefix was vacuumed")
-        (1L to v).foldLeft(
-            Snapshot(0L, Seq.empty, Seq.empty, schema, Map.empty, Map.empty, 0L))(
-          (s, x) => applyDelta(s, readDelta(x)))
+    val s = Option(snapCache.get(v)).getOrElse {
+      val folded = checkpointAtOrBefore(v) match {
+        case Some(cp) if cp == v => readCheckpoint(cp)
+        case Some(cp) =>
+          val replay = avail.filter(x => x > cp && x <= v)
+          require(replay == (cp + 1 to v),
+            s"log gap between checkpoint $cp and version $v (vacuumed?)")
+          replay.foldLeft(readCheckpoint(cp))((s, x) => applyDelta(s, readDelta(x)))
+        case None =>
+          require(avail.headOption.contains(1L),
+            s"version $v not reconstructible: no checkpoint and the log prefix was vacuumed")
+          (1L to v).foldLeft(
+              Snapshot(0L, Seq.empty, Seq.empty, schema, Map.empty, Map.empty, 0L))(
+            (s, x) => applyDelta(s, readDelta(x)))
+      }
+      if (snapCache.size > 64) snapCache.clear()
+      snapCache.put(v, folded)
+      folded
     }
-  } match { case s => checkFeatures(s) }
+    checkFeatures(s, avail)
+  }
 
   /** The protocol gate (Delta reader/writer features): EVERY snapshot
     * resolution — reads, writes (they fold a snapshot to CAS on), time
@@ -572,7 +606,7 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     * a feature-gated table is still a version OF that table) — so a
     * resolution of an OLDER version also folds the live tail's featureAdd
     * actions (manifest reads only, no data) before serving. */
-  private def checkFeatures(s: Snapshot): Snapshot = {
+  private def checkFeatures(s: Snapshot, avail: Seq[Long]): Snapshot = {
     def refuse(fs: Set[String]): Unit = {
       val unknown = fs -- LogTable.SupportedFeatures
       require(unknown.isEmpty,
@@ -581,7 +615,7 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
           s"(supported: ${LogTable.SupportedFeatures.toSeq.sorted.mkString(", ")})")
     }
     refuse(s.features)
-    val tail = history().filter(_ > s.version)
+    val tail = avail.filter(_ > s.version)
     if (tail.nonEmpty)
       refuse(tail.flatMap(v => readDelta(v).featureAdd).toSet)
     s
@@ -726,36 +760,65 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
       val parts = fullPath.split('/')
       parts.takeRight(2).mkString("/")
     }
-    // per-file stats BEFORE the move (one aggregate grouped by file),
-    // keyed by PHYSICAL name — stable across renames, so stats on files
-    // written before a rename keep pruning after it
+    // per-file stats + row counts BEFORE the move, keyed by PHYSICAL name —
+    // stable across renames, so stats on files written before a rename keep
+    // pruning after it. Fast path: parquet FOOTERS, driver-side, no Spark
+    // job (r13 — the read-back aggregate was one full job per commit, the
+    // dominant cost of metadata-bound lifecycle paths); the Spark-aggregate
+    // path below remains the fallback for footer-unsupported column types
+    // (INT96 LTZ timestamps, decimals) and any footer read error.
+    val needStats = statsByPhys.nonEmpty && staged.nonEmpty
+    val needRows = trackingEnabled && !hasMat && staged.nonEmpty
+    val sessionZone = spark.sessionState.conf.sessionLocalTimeZone
+    val ltzAsInt64 = spark.sessionState.conf.parquetOutputTimestampType !=
+      org.apache.spark.sql.internal.SQLConf.ParquetOutputTimestampType.INT96
+    val footer: Option[Map[String, (Long, Map[String, (String, String)])]] =
+      if ((!needStats && !needRows) ||
+          (needStats && !FooterStats.supports(pdf.schema, statsByPhys, ltzAsInt64)))
+        None
+      else scala.util.Try(FooterStats.read(staged.map(_._1),
+        if (needStats) statsByPhys else Nil, pdf.schema, sessionZone,
+        p => stagedKey(p.toString))) match {
+        case scala.util.Success(f) => Some(f)
+        case scala.util.Failure(e) =>
+          // loud fallback: a silent one would hide a footer-path regression
+          // behind the (correct but slower) aggregate path forever
+          org.slf4j.LoggerFactory.getLogger(classOf[LogTable]).warn(
+            s"footer-stats read failed, falling back to aggregate: $e")
+          None
+      }
     val statsOf: Map[String, Map[String, (String, String)]] =
-      if (statsByPhys.isEmpty || staged.isEmpty) Map.empty
-      else {
-        val aggs = statsByPhys.flatMap(c => Seq(
-          min(col(c)).cast("string").as(s"__lo_$c"),
-          max(col(c)).cast("string").as(s"__hi_$c")))
-        spark.read.schema(pdf.schema).parquet(staged.map(_._1.toString): _*)
-          .groupBy(input_file_name().as("__f"))
-          .agg(aggs.head, aggs.tail: _*)
-          .collect().map { r =>
-            stagedKey(r.getAs[String]("__f")) -> statsByPhys.flatMap { c =>
-              val lo = r.getAs[String](s"__lo_$c"); val hi = r.getAs[String](s"__hi_$c")
-              if (lo == null || hi == null) None else Some(c -> (lo, hi))
+      if (!needStats) Map.empty
+      else footer match {
+        case Some(f) => f.view.mapValues(_._2).toMap
+        case None =>
+          val aggs = statsByPhys.flatMap(c => Seq(
+            min(col(c)).cast("string").as(s"__lo_$c"),
+            max(col(c)).cast("string").as(s"__hi_$c")))
+          spark.read.schema(pdf.schema).parquet(staged.map(_._1.toString): _*)
+            .groupBy(input_file_name().as("__f"))
+            .agg(aggs.head, aggs.tail: _*)
+            .collect().map { r =>
+              stagedKey(r.getAs[String]("__f")) -> statsByPhys.flatMap { c =>
+                val lo = r.getAs[String](s"__lo_$c"); val hi = r.getAs[String](s"__hi_$c")
+                if (lo == null || hi == null) None else Some(c -> (lo, hi))
+              }.toMap
             }.toMap
-          }.toMap
       }
     // per-file row counts: only needed to allocate base row ids, so only for
     // tracked tables writing FRESH rows (a rewrite carrying materialized ids
     // allocates nothing)
     val rowsOf: Map[String, Long] =
-      if (!trackingEnabled || hasMat || staged.isEmpty) Map.empty
-      else spark.read.schema(pdf.schema)
-        .parquet(staged.map(_._1.toString): _*)
-        .groupBy(input_file_name().as("__f")).agg(count(lit(1)).as("__n"))
-        .collect().map { r =>
-          stagedKey(r.getAs[String]("__f")) -> r.getAs[Long]("__n")
-        }.toMap
+      if (!needRows) Map.empty
+      else footer match {
+        case Some(f) => f.view.mapValues(_._1).toMap
+        case None => spark.read.schema(pdf.schema)
+          .parquet(staged.map(_._1.toString): _*)
+          .groupBy(input_file_name().as("__f")).agg(count(lit(1)).as("__n"))
+          .collect().map { r =>
+            stagedKey(r.getAs[String]("__f")) -> r.getAs[Long]("__n")
+          }.toMap
+      }
     val entries = staged.map { case (p, b) =>
       val key = stagedKey(p.toString)
       val name = s"${java.util.UUID.randomUUID().toString.take(12)}-${p.getFileName}"
@@ -1156,17 +1219,23 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
           snap.map(_.schema).getOrElse(schema))
         Some((fresh, Seq.empty, fresh))
       }
-      case Some(_) => commitLoop(5) { snap =>
-        val touched = batch.select(bucketExpr.as(BucketCol))
-          .distinct().collect().map(_.getInt(0)).toSet
-        val (hit, kept) = snap.map(_.files).getOrElse(Seq.empty)
-          .partition(e => touched.contains(e.bucket))
-        val dv = snap.map(_.dv).getOrElse(Seq.empty)
-        val as = snap.map(_.schema).getOrElse(schema)
-        val cur = if (hit.isEmpty) emptyDf(as) else readData(hit, dv, as)
-        val fresh = writeFiles(withChecks(f(cur, batch), snap), as)
-        Some((kept ++ fresh, dv, fresh))
-      }
+      case Some(_) =>
+        // the batch plan is consumed at least twice per attempt (the
+        // touched-bucket probe + the rewrite) and once more per OCC retry —
+        // persist across the whole call (r13: q67's commit verbs re-scanned
+        // the source per probe)
+        batch.persist()
+        try commitLoop(5) { snap =>
+          val touched = batch.select(bucketExpr.as(BucketCol))
+            .distinct().collect().map(_.getInt(0)).toSet
+          val (hit, kept) = snap.map(_.files).getOrElse(Seq.empty)
+            .partition(e => touched.contains(e.bucket))
+          val dv = snap.map(_.dv).getOrElse(Seq.empty)
+          val as = snap.map(_.schema).getOrElse(schema)
+          val cur = if (hit.isEmpty) emptyDf(as) else readData(hit, dv, as)
+          val fresh = writeFiles(withChecks(f(cur, batch), snap), as)
+          Some((kept ++ fresh, dv, fresh))
+        } finally batch.unpersist()
     }
 
   /** Merge-on-read DELETE as a NAMED COMMIT: the new version's delta
@@ -1234,8 +1303,11 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     * contract). */
   def occMerge(batch: DataFrame, maxAttempts: Int = 5,
                txn: Option[(String, Long)] = None)
-              (f: (DataFrame, DataFrame) => DataFrame): Int =
-    commitLoop(maxAttempts, txn = txn) { snap =>
+              (f: (DataFrame, DataFrame) => DataFrame): Int = {
+    // bucketed: the batch plan feeds the touched-bucket probe AND the
+    // rewrite, per attempt — persist across the call (r13 creep fix)
+    if (bucketBy.isDefined) batch.persist()
+    try commitLoop(maxAttempts, txn = txn) { snap =>
       if (txn.exists { case (app, b) =>
           snap.exists(_.txns.getOrElse(app, -1L) >= b) })
         None // already delivered: no version cut
@@ -1256,7 +1328,8 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
           val fresh = writeFiles(withChecks(f(cur, batch), snap), as)
           Some((kept ++ fresh, dv, fresh))
       }
-    }
+    } finally if (bucketBy.isDefined) batch.unpersist()
+  }
 
   /** OPTIMIZE: rewrite the live content into few large files — bucketed:
     * one file per bucket (writeFiles' discipline); unbucketed: coalesced to
@@ -1919,14 +1992,21 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     history().map { v =>
       val d = readDelta(v)
       val op =
-        if (!d.dataChange) "OPTIMIZE"
-        else if (d.add.isEmpty && d.remove.isEmpty && d.dvAdd.nonEmpty) "DELETE"
-        else if (d.add.isEmpty && d.remove.isEmpty && d.dvAdd.isEmpty) {
+        // metadata-only FIRST: every metadata commit (addConstraint,
+        // evolve, setDefault, addFeature) also carries dataChange=false,
+        // so testing !dataChange before this branch made them all read
+        // OPTIMIZE (ADVICE r12). OPTIMIZE = files rewritten, content
+        // unchanged — it requires an actual rewrite in the commit.
+        if (d.add.isEmpty && d.remove.isEmpty && d.dvAdd.isEmpty &&
+            d.dvRemove.isEmpty) {
           if (d.constraintAdd.isDefined) "ADD CONSTRAINT"
           else if (d.constraintDrop.isDefined) "DROP CONSTRAINT"
+          else if (d.featureAdd.isDefined) "SET TBLPROPERTIES"
           else if (d.schemaJson.isDefined) "SET SCHEMA"
           else "COMMIT"
         }
+        else if (!d.dataChange) "OPTIMIZE"
+        else if (d.add.isEmpty && d.remove.isEmpty && d.dvAdd.nonEmpty) "DELETE"
         else if (d.remove.nonEmpty) "REPLACE"
         else "WRITE"
       (v, d.tsMs, op, d.dataChange, d.add.size, d.remove.size)

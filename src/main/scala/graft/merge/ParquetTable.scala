@@ -469,12 +469,32 @@ final class ParquetTable(spark: SparkSession, root: String, schema: StructType,
   // — swapIn's two renames leave a window where `current` itself is absent,
   // so a concurrent stager's read() can fail BEFORE any file is opened.
   // (Observed: a racing-writers stream died un-retried on exactly that.)
+  // The match is NARROW on both axes (ADVICE r12): the Spark faces are
+  // recognized by ERROR CLASS (not a substring anywhere in any message —
+  // a caller's own error text mentioning PATH_NOT_FOUND must not read as a
+  // conflict), and every face must reference a path UNDER THIS TABLE'S
+  // ROOT — a genuinely missing foreign path (mistyped source dir, a file
+  // read inside the caller's merge function) is a real error, and retrying
+  // it to exhaustion would surface as a misleading "writer storm".
   private[merge] def snapshotVanished(e: Throwable): Boolean = {
+    val rootStr = rootPath.toAbsolutePath.toString
+    def underRoot(m: String): Boolean = m.contains(rootStr)
     var c = e
     while (c != null) {
-      if (c.isInstanceOf[java.io.FileNotFoundException]) return true
       val m = Option(c.getMessage).getOrElse("")
-      if (m.contains("PATH_NOT_FOUND") || m.contains("FILE_NOT_EXIST")) return true
+      val vanished = c match {
+        case _: java.io.FileNotFoundException => underRoot(m)
+        case st: org.apache.spark.SparkThrowable =>
+          // by error class when carried; by the BRACKETED class marker in
+          // the message otherwise (task-failure wrappers re-render the
+          // class into the text without chaining it — the r12b s35 face)
+          val ec = Option(st.getCondition).getOrElse("")
+          (ec == "FAILED_READ_FILE.FILE_NOT_EXIST" || ec == "PATH_NOT_FOUND" ||
+            m.contains("[FAILED_READ_FILE.FILE_NOT_EXIST]") ||
+            m.contains("[PATH_NOT_FOUND]")) && underRoot(m)
+        case _ => false
+      }
+      if (vanished) return true
       c = c.getCause
     }
     false

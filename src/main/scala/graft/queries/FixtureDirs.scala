@@ -16,12 +16,23 @@ object FixtureDirs {
   private val dirs = new ConcurrentLinkedQueue[Path]()
 
   Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    var bytes = 0L
+    var count = 0
     dirs.forEach { root =>
       try {
         Files.walk(root).sorted(java.util.Comparator.reverseOrder[Path]())
-          .forEach(p => Files.deleteIfExists(p))
+          .forEach { p =>
+            if (Files.isRegularFile(p)) bytes += Files.size(p)
+            Files.deleteIfExists(p)
+          }
+        count += 1
       } catch { case _: Exception => () } // best-effort: exit path
     }
+    // the reclaimed count makes disk hygiene auditable from any run's
+    // stderr (r13): lifecycle rows cut fresh fixture trees per repeat, so
+    // a long bench session accumulates gigabytes until this hook fires
+    if (count > 0) System.err.println(
+      s"[fixtures] reclaimed $bytes bytes across $count fixture dirs at exit")
   }, "graft-fixture-dir-cleanup"))
 
   /** Create a tracked temp dir (deleted at JVM exit). */

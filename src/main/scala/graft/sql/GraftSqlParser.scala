@@ -36,11 +36,36 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val HistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`"]+)\s*;?\s*""".r
 
+  /** Does `name` resolve (in the active session's catalog) to a
+    * graft-logtable? Used to DISAMBIGUATE text-level matches before
+    * claiming them — Delta's extension makes the same parse-then-fall-back
+    * move. Any resolution failure means "not ours": the statement falls
+    * through to the delegate, so `DESCRIBE history <col>` on a table that
+    * happens to be NAMED `history` keeps Spark's own meaning (ADVICE r12).
+    * (Quoted identifiers containing spaces fall outside the text patterns
+    * entirely and always take the delegate path.) */
+  private def isLogTable(name: String): Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession.exists(s =>
+      scala.util.Try(
+        SqlDml.resolveParts(s, parseMultipartIdentifier(name), "probe")
+      ).isSuccess)
+
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case OptimizeRe(t) => GraftOptimizeCommand(parseMultipartIdentifier(t))
-    case VacuumRe(t, r) => GraftVacuumCommand(parseMultipartIdentifier(t),
-      Option(r).map(_.toInt).getOrElse(1))
-    case HistoryRe(t) => GraftDescribeHistoryCommand(parseMultipartIdentifier(t))
+    case VacuumRe(t, r) =>
+      // a BARE `VACUUM t` must not silently default to RETAIN 1 — that
+      // drops all history and time travel in one statement (Delta's
+      // default is a conservative 7 days; ours is explicit-only — ADVICE
+      // r12). The retention unit here is versions, the log's axis.
+      if (r == null) throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_3100",
+        messageParameters = Map("message" ->
+          ("VACUUM requires an explicit retention: VACUUM <table> RETAIN " +
+            "<n> VERSIONS (a bare VACUUM would irreversibly drop all " +
+            "history and time travel)")))
+      GraftVacuumCommand(parseMultipartIdentifier(t), r.toInt)
+    case HistoryRe(t) if isLogTable(t) =>
+      GraftDescribeHistoryCommand(parseMultipartIdentifier(t))
     case _ => delegate.parsePlan(sqlText) match {
       case m: MergeIntoTable   => GraftMergeCommand(m)
       case u: UpdateTable      => GraftUpdateCommand(u)

@@ -74,6 +74,20 @@ class IdentityTableSpec extends SparkSpec {
     assert(values(t) == Map(1L -> 100L, 2L -> 101L, 3L -> 555L, 4L -> 103L))
   }
 
+  test("BY DEFAULT rejects an explicit NULL — it could never read back as " +
+      "NULL (the storage marker means 'generate'), so storing it would " +
+      "break the verbatim contract") {
+    val t = new IdentityTable(spark, tmp("idc-null-"), ds, "sid",
+      start = 1L, step = 1L, generatedAlways = false)
+    t.append(shaped(Seq((1L, "a"))))
+    val e = intercept[Exception](t.append(
+      Seq((2L, "b", Option.empty[Long])).toDF("k", "v", "sid")))
+    assert(e.getMessage.contains("explicit NULL") ||
+      Option(e.getCause).exists(_.getMessage.contains("explicit NULL")),
+      s"expected the NULL-rejection error, got: $e")
+    assert(values(t) == Map(1L -> 1L), "the rejected batch must not commit")
+  }
+
   test("materializeIdentity stamps values into storage; full-rewrite verbs " +
       "become identity-safe and generation continues above the watermark") {
     val t = new IdentityTable(spark, tmp("idc-mat-"), ds, "sid",

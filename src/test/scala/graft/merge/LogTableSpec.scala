@@ -363,4 +363,27 @@ class LogTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](t.versionAtTimestamp(1000L))
     assert(t.versionAtTimestamp(1001L) == 2L)
   }
+
+  test("describeHistory names metadata-only commits by their kind — not " +
+      "OPTIMIZE (which requires an actual file rewrite)") {
+    val t = new LogTable(spark, tmp("log-hist-"), s2)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))                   // v1 WRITE
+    t.addConstraint("k_pos", "k > 0")                                    // v2
+    t.setDefault("v", Some("'x'"))                                       // v3 (schema commit)
+    t.evolve(StructType(s2.fields :+ StructField("w", LongType)))        // v4
+    t.addFeature("deletionVectors")                                      // v5
+    t.dropConstraint("k_pos")                                            // v6
+    t.compact()                                                          // v7: the real OPTIMIZE
+    val ops = t.describeHistory().map(h => h._1 -> h._3).toMap
+    assert(ops(1L) == "WRITE")
+    assert(ops(2L) == "ADD CONSTRAINT",
+      s"metadata commit misclassified: ${t.describeHistory()}")
+    assert(ops(3L) == "SET SCHEMA") // defaults travel in the schema
+    assert(ops(4L) == "SET SCHEMA")
+    assert(ops(5L) == "SET TBLPROPERTIES")
+    assert(ops(6L) == "DROP CONSTRAINT")
+    assert(ops(7L) == "OPTIMIZE")
+    // OPTIMIZE appears exactly once: only the commit that rewrote files
+    assert(t.describeHistory().count(_._3 == "OPTIMIZE") == 1)
+  }
 }

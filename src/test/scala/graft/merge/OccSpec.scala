@@ -171,24 +171,40 @@ class OccSpec extends SparkSpec {
     assert(e.getMessage.contains("unbucketed"))
   }
 
-  test("snapshotVanished classifies every face of the vanished-snapshot race") {
-    val t = new ParquetTable(spark, tmp("occ-classify-"), s2)
+  test("snapshotVanished classifies every face of the vanished-snapshot race" +
+      " — and ONLY paths under this table's root") {
+    val root = tmp("occ-classify-")
+    val t = new ParquetTable(spark, root, s2)
     // face 1: a scan task hits a retired file (FNF somewhere in the chain)
     assert(t.snapshotVanished(new RuntimeException("wrap",
-      new java.io.FileNotFoundException("part-0000.parquet"))))
+      new java.io.FileNotFoundException(
+        s"File file:$root/current/part-0000.parquet does not exist"))))
     // face 2: Spark's FAILED_READ_FILE.FILE_NOT_EXIST wrapper (message-level;
     // Spark does not always chain the FNF cause through the task failure)
     assert(t.snapshotVanished(new org.apache.spark.SparkException(
       "[FAILED_READ_FILE.FILE_NOT_EXIST] Encountered error while reading file " +
-        "file:///x/current/part-0.parquet. File does not exist.")))
+        s"file://$root/current/part-0.parquet. File does not exist.")))
     // face 3: analysis-time PATH_NOT_FOUND — swapIn's two renames leave a
     // window where `current` itself is absent, so a concurrent stager's
     // read() fails before any file opens (the un-retried s35 failure mode)
     assert(t.snapshotVanished(new RuntimeException("stream wrapper",
       new org.apache.spark.sql.AnalysisException(
         errorClass = "PATH_NOT_FOUND",
-        messageParameters = Map("path" -> "file:/x/events_occ/current")))))
-    // and a genuine error is NOT a conflict
+        messageParameters = Map("path" -> s"file:$root/current")))))
+    // a genuine error is NOT a conflict
     assert(!t.snapshotVanished(new IllegalStateException("schema mismatch")))
+    // and neither is a missing FOREIGN path (ADVICE r12): a mistyped source
+    // dir or a file read inside the caller's merge function must surface,
+    // not be retried to exhaustion as a phantom writer storm
+    assert(!t.snapshotVanished(new RuntimeException("wrap",
+      new java.io.FileNotFoundException(
+        "File file:/somewhere/else/input.parquet does not exist"))))
+    assert(!t.snapshotVanished(new org.apache.spark.sql.AnalysisException(
+      errorClass = "PATH_NOT_FOUND",
+      messageParameters = Map("path" -> "file:/somewhere/else/input"))))
+    // a caller's own message MENTIONING the marker without the class or a
+    // root path is not a conflict either
+    assert(!t.snapshotVanished(new RuntimeException(
+      "my job failed; see PATH_NOT_FOUND docs")))
   }
 }

@@ -80,4 +80,26 @@ class ServeDuringRetrainSpec extends SparkSpec {
     intercept[IllegalArgumentException](idx.version(1)) // dropped
     assert(idx.vacuumVersions(keep = 0) == Seq(2L) && idx.versions.isEmpty)
   }
+
+  test("reader pinned pre-buildMeta never sees path-not-found through a " +
+      "buildMeta -> append sequence (staged generation flips on first append)") {
+    VectorFunctions.register(spark)
+    val root = Files.createTempDirectory("vidx-stage-")
+    val idx = new VectorIndex(spark, root.toString)
+    idx.build(emb.filter(col("vec_id") % 2 === 0))
+    val expected = rows(queryDf(idx))
+    val pinned = queryDf(idx) // opened pre-buildMeta, not yet executed
+    // stage the next generation's meta only: the pointer must NOT move —
+    // a moved pointer made this very read die path-not-found (ADVICE r11)
+    idx.buildMeta(emb)
+    assert(rows(pinned) == expected,
+      "pinned reader must keep serving the live generation across buildMeta")
+    assert(rows(queryDf(idx)) == expected,
+      "a FRESH reader between buildMeta and the first append must also " +
+        "serve the previous live generation (no index exists for the staged one)")
+    idx.append(emb) // first codes for the staged generation -> pointer flip
+    val after = rows(queryDf(idx))
+    assert(after.nonEmpty && after != expected,
+      "post-append reader must see the staged generation gone live")
+  }
 }

@@ -219,4 +219,62 @@ class VectorIndexSpec extends SparkSpec {
       .select(col("vec_id")).collect().map(_.getLong(0)).toSet
     assert(got == want, "merged+tombstoned diverged from the live-union build")
   }
+
+  test("build over a legacy root with retired .v-N dirs clobbers nothing: " +
+      "the retained version stays readable and its stale tombstones don't " +
+      "leak into the new generation") {
+    VectorFunctions.register(spark)
+    def copyTree(from: Path, to: Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(from).iterator().asScala.foreach { p =>
+        val t = to.resolve(from.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else { Files.createDirectories(t.getParent); Files.copy(p, t) }
+      }
+    }
+    def fingerprint(dir: Path): Seq[(String, Long)] = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(dir).iterator().asScala.filter(Files.isRegularFile(_))
+        .map(p => (dir.relativize(p).toString, Files.size(p))).toSeq.sortBy(_._1)
+    }
+    // craft the legacy layout: meta/index directly under the root (no _gen
+    // pointer) PLUS a retired .v-1 dir carrying stale tombstones — the
+    // pre-generational on-disk shape an upgraded deployment inherits
+    val src = Files.createTempDirectory("vidx-lsrc-")
+    new VectorIndex(spark, src.toString).build(emb.filter(col("vec_id") % 2 === 0))
+    val gen1 = src.resolve(".v-1")
+    val legacy = Files.createTempDirectory("vidx-legacy-")
+    copyTree(gen1, legacy)
+    val retired = legacy.resolve(".v-1")
+    copyTree(gen1, retired)
+    Seq(0L, 2L).toDF("vec_id").coalesce(1)
+      .write.parquet(retired.resolve("tombstones").toString)
+    val before = fingerprint(retired)
+    val idx = new VectorIndex(spark, legacy.toString)
+    assert(idx.currentGen == 0L, "legacy root must read gen 0")
+    idx.build(emb) // must cut .v-2 — NOT write into (and clobber) .v-1
+    assert(idx.currentGen == 2L,
+      s"build over a legacy root must skip past on-disk generations")
+    assert(fingerprint(retired) == before,
+      "the retired generation's files changed — legacy build clobbered it")
+    assert(idx.versions == Seq(1L))
+    // retained version still readable (with its own tombstone mask intact)
+    val v1 = idx.version(1L).query(emb.filter(col("vec_id") < 10), emb,
+      VectorFunctions.cosineSim, k = 5, nprobe = 16, shortlist = 500)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(v1.nonEmpty && !v1.contains(0L) && !v1.contains(2L))
+    // the new live generation must NOT inherit .v-1's tombstones: the ids
+    // masked there are served live
+    assert(!Files.exists(legacy.resolve(".v-2").resolve("tombstones")),
+      "stale tombstones leaked into the fresh generation")
+    val liveIds = spark.read
+      .parquet(legacy.resolve(".v-2").resolve("index").toString)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(liveIds.contains(0L) && liveIds.contains(2L),
+      "a vector tombstoned only in the retired generation must be live here")
+    // and the live generation serves queries (sanity on the fresh layout)
+    assert(idx.query(emb.filter(col("vec_id") < 10), emb,
+      VectorFunctions.cosineSim, k = 5, nprobe = 16, shortlist = 500)
+      .count() > 0)
+  }
 }

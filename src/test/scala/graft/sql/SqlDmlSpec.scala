@@ -141,4 +141,30 @@ class SqlDmlSpec extends SparkSpec {
     assert(sqlSpark.sql(s"DESCRIBE HISTORY $tbl").count() == 1L)
     sqlSpark.sql(s"DROP TABLE $tbl")
   }
+
+  test("bare VACUUM is rejected — retention must be explicit (a default " +
+      "RETAIN 1 would drop all history in one statement)") {
+    val (t, tbl) = freshTable("dml_vacbare", Seq((1L, "a", 10L)))
+    t.append(Seq((2L, "b", 20L)).toDF("k", "v", "ts"))
+    val e = intercept[Exception](sqlSpark.sql(s"VACUUM $tbl"))
+    assert(e.getMessage.contains("RETAIN"),
+      s"expected the explicit-retention error, got: ${e.getMessage}")
+    // nothing was pruned: both versions still readable
+    assert(sqlSpark.sql(s"DESCRIBE HISTORY $tbl").count() == 2L)
+    sqlSpark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("DESCRIBE history <col> on a table actually NAMED history keeps " +
+      "Spark's own meaning (text match disambiguated through the catalog)") {
+    sqlSpark.sql("DROP TABLE IF EXISTS history")
+    val dir = java.nio.file.Files.createTempDirectory("sqldml-hist-").toString
+    Seq((1L, "a")).toDF("k", "v").write.mode("overwrite").parquet(s"$dir/p")
+    sqlSpark.sql(s"CREATE TABLE history USING parquet OPTIONS (path '$dir/p')")
+    // DESCRIBE <table> <column>: must hit Spark's DESCRIBE, not the
+    // maintenance command (which would error on the non-logtable provider)
+    val d = sqlSpark.sql("DESCRIBE history k").collect()
+    assert(d.exists(r => r.getString(0) == "col_name" && r.getString(1) == "k"),
+      s"expected Spark's column DESCRIBE output, got: ${d.mkString(", ")}")
+    sqlSpark.sql("DROP TABLE history")
+  }
 }
