@@ -1219,23 +1219,22 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
           snap.map(_.schema).getOrElse(schema))
         Some((fresh, Seq.empty, fresh))
       }
-      case Some(_) =>
-        // the batch plan is consumed at least twice per attempt (the
-        // touched-bucket probe + the rewrite) and once more per OCC retry —
-        // persist across the whole call (r13: q67's commit verbs re-scanned
-        // the source per probe)
-        batch.persist()
-        try commitLoop(5) { snap =>
-          val touched = batch.select(bucketExpr.as(BucketCol))
-            .distinct().collect().map(_.getInt(0)).toSet
-          val (hit, kept) = snap.map(_.files).getOrElse(Seq.empty)
-            .partition(e => touched.contains(e.bucket))
-          val dv = snap.map(_.dv).getOrElse(Seq.empty)
-          val as = snap.map(_.schema).getOrElse(schema)
-          val cur = if (hit.isEmpty) emptyDf(as) else readData(hit, dv, as)
-          val fresh = writeFiles(withChecks(f(cur, batch), snap), as)
-          Some((kept ++ fresh, dv, fresh))
-        } finally batch.unpersist()
+      case Some(_) => commitLoop(5) { snap =>
+        // the touched-bucket probe deliberately re-reads the batch PLAN
+        // rather than a persisted copy: it projects only the bucket keys,
+        // so the un-persisted form is a column-pruned scan — measured
+        // CHEAPER than paying a full-row cache materialization that the
+        // probe then reads unpruned (r13 sf1 A/B)
+        val touched = batch.select(bucketExpr.as(BucketCol))
+          .distinct().collect().map(_.getInt(0)).toSet
+        val (hit, kept) = snap.map(_.files).getOrElse(Seq.empty)
+          .partition(e => touched.contains(e.bucket))
+        val dv = snap.map(_.dv).getOrElse(Seq.empty)
+        val as = snap.map(_.schema).getOrElse(schema)
+        val cur = if (hit.isEmpty) emptyDf(as) else readData(hit, dv, as)
+        val fresh = writeFiles(withChecks(f(cur, batch), snap), as)
+        Some((kept ++ fresh, dv, fresh))
+      }
     }
 
   /** Merge-on-read DELETE as a NAMED COMMIT: the new version's delta
@@ -1303,11 +1302,8 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     * contract). */
   def occMerge(batch: DataFrame, maxAttempts: Int = 5,
                txn: Option[(String, Long)] = None)
-              (f: (DataFrame, DataFrame) => DataFrame): Int = {
-    // bucketed: the batch plan feeds the touched-bucket probe AND the
-    // rewrite, per attempt — persist across the call (r13 creep fix)
-    if (bucketBy.isDefined) batch.persist()
-    try commitLoop(maxAttempts, txn = txn) { snap =>
+              (f: (DataFrame, DataFrame) => DataFrame): Int =
+    commitLoop(maxAttempts, txn = txn) { snap =>
       if (txn.exists { case (app, b) =>
           snap.exists(_.txns.getOrElse(app, -1L) >= b) })
         None // already delivered: no version cut
@@ -1318,6 +1314,8 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
             snap.map(_.schema).getOrElse(schema))
           Some((fresh, Seq.empty, fresh))
         case Some(_) =>
+          // un-persisted on purpose — the probe is a column-pruned scan of
+          // the batch plan; see [[merge]]'s bucketed branch (r13 sf1 A/B)
           val touched = batch.select(bucketExpr.as(BucketCol))
             .distinct().collect().map(_.getInt(0)).toSet
           val (hit, kept) = snap.map(_.files).getOrElse(Seq.empty)
@@ -1328,8 +1326,7 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
           val fresh = writeFiles(withChecks(f(cur, batch), snap), as)
           Some((kept ++ fresh, dv, fresh))
       }
-    } finally if (bucketBy.isDefined) batch.unpersist()
-  }
+    }
 
   /** OPTIMIZE: rewrite the live content into few large files — bucketed:
     * one file per bucket (writeFiles' discipline); unbucketed: coalesced to
