@@ -3034,8 +3034,11 @@ object StreamingQueries {
         "i int, b bigint, c bigint")
       val partials = new graft.merge.LogTable(spark,
         FixtureDirs.create("s43-cms-").resolve("partials").toString, cellSchema)
+      // geometry frozen BEFORE the stream (one corpus probe — the
+      // provisioning step): additive partials require one width
+      val w = TextQueries.cmsWidthFor(docs)
       def batchCells(b: DataFrame): DataFrame =
-        TextQueries.cmsCells(TextQueries.tokenStream(b))
+        TextQueries.cmsCells(TextQueries.tokenStream(b), w)
           .select(col("i"), col("b"), col("c"))
       withStreamConf(spark) {
         spark.readStream
@@ -3061,7 +3064,7 @@ object StreamingQueries {
       val tc = TextQueries.tokenStream(docs)
         .groupBy("tok").agg(count(lit(1)).as("true_cnt"))
         .localCheckpoint(true)
-      TextQueries.cmsEstimates(tc, sketch)
+      TextQueries.cmsEstimates(tc, sketch, w)
     },
     Some(TextQueries.cmsOracleSql),
     "streaming count-min maintenance: per-batch cells appendOnce'd into a partials log (txn exactly-once), served sketch = summed partials; additivity makes drain ≡ batch schedule-free — d63's oracle verbatim")

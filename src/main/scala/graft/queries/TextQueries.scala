@@ -3668,9 +3668,13 @@ object TextQueries {
       // degree folded into the edges, then the loop input pinned once
       val edges = sym.join(deg, "a").localCheckpoint(true)
       ds.unpersist()
+      // seed selection keys on the source's TRAILING digits, not a fixed
+      // substring offset — the replica worlds prefix source names (r0src0),
+      // and the positional parse cast-crashed there (r13 sf1 run; the d66
+      // data-derived-fixture lesson)
       val seeds = docs.select(col("doc_id"),
-        when(substring(col("source"), 4, 10).cast("int") % 4 === 0, lit(1))
-          .otherwise(lit(0)).as("seed"))
+        when(regexp_extract(col("source"), "(\\d+)$", 1).cast("int") % 4 === 0,
+          lit(1)).otherwise(lit(0)).as("seed"))
       var t = seeds.withColumn("tr", col("seed").cast("long") * Scale)
         .localCheckpoint(true)
       (1 to 3).foreach { _ =>
@@ -3705,8 +3709,8 @@ object TextQueries {
          |deg AS (SELECT a, count(*) AS deg_a FROM sym GROUP BY a),
          |edges AS (SELECT s.a, s.b, d.deg_a FROM sym s JOIN deg d USING (a)),
          |t0 AS (SELECT doc_id,
-         |    CASE WHEN CAST(substr(source, 4) AS INTEGER) % 4 = 0 THEN 1 ELSE 0 END AS seed,
-         |    CAST(CASE WHEN CAST(substr(source, 4) AS INTEGER) % 4 = 0
+         |    CASE WHEN CAST(regexp_extract(source, '(\\d+)$$', 1) AS INTEGER) % 4 = 0 THEN 1 ELSE 0 END AS seed,
+         |    CAST(CASE WHEN CAST(regexp_extract(source, '(\\d+)$$', 1) AS INTEGER) % 4 = 0
          |              THEN 1000000 ELSE 0 END AS BIGINT) AS tr
          |  FROM documents),
          |${round("t0", "t1")},
@@ -4319,8 +4323,9 @@ object TextQueries {
   /** COUNT-MIN SKETCH heavy-hitter frequencies (d63) — the streaming-
     * frequency sketch the sketch family lacked (q30 KMV = distincts, q39
     * HLL = cardinality; this = per-item counts): D=4 md5-derived hash rows
-    * × W=16 counters (sized to the corpus vocabulary so collisions are
-    * live — probed at both SFs: 16 tokens overestimate, 15 are exact), estimate(token) = min over rows of its counter.
+    * × W data-derived counters (w = max(16, vocab/2) from one corpus
+    * probe, so collisions AND exact estimates stay live at every SF —
+    * r13; identity w=16 at sf≤0.1), estimate(token) = min over rows of its counter.
     * The sketch is built from the RAW token stream — `groupBy(i, bucket)`
     * over the exploded hashes collapses map-side to ≤ D·W = 64 cells
     * per partition, so the shuffle carries the SKETCH, never the vocab:
@@ -4332,15 +4337,26 @@ object TextQueries {
     * checked against BOTH SFs' vocab before freezing (the d49 lesson):
     * overestimates AND exact estimates both occur at both scales, so the
     * hash pins real collision behavior, not a vacuous layout. */
-  /** CMS geometry shared by d63 (batch) and s43 (streaming maintenance). */
+  /** CMS geometry shared by d63 (batch) and s43 (streaming maintenance).
+    * The WIDTH is DATA-DERIVED (rule 12): `w = max(16, vocab // 2)` from a
+    * corpus probe — the provisioning step a deployed CMS runs anyway. A
+    * frozen W=16 went all-collided at the 10× replica vocab and the
+    * vacuity guard correctly refused the layout (r13 sf1 run); load factor
+    * ~2 keeps BOTH collided and exact estimates live at every SF.
+    * Identity at sf≤0.1 (vocab 31 → w=16), so driver hashes are unchanged. */
   private[queries] val CmsDepth = 4
-  private[queries] val CmsWidth = 16
+
+  /** Sketch width for a document corpus — ONE bounded driver probe; the
+    * geometry must be frozen before any cells are built (s43 computes it
+    * once before the stream starts: additivity needs one geometry). */
+  private[queries] def cmsWidthFor(docs: DataFrame): Long =
+    math.max(16L, tokenStream(docs).select(col("tok")).distinct().count() / 2)
 
   /** Hash-row bucket of `tok` under row `i` — md5-derived so DuckDB
     * mirrors it exactly (rule 4). */
-  private[queries] def cmsBucket(i: Column, tok: Column): Column =
+  private[queries] def cmsBucket(i: Column, tok: Column, w: Long): Column =
     conv(substring(md5(concat(i.cast("string"), lit(":"), tok)), 1, 8),
-      16, 10).cast("long") % CmsWidth
+      16, 10).cast("long") % w
 
   /** The exploded hash-row index 0..D-1. */
   private[queries] def cmsRows: Column =
@@ -4353,17 +4369,19 @@ object TextQueries {
 
   /** CMS cells (i, b, c) of a token stream — map-side combinable to
     * ≤ D·W rows per partition. */
-  private[queries] def cmsCells(toks: DataFrame): DataFrame =
+  private[queries] def cmsCells(toks: DataFrame, w: Long): DataFrame =
     toks.select(col("tok"), cmsRows)
-      .withColumn("b", cmsBucket(col("i"), col("tok")))
+      .withColumn("b", cmsBucket(col("i"), col("tok"), w))
       .groupBy("i", "b").agg(count(lit(1)).as("c"))
 
   /** (token, true_cnt, est_cnt, overcount) from a cell relation + ground
     * truth, with the CMS invariants `require`d (one-sided bound; both
-    * collided and exact estimates live — probed at both SFs). */
-  private[queries] def cmsEstimates(tc: DataFrame, cells: DataFrame): DataFrame = {
+    * collided and exact estimates live — the width derivation keeps that
+    * true at every SF). */
+  private[queries] def cmsEstimates(tc: DataFrame, cells: DataFrame,
+                                    w: Long): DataFrame = {
     val est = tc.select(col("tok"), cmsRows)
-      .withColumn("b", cmsBucket(col("i"), col("tok")))
+      .withColumn("b", cmsBucket(col("i"), col("tok"), w))
       .join(cells, Seq("i", "b"))
       .groupBy("tok").agg(min(col("c")).as("est_cnt"))
     val out = tc.join(est, "tok")
@@ -4380,18 +4398,26 @@ object TextQueries {
 
   /** The full CMS computation restated in DuckDB — shared verbatim by d63
     * and s43 (the streaming drain is pinned EQUAL to the batch sketch:
-    * CMS cells are additive, so per-batch partials summed ≡ one pass). */
-  private[queries] val cmsOracleSql: String =
+    * CMS cells are additive, so per-batch partials summed ≡ one pass).
+    * The width is the SAME data-derived scalar (`wv`), and — because the
+    * modulus is now data-derived — the hex prefix decodes via
+    * strpos-nibble arithmetic, never `CAST('0x'|| … )` (rule 4: that
+    * construct diverged on the driver's DuckDB exactly when piped
+    * through `%` of a data-derived BIGINT). */
+  private[queries] val cmsOracleSql: String = {
+    def dec8(expr: String) = (1 to 8).map(i =>
+      s"(strpos('0123456789abcdef', substr($expr, $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
+      .mkString("(", " + ", ")")
+    val h = dec8("md5(CAST(i AS VARCHAR) || ':' || tok)")
     s"""WITH $tokCte,
        |ex AS (SELECT unnest(w) AS tok FROM toks),
        |ex2 AS (SELECT tok FROM ex WHERE length(tok) > 0),
-       |hij AS (SELECT tok, i,
-       |    CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || tok), 1, 8) AS BIGINT) % 16 AS b
+       |wv AS (SELECT greatest(16, count(DISTINCT tok) // 2) AS w FROM ex2),
+       |hij AS (SELECT tok, i, $h % (SELECT w FROM wv) AS b
        |  FROM ex2 CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) _i),
        |cells AS (SELECT i, b, CAST(count(*) AS BIGINT) AS c FROM hij GROUP BY i, b),
        |tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS true_cnt FROM ex2 GROUP BY tok),
-       |th AS (SELECT tok, true_cnt, i,
-       |    CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || tok), 1, 8) AS BIGINT) % 16 AS b
+       |th AS (SELECT tok, true_cnt, i, $h % (SELECT w FROM wv) AS b
        |  FROM tc CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) _i),
        |est AS (SELECT th.tok, CAST(min(cells.c) AS BIGINT) AS est_cnt
        |        FROM th JOIN cells USING (i, b) GROUP BY th.tok)
@@ -4399,16 +4425,19 @@ object TextQueries {
        |       e.est_cnt - t.true_cnt AS overcount
        |FROM tc t JOIN est e ON t.tok = e.tok
        |ORDER BY token""".stripMargin
+  }
 
   val d63 = QueryDef(
     "d63_heavy_hitters_cms",
     (spark, dir) => {
-      val toks = tokenStream(Tables.documents(spark, dir))
+      val docs = Tables.documents(spark, dir)
+      val w = cmsWidthFor(docs)
+      val toks = tokenStream(docs)
       // ground truth (vocab-bounded HERE; at open vocab only the sketch
       // survives — truth exists for the oracle's error column)
       val tc = toks.groupBy("tok").agg(count(lit(1)).as("true_cnt"))
         .localCheckpoint(true)
-      cmsEstimates(tc, cmsCells(toks))
+      cmsEstimates(tc, cmsCells(toks, w), w)
     },
     Some(cmsOracleSql),
     "count-min sketch token frequencies: 4x16 md5-derived counters built map-side from the raw stream, min-over-rows estimates, one-sided bound required row-by-row (LLM-pipeline sketch op)")
