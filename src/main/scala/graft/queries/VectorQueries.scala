@@ -2325,11 +2325,16 @@ object VectorQueries {
     (spark, dir) => {
       import org.apache.spark.sql.expressions.Window
       VectorFunctions.register(spark)
-      val B = 8; val R = 4; val K = 3
+      val R = 4; val K = 3
       val emb = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding")).localCheckpoint(true)
       val n = graft.sources.ParquetMeta.rowCount(Tables.embeddings(spark, dir))
       val nlist = math.max(16L, n / 50).toInt
+      // beam scales with the graph like its siblings (rule 12; identity
+      // B=8 at sf<=0.1) — the frozen B=8 drowned in the 10x entry fan-in
+      // at sf1 (22/114 vs the >=1/3 band; the r12 v36-v38 fix, applied
+      // here too after the r13 full-suite sf1 run caught it)
+      val B = scaledBeam(nlist)
       val step = math.max(1L, n / nlist)
       val edges = Similarity.ivfTopK(emb, emb, VectorFunctions.cosineSim,
           k = 5, nlist = nlist, nprobe = scaledNprobe(nlist))
@@ -2379,7 +2384,7 @@ object VectorQueries {
          |  QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT nl FROM nlv)),
          |v0 AS (SELECT q.query_id, t.vec_id, round($cosQ, 6) AS cos
          |  FROM qs q CROSS JOIN ent JOIN e t ON t.vec_id = ent.vec_id),
-         |${beamRoundsSql(4, "8")},
+         |${beamRoundsSql(4, scaledBeamSql)},
          |found AS (SELECT query_id, vec_id, cos,
          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
          |  FROM v4 WHERE vec_id <> query_id
