@@ -79,10 +79,23 @@ object FooterStats {
         val stats: Map[String, (String, String)] = statsCols.flatMap { c =>
           val allChunks = blocks.flatMap(_.getColumns.asScala
             .find(_.getPath.toDotString == c))
-          // a row group that is ALL nulls simply contributes no interval —
-          // same as the aggregate path's null-skipping min/max; a chunk
-          // with MISSING statistics poisons the file (can't bound it)
-          if (allChunks.exists(_.getStatistics == null)) None
+          // a row group that is PROVABLY all nulls (num_nulls == value count)
+          // simply contributes no interval — same as the aggregate path's
+          // null-skipping min/max. A chunk with MISSING statistics poisons
+          // the file (can't bound it) — and so does a chunk whose min/max is
+          // UNDEFINED despite non-null values: parquet-mr writes exactly that
+          // for FP row groups containing NaN (probe-verified on Spark 4.1:
+          // "num_nulls: 0, min/max not defined") and for binary stats past
+          // the 4 KB size cap. Treating those like all-null groups would
+          // merge bounds that EXCLUDE the group's values, so a hi=NaN range
+          // query could wrongly prune a file whose NaN rows match. Poisoned
+          // columns are served stat-less (file never pruned) — strictly
+          // superset-safe vs the aggregate path in every corner.
+          if (allChunks.exists { cc =>
+            val st = cc.getStatistics
+            st == null || (!st.hasNonNullValue &&
+              !(st.isNumNullsSet && st.getNumNulls == cc.getValueCount))
+          }) None
           else {
             val chunks = allChunks.filter(_.getStatistics.hasNonNullValue)
             if (chunks.isEmpty) None

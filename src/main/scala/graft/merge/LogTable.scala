@@ -355,7 +355,12 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
       Option(n.get("rowIdHwm")).map(_.asLong()).getOrElse(0L),
       Option(n.get("rowTracking")).exists(_.asBoolean()),
       Option(n.get("featureAdd")).map(_.asText())) match {
-      case d => deltaCache.put(v, d); d
+      case d =>
+        // same discipline as snapCache: a full-rewrite Delta holds the whole
+        // file set, so a long-lived handle over thousands of commits would
+        // otherwise accumulate unbounded driver heap (r13 ADVICE)
+        if (deltaCache.size > 256) deltaCache.clear()
+        deltaCache.put(v, d); d
     }
   }
 
@@ -564,9 +569,12 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     * the tail-manifest re-parse — O(1) manifest parses per resolution
     * instead of O(commits), which is what matters when the log lives on
     * object storage (r13). Bounded: the snapshot cache clears past 64
-    * entries (each holds a full file list); deltas are small. */
+    * entries (each holds a full file list); the delta cache clears past 256
+    * (most deltas are small, but a full-rewrite delta holds the whole file
+    * set — unbounded growth over a long-lived handle is a leak, r13 ADVICE). */
   private val snapCache = new java.util.concurrent.ConcurrentHashMap[Long, Snapshot]()
   private val deltaCache = new java.util.concurrent.ConcurrentHashMap[Long, Delta]()
+  private[merge] def cachedDeltas: Int = deltaCache.size()
 
   /** Fold the log to the state as of version `v`: newest checkpoint ≤ v,
     * then at most `checkpointInterval` delta replays. Throws (require) when
@@ -772,12 +780,17 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     val sessionZone = spark.sessionState.conf.sessionLocalTimeZone
     val ltzAsInt64 = spark.sessionState.conf.parquetOutputTimestampType !=
       org.apache.spark.sql.internal.SQLConf.ParquetOutputTimestampType.INT96
+    // footers always provide exact row counts regardless of column types —
+    // when the STATS types are unsupported (INT96 LTZ, decimals) the rows
+    // portion still reads footer-side with Nil stats columns, so a tracked
+    // table with an exotic stats column pays at most ONE aggregate job (for
+    // statsOf), never two (r13 ADVICE)
+    val statsViaFooter = needStats &&
+      FooterStats.supports(pdf.schema, statsByPhys, ltzAsInt64)
     val footer: Option[Map[String, (Long, Map[String, (String, String)])]] =
-      if ((!needStats && !needRows) ||
-          (needStats && !FooterStats.supports(pdf.schema, statsByPhys, ltzAsInt64)))
-        None
+      if (!statsViaFooter && !needRows) None
       else scala.util.Try(FooterStats.read(staged.map(_._1),
-        if (needStats) statsByPhys else Nil, pdf.schema, sessionZone,
+        if (statsViaFooter) statsByPhys else Nil, pdf.schema, sessionZone,
         p => stagedKey(p.toString))) match {
         case scala.util.Success(f) => Some(f)
         case scala.util.Failure(e) =>
@@ -789,7 +802,7 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
       }
     val statsOf: Map[String, Map[String, (String, String)]] =
       if (!needStats) Map.empty
-      else footer match {
+      else footer.filter(_ => statsViaFooter) match {
         case Some(f) => f.view.mapValues(_._2).toMap
         case None =>
           val aggs = statsByPhys.flatMap(c => Seq(

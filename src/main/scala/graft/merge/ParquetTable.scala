@@ -313,6 +313,20 @@ final class ParquetTable(spark: SparkSession, root: String, schema: StructType,
     new ParquetTable(spark, root, wider, bucketBy, keepVersions, checks, statsBy)
   }
 
+  /** All parquet basenames under `dir`, recursive (bucketed tables nest one
+    * `__bucket=K/` level) — the snapshot file set for the OCC classifier's
+    * bare-name FNF face. */
+  private def parquetBasenames(dir: Path): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    if (!Files.exists(dir)) Set.empty
+    else {
+      val s = Files.walk(dir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSet
+      finally s.close()
+    }
+  }
+
   private def listParquet(dir: Path): Set[String] = {
     import scala.jdk.CollectionConverters._
     if (!Files.exists(dir)) Set.empty
@@ -453,9 +467,14 @@ final class ParquetTable(spark: SparkSession, root: String, schema: StructType,
       // That is a conflict, not an error: retry against the new snapshot.
       // A log-backed deployment never hits this (data files are immutable
       // until VACUUM); it is the price of the directory-swap local form.
+      // The basename set of the snapshot THIS attempt stages from lets the
+      // classifier recognize an FNF face that carries only a bare filename
+      // (r13 ADVICE) without ever matching a foreign file's name.
+      val attemptFiles =
+        try parquetBasenames(current) catch { case _: Throwable => Set.empty[String] }
       val staged =
         try Some(stageMerge(batch)(f))
-        catch { case e: Throwable if snapshotVanished(e) => None }
+        catch { case e: Throwable if snapshotVanished(e, attemptFiles) => None }
       if (staged.exists(commitStaged)) return attempts
     }
     throw new IllegalStateException(
@@ -476,14 +495,21 @@ final class ParquetTable(spark: SparkSession, root: String, schema: StructType,
   // ROOT — a genuinely missing foreign path (mistyped source dir, a file
   // read inside the caller's merge function) is a real error, and retrying
   // it to exhaustion would surface as a misleading "writer storm".
-  private[merge] def snapshotVanished(e: Throwable): Boolean = {
+  // `snapshotFiles` (r13 ADVICE): the parquet BASENAMES of the snapshot the
+  // failed attempt staged from — an FNF whose message carries only a bare
+  // filename (no path) still classifies when that name is one of the files
+  // the attempt was reading, and ONLY then; a caller's foreign bare-name FNF
+  // can't match because its name is not in this table's snapshot.
+  private[merge] def snapshotVanished(e: Throwable,
+      snapshotFiles: Set[String] = Set.empty): Boolean = {
     val rootStr = rootPath.toAbsolutePath.toString
     def underRoot(m: String): Boolean = m.contains(rootStr)
     var c = e
     while (c != null) {
       val m = Option(c.getMessage).getOrElse("")
       val vanished = c match {
-        case _: java.io.FileNotFoundException => underRoot(m)
+        case _: java.io.FileNotFoundException =>
+          underRoot(m) || snapshotFiles.exists(n => m.contains(n))
         case st: org.apache.spark.SparkThrowable =>
           // by error class when carried; by the BRACKETED class marker in
           // the message otherwise (task-failure wrappers re-render the

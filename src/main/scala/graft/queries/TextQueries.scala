@@ -3677,6 +3677,12 @@ object TextQueries {
           lit(1)).otherwise(lit(0)).as("seed"))
       var t = seeds.withColumn("tr", col("seed").cast("long") * Scale)
         .localCheckpoint(true)
+      // vacuity guard (the d49 lesson): a regeneration that drops the digit
+      // suffix would make every row non-seed and the diffusion a green no-op;
+      // both engines degrade to non-seed identically (Spark NULL cast,
+      // DuckDB TRY_CAST), so a silent all-zero world is possible — refuse it
+      require(t.agg(sum(col("seed"))).head.getLong(0) > 0,
+        "d55 fixture vacuous: no seed sources (no trailing digits % 4 == 0)")
       (1 to 3).foreach { _ =>
         val contrib = edges
           .join(t.select(col("doc_id").as("a"), col("tr").as("tr_a")), "a")
@@ -3709,8 +3715,8 @@ object TextQueries {
          |deg AS (SELECT a, count(*) AS deg_a FROM sym GROUP BY a),
          |edges AS (SELECT s.a, s.b, d.deg_a FROM sym s JOIN deg d USING (a)),
          |t0 AS (SELECT doc_id,
-         |    CASE WHEN CAST(regexp_extract(source, '(\\d+)$$', 1) AS INTEGER) % 4 = 0 THEN 1 ELSE 0 END AS seed,
-         |    CAST(CASE WHEN CAST(regexp_extract(source, '(\\d+)$$', 1) AS INTEGER) % 4 = 0
+         |    CASE WHEN TRY_CAST(regexp_extract(source, '(\\d+)$$', 1) AS INTEGER) % 4 = 0 THEN 1 ELSE 0 END AS seed,
+         |    CAST(CASE WHEN TRY_CAST(regexp_extract(source, '(\\d+)$$', 1) AS INTEGER) % 4 = 0
          |              THEN 1000000 ELSE 0 END AS BIGINT) AS tr
          |  FROM documents),
          |${round("t0", "t1")},

@@ -45,10 +45,12 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     * (Quoted identifiers containing spaces fall outside the text patterns
     * entirely and always take the delegate path.) */
   private def isLogTable(name: String): Boolean =
-    org.apache.spark.sql.SparkSession.getActiveSession.exists(s =>
-      scala.util.Try(
-        SqlDml.resolveParts(s, parseMultipartIdentifier(name), "probe")
-      ).isSuccess)
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .exists(s =>
+        scala.util.Try(
+          SqlDml.resolveParts(s, parseMultipartIdentifier(name), "probe")
+        ).isSuccess)
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case OptimizeRe(t) => GraftOptimizeCommand(parseMultipartIdentifier(t))

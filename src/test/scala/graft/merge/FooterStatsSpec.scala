@@ -79,6 +79,37 @@ class FooterStatsSpec extends SparkSpec {
       _.getFileName.toString).head._2._1 == 3L)
   }
 
+  test("NaN-bearing float/double columns are served STAT-LESS, not with " +
+      "bounds that exclude the NaN (superset-safe vs the aggregate path)") {
+    // Spark 4.1's parquet writer emits "min/max not defined" (hasNonNullValue
+    // = false, num_nulls = 0) for any FP row group containing NaN — which the
+    // reader must treat as POISON (can't bound the group), not as an all-null
+    // group contributing nothing: merging only the finite groups would
+    // produce bounds that exclude NaN, and a hi=NaN range query could then
+    // wrongly prune a file whose NaN rows match. The aggregate path would
+    // have reported max = NaN (Spark orders NaN greatest); stat-less (never
+    // pruned) is the superset-safe footer rendering of the same file.
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1.5D, CAST(0.25 AS FLOAT), 10L),
+        |  (CAST('NaN' AS DOUBLE), CAST('NaN' AS FLOAT), 20L),
+        |  (-2.0D, CAST(8.5 AS FLOAT), 30L)
+        |AS t(d, f, k)""".stripMargin)
+    val dir = Files.createTempDirectory("fstats-nan-").toString
+    df.coalesce(1).write.mode("overwrite").parquet(dir)
+    val staged = stagedFiles(dir)
+    val (rows, got) = FooterStats.read(staged, Seq("d", "f", "k"), df.schema,
+      "UTC", _.getFileName.toString).head._2
+    assert(rows == 3L)
+    assert(!got.contains("d") && !got.contains("f"),
+      s"NaN-bearing FP columns must carry no footer stats, got $got")
+    // a NaN-free column in the same file still gets exact bounds
+    assert(got("k") == ("10", "30"))
+    // and supports() still admits FP — the guard is per-file at read time,
+    // so NaN-free FP stats columns keep the footer fast path
+    assert(FooterStats.supports(df.schema, Seq("d", "f"), ltzAsInt64 = true))
+  }
+
   test("supports() gates the LTZ timestamp on the int64 write mode and " +
       "rejects exotic types") {
     val s = StructType(Seq(

@@ -66,6 +66,35 @@ class LiquidClusteringSpec extends SparkSpec {
     assert(t.read().as[(Long, Long)].collect().toSet == grid.toSet)
   }
 
+  test("two NON-NUMERIC keys fall back to lexicographic clustering instead " +
+      "of throwing in the Morton quantile pass; leading-key pruning works") {
+    // the Morton path needs quantile-sketchable keys (approxQuantile);
+    // a (string, string) pair must take the lexicographic branch
+    // (LogTable guard, ADVICE r12) — same incremental contract, stats
+    // pruning on the leading key, content intact
+    val s = StructType(Seq(
+      StructField("a", StringType), StructField("b", StringType)))
+    val t = new LogTable(spark, tmp("lc-str-"), s, statsBy = Seq("a", "b"))
+    val rows = for (a <- 0 until 16; b <- 0 until 16)
+      yield (f"g$a%02d", f"h$b%02d")
+    val (r1, r2) = rows.partition { case (a, b) => (a.hashCode + b.hashCode) % 2 == 0 }
+    t.append(r1.toDF("a", "b").repartition(2))
+    assert(t.compactIncremental(Seq("a", "b"), targetFileBytes = 1024L) == 2)
+    val gen1 = t.liveFileNames().toSet
+    t.append(r2.toDF("a", "b").repartition(2))
+    assert(t.compactIncremental(Seq("a", "b"), targetFileBytes = 1024L) == 2)
+    assert(gen1.subsetOf(t.liveFileNames().toSet),
+      "gen-1 files must be kept byte-identical")
+    assert(t.compactIncremental(Seq("a", "b"), targetFileBytes = 1024L) == 0)
+    val live = t.liveFileNames().size
+    assert(live >= 4, s"fixture too coarse to show pruning ($live files)")
+    val hitA = t.readRange("a", lit("g00"), lit("g03"))
+    assert(hitA.inputFiles.length < live,
+      s"leading-key slice must prune (${hitA.inputFiles.length} of $live)")
+    assert(hitA.count() == 4 * 16)
+    assert(t.read().as[(String, String)].collect().toSet == rows.toSet)
+  }
+
   test("DV composition: deletes on rewritten files materialize; deletes on " +
       "kept clustered files keep applying through the passed-through sidecar") {
     val t = new LogTable(spark, tmp("lc-dv-"), s2)

@@ -207,4 +207,27 @@ class OccSpec extends SparkSpec {
     assert(!t.snapshotVanished(new RuntimeException(
       "my job failed; see PATH_NOT_FOUND docs")))
   }
+
+  test("snapshotVanished's bare-name FNF face: classified when the name is " +
+      "in the attempt's snapshot, foreign bare names still surface") {
+    val root = tmp("occ-barename-")
+    val t = new ParquetTable(spark, root, s2)
+    // an FNF raised with ONLY a basename (no path) — e.g. a local-fs layer
+    // that formats "name (No such file or directory)" — classifies iff the
+    // name belongs to the snapshot the failed attempt staged from (r13
+    // ADVICE: the root-path requirement alone would skip the OCC retry and
+    // fail a concurrent writer spuriously)
+    val snapNames = Set("part-00000-abc.snappy.parquet")
+    assert(t.snapshotVanished(new RuntimeException("wrap",
+      new java.io.FileNotFoundException(
+        "part-00000-abc.snappy.parquet (No such file or directory)")),
+      snapNames))
+    // a caller's foreign bare-name FNF is NOT in the snapshot set → real error
+    assert(!t.snapshotVanished(new RuntimeException("wrap",
+      new java.io.FileNotFoundException(
+        "sideinput.parquet (No such file or directory)")), snapNames))
+    // default (no snapshot set) keeps the strict r12 contract
+    assert(!t.snapshotVanished(new java.io.FileNotFoundException(
+      "part-00000-abc.snappy.parquet (No such file or directory)")))
+  }
 }
