@@ -235,6 +235,117 @@ object Scratch {
         fwd.join(rev, Seq("id_a", "id_b")).filter(col("id_a") < col("id_b")).count()
       }
       (1 to 2).foreach { i => timed(s"v17 nlist=$nlist run$i")(println(s"edges=${mutual()}")) }
+    } else if (args.headOption.contains("clusterworld")) {
+      // Materialize a CLUSTERABLE embedding corpus (the 100 TB-realistic
+      // case the r13 verdict asked to measure: real embedding corpora have
+      // cluster structure; the driver testdata is deliberately near-uniform
+      // on the sphere, which forces nprobe ∝ nlist at fixed recall and makes
+      // the kNN build O(n²/50) — COVERAGE r12/r13). Deterministic, no RNG:
+      // G = n/50 planted clusters; center c_g = normalized hash-derived
+      // point; vector = normalize(c_g + σ·u) with σ = 0.16 giving
+      // within-cluster cosine ≈ 0.8 (vs the corpus's cross-cluster ~0±0.1)
+      // — the separation regime of real sentence-embedding corpora. Schema
+      // matches the driver's embeddings.parquet (vec_id, array<float>,
+      // label = cluster id). Usage: Scratch clusterworld <outDir> <n>
+      val out = args(1)
+      val n = args(2).toLong
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      val noisy = graft.sources.SyntheticEmbeddings.generate(spark, n)
+      val tmp = java.nio.file.Files.createTempDirectory("cw-")
+      noisy.orderBy(col("vec_id")).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val f = java.nio.file.Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(f,
+        java.nio.file.Paths.get(out, "embeddings.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      println(s"[clusterworld] wrote $out/embeddings.parquet n=$n " +
+        s"clusters=${graft.sources.SyntheticEmbeddings.clusterCount(n, 50)}")
+    } else if (args.headOption.contains("clusterbuild")) {
+      // The r14 headline measurement: the graph-ANN BUILD class on a
+      // clusterable corpus, with the v32 margin rule choosing nprobe
+      // per-query instead of the unclusterable world's nprobe ∝ nlist.
+      // Reports build wall time (cold + warm), mean n_probed (the
+      // mechanism: ~1 on clusterable data), edge-truth recall, beam recall
+      // over the base graph, and the v36-class insert+beam recall — run at
+      // n and 10n, the time ratio is the linearity evidence (r6 method).
+      // Usage: Scratch clusterbuild <dir> [maxProbe] [delta]
+      import graft.functions.VectorFunctions
+      import graft.operators.Similarity
+      import org.apache.spark.sql.expressions.Window
+      VectorFunctions.register(spark)
+      val dir = args(1)
+      val maxProbe = args.lift(2).map(_.toInt).getOrElse(6)
+      val delta = args.lift(3).map(_.toDouble).getOrElse(0.10)
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      val n = emb.count()
+      val nlist = math.max(16L, n / 50).toInt
+      println(s"[clusterbuild] dir=$dir n=$n nlist=$nlist maxProbe=$maxProbe delta=$delta")
+      def knnAdaptive(nodes: org.apache.spark.sql.DataFrame) =
+        Similarity.adaptiveIvfTopK(nodes, nodes, VectorFunctions.cosineSim,
+          k = 5, nlist = nlist, maxProbe = maxProbe, delta = delta)
+      var knn: org.apache.spark.sql.DataFrame = null
+      (1 to 2).foreach { i =>
+        timed(s"v17-class adaptive kNN build run$i (n=$n)") {
+          knn = knnAdaptive(emb).localCheckpoint(true)
+        }
+      }
+      val probedAvg = knn.agg(avg(col("n_probed"))).head.getDouble(0)
+      val mutual = {
+        val fwd = knn.select(col("query_id").as("a"), col("vec_id").as("b"))
+        val rev = knn.select(col("query_id").as("b"), col("vec_id").as("a"))
+        fwd.join(rev, Seq("a", "b")).filter(col("a") < col("b")).count()
+      }
+      println(f"[clusterbuild] mean n_probed=$probedAvg%.2f mutual_edges=$mutual")
+      // recall panel: 40 deterministic queries, brute-force truth @3
+      val K = 3
+      val qPred = pmod(col("vec_id"), lit(53)) === 0 && col("vec_id") <= lit(53L * 40)
+      val queries = emb.filter(qPred)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+        .localCheckpoint(true)
+      val truth = Similarity.bruteForceTopK(emb.filter(qPred), emb,
+          VectorFunctions.cosineSim, k = K)
+        .select(col("query_id"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val q = queries.count()
+      val edges = knn.select(col("query_id").as("src"), col("vec_id").as("dst"),
+        col("cos")).localCheckpoint(true)
+      val edgeHits = edges.select(col("src"), col("dst")).collect()
+        .count(r => truth.contains((r.getLong(0), r.getLong(1))))
+      println(s"[clusterbuild] truth pairs in kNN edges: $edgeHits / ${truth.size}")
+      // v36-class: CONSTANT beam over the base graph (the clusterable-world
+      // claim: parameters stop needing to scale with n)
+      val stride = math.max(1L, n / nlist)
+      val entries = emb.filter(pmod(col("vec_id"), lit(stride)) === 0)
+        .orderBy(col("vec_id")).limit(nlist).select(col("vec_id"))
+        .localCheckpoint(true)
+      def beamRecall(tag: String, es: org.apache.spark.sql.DataFrame): Unit = {
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        val hits = Similarity.beamSearchVisited(emb,
+            es.select(col("src"), col("dst")), queries,
+            queries.select(col("query_id")).crossJoin(entries), 8, 4)
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("rank", row_number().over(w)).filter(col("rank") <= K)
+          .select(col("query_id"), col("vec_id")).collect()
+          .count(r => truth.contains((r.getLong(0), r.getLong(1))))
+        println(s"[clusterbuild] $tag beam recall(B=8): $hits / ${q * K}")
+      }
+      beamRecall("base graph", edges)
+      // insert path: hold out 1/9, build base over the rest, grow
+      val isNew = pmod(col("vec_id"), lit(9)) === 4
+      val baseNodes = emb.filter(!isNew).localCheckpoint(true)
+      var grown: org.apache.spark.sql.DataFrame = null
+      timed(s"v36-class base+insert (n=$n)") {
+        val baseEdges = knnAdaptive(baseNodes)
+          .select(col("query_id").as("src"), col("vec_id").as("dst"), col("cos"))
+          .localCheckpoint(true)
+        grown = Similarity.graphInsert(baseNodes, baseEdges, emb.filter(isNew),
+          entries, beam = 8, rounds = 3, m = 5, outDegree = 5)
+          .localCheckpoint(true)
+      }
+      beamRecall("grown graph", grown)
     } else if (args.headOption.contains("sf1dir")) {
       // Materialize a PERSISTED sf1 replica dir (10x sf0.1, all tables) for
       // the full-suite 10x bench: key-shifted replicas keep every join/

@@ -535,19 +535,23 @@ object Similarity {
     val c = corpus
       .withColumn("cell", element_at(topCells(col("embedding"), 1), 1).getField("cell"))
       .select(col("vec_id"), col("embedding").as("c_vec"), col("cell"))
-    val aff = queries
-      .withColumn("probe", explode(topCells(col("embedding"), nlist)))
+    // BOUNDED probe decision (r14): the margin rule only ever admits cells
+    // within `delta` of the rank-1 affinity, capped at `maxProbe` — so the
+    // top-maxProbe array from the native NearestCellsExpr (sorted a DESC,
+    // cell DESC, the same total order the previous explode+window used)
+    // already contains every admissible cell. Filtering that ≤maxProbe-
+    // element array per row replaces the old queries×nlist explode + two
+    // window passes — an O(n·nlist) SHUFFLE that at scaled nlist (∝ n) was
+    // itself a quadratic stage — with per-row work only; results are
+    // bit-identical (rank 1 always passes the margin test since delta ≥ 0).
+    val probes = queries
+      .withColumn("arr", topCells(col("embedding"), maxProbe))
+      .withColumn("parr", filter(col("arr"), x =>
+        x.getField("a") >= element_at(col("arr"), 1).getField("a") - lit(delta)))
+      .withColumn("n_probed", size(col("parr")))
+      .withColumn("probe", explode(col("parr")))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"),
-        col("probe.cell").as("cell"), col("probe.a").as("aff"))
-    val wq = Window.partitionBy(col("query_id"))
-    val probes = aff
-      .withColumn("rn", row_number().over(
-        wq.orderBy(col("aff").desc, col("cell").desc)))
-      .withColumn("a1", max(col("aff")).over(wq))
-      .filter(col("rn") <= maxProbe &&
-        (col("rn") === 1 || col("aff") >= col("a1") - lit(delta)))
-      .withColumn("n_probed", count(lit(1)).over(wq).cast("int"))
-      .select(col("query_id"), col("q_vec"), col("cell"), col("n_probed"))
+        col("probe.cell").as("cell"), col("n_probed"))
     val cand = probes.join(c, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
     val scored = cand.withColumn("cos", round(cos(col("q_vec"), col("c_vec")), 6))

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.VectorFunctions
+import graft.sources.SyntheticEmbeddings
+
+/** Pins the MECHANISM behind the r14 scaling evidence (COVERAGE "Scaling
+  * evidence (r14)"): on a corpus with real cluster structure the v32
+  * margin rule keeps the probe width a small CONSTANT (it admits only cells
+  * within delta of the rank-1 affinity — on separated data that is the
+  * query's own cluster plus its stride-sample aliases), so the kNN-graph
+  * build does ~perCell·n_probed candidate scores per vector — linear in n —
+  * while recall holds. On the deliberately unclusterable driver testdata
+  * the same build needs nprobe ∝ nlist (the documented O(n²/50) class);
+  * the difference is the DATA, and this spec pins the clusterable half so
+  * a regression in the margin rule, the generator, or NearestCellsExpr
+  * turns the scaling claim red instead of silently eroding it. */
+class AdaptiveClusterSpec extends SparkSpec {
+
+  test("generator is deterministic and plants separated clusters") {
+    val a = SyntheticEmbeddings.generate(spark, 200).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+      .sortBy(_._1)
+    val b = SyntheticEmbeddings.generate(spark, 200).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+      .sortBy(_._1)
+    assert(a.toSeq == b.toSeq, "two generate calls must agree bit-for-bit")
+    // separation: within-cluster cosine must sit clear above cross-cluster
+    val vecs = a.map { case (_, v, lab) => (lab, v.map(_.toDouble).toArray) }
+    def cos(x: Array[Double], y: Array[Double]): Double =
+      x.zip(y).map { case (p, q) => p * q }.sum /
+        (math.sqrt(x.map(p => p * p).sum) * math.sqrt(y.map(q => q * q).sum))
+    val pairs = for {
+      i <- vecs.indices; j <- (i + 1) until vecs.length
+    } yield (vecs(i)._1 == vecs(j)._1, cos(vecs(i)._2, vecs(j)._2))
+    val within = pairs.collect { case (true, c) => c }
+    val cross = pairs.collect { case (false, c) => c }
+    assert(within.nonEmpty && cross.nonEmpty)
+    val wMin = within.min
+    val cP99 = cross.sorted.apply((cross.size * 99) / 100 - 1)
+    assert(wMin > 0.45, s"within-cluster floor too low: $wMin")
+    assert(cP99 < 0.35, s"cross-cluster p99 too high: $cP99")
+  }
+
+  test("margin rule probes a small constant cell count on clusterable " +
+      "data and the kNN edges keep brute-force truth") {
+    VectorFunctions.register(spark)
+    val n = 1000L
+    val emb = SyntheticEmbeddings.generate(spark, n)
+      .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    val nlist = SyntheticEmbeddings.clusterCount(n, 50) // 20
+    val knn = Similarity.adaptiveIvfTopK(emb, emb, VectorFunctions.cosineSim,
+      k = 5, nlist = nlist, maxProbe = 6, delta = 0.10).localCheckpoint(true)
+    val probed = knn.select(col("query_id"), col("n_probed")).distinct()
+      .agg(avg(col("n_probed"))).head.getDouble(0)
+    assert(probed <= 3.5,
+      s"margin rule must stay ~constant on clusterable data, probed=$probed")
+    // truth recall of the directed kNN edges on a deterministic panel
+    val qPred = pmod(col("vec_id"), lit(13)) === 0
+    val truth = Similarity.bruteForceTopK(emb.filter(qPred), emb,
+        VectorFunctions.cosineSim, k = 3)
+      .select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = knn.select(col("query_id"), col("vec_id")).collect()
+      .count(r => truth.contains((r.getLong(0), r.getLong(1))))
+    assert(truth.size >= 100, s"panel too small: ${truth.size}")
+    assert(hits >= (truth.size * 7) / 10,
+      s"edge recall band broken: $hits / ${truth.size}")
+  }
+}
