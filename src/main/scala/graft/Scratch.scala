@@ -277,14 +277,22 @@ object Scratch {
       val dir = args(1)
       val maxProbe = args.lift(2).map(_.toInt).getOrElse(6)
       val delta = args.lift(3).map(_.toDouble).getOrElse(0.10)
+      val probeSupers = args.lift(4).map(_.toInt).getOrElse(0)
+      // repartition BEFORE checkpointing: the fixture is one parquet file,
+      // so the scan is a single partition and localCheckpoint preserves it —
+      // every per-row stage (the O(nlist·dims) assignment especially) would
+      // run in ONE task (observed: the 200k run sat at load 1 for 25+ min)
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+        .select(col("vec_id"), col("embedding"))
+        .repartition(32).localCheckpoint(true)
       val n = emb.count()
       val nlist = math.max(16L, n / 50).toInt
-      println(s"[clusterbuild] dir=$dir n=$n nlist=$nlist maxProbe=$maxProbe delta=$delta")
+      println(s"[clusterbuild] dir=$dir n=$n nlist=$nlist maxProbe=$maxProbe " +
+        s"delta=$delta probeSupers=$probeSupers")
       def knnAdaptive(nodes: org.apache.spark.sql.DataFrame) =
         Similarity.adaptiveIvfTopK(nodes, nodes, VectorFunctions.cosineSim,
-          k = 5, nlist = nlist, maxProbe = maxProbe, delta = delta)
+          k = 5, nlist = nlist, maxProbe = maxProbe, delta = delta,
+          probeSupers = probeSupers)
       var knn: org.apache.spark.sql.DataFrame = null
       (1 to 2).foreach { i =>
         timed(s"v17-class adaptive kNN build run$i (n=$n)") {
@@ -336,16 +344,50 @@ object Scratch {
       // insert path: hold out 1/9, build base over the rest, grow
       val isNew = pmod(col("vec_id"), lit(9)) === 4
       val baseNodes = emb.filter(!isNew).localCheckpoint(true)
-      var grown: org.apache.spark.sql.DataFrame = null
-      timed(s"v36-class base+insert (n=$n)") {
-        val baseEdges = knnAdaptive(baseNodes)
+      var baseEdges: org.apache.spark.sql.DataFrame = null
+      timed(s"v36-class base build (n=$n)") {
+        baseEdges = knnAdaptive(baseNodes)
           .select(col("query_id").as("src"), col("vec_id").as("dst"), col("cos"))
           .localCheckpoint(true)
+      }
+      var grown: org.apache.spark.sql.DataFrame = null
+      timed(s"v36-class insert all-entries seed (n=$n)") {
         grown = Similarity.graphInsert(baseNodes, baseEdges, emb.filter(isNew),
           entries, beam = 8, rounds = 3, m = 5, outDegree = 5)
           .localCheckpoint(true)
       }
-      beamRecall("grown graph", grown)
+      beamRecall("grown graph (all-entries seed)", grown)
+      // IVF-ROUTED insert seeds (the SPANN-style hybrid): one entry node per
+      // cell, each insert seeds only its margin-rule probe cells' entries —
+      // seeds O(n_probed) per insert instead of |entries|, the linear form
+      var grownR: org.apache.spark.sql.DataFrame = null
+      // cell assignment + per-cell entry node are INDEX METADATA (the
+      // persisted IVF index — VectorIndex — stores the assignment; a real
+      // deployment amortizes it across every insert batch), so they sit
+      // outside the per-batch insert timing
+      val cents = Similarity.strideCentroids(baseNodes, nlist)
+      val tc =
+        if (probeSupers <= 0) Similarity.topCellsOf(cents, VectorFunctions.cosineSim) _
+        else Similarity.topCellsHierarchical(cents, probeSupers) _
+      val entryPerCell = baseNodes
+        .withColumn("cell", element_at(tc(col("embedding"), 1), 1).getField("cell"))
+        .groupBy(col("cell")).agg(min(col("vec_id")).as("vec_id"))
+        .localCheckpoint(true)
+      timed(s"v36-class insert ivf-routed seed (n=$n)") {
+        val seedsFor: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+          q => q
+            .withColumn("arr", tc(col("q_vec"), maxProbe))
+            .withColumn("parr", expr(
+              s"filter(arr, x -> x.a >= element_at(arr, 1).a - $delta)"))
+            .withColumn("probe", explode(col("parr")))
+            .select(col("query_id"), col("probe.cell").as("cell"))
+            .join(entryPerCell, Seq("cell"))
+            .select(col("query_id"), col("vec_id"))
+        grownR = Similarity.graphInsertSeeded(baseNodes, baseEdges,
+          emb.filter(isNew), seedsFor, beam = 8, rounds = 3, m = 5,
+          outDegree = 5).localCheckpoint(true)
+      }
+      beamRecall("grown graph (ivf-routed seed)", grownR)
     } else if (args.headOption.contains("sf1dir")) {
       // Materialize a PERSISTED sf1 replica dir (10x sf0.1, all tables) for
       // the full-suite 10x bench: key-shifted replicas keep every join/

@@ -527,10 +527,18 @@ object Similarity {
   def adaptiveIvfTopK(queries: DataFrame, corpus: DataFrame,
                       cos: (Column, Column) => Column, k: Int,
                       nlist: Int = 16, maxProbe: Int = 6,
-                      delta: Double = 0.10): DataFrame = {
+                      delta: Double = 0.10, probeSupers: Int = 0): DataFrame = {
     VectorFunctions.register(corpus.sparkSession)
     val centroids = strideCentroids(corpus, nlist)
-    val topCells = topCellsOf(centroids, cos) _
+    // probeSupers > 0 routes assignment through the two-level O(√nlist)
+    // path ([[topCellsHierarchical]], the Dedup.simClusters pattern): at
+    // scaled nlist (∝ n) the flat per-row O(nlist·dims) scan is itself a
+    // quadratic build term — measured at the 100× clusterable point
+    // (COVERAGE r14); two-level returns the build to ~linear. Default 0
+    // keeps the oracle-verified flat assignment (v32/v32b).
+    val topCells =
+      if (probeSupers <= 0) topCellsOf(centroids, cos) _
+      else topCellsHierarchical(centroids, probeSupers) _
 
     val c = corpus
       .withColumn("cell", element_at(topCells(col("embedding"), 1), 1).getField("cell"))
@@ -902,8 +910,26 @@ object Similarity {
     * on drift. Returns the grown edge set (src, dst, cos). */
   def graphInsert(corpus: DataFrame, edges: DataFrame, batch: DataFrame,
                   entries: DataFrame, beam: Int = 8, rounds: Int = 3,
-                  m: Int = 5, outDegree: Int = 5): DataFrame = {
-    val (fwd, rev) = insertEdges(corpus, edges, batch, entries, beam, rounds, m)
+                  m: Int = 5, outDegree: Int = 5): DataFrame =
+    graphInsertSeeded(corpus, edges, batch,
+      q => q.select(col("query_id")).crossJoin(entries), beam, rounds, m,
+      outDegree)
+
+  /** [[graphInsert]] with CALLER-ROUTED seeds: `seedsFor` maps the fresh
+    * batch queries `(query_id, q_vec)` to the `(query_id, vec_id)` seed
+    * relation each insert's beam starts from. The default insert seeds
+    * every insert from EVERY entry (crossJoin) — correct on any graph, but
+    * |batch|×|entries| seed scores is itself a super-linear build term when
+    * both scale with the corpus (measured at the 100× clusterable point,
+    * COVERAGE r14). IVF margin-rule routing (seed only the entries of the
+    * insert's probed cells — the SPANN-style IVF+graph hybrid, composed in
+    * `Scratch clusterbuild`) makes seeds O(n_probed) per insert and returns
+    * the insert stage to ~linear with the recall band held. */
+  def graphInsertSeeded(corpus: DataFrame, edges: DataFrame, batch: DataFrame,
+                        seedsFor: DataFrame => DataFrame, beam: Int = 8,
+                        rounds: Int = 3, m: Int = 5,
+                        outDegree: Int = 5): DataFrame = {
+    val (fwd, rev) = insertEdges(corpus, edges, batch, seedsFor, beam, rounds, m)
     val ws = Window.partitionBy(col("src"))
       .orderBy(col("pri"), col("cos").desc, col("dst"))
     edges.withColumn("pri", lit(1)).unionByName(rev)
@@ -917,7 +943,7 @@ object Similarity {
     * the rank-1 connection's priority seat (pri 0) — the deterministic
     * HNSW neighbor-shrink input. */
   private def insertEdges(corpus: DataFrame, edges: DataFrame,
-                          batch: DataFrame, entries: DataFrame,
+                          batch: DataFrame, seedsFor: DataFrame => DataFrame,
                           beam: Int, rounds: Int,
                           m: Int): (DataFrame, DataFrame) = {
     val fresh = batch
@@ -925,7 +951,7 @@ object Similarity {
     val newQ = fresh.select(col("vec_id").as("query_id"),
       col("embedding").as("q_vec"))
     val visited = beamSearchVisited(corpus, edges.select(col("src"), col("dst")),
-      newQ, newQ.select(col("query_id")).crossJoin(entries), beam, rounds)
+      newQ, seedsFor(newQ), beam, rounds)
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     val conn = visited.withColumn("rn", row_number().over(wq))
@@ -960,7 +986,8 @@ object Similarity {
   def graphInsertDelta(corpus: DataFrame, edges: DataFrame, batch: DataFrame,
                        entries: DataFrame, beam: Int = 8, rounds: Int = 3,
                        m: Int = 5, outDegree: Int = 5): DataFrame = {
-    val (fwd, rev) = insertEdges(corpus, edges, batch, entries, beam, rounds, m)
+    val (fwd, rev) = insertEdges(corpus, edges, batch,
+      q => q.select(col("query_id")).crossJoin(entries), beam, rounds, m)
     val touched = rev.select(col("src")).distinct()
     // existing out-edges of touched srcs only — a keyed semi-join against
     // the edge relation (src-pruned under a bucketed layout), not a scan
