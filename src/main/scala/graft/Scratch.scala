@@ -243,10 +243,12 @@ object Scratch {
       // the kNN build O(n²/50) — COVERAGE r12/r13). Deterministic, no RNG:
       // G = n/50 planted clusters; center c_g = normalized hash-derived
       // point; vector = normalize(c_g + σ·u) with σ = 0.16 giving
-      // within-cluster cosine ≈ 0.8 (vs the corpus's cross-cluster ~0±0.1)
-      // — the separation regime of real sentence-embedding corpora. Schema
-      // matches the driver's embeddings.parquet (vec_id, array<float>,
-      // label = cluster id). Usage: Scratch clusterworld <outDir> <n>
+      // within-cluster cosine ≈ 0.55–0.74 (floor 0.45; cross-cluster p99
+      // < 0.35 — SyntheticEmbeddings' probe-verified range, pinned by
+      // AdaptiveClusterSpec) — the separation regime of real
+      // sentence-embedding corpora. Schema matches the driver's
+      // embeddings.parquet (vec_id, array<float>, label = cluster id).
+      // Usage: Scratch clusterworld <outDir> <n>
       val out = args(1)
       val n = args(2).toLong
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
@@ -259,6 +261,10 @@ object Scratch {
       java.nio.file.Files.move(f,
         java.nio.file.Paths.get(out, "embeddings.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // drop the staging leftovers (_SUCCESS, CRCs) — only the moved part
+      // file matters (r14 ADVICE)
+      java.nio.file.Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
       println(s"[clusterworld] wrote $out/embeddings.parquet n=$n " +
         s"clusters=${graft.sources.SyntheticEmbeddings.clusterCount(n, 50)}")
     } else if (args.headOption.contains("clusterbuild")) {

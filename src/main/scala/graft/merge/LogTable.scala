@@ -358,8 +358,8 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
       case d =>
         // same discipline as snapCache: a full-rewrite Delta holds the whole
         // file set, so a long-lived handle over thousands of commits would
-        // otherwise accumulate unbounded driver heap (r13 ADVICE)
-        if (deltaCache.size > 256) deltaCache.clear()
+        // otherwise accumulate unbounded driver heap (r13 ADVICE); LRU keeps
+        // the hot tail resident instead of periodically dropping it (r14)
         deltaCache.put(v, d); d
     }
   }
@@ -478,7 +478,6 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
           -- constraintDrop.toSeq,
         ts, newHwm, tracked,
         prev.map(_.features).getOrElse(Set.empty) ++ featureAdd)
-      if (snapCache.size > 64) snapCache.clear()
       snapCache.put(v, committed)
       if (v % checkpointInterval == 0) writeCheckpoint(committed)
     }
@@ -568,13 +567,27 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
     * resolutions keep identical semantics while skipping the re-fold and
     * the tail-manifest re-parse — O(1) manifest parses per resolution
     * instead of O(commits), which is what matters when the log lives on
-    * object storage (r13). Bounded: the snapshot cache clears past 64
-    * entries (each holds a full file list); the delta cache clears past 256
-    * (most deltas are small, but a full-rewrite delta holds the whole file
-    * set — unbounded growth over a long-lived handle is a leak, r13 ADVICE). */
-  private val snapCache = new java.util.concurrent.ConcurrentHashMap[Long, Snapshot]()
-  private val deltaCache = new java.util.concurrent.ConcurrentHashMap[Long, Delta]()
-  private[merge] def cachedDeltas: Int = deltaCache.size()
+    * object storage (r13). Bounded LRU (r14 ADVICE — the earlier
+    * clear-past-N dropped the WHOLE cache, so a handle oscillating around
+    * the bound, e.g. versionAtTimestamp walking a long log, thrashed every
+    * hot entry): access-order eviction of the oldest entry keeps recent
+    * deltas/snapshots resident. Snapshots bound at 64 (each holds a full
+    * file list); deltas at 256 (most are small, but a full-rewrite delta
+    * holds the whole file set — unbounded growth over a long-lived handle
+    * is a leak, r13 ADVICE). */
+  private final class LruCache[K, V](bound: Int) {
+    private val m = java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+          size() > bound
+      })
+    def get(k: K): V = m.get(k)
+    def put(k: K, v: V): Unit = m.put(k, v)
+    def size: Int = m.size()
+  }
+  private val snapCache = new LruCache[Long, Snapshot](64)
+  private val deltaCache = new LruCache[Long, Delta](256)
+  private[merge] def cachedDeltas: Int = deltaCache.size
 
   /** Fold the log to the state as of version `v`: newest checkpoint ≤ v,
     * then at most `checkpointInterval` delta replays. Throws (require) when
@@ -598,7 +611,6 @@ final class LogTable(spark: SparkSession, root: String, schema: StructType,
               Snapshot(0L, Seq.empty, Seq.empty, schema, Map.empty, Map.empty, 0L))(
             (s, x) => applyDelta(s, readDelta(x)))
       }
-      if (snapCache.size > 64) snapCache.clear()
       snapCache.put(v, folded)
       folded
     }

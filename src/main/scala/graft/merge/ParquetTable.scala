@@ -426,7 +426,9 @@ final class ParquetTable(spark: SparkSession, root: String, schema: StructType,
     * staging tree WITHOUT committing. Unbucketed tables only (a bucketed
     * conflict check must compare touched-bucket sets — the commit-log
     * design, out of scope with the same argument as time travel). */
-  def stageMerge(batch: DataFrame)(f: (DataFrame, DataFrame) => DataFrame): Staged = {
+  def stageMerge(batch: DataFrame,
+                 onSnapshot: Set[String] => Unit = _ => ())
+                (f: (DataFrame, DataFrame) => DataFrame): Staged = {
     require(bucketBy.isEmpty,
       "OCC staging needs an unbucketed table: bucketed conflict detection " +
         "compares touched-bucket sets, which needs a commit log (see scaladoc)")
@@ -434,6 +436,12 @@ final class ParquetTable(spark: SparkSession, root: String, schema: StructType,
       "OCC staging needs an unversioned table: multi-writer version " +
         "identity needs the commit log (same argument as time travel)")
     val expected = commitToken
+    // basename capture sits right against read()'s file-index resolution
+    // inside writeTo's plan (r14 ADVICE): a swap landing between occMerge's
+    // loop prologue and here would otherwise leave the classifier holding a
+    // basename set from a snapshot this attempt never read
+    onSnapshot(
+      try parquetBasenames(current) catch { case _: Throwable => Set.empty[String] })
     // occSeq (JVM-wide), not `gen`: sibling writer handles count gen from
     // the same directory listing and would collide on the staging name
     val suffix = s"occ${ParquetTable.occSeq.incrementAndGet()}"
@@ -469,12 +477,13 @@ final class ParquetTable(spark: SparkSession, root: String, schema: StructType,
       // until VACUUM); it is the price of the directory-swap local form.
       // The basename set of the snapshot THIS attempt stages from lets the
       // classifier recognize an FNF face that carries only a bare filename
-      // (r13 ADVICE) without ever matching a foreign file's name.
+      // (r13 ADVICE) without ever matching a foreign file's name. stageMerge
+      // captures the set at the moment its read() resolves (r14 ADVICE).
       val attemptFiles =
-        try parquetBasenames(current) catch { case _: Throwable => Set.empty[String] }
+        new java.util.concurrent.atomic.AtomicReference(Set.empty[String])
       val staged =
-        try Some(stageMerge(batch)(f))
-        catch { case e: Throwable if snapshotVanished(e, attemptFiles) => None }
+        try Some(stageMerge(batch, attemptFiles.set)(f))
+        catch { case e: Throwable if snapshotVanished(e, attemptFiles.get) => None }
       if (staged.exists(commitStaged)) return attempts
     }
     throw new IllegalStateException(
@@ -504,12 +513,30 @@ final class ParquetTable(spark: SparkSession, root: String, schema: StructType,
       snapshotFiles: Set[String] = Set.empty): Boolean = {
     val rootStr = rootPath.toAbsolutePath.toString
     def underRoot(m: String): Boolean = m.contains(rootStr)
+    // TOKEN-boundary mention (r14 ADVICE): a snapshot basename must appear
+    // bounded by non-filename characters (or string edges) — a caller-side
+    // error whose text merely embeds the basename inside a longer token
+    // (`...part-0001.parquet.bak`, `prefix-part-0001.parquet`) is NOT a
+    // mention of the snapshot file and must not classify as a conflict.
+    def nameChar(ch: Char): Boolean =
+      ch.isLetterOrDigit || ch == '.' || ch == '_' || ch == '-'
+    def mentionsName(m: String, n: String): Boolean = {
+      var idx = m.indexOf(n)
+      while (idx >= 0) {
+        val before = idx == 0 || !nameChar(m.charAt(idx - 1))
+        val end = idx + n.length
+        val after = end >= m.length || !nameChar(m.charAt(end))
+        if (before && after) return true
+        idx = m.indexOf(n, idx + 1)
+      }
+      false
+    }
     var c = e
     while (c != null) {
       val m = Option(c.getMessage).getOrElse("")
       val vanished = c match {
         case _: java.io.FileNotFoundException =>
-          underRoot(m) || snapshotFiles.exists(n => m.contains(n))
+          underRoot(m) || snapshotFiles.exists(n => mentionsName(m, n))
         case st: org.apache.spark.SparkThrowable =>
           // by error class when carried; by the BRACKETED class marker in
           // the message otherwise (task-failure wrappers re-render the

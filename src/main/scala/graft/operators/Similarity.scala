@@ -528,6 +528,11 @@ object Similarity {
                       cos: (Column, Column) => Column, k: Int,
                       nlist: Int = 16, maxProbe: Int = 6,
                       delta: Double = 0.10, probeSupers: Int = 0): DataFrame = {
+    // the bounded margin filter's "rank 1 always passes" invariant (which
+    // replaced the explicit `rn === 1 ||` escape hatch) holds only for
+    // delta >= 0: a negative (or NaN) delta could empty a query's probe
+    // array and silently drop it from the output (r14 ADVICE)
+    require(delta >= 0, s"adaptiveIvfTopK needs delta >= 0, got $delta")
     VectorFunctions.register(corpus.sparkSession)
     val centroids = strideCentroids(corpus, nlist)
     // probeSupers > 0 routes assignment through the two-level O(√nlist)

@@ -39,6 +39,11 @@ class LogCacheBoundSpec extends SparkSpec {
     assert(latest == commits.toLong)
     assert(r.cachedDeltas <= 256,
       s"deltaCache leaked on the manifest walk: ${r.cachedDeltas} entries")
+    // LRU, not clear-all (r14 ADVICE): after walking every manifest the
+    // cache holds exactly the bound — the newest 256 survive; the earlier
+    // wholesale clear left only the post-clear remnant (280-256 = 24 here)
+    assert(r.cachedDeltas == 256,
+      s"expected the LRU to retain the full bound, got ${r.cachedDeltas}")
     // and the bounded cache did not change semantics
     assert(r.history().size == commits)
     assert(r.read().count() == 0L)

@@ -229,5 +229,41 @@ class OccSpec extends SparkSpec {
     // default (no snapshot set) keeps the strict r12 contract
     assert(!t.snapshotVanished(new java.io.FileNotFoundException(
       "part-00000-abc.snappy.parquet (No such file or directory)")))
+    // TOKEN boundary (r14 ADVICE): the snapshot name embedded inside a
+    // LONGER filename token is a different file — a caller-side error about
+    // its own artifact must not read as a conflict
+    assert(!t.snapshotVanished(new java.io.FileNotFoundException(
+      "backup-part-00000-abc.snappy.parquet (No such file or directory)"),
+      snapNames))
+    assert(!t.snapshotVanished(new java.io.FileNotFoundException(
+      "part-00000-abc.snappy.parquet.bak (No such file or directory)"),
+      snapNames))
+    // but ordinary delimiters (path separators, quotes, spaces, string
+    // edges) around the exact name still classify
+    assert(t.snapshotVanished(new java.io.FileNotFoundException(
+      "File 'some/dir/part-00000-abc.snappy.parquet' does not exist"),
+      snapNames))
+    assert(t.snapshotVanished(new java.io.FileNotFoundException(
+      "part-00000-abc.snappy.parquet"), snapNames))
+  }
+
+  test("stageMerge reports the staged-from snapshot's basenames at " +
+      "resolution time (the set occMerge classifies bare-name FNFs against)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = tmp("occ-snapcap-")
+    val t = new ParquetTable(spark, root, s2)
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val seen = new java.util.concurrent.atomic.AtomicReference(Set.empty[String])
+    val staged = t.stageMerge(Seq((3L, "c")).toDF("k", "v"), seen.set) {
+      (cur, batch) => cur.unionByName(batch)
+    }
+    assert(t.commitStaged(staged))
+    val names = seen.get
+    assert(names.nonEmpty, "no snapshot basenames captured during staging")
+    assert(names.forall(_.endsWith(".parquet")))
+    // the captured set is the PRE-merge snapshot: re-listing the committed
+    // table yields a different generation's files
+    assert(t.read().count() == 3L)
   }
 }

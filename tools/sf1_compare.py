@@ -5,15 +5,18 @@ Usage: tools/sf1_compare.py <bench_sf1.json> <bench_sf01.json> [topN]"""
 import json
 import sys
 
-sf1 = json.loads(open(sys.argv[1]).readline())
-sf01 = json.loads(open(sys.argv[2]).readline())
+with open(sys.argv[1]) as f:
+    sf1 = json.load(f)
+with open(sys.argv[2]) as f:
+    sf01 = json.load(f)
 top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 25
 
 q1, q0 = sf1["queries"], sf01["queries"]
 shared = sorted(set(q1) & set(q0))
 ratios = {k: q1[k] / q0[k] for k in shared if q0[k] > 0}
+# older bench records lack load_avg_start — don't crash the comparator
 print(f"sf1 total {sf1['value']:.1f}s / {len(q1)} rows (failed={sf1.get('failed')}, "
-      f"load_start={sf1.get('load_avg_start'):.2f}) vs sf0.1 {sf01['value']:.1f}s")
+      f"load_start={sf1.get('load_avg_start', float('nan')):.2f}) vs sf0.1 {sf01['value']:.1f}s")
 agg = sum(q1[k] for k in shared) / sum(q0[k] for k in shared)
 med = sorted(ratios.values())[len(ratios) // 2]
 print(f"shared {len(shared)} rows: aggregate {agg:.1f}x, median {med:.2f}x")
