@@ -2958,8 +2958,129 @@ object VectorQueries {
     },
     "PQ-compressed graph traversal (DiskANN shape): beam search scoring by negated ADC over 32-bit codes + broadcast distance tables — the walk never touches a corpus vector — then exact rerank of the visited set only; hash pins the quantization-guided path (LLM-pipeline op)")
 
+  /** CLUSTERABLE-CORPUS kNN BUILD (v41) — the r14 scaling headline as a
+    * CORRECTNESS row: [[Similarity.adaptiveIvfTopK]]'s margin rule holds the
+    * probe width ~constant on data with REAL cluster structure (COVERAGE
+    * "Scaling evidence (r14)": linear build across two decades, mean
+    * n_probed 2.65→2.99 over 100× of corpus), where the driver's
+    * deliberately structureless embeddings force nprobe ∝ nlist. The r14
+    * evidence lived in `AdaptiveClusterSpec` + Scratch runs only; this row
+    * hash-verifies the whole path — corpus geometry, stride centroids,
+    * margin-rule routing, candidate ranking — in BOTH engines at every SF,
+    * and puts the adaptive build plan in the driver bench.
+    *
+    * The corpus is planted OUTSIDE the engines' RNGs so DuckDB can mirror
+    * it bit-for-bit ([[graft.sources.SyntheticEmbeddings]] uses MurmurHash3
+    * — deterministic but not portable): g = max(16, n/50) clusters over the
+    * embeddings table's ids, cluster(v) = md5 4-nibble prefix mod g (Spark
+    * `conv(...,16,10)`, DuckDB strpos-nibble arithmetic — the q30 pattern;
+    * NEVER the string-hex cast, CLAUDE.md rule 4), center and noise
+    * components = 2·(md5 8-nibble dyadic fraction)−1 per (cluster, dim) /
+    * (vec_id, dim), vector = normalize(center + 0.75·noise) — every term
+    * dyadic-exact, the normalization a sequential i-ascending fold both
+    * engines compute identically (the cosSql contract). σ = 0.75 (exactly
+    * dyadic) against the UNnormalized center (|c|² ≈ 64/3) lands the
+    * probe-verified separation regime of real encoder output:
+    * within-cluster cos med ≈ 0.64, cross-cluster p99 ≈ 0.27.
+    *
+    * Self-kNN over that corpus (the v17b build shape) with nlist = g and
+    * the v32 margin rule: the in-row require pins mean n_probed ≤ 3.5 —
+    * AdaptiveClusterSpec's regression band made oracle-enforced (measured
+    * 1.73 at sf0.01, 2.34 at sf0.1) — so a margin-rule or generator
+    * regression turns the row RED, not just a spec. `n_probed` rides the
+    * output, so the hash pins the routing decision per query. */
+  val v41 = QueryDef(
+    "v41_clusterable_knn_build",
+    (spark, dir) => {
+      VectorFunctions.register(spark)
+      val ids = Tables.embeddings(spark, dir).select(col("vec_id"))
+      val n = graft.sources.ParquetMeta.rowCount(ids)
+      val g = math.max(16L, n / 50).toInt
+      val corpus = ids
+        .select(col("vec_id"), explode(sequence(lit(0), lit(63))).as("i"))
+        .withColumn("cl", expr(
+          s"CAST(conv(substr(md5(concat('cl|', CAST(vec_id AS STRING))), 1, 4), 16, 10) AS BIGINT) % $g"))
+        .withColumn("raw",
+          expr("2.0D * (CAST(conv(substr(md5(concat('ct|', CAST(cl AS STRING), " +
+            "'|', CAST(i AS STRING))), 1, 8), 16, 10) AS DOUBLE) / 4294967296.0D) - 1.0D") +
+          lit(0.75) * expr("2.0D * (CAST(conv(substr(md5(concat('nz|', " +
+            "CAST(vec_id AS STRING), '|', CAST(i AS STRING))), 1, 8), 16, 10) " +
+            "AS DOUBLE) / 4294967296.0D) - 1.0D"))
+        .groupBy(col("vec_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, raw))), s -> s.raw)")
+          .as("rawArr"))
+        .select(col("vec_id"), expr(
+          "transform(rawArr, x -> x / sqrt(aggregate(rawArr, CAST(0.0 AS DOUBLE), (acc, y) -> acc + y * y)))")
+          .as("embedding"))
+        // the generated corpus is consumed by centroid seeding, assignment,
+        // probing, and scoring: checkpoint ONCE, pre-spread across cores
+        // (the r14 single-file-scan lesson — hash-neutral, pre-aggregation)
+        .repartition(32)
+        .localCheckpoint(true)
+      val out = Similarity.adaptiveIvfTopK(corpus, corpus,
+          VectorFunctions.cosineSim, k = 5, nlist = g, maxProbe = 6,
+          delta = 0.10)
+        .localCheckpoint(true) // consumed twice: the probe-band teeth + result
+      val meanProbed = out.select(col("query_id"), col("n_probed")).distinct()
+        .agg(avg(col("n_probed"))).head().getDouble(0)
+      require(meanProbed <= 3.5,
+        f"clusterable-regime margin rule regressed: mean n_probed " +
+          f"$meanProbed%.2f > 3.5 (the r14 constant-probe band)")
+      out.orderBy(col("query_id"), col("rank"))
+    },
+    Some {
+      val maxProbe = 6
+      val nibC = (h: String, j: Int) =>
+        s"(strpos('0123456789abcdef', substr($h, $j, 1)) - 1)"
+      val frac8 = (h: String) => "(" + (1 to 8).map(j =>
+        s"${nibC(h, j)} / ${math.pow(16.0, j)}").mkString(" + ") + ")"
+      val int4 = (h: String) => "(" + (1 to 4).map(j =>
+        s"${nibC(h, j)} * ${math.pow(16.0, 4 - j).toLong}").mkString(" + ") + ")"
+      val clh = "md5('cl|' || CAST(vec_id AS VARCHAR))"
+      val cth = "md5('ct|' || CAST(cl AS VARCHAR) || '|' || CAST(i AS VARCHAR))"
+      val nzh = "md5('nz|' || CAST(vec_id AS VARCHAR) || '|' || CAST(i AS VARCHAR))"
+      val affCos = cosSql("c.emb", "cent.cemb")
+      val cos = cosSql("q.emb", "t.emb")
+      s"""WITH ids AS (SELECT vec_id FROM embeddings),
+         |gv AS (SELECT greatest(16, count(*) // 50) AS g FROM ids),
+         |dimrows AS (SELECT vec_id, ${int4(clh)} % (SELECT g FROM gv) AS cl, i
+         |  FROM ids, (SELECT unnest(range(0, 64)) AS i)),
+         |rawr AS (SELECT vec_id, i,
+         |    2.0 * ${frac8(cth)} - 1.0
+         |    + CAST(0.75 AS DOUBLE) * (2.0 * ${frac8(nzh)} - 1.0) AS raw
+         |  FROM dimrows),
+         |arrs AS (SELECT vec_id, list(raw ORDER BY i) AS rawArr FROM rawr GROUP BY vec_id),
+         |c AS MATERIALIZED (SELECT vec_id,
+         |    [x / sqrt(list_sum(list_transform(rawArr, y -> y * y))) for x in rawArr] AS emb
+         |  FROM arrs),
+         |cent AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, emb AS cemb
+         |  FROM c WHERE vec_id % greatest(1, (SELECT count(*) FROM c) // (SELECT g FROM gv)) = 0
+         |  QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT g FROM gv)),
+         |aff AS MATERIALIZED (SELECT c.vec_id, cent.cell, $affCos AS a FROM c, cent),
+         |assign AS (SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell DESC) AS rn
+         |    FROM aff) WHERE rn = 1),
+         |qaff AS (SELECT vec_id AS query_id, cell, a,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell DESC) AS rn,
+         |    max(a) OVER (PARTITION BY vec_id) AS a1
+         |  FROM aff),
+         |probes AS (SELECT query_id, cell,
+         |    CAST(count(*) OVER (PARTITION BY query_id) AS INTEGER) AS n_probed
+         |  FROM qaff
+         |  WHERE rn <= $maxProbe AND (rn = 1 OR a >= a1 - CAST(0.10 AS DOUBLE))),
+         |scored AS (SELECT p.query_id, s.vec_id, round($cos, 6) AS cos, p.n_probed
+         |  FROM probes p JOIN assign s ON s.cell = p.cell
+         |  JOIN c q ON q.vec_id = p.query_id JOIN c t ON t.vec_id = s.vec_id
+         |  WHERE s.vec_id <> p.query_id)
+         |SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank, n_probed FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
+    "clusterable-corpus kNN build: adaptive margin-rule IVF on planted-cluster data holds probe width ~constant, the r14 linear-build mechanism as a hash-verified row (LLM-pipeline op)")
+
   def defs: Seq[QueryDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
     v10, v11, v12, v13, v14, v15, v16, v17, v17b, v18, v19, v20, v21, v22, v23,
     v24, v25, v26, v27, v28, v29, v30, v30b, v31, v32, v32b, v33, v34, v34b,
-    v35, v35b, v36, v37, v38, v39, v40)
+    v35, v35b, v36, v37, v38, v39, v40, v41)
 }
