@@ -369,26 +369,11 @@ object Scratch {
       var grownR: org.apache.spark.sql.DataFrame = null
       // cell assignment + per-cell entry node are INDEX METADATA (the
       // persisted IVF index — VectorIndex — stores the assignment; a real
-      // deployment amortizes it across every insert batch), so they sit
-      // outside the per-batch insert timing
-      val cents = Similarity.strideCentroids(baseNodes, nlist)
-      val tc =
-        if (probeSupers <= 0) Similarity.topCellsOf(cents, VectorFunctions.cosineSim) _
-        else Similarity.topCellsHierarchical(cents, probeSupers) _
-      val entryPerCell = baseNodes
-        .withColumn("cell", element_at(tc(col("embedding"), 1), 1).getField("cell"))
-        .groupBy(col("cell")).agg(min(col("vec_id")).as("vec_id"))
-        .localCheckpoint(true)
+      // deployment amortizes it across every insert batch), so the seeder —
+      // which computes them eagerly — sits outside the per-batch timing
+      val seedsFor = Similarity.marginRoutedSeeder(baseNodes,
+        VectorFunctions.cosineSim, nlist, maxProbe, delta, probeSupers)
       timed(s"v36-class insert ivf-routed seed (n=$n)") {
-        val seedsFor: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
-          q => q
-            .withColumn("arr", tc(col("q_vec"), maxProbe))
-            .withColumn("parr", expr(
-              s"filter(arr, x -> x.a >= element_at(arr, 1).a - $delta)"))
-            .withColumn("probe", explode(col("parr")))
-            .select(col("query_id"), col("probe.cell").as("cell"))
-            .join(entryPerCell, Seq("cell"))
-            .select(col("query_id"), col("vec_id"))
         grownR = Similarity.graphInsertSeeded(baseNodes, baseEdges,
           emb.filter(isNew), seedsFor, beam = 8, rounds = 3, m = 5,
           outDegree = 5).localCheckpoint(true)

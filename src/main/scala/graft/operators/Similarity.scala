@@ -943,6 +943,43 @@ object Similarity {
       .unionByName(fwd)
   }
 
+  /** IVF MARGIN-ROUTED insert seeds — the SPANN-style IVF+graph hybrid's
+    * routing stage as a reusable [[graphInsertSeeded]] seeder (extracted
+    * from the r14 `Scratch clusterbuild` measurement, where it returned the
+    * insert stage to ~linear at BETTER recall than all-entries seeding:
+    * 191–429→104 s at 200k, 70/123 vs 66/123). Base nodes are assigned to
+    * stride-centroid cells; one entry node per cell (min vec_id —
+    * deterministic); each insert's beam seeds from only the entries of its
+    * margin-rule probe cells, so seeds are O(n_probed) per insert instead
+    * of |entries|. Cell assignment + entry election are INDEX METADATA
+    * (computed eagerly here, amortized across insert batches by a persisted
+    * deployment — [[VectorIndex]] stores the assignment). `probeSupers > 0`
+    * routes assignment through the two-level path (same dial as
+    * [[adaptiveIvfTopK]]). GraphInsertSpec runs the insert contracts
+    * (idempotency, reachability, recall floor) under this seeder. */
+  def marginRoutedSeeder(base: DataFrame, cos: (Column, Column) => Column,
+                         nlist: Int, maxProbe: Int = 6, delta: Double = 0.10,
+                         probeSupers: Int = 0): DataFrame => DataFrame = {
+    require(delta >= 0, s"marginRoutedSeeder needs delta >= 0, got $delta")
+    VectorFunctions.register(base.sparkSession)
+    val cents = strideCentroids(base, nlist)
+    val tc =
+      if (probeSupers <= 0) topCellsOf(cents, cos) _
+      else topCellsHierarchical(cents, probeSupers) _
+    val entryPerCell = base
+      .withColumn("cell", element_at(tc(col("embedding"), 1), 1).getField("cell"))
+      .groupBy(col("cell")).agg(min(col("vec_id")).as("vec_id"))
+      .localCheckpoint(true)
+    q => q
+      .withColumn("arr", tc(col("q_vec"), maxProbe))
+      .withColumn("parr", filter(col("arr"), x =>
+        x.getField("a") >= element_at(col("arr"), 1).getField("a") - lit(delta)))
+      .withColumn("probe", explode(col("parr")))
+      .select(col("query_id"), col("probe.cell").as("cell"))
+      .join(entryPerCell, Seq("cell"))
+      .select(col("query_id"), col("vec_id"))
+  }
+
   /** [[graphInsert]]'s shared core: `fwd` = each insert's forward edges
     * (src = new node), `rev` = the reciprocal back-edge CANDIDATES with
     * the rank-1 connection's priority seat (pri 0) — the deterministic

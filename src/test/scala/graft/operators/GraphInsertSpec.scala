@@ -10,7 +10,15 @@ import graft.sources.Tables
   * and beam recall over the incrementally-grown graph holds a floor
   * against the from-scratch build over the union corpus (exact graph
   * equality is NOT guaranteed — the insert sees only the base graph — so
-  * the contract is recall, the property a serving layer actually needs). */
+  * the contract is recall, the property a serving layer actually needs).
+  *
+  * The contracts run under BOTH seeding routes (r14 VERDICT ask): the
+  * default all-entries crossJoin and [[Similarity.marginRoutedSeeder]] —
+  * the SPANN-style O(n_probed) routing that is the production insert shape
+  * at scale (COVERAGE r14: faster AND better recall at 200k). A routed
+  * insert sees FEWER seeds, so its grown graph differs from all-entries'
+  * — the contracts (idempotency, reachability, degree bound, recall floor)
+  * are exactly what must survive the routing change. */
 class GraphInsertSpec extends SparkSpec {
 
   private def edgeSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
@@ -37,34 +45,55 @@ class GraphInsertSpec extends SparkSpec {
     (emb, base, batch, baseEdges, entries)
   }
 
-  test("insert is idempotent: re-delivering the batch over the grown graph " +
-      "is a set-exact no-op") {
-    val (emb, base, batch, baseEdges, entries) = fixture
-    val grown = Similarity.graphInsert(base, baseEdges, batch, entries)
-      .localCheckpoint(true)
-    // second delivery: the union corpus already contains every batch id,
-    // so the insert must anti-join them away and return the same edge set
-    val again = Similarity.graphInsert(emb, grown, batch, entries)
-    assert(edgeSet(again) == edgeSet(grown),
-      "re-inserting an already-present batch changed the graph")
-  }
+  /** The two seeding routes under test, as (tag, seedsFor-builder): the
+    * builder takes (base, entries, nlist) so each route derives its seeds
+    * the way its production caller does. */
+  private def seederFor(tag: String,
+                        base: org.apache.spark.sql.DataFrame,
+                        entries: org.apache.spark.sql.DataFrame,
+                        nlist: Int)
+      : org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+    tag match {
+      case "all-entries" =>
+        q => q.select(col("query_id")).crossJoin(entries)
+      case "margin-routed" =>
+        Similarity.marginRoutedSeeder(base, VectorFunctions.cosineSim, nlist)
+    }
 
-  test("back-edges land: every inserted node is reachable (has in-edges) " +
-      "and has out-edges; base out-degree stays <= 5") {
-    val (_, _, batch, baseEdges, entries) = fixture
-    val (emb, base, _, _, _) = fixture
-    val grown = Similarity.graphInsert(base, baseEdges, batch, entries)
-      .localCheckpoint(true)
-    val newIds = batch.select(col("vec_id")).collect().map(_.getLong(0)).toSet
-    val inDeg = grown.filter(col("dst").isin(newIds.toSeq: _*))
-      .select(col("dst")).distinct().count()
-    val outDeg = grown.filter(col("src").isin(newIds.toSeq: _*))
-      .select(col("src")).distinct().count()
-    assert(inDeg == newIds.size, s"only $inDeg of ${newIds.size} inserts have in-edges")
-    assert(outDeg == newIds.size, s"only $outDeg of ${newIds.size} inserts have out-edges")
-    val maxOut = grown.groupBy(col("src")).count()
-      .agg(max(col("count"))).head().getLong(0)
-    assert(maxOut <= 5L, s"neighbor-shrink failed: out-degree $maxOut > 5")
+  for (tag <- Seq("all-entries", "margin-routed")) {
+
+    test(s"[$tag] insert is idempotent: re-delivering the batch over the " +
+        "grown graph is a set-exact no-op") {
+      val (emb, base, batch, baseEdges, entries) = fixture
+      val nlist = math.max(16L, base.count() / 50).toInt
+      val seeds = seederFor(tag, base, entries, nlist)
+      val grown = Similarity.graphInsertSeeded(base, baseEdges, batch, seeds)
+        .localCheckpoint(true)
+      // second delivery: the union corpus already contains every batch id,
+      // so the insert must anti-join them away and return the same edge set
+      val again = Similarity.graphInsertSeeded(emb, grown, batch, seeds)
+      assert(edgeSet(again) == edgeSet(grown),
+        "re-inserting an already-present batch changed the graph")
+    }
+
+    test(s"[$tag] back-edges land: every inserted node is reachable (has " +
+        "in-edges) and has out-edges; base out-degree stays <= 5") {
+      val (emb, base, batch, baseEdges, entries) = fixture
+      val nlist = math.max(16L, base.count() / 50).toInt
+      val seeds = seederFor(tag, base, entries, nlist)
+      val grown = Similarity.graphInsertSeeded(base, baseEdges, batch, seeds)
+        .localCheckpoint(true)
+      val newIds = batch.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      val inDeg = grown.filter(col("dst").isin(newIds.toSeq: _*))
+        .select(col("dst")).distinct().count()
+      val outDeg = grown.filter(col("src").isin(newIds.toSeq: _*))
+        .select(col("src")).distinct().count()
+      assert(inDeg == newIds.size, s"only $inDeg of ${newIds.size} inserts have in-edges")
+      assert(outDeg == newIds.size, s"only $outDeg of ${newIds.size} inserts have out-edges")
+      val maxOut = grown.groupBy(col("src")).count()
+        .agg(max(col("count"))).head().getLong(0)
+      assert(maxOut <= 5L, s"neighbor-shrink failed: out-degree $maxOut > 5")
+    }
   }
 
   test("delete composes with insert: removing the inserted batch unlinks " +
@@ -94,44 +123,48 @@ class GraphInsertSpec extends SparkSpec {
     assert(edgeSet(del()) == edgeSet(repaired))
   }
 
-  test("recall contract: beam recall over the grown graph meets the floor " +
-      "vs the from-scratch graph over the union corpus") {
-    val (emb, base, batch, baseEdges, entries) = fixture
-    val B = 8; val R = 4; val K = 3
-    val grown = Similarity.graphInsert(base, baseEdges, batch, entries)
-      .select(col("src"), col("dst")).localCheckpoint(true)
-    // from-scratch: the same scaled-nlist build over the UNION corpus
-    val n = emb.count()
-    val nlist = math.max(16L, n / 50).toInt
-    val scratch = Similarity.ivfTopK(emb, emb, VectorFunctions.cosineSim,
-        k = 5, nlist = nlist, nprobe = 4)
-      .select(col("query_id").as("src"), col("vec_id").as("dst"))
-      .localCheckpoint(true)
-    val qPred = pmod(col("vec_id"), lit(53)) === 0 &&
-      col("vec_id") <= lit(53L * 40)
-    val queries = emb.filter(qPred)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
-      .localCheckpoint(true)
-    val truth = Similarity.bruteForceTopK(emb.filter(qPred), emb,
-        VectorFunctions.cosineSim, k = K)
-      .select(col("query_id"), col("vec_id")).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    def recall(edges: org.apache.spark.sql.DataFrame): Long = {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("vec_id"))
-      Similarity.beamSearchVisited(emb, edges, queries,
-          queries.select(col("query_id")).crossJoin(entries), B, R)
-        .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("rank", row_number().over(w)).filter(col("rank") <= K)
+  for (tag <- Seq("all-entries", "margin-routed")) {
+    test(s"[$tag] recall contract: beam recall over the grown graph meets " +
+        "the floor vs the from-scratch graph over the union corpus") {
+      val (emb, base, batch, baseEdges, entries) = fixture
+      val B = 8; val R = 4; val K = 3
+      val nbase = math.max(16L, base.count() / 50).toInt
+      val seeds = seederFor(tag, base, entries, nbase)
+      val grown = Similarity.graphInsertSeeded(base, baseEdges, batch, seeds)
+        .select(col("src"), col("dst")).localCheckpoint(true)
+      // from-scratch: the same scaled-nlist build over the UNION corpus
+      val n = emb.count()
+      val nlist = math.max(16L, n / 50).toInt
+      val scratch = Similarity.ivfTopK(emb, emb, VectorFunctions.cosineSim,
+          k = 5, nlist = nlist, nprobe = 4)
+        .select(col("query_id").as("src"), col("vec_id").as("dst"))
+        .localCheckpoint(true)
+      val qPred = pmod(col("vec_id"), lit(53)) === 0 &&
+        col("vec_id") <= lit(53L * 40)
+      val queries = emb.filter(qPred)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+        .localCheckpoint(true)
+      val truth = Similarity.bruteForceTopK(emb.filter(qPred), emb,
+          VectorFunctions.cosineSim, k = K)
         .select(col("query_id"), col("vec_id")).collect()
-        .count(r => truth.contains((r.getLong(0), r.getLong(1))))
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def recall(edges: org.apache.spark.sql.DataFrame): Long = {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        Similarity.beamSearchVisited(emb, edges, queries,
+            queries.select(col("query_id")).crossJoin(entries), B, R)
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("rank", row_number().over(w)).filter(col("rank") <= K)
+          .select(col("query_id"), col("vec_id")).collect()
+          .count(r => truth.contains((r.getLong(0), r.getLong(1))))
+      }
+      val grownHits = recall(grown)
+      val scratchHits = recall(scratch)
+      assert(grownHits * 2 >= scratchHits,
+        s"grown-graph recall collapsed: $grownHits hits vs from-scratch $scratchHits")
+      assert(grownHits > 0, "grown-graph beam found no true neighbors at all")
     }
-    val grownHits = recall(grown)
-    val scratchHits = recall(scratch)
-    assert(grownHits * 2 >= scratchHits,
-      s"grown-graph recall collapsed: $grownHits hits vs from-scratch $scratchHits")
-    assert(grownHits > 0, "grown-graph beam found no true neighbors at all")
   }
 
   /** ADVERSARIAL degree-cap collision (the documented failure bound,
