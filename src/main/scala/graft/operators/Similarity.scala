@@ -541,6 +541,14 @@ object Similarity {
     // quadratic build term — measured at the 100× clusterable point
     // (COVERAGE r14); two-level returns the build to ~linear. Default 0
     // keeps the oracle-verified flat assignment (v32/v32b).
+    // RECALL BOUNDARY (r15): the two-level router's accuracy depends on
+    // the centroids forming coherent super-groups — at LOW dimensionality
+    // with many near-orthogonal centroids the trade steepens (D=64
+    // fixture: edge recall 85%→72% at nlist=400 — AdaptiveClusterSpec
+    // pins the 65% floor there — degrading to 50–61% at nlist=4,000,
+    // COVERAGE r14). Production encoders (D≥768, real manifolds) are the
+    // intended regime; below D≈128 with nlist in the thousands prefer
+    // flat assignment or measure recall before enabling the dial.
     val topCells =
       if (probeSupers <= 0) topCellsOf(centroids, cos) _
       else topCellsHierarchical(centroids, probeSupers) _

@@ -68,4 +68,62 @@ class AdaptiveClusterSpec extends SparkSpec {
     assert(hits >= (truth.size * 7) / 10,
       s"edge recall band broken: $hits / ${truth.size}")
   }
+
+  /** The probeSupers RECALL BOUNDARY at scaled nlist (r14 VERDICT ask):
+    * COVERAGE r14 documents the two-level router's recall trade on this
+    * D=64 fixture — 73% → 50–61% at nlist=4,000 — as a dimensionality
+    * artifact, but nothing pinned where the trade becomes acceptable. This
+    * case runs the scaled configuration (n=20k, nlist=400 = n/50,
+    * probeSupers=4) and asserts the measured band: edge recall 89/123
+    * (72%) vs flat 105/123 — the floor at 65% sits clear above the
+    * collapse regime, so a router regression (or a caller wandering into
+    * the collapse geometry at THIS nlist) turns the spec red instead of
+    * silently serving half the true neighbors. Deterministic end-to-end:
+    * generator, stride centroids, margin rule, tie-breaks. */
+  test("two-level assignment at scaled nlist (n=20k, nlist=400, " +
+      "probeSupers=4) keeps the clusterable-world edge-recall floor") {
+    VectorFunctions.register(spark)
+    val n = 20000L
+    // repartition BEFORE the checkpoint: the generator plan is narrow and
+    // the per-row assignment stage would otherwise run serially (r14 lesson)
+    val emb = SyntheticEmbeddings.generate(spark, n)
+      .select(col("vec_id"), col("embedding"))
+      .repartition(32).localCheckpoint(true)
+    val nlist = SyntheticEmbeddings.clusterCount(n, 50)
+    assert(nlist == 400)
+    val knn = Similarity.adaptiveIvfTopK(emb, emb, VectorFunctions.cosineSim,
+        k = 5, nlist = nlist, maxProbe = 6, delta = 0.10, probeSupers = 4)
+      .localCheckpoint(true)
+    val probed = knn.select(col("query_id"), col("n_probed")).distinct()
+      .agg(avg(col("n_probed"))).head.getDouble(0)
+    assert(probed <= 3.5,
+      s"margin rule must stay ~constant under two-level routing, probed=$probed")
+    val qPred = pmod(col("vec_id"), lit(53)) === 0 &&
+      col("vec_id") <= lit(53L * 40)
+    val truth = Similarity.bruteForceTopK(emb.filter(qPred), emb,
+        VectorFunctions.cosineSim, k = 3)
+      .select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = knn
+      .join(emb.filter(qPred).select(col("vec_id").as("query_id")),
+        Seq("query_id"))
+      .select(col("query_id"), col("vec_id")).collect()
+      .count(r => truth.contains((r.getLong(0), r.getLong(1))))
+    assert(truth.size >= 100, s"panel too small: ${truth.size}")
+    assert(hits >= (truth.size * 65) / 100,
+      s"two-level router edge recall broke the scaled-nlist floor: " +
+        s"$hits / ${truth.size} (measured band 72%, collapse regime ~50%)")
+  }
+
+  test("adaptiveIvfTopK rejects a negative delta (the 'rank 1 always " +
+      "passes' invariant guard)") {
+    VectorFunctions.register(spark)
+    val emb = SyntheticEmbeddings.generate(spark, 100)
+      .select(col("vec_id"), col("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.adaptiveIvfTopK(emb, emb, VectorFunctions.cosineSim,
+        k = 5, nlist = 16, maxProbe = 6, delta = -0.1)
+    }
+    assert(e.getMessage.contains("delta >= 0"))
+  }
 }
