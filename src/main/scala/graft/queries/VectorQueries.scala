@@ -891,7 +891,11 @@ object VectorQueries {
     "v17_knn_graph",
     (spark, dir) => {
       VectorFunctions.register(spark)
+      // repartition+checkpoint: parallelize the per-row assignment over the
+      // single-file scan (the r14 lesson; hash-neutral)
       val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+        .repartition(32).localCheckpoint(true)
       val knn = Similarity.ivfTopK(emb, emb, VectorFunctions.cosineSim,
         k = 5, nlist = 16, nprobe = 4).localCheckpoint(true)
       val fwd = knn.select(col("query_id").as("id_a"), col("vec_id").as("id_b"),
@@ -926,8 +930,12 @@ object VectorQueries {
     "v17b_knn_graph_scaled",
     (spark, dir) => {
       VectorFunctions.register(spark)
-      val emb = Tables.embeddings(spark, dir)
-      val nlist = math.max(16L, graft.sources.ParquetMeta.rowCount(emb) / 50).toInt
+      // rowCount reads the bare scan (footer shortcut); the build input is
+      // repartitioned+checkpointed — the r14 single-file-scan lesson
+      val scan = Tables.embeddings(spark, dir)
+      val nlist = math.max(16L, graft.sources.ParquetMeta.rowCount(scan) / 50).toInt
+      val emb = scan.select(col("vec_id"), col("embedding"))
+        .repartition(32).localCheckpoint(true)
       val knn = Similarity.ivfTopK(emb, emb, VectorFunctions.cosineSim,
         k = 5, nlist = nlist, nprobe = scaledNprobe(nlist)).localCheckpoint(true)
       val fwd = knn.select(col("query_id").as("id_a"), col("vec_id").as("id_b"),
@@ -2239,8 +2247,14 @@ object VectorQueries {
       import org.apache.spark.sql.expressions.Window
       VectorFunctions.register(spark)
       val B = 4; val R = 3; val K = 3
+      // repartition BEFORE the checkpoint: the driver tables are single
+      // parquet files, so the scan is ONE partition and localCheckpoint
+      // preserves it — every per-row assignment/encode stage downstream
+      // would run serially (the r14 single-file-scan lesson; hash-neutral,
+      // all downstream ops are per-row or fully tie-broken windows)
       val emb = Tables.embeddings(spark, dir)
-        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+        .select(col("vec_id"), col("embedding"))
+        .repartition(32).localCheckpoint(true)
       // scaled nlist (v17b): per-cell membership stays ~50, so the edge
       // build is linear at every SF — the frozen-16 geometry reads 48x at
       // 10x the data (measured), exactly the r7 frozen-parameter caveat
@@ -2326,8 +2340,14 @@ object VectorQueries {
       import org.apache.spark.sql.expressions.Window
       VectorFunctions.register(spark)
       val R = 4; val K = 3
+      // repartition BEFORE the checkpoint: the driver tables are single
+      // parquet files, so the scan is ONE partition and localCheckpoint
+      // preserves it — every per-row assignment/encode stage downstream
+      // would run serially (the r14 single-file-scan lesson; hash-neutral,
+      // all downstream ops are per-row or fully tie-broken windows)
       val emb = Tables.embeddings(spark, dir)
-        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+        .select(col("vec_id"), col("embedding"))
+        .repartition(32).localCheckpoint(true)
       val n = graft.sources.ParquetMeta.rowCount(Tables.embeddings(spark, dir))
       val nlist = math.max(16L, n / 50).toInt
       // beam scales with the graph like its siblings (rule 12; identity
@@ -2432,8 +2452,14 @@ object VectorQueries {
       import org.apache.spark.sql.expressions.Window
       VectorFunctions.register(spark)
       val R = 4; val K = 3 // eval rounds (v35b's)
+      // repartition BEFORE the checkpoint: the driver tables are single
+      // parquet files, so the scan is ONE partition and localCheckpoint
+      // preserves it — every per-row assignment/encode stage downstream
+      // would run serially (the r14 single-file-scan lesson; hash-neutral,
+      // all downstream ops are per-row or fully tie-broken windows)
       val emb = Tables.embeddings(spark, dir)
-        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+        .select(col("vec_id"), col("embedding"))
+        .repartition(32).localCheckpoint(true)
       val isNew = pmod(col("vec_id"), lit(9)) === 4
       val base = emb.filter(!isNew).localCheckpoint(true)
       val nbase = base.count()
@@ -2546,8 +2572,14 @@ object VectorQueries {
       import org.apache.spark.sql.expressions.Window
       VectorFunctions.register(spark)
       val R = 4; val K = 3
+      // repartition BEFORE the checkpoint: the driver tables are single
+      // parquet files, so the scan is ONE partition and localCheckpoint
+      // preserves it — every per-row assignment/encode stage downstream
+      // would run serially (the r14 single-file-scan lesson; hash-neutral,
+      // all downstream ops are per-row or fully tie-broken windows)
       val emb = Tables.embeddings(spark, dir)
-        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+        .select(col("vec_id"), col("embedding"))
+        .repartition(32).localCheckpoint(true)
       val n = graft.sources.ParquetMeta.rowCount(Tables.embeddings(spark, dir))
       val nlist = math.max(16L, n / 50).toInt
       val B = scaledBeam(nlist) // data-derived width (see scaledBeam)
@@ -2677,9 +2709,11 @@ object VectorQueries {
       import org.apache.spark.sql.expressions.Window
       VectorFunctions.register(spark)
       val R = 5; val K = 3
+      // repartition before the checkpoint — the r14 single-file-scan lesson
+      // (see v35); hash-neutral
       val embL = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"), col("label"))
-        .localCheckpoint(true)
+        .repartition(32).localCheckpoint(true)
       val emb = embL.select(col("vec_id"), col("embedding"))
       val n = graft.sources.ParquetMeta.rowCount(Tables.embeddings(spark, dir))
       val nlist = math.max(16L, n / 50).toInt
@@ -2847,8 +2881,14 @@ object VectorQueries {
       VectorFunctions.register(spark)
       val K = 3; val R = 4; val M = 8; val KSUB = 16; val DIMS = 64
       val dsub = DIMS / M
+      // repartition BEFORE the checkpoint: the driver tables are single
+      // parquet files, so the scan is ONE partition and localCheckpoint
+      // preserves it — every per-row assignment/encode stage downstream
+      // would run serially (the r14 single-file-scan lesson; hash-neutral,
+      // all downstream ops are per-row or fully tie-broken windows)
       val emb = Tables.embeddings(spark, dir)
-        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+        .select(col("vec_id"), col("embedding"))
+        .repartition(32).localCheckpoint(true)
       val n = graft.sources.ParquetMeta.rowCount(Tables.embeddings(spark, dir))
       val nlist = math.max(16L, n / 50).toInt
       val step = math.max(1L, n / nlist)
