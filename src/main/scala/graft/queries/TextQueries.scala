@@ -62,7 +62,7 @@ object TextQueries {
   val d01 = QueryDef(
     "d01_dedup_exact",
     (spark, dir) => {
-      Dedup.exact(Tables.documents(spark, dir), "doc_id", "text")
+      Dedup.exact(Tables.documentsWide(spark, dir), "doc_id", "text")
         .orderBy(col("fp"))
     },
     Some("""SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp,
@@ -74,7 +74,7 @@ object TextQueries {
   val d02 = QueryDef(
     "d02_token_count",
     (spark, dir) => {
-      Tables.documents(spark, dir).select(
+      Tables.documentsWide(spark, dir).select(
           col("doc_id"),
           TextFunctions.tokenCount(col("text")).as("n_tokens"),
           TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"))
@@ -92,7 +92,7 @@ object TextQueries {
   val d03 = QueryDef(
     "d03_text_quality",
     (spark, dir) => {
-      Tables.documents(spark, dir).select(
+      Tables.documentsWide(spark, dir).select(
           col("doc_id"),
           TextFunctions.alphaRatio(col("text")).as("alpha_ratio"),
           TextFunctions.punctRatio(col("text")).as("punct_ratio"),
@@ -117,7 +117,7 @@ object TextQueries {
   val d04 = QueryDef(
     "d04_lang_id",
     (spark, dir) => {
-      Tables.documents(spark, dir).select(
+      Tables.documentsWide(spark, dir).select(
           col("doc_id"), col("lang").as("declared_lang"),
           TextFunctions.langId(col("text")).as("detected_lang"))
         .orderBy(col("doc_id"))
@@ -150,7 +150,7 @@ object TextQueries {
   val d05 = QueryDef(
     "d05_ngram_jaccard",
     (spark, dir) => {
-      Dedup.ngramJaccard(Tables.documents(spark, dir), "doc_id", "text",
+      Dedup.ngramJaccard(Tables.documentsWide(spark, dir), "doc_id", "text",
           n = 3, minJaccard = 0.2, maxDf = DedupMaxDf)
         .orderBy(col("doc_a"), col("doc_b"))
     },
@@ -173,7 +173,7 @@ object TextQueries {
   val d06 = QueryDef(
     "d06_minhash_lsh",
     (spark, dir) => {
-      Dedup.minhashLsh(Tables.documents(spark, dir), "doc_id", "text",
+      Dedup.minhashLsh(Tables.documentsWide(spark, dir), "doc_id", "text",
           n = 3, k = 8, r = 2, minJaccard = 0.2, maxDf = DedupMaxDf)
         .orderBy(col("doc_a"), col("doc_b"))
     },
@@ -212,7 +212,7 @@ object TextQueries {
   val d07 = QueryDef(
     "d07_simhash",
     (spark, dir) => {
-      Dedup.simhash(Tables.documents(spark, dir), "doc_id", "text", bits = 16)
+      Dedup.simhash(Tables.documentsWide(spark, dir), "doc_id", "text", bits = 16)
         .orderBy(col("doc_id"))
     },
     Some {
@@ -274,7 +274,7 @@ object TextQueries {
   val d08 = QueryDef(
     "d08_dup_clusters",
     (spark, dir) => {
-      val docs = Tables.documents(spark, dir)
+      val docs = Tables.documentsWide(spark, dir)
       val pairs = Dedup.minhashLsh(docs, "doc_id", "text", n = 3, k = 8, r = 2,
         minJaccard = 0.2, maxDf = DedupMaxDf)
       Dedup.dupClusters(pairs, docs, "doc_id")
@@ -305,7 +305,7 @@ object TextQueries {
   val d09 = QueryDef(
     "d09_pii_scrub",
     (spark, dir) => {
-      Tables.documents(spark, dir).select(
+      Tables.documentsWide(spark, dir).select(
           col("doc_id"),
           md5(TextFunctions.scrubPii(col("text"))).as("scrubbed_md5"),
           col("n_chars"),
@@ -332,7 +332,7 @@ object TextQueries {
     "d10_consistent_sample",
     (spark, dir) => {
       import spark.implicits._
-      val docs = Tables.documents(spark, dir)
+      val docs = Tables.documentsWide(spark, dir)
         .select(col("source"), col("doc_id"), md5(col("text")).as("h"))
         .as[(String, Long, String)]
       val agg = new graft.functions.MinKSample(5).toColumn
@@ -377,7 +377,7 @@ object TextQueries {
   val d11 = QueryDef(
     "d11_quality_score",
     (spark, dir) => {
-      Tables.documents(spark, dir).select(
+      Tables.documentsWide(spark, dir).select(
           col("doc_id"),
           TextFunctions.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))
@@ -398,7 +398,9 @@ object TextQueries {
   val d12 = QueryDef(
     "d12_simhash_neardup",
     (spark, dir) => {
-      val docs = Tables.documents(spark, dir)
+      // documentsWide: the shingle+fingerprint map stage is the row's cost;
+      // a bare single-file scan runs it serially (r15 lesson)
+      val docs = Tables.documentsWide(spark, dir)
       Dedup.simhashNearDup(
           Dedup.simhashFeatures(
             Dedup.docShingles(docs, "doc_id", "text", n = 3), "shingle", bits = 32),
@@ -436,7 +438,7 @@ object TextQueries {
     "d13_winnow_fingerprints",
     (spark, dir) => {
       TextFunctions.registerNative(spark)
-      Tables.documents(spark, dir).select(
+      Tables.documentsWide(spark, dir).select(
           col("doc_id"),
           explode(TextFunctions.winnowFingerprints(col("text"), k = 8, w = 4)).as("fp"))
         .orderBy(col("doc_id"), col("fp"))
@@ -462,7 +464,9 @@ object TextQueries {
   val d14 = QueryDef(
     "d14_repetition",
     (spark, dir) => {
-      Tables.documents(spark, dir).select(
+      // documentsWide: map-only row — its whole cost is the per-row
+      // expressions a single-file scan would serialize (r15: 28 s → ~2 s sf1)
+      Tables.documentsWide(spark, dir).select(
           col("doc_id"),
           TextFunctions.repetitionRatio(col("text"), 1).as("dup_word_ratio"),
           TextFunctions.repetitionRatio(col("text"), 2).as("dup_bigram_ratio"))
@@ -490,7 +494,7 @@ object TextQueries {
     "d15_chunking",
     (spark, dir) => {
       val W = 64; val S = 48 // 16-token overlap
-      val docs = Tables.documents(spark, dir)
+      val docs = Tables.documentsWide(spark, dir)
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
         .withColumn("len", size(col("w")))
         .withColumn("n_chunks",
@@ -528,7 +532,7 @@ object TextQueries {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("source")).orderBy(col("doc_id"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      Tables.documents(spark, dir)
+      Tables.documentsWide(spark, dir)
         .select(col("source"), col("doc_id"),
           TextFunctions.tokenCount(col("text")).as("n_tokens"))
         .withColumn("cum", sum(col("n_tokens")).over(w))
@@ -554,7 +558,7 @@ object TextQueries {
     "d17_split",
     (spark, dir) => {
       val b = expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 2), 16, 10) as int)")
-      Tables.documents(spark, dir).select(
+      Tables.documentsWide(spark, dir).select(
           col("doc_id"),
           when(b < 243, "train").when(b < 250, "val").otherwise("test").as("split"))
         .orderBy(col("doc_id"))
@@ -1018,7 +1022,7 @@ object TextQueries {
   val d23 = QueryDef(
     "d23_exact_substring_spans",
     (spark, dir) =>
-      Dedup.exactSubstringSpans(Tables.documents(spark, dir), "doc_id", "text")
+      Dedup.exactSubstringSpans(Tables.documentsWide(spark, dir), "doc_id", "text")
         .orderBy(col("doc_id"), col("start")),
     Some("""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
            |  FROM documents),
@@ -1053,7 +1057,8 @@ object TextQueries {
   val d24 = QueryDef(
     "d24_remove_dup_passages",
     (spark, dir) =>
-      Dedup.removeDuplicatedPassages(Tables.documents(spark, dir), "doc_id", "text")
+      // documentsWide: CDC chunking + rebuild are per-row heavy (r15 lesson)
+      Dedup.removeDuplicatedPassages(Tables.documentsWide(spark, dir), "doc_id", "text")
         .orderBy(col("doc_id")),
     Some("""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
            |  FROM documents),
@@ -1099,7 +1104,7 @@ object TextQueries {
   val d18 = QueryDef(
     "d18_dup_clusters_incremental",
     (spark, dir) => {
-      val docs = Tables.documents(spark, dir)
+      val docs = Tables.documentsWide(spark, dir)
       val pairs = Dedup.minhashLsh(docs, "doc_id", "text", n = 3, k = 8, r = 2,
         minJaccard = 0.2, maxDf = DedupMaxDf).persist()
       val isOld = (c: Column) => c % 10 < 7
@@ -1124,7 +1129,7 @@ object TextQueries {
     "d19_stratified_sample",
     (spark, dir) => {
       graft.operators.Sampling.stratifiedSample(
-          Tables.documents(spark, dir), "doc_id", "lang",
+          Tables.documentsWide(spark, dir), "doc_id", "lang",
           rates = Map("en" -> 0.25, "zh" -> 0.5), defaultRate = 0.75,
           salt = "s19")
         .select(col("doc_id"), col("lang"))
@@ -1153,7 +1158,7 @@ object TextQueries {
     (spark, dir) => {
       val vocab = Seq("spark", "vector", "merge", "table")
       val k1 = 1.2; val b = 0.75
-      val docs = Tables.documents(spark, dir)
+      val docs = Tables.documentsWide(spark, dir)
       val toks = docs.select(col("doc_id"),
         filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "").as("toks"))
       val dl = toks.select(col("doc_id"), size(col("toks")).as("dl"))
@@ -1204,7 +1209,7 @@ object TextQueries {
     (spark, dir) => {
       val byte = (id: Column) => conv(substring(md5(id.cast("string")), 1, 2), 16, 10)
         .cast("int")
-      val docs = Tables.documents(spark, dir)
+      val docs = Tables.documentsWide(spark, dir)
       val corpus = docs.filter(byte(col("doc_id")) < 250)
       val bench = docs.filter(byte(col("doc_id")) >= 250)
       Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 4)
@@ -1239,7 +1244,7 @@ object TextQueries {
     (spark, dir) => {
       val byte = (id: Column) => conv(substring(md5(id.cast("string")), 1, 2), 16, 10)
         .cast("int")
-      val docs = Tables.documents(spark, dir)
+      val docs = Tables.documentsWide(spark, dir)
       val corpus = docs.filter(byte(col("doc_id")) < 250)
       val bench = docs.filter(byte(col("doc_id")) >= 250)
       Dedup.decontaminateBloom(corpus, bench, "doc_id", "text", n = 4)
@@ -1260,7 +1265,7 @@ object TextQueries {
         md5(concat(col("doc_id").cast("string"), lit("s22"))).asc,
         col("doc_id").asc)
       graft.ops.Relational.topKPerGroupSalted(
-          Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+          Tables.documentsWide(spark, dir).select(col("doc_id"), col("source")),
           Seq("source"), order, k = 10)
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
@@ -1286,7 +1291,7 @@ object TextQueries {
   val d26 = QueryDef(
     "d26_temperature_mix",
     (spark, dir) => {
-      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      val docs = Tables.documentsWide(spark, dir).select(col("doc_id"), col("source"))
       val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
         .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
       val total = counts.map(_._2).sum
@@ -1336,7 +1341,7 @@ object TextQueries {
     "d25_ngram_coherence",
     (spark, dir) => {
       TextFunctions.registerNative(spark)
-      val tri = Tables.documents(spark, dir).select(col("doc_id"),
+      val tri = Tables.documentsWide(spark, dir).select(col("doc_id"),
         explode(TextFunctions.charShinglesNative(col("text"), 3)).as("g"))
       val dfreq = tri.groupBy(col("g")).agg(count(lit(1)).as("df"))
       tri.join(broadcast(dfreq), Seq("g"))
@@ -1382,7 +1387,7 @@ object TextQueries {
       TextFunctions.registerNative(spark)
       val byte = (id: Column) => conv(substring(md5(id.cast("string")), 1, 2), 16, 10)
         .cast("int")
-      val docs = Tables.documents(spark, dir)
+      val docs = Tables.documentsWide(spark, dir)
         .select(col("doc_id"), col("text"), col("source"))
       val bench = docs.filter(byte(col("doc_id")) >= 250)
       val corpus = docs.filter(byte(col("doc_id")) < 250)
@@ -1481,7 +1486,7 @@ object TextQueries {
   val d29 = QueryDef(
     "d29_fuzzy_join",
     (spark, dir) => {
-      Dedup.fuzzyPrefixJoin(Tables.documents(spark, dir), "doc_id", "text",
+      Dedup.fuzzyPrefixJoin(Tables.documentsWide(spark, dir), "doc_id", "text",
           width = 24, maxDist = 2)
         .orderBy(col("id_a"), col("id_b"))
     },
@@ -1517,7 +1522,7 @@ object TextQueries {
     (spark, dir) => {
       TextFunctions.registerNative(spark)
       val injected = regexp_replace(col("text"), "e", "e\u0301") // e + COMBINING ACUTE (decomposed)
-      Tables.documents(spark, dir)
+      Tables.documentsWide(spark, dir)
         .select(col("doc_id"), injected.as("t"))
         .select(col("doc_id"), col("t"),
           TextFunctions.nfcNormalize(col("t")).as("nt"))
@@ -1547,7 +1552,7 @@ object TextQueries {
   val d31 = QueryDef(
     "d31_cross_doc_novelty",
     (spark, dir) => {
-      Dedup.crossDocNovelty(Tables.documents(spark, dir), "doc_id", "text", n = 3)
+      Dedup.crossDocNovelty(Tables.documentsWide(spark, dir), "doc_id", "text", n = 3)
         .orderBy(col("doc_id"))
     },
     Some(s"""WITH $rawShingleCte,
@@ -1574,7 +1579,8 @@ object TextQueries {
     (spark, dir) => {
       val u = (conv(substring(md5(concat(lit("smp|"), col("doc_id").cast("string"))), 1, 8),
           16, 10).cast("long").cast("double") / lit(4294967296.0)).as("u")
-      Tables.documents(spark, dir)
+      // documentsWide: qualityScore is the row's whole cost (r15 lesson)
+      Tables.documentsWide(spark, dir)
         .select(col("doc_id"),
           TextFunctions.qualityScore(col("text")).as("quality"), u)
         .filter(col("u") < col("quality"))
@@ -1690,7 +1696,7 @@ object TextQueries {
     "d33_gopher_rules",
     (spark, dir) => {
       graft.functions.TopBigramFrac.registerNative(spark)
-      Tables.documents(spark, dir)
+      Tables.documentsWide(spark, dir)
         .select(col("doc_id") +: gopherStatCols(col("text")): _*)
         .withColumn("keep", gopherKeep)
         .orderBy(col("doc_id"))
@@ -1737,7 +1743,7 @@ object TextQueries {
   val d34 = QueryDef(
     "d34_dsir_importance",
     (spark, dir) => {
-      val docs = Tables.documents(spark, dir)
+      val docs = Tables.documentsWide(spark, dir)
         .select(col("doc_id"), col("source"), col("text"))
       // the corpus-wide bigram explode feeds the bucket counts AND the
       // per-doc scoring join. The 256-row bucket stats are eager-checkpointed
@@ -1883,7 +1889,7 @@ object TextQueries {
       graft.functions.TopBigramFrac.registerNative(spark)
       val byte = (id: Column) => conv(substring(md5(id.cast("string")), 1, 2), 16, 10)
         .cast("int")
-      val docs = Tables.documents(spark, dir)
+      val docs = Tables.documentsWide(spark, dir)
         .select(col("doc_id"), col("text"), col("source"))
       val bench = docs.filter(byte(col("doc_id")) >= 250)
       val corpus = docs.filter(byte(col("doc_id")) < 250)
@@ -2036,7 +2042,7 @@ object TextQueries {
     "d36_bpe_tokenize",
     (spark, dir) => {
       TextFunctions.registerNative(spark)
-      Tables.documents(spark, dir)
+      Tables.documentsWide(spark, dir)
         .select(col("doc_id"), TextFunctions.bpeTokens(col("text")).as("toks"))
         .select(col("doc_id"),
           size(col("toks")).as("n_tokens"),
@@ -2067,7 +2073,7 @@ object TextQueries {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("source")).orderBy(col("doc_id"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      Tables.documents(spark, dir)
+      Tables.documentsWide(spark, dir)
         .select(col("source"), col("doc_id"),
           size(TextFunctions.bpeTokens(col("text"))).as("n_tokens"))
         .withColumn("cum", sum(col("n_tokens")).over(w))
@@ -2155,7 +2161,7 @@ object TextQueries {
   val d38 = QueryDef(
     "d38_pii_redact",
     (spark, dir) =>
-      piiProject(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      piiProject(Tables.documentsWide(spark, dir).select(col("doc_id"), col("text")))
         .orderBy(col("doc_id")),
     Some(piiOracleSql),
     "PII detection + redaction: typed regex detectors, per-doc counts, placeholder masking (LLM-pipeline op)")
@@ -2181,7 +2187,7 @@ object TextQueries {
         lit(4))
       val ord = md5(concat(col("doc_id").cast("string"),
         lit("p"), col("epoch").cast("string")))
-      Tables.documents(spark, dir).select(col("doc_id"))
+      Tables.documentsWide(spark, dir).select(col("doc_id"))
         .crossJoin(epochs)
         .withColumn("shard", shard)
         .withColumn("pos", row_number().over(
@@ -2228,7 +2234,7 @@ object TextQueries {
   val d40 = QueryDef(
     "d40_leakage_split",
     (spark, dir) => {
-      val docs = Tables.documents(spark, dir)
+      val docs = Tables.documentsWide(spark, dir)
       val pairs = Dedup.minhashLsh(docs, "doc_id", "text", n = 3, k = 8, r = 2,
         minJaccard = 0.2, maxDf = DedupMaxDf)
       clusterSplit(Dedup.dupClusters(pairs, docs, "doc_id"))
@@ -2262,7 +2268,7 @@ object TextQueries {
   val d41 = QueryDef(
     "d41_data_card",
     (spark, dir) => {
-      val rows = Tables.documents(spark, dir).select(
+      val rows = Tables.documentsWide(spark, dir).select(
         col("source"), col("lang"), col("n_chars"),
         md5(col("text")).as("fp"),
         TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
@@ -2419,7 +2425,8 @@ object TextQueries {
   val d42 = QueryDef(
     "d42_dedup_keep_best",
     (spark, dir) => {
-      val docs = Tables.documents(spark, dir)
+      // documentsWide: shingling + qualityScore map stages (r15 lesson)
+      val docs = Tables.documentsWide(spark, dir)
       val pairs = Dedup.minhashLsh(docs, "doc_id", "text", n = 3, k = 8, r = 2,
         minJaccard = 0.2, maxDf = DedupMaxDf)
       val clusters = Dedup.dupClusters(pairs, docs, "doc_id")
@@ -2468,7 +2475,8 @@ object TextQueries {
     "d43_preference_pairs",
     (spark, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(spark, dir)
+      // documentsWide: shingling + qualityScore map stages (r15 lesson)
+      val docs = Tables.documentsWide(spark, dir)
       val pairs = Dedup.minhashLsh(docs, "doc_id", "text", n = 3, k = 8, r = 2,
         minJaccard = 0.2, maxDf = DedupMaxDf)
       val clusters = Dedup.dupClusters(pairs, docs, "doc_id")
@@ -2653,7 +2661,7 @@ object TextQueries {
       // also can't win a merge argmax unless everything is a singleton, so
       // on healthy corpora the cap changes nothing but the collect size.
       val minCount = 2L
-      val wc = Tables.documents(spark, dir)
+      val wc = Tables.documentsWide(spark, dir)
         .select(explode(regexp_extract_all(col("text"),
           lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
@@ -2742,7 +2750,7 @@ object TextQueries {
     "d47_tokenizer_fertility",
     (spark, dir) => {
       TextFunctions.registerNative(spark)
-      fertilityFromPartials(fertilityPartials(Tables.documents(spark, dir)))
+      fertilityFromPartials(fertilityPartials(Tables.documentsWide(spark, dir)))
     },
     Some(s"""WITH RECURSIVE $bpeCte,
             |w AS (SELECT d.source, len(f.syms) AS nt
@@ -2769,7 +2777,7 @@ object TextQueries {
     (spark, dir) => {
       val byte = (id: Column) => conv(substring(md5(id.cast("string")), 1, 2), 16, 10)
         .cast("int")
-      val docs = Tables.documents(spark, dir)
+      val docs = Tables.documentsWide(spark, dir)
       val corpus = docs.filter(byte(col("doc_id")) < 250)
       val bench = docs.filter(byte(col("doc_id")) >= 250)
       val cs = Dedup.docShingles(corpus, "doc_id", "text", n = 4)
@@ -2832,7 +2840,7 @@ object TextQueries {
   val d46 = QueryDef(
     "d46_dedup_recall_eval",
     (spark, dir) => {
-      val docs = Tables.documents(spark, dir)
+      val docs = Tables.documentsWide(spark, dir)
       val exact = Dedup.ngramJaccard(docs, "doc_id", "text",
         n = 3, minJaccard = 0.05, maxDf = DedupMaxDf)
       val lsh = Dedup.minhashLsh(docs, "doc_id", "text",
@@ -2902,7 +2910,7 @@ object TextQueries {
     (spark, dir) => {
       val byte = (id: Column) => conv(substring(md5(id.cast("string")), 1, 2), 16, 10)
         .cast("int")
-      val docs = Tables.documents(spark, dir)
+      val docs = Tables.documentsWide(spark, dir)
         .select(col("doc_id"), col("source"), col("text"))
       val corpus = docs.filter(byte(col("doc_id")) < 250)
       val bench = docs.filter(byte(col("doc_id")) >= 250)
@@ -3004,7 +3012,7 @@ object TextQueries {
     (spark, dir) => {
       val byte = (id: Column) => conv(substring(md5(id.cast("string")), 1, 2), 16, 10)
         .cast("int")
-      val docs = Tables.documents(spark, dir)
+      val docs = Tables.documentsWide(spark, dir)
       val bench = docs.filter(byte(col("doc_id")) >= 250)
         .select(col("doc_id"), col("text"))
       val planted = bench.select((col("doc_id") + 10000000L).as("doc_id"),
@@ -3088,7 +3096,7 @@ object TextQueries {
     (spark, dir) => {
       val byte = (id: Column) => conv(substring(md5(id.cast("string")), 1, 2), 16, 10)
         .cast("int")
-      val docs = Tables.documents(spark, dir)
+      val docs = Tables.documentsWide(spark, dir)
       val train = docs.filter(byte(col("doc_id")) < 250)
       val eval = docs.filter(byte(col("doc_id")) >= 250)
       val bgT = lmBigrams(train)
@@ -3167,7 +3175,7 @@ object TextQueries {
   val d53 = QueryDef(
     "d53_perplexity_buckets",
     (spark, dir) => {
-      val docs = Tables.documents(spark, dir)
+      val docs = Tables.documentsWide(spark, dir)
       val (cbT, cpT) = lmCounts(docs)
       val scored = lmScore(docs, cbT, cpT)
         .select(col("doc_id"), col("fluency"))
@@ -3224,7 +3232,7 @@ object TextQueries {
     (spark, dir) => {
       val byte = (id: Column) => conv(substring(md5(id.cast("string")), 1, 2), 16, 10)
         .cast("int")
-      val docs = Tables.documents(spark, dir)
+      val docs = Tables.documentsWide(spark, dir)
         .select(col("doc_id"), col("source"), col("text"))
       val corpus = docs.filter(byte(col("doc_id")) < 250)
       val bench = docs.filter(byte(col("doc_id")) >= 250)
@@ -3260,7 +3268,7 @@ object TextQueries {
   val d50 = QueryDef(
     "d50_score_calibration",
     (spark, dir) => {
-      val docs = Tables.documents(spark, dir)
+      val docs = Tables.documentsWide(spark, dir)
       val (cbT, cpT) = lmCounts(docs)
       val scored = lmScore(docs, cbT, cpT)
         .select(col("doc_id"), col("fluency"))
@@ -3321,7 +3329,7 @@ object TextQueries {
     "d50b_score_calibration_sampled",
     (spark, dir) => {
       val k = 64
-      val docs = Tables.documents(spark, dir)
+      val docs = Tables.documentsWide(spark, dir)
       val (cbT, cpT) = lmCounts(docs)
       val scored = lmScore(docs, cbT, cpT)
         .select(col("doc_id"), col("fluency"))
@@ -3607,7 +3615,7 @@ object TextQueries {
   val d45 = QueryDef(
     "d45_lm_fluency",
     (spark, dir) => {
-      val docs = Tables.documents(spark, dir)
+      val docs = Tables.documentsWide(spark, dir)
       val (cb, cp) = lmCounts(docs)
       lmScore(docs, cb, cp).orderBy(col("doc_id"))
     },
@@ -3655,7 +3663,8 @@ object TextQueries {
     "d55_trust_propagation",
     (spark, dir) => {
       val Scale = 1000000L
-      val docs = Tables.documents(spark, dir)
+      // documentsWide: the shingle-graph build's map stage (r15 lesson)
+      val docs = Tables.documentsWide(spark, dir)
       val ds = Dedup.capShingles(
         Dedup.docShingles(docs, "doc_id", "text"), DedupMaxDf).persist()
       val half = ds.as("x").join(ds.as("y"),
@@ -3755,7 +3764,7 @@ object TextQueries {
     (spark, dir) => {
       val k = 64
       TextFunctions.registerNative(spark)
-      val srcSh = Tables.documents(spark, dir)
+      val srcSh = Tables.documentsWide(spark, dir)
         .select(col("source"),
           explode(TextFunctions.wordShinglesNative(col("text"), 3)).as("shingle"))
       val sketch = udaf(new graft.functions.Sketches.KmvSketch(k),
@@ -3900,7 +3909,7 @@ object TextQueries {
       val products = graft.functions.BpeMerges.pairs.zipWithIndex
         .map { case ((a, b), i) => (i + 1, a + b) }
         .toDF("merge_rank", "token")
-      val uses = Tables.documents(spark, dir)
+      val uses = Tables.documentsWide(spark, dir)
         .select(explode(TextFunctions.bpeTokens(col("text"))).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("uses"))
       products.join(uses, Seq("token"), "left")
@@ -4048,7 +4057,7 @@ object TextQueries {
     "d59_curriculum_order",
     (spark, dir) => {
       val w = org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(spark, dir)
+      val docs = Tables.documentsWide(spark, dir)
       val (cbT, cpT) = lmCounts(docs)
       val scored = lmScore(docs, cbT, cpT).select(col("doc_id"), col("fluency"))
       val wS = w.partitionBy(col("source")).orderBy(col("fluency").desc, col("doc_id"))
@@ -4116,7 +4125,7 @@ object TextQueries {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("source")).orderBy(col("doc_id"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      val idx = Tables.documents(spark, dir)
+      val idx = Tables.documentsWide(spark, dir)
         .select(col("source"), col("doc_id"),
           TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
         .withColumn("doc_end", sum(col("n_tokens")).over(w))
@@ -4224,7 +4233,7 @@ object TextQueries {
     * source order (the d26 mirrorable class). */
   private def tokenBudgetPlan(spark: org.apache.spark.sql.SparkSession,
                               dir: String): Seq[(String, Long, Double, Boolean, Long)] = {
-    val perSource = Tables.documents(spark, dir)
+    val perSource = Tables.documentsWide(spark, dir)
       .groupBy(col("source"))
       .agg(sum(TextFunctions.tokenCount(col("text"))).as("tokens"))
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
@@ -4286,7 +4295,7 @@ object TextQueries {
       val plan = tokenBudgetPlan(spark, dir)
       val planDf = plan.map { case (s, t, _, _, fin) => (s, t, fin) }
         .toDF("source", "src_tokens", "budget")
-      val docs = Tables.documents(spark, dir)
+      val docs = Tables.documentsWide(spark, dir)
         .select(col("source"), col("doc_id"),
           TextFunctions.tokenCount(col("text")).as("tok"),
           md5(concat(col("doc_id").cast("string"), lit(":d62"))).as("h"))
@@ -4436,7 +4445,9 @@ object TextQueries {
   val d63 = QueryDef(
     "d63_heavy_hitters_cms",
     (spark, dir) => {
-      val docs = Tables.documents(spark, dir)
+      // documentsWide: tokenization + cell hashing are the map-side cost
+      // (both the sketch and the width probe tokenize the corpus; r15)
+      val docs = Tables.documentsWide(spark, dir)
       val w = cmsWidthFor(docs)
       val toks = tokenStream(docs)
       // ground truth (vocab-bounded HERE; at open vocab only the sketch
@@ -4704,7 +4715,7 @@ object TextQueries {
     "d64_cusum_drift",
     (spark, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(spark, dir)
+      val docs = Tables.documentsWide(spark, dir)
         .select(col("doc_id"), col("source"), col("n_chars"))
       val kRow = docs.agg(sum(col("n_chars")), count(lit(1))).head()
       val k = kRow.getLong(0) / kRow.getLong(1) // floor mean (exact both engines)
@@ -4758,7 +4769,7 @@ object TextQueries {
     "d65_cusum_alarms",
     (spark, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(spark, dir)
+      val docs = Tables.documentsWide(spark, dir)
         .select(col("doc_id"), col("source"), col("n_chars"))
       val kRow = docs.agg(sum(col("n_chars")), count(lit(1))).head()
       val k = kRow.getLong(0) / kRow.getLong(1)
@@ -4970,7 +4981,7 @@ object TextQueries {
     "d66_ks_drift",
     (spark, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val doc = Tables.documents(spark, dir).select(col("source"), col("n_chars"))
+      val doc = Tables.documentsWide(spark, dir).select(col("source"), col("n_chars"))
       val wBin = math.max(8L, doc.agg(max(col("n_chars"))).head().getLong(0) / 32L)
       val nOrg = doc.count()
       // the planted source is DATA-DERIVED (rule 12): a literal 'src0' is

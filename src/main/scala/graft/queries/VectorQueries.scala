@@ -227,7 +227,11 @@ object VectorQueries {
     "v06_semantic_dedup",
     (spark, dir) => {
       VectorFunctions.register(spark)
-      val kept = Dedup.semanticDedup(Tables.embeddings(spark, dir), "vec_id",
+      // repartition: parallelize the per-row assignment over the
+      // single-file scan (r15 lesson; the 16-cell pair join caps at 16
+      // tasks either way — the frozen-nlist class, documented)
+      val kept = Dedup.semanticDedup(
+          Tables.embeddings(spark, dir).repartition(32), "vec_id",
           VectorFunctions.cosineSim, nlist = 16, minCos = 0.3)
         .orderBy(col("vec_id"))
       kept
@@ -251,7 +255,8 @@ object VectorQueries {
     (spark, dir) => {
       VectorFunctions.register(spark)
       // nlist=16 → nSupers=√16=4; probing all 4 ⇒ exhaustive ≡ flat
-      val kept = Dedup.semanticDedup(Tables.embeddings(spark, dir), "vec_id",
+      val kept = Dedup.semanticDedup(
+          Tables.embeddings(spark, dir).repartition(32), "vec_id",
           VectorFunctions.cosineSim, nlist = 16, minCos = 0.3, probeSupers = 4)
         .orderBy(col("vec_id"))
       kept
@@ -323,7 +328,8 @@ object VectorQueries {
     "v08_semantic_dedup_probe",
     (spark, dir) => {
       VectorFunctions.register(spark)
-      val kept = Dedup.semanticDedup(Tables.embeddings(spark, dir), "vec_id",
+      val kept = Dedup.semanticDedup(
+          Tables.embeddings(spark, dir).repartition(32), "vec_id",
           VectorFunctions.cosineSim, nlist = V08Nlist, minCos = 0.3,
           probeSupers = V08Probe, centroids = Some(v08Centroids))
         .orderBy(col("vec_id"))

@@ -71,4 +71,19 @@ object Tables {
   def events(spark: SparkSession, d: String): DataFrame     = apply(spark, d, "events")
   def documents(spark: SparkSession, d: String): DataFrame  = apply(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = apply(spark, d, "embeddings")
+
+  /** [[documents]] pre-spread across cores — for PER-ROW-COMPUTE-HEAVY
+    * stages (shingling, fingerprints, BPE, passage rewrites): the driver
+    * fixture is one single-row-group parquet file, so a bare scan is ONE
+    * partition and the whole map stage runs serially regardless of cores
+    * (the r14/r15 single-file-scan lesson; measured 28→~2 s on d14 at sf1).
+    * The repartition costs one shuffle of the raw table — trivial against
+    * the per-row compute it parallelizes. At 100 TB a real table scan is
+    * naturally parallel; this helper exists for the fixture's layout, which
+    * is why it is OPT-IN per query rather than folded into [[documents]]:
+    * scan-light queries (aggregates with map-side combine) must not pay a
+    * full-table shuffle they don't need. Hash-neutral — rows are unordered
+    * inputs to deterministic per-row expressions. */
+  def documentsWide(spark: SparkSession, d: String): DataFrame =
+    documents(spark, d).repartition(spark.sparkContext.defaultParallelism)
 }

@@ -42,7 +42,20 @@ class PlanAuditSpec extends SparkSpec {
   private def assertExchangesFreeOf(name: String, banned: Seq[String]): Unit = {
     val (plan, exchanges) = exchangesOf(name)
     assert(exchanges.nonEmpty, s"unexpected plan shape:\n$plan")
-    exchanges.foreach { e =>
+    // ROUND-ROBIN exchanges are exempt: they carry no key, so they are
+    // never an ALGORITHMIC shuffle — the only one in the suite is the
+    // explicit input respread over the single-file fixture scan
+    // (Tables.documentsWide, the r15 lesson), which deliberately moves the
+    // raw table once to parallelize per-row compute. The payload
+    // discipline this helper audits is about keyed (hash/range) exchanges
+    // the OPERATORS introduce.
+    val keyed = exchanges.filterNot {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        s.outputPartitioning
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning]
+      case _ => false
+    }
+    keyed.foreach { e =>
       val carried = e.child.output.map(_.name)
       banned.foreach { b =>
         assert(!carried.exists(_.toLowerCase == b),
@@ -446,10 +459,12 @@ class PlanAuditSpec extends SparkSpec {
       "the final sort") {
     val p = planOf("d33_gopher_rules")
     assert(!p.contains("Join"), s"d33 grew a join:\n$p")
-    // the only exchange allowed is the final ORDER BY's range partitioner —
-    // the rule stats must compute inside the scan stage
-    val badExchange = p.linesIterator
-      .filter(_.contains("Exchange")).exists(!_.contains("rangepartitioning"))
+    // allowed exchanges: the final ORDER BY's range partitioner and the
+    // explicit round-robin input respread (documentsWide, r15) — the rule
+    // stats must compute map-side with no KEYED shuffle of their own
+    val badExchange = p.linesIterator.filter(_.contains("Exchange"))
+      .exists(l => !l.contains("rangepartitioning") &&
+        !l.contains("RoundRobinPartitioning"))
     assert(!badExchange, s"d33 shuffles before the sort:\n$p")
   }
 
@@ -609,8 +624,11 @@ class PlanAuditSpec extends SparkSpec {
     for (q <- Seq("d36_bpe_tokenize", "d38_pii_redact")) {
       val p = planOf(q)
       assert(!p.contains("Join"), s"$q unexpectedly joins:\n$p")
+      // the round-robin input respread (documentsWide, r15) is layout-only;
+      // the audit is that the OPERATOR adds no keyed shuffle of its own
       val exchanges = p.linesIterator.filter(_.contains("Exchange")).toVector
-      assert(exchanges.forall(_.contains("rangepartitioning")),
+      assert(exchanges.forall(l => l.contains("rangepartitioning") ||
+        l.contains("RoundRobinPartitioning")),
         s"$q shuffles beyond the output sort:\n${exchanges.mkString("\n")}")
     }
   }
