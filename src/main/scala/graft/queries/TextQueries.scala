@@ -1291,7 +1291,7 @@ object TextQueries {
   val d26 = QueryDef(
     "d26_temperature_mix",
     (spark, dir) => {
-      val docs = Tables.documentsWide(spark, dir).select(col("doc_id"), col("source"))
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
       val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
         .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
       val total = counts.map(_._2).sum
@@ -3232,7 +3232,7 @@ object TextQueries {
     (spark, dir) => {
       val byte = (id: Column) => conv(substring(md5(id.cast("string")), 1, 2), 16, 10)
         .cast("int")
-      val docs = Tables.documentsWide(spark, dir)
+      val docs = Tables.documents(spark, dir)
         .select(col("doc_id"), col("source"), col("text"))
       val corpus = docs.filter(byte(col("doc_id")) < 250)
       val bench = docs.filter(byte(col("doc_id")) >= 250)
@@ -4715,7 +4715,7 @@ object TextQueries {
     "d64_cusum_drift",
     (spark, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documentsWide(spark, dir)
+      val docs = Tables.documents(spark, dir)
         .select(col("doc_id"), col("source"), col("n_chars"))
       val kRow = docs.agg(sum(col("n_chars")), count(lit(1))).head()
       val k = kRow.getLong(0) / kRow.getLong(1) // floor mean (exact both engines)
@@ -4769,7 +4769,7 @@ object TextQueries {
     "d65_cusum_alarms",
     (spark, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documentsWide(spark, dir)
+      val docs = Tables.documents(spark, dir)
         .select(col("doc_id"), col("source"), col("n_chars"))
       val kRow = docs.agg(sum(col("n_chars")), count(lit(1))).head()
       val k = kRow.getLong(0) / kRow.getLong(1)
@@ -4981,7 +4981,7 @@ object TextQueries {
     "d66_ks_drift",
     (spark, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val doc = Tables.documentsWide(spark, dir).select(col("source"), col("n_chars"))
+      val doc = Tables.documents(spark, dir).select(col("source"), col("n_chars"))
       val wBin = math.max(8L, doc.agg(max(col("n_chars"))).head().getLong(0) / 32L)
       val nOrg = doc.count()
       // the planted source is DATA-DERIVED (rule 12): a literal 'src0' is
