@@ -231,7 +231,7 @@ object VectorQueries {
       // single-file scan (r15 lesson; the 16-cell pair join caps at 16
       // tasks either way — the frozen-nlist class, documented)
       val kept = Dedup.semanticDedup(
-          Tables.embeddings(spark, dir).repartition(32), "vec_id",
+          Tables.embeddingsWide(spark, dir), "vec_id",
           VectorFunctions.cosineSim, nlist = 16, minCos = 0.3)
         .orderBy(col("vec_id"))
       kept
@@ -256,7 +256,7 @@ object VectorQueries {
       VectorFunctions.register(spark)
       // nlist=16 → nSupers=√16=4; probing all 4 ⇒ exhaustive ≡ flat
       val kept = Dedup.semanticDedup(
-          Tables.embeddings(spark, dir).repartition(32), "vec_id",
+          Tables.embeddingsWide(spark, dir), "vec_id",
           VectorFunctions.cosineSim, nlist = 16, minCos = 0.3, probeSupers = 4)
         .orderBy(col("vec_id"))
       kept
@@ -329,7 +329,7 @@ object VectorQueries {
     (spark, dir) => {
       VectorFunctions.register(spark)
       val kept = Dedup.semanticDedup(
-          Tables.embeddings(spark, dir).repartition(32), "vec_id",
+          Tables.embeddingsWide(spark, dir), "vec_id",
           VectorFunctions.cosineSim, nlist = V08Nlist, minCos = 0.3,
           probeSupers = V08Probe, centroids = Some(v08Centroids))
         .orderBy(col("vec_id"))
@@ -901,7 +901,7 @@ object VectorQueries {
       // single-file scan (the r14 lesson; hash-neutral)
       val emb = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"))
-        .repartition(32).localCheckpoint(true)
+        .repartition(spark.sparkContext.defaultParallelism).localCheckpoint(true)
       val knn = Similarity.ivfTopK(emb, emb, VectorFunctions.cosineSim,
         k = 5, nlist = 16, nprobe = 4).localCheckpoint(true)
       val fwd = knn.select(col("query_id").as("id_a"), col("vec_id").as("id_b"),
@@ -941,7 +941,7 @@ object VectorQueries {
       val scan = Tables.embeddings(spark, dir)
       val nlist = math.max(16L, graft.sources.ParquetMeta.rowCount(scan) / 50).toInt
       val emb = scan.select(col("vec_id"), col("embedding"))
-        .repartition(32).localCheckpoint(true)
+        .repartition(spark.sparkContext.defaultParallelism).localCheckpoint(true)
       val knn = Similarity.ivfTopK(emb, emb, VectorFunctions.cosineSim,
         k = 5, nlist = nlist, nprobe = scaledNprobe(nlist)).localCheckpoint(true)
       val fwd = knn.select(col("query_id").as("id_a"), col("vec_id").as("id_b"),
@@ -1998,6 +1998,9 @@ object VectorQueries {
           Window.partitionBy(col("query_id"))
             .orderBy(col("rrf").desc, col("doc_id"))))
         .filter(col("rank") <= kOut)
+        // consumed twice (vacuity guard + result): eager checkpoint so the
+        // BM25+cosine pipeline executes once, not once per consumer
+        .localCheckpoint(true)
       // vacuity guard (d49 lesson): BOTH rankers must contribute to every
       // query's fused list. (List OVERLAP is data-dependent — the synthetic
       // embeddings are uncorrelated with the text, so at sf0.1 the two
@@ -2116,6 +2119,9 @@ object VectorQueries {
           Window.partitionBy(col("query_id"))
             .orderBy(col("rrf").desc, col("doc_id"))))
         .filter(col("rank") <= kOut)
+        // consumed twice (vacuity guard + result): eager checkpoint so the
+        // BM25+IVF pipeline executes once, not once per consumer
+        .localCheckpoint(true)
       val alive = fused.groupBy(col("query_id")).agg(
         count(col("lex_rank")).as("nl"), count(col("vec_rank")).as("nv"))
       require(alive.filter(col("nl") === 0 || col("nv") === 0).isEmpty,
@@ -2260,7 +2266,7 @@ object VectorQueries {
       // all downstream ops are per-row or fully tie-broken windows)
       val emb = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"))
-        .repartition(32).localCheckpoint(true)
+        .repartition(spark.sparkContext.defaultParallelism).localCheckpoint(true)
       // scaled nlist (v17b): per-cell membership stays ~50, so the edge
       // build is linear at every SF — the frozen-16 geometry reads 48x at
       // 10x the data (measured), exactly the r7 frozen-parameter caveat
@@ -2353,7 +2359,7 @@ object VectorQueries {
       // all downstream ops are per-row or fully tie-broken windows)
       val emb = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"))
-        .repartition(32).localCheckpoint(true)
+        .repartition(spark.sparkContext.defaultParallelism).localCheckpoint(true)
       val n = graft.sources.ParquetMeta.rowCount(Tables.embeddings(spark, dir))
       val nlist = math.max(16L, n / 50).toInt
       // beam scales with the graph like its siblings (rule 12; identity
@@ -2465,7 +2471,7 @@ object VectorQueries {
       // all downstream ops are per-row or fully tie-broken windows)
       val emb = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"))
-        .repartition(32).localCheckpoint(true)
+        .repartition(spark.sparkContext.defaultParallelism).localCheckpoint(true)
       val isNew = pmod(col("vec_id"), lit(9)) === 4
       val base = emb.filter(!isNew).localCheckpoint(true)
       val nbase = base.count()
@@ -2585,7 +2591,7 @@ object VectorQueries {
       // all downstream ops are per-row or fully tie-broken windows)
       val emb = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"))
-        .repartition(32).localCheckpoint(true)
+        .repartition(spark.sparkContext.defaultParallelism).localCheckpoint(true)
       val n = graft.sources.ParquetMeta.rowCount(Tables.embeddings(spark, dir))
       val nlist = math.max(16L, n / 50).toInt
       val B = scaledBeam(nlist) // data-derived width (see scaledBeam)
@@ -2719,7 +2725,7 @@ object VectorQueries {
       // (see v35); hash-neutral
       val embL = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"), col("label"))
-        .repartition(32).localCheckpoint(true)
+        .repartition(spark.sparkContext.defaultParallelism).localCheckpoint(true)
       val emb = embL.select(col("vec_id"), col("embedding"))
       val n = graft.sources.ParquetMeta.rowCount(Tables.embeddings(spark, dir))
       val nlist = math.max(16L, n / 50).toInt
@@ -2894,7 +2900,7 @@ object VectorQueries {
       // all downstream ops are per-row or fully tie-broken windows)
       val emb = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"))
-        .repartition(32).localCheckpoint(true)
+        .repartition(spark.sparkContext.defaultParallelism).localCheckpoint(true)
       val n = graft.sources.ParquetMeta.rowCount(Tables.embeddings(spark, dir))
       val nlist = math.max(16L, n / 50).toInt
       val step = math.max(1L, n / nlist)
@@ -3061,7 +3067,7 @@ object VectorQueries {
         // the generated corpus is consumed by centroid seeding, assignment,
         // probing, and scoring: checkpoint ONCE, pre-spread across cores
         // (the r14 single-file-scan lesson — hash-neutral, pre-aggregation)
-        .repartition(32)
+        .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint(true)
       val out = Similarity.adaptiveIvfTopK(corpus, corpus,
           VectorFunctions.cosineSim, k = 5, nlist = g, maxProbe = 6,

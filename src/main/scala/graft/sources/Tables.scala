@@ -86,4 +86,10 @@ object Tables {
     * inputs to deterministic per-row expressions. */
   def documentsWide(spark: SparkSession, d: String): DataFrame =
     documents(spark, d).repartition(spark.sparkContext.defaultParallelism)
+
+  /** Same respread for the embeddings table (the ANN family's per-row
+    * assignment/encode stages): opt-in, hash-neutral, scale-adaptive via
+    * defaultParallelism rather than a local[32] constant. */
+  def embeddingsWide(spark: SparkSession, d: String): DataFrame =
+    embeddings(spark, d).repartition(spark.sparkContext.defaultParallelism)
 }
