@@ -46,6 +46,35 @@ object Scratch {
           timed(s"$name run$i (forced)") { Bench.forceAll(fn(spark, sfDir)) }
         }
       }
+    } else if (args.headOption.contains("jobs")) {
+      // Generic job-count probe: Scratch jobs <n1,n2,...> [repeats] — runs
+      // each registered query forced (qf protocol) with a listener counting
+      // Spark jobs and summed in-job time, to separate job-floor cost
+      // (scheduling, commit machinery) from compute.
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val jobMs = new java.util.concurrent.atomic.AtomicLong(0)
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            jobs.incrementAndGet(); starts.put(j.jobId, j.time)
+          }
+          override def onJobEnd(
+              j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+            Option(starts.remove(j.jobId))
+              .foreach(t0 => jobMs.addAndGet(j.time - t0))
+        })
+      val n = args.lift(2).map(_.toInt).getOrElse(3)
+      args(1).split(',').foreach { name =>
+        val fn = graft.queries.Registry.queries(name)
+        (1 to n).foreach { i =>
+          val j0 = jobs.get(); val m0 = jobMs.get(); val t0 = System.nanoTime()
+          Bench.forceAll(fn(spark, sfDir))
+          println(f"[scratch] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s" +
+            f" (${jobs.get() - j0} jobs, ${(jobMs.get() - m0) / 1e3}%.2f s in-job)")
+        }
+      }
     } else if (args.headOption.contains("q67pieces")) {
       // Per-verb breakdown of the q67 lifecycle (r13 creep bisect): replays
       // the query's commits with a timer around each LogTable verb.

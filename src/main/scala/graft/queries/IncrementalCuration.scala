@@ -78,25 +78,37 @@ final class IncrementalCuration(spark: SparkSession, root: String) {
       .localCheckpoint(true) // consumed 5x below; lineage would rescan
     val n = fresh.count()
     if (n > 0) {
-      meta.append(fresh.select(col("doc_id"), col("source")))
       val bgF = TextQueries.lmBigrams(fresh).localCheckpoint(true)
-      bg.append(bgF)
-      cbp.append(bgF.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb")))
-      cpp.append(bgF.groupBy(col("w1")).agg(count(lit(1)).as("cp")))
-      fp.append(fresh.select(col("doc_id"),
-        TextFunctions.fingerprintNative(col("text")).as("fp")))
       val cs = Dedup.docShingles(fresh, "doc_id", "text", n = 4)
         .localCheckpoint(true)
       val sizes = cs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
       val shared = cs.join(broadcast(benchSh.read()), Seq("shingle"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
-      contam.append(fresh.select(col("doc_id"))
-        .join(sizes, Seq("doc_id"), "left")
-        .join(shared, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          when(coalesce(col("n_shingles"), lit(0L)) === 0, lit(0.0))
-            .otherwise(coalesce(col("n_shared"), lit(0L)).cast("double") /
-              col("n_shingles")).as("contamination")))
+      // The six appends target DISJOINT tables and read only checkpointed
+      // relations (fresh, bgF, cs) or the frozen bench side — independent
+      // write jobs, so overlap them instead of paying six sequential
+      // job+commit floors (guide §2.6 "overlap independent jobs"; the
+      // Medallion wave-2 thread idiom, failures propagated explicitly).
+      val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      def job(body: => Unit) = new Thread(() =>
+        try body catch { case t: Throwable => failure.compareAndSet(null, t) })
+      val wave = Seq(
+        job(meta.append(fresh.select(col("doc_id"), col("source")))),
+        job(bg.append(bgF)),
+        job(cbp.append(bgF.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb")))),
+        job(cpp.append(bgF.groupBy(col("w1")).agg(count(lit(1)).as("cp")))),
+        job(fp.append(fresh.select(col("doc_id"),
+          TextFunctions.fingerprintNative(col("text")).as("fp")))),
+        job(contam.append(fresh.select(col("doc_id"))
+          .join(sizes, Seq("doc_id"), "left")
+          .join(shared, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(coalesce(col("n_shingles"), lit(0L)) === 0, lit(0.0))
+              .otherwise(coalesce(col("n_shared"), lit(0L)).cast("double") /
+                col("n_shingles")).as("contamination")))))
+      wave.foreach(_.start())
+      wave.foreach(_.join())
+      if (failure.get() != null) throw failure.get()
     }
     n
   }
