@@ -216,7 +216,11 @@ final class ParquetTable(spark: SparkSession, root: String, schema: StructType,
       val hits = live.filter(cond).select(col(DvFile), col(DvPos)).persist()
       val n = hits.count()
       if (n > 0) {
-        hits.write.mode(SaveMode.Append).parquet(dvStore.toString)
+        // one sidecar file per delete wave (LogTable.deleteWhere's rule):
+        // positions are two narrow columns, and inheriting the scan/join
+        // partitioning fans the sidecar into per-wave slivers that every
+        // subsequent read's anti-join must open (guide §6 small files)
+        hits.coalesce(1).write.mode(SaveMode.Append).parquet(dvStore.toString)
         bumpCommits() // a DV delete IS a committed content change
       }
       hits.unpersist()
@@ -236,7 +240,8 @@ final class ParquetTable(spark: SparkSession, root: String, schema: StructType,
         .select(col(DvFile), col(DvPos)).persist()
       val n = hits.count()
       if (n > 0) {
-        hits.write.mode(SaveMode.Append).parquet(dvStore.toString)
+        // one sidecar file per erasure batch (see deleteWhere)
+        hits.coalesce(1).write.mode(SaveMode.Append).parquet(dvStore.toString)
         bumpCommits() // a DV delete IS a committed content change
       }
       hits.unpersist()

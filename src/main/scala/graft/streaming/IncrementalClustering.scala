@@ -266,15 +266,29 @@ final class IncrementalClustering(spark: SparkSession, root: String,
     val labels = Dedup.dupClustersIncremental(
       labelsTable.read(), pairs, batch.select(col("doc_id")), "doc_id")
     val stamp = (df: DataFrame) => df.withColumn("batch_id", lit(batchId))
-    labelsTable.overwrite(labels)
-    indexTable.append(stamp(newShingles))
-    sizesTable.append(stamp(newSizes))
-    if (capped) {
-      dfTable.append(stamp(newDelta))
-      if (anyNewHot) hotTable.append(stamp(newlyHot))
-      hotCountsTable.append(stamp(hotDeltas))
-      newDelta.unpersist(); inter.unpersist()
-    }
+    // The per-batch table writes target DISJOINT tables over inputs that
+    // are already materialized (persisted/checkpointed above, or scans
+    // whose file listing was pinned at read() time), so run them as one
+    // thread wave instead of six sequential job+commit floors per batch
+    // (guide §2.6; the d54/Medallion idiom). The crash contract is
+    // ORDER-FREE by design — any partially-written subset is truncated by
+    // the batch-id scrub, and the marker still lands strictly last
+    // (CrashRecoverySpec pins the replay).
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    def wjob(body: => Unit) = new Thread(() =>
+      try body catch { case t: Throwable => failure.compareAndSet(null, t) })
+    val wave = Seq(
+      Some(wjob(labelsTable.overwrite(labels))),
+      Some(wjob(indexTable.append(stamp(newShingles)))),
+      Some(wjob(sizesTable.append(stamp(newSizes)))),
+      if (capped) Some(wjob(dfTable.append(stamp(newDelta)))) else None,
+      if (capped && anyNewHot) Some(wjob(hotTable.append(stamp(newlyHot)))) else None,
+      if (capped) Some(wjob(hotCountsTable.append(stamp(hotDeltas)))) else None
+    ).flatten
+    wave.foreach(_.start())
+    wave.foreach(_.join())
+    if (failure.get() != null) throw failure.get()
+    if (capped) { newDelta.unpersist(); inter.unpersist() }
     writeMarker(batchId)
     labels.unpersist()
     newShingles.unpersist()
