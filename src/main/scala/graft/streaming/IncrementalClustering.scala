@@ -173,6 +173,14 @@ final class IncrementalClustering(spark: SparkSession, root: String,
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     if (batchId <= lastAppliedBatch) return
     if (!scrubbed) scrubPartialWrites()
+    val debug = sys.env.contains("GRAFT_DEBUG_PROPAGATE")
+    def stage[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      if (debug) System.err.println(
+        f"[processBatch $batchId] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
     val newShingles = Dedup.docShingles(batch, "doc_id", "text", n).persist()
     val newSizes = newShingles.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("set_size"))
@@ -188,7 +196,7 @@ final class IncrementalClustering(spark: SparkSession, root: String,
     // semi-join below the aggregation) + this batch's delta crosses maxDf,
     // and the shingle is not already hot
     val newlyHot = if (!capped) null
-    else {
+    else stage("newlyHot checkpoint") {
       val priorDf = dfTable.read()
         .join(broadcast(newDelta.select(col("shingle"))), Seq("shingle"), "left_semi")
         .groupBy(col("shingle")).agg(sum(col("delta")).as("prior_df"))
@@ -199,12 +207,13 @@ final class IncrementalClustering(spark: SparkSession, root: String,
         .select(col("shingle"))
         .localCheckpoint(true) // tiny by construction; consumed up to 3×
     }
-    val anyNewHot = capped && newlyHot.limit(1).count() > 0
+    val anyNewHot = capped && stage("anyNewHot count")(newlyHot.limit(1).count() > 0)
     // per-batch hot set = cumulative crossings (tiny-table read, ≡ the full
     // df fold's `sum(delta) > maxDf` set because df is monotone)
     val hot = if (!capped) null
-    else hotTable.read().select(col("shingle")).unionByName(newlyHot)
-      .localCheckpoint(true)
+    else stage("hot checkpoint")(
+      hotTable.read().select(col("shingle")).unionByName(newlyHot)
+        .localCheckpoint(true))
     def capSide(ds: DataFrame): DataFrame =
       if (!capped) ds else ds.join(broadcast(hot), Seq("shingle"), "left_anti")
     val cNew = capSide(newShingles)
@@ -245,9 +254,10 @@ final class IncrementalClustering(spark: SparkSession, root: String,
       // computed only for docs TOUCHED by a candidate pair: the narrow
       // state tables are scanned with the touched set broadcast below the
       // fold, so the shuffle carries only touched docs
-      val touched = inter.select(col("doc_a").as("doc_id"))
-        .unionByName(inter.select(col("doc_b").as("doc_id"))).distinct()
-        .localCheckpoint(true)
+      val touched = stage("touched checkpoint")(
+        inter.select(col("doc_a").as("doc_id"))
+          .unionByName(inter.select(col("doc_b").as("doc_id"))).distinct()
+          .localCheckpoint(true))
       val hotN = hotCountsTable.read().select(col("doc_id"), col("hot_n"))
         .unionByName(hotDeltas)
         .join(broadcast(touched), Seq("doc_id"), "left_semi")
@@ -261,10 +271,11 @@ final class IncrementalClustering(spark: SparkSession, root: String,
     // the clustering loop's materializations analyze a leaf, not the whole
     // per-batch plan; the uncapped pairs plan is already shallow
     val pairs0 = jaccardOf(inter, sizes)
-    val pairs = if (capped) pairs0.localCheckpoint(true) else pairs0
+    val pairs = if (capped) stage("pairs checkpoint")(pairs0.localCheckpoint(true))
+                else pairs0
 
-    val labels = Dedup.dupClustersIncremental(
-      labelsTable.read(), pairs, batch.select(col("doc_id")), "doc_id")
+    val labels = stage("dupClustersIncremental")(Dedup.dupClustersIncremental(
+      labelsTable.read(), pairs, batch.select(col("doc_id")), "doc_id"))
     val stamp = (df: DataFrame) => df.withColumn("batch_id", lit(batchId))
     // The per-batch table writes target DISJOINT tables over inputs that
     // are already materialized (persisted/checkpointed above, or scans
@@ -285,8 +296,10 @@ final class IncrementalClustering(spark: SparkSession, root: String,
       if (capped && anyNewHot) Some(wjob(hotTable.append(stamp(newlyHot)))) else None,
       if (capped) Some(wjob(hotCountsTable.append(stamp(hotDeltas)))) else None
     ).flatten
-    wave.foreach(_.start())
-    wave.foreach(_.join())
+    stage("write wave") {
+      wave.foreach(_.start())
+      wave.foreach(_.join())
+    }
     if (failure.get() != null) throw failure.get()
     if (capped) { newDelta.unpersist(); inter.unpersist() }
     writeMarker(batchId)
